@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Model
+
+/** `rate()` and `irate()` over range vectors.
+  *
+  * rate (reference timeseries.rs:70-113):
+  *   `rate(t) = (interp(t - offset) - interp(t - offset - range)) / range`
+  * — interpolated endpoint slope, no counter-reset logic (faithful to the
+  * reference, which differs from upstream Prometheus extrapolation).
+  *
+  * irate (reference timeseries.rs:87-161): let i be the sample index with
+  * `ts[i] <= t < ts[i+1]` (NaN if t is outside the sample span):
+  *   - no sample before i: `(v[i+1] - v[i]) / (ts[i+1] - ts[i])`
+  *   - else `(interp(t) - v[i-1]) / (t - ts[i-1])`
+  * negative deltas are rejected → NaN.
+  *
+  * Both are a single probe-bracketing window pass (see [[Resample.bracket]])
+  * followed by pure column arithmetic; rate folds its two probes per grid
+  * instant with one partial-aggregated groupBy.
+  */
+object Rate {
+
+  def rate(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame = {
+    val hi = Resample.gridProbes(samples, grid, offset, kind = "h")
+    val lo = hi.withColumn("kind", lit("l")).withColumn("probe_ts", col("probe_ts") - lit(overRange))
+    val br = Resample.bracket(samples, hi.unionByName(lo), withLag = false)
+      .withColumn("iv", Resample.interpolated(col("probe_ts"), col("prev"), col("next")))
+    br.groupBy(Model.SkeyCol, "out_ts")
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        max(when(col("kind") === "h", col("iv"))).as("iv_hi"),
+        max(when(col("kind") === "l", col("iv"))).as("iv_lo"))
+      .select(col(Model.SkeyCol), col(Model.LabelsCol), col("out_ts").as(Model.TsCol),
+        ((col("iv_hi") - col("iv_lo")) / lit(overRange)).as(Model.ValueCol))
+  }
+
+  def irate(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame = {
+    // overRange is unused by the reference's irate math (timeseries.rs:116-161)
+    // beyond requiring a range-vector selector; kept for API parity.
+    val _ = overRange
+    val br = Resample.bracket(samples, Resample.gridProbes(samples, grid, offset), withLag = true)
+
+    val t = col("probe_ts")
+    val prev = col("prev")
+    val next = col("next")
+    val nan = lit(Double.NaN)
+
+    val interpAt =
+      ((t - prev("ts")) * next("v") + (next("ts") - t) * prev("v")) / (next("ts") - prev("ts"))
+
+    val noPriorDv = next("v") - prev("v")
+    val noPrior = noPriorDv / (next("ts") - prev("ts"))
+    val dv = interpAt - prev("p_value")
+    val dt = t - prev("p_ts")
+
+    val value =
+      when(prev.isNull || next.isNull, nan) // Below / Above / NotFound → NaN
+        .when(prev("p_ts").isNull, when(noPriorDv < 0, nan).otherwise(noPrior))
+        .otherwise(when(dv < 0, nan).otherwise(dv / dt))
+
+    br.select(col(Model.SkeyCol), col(Model.LabelsCol),
+      col("out_ts").as(Model.TsCol), value.as(Model.ValueCol))
+  }
+}
