@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Grid
+import graft.promql.Eval
+
+/** The engine facade — the Spark-native analogue of the reference's
+  * `TimeSeriesCollection` + query entry points (timeseries.rs:389-484,
+  * query.rs:583-596).
+  *
+  * @param collection long-format samples (labels map incl __name__, ts, value)
+  * @param queryStartTime when set, queries behave as if the data started at
+  *        this instant (`--shift_to_midnight`, main.rs:110 / timeseries.rs:410-417):
+  *        grid instants are shifted back by `queryTimeOffset` before
+  *        evaluation and shifted forward again in the output.
+  */
+final class PromEngine(val collection: DataFrame, val queryStartTime: Option[Double] = None) {
+
+  private lazy val keyed = Model.withSkey(collection)
+
+  lazy val (minTime, maxTime): (Double, Double) = {
+    val r: Row = collection.agg(min(Model.TsCol), max(Model.TsCol)).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** `set_query_start_time` (timeseries.rs:414-417). */
+  def queryTimeOffset: Option[Double] = queryStartTime.map(_ - minTime)
+
+  def withStartTime(t: Double): PromEngine = new PromEngine(collection, Some(t))
+
+  /** Run a PromQL range query; start/end/step in the *query* time frame.
+    * Output (labels, ts, value) with ts back in the query time frame. */
+  def queryRange(query: String, start: Double, end: Double, step: Double): DataFrame = {
+    val off = queryTimeOffset.getOrElse(0.0)
+    val grid = Grid(start - off, end - off, step)
+    val out = Eval.run(keyed, query, grid)
+    out.select(col(Model.LabelsCol), (col(Model.TsCol) + lit(off)).as(Model.TsCol), col(Model.ValueCol))
+  }
+
+  /** Internal-frame variant used by the correctness harness. */
+  def queryRangeRaw(query: String, grid: Grid): DataFrame = Eval.run(keyed, query, grid)
+
+  /** Sorted distinct label names (timeseries.rs:459-476). */
+  def allLabelsDF: DataFrame =
+    collection.select(explode(map_keys(col(Model.LabelsCol))).as("label"))
+      .distinct().orderBy("label")
+
+  def allLabels(): Seq[String] = allLabelsDF.collect().map(_.getString(0)).toSeq
+
+  /** Distinct metric names (timeseries.rs:478-483). */
+  def allSeriesNamesDF: DataFrame =
+    collection.select(col(Model.LabelsCol).getItem(Model.NameLabel).as("name"))
+      .distinct().orderBy("name")
+
+  def allSeriesNames(): Seq[String] = allSeriesNamesDF.collect().map(_.getString(0)).toSeq
+
+  /** Distinct values of one label (main.rs:407-416 supports only __name__;
+    * we generalize to any label). */
+  def labelValuesDF(label: String): DataFrame =
+    collection.select(col(Model.LabelsCol).getItem(label).as("value"))
+      .filter(col("value").isNotNull).distinct().orderBy("value")
+
+  def labelValues(label: String): Seq[String] =
+    labelValuesDF(label).collect().map(_.getString(0)).toSeq
+}

@@ -27,10 +27,14 @@ object TimeParse {
         Right((n * unitSeconds(m.group(2)), m.end))
     }
 
+  /** Java's Double.parseDouble accepts "1d"/"1f" suffixes that Rust's
+    * f64::from_str (and hence the reference) rejects — gate on shape first. */
+  private val PlainFloat = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+
   def parseDuration(value: String): Either[String, Double] = {
     val v = value.trim
     if (v.isEmpty) return Left("empty string")
-    Try(v.toDouble).toOption match {
+    PlainFloat.findFirstIn(v).flatMap(s => Try(s.toDouble).toOption) match {
       case Some(d) => Right(d)
       case None =>
         var rest = v

@@ -57,7 +57,11 @@ object HistogramQuantile {
         when(acc("found"), acc)
           .when(b("v") >= cutoff, struct(
             lit(true).as("found"),
-            (b("le") - (b("le") - acc("pl")) * (b("v") - cutoff) / (b("v") - acc("pc"))).as("est"),
+            // guard: ANSI mode would throw on /0; IEEE (and the reference's
+            // Rust f64) yields NaN for the only reachable case (0-0)/(0-0)
+            when(b("v") - acc("pc") === 0.0, lit(Double.NaN))
+              .otherwise(b("le") - (b("le") - acc("pl")) * (b("v") - cutoff) / (b("v") - acc("pc")))
+              .as("est"),
             acc("pc").as("pc"), acc("pl").as("pl")))
           .otherwise(struct(
             lit(false).as("found"), b("le").as("est"),

@@ -1,0 +1,112 @@
+package graft.promql
+
+import org.apache.spark.sql.DataFrame
+
+import graft.Model
+import graft.operators._
+
+/** PromQL evaluator over the long-format collection DataFrame. Mirrors the
+  * reference's `QueryResult` state machine (query.rs:41-125) so the same
+  * queries succeed/fail in the same ways, but every state carries a lazily
+  * planned DataFrame: Catalyst fuses the whole pipeline (selector filters push
+  * into the parquet scan; one shuffle per window/agg stage).
+  */
+object Eval {
+  final case class EvalException(msg: String) extends RuntimeException(msg)
+
+  sealed trait QR
+  /** filtered, not yet resampled (query.rs:44) */
+  final case class Unprocessed(df: DataFrame, offset: Option[Double]) extends QR
+  /** filtered + `[range]`-vectorized (query.rs:45) */
+  final case class UnprocessedVector(df: DataFrame, overRange: Double, offset: Option[Double]) extends QR
+  /** resampled onto the grid (query.rs:46) */
+  final case class Processed(df: DataFrame) extends QR
+  final case class ScalarQ(value: Double) extends QR
+
+  /** Evaluate `query` against the collection and resample onto `grid`.
+    * Output columns: (skey, labels, ts, value). */
+  def run(collection: DataFrame, query: String, grid: Grid): DataFrame = {
+    val ast = Parser.parse(query)
+    resampled(eval(ast, collection, grid), grid) match {
+      case Processed(df) => df
+      case ScalarQ(_) => throw EvalException("scalar result")
+      case _ => throw EvalException("no processing")
+    }
+  }
+
+  /** Final/implicit resample (query.rs:109-124). */
+  private def resampled(qr: QR, grid: Grid): QR = qr match {
+    case Unprocessed(df, offset) => Processed(Resample.resample(df, grid, offset.getOrElse(0.0)))
+    case p: Processed => p
+    case s: ScalarQ => s
+    case _: UnprocessedVector => throw EvalException("Cannot resample a vectorized time series")
+  }
+
+  private def eval(node: Node, collection: DataFrame, grid: Grid): QR = node match {
+    case ScalarLit(v) => ScalarQ(v)
+
+    case VectorSel(matchers, range, offset) =>
+      // The reference demands exactly one equality matcher on __name__
+      // (timeseries.rs:491-519).
+      val nameMatchers = matchers.filter(_.label == Model.NameLabel)
+      nameMatchers match {
+        case Seq(Selector.Eq(_, _)) => ()
+        case Seq(_) => throw EvalException("The name filter must be an equals filter")
+        case ms => throw EvalException(s"Having a single label name filter is mandatory, got ${ms.length}")
+      }
+      val filtered = Selector.select(collection, matchers)
+      range match {
+        case None => Unprocessed(filtered, offset)
+        case Some(r) => UnprocessedVector(filtered, r, offset)
+      }
+
+    case FuncCall("rate", args, agg) => evalRate(args, agg, collection, grid, Rate.rate)
+    case FuncCall("irate", args, agg) => evalRate(args, agg, collection, grid, Rate.irate)
+
+    case FuncCall("sum", args, by) => evalAgg(args, by, collection, grid, Aggregate.sumBy)
+    case FuncCall("avg", args, by) => evalAgg(args, by, collection, grid, Aggregate.avgBy)
+    case FuncCall("min", args, by) => evalAgg(args, by, collection, grid, Aggregate.minBy)
+    case FuncCall("max", args, by) => evalAgg(args, by, collection, grid, Aggregate.maxBy)
+    case FuncCall("count", args, by) => evalAgg(args, by, collection, grid, Aggregate.countBy)
+
+    case FuncCall("histogram_quantile", args, agg) =>
+      if (args.length != 2)
+        throw EvalException(s"'histogram_quantile' needs exactly 2 arguments, got ${args.length}")
+      if (agg.isDefined)
+        throw EvalException("'histogram_quantile' expects no aggregation")
+      val q = eval(args.head, collection, grid) match {
+        case ScalarQ(v) => v
+        case _ => throw EvalException("Expected a scalar")
+      }
+      resampled(eval(args(1), collection, grid), grid) match {
+        case Processed(df) => Processed(HistogramQuantile.quantile(df, q))
+        case _ => throw EvalException("resampling failed")
+      }
+
+    case FuncCall(other, _, _) => throw EvalException(s"Cannot handle function '$other'")
+  }
+
+  private def evalRate(args: Seq[Node], agg: Option[Seq[String]], collection: DataFrame,
+                       grid: Grid,
+                       fn: (DataFrame, Grid, Double, Double) => DataFrame): QR = {
+    if (agg.isDefined) throw EvalException("'rate' expects no aggregation")
+    if (args.length != 1) throw EvalException(s"'rate' expects a single argument, got ${args.length}")
+    eval(args.head, collection, grid) match {
+      case UnprocessedVector(df, overRange, offset) =>
+        Processed(fn(df, grid, overRange, offset.getOrElse(0.0)))
+      case Unprocessed(_, _) => throw EvalException("'rate' requires a vectorized time series")
+      case Processed(_) => throw EvalException("'rate' cannot process the processed yet")
+      case ScalarQ(_) => throw EvalException("The rate over a scalar is not meaningful")
+    }
+  }
+
+  private def evalAgg(args: Seq[Node], by: Option[Seq[String]], collection: DataFrame,
+                      grid: Grid, fn: (DataFrame, Seq[String]) => DataFrame): QR = {
+    if (args.length != 1) throw EvalException(s"aggregation expects a single argument, got ${args.length}")
+    val byLabels = by.getOrElse(throw EvalException("unimplemented: aggregation without 'by'"))
+    resampled(eval(args.head, collection, grid), grid) match {
+      case Processed(df) => Processed(fn(df, byLabels))
+      case _ => throw EvalException("resampling failed")
+    }
+  }
+}

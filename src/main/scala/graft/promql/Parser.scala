@@ -1,0 +1,190 @@
+package graft.promql
+
+import graft.Model
+import graft.functions.TimeParse
+import graft.operators.Selector
+import graft.operators.Selector.Matcher
+
+/** PromQL AST for the subset the reference evaluates (query.rs:548-581):
+  * vector selectors with label matchers, `[range]` vectors, `offset`
+  * modifiers, scalar literals, and the functions rate/irate/sum-by/
+  * histogram_quantile.
+  */
+sealed trait Node
+final case class VectorSel(matchers: Seq[Matcher], range: Option[Double], offset: Option[Double]) extends Node
+final case class ScalarLit(value: Double) extends Node
+final case class FuncCall(name: String, args: Seq[Node], by: Option[Seq[String]]) extends Node
+
+/** Recursive-descent parser for the PromQL subset. Replaces the reference's
+  * dependency on the `promql` crate (query.rs:586) with ~150 lines — the
+  * grammar the reference actually evaluates is small.
+  */
+object Parser {
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  private sealed trait Tok
+  private case class Ident(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Num(s: String) extends Tok
+  private case class Sym(s: String) extends Tok
+
+  private def tokenize(q: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_' || c == ':') {
+        val start = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_' || q(i) == ':')) i += 1
+        out += Ident(q.substring(start, i))
+      } else if (c.isDigit || (c == '.' && i + 1 < n && q(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
+        out += Num(q.substring(start, i))
+      } else if (c == '"' || c == '\'') {
+        val quoteChar = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && q(i) != quoteChar) {
+          if (q(i) == '\\' && i + 1 < n) { sb.append(unescape(q(i + 1))); i += 2 }
+          else { sb.append(q(i)); i += 1 }
+        }
+        if (i >= n) throw ParseException("unterminated string")
+        i += 1
+        out += Str(sb.toString)
+      } else if (c == '=' && i + 1 < n && q(i + 1) == '~') { out += Sym("=~"); i += 2 }
+      else if (c == '!' && i + 1 < n && q(i + 1) == '=') { out += Sym("!="); i += 2 }
+      else if (c == '!' && i + 1 < n && q(i + 1) == '~') { out += Sym("!~"); i += 2 }
+      else if ("{}[](),=".contains(c)) { out += Sym(c.toString); i += 1 }
+      else throw ParseException(s"unexpected character '$c' at $i")
+    }
+    out.toList
+  }
+
+  private def unescape(c: Char): Char = c match {
+    case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'; case other => other
+  }
+
+  private final class State(var toks: List[Tok]) {
+    def peek: Option[Tok] = toks.headOption
+    def next(): Tok = toks match {
+      case h :: t => toks = t; h
+      case Nil => throw ParseException("unexpected end of query")
+    }
+    def expect(sym: String): Unit = next() match {
+      case Sym(`sym`) => ()
+      case other => throw ParseException(s"expected '$sym', got $other")
+    }
+  }
+
+  def parse(query: String): Node = {
+    val st = new State(tokenize(query))
+    val node = parseExpr(st)
+    if (st.toks.nonEmpty) throw ParseException(s"trailing tokens: ${st.toks}")
+    node
+  }
+
+  private val functions = Set("rate", "irate", "sum", "histogram_quantile", "avg", "min", "max", "count")
+
+  private def parseExpr(st: State): Node = st.peek match {
+    case Some(Num(s)) => st.next(); ScalarLit(s.toDouble)
+    case Some(Ident(name)) if functions.contains(name) => parseFunc(st, name)
+    case Some(Ident(_)) | Some(Sym("{")) => parseSelector(st)
+    case other => throw ParseException(s"unexpected token $other")
+  }
+
+  private def parseFunc(st: State, name: String): Node = {
+    st.next() // function name
+    var by: Option[Seq[String]] = None
+    // `sum by (a,b) (expr)` prefix form
+    if (st.peek.contains(Ident("by"))) { st.next(); by = Some(parseNameList(st)) }
+    st.expect("(")
+    val args = scala.collection.mutable.ListBuffer[Node](parseExpr(st))
+    while (st.peek.contains(Sym(","))) { st.next(); args += parseExpr(st) }
+    st.expect(")")
+    // `sum(expr) by (a,b)` suffix form
+    if (st.peek.contains(Ident("by"))) {
+      if (by.isDefined) throw ParseException("duplicate 'by' clause")
+      st.next(); by = Some(parseNameList(st))
+    }
+    FuncCall(name, args.toSeq, by)
+  }
+
+  private def parseNameList(st: State): Seq[String] = {
+    st.expect("(")
+    val names = scala.collection.mutable.ListBuffer[String]()
+    var done = st.peek.contains(Sym(")"))
+    while (!done) {
+      st.next() match {
+        case Ident(s) => names += s
+        case other => throw ParseException(s"expected label name, got $other")
+      }
+      if (st.peek.contains(Sym(","))) st.next() else done = true
+    }
+    st.expect(")")
+    names.toSeq
+  }
+
+  private def parseSelector(st: State): Node = {
+    val matchers = scala.collection.mutable.ListBuffer[Matcher]()
+    st.peek match {
+      case Some(Ident(name)) => st.next(); matchers += Selector.Eq(Model.NameLabel, name)
+      case _ => ()
+    }
+    if (st.peek.contains(Sym("{"))) {
+      st.next()
+      var done = st.peek.contains(Sym("}"))
+      while (!done) {
+        val label = st.next() match {
+          case Ident(s) => s
+          case other => throw ParseException(s"expected label, got $other")
+        }
+        val op = st.next() match {
+          case Sym(s @ ("=" | "!=" | "=~" | "!~")) => s
+          case other => throw ParseException(s"expected matcher op, got $other")
+        }
+        val value = st.next() match {
+          case Str(s) => s
+          case other => throw ParseException(s"expected string, got $other")
+        }
+        matchers += (op match {
+          case "=" => Selector.Eq(label, value)
+          case "!=" => Selector.Ne(label, value)
+          case "=~" => Selector.Re(label, value)
+          case "!~" => Selector.Nre(label, value)
+        })
+        if (st.peek.contains(Sym(","))) st.next() else done = true
+      }
+      st.expect("}")
+    }
+    if (matchers.isEmpty) throw ParseException("empty selector")
+
+    var range: Option[Double] = None
+    if (st.peek.contains(Sym("["))) {
+      st.next()
+      range = Some(parseDurationTok(st))
+      st.expect("]")
+    }
+    var offset: Option[Double] = None
+    if (st.peek.contains(Ident("offset"))) {
+      st.next()
+      offset = Some(parseDurationTok(st))
+    }
+    VectorSel(matchers.toSeq, range, offset)
+  }
+
+  /** Durations lex as Num("5")+Ident("m") or a single Num. */
+  private def parseDurationTok(st: State): Double = {
+    val sb = new StringBuilder
+    var done = false
+    while (!done) st.peek match {
+      case Some(Num(s)) => st.next(); sb.append(s)
+      case Some(Ident(s)) if s.forall(ch => "msmhdwy".contains(ch)) => st.next(); sb.append(s)
+      case _ => done = true
+    }
+    TimeParse.parseDuration(sb.toString)
+      .fold(e => throw ParseException(s"bad duration '$sb': $e"), identity)
+  }
+}

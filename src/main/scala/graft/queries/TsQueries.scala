@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.{Model, PromEngine}
+import graft.functions.TimeParse
+import graft.operators._
+import graft.sources.TsIngest
+
+/** Time-series / PromQL queries for the driver's correctness gate, each
+  * paired with a DuckDB oracle that replicates the exact same arithmetic
+  * expression trees (IEEE doubles are deterministic given the same tree; any
+  * aggregation whose order can differ is rounded on both sides).
+  */
+object TsQueries {
+
+  // Grid: hourly instants over the events table's 30-day span (2024-01).
+  val GridStart = 1704067200.0 // 2024-01-01T00:00:00Z
+  val GridSteps = 696 // hourly → 697 instants
+  val Step = 3600.0
+  def grid: Grid = Grid(GridStart, GridStart + GridSteps * Step, Step)
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default. Read nanos as long, integer-divide to µs (exact — the data is
+    * µs-granular), then /1e6: bit-identical to DuckDB's `epoch(ts)`.
+    * (Nanos→double directly would lose precision: 1.7e18 > 2^53.) */
+  def rawEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("ts div 1000").cast(DoubleType) / lit(1000000.0))
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    TsIngest.fromDataFrame(rawEvents(spark, dir), "events")
+
+  def engine(spark: SparkSession, dir: String): PromEngine =
+    new PromEngine(events(spark, dir))
+
+  private def flat(df: DataFrame, round6: Boolean = true, roundDigits: Int = 6): DataFrame =
+    df.select(
+      col(Model.LabelsCol).getItem("event_type").as("event_type"),
+      col(Model.LabelsCol).getItem("props").as("props"),
+      round(col(Model.TsCol), 6).as("ts"),
+      round(col(Model.ValueCol), roundDigits).as("value"))
+
+  // ---------------------------------------------------------------- queries
+
+  def ingestEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col(Model.LabelsCol).getItem(Model.NameLabel).as("name"),
+      col(Model.LabelsCol).getItem("event_type").as("event_type"),
+      col(Model.LabelsCol).getItem("props").as("props"),
+      round(col(Model.TsCol), 6).as("ts"),
+      round(col(Model.ValueCol), 6).as("value"))
+
+  def selectEq(spark: SparkSession, dir: String): DataFrame =
+    flat(Selector.select(events(spark, dir), Seq(
+      Selector.Eq(Model.NameLabel, "events"), Selector.Eq("event_type", "purchase"))))
+
+  def selectRegex(spark: SparkSession, dir: String): DataFrame =
+    flat(Selector.select(events(spark, dir), Seq(
+      Selector.Eq(Model.NameLabel, "events"),
+      Selector.Re("event_type", "^(purch|ref)"),
+      Selector.Nre("props", "\"k\": 1"))))
+
+  def resample1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events{event_type="purchase"}""", spark, dir))
+
+  def offsetResample(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events{event_type="purchase"} offset 1h""", spark, dir))
+
+  def rate1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""rate(events{event_type="purchase"}[1h])""", spark, dir))
+
+  def irate1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""irate(events{event_type="purchase"}[1h])""", spark, dir))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+
+  def sumBy(spark: SparkSession, dir: String): DataFrame =
+    Eval("""sum by (event_type) (events)""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        round(col(Model.ValueCol), 4).as("value"))
+
+  private def Eval(q: String, spark: SparkSession, dir: String): DataFrame =
+    engine(spark, dir).queryRangeRaw(q, grid)
+
+  /** Cumulative histogram-bucket counter series synthesized from events:
+    * per (event_type, le), sample at each matching event's ts with the
+    * running count of events with value <= le. */
+  def histCollection(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Seq((50.0, "50"), (100.0, "100"), (200.0, "200"),
+      (Double.PositiveInfinity, "+Inf"))
+    val b = spark.createDataFrame(buckets).toDF("le", "le_str")
+    val ev = rawEvents(spark, dir)
+      .select(col("event_type"), col("ts").as("t"), col("value"))
+    val w = Window.partitionBy("event_type", "le_str")
+      .orderBy("t").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(b)).filter(col("value") <= col("le"))
+      .withColumn("cum", count(lit(1)).over(w).cast(DoubleType))
+      .select(col("event_type"), col("le_str"), col("t"), col("cum"))
+      .distinct() // equal-ts ties produce identical cumulative rows
+      .select(
+        map(lit(Model.NameLabel), lit("events_hist_bucket"),
+          lit("event_type"), col("event_type"),
+          lit(Model.LeLabel), col("le_str")).as(Model.LabelsCol),
+        col("t").as(Model.TsCol), col("cum").as(Model.ValueCol))
+  }
+
+  /** The reference's flagship query shape (main.rs:80) through the full
+    * parse→select→rate→sum-by→histogram_quantile pipeline. */
+  def histQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val eng = new PromEngine(histCollection(spark, dir))
+    eng.queryRangeRaw(
+      "histogram_quantile(0.95, sum by (Le, event_type) (rate(events_hist_bucket{}[1h])))", grid)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        round(col(Model.ValueCol), 4).as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+  }
+
+  def metadataLabels(spark: SparkSession, dir: String): DataFrame =
+    engine(spark, dir).allLabelsDF
+
+  def metadataSeries(spark: SparkSession, dir: String): DataFrame =
+    engine(spark, dir).allSeriesNamesDF
+
+  def labelValues(spark: SparkSession, dir: String): DataFrame =
+    engine(spark, dir).labelValuesDF("event_type")
+
+  /** Duration parsing parity: the set of inputs is fixed (query-time scalar
+    * parsing, web.rs:185-215); each row carries our parsed seconds. */
+  def parseDuration(spark: SparkSession, dir: String): DataFrame = {
+    val inputs = Seq("1.5", "1s", "500ms", "1s500ms", "2m1s500ms", "1h2m1s500ms", "1d", "2w", "1y")
+    import spark.implicits._
+    inputs.map(s => (s, TimeParse.parseDurationOrThrow(s))).toDF("d", "secs")
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Deduped long-form samples of the events value series. */
+  private def sCte(where: String): String =
+    s"""s AS (
+       |  SELECT event_type, props, epoch(ts) AS t, avg(value) AS v
+       |  FROM events $where GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  private def gridCte(probes: Seq[(String, Double)]): String = {
+    val rows = probes.map { case (kind, shift) =>
+      s"SELECT event_type, props, (1704067200.0 + (i * 3600.0)) AS gt, '$kind' AS kind, (1704067200.0 + (i * 3600.0)) - ($shift) AS pr FROM series CROSS JOIN gi"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""series AS (SELECT DISTINCT event_type, props FROM s),
+       |gi AS (SELECT unnest(generate_series(0, $GridSteps)) AS i),
+       |grid AS (
+       |  $rows
+       |)""".stripMargin
+  }
+
+  /** Probe-bracketing CTE (mirrors Resample.bracket + interpolated). */
+  private def bracketCte(withLag: Boolean): String = {
+    val sampleLag = if (withLag)
+      """s2 AS (
+        |  SELECT *, lag(t) OVER (PARTITION BY event_type, props ORDER BY t) AS plt,
+        |            lag(v) OVER (PARTITION BY event_type, props ORDER BY t) AS plv
+        |  FROM s
+        |),""".stripMargin
+    else
+      "s2 AS (SELECT *, NULL::DOUBLE AS plt, NULL::DOUBLE AS plv FROM s),"
+    s"""$sampleLag
+       |u AS (
+       |  SELECT event_type, props, t, 0 AS ord, t AS st, v AS sv, plt, plv,
+       |         NULL::DOUBLE AS gt, NULL::VARCHAR AS kind, NULL::DOUBLE AS pr
+       |  FROM s2
+       |  UNION ALL
+       |  SELECT event_type, props, pr AS t, 1, NULL, NULL, NULL, NULL, gt, kind, pr FROM grid
+       |),
+       |w AS (
+       |  SELECT event_type, props, gt, kind, pr,
+       |    last_value(st IGNORE NULLS) OVER wp AS pt,
+       |    last_value(sv IGNORE NULLS) OVER wp AS pv,
+       |    last_value(plt IGNORE NULLS) OVER wp AS ppt,
+       |    last_value(plv IGNORE NULLS) OVER wp AS ppv,
+       |    first_value(st IGNORE NULLS) OVER wf AS nt,
+       |    first_value(sv IGNORE NULLS) OVER wf AS nv,
+       |    ord
+       |  FROM u
+       |  WINDOW
+       |    wp AS (PARTITION BY event_type, props ORDER BY t, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wf AS (PARTITION BY event_type, props ORDER BY t, ord ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |)""".stripMargin
+  }
+
+  /** Same expression tree as Resample.interpolated. */
+  private val interpExpr: String =
+    """CASE
+      |  WHEN pt IS NULL AND nt IS NULL THEN 'NaN'::DOUBLE
+      |  WHEN pt IS NULL THEN nv
+      |  WHEN nt IS NULL THEN pv
+      |  ELSE ((pr - pt) * nv + (nt - pr) * pv) / (nt - pt)
+      |END""".stripMargin
+
+  def oracleIngestEvents: String =
+    """WITH d AS (
+      |  SELECT event_type, props, epoch(ts) AS t,
+      |         avg(event_id) AS event_id, avg(user_id) AS user_id, avg(value) AS v
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT name, event_type, props, round(t, 6) AS ts, round(v, 6) AS value FROM (
+      |  SELECT 'events' AS name, event_type, props, t, v FROM d
+      |  UNION ALL SELECT 'events_event_id', event_type, props, t, event_id FROM d
+      |  UNION ALL SELECT 'events_user_id', event_type, props, t, user_id FROM d
+      |)""".stripMargin
+
+  def oracleSelectEq: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")}
+       |SELECT event_type, props, round(t, 6) AS ts, round(v, 6) AS value FROM s""".stripMargin
+
+  def oracleSelectRegex: String =
+    s"""WITH ${sCte("WHERE regexp_matches(event_type, '^(purch|ref)') AND NOT regexp_matches(props, '\"k\": 1')")}
+       |SELECT event_type, props, round(t, 6) AS ts, round(v, 6) AS value FROM s""".stripMargin
+
+  private def oracleResample(where: String, offset: Double): String =
+    s"""WITH ${sCte(where)},
+       |${gridCte(Seq(("i", offset)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts, round($interpExpr, 6) AS value
+       |FROM w WHERE ord = 1""".stripMargin
+
+  def oracleResample1h: String = oracleResample("WHERE event_type = 'purchase'", 0.0)
+  def oracleOffsetResample: String = oracleResample("WHERE event_type = 'purchase'", 3600.0)
+
+  def oracleRate1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("h", 0.0), ("l", 3600.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, kind, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  round((max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END)) / 3600.0, 6) AS value
+       |FROM iv GROUP BY event_type, props, gt""".stripMargin
+
+  def oracleIrate1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = true)},
+       |iv AS (
+       |  SELECT event_type, props, gt,
+       |    CASE
+       |      WHEN pt IS NULL OR nt IS NULL THEN 'NaN'::DOUBLE
+       |      WHEN ppt IS NULL THEN
+       |        CASE WHEN (nv - pv) < 0 THEN 'NaN'::DOUBLE ELSE (nv - pv) / (nt - pt) END
+       |      ELSE
+       |        CASE WHEN (((pr - pt) * nv + (nt - pr) * pv) / (nt - pt) - ppv) < 0 THEN 'NaN'::DOUBLE
+       |             ELSE (((pr - pt) * nv + (nt - pr) * pv) / (nt - pt) - ppv) / (pr - ppt) END
+       |    END AS v
+       |  FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, props, round(gt, 6) AS ts, round(v, 6) AS value
+       |FROM iv WHERE NOT isnan(v)""".stripMargin
+
+  def oracleSumBy: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) AS value
+       |FROM iv GROUP BY event_type, gt""".stripMargin
+
+  def oracleHistQuantile: String =
+    s"""WITH b(le, le_str) AS (VALUES (50.0, '50'), (100.0, '100'), (200.0, '200'), ('inf'::DOUBLE, '+Inf')),
+       |ev AS (SELECT event_type, epoch(ts) AS t, value FROM events),
+       |s0 AS (
+       |  SELECT DISTINCT ev.event_type, b.le, ev.t,
+       |    CAST(count(*) OVER (PARTITION BY ev.event_type, b.le ORDER BY ev.t RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+       |  FROM ev JOIN b ON ev.value <= b.le
+       |),
+       |s AS (SELECT event_type, le, t, cum AS v FROM s0),
+       |series AS (SELECT DISTINCT event_type, le FROM s),
+       |gi AS (SELECT unnest(generate_series(0, $GridSteps)) AS i),
+       |grid AS (
+       |  SELECT event_type, le, (1704067200.0 + (i * 3600.0)) AS gt, 'h' AS kind, (1704067200.0 + (i * 3600.0)) - (0.0) AS pr FROM series CROSS JOIN gi
+       |  UNION ALL
+       |  SELECT event_type, le, (1704067200.0 + (i * 3600.0)) AS gt, 'l' AS kind, (1704067200.0 + (i * 3600.0)) - (3600.0) AS pr FROM series CROSS JOIN gi
+       |),
+       |u AS (
+       |  SELECT event_type, le, t, 0 AS ord, t AS st, v AS sv, NULL::DOUBLE AS gt, NULL::VARCHAR AS kind, NULL::DOUBLE AS pr FROM s
+       |  UNION ALL
+       |  SELECT event_type, le, pr AS t, 1, NULL, NULL, gt, kind, pr FROM grid
+       |),
+       |w AS (
+       |  SELECT event_type, le, gt, kind, pr,
+       |    last_value(st IGNORE NULLS) OVER wp AS pt,
+       |    last_value(sv IGNORE NULLS) OVER wp AS pv,
+       |    first_value(st IGNORE NULLS) OVER wf AS nt,
+       |    first_value(sv IGNORE NULLS) OVER wf AS nv,
+       |    ord
+       |  FROM u
+       |  WINDOW
+       |    wp AS (PARTITION BY event_type, le ORDER BY t, ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wf AS (PARTITION BY event_type, le ORDER BY t, ord ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |),
+       |iv AS (
+       |  SELECT event_type, le, gt, kind, $interpExpr AS v FROM w WHERE ord = 1
+       |),
+       |rate AS (
+       |  SELECT event_type, le, gt,
+       |    (max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END)) / 3600.0 AS r
+       |  FROM iv GROUP BY event_type, le, gt
+       |),
+       |finite AS (
+       |  SELECT event_type, gt, le, r,
+       |    lag(r, 1, 0.0) OVER wl AS pc, lag(le, 1, 0.0) OVER wl AS pl
+       |  FROM rate WHERE le != 'inf'::DOUBLE
+       |  WINDOW wl AS (PARTITION BY event_type, gt ORDER BY le)
+       |),
+       |tot AS (SELECT event_type, gt, 0.95 * r AS cutoff FROM rate WHERE le = 'inf'::DOUBLE),
+       |walk AS (
+       |  SELECT f.event_type, f.gt,
+       |    coalesce(
+       |      min_by(CASE WHEN (f.r - f.pc) = 0 THEN 'NaN'::DOUBLE
+       |                  ELSE f.le - (f.le - f.pl) * (f.r - t.cutoff) / (f.r - f.pc) END, f.le)
+       |        FILTER (WHERE f.r >= t.cutoff),
+       |      200.0) AS est
+       |  FROM finite f JOIN tot t ON f.event_type = t.event_type AND f.gt = t.gt
+       |  GROUP BY f.event_type, f.gt
+       |)
+       |SELECT event_type, round(gt, 6) AS ts, round(est, 4) AS value
+       |FROM walk WHERE NOT isnan(est)""".stripMargin
+
+  def oracleMetadataLabels: String =
+    """SELECT label FROM (
+      |  SELECT column_name AS label FROM (DESCRIBE SELECT * FROM events) WHERE column_type = 'VARCHAR'
+      |  UNION ALL SELECT '__name__'
+      |) ORDER BY label""".stripMargin
+
+  def oracleMetadataSeries: String =
+    """SELECT name FROM (
+      |  SELECT 'events' AS name
+      |  UNION ALL
+      |  SELECT 'events_' || column_name FROM (DESCRIBE SELECT * FROM events)
+      |  WHERE column_type IN ('BIGINT', 'DOUBLE') AND column_name <> 'value'
+      |) ORDER BY name""".stripMargin
+
+  def oracleLabelValues: String =
+    "SELECT DISTINCT event_type AS value FROM events ORDER BY value"
+
+  def oracleParseDuration: String =
+    """SELECT * FROM (VALUES
+      |  ('1.5', 1.5), ('1s', 1.0), ('500ms', 0.5), ('1s500ms', 1.5),
+      |  ('2m1s500ms', 121.5), ('1h2m1s500ms', 3721.5), ('1d', 86400.0),
+      |  ('2w', 1209600.0), ('1y', 31536000.0)) t(d, secs)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_events" -> (ingestEvents _),
+    "select_eq" -> (selectEq _),
+    "select_regex" -> (selectRegex _),
+    "resample_1h" -> (resample1h _),
+    "offset_resample" -> (offsetResample _),
+    "rate_1h" -> (rate1h _),
+    "irate_1h" -> (irate1h _),
+    "sum_by" -> (sumBy _),
+    "hist_quantile" -> (histQuantile _),
+    "metadata_labels" -> (metadataLabels _),
+    "metadata_series" -> (metadataSeries _),
+    "label_values" -> (labelValues _),
+    "parse_duration" -> (parseDuration _))
+
+  val oracles: Map[String, String] = Map(
+    "ingest_events" -> oracleIngestEvents,
+    "select_eq" -> oracleSelectEq,
+    "select_regex" -> oracleSelectRegex,
+    "resample_1h" -> oracleResample1h,
+    "offset_resample" -> oracleOffsetResample,
+    "rate_1h" -> oracleRate1h,
+    "irate_1h" -> oracleIrate1h,
+    "sum_by" -> oracleSumBy,
+    "hist_quantile" -> oracleHistQuantile,
+    "metadata_labels" -> oracleMetadataLabels,
+    "metadata_series" -> oracleMetadataSeries,
+    "label_values" -> oracleLabelValues,
+    "parse_duration" -> oracleParseDuration)
+}
