@@ -1,0 +1,99 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * - [[bruteTopK]]: exact cosine top-k of a small query set against the
+  *   corpus — the baseline. The query set is broadcast; the corpus streams
+  *   (never corpus × corpus).
+  * - [[lshTopK]]: random-hyperplane LSH — vectors bucketed by the sign
+  *   pattern of `planes` dot products; queries only compare within their
+  *   bucket. The shuffle key is the bucket id: this is the 100 TB path.
+  * - [[lshNearDup]]: embedding-cosine near-duplicate pairs within LSH
+  *   buckets.
+  *
+  * Hyperplane components are md5-derived dyadic rationals
+  * ((md5_16bit - 32768) / 65536), so any engine (incl. the DuckDB oracle)
+  * reproduces them exactly.
+  */
+object Ann {
+
+  val Dims = 64
+
+  /** Deterministic hyperplane component in [-0.5, 0.5): exact in binary. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    (v - 32768).toDouble / 65536.0
+  }
+
+  def planes(nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, Dims)((p, d) => planeComponent(p, d))
+
+  /** Cosine similarity between two array<float> columns as a strict
+    * left-fold (deterministic order). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** LSH bucket id: bit b set iff dot(vec, plane_b) > 0. */
+  def bucketId(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val comps = planes(nPlanes)(p)
+      val dotP = aggregate(
+        zip_with(vec, lit(comps), (x, h) => x.cast(DoubleType) * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k neighbors of each query vector (cosine, self excluded,
+    * ties broken by vec_id). Queries must be small (broadcast). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
+  /** LSH-bucketed top-k: same scoring, but candidates restricted to the
+    * query's bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", bucketId(col("embedding"), nPlanes))
+    val qb = queries.withColumn("bucket", bucketId(col("embedding"), nPlanes))
+    val scored = bucketed.as("c").join(broadcast(qb.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets. */
+  def lshNearDup(corpus: DataFrame, minCosine: Double, nPlanes: Int = 6): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", bucketId(col("embedding"), nPlanes))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Design rules for 100 TB:
+  *  - never an all-pairs compare: every candidate generation step shuffles on
+  *    a bounded key (content hash, LSH band hash, SimHash band) and joins only
+  *    within buckets;
+  *  - all hashing is md5-derived (reproducible in any engine — the DuckDB
+  *    oracle replicates each algorithm bit-for-bit);
+  *  - all heavy lifting is exploded long-form + groupBy (map-side partial
+  *    aggregation), no UDFs, no driver-side state.
+  */
+object Dedup {
+
+  /** 60-bit positive hash from md5 (identical in DuckDB:
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Lowercased alphanumeric word tokens. */
+  def tokens(text: Column): Column = {
+    val _ = text
+    expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+  }
+
+  /** Distinct word n-grams per document: (doc_id, g). */
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("g", explode(
+        when(size(col("tk")) >= n,
+          expr(s"transform(sequence(1, size(tk) - ${n - 1}), i -> " +
+            (1 to n).map(j => s"element_at(tk, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")") + ")"))
+          .otherwise(array().cast(ArrayType(StringType)))))
+    grams.select(col("doc_id"), col("g")).distinct()
+  }
+
+  /** Exact dedup: hash of normalized text → keep lowest doc_id per group.
+    * Shuffles on the hash (bounded key), not the full text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(lower(trim(col("text"))).cast(BinaryType)).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted index: join per
+    * gram (postings capped at `maxDf` to bound skew — at corpus scale the
+    * head grams carry no signal), count common grams, Jaccard from set
+    * sizes. Output: (doc_a, doc_b, jaccard) with jaccard >= minJaccard. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.3,
+                   maxDf: Long = 1000): DataFrame = {
+    val grams = wordNgrams(docs, n).cache()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val postings = grams
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("df") <= maxDf)
+    val common = postings.as("a").join(postings.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+          (col("sza") + col("szb") - col("common")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: k md5-seeded permutation mins over the distinct
+    * n-gram set. Returns (doc_id, sig array<long>). */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val grams = wordNgrams(docs, n)
+    grams
+      .withColumn("seed", explode(lit((0 until k).toArray)))
+      .withColumn("h", md5Hash60(concat(col("seed").cast(StringType), lit(":"), col("g"))))
+      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        s => s("mh")).as("sig"))
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * `k/bands` rows; docs sharing any band-hash become candidates; candidates
+    * are verified with the exact n-gram Jaccard. The shuffle key is
+    * (band index, band hash) — never all-pairs. */
+  def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSignatures(docs, n, k)
+    val banded = sigs.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b as band, md5(array_join(transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), ',')) as bkey))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard over the gram sets
+    val grams = wordNgrams(docs, n)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(grams.toDF("doc_a", "g"), "doc_a")
+      .join(grams.toDF("doc_b", "g"), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+          (col("sza") + col("szb") - col("common")).cast(DoubleType), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 60-bit SimHash over distinct word tokens; near-dup pairs via 4 bands of
+    * 15 bits (any equal band → candidate) verified by Hamming distance. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs.withColumn("t", explode(array_distinct(tokens(col("text")))))
+      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
+    toks.withColumn("j", explode(lit((0 until 60).toArray)))
+      .withColumn("sign", expr("((h >> j) & 1) * 2 - 1"))
+      .groupBy("doc_id", "j").agg(sum("sign").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << j")).otherwise(lit(0L))).as("fp"))
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fps = simhashFingerprints(docs)
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(fp, b * 15) & 32767 as bkey))")).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

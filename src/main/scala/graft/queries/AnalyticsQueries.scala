@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Columnar-analytics surface over the TPC-H-ish tables: scan-heavy
+  * aggregation, broadcast star join, event windowing. These anchor the
+  * benchmark and prove plan quality (pushdown, broadcast, partial agg).
+  */
+object AnalyticsQueries {
+
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(expr("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"))
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(expr("l_shipdate > TIMESTAMP '1996-01-01 00:00:00'"))
+    lineitem
+      .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate")
+  }
+
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    TsQueries.rawEvents(spark, dir)
+      .groupBy(col("event_type"),
+        (floor(col("ts") / 86400.0).cast(DoubleType) * 86400.0).as("day"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+
+  def oracleQ1: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  def oracleQ3: String =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  def oracleEventsWindow: String =
+    """SELECT event_type, floor(epoch(ts) / 86400.0) * 86400.0 AS day,
+      |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1 _),
+    "q3_join" -> (q3 _),
+    "events_window" -> (eventsWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> oracleQ1,
+    "q3_join" -> oracleQ3,
+    "events_window" -> oracleEventsWindow)
+}

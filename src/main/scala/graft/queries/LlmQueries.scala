@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** LLM-data-pipeline queries + DuckDB oracles. Each oracle replicates the
+  * same deterministic algorithm (md5-derived hashing, identical expression
+  * trees, rounding where aggregation order can differ).
+  */
+object LlmQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------------------------------------------------------- queries
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(spark, dir), n = 3, minJaccard = 0.3, maxDf = 1000)
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir), n = 3, k = 12, bands = 4, minJaccard = 0.5)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 6)
+
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    Ann.lshNearDup(emb(spark, dir), minCosine = 0.3, nPlanes = 6)
+
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.bruteTopK(e, e.filter(col("vec_id") < 5), k = 5)
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5, nPlanes = 6)
+  }
+
+  def textLang(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(spark, dir))
+      .select(col("doc_id"), col("pred_lang"),
+        col("en_hits").cast(LongType).as("en_hits"),
+        col("de_hits").cast(LongType).as("de_hits"),
+        col("fr_hits").cast(LongType).as("fr_hits"),
+        col("es_hits").cast(LongType).as("es_hits"))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(spark, dir))
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(spark, dir))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(spark, dir))
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metadata(docs(spark, dir))
+
+  /** No SQL oracle (mapPartitions typed decode path) — rows-only check. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.features(spark, docs(spark, dir))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val md5Big = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  private val gramsCte: String =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(range(1, len(tk) - 1), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g
+      |  FROM toks))""".stripMargin
+
+  def oracleDedupExact: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY md5(lower(trim(text)))""".stripMargin
+
+  def oracleDedupNgram: String =
+    s"""WITH $gramsCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |posts AS (SELECT doc_id, g FROM (
+       |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM grams) WHERE df <= 1000),
+       |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |       FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id JOIN sizes sb ON co.doc_b = sb.doc_id)
+       |WHERE jaccard >= 0.3""".stripMargin
+
+  def oracleDedupMinhash: String =
+    s"""WITH $gramsCte,
+       |seeds AS (SELECT unnest(range(0, 12)) AS seed),
+       |mh AS (SELECT doc_id, seed, min(${md5Big.format("seed::VARCHAR || ':' || g")}) AS mh
+       |       FROM grams CROSS JOIN seeds GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, b.b AS band,
+       |    md5(array_to_string(list_transform(list_slice(sig, b.b * 3 + 1, b.b * 3 + 3), x -> x::VARCHAR), ',')) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |co AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+       |       FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |  FROM co JOIN sizes sa ON co.doc_a = sa.doc_id JOIN sizes sb ON co.doc_b = sb.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  def oracleDedupSimhash: String =
+    s"""WITH toks2 AS (SELECT DISTINCT doc_id, t FROM (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents)),
+       |th AS (SELECT doc_id, ${md5Big.format("t")} AS h FROM toks2),
+       |bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+       |         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY 1, 2),
+       |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+       |       FROM bits GROUP BY 1),
+       |banded AS (SELECT doc_id, fp, b.b AS band, (fp >> (b.b * 15)) & 32767 AS bkey
+       |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin
+
+  /** Shared cosine-scoring SQL over candidate (query, neighbor) pairs CTE
+    * named `pairs(query_id, neighbor_id, qe, ce)`. */
+  private val cosineRankSql: String =
+    """gi AS (SELECT unnest(range(1, 65)) AS i),
+      |dots AS (SELECT query_id, neighbor_id,
+      |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+      |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+      |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+      |  FROM pairs CROSS JOIN gi GROUP BY 1, 2),
+      |scored AS (SELECT query_id, neighbor_id,
+      |    round(dot / (sqrt(qq) * sqrt(cc)), 6) AS score FROM dots),
+      |ranked AS (SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rn FROM scored)
+      |SELECT query_id, neighbor_id, score, rn FROM ranked WHERE rn <= 5""".stripMargin
+
+  def oracleAnnBrute: String =
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS qe, c.embedding AS ce
+       |  FROM embeddings c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+       |$cosineRankSql""".stripMargin
+
+  /** VALUES list of md5-derived hyperplane numerators (m / 65536 = component). */
+  private def planesValues(nPlanes: Int): String =
+    (0 until nPlanes).flatMap { p =>
+      (0 until Ann.Dims).map { d =>
+        val m = math.round(Ann.planeComponent(p, d) * 65536).toInt
+        s"($p, ${d + 1}, $m)"
+      }
+    }.mkString(", ")
+
+  private def bucketCte(nPlanes: Int): String =
+    s"""planes(p, d, m) AS (VALUES ${planesValues(nPlanes)}),
+       |dps AS (SELECT e.vec_id, pl.p,
+       |    sum(CAST(e.embedding[pl.d] AS DOUBLE) * (pl.m / 65536.0)) AS dp
+       |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+       |buckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dps GROUP BY 1)""".stripMargin
+
+  def oracleAnnLsh: String =
+    s"""WITH ${bucketCte(6)},
+       |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+       |q AS (SELECT * FROM eb WHERE vec_id < 5),
+       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS qe, c.embedding AS ce
+       |  FROM eb c JOIN q ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |$cosineRankSql""".stripMargin
+
+  def oracleDedupEmbed: String =
+    s"""WITH ${bucketCte(6)},
+       |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+       |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    a.embedding AS qe, b.embedding AS ce
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |gi AS (SELECT unnest(range(1, 65)) AS i),
+       |dots AS (SELECT query_id, neighbor_id,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+       |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+       |  FROM pairs CROSS JOIN gi GROUP BY 1, 2)
+       |SELECT query_id AS vec_a, neighbor_id AS vec_b, cos FROM (
+       |  SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos FROM dots)
+       |WHERE cos >= 0.3""".stripMargin
+
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  def oracleTextLang: String = {
+    val m = TextAnalysis.Stopwords
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+       |h AS (SELECT doc_id,
+       |  CAST(len(list_filter(tk, x -> list_contains(${sqlList(m("en"))}, x))) AS BIGINT) AS en_hits,
+       |  CAST(len(list_filter(tk, x -> list_contains(${sqlList(m("de"))}, x))) AS BIGINT) AS de_hits,
+       |  CAST(len(list_filter(tk, x -> list_contains(${sqlList(m("fr"))}, x))) AS BIGINT) AS fr_hits,
+       |  CAST(len(list_filter(tk, x -> list_contains(${sqlList(m("es"))}, x))) AS BIGINT) AS es_hits
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS pred_lang,
+       |  en_hits, de_hits, fr_hits, es_hits
+       |FROM h""".stripMargin
+  }
+
+  def oracleTextQuality: String = {
+    val allStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(tk, x -> list_contains(${sqlList(allStops)}, x))) AS BIGINT) AS n_stop
+       |  FROM t),
+       |r AS (SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+       |    CASE WHEN n_chars = 0 THEN 0.0
+       |         ELSE round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS punct_ratio,
+       |    CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS stop_ratio
+       |  FROM c)
+       |SELECT doc_id, n_chars, n_words, n_punct, n_stop, punct_ratio, stop_ratio,
+       |  round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+       |        stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score
+       |FROM r""".stripMargin
+  }
+
+  def oracleTextTokens: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  def oracleTextFingerprint: String =
+    s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(length(t) - 7, 1) + 1), i -> substr(t, i, 8)) AS gs FROM t),
+       |h AS (SELECT doc_id, list_transform(gs, x -> ${md5Big.format("x")}) AS hs FROM g),
+       |w AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+       |    j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps FROM h)
+       |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin
+
+  def oracleMultimodalMeta: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  CAST(ascii(text) AS BIGINT) AS first_cp,
+      |  substr(md5(text), 1, 16) AS md5_prefix,
+      |  CAST((octet_length(encode(text)) * 7) % 640 + 16 AS BIGINT) AS fake_width
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embed" -> (dedupEmbed _),
+    "ann_brute" -> (annBrute _),
+    "ann_lsh" -> (annLsh _),
+    "text_lang" -> (textLang _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_features" -> (multimodalFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> oracleDedupExact,
+    "dedup_ngram" -> oracleDedupNgram,
+    "dedup_minhash" -> oracleDedupMinhash,
+    "dedup_simhash" -> oracleDedupSimhash,
+    "dedup_embed" -> oracleDedupEmbed,
+    "ann_brute" -> oracleAnnBrute,
+    "ann_lsh" -> oracleAnnLsh,
+    "text_lang" -> oracleTextLang,
+    "text_quality" -> oracleTextQuality,
+    "text_tokens" -> oracleTextTokens,
+    "text_fingerprint" -> oracleTextFingerprint,
+    "multimodal_meta" -> oracleMultimodalMeta)
+}
