@@ -78,12 +78,20 @@ object Resample {
       lit(null).cast(svType).as("sv"),
       col(Model.LabelsCol), col("out_ts"), col("kind"))
 
-    val w = Window.partitionBy(Model.SkeyCol).orderBy(col("t"), col("ord"))
+    // Both window frames are RUNNING frames (upper bound fixed relative to
+    // the partition start) — Spark evaluates them incrementally. A naive
+    // `first(..., ignoreNulls) over (1, unboundedFollowing)` is a shrinking
+    // frame that Spark re-evaluates per row: O(n²) per partition (observed
+    // 137 s vs 4 s on a 100k-sample series). The "next sample strictly after
+    // t" is instead a running `last` over DESCENDING (t, ord) with the
+    // current row excluded.
+    val wAsc = Window.partitionBy(Model.SkeyCol).orderBy(col("t"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(Model.SkeyCol).orderBy(col("t").desc, col("ord").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val unioned = sampleRows.unionByName(probeRows)
-      .withColumn("prev", last(col("sv"), ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("next", first(col("sv"), ignoreNulls = true)
-        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("prev", last(col("sv"), ignoreNulls = true).over(wAsc))
+      .withColumn("next", last(col("sv"), ignoreNulls = true).over(wDesc))
 
     unioned.filter(col("ord") === 1)
       .select(col(Model.SkeyCol), col(Model.LabelsCol), col("out_ts"), col("kind"),
