@@ -86,11 +86,13 @@ object Parser {
     node
   }
 
-  private val functions = Set("rate", "irate", "sum", "histogram_quantile", "avg", "min", "max", "count")
-
   private def parseExpr(st: State): Node = st.peek match {
     case Some(Num(s)) => st.next(); ScalarLit(s.toDouble)
-    case Some(Ident(name)) if functions.contains(name) => parseFunc(st, name)
+    // any identifier directly followed by '(' (or a 'by' clause) is a
+    // function call — unknown functions fail at eval time like the
+    // reference's process_function (query.rs:252-255), not at parse time
+    case Some(Ident(name)) if st.toks.drop(1).headOption.exists(t =>
+      t == Sym("(") || t == Ident("by")) => parseFunc(st, name)
     case Some(Ident(_)) | Some(Sym("{")) => parseSelector(st)
     case other => throw ParseException(s"unexpected token $other")
   }

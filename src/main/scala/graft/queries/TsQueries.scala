@@ -122,6 +122,54 @@ object TsQueries {
       .filter(col("value").isNotNull && !isnan(col("value")))
   }
 
+  /** Histogram-layout ingestion (#2): a wide per-minute histogram table
+    * (Le50/Le100/Le200/count/sum columns) derived from events is classified
+    * by TsIngest — buckets get `Le` labels, `Le+Inf` is synthesized from
+    * `count` (metricstore.rs:465-496). */
+  def ingestHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val wide = rawEvents(spark, dir)
+      .groupBy(col("event_type"),
+        (floor((col("ts") - lit(GridStart)) / 60.0).cast(DoubleType) * 60.0 + lit(GridStart)).as("time"))
+      .agg(
+        count(when(col("value") <= 50.0, 1)).as("Le50"),
+        count(when(col("value") <= 100.0, 1)).as("Le100"),
+        count(when(col("value") <= 200.0, 1)).as("Le200"),
+        count(lit(1)).as("count"),
+        sum("value").as("sum"))
+    TsIngest.fromDataFrame(wide, "perf")
+      .select(
+        col(Model.LabelsCol).getItem(Model.NameLabel).as("name"),
+        col(Model.LabelsCol).getItem(Model.LeLabel).as("le"),
+        col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        round(col(Model.ValueCol), 6).as("value"))
+  }
+
+  /** Re-tag YAML config (#3): fixed labels from the mapping are attached at
+    * ingest (config.rs, metricstore.rs:86-95). */
+  val retagYaml: String =
+    """config:
+      |  skip-unmapped: true
+      |mapping:
+      |  events:
+      |    tags:
+      |      env: production
+      |      dc: eu-1
+      |""".stripMargin
+
+  def retagConfig(spark: SparkSession, dir: String): DataFrame = {
+    val conf = graft.config.ReTag.parse(retagYaml)
+    val fixed = conf.mapping("events")
+    val coll = TsIngest.fromDataFrame(rawEvents(spark, dir), "events",
+      TsIngest.IngestOptions(fixedLabels = fixed))
+    Selector.byName(coll, "events").select(
+      col(Model.LabelsCol).getItem("event_type").as("event_type"),
+      col(Model.LabelsCol).getItem("env").as("env"),
+      col(Model.LabelsCol).getItem("dc").as("dc"),
+      round(col(Model.TsCol), 6).as("ts"),
+      round(col(Model.ValueCol), 6).as("value"))
+  }
+
   def metadataLabels(spark: SparkSession, dir: String): DataFrame =
     engine(spark, dir).allLabelsDF
 
@@ -333,6 +381,28 @@ object TsQueries {
        |SELECT event_type, round(gt, 6) AS ts, round(est, 4) AS value
        |FROM walk WHERE NOT isnan(est)""".stripMargin
 
+  def oracleIngestHistogram: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    floor((epoch(ts) - 1704067200.0) / 60.0) * 60.0 + 1704067200.0 AS t,
+      |    count(*) FILTER (WHERE value <= 50.0) AS c50,
+      |    count(*) FILTER (WHERE value <= 100.0) AS c100,
+      |    count(*) FILTER (WHERE value <= 200.0) AS c200,
+      |    count(*) AS cnt, sum(value) AS sm
+      |  FROM events GROUP BY 1, 2)
+      |SELECT name, le, event_type, round(t, 6) AS ts, round(v, 6) AS value FROM (
+      |  SELECT 'perf_bucket' AS name, '50' AS le, event_type, t, CAST(c50 AS DOUBLE) AS v FROM m
+      |  UNION ALL SELECT 'perf_bucket', '100', event_type, t, CAST(c100 AS DOUBLE) FROM m
+      |  UNION ALL SELECT 'perf_bucket', '200', event_type, t, CAST(c200 AS DOUBLE) FROM m
+      |  UNION ALL SELECT 'perf_bucket', '+Inf', event_type, t, CAST(cnt AS DOUBLE) FROM m
+      |  UNION ALL SELECT 'perf_count', NULL, event_type, t, CAST(cnt AS DOUBLE) FROM m
+      |  UNION ALL SELECT 'perf_sum', NULL, event_type, t, sm FROM m)""".stripMargin
+
+  def oracleRetagConfig: String =
+    """SELECT event_type, 'production' AS env, 'eu-1' AS dc,
+      |  round(epoch(ts), 6) AS ts, round(avg(value), 6) AS value
+      |FROM events GROUP BY event_type, props, epoch(ts)""".stripMargin
+
   def oracleMetadataLabels: String =
     """SELECT label FROM (
       |  SELECT column_name AS label FROM (DESCRIBE SELECT * FROM events) WHERE column_type = 'VARCHAR'
@@ -366,6 +436,8 @@ object TsQueries {
     "irate_1h" -> (irate1h _),
     "sum_by" -> (sumBy _),
     "hist_quantile" -> (histQuantile _),
+    "ingest_histogram" -> (ingestHistogram _),
+    "retag_config" -> (retagConfig _),
     "metadata_labels" -> (metadataLabels _),
     "metadata_series" -> (metadataSeries _),
     "label_values" -> (labelValues _),
@@ -381,6 +453,8 @@ object TsQueries {
     "irate_1h" -> oracleIrate1h,
     "sum_by" -> oracleSumBy,
     "hist_quantile" -> oracleHistQuantile,
+    "ingest_histogram" -> oracleIngestHistogram,
+    "retag_config" -> oracleRetagConfig,
     "metadata_labels" -> oracleMetadataLabels,
     "metadata_series" -> oracleMetadataSeries,
     "label_values" -> oracleLabelValues,

@@ -1,0 +1,155 @@
+package graft.server
+
+import java.io.OutputStream
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Row
+
+import graft.{Model, PromEngine}
+import graft.functions.TimeParse
+
+/** Prometheus-compatible HTTP API over a [[PromEngine]] (reference
+  * main.rs:227-424): `/api/v1/query_range` (GET+POST), `/api/v1/query`
+  * (POST), `/api/v1/labels` (GET+POST), `/api/v1/label/:name/values`.
+  * Wire shapes follow the reference's serializers: matrix results as
+  * `{"metric": {...}, "values": [[ts, "v"], ...]}` with the query-time
+  * offset added back to the timestamps (timeseries.rs:227-249).
+  *
+  * Uses the JDK's built-in HttpServer — the engine is the Spark pipeline;
+  * the API layer only collects the (grid-sized) query result.
+  */
+final class PromApi(engine: PromEngine, port: Int = 3003) {
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): PromApi = {
+    server.createContext("/", exchange => safely(exchange) {
+      respond(exchange, 200, s"Got ${engine.collection.count()} time series")
+    })
+    server.createContext("/api/v1/labels", exchange => safely(exchange) {
+      respondJson(exchange, 200, success(jsonArray(engine.allLabels().map(jsonString))))
+    })
+    server.createContext("/api/v1/query_range", exchange => safely(exchange) {
+      val params = parseParams(exchange)
+      handleQueryRange(exchange, params)
+    })
+    server.createContext("/api/v1/query", exchange => safely(exchange) {
+      val params = parseParams(exchange)
+      // instant queries: the reference only evaluates "1+1" (main.rs:399-405)
+      if (params.get("query").contains("1+1"))
+        respondJson(exchange, 200, success(s"""{"resultType": "matrix", "result": 2.0}"""))
+      else respondJson(exchange, 400, failure("querySemantics", "sorry"))
+    })
+    server.createContext("/api/v1/label/", exchange => safely(exchange) {
+      val path = exchange.getRequestURI.getPath
+      path.split("/").filter(_.nonEmpty) match {
+        case Array("api", "v1", "label", name, "values") =>
+          respondJson(exchange, 200,
+            success(jsonArray(engine.labelValues(name).map(jsonString))))
+        case _ => respondJson(exchange, 400, failure("badPath", path))
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handleQueryRange(exchange: HttpExchange, params: Map[String, String]): Unit = {
+    val parsed = for {
+      q <- params.get("query").toRight("missing 'query'")
+      start <- params.get("start").toRight("missing 'start'").flatMap(TimeParse.parseTimestamp)
+      end <- params.get("end").toRight("missing 'end'").flatMap(TimeParse.parseTimestamp)
+      step <- params.get("step").toRight("missing 'step'").flatMap(TimeParse.parseDuration)
+    } yield (q, start, end, step)
+
+    parsed match {
+      case Left(err) => respondJson(exchange, 400, failure("queryError", err))
+      case Right((q, start, end, step)) =>
+        try {
+          val df = engine.queryRange(q, start, end, step)
+          val rows = df.collect()
+          respondJson(exchange, 200, success(
+            s"""{"resultType": "matrix", "result": ${serializeMatrix(rows)}}"""))
+        } catch {
+          case e: Exception => respondJson(exchange, 400, failure("queryError", e.getMessage))
+        }
+    }
+  }
+
+  /** Group collected (labels, ts, value) rows into per-series value lists. */
+  private def serializeMatrix(rows: Array[Row]): String = {
+    val bySeries = rows.groupBy(r => r.getMap[String, String](0).toSeq.sorted)
+    val series = bySeries.toSeq.sortBy(_._1.mkString(",")).map { case (labels, rs) =>
+      val metric = labels.map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
+        .mkString("{", ", ", "}")
+      val values = rs.sortBy(_.getDouble(1))
+        .map(r => s"[${fmt(r.getDouble(1))}, ${jsonString(fmt(r.getDouble(2)))}]")
+        .mkString("[", ", ", "]")
+      s"""{"metric": $metric, "values": $values}"""
+    }
+    series.mkString("[", ", ", "]")
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  private def parseParams(exchange: HttpExchange): Map[String, String] = {
+    val fromQuery = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+    val fromBody =
+      if (exchange.getRequestMethod == "POST")
+        new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else ""
+    (fromQuery + "&" + fromBody).split("&").filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+  }
+
+  private def success(dataJson: String): String =
+    s"""{"status": "success", "data": $dataJson}"""
+  private def failure(errorType: String, error: String): String =
+    s"""{"status": "error", "errorType": ${jsonString(errorType)}, "error": ${jsonString(error)}}"""
+  private def jsonArray(items: Seq[String]): String = items.mkString("[", ", ", "]")
+  private def jsonString(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def safely(exchange: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Exception =>
+        try respondJson(exchange, 500, failure("internal", e.toString))
+        catch { case _: Exception => () }
+    } finally exchange.close()
+
+  private def respondJson(exchange: HttpExchange, code: Int, body: String): Unit = {
+    exchange.getResponseHeaders.set("Content-Type", "application/json")
+    respond(exchange, code, body)
+  }
+
+  private def respond(exchange: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    exchange.sendResponseHeaders(code, bytes.length)
+    val os: OutputStream = exchange.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+}
+
+object PromApi {
+  /** Bind on an ephemeral port with port=0. */
+  def apply(engine: PromEngine, port: Int = 3003): PromApi = new PromApi(engine, port)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.ReTag
+import graft.operators.{Grid, Selector}
+import graft.promql.{Eval, Parser, VectorSel, FuncCall, ScalarLit}
+import graft.sources.TsIngest
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  private def collection = queries.TsQueries.events(spark, Dir)
+
+  test("selector: missing label never matches, any operator (labels.rs:295-313)") {
+    val df = Model.withSkey(
+      Seq((1.0, 1.0)).toDF("ts", "value")
+        .withColumn("labels", map(lit("__name__"), lit("m"))))
+    assert(Selector.select(df, Seq(Selector.Ne("host", "x"))).count() == 0)
+    assert(Selector.select(df, Seq(Selector.Nre("host", "x"))).count() == 0)
+    assert(Selector.select(df, Seq(Selector.Eq("__name__", "m"))).count() == 1)
+  }
+
+  test("promql parser: full grammar shapes") {
+    val n1 = Parser.parse("""histogram_quantile(0.95, sum by (Le, timing) (rate(webmango_request_duration_bucket{}[5m])))""")
+    n1 match {
+      case FuncCall("histogram_quantile", Seq(ScalarLit(q), FuncCall("sum", Seq(FuncCall("rate", Seq(sel: VectorSel), None)), Some(by))), None) =>
+        assert(q == 0.95); assert(by == Seq("Le", "timing"))
+        assert(sel.range.contains(300.0))
+      case other => fail(s"unexpected AST: $other")
+    }
+    val n2 = Parser.parse("""m{a="x", b!="y", c=~"z.*", d!~"w"}[90s] offset 1h""")
+    n2 match {
+      case VectorSel(ms, Some(90.0), Some(3600.0)) => assert(ms.length == 5)
+      case other => fail(s"unexpected AST: $other")
+    }
+    assert(Parser.parse("sum(m) by (a)").asInstanceOf[FuncCall].by.contains(Seq("a")))
+    intercept[Parser.ParseException](Parser.parse("m{a=}"))
+    intercept[Parser.ParseException](Parser.parse("m["))
+  }
+
+  test("eval: reference error semantics (query.rs:358-436)") {
+    val grid = Grid(1704067200.0, 1704070800.0, 600.0)
+    // name matcher must be a single equality
+    intercept[Eval.EvalException](Eval.run(collection, """{event_type="purchase"}""", grid))
+    // rate requires a range vector
+    intercept[Eval.EvalException](Eval.run(collection, "rate(events)", grid))
+    // cannot return a vectorized result
+    intercept[Eval.EvalException](Eval.run(collection, "events[5m]", grid))
+    // unknown function
+    intercept[Eval.EvalException](Eval.run(collection, "abs(events)", grid))
+  }
+
+  test("shift_to_midnight offset (main.rs:110, timeseries.rs:410-417)") {
+    val eng = new PromEngine(collection)
+    val target = 2000000000.0
+    val shifted = eng.withStartTime(target)
+    val off = shifted.queryTimeOffset.get
+    assert(off == target - eng.minTime)
+    val out = shifted.queryRange("events{event_type=\"purchase\"}", target, target + 1200.0, 600.0)
+    val ts = out.select("ts").distinct().as[Double].collect().sorted
+    assert(ts.sameElements(Array(target, target + 600.0, target + 1200.0)))
+  }
+
+  test("ingest: classification errors match reference (metricstore.rs:138-166)") {
+    val noTime = Seq((1, "a")).toDF("v", "l")
+    intercept[IllegalArgumentException](TsIngest.fromDataFrame(noTime, "x"))
+    val twoTime = Seq((1.0, 2.0, 3.0)).toDF("time", "timestamp", "v")
+    intercept[IllegalArgumentException](TsIngest.fromDataFrame(twoTime, "x"))
+    val boolCol = Seq((1.0, true, 2.0)).toDF("time", "b", "v")
+    intercept[IllegalArgumentException](TsIngest.fromDataFrame(boolCol, "x"))
+    val mixed = Seq((1.0, 2.0, 3.0)).toDF("time", "Le50", "other")
+    intercept[IllegalArgumentException](TsIngest.fromDataFrame(mixed, "x"))
+  }
+
+  test("ingest: histogram classification + Le+Inf synthesis (metricstore.rs:465-496)") {
+    val wide = Seq((60.0, "a", 1.0, 2.0, 3.0, 10.5)).toDF("time", "host", "Le1", "Le5", "count", "sum")
+    val out = TsIngest.fromDataFrame(wide, "m")
+    val names = out.select(col(Model.LabelsCol).getItem(Model.NameLabel)).as[String].collect().toSet
+    assert(names == Set("m_bucket", "m_count", "m_sum"))
+    val les = out.filter(col(Model.LabelsCol).getItem(Model.NameLabel) === "m_bucket")
+      .select(col(Model.LabelsCol).getItem(Model.LeLabel)).as[String].collect().toSet
+    assert(les == Set("1", "5", "+Inf"))
+    // +Inf bucket carries the count value
+    val infV = out.filter(col(Model.LabelsCol).getItem(Model.LeLabel) === "+Inf")
+      .select("value").as[Double].head()
+    assert(infV == 3.0)
+  }
+
+  test("retag yaml parser (config.rs)") {
+    val conf = ReTag.parse(queries.TsQueries.retagYaml)
+    assert(conf.skipUnmapped)
+    assert(conf.mapping("events") == Map("env" -> "production", "dc" -> "eu-1"))
+  }
+
+  test("metadata surface (timeseries.rs:459-483)") {
+    val eng = new PromEngine(collection)
+    assert(eng.allLabels() == Seq("__name__", "event_type", "props"))
+    assert(eng.allSeriesNames() == Seq("events", "events_event_id", "events_user_id"))
+    assert(eng.labelValues("event_type").contains("purchase"))
+  }
+}

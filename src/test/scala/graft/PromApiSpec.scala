@@ -1,0 +1,59 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.server.PromApi
+
+/** HTTP API shapes (reference main.rs:227-424). */
+class PromApiSpec extends SparkSpec {
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def post(port: Int, path: String, form: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("labels, label values, query_range, instant query") {
+    val engine = new PromEngine(queries.TsQueries.events(spark, "/root/testdata/sf0.001"))
+    val api = PromApi(engine, port = 0).start()
+    try {
+      val port = api.boundPort
+
+      val (c1, labels) = get(port, "/api/v1/labels")
+      assert(c1 == 200 && labels.contains("\"status\": \"success\""))
+      assert(labels.contains("\"event_type\"") && labels.contains("\"__name__\""))
+
+      val (c2, values) = get(port, "/api/v1/label/__name__/values")
+      assert(c2 == 200 && values.contains("\"events_user_id\""))
+
+      val (c3, qr) = get(port,
+        "/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode("""sum by (event_type) (events{event_type="purchase"})""", "UTF-8") +
+          "&start=1704067200&end=1704070800&step=15m")
+      assert(c3 == 200, qr.take(300))
+      assert(qr.contains("\"resultType\": \"matrix\""))
+      assert(qr.contains("\"event_type\": \"purchase\""))
+      assert(qr.contains("[1704067200, "))
+
+      val (c4, bad) = get(port, "/api/v1/query_range?query=bogus%7B&start=0&end=1&step=1")
+      assert(c4 == 400 && bad.contains("queryError"))
+
+      // the reference's instant-query easter egg (main.rs:399-405)
+      val (c5, two) = post(port, "/api/v1/query", "query=1%2B1&time=0")
+      assert(c5 == 200 && two.contains("2.0"))
+    } finally api.stop()
+  }
+}
