@@ -163,12 +163,18 @@ object TsIngest {
         labelCols.flatMap(c => Seq(lit(c), col(c))) ++
         fixed.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
 
-    val withLe = map_concat(
-      map(labelPairs: _*),
-      when(col("__le__").isNotNull, map(lit(Model.LeLabel), col("__le__")))
-        .otherwise(map().cast(MapType(StringType, StringType))))
+    // When no metric carries an Le label, emit a plain CreateMap: Catalyst's
+    // SimplifyExtractValueOps then rewrites labels['x'] back to the source
+    // column, so selector predicates push through the unpivot into the
+    // parquet scan. map_concat would block that simplification.
+    val labelsCol =
+      if (metrics.forall(_.le.isEmpty)) map(labelPairs: _*)
+      else map_concat(
+        map(labelPairs: _*),
+        when(col("__le__").isNotNull, map(lit(Model.LeLabel), col("__le__")))
+          .otherwise(map().cast(MapType(StringType, StringType))))
 
-    stacked.select(withLe.as(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
+    stacked.select(labelsCol.as(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
   }
 
   /** Strip `.parquet` and legalize (metricstore.rs:191-201). */
