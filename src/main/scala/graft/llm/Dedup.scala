@@ -54,7 +54,7 @@ object Dedup {
     * sizes. Output: (doc_a, doc_b, jaccard) with jaccard >= minJaccard. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.3,
                    maxDf: Long = 1000): DataFrame = {
-    val grams = wordNgrams(docs, n).cache()
+    val grams = wordNgrams(docs, n)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val postings = grams
       .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
@@ -124,13 +124,17 @@ object Dedup {
   /** 60-bit SimHash over distinct word tokens; near-dup pairs via 4 bands of
     * 15 bits (any equal band → candidate) verified by Hamming distance. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
+    // Bit-sums run as higher-order functions over the collected token-hash
+    // array (one shuffle on doc_id) instead of a 60× row explosion — same
+    // integer arithmetic, so the engine-portable definition is unchanged.
     val toks = docs.withColumn("t", explode(array_distinct(tokens(col("text")))))
       .select(col("doc_id"), md5Hash60(col("t")).as("h"))
-    toks.withColumn("j", explode(lit((0 until 60).toArray)))
-      .withColumn("sign", expr("((h >> j) & 1) * 2 - 1"))
-      .groupBy("doc_id", "j").agg(sum("sign").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << j")).otherwise(lit(0L))).as("fp"))
+    toks.groupBy("doc_id").agg(collect_list("h").as("hs"))
+      .select(col("doc_id"), expr(
+        "aggregate(transform(sequence(0, 59), j -> " +
+          "CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + (shiftright(h, j) & 1) * 2 - 1) > 0 " +
+          "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)").as("fp"))
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
