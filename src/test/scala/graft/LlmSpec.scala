@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** Operator-level behavior of the LLM-pipeline ops on planted inputs. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and columnar formats"),
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK TODAY  "), // exact dup of 0 modulo case/trim... actually lower+trim differs? lower('THE..TODAY') == doc0 text
+    (4L, "der hund ist ein guter hund und der hund ist nicht das problem von der katze")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first doc_id per normalized text") {
+    val out = Dedup.exact(docs).orderBy("doc_id").collect()
+    // doc 3 normalizes to doc 0's text -> one group of 2, keeper doc 0
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 2L)
+    assert(!m.contains(3L))
+    assert(m(1L) == 1L && m(2L) == 1L && m(4L) == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup and verifies with exact jaccard") {
+    val out = Dedup.minhashLsh(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L)) || out.contains((0L, 3L)))
+    assert(!out.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard exact pairs") {
+    val out = Dedup.ngramJaccard(docs, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // same text modulo case
+    out.foreach(p => assert(p._3 > 0.5))
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups are close") {
+    val fps = Dedup.simhashFingerprints(docs).as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(3L)) // same token set
+    val hamming01 = java.lang.Long.bitCount(fps(0L) ^ fps(1L))
+    val hamming02 = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(hamming01 < hamming02)
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val out = TextAnalysis.languageId(docs).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+  }
+
+  test("brute-force ANN is exact; LSH results are a subset ranked identically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Ann.bruteTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(emb, q, 5, nPlanes = 4)
+      .select("query_id", "neighbor_id", "score", "rn").as[(Long, Long, Double, Int)].collect()
+    assert(brute.size == 15)
+    assert(lsh.nonEmpty)
+    // LSH candidates only come from the query's bucket; every reported
+    // neighbor must share the query's bucket by construction
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted(Ordering[Double].reverse))
+    }
+  }
+
+  test("multimodal decode plumbing: typed batch path yields normalized histograms") {
+    val feats = Multimodal.decodeFeatures(spark, docs).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.features.length == 8)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9) // normalized over first-64-byte histogram
+      assert(f.width >= 16 && f.height >= 16)
+    }
+  }
+}
