@@ -59,13 +59,21 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** Codegen'd scoring expression (see [[graft.functions.CosineSimilarity]]);
+    * bit-identical to [[cosine]] but runs as a primitive loop inside
+    * whole-stage codegen instead of interpreted HOF lambdas. */
+  private def nativeScore(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    round(expr(s"${graft.functions.CosineSimilarity.FunctionName}($a, $b)"), 6)
+  }
+
   /** Exact top-k neighbors of each query vector (cosine, self excluded,
     * ties broken by vec_id). Queries must be small (broadcast). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.as("c").join(broadcast(queries.as("q")),
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("score"))
+        nativeScore(corpus, "q.embedding", "c.embedding").as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -80,7 +88,7 @@ object Ann {
     val scored = bucketed.as("c").join(broadcast(qb.as("q")),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        round(cosine(col("q.embedding"), col("c.embedding")), 6).as("score"))
+        nativeScore(corpus, "q.embedding", "c.embedding").as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -93,7 +101,7 @@ object Ann {
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        nativeScore(corpus, "a.embedding", "b.embedding").as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

@@ -73,6 +73,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.functions.CosineSimilarity.register(spark)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+    val diffs = pairs.select(
+        Ann.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+        expr("graft_cosine(a.embedding, b.embedding)").as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diffs == 0)
+  }
+
   test("multimodal decode plumbing: typed batch path yields normalized histograms") {
     val feats = Multimodal.decodeFeatures(spark, docs).collect()
     assert(feats.length == docs.count())
