@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TimeParse
+import graft.operators.Grid
+
+/** Property-based invariants (raw scalacheck generators, fixed seed). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("duration parts sum (web.rs:60-85)") {
+    val part = for {
+      n <- Gen.choose(0L, 999L)
+      u <- Gen.oneOf("ms", "s", "m", "h", "d", "w", "y")
+    } yield (n, u)
+    val secsOf = Map("ms" -> 0.001, "s" -> 1.0, "m" -> 60.0, "h" -> 3600.0,
+      "d" -> 86400.0, "w" -> 604800.0, "y" -> 31536000.0)
+    samples(Gen.nonEmptyListOf(part)).foreach { parts =>
+      val s = parts.map { case (n, u) => s"$n$u" }.mkString
+      val expected = parts.map { case (n, u) => n * secsOf(u) }.sum
+      val got = TimeParse.parseDurationOrThrow(s)
+      assert(math.abs(got - expected) <= 1e-9 * math.max(1.0, expected), s"input $s")
+    }
+  }
+
+  test("plain float durations round-trip") {
+    samples(Gen.choose(0.0, 1e6)).foreach { d =>
+      assert(TimeParse.parseDurationOrThrow(d.toString) == d)
+    }
+  }
+
+  test("grid length/points match the reference length formula (timevectors.rs:176-180)") {
+    val gen = for {
+      start <- Gen.choose(-1e6, 1e6)
+      span <- Gen.choose(0.001, 1e5)
+      step <- Gen.choose(0.01, 1e4)
+    } yield (start, start + span, step)
+    samples(gen).foreach { case (start, end, step) =>
+      val g = Grid(start, end, step)
+      val expected = math.max(1, ((end - start + step) / step).floor.toInt)
+      assert(g.length == expected)
+      assert(g.length >= 1)
+    }
+  }
+
+  test("metric name legalization is idempotent and always legal") {
+    samples(Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString)).foreach { s =>
+      val legal = Model.makeMetricNameLegal(s)
+      assert(legal.matches("^[a-zA-Z_][a-zA-Z0-9_]*$"), s"input '$s' -> '$legal'")
+      assert(Model.makeMetricNameLegal(legal) == legal)
+    }
+  }
+}
