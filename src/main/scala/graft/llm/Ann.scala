@@ -95,6 +95,42 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
+  /** IVF-style top-k: vectors are assigned to their nearest centroid
+    * (deterministic tie-break on centroid id); queries probe the `nprobe`
+    * nearest centroid lists only. The centroid set here is a deterministic
+    * sample (first `nCentroids` vectors) — a production pipeline plugs a
+    * k-means fit in its place; the partition/probe shape (the part that must
+    * scale) is identical. Shuffle key = centroid id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+
+    // assign every vector to its best centroid (max cosine, min id on ties)
+    def assign(df: DataFrame, n: Int): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", expr("graft_cosine(embedding, cent_emb)"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)))
+        .filter(col("rk") <= n)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+
+    val lists = assign(corpus, 1)
+    val probes = assign(queries, nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cent_id"))
+
+    val scored = lists.as("c").join(broadcast(probes.as("q")),
+        col("q.cent_id") === col("c.cent_id") && col("q.qid") =!= col("c.vec_id"))
+      .select(col("q.qid").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(expr("graft_cosine(q.qemb, c.embedding)"), 6).as("score"))
+    // no dedup needed: every corpus vector lives in exactly one list
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. */
   def lshNearDup(corpus: DataFrame, minCosine: Double, nPlanes: Int = 6): DataFrame = {
     val bucketed = corpus.withColumn("bucket", bucketId(col("embedding"), nPlanes))

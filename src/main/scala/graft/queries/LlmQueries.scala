@@ -44,6 +44,11 @@ object LlmQueries {
     Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5, nPlanes = 6)
   }
 
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, nCentroids = 16, nprobe = 2)
+  }
+
   def textLang(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(docs(spark, dir))
       .select(col("doc_id"), col("pred_lang"),
@@ -183,6 +188,25 @@ object LlmQueries {
        |  FROM eb c JOIN q ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
        |$cosineRankSql""".stripMargin
 
+  def oracleAnnIvf: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+       |gi0 AS (SELECT unnest(range(1, 65)) AS i),
+       |ac AS (SELECT e.vec_id, c.cent_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)) /
+       |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+       |       sqrt(sum(CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)))) AS csim
+       |  FROM embeddings e CROSS JOIN cents c CROSS JOIN gi0 GROUP BY 1, 2),
+       |ranked_ac AS (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk FROM ac),
+       |lists AS (SELECT vec_id, cent_id FROM ranked_ac WHERE rk = 1),
+       |probes AS (SELECT vec_id, cent_id FROM ranked_ac WHERE rk <= 2 AND vec_id < 5),
+       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    qe.embedding AS qe, ce.embedding AS ce
+       |  FROM lists c JOIN probes q ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+       |$cosineRankSql""".stripMargin
+
   def oracleDedupEmbed: String =
     s"""WITH ${bucketCte(6)},
        |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
@@ -270,6 +294,7 @@ object LlmQueries {
     "dedup_embed" -> (dedupEmbed _),
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "text_lang" -> (textLang _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -285,6 +310,7 @@ object LlmQueries {
     "dedup_embed" -> oracleDedupEmbed,
     "ann_brute" -> oracleAnnBrute,
     "ann_lsh" -> oracleAnnLsh,
+    "ann_ivf" -> oracleAnnIvf,
     "text_lang" -> oracleTextLang,
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
