@@ -66,6 +66,24 @@ object LlmQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(spark, dir))
 
+  /** End-to-end curation pipeline: exact-dedup keepers ∩ quality floor ∩
+    * language-ID agreement with the recorded lang column — the composition a
+    * training-data pipeline actually ships. One pass over documents, three
+    * bounded-key shuffles. */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val keepers = Dedup.exact(d).select("doc_id")
+    val q = TextAnalysis.quality(d).select("doc_id", "n_words", "quality_score")
+    val l = TextAnalysis.languageId(d).select("doc_id", "pred_lang")
+    d.select(col("doc_id"), col("lang"))
+      .join(keepers, "doc_id")
+      .join(q, "doc_id")
+      .join(l, "doc_id")
+      .filter(col("quality_score") >= 0.5 && col("n_words") >= 20)
+      .withColumn("lang_match", (col("pred_lang") === col("lang")).cast("int"))
+      .select("doc_id", "lang", "pred_lang", "lang_match", "n_words", "quality_score")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(docs(spark, dir))
 
@@ -278,6 +296,45 @@ object LlmQueries {
        |    j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps FROM h)
        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin
 
+  def oracleCorpusCurate: String = {
+    val m = TextAnalysis.Stopwords
+    val allStops = m.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(tk, x -> list_contains(${sqlList(allStops)}, x))) AS BIGINT) AS n_stop
+       |  FROM t),
+       |r AS (SELECT doc_id, n_words,
+       |    CASE WHEN n_chars = 0 THEN 0.0
+       |         ELSE round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END AS punct_ratio,
+       |    CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS stop_ratio
+       |  FROM c),
+       |qual AS (SELECT doc_id, n_words,
+       |    round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+       |          stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality_score FROM r),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(tk, x -> list_contains(${sqlList(m("en"))}, x))) AS en_hits,
+       |  len(list_filter(tk, x -> list_contains(${sqlList(m("de"))}, x))) AS de_hits,
+       |  len(list_filter(tk, x -> list_contains(${sqlList(m("fr"))}, x))) AS fr_hits,
+       |  len(list_filter(tk, x -> list_contains(${sqlList(m("es"))}, x))) AS es_hits
+       |  FROM t),
+       |langp AS (SELECT doc_id,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS pred_lang FROM h),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text))))
+       |SELECT d.doc_id, d.lang, p.pred_lang,
+       |  CAST(p.pred_lang = d.lang AS INT) AS lang_match, q.n_words, q.quality_score
+       |FROM documents d
+       |JOIN keep k ON d.doc_id = k.doc_id
+       |JOIN qual q ON d.doc_id = q.doc_id
+       |JOIN langp p ON d.doc_id = p.doc_id
+       |WHERE q.quality_score >= 0.5 AND q.n_words >= 20""".stripMargin
+  }
+
   def oracleMultimodalMeta: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -299,6 +356,7 @@ object LlmQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "corpus_curate" -> (corpusCurate _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -315,5 +373,6 @@ object LlmQueries {
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
     "text_fingerprint" -> oracleTextFingerprint,
+    "corpus_curate" -> oracleCorpusCurate,
     "multimodal_meta" -> oracleMultimodalMeta)
 }
