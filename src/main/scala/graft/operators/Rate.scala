@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Model
@@ -24,7 +24,9 @@ import graft.Model
   */
 object Rate {
 
-  def rate(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame = {
+  /** Shared two-probe endpoint machinery for rate/increase/delta. */
+  private def endpoints(samples: DataFrame, grid: Grid, overRange: Double,
+                        offset: Double)(value: (Column, Column) => Column): DataFrame = {
     val hi = Resample.gridProbes(samples, grid, offset, kind = "h")
     val lo = hi.withColumn("kind", lit("l")).withColumn("probe_ts", col("probe_ts") - lit(overRange))
     val br = Resample.bracket(samples, hi.unionByName(lo), withLag = false)
@@ -34,8 +36,22 @@ object Rate {
         max(when(col("kind") === "h", col("iv"))).as("iv_hi"),
         max(when(col("kind") === "l", col("iv"))).as("iv_lo"))
       .select(col(Model.SkeyCol), col(Model.LabelsCol), col("out_ts").as(Model.TsCol),
-        ((col("iv_hi") - col("iv_lo")) / lit(overRange)).as(Model.ValueCol))
+        value(col("iv_hi"), col("iv_lo")).as(Model.ValueCol))
   }
+
+  def rate(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame =
+    endpoints(samples, grid, overRange, offset)((hi, lo) => (hi - lo) / lit(overRange))
+
+  /** `increase()` = rate * range — natural PromQL extension with the same
+    * interpolated-endpoint semantics as the reference's rate. */
+  def increase(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame =
+    endpoints(samples, grid, overRange, offset)((hi, lo) => hi - lo)
+
+  /** `delta()` — identical endpoint difference (the reference has no counter
+    * reset logic, so delta and increase coincide; kept as an alias for
+    * PromQL-compatible spelling). */
+  def delta(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame =
+    increase(samples, grid, overRange, offset)
 
   def irate(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame = {
     // overRange is unused by the reference's irate math (timeseries.rs:116-161)

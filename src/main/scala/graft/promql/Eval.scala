@@ -62,6 +62,8 @@ object Eval {
 
     case FuncCall("rate", args, agg) => evalRate(args, agg, collection, grid, Rate.rate)
     case FuncCall("irate", args, agg) => evalRate(args, agg, collection, grid, Rate.irate)
+    case FuncCall("increase", args, agg) => evalRate(args, agg, collection, grid, Rate.increase)
+    case FuncCall("delta", args, agg) => evalRate(args, agg, collection, grid, Rate.delta)
 
     case FuncCall("sum", args, by) => evalAgg(args, by, collection, grid, Aggregate.sumBy)
     case FuncCall("avg", args, by) => evalAgg(args, by, collection, grid, Aggregate.avgBy)

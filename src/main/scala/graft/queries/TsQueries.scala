@@ -75,6 +75,9 @@ object TsQueries {
   def rate1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""rate(events{event_type="purchase"}[1h])""", spark, dir))
 
+  def increase1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""increase(events{event_type="purchase"}[1h])""", spark, dir))
+
   def irate1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""irate(events{event_type="purchase"}[1h])""", spark, dir))
       .filter(col("value").isNotNull && !isnan(col("value")))
@@ -291,6 +294,17 @@ object TsQueries {
        |  round((max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END)) / 3600.0, 6) AS value
        |FROM iv GROUP BY event_type, props, gt""".stripMargin
 
+  def oracleIncrease1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("h", 0.0), ("l", 3600.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, kind, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  round(max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END), 6) AS value
+       |FROM iv GROUP BY event_type, props, gt""".stripMargin
+
   def oracleIrate1h: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -433,6 +447,7 @@ object TsQueries {
     "resample_1h" -> (resample1h _),
     "offset_resample" -> (offsetResample _),
     "rate_1h" -> (rate1h _),
+    "increase_1h" -> (increase1h _),
     "irate_1h" -> (irate1h _),
     "sum_by" -> (sumBy _),
     "hist_quantile" -> (histQuantile _),
@@ -450,6 +465,7 @@ object TsQueries {
     "resample_1h" -> oracleResample1h,
     "offset_resample" -> oracleOffsetResample,
     "rate_1h" -> oracleRate1h,
+    "increase_1h" -> oracleIncrease1h,
     "irate_1h" -> oracleIrate1h,
     "sum_by" -> oracleSumBy,
     "hist_quantile" -> oracleHistQuantile,
