@@ -39,6 +39,10 @@ object AnalyticsQueries {
       .select("l_orderkey", "revenue", "o_orderdate")
   }
 
+  /** Gap-based sessionization (30-min inactivity) per user. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batch(TsQueries.rawEvents(spark, dir), 1800.0)
+
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     TsQueries.rawEvents(spark, dir)
       .groupBy(col("event_type"),
@@ -67,6 +71,18 @@ object AnalyticsQueries {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  def oracleEventsSessionize: String =
+    """WITH e AS (SELECT user_id, epoch(ts) AS t, value FROM events),
+      |m AS (SELECT user_id, t, value,
+      |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800.0
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM e),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno FROM m)
+      |SELECT user_id, min(t) AS session_start, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sno""".stripMargin
+
   def oracleEventsWindow: String =
     """SELECT event_type, floor(epoch(ts) / 86400.0) * 86400.0 AS day,
       |  count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -75,10 +91,12 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
-    "events_window" -> (eventsWindow _))
+    "events_window" -> (eventsWindow _),
+    "events_sessionize" -> (eventsSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> oracleQ1,
     "q3_join" -> oracleQ3,
-    "events_window" -> oracleEventsWindow)
+    "events_window" -> oracleEventsWindow,
+    "events_sessionize" -> oracleEventsSessionize)
 }

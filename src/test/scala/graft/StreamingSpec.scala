@@ -30,4 +30,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("stateful sessionization (flatMapGroupsWithState) matches the batch window op") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = queries.TsQueries.rawEvents(spark, dir)
+
+    val batchSessions = streaming.Sessionize.batch(raw, 1800.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // drive the stateful path on the same finite input via a one-batch stream
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val streamEvents = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000")
+        .cast("double") / org.apache.spark.sql.functions.lit(1000000.0))
+    val q = streaming.Sessionize.streaming(spark, streamEvents, 1800.0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batchSessions)
+  }
 }
