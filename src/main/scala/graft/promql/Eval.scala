@@ -26,8 +26,11 @@ object Eval {
   /** Evaluate `query` against the collection and resample onto `grid`.
     * Output columns: (skey, labels, ts, value). */
   def run(collection: DataFrame, query: String, grid: Grid): DataFrame = {
+    val keyed =
+      if (collection.columns.contains(Model.SkeyCol)) collection
+      else Model.withSkey(collection)
     val ast = Parser.parse(query)
-    resampled(eval(ast, collection, grid), grid) match {
+    resampled(eval(ast, keyed, grid), grid) match {
       case Processed(df) => df
       case ScalarQ(_) => throw EvalException("scalar result")
       case _ => throw EvalException("no processing")
@@ -65,6 +68,12 @@ object Eval {
     case FuncCall("increase", args, agg) => evalRate(args, agg, collection, grid, Rate.increase)
     case FuncCall("delta", args, agg) => evalRate(args, agg, collection, grid, Rate.delta)
 
+    case FuncCall("avg_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.avgOverTime)
+    case FuncCall("min_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.minOverTime)
+    case FuncCall("max_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.maxOverTime)
+    case FuncCall("sum_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.sumOverTime)
+    case FuncCall("count_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.countOverTime)
+
     case FuncCall("sum", args, by) => evalAgg(args, by, collection, grid, Aggregate.sumBy)
     case FuncCall("avg", args, by) => evalAgg(args, by, collection, grid, Aggregate.avgBy)
     case FuncCall("min", args, by) => evalAgg(args, by, collection, grid, Aggregate.minBy)
@@ -99,6 +108,23 @@ object Eval {
       case Unprocessed(_, _) => throw EvalException("'rate' requires a vectorized time series")
       case Processed(_) => throw EvalException("'rate' cannot process the processed yet")
       case ScalarQ(_) => throw EvalException("The rate over a scalar is not meaningful")
+    }
+  }
+
+  /** `*_over_time` range functions (extension): sample-based aggregation
+    * over `(t - range, t]`. An `offset` shifts the window by shifting the
+    * sample timestamps (equivalent and cheaper than shifting every probe). */
+  private def evalOverTime(args: Seq[Node], agg: Option[Seq[String]], collection: DataFrame,
+                           grid: Grid,
+                           fn: (DataFrame, Grid, Double) => DataFrame): QR = {
+    if (agg.isDefined) throw EvalException("'_over_time' expects no aggregation")
+    if (args.length != 1) throw EvalException(s"'_over_time' expects a single argument, got ${args.length}")
+    eval(args.head, collection, grid) match {
+      case UnprocessedVector(df, overRange, offset) =>
+        val shifted = offset.fold(df)(off =>
+          df.withColumn(graft.Model.TsCol, org.apache.spark.sql.functions.col(graft.Model.TsCol) + off))
+        Processed(fn(shifted, grid, overRange))
+      case _ => throw EvalException("'_over_time' requires a vectorized time series")
     }
   }
 

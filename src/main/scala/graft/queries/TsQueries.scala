@@ -82,6 +82,17 @@ object TsQueries {
     flat(Eval("""irate(events{event_type="purchase"}[1h])""", spark, dir))
       .filter(col("value").isNotNull && !isnan(col("value")))
 
+  def avgOverTime1h(spark: SparkSession, dir: String): DataFrame = {
+    val selected = Selector.select(Model.withSkey(events(spark, dir)), Seq(
+      Selector.Eq(Model.NameLabel, "events"), Selector.Eq("event_type", "purchase")))
+    RangeAgg.avgOverTime(selected, grid, 3600.0)
+      .select(
+        col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        col(Model.LabelsCol).getItem("props").as("props"),
+        round(col(Model.TsCol), 6).as("ts"),
+        round(col(Model.ValueCol), 6).as("value"))
+  }
+
   def sumBy(spark: SparkSession, dir: String): DataFrame =
     Eval("""sum by (event_type) (events)""", spark, dir)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
@@ -305,6 +316,19 @@ object TsQueries {
        |  round(max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END), 6) AS value
        |FROM iv GROUP BY event_type, props, gt""".stripMargin
 
+  def oracleAvgOverTime1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi)
+       |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(avg(v), 6) AS value
+       |FROM x GROUP BY event_type, props, k""".stripMargin
+
   def oracleIrate1h: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -448,6 +472,7 @@ object TsQueries {
     "offset_resample" -> (offsetResample _),
     "rate_1h" -> (rate1h _),
     "increase_1h" -> (increase1h _),
+    "avg_over_time_1h" -> (avgOverTime1h _),
     "irate_1h" -> (irate1h _),
     "sum_by" -> (sumBy _),
     "hist_quantile" -> (histQuantile _),
@@ -466,6 +491,7 @@ object TsQueries {
     "offset_resample" -> oracleOffsetResample,
     "rate_1h" -> oracleRate1h,
     "increase_1h" -> oracleIncrease1h,
+    "avg_over_time_1h" -> oracleAvgOverTime1h,
     "irate_1h" -> oracleIrate1h,
     "sum_by" -> oracleSumBy,
     "hist_quantile" -> oracleHistQuantile,

@@ -53,6 +53,25 @@ class EngineSpec extends SparkSpec {
     intercept[Eval.EvalException](Eval.run(collection, "abs(events)", grid))
   }
 
+  test("_over_time family through the PromQL pipeline") {
+    val grid = Grid(1704067200.0, 1704074400.0, 3600.0)
+    val cnt = Eval.run(collection, """count_over_time(events{event_type="purchase"}[1h])""", grid)
+    val rows = cnt.select("ts", "value").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 1))
+    // avg == sum / count on the same windows
+    val a = Eval.run(collection, """avg_over_time(events{event_type="purchase"}[1h])""", grid)
+      .select(col("skey"), col("ts"), col("value").as("a")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val s = Eval.run(collection, """sum_over_time(events{event_type="purchase"}[1h])""", grid)
+      .select(col("skey"), col("ts"), col("value").as("s")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val c = Eval.run(collection, """count_over_time(events{event_type="purchase"}[1h])""", grid)
+      .select(col("skey"), col("ts"), col("value").as("c")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    a.foreach { case (k, av) => assert(math.abs(av - s(k) / c(k)) < 1e-9) }
+  }
+
   test("shift_to_midnight offset (main.rs:110, timeseries.rs:410-417)") {
     val eng = new PromEngine(collection)
     val target = 2000000000.0
