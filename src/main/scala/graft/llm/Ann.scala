@@ -47,16 +47,31 @@ object Ann {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** LSH bucket id: bit b set iff dot(vec, plane_b) > 0. */
-  def bucketId(vec: Column, nPlanes: Int): Column = {
+  /** LSH bucket id: bit b set iff dot(vec, plane_b) > 0. Plane indices are
+    * offset by `planeOffset` so multiple independent tables draw distinct
+    * hyperplanes from the same md5 stream. */
+  def bucketId(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val comps = planes(nPlanes)(p)
+      val comps = Array.tabulate(Dims)(d => planeComponent(planeOffset + p, d))
       val dotP = aggregate(
         zip_with(vec, lit(comps), (x, h) => x.cast(DoubleType) * h),
         lit(0.0), (acc, v) => acc + v)
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Multi-table LSH bucketing: one row per (vector, table). Single-table
+    * LSH has near-zero recall on near-orthogonal vectors (one unlucky plane
+    * kills the match); L independent tables of fewer planes union their
+    * candidates — the standard recall/cost dial. */
+  def bucketTables(df: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
+    val entries = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        bucketId(col("embedding"), planesPerTable, t * planesPerTable).as("bucket"))
+    }
+    df.withColumn("tb", explode(array(entries: _*)))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** Codegen'd scoring expression (see [[graft.functions.CosineSimilarity]]);
@@ -80,15 +95,21 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
-  /** LSH-bucketed top-k: same scoring, but candidates restricted to the
-    * query's bucket. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", bucketId(col("embedding"), nPlanes))
-    val qb = queries.withColumn("bucket", bucketId(col("embedding"), nPlanes))
-    val scored = bucketed.as("c").join(broadcast(qb.as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        nativeScore(corpus, "q.embedding", "c.embedding").as("score"))
+  /** LSH-bucketed top-k: candidates restricted to vectors sharing any of the
+    * query's per-table buckets (shuffle key = (table, bucket)). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nTables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    val bucketed = bucketTables(corpus, nTables, planesPerTable)
+    val qb = bucketTables(queries, nTables, planesPerTable)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("tbl"), col("bucket"))
+    val cand = bucketed.as("c").join(broadcast(qb.as("q")),
+        col("q.tbl") === col("c.tbl") && col("q.bucket") === col("c.bucket") &&
+          col("q.qid") =!= col("c.vec_id"))
+      .select(col("q.qid").as("query_id"), col("q.qemb").as("qemb"),
+        col("c.vec_id").as("neighbor_id"), col("c.embedding").as("cemb"))
+      .distinct() // a candidate may collide in several tables
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      nativeScore(corpus, "qemb", "cemb").as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -131,13 +152,18 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
-  /** Embedding-cosine near-duplicate pairs within LSH buckets. */
-  def lshNearDup(corpus: DataFrame, minCosine: Double, nPlanes: Int = 6): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", bucketId(col("embedding"), nPlanes))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        nativeScore(corpus, "a.embedding", "b.embedding").as("cos"))
+  /** Embedding-cosine near-duplicate pairs within multi-table LSH buckets. */
+  def lshNearDup(corpus: DataFrame, minCosine: Double,
+                 nTables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    val bucketed = bucketTables(corpus, nTables, planesPerTable)
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("aemb"),
+        col("b.vec_id").as("vec_b"), col("b.embedding").as("bemb"))
+      .distinct()
+    cand.select(col("vec_a"), col("vec_b"),
+        nativeScore(corpus, "aemb", "bemb").as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

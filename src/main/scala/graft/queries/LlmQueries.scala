@@ -32,7 +32,7 @@ object LlmQueries {
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 6)
 
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
-    Ann.lshNearDup(emb(spark, dir), minCosine = 0.3, nPlanes = 6)
+    Ann.lshNearDup(emb(spark, dir), minCosine = 0.3)
 
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
@@ -41,7 +41,7 @@ object LlmQueries {
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5, nPlanes = 6)
+    Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 5)
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -179,31 +179,34 @@ object LlmQueries {
        |  FROM embeddings c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
        |$cosineRankSql""".stripMargin
 
-  /** VALUES list of md5-derived hyperplane numerators (m / 65536 = component). */
-  private def planesValues(nPlanes: Int): String =
-    (0 until nPlanes).flatMap { p =>
-      (0 until Ann.Dims).map { d =>
-        val m = math.round(Ann.planeComponent(p, d) * 65536).toInt
-        s"($p, ${d + 1}, $m)"
+  /** VALUES list of md5-derived hyperplane numerators (m / 65536 =
+    * component); global plane index = tbl * planesPerTable + p. */
+  private def planesValues(nTables: Int, planesPerTable: Int): String =
+    (0 until nTables).flatMap { t =>
+      (0 until planesPerTable).flatMap { p =>
+        (0 until Ann.Dims).map { d =>
+          val m = math.round(Ann.planeComponent(t * planesPerTable + p, d) * 65536).toInt
+          s"($t, $p, ${d + 1}, $m)"
+        }
       }
     }.mkString(", ")
 
-  private def bucketCte(nPlanes: Int): String =
-    s"""planes(p, d, m) AS (VALUES ${planesValues(nPlanes)}),
-       |dps AS (SELECT e.vec_id, pl.p,
+  private def bucketCte(nTables: Int, planesPerTable: Int): String =
+    s"""planes(tbl, p, d, m) AS (VALUES ${planesValues(nTables, planesPerTable)}),
+       |dps AS (SELECT e.vec_id, pl.tbl, pl.p,
        |    sum(CAST(e.embedding[pl.d] AS DOUBLE) * (pl.m / 65536.0)) AS dp
-       |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
-       |buckets AS (SELECT vec_id,
+       |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2, 3),
+       |buckets AS (SELECT vec_id, tbl,
        |    CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM dps GROUP BY 1)""".stripMargin
+       |  FROM dps GROUP BY 1, 2)""".stripMargin
 
   def oracleAnnLsh: String =
-    s"""WITH ${bucketCte(6)},
-       |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+    s"""WITH ${bucketCte(8, 4)},
+       |eb AS (SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
        |q AS (SELECT * FROM eb WHERE vec_id < 5),
-       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    q.embedding AS qe, c.embedding AS ce
-       |  FROM eb c JOIN q ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |  FROM eb c JOIN q ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
        |$cosineRankSql""".stripMargin
 
   def oracleAnnIvf: String =
@@ -226,11 +229,11 @@ object LlmQueries {
        |$cosineRankSql""".stripMargin
 
   def oracleDedupEmbed: String =
-    s"""WITH ${bucketCte(6)},
-       |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
-       |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    s"""WITH ${bucketCte(8, 4)},
+       |eb AS (SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+       |pairs AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    a.embedding AS qe, b.embedding AS ce
-       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |gi AS (SELECT unnest(range(1, 65)) AS i),
        |dots AS (SELECT query_id, neighbor_id,
        |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,

@@ -61,7 +61,7 @@ class LlmSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 3)
     val brute = Ann.bruteTopK(emb, q, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Ann.lshTopK(emb, q, 5, nPlanes = 4)
+    val lsh = Ann.lshTopK(emb, q, 5)
       .select("query_id", "neighbor_id", "score", "rn").as[(Long, Long, Double, Int)].collect()
     assert(brute.size == 15)
     assert(lsh.nonEmpty)
