@@ -1,0 +1,82 @@
+package graft
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MetricStore
+
+/** Zip-archive ingestion parity (`process_file`, metricstore.rs:548-568). */
+class MetricStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeSingleParquet(df: org.apache.spark.sql.DataFrame, dir: File): File = {
+    val out = new File(dir, "p")
+    df.coalesce(1).write.mode("overwrite").parquet(out.getAbsolutePath)
+    out.listFiles().find(_.getName.endsWith(".parquet")).get
+  }
+
+  test("process_file: prefix mapping, fixed labels, skip-unmapped, histogram member") {
+    val tmp = Files.createTempDirectory("graft_ms_test").toFile
+
+    // single-value metric (column literally named "value" keeps the base name)
+    val m1 = Seq((60.0, "a", 1.0), (120.0, "a", 2.0), (60.0, "b", 5.0))
+      .toDF("time", "host", "value")
+    // histogram-shaped metric under a directory prefix
+    val m2 = Seq((60.0, 1.0, 3.0, 4.0, 99.5)).toDF("time", "Le1", "Le5", "count", "sum")
+    // unmapped prefix -> must be skipped
+    val m3 = Seq((60.0, 7.0)).toDF("time", "value")
+
+    val f1 = writeSingleParquet(m1, tmp)
+    val f2 = writeSingleParquet(m2, new File(tmp, "a"))
+    val f3 = writeSingleParquet(m3, new File(tmp, "b"))
+
+    val zipFile = new File(tmp, "store.parquet.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    def add(name: String, f: File): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      new FileInputStream(f).transferTo(zos)
+      zos.closeEntry()
+    }
+    add("cpu_usage.parquet", f1)
+    add("sub/req_duration.parquet", f2)
+    add("other/ignored.parquet", f3)
+    zos.close()
+
+    val yaml = new File(tmp, "store.parquet.zip.yaml")
+    Files.writeString(yaml.toPath,
+      """config:
+        |  skip-unmapped: true
+        |mapping:
+        |  __root__:
+        |    tags:
+        |      env: prod
+        |  sub:
+        |    tags:
+        |      service: web
+        |""".stripMargin)
+
+    val eng = MetricStore.open(spark, zipFile.getAbsolutePath, yaml.getAbsolutePath)
+    val names = eng.allSeriesNames()
+    assert(names.contains("cpu_usage"))
+    assert(names.contains("req_duration_bucket"))
+    assert(names.contains("req_duration_count"))
+    assert(names.contains("req_duration_sum"))
+    assert(!names.exists(_.contains("ignored")))
+
+    // fixed labels attached per prefix
+    val cpu = eng.collection.filter(col(Model.LabelsCol)(Model.NameLabel) === "cpu_usage")
+    assert(cpu.filter(col(Model.LabelsCol)("env") === "prod").count() == 3)
+    val hist = eng.collection.filter(col(Model.LabelsCol)(Model.NameLabel) === "req_duration_bucket")
+    assert(hist.filter(col(Model.LabelsCol)("service") === "web").count() == 3) // Le1, Le5, +Inf synth
+    // +Inf synthesized from count
+    assert(hist.filter(col(Model.LabelsCol)(Model.LeLabel) === "+Inf")
+      .select("value").as[Double].head() == 4.0)
+
+    // split_and_clean (metricstore.rs:648-659)
+    assert(MetricStore.splitAndClean("a/b/metric-1.parquet") == ("a/b", "metric_1"))
+    assert(MetricStore.splitAndClean("metric.parquet") == ("__root__", "metric"))
+  }
+}
