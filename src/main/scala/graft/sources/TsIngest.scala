@@ -55,6 +55,10 @@ object TsIngest {
   private final case class MetricCol(metric: String, sourceCol: String, le: Option[String])
 
   def read(spark: SparkSession, path: String, opts: IngestOptions = IngestOptions()): DataFrame = {
+    // tolerate TIMESTAMP(NANOS) members (Spark 4 rejects them by default);
+    // the column arrives as a nanos long — callers with ns data normalize
+    // (see TsQueries.rawEvents for the exact-epoch recipe)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = opts.metricName.getOrElse(cleanMetricName(
       path.split('/').last.stripSuffix(".parquet")))
     fromDataFrame(spark.read.parquet(path), base, opts)

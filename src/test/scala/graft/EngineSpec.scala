@@ -108,6 +108,42 @@ class EngineSpec extends SparkSpec {
     assert(infV == 3.0)
   }
 
+  test("histogram_quantile edge semantics (query.rs:296-320)") {
+    import graft.operators.HistogramQuantile
+    def bucketRow(le: String, v: Double, extra: Map[String, String] = Map.empty) = {
+      val labels = Map("__name__" -> "m_bucket", "Le" -> le) ++ extra
+      (labels, 10.0, v)
+    }
+    // normal group: buckets 1,2,+Inf with counts 2,8,10; q=0.5 -> cutoff 5
+    // first bucket >= 5 is le=2: 2 - (2-1)*(8-5)/(8-2) = 1.5
+    val good = Seq(bucketRow("1", 2.0), bucketRow("2", 8.0), bucketRow("+Inf", 10.0))
+    // group with finite top bucket -> NaN
+    val noInf = Seq(bucketRow("1", 2.0, Map("grp" -> "x")), bucketRow("2", 8.0, Map("grp" -> "x")))
+    // series without Le ignored entirely
+    val noLe = Seq((Map("__name__" -> "m_bucket", "grp" -> "y"), 10.0, 1.0))
+    val df = (good ++ noInf ++ noLe).toDF("labels", "ts", "value")
+    val out = HistogramQuantile.quantile(df, 0.5)
+      .select(col("skey"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.size == 2) // the no-Le series contributed no group
+    val goodKey = out.keys.find(!_.contains("grp")).get
+    assert(math.abs(out(goodKey) - 1.5) < 1e-12)
+    val nanKey = out.keys.find(_.contains("grp")).get
+    assert(out(nanKey).isNaN)
+  }
+
+  test("all-buckets-below-cutoff falls back to last finite bound (query.rs:325-346)") {
+    import graft.operators.HistogramQuantile
+    // q=0.99, total=100: cutoff=99 > every finite count -> est = last finite le
+    val rows = Seq(
+      (Map("__name__" -> "m_bucket", "Le" -> "1"), 10.0, 20.0),
+      (Map("__name__" -> "m_bucket", "Le" -> "2"), 10.0, 50.0),
+      (Map("__name__" -> "m_bucket", "Le" -> "+Inf"), 10.0, 100.0))
+    val out = HistogramQuantile.quantile(rows.toDF("labels", "ts", "value"), 0.99)
+      .select("value").as[Double].head()
+    assert(out == 2.0)
+  }
+
   test("retag yaml parser (config.rs)") {
     val conf = ReTag.parse(queries.TsQueries.retagYaml)
     assert(conf.skipUnmapped)
