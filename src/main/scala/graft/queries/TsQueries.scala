@@ -106,17 +106,32 @@ object TsQueries {
     * per (event_type, le), sample at each matching event's ts with the
     * running count of events with value <= le. */
   def histCollection(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = Seq((50.0, "50"), (100.0, "100"), (200.0, "200"),
-      (Double.PositiveInfinity, "+Inf"))
-    val b = spark.createDataFrame(buckets).toDF("le", "le_str")
+    // Per-instant bucket increments in one partial-aggregated groupBy, then
+    // all four cumulative counters in ONE running-window pass; a bucket
+    // series keeps only the instants where it actually incremented (same
+    // sample set as the naive crossJoin×buckets + range-window + distinct
+    // formulation, which cost 4× the rows and an extra shuffle).
     val ev = rawEvents(spark, dir)
       .select(col("event_type"), col("ts").as("t"), col("value"))
-    val w = Window.partitionBy("event_type", "le_str")
-      .orderBy("t").rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.crossJoin(broadcast(b)).filter(col("value") <= col("le"))
-      .withColumn("cum", count(lit(1)).over(w).cast(DoubleType))
-      .select(col("event_type"), col("le_str"), col("t"), col("cum"))
-      .distinct() // equal-ts ties produce identical cumulative rows
+    val inc = ev.groupBy("event_type", "t").agg(
+      count(when(col("value") <= 50.0, 1)).as("i50"),
+      count(when(col("value") <= 100.0, 1)).as("i100"),
+      count(when(col("value") <= 200.0, 1)).as("i200"),
+      count(lit(1)).as("iInf"))
+    val w = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = inc.select(col("event_type"), col("t"),
+      sum("i50").over(w).as("c50"), sum("i100").over(w).as("c100"),
+      sum("i200").over(w).as("c200"), sum("iInf").over(w).as("cInf"),
+      col("i50"), col("i100"), col("i200"), col("iInf"))
+    cum.select(col("event_type"), col("t"),
+        stack(lit(4),
+          lit("50"), col("c50").cast(DoubleType), col("i50"),
+          lit("100"), col("c100").cast(DoubleType), col("i100"),
+          lit("200"), col("c200").cast(DoubleType), col("i200"),
+          lit("+Inf"), col("cInf").cast(DoubleType), col("iInf"))
+          .as(Seq("le_str", "cum", "inc")))
+      .filter(col("inc") > 0)
       .select(
         map(lit(Model.NameLabel), lit("events_hist_bucket"),
           lit("event_type"), col("event_type"),
