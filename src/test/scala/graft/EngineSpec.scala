@@ -94,6 +94,32 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](TsIngest.fromDataFrame(mixed, "x"))
   }
 
+  test("bucket-column regex (metricstore.rs:661-715)") {
+    import graft.sources.TsIngest.isBucketColumn
+    assert(isBucketColumn("Le0"))
+    assert(isBucketColumn("Le0.0"))
+    assert(isBucketColumn("Le1.0E-4"))
+    assert(isBucketColumn("Le+Inf"))
+    assert(isBucketColumn("Le+inf"))
+    // quirk preserved: every numeric part of the reference regex is optional,
+    // so bare "Le" matches too (metricstore.rs:25)
+    assert(isBucketColumn("Le"))
+    assert(!isBucketColumn("LeX"))
+    assert(!isBucketColumn("count"))
+    assert(!isBucketColumn("le50"))
+  }
+
+  test("ingest: histogram with max alternate column (metricstore.rs:390-394)") {
+    val wide = Seq((60.0, 1.0, 2.0, 9.9)).toDF("time", "Le1", "Le+Inf", "max")
+    val out = TsIngest.fromDataFrame(wide, "m")
+    val names = out.select(col(Model.LabelsCol).getItem(Model.NameLabel)).as[String].collect().toSet
+    // Le+Inf present + no count -> count synthesized FROM Le+Inf
+    assert(names == Set("m_bucket", "m_max", "m_count"))
+    val cnt = out.filter(col(Model.LabelsCol).getItem(Model.NameLabel) === "m_count")
+      .select("value").as[Double].head()
+    assert(cnt == 2.0)
+  }
+
   test("ingest: histogram classification + Le+Inf synthesis (metricstore.rs:465-496)") {
     val wide = Seq((60.0, "a", 1.0, 2.0, 3.0, 10.5)).toDF("time", "host", "Le1", "Le5", "count", "sum")
     val out = TsIngest.fromDataFrame(wide, "m")
