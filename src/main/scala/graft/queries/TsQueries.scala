@@ -39,7 +39,7 @@ object TsQueries {
   def engine(spark: SparkSession, dir: String): PromEngine =
     new PromEngine(events(spark, dir))
 
-  private def flat(df: DataFrame, round6: Boolean = true, roundDigits: Int = 6): DataFrame =
+  private def flat(df: DataFrame, roundDigits: Int = 6): DataFrame =
     df.select(
       col(Model.LabelsCol).getItem("event_type").as("event_type"),
       col(Model.LabelsCol).getItem("props").as("props"),
