@@ -64,11 +64,15 @@ object Ann {
   /** Multi-table LSH bucketing: one row per (vector, table). Single-table
     * LSH has near-zero recall on near-orthogonal vectors (one unlucky plane
     * kills the match); L independent tables of fewer planes union their
-    * candidates — the standard recall/cost dial. */
+    * candidates — the standard recall/cost dial. Bucket ids run through the
+    * codegen'd [[graft.functions.HyperplaneBucket]] expression (bit-identical
+    * to [[bucketId]], asserted by LlmSpec). */
   def bucketTables(df: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
+    graft.functions.HyperplaneBucket.register(df.sparkSession)
+    val fn = graft.functions.HyperplaneBucket.FunctionName
     val entries = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
-        bucketId(col("embedding"), planesPerTable, t * planesPerTable).as("bucket"))
+        expr(s"$fn(embedding, ${t * planesPerTable}, $planesPerTable)").as("bucket"))
     }
     df.withColumn("tb", explode(array(entries: _*)))
       .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))

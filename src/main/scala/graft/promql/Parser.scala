@@ -92,7 +92,7 @@ object Parser {
     // function call — unknown functions fail at eval time like the
     // reference's process_function (query.rs:252-255), not at parse time
     case Some(Ident(name)) if st.toks.drop(1).headOption.exists(t =>
-      t == Sym("(") || t == Ident("by")) => parseFunc(st, name)
+      t == Sym("(") || t == Ident("by") || t == Ident("without")) => parseFunc(st, name)
     case Some(Ident(_)) | Some(Sym("{")) => parseSelector(st)
     case other => throw ParseException(s"unexpected token $other")
   }
@@ -100,17 +100,21 @@ object Parser {
   private def parseFunc(st: State, name: String): Node = {
     st.next() // function name
     var by: Option[Seq[String]] = None
-    // `sum by (a,b) (expr)` prefix form
-    if (st.peek.contains(Ident("by"))) { st.next(); by = Some(parseNameList(st)) }
+    // `without (...)` parses but evaluation rejects it, like the reference
+    // (query.rs:461-463 "not implemented")
+    var without = false
+    def aggMod(): Unit = st.peek match {
+      case Some(Ident("by")) => st.next(); by = Some(parseNameList(st))
+      case Some(Ident("without")) => st.next(); without = true; parseNameList(st)
+      case _ => ()
+    }
+    aggMod() // `sum by (a,b) (expr)` prefix form
     st.expect("(")
     val args = scala.collection.mutable.ListBuffer[Node](parseExpr(st))
     while (st.peek.contains(Sym(","))) { st.next(); args += parseExpr(st) }
     st.expect(")")
-    // `sum(expr) by (a,b)` suffix form
-    if (st.peek.contains(Ident("by"))) {
-      if (by.isDefined) throw ParseException("duplicate 'by' clause")
-      st.next(); by = Some(parseNameList(st))
-    }
+    if (by.isEmpty && !without) aggMod() // `sum(expr) by (a,b)` suffix form
+    if (without) throw Eval.EvalException("not implemented: aggregation 'without'")
     FuncCall(name, args.toSeq, by)
   }
 

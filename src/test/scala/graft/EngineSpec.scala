@@ -51,6 +51,8 @@ class EngineSpec extends SparkSpec {
     intercept[Eval.EvalException](Eval.run(collection, "events[5m]", grid))
     // unknown function
     intercept[Eval.EvalException](Eval.run(collection, "abs(events)", grid))
+    // aggregation 'without' is parsed but rejected (query.rs:461-463)
+    intercept[Eval.EvalException](Eval.run(collection, "sum without (props) (events)", grid))
   }
 
   test("_over_time family through the PromQL pipeline") {

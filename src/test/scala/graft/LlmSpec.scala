@@ -73,6 +73,16 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("native LSH-bucket expression is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.functions.HyperplaneBucket.register(spark)
+    val diffs = emb.select(
+        Ann.bucketId(col("embedding"), 4, planeOffset = 8).as("hof"),
+        expr("graft_lsh_bucket(embedding, 8, 4)").as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(diffs == 0)
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.functions.CosineSimilarity.register(spark)
