@@ -25,12 +25,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // best of 2: the first run pays codegen/compile warmup; min is the
+      // stable per-query signal
+      val a = once()
+      val secs = if (a < 0) a else math.min(a, once())
+      name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

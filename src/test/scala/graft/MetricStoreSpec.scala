@@ -79,4 +79,19 @@ class MetricStoreSpec extends SparkSpec {
     assert(MetricStore.splitAndClean("a/b/metric-1.parquet") == ("a/b", "metric_1"))
     assert(MetricStore.splitAndClean("metric.parquet") == ("__root__", "metric"))
   }
+
+  test("ingestion is source-format agnostic (CSV through the same classifier)") {
+    val tmp = Files.createTempDirectory("graft_csv").toFile
+    val csv = new File(tmp, "gauge.csv")
+    Files.writeString(csv.toPath,
+      "time,host,value\n60.0,a,1.5\n120.0,a,2.5\n60.0,b,9.0\n")
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(csv.getAbsolutePath)
+    val out = graft.sources.TsIngest.fromDataFrame(df, "gauge")
+    assert(out.count() == 3)
+    val names = out.select(col(Model.LabelsCol)(Model.NameLabel)).distinct().as[String].collect()
+    assert(names.sameElements(Array("gauge")))
+    assert(out.filter(col(Model.LabelsCol)("host") === "b")
+      .select("value").as[Double].head() == 9.0)
+  }
 }
