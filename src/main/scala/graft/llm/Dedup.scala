@@ -124,17 +124,16 @@ object Dedup {
   /** 60-bit SimHash over distinct word tokens; near-dup pairs via 4 bands of
     * 15 bits (any equal band → candidate) verified by Hamming distance. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    // Bit-sums run as higher-order functions over the collected token-hash
-    // array (one shuffle on doc_id) instead of a 60× row explosion — same
-    // integer arithmetic, so the engine-portable definition is unchanged.
+    // One shuffle on doc_id, then ONE codegen'd pass over the token-hash
+    // array maintaining all 60 bit counters (graft.functions.SimHash60).
+    // Per-bit integer sums are order-independent: identical fingerprints to
+    // the portable 60-pass HOF/SQL definition the oracle uses.
+    graft.functions.SimHash60.register(docs.sparkSession)
     val toks = docs.withColumn("t", explode(array_distinct(tokens(col("text")))))
       .select(col("doc_id"), md5Hash60(col("t")).as("h"))
     toks.groupBy("doc_id").agg(collect_list("h").as("hs"))
-      .select(col("doc_id"), expr(
-        "aggregate(transform(sequence(0, 59), j -> " +
-          "CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (a, h) -> a + (shiftright(h, j) & 1) * 2 - 1) > 0 " +
-          "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), " +
-          "CAST(0 AS BIGINT), (a, b) -> a + b)").as("fp"))
+      .select(col("doc_id"),
+        expr(s"${graft.functions.SimHash60.FunctionName}(hs)").as("fp"))
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
