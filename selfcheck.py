@@ -52,7 +52,9 @@ for name, sql in sorted(oracle.items()):
             import numpy as np
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 av = av.astype(float); bv = bv.astype(float)
-                diff = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
+                # signbit check: the driver hashes values, so -0.0 != 0.0 there
+                diff = ~(((av == bv) & (np.signbit(av) == np.signbit(bv)))
+                         | (np.isnan(av) & np.isnan(bv)))
                 if diff.any():
                     i = int(np.argmax(diff))
                     mx = float(np.nanmax(np.abs(av - bv)))

@@ -39,12 +39,17 @@ object TsQueries {
   def engine(spark: SparkSession, dir: String): PromEngine =
     new PromEngine(events(spark, dir))
 
+  /** `+ 0.0` collapses IEEE `-0.0` to `+0.0` (NaN unaffected): DuckDB's
+    * round keeps the sign of zero, Spark's doesn't, and the driver hashes
+    * raw values — so both sides normalize. */
+  private def noNegZero(c: org.apache.spark.sql.Column) = c + lit(0.0)
+
   private def flat(df: DataFrame, roundDigits: Int = 6): DataFrame =
     df.select(
       col(Model.LabelsCol).getItem("event_type").as("event_type"),
       col(Model.LabelsCol).getItem("props").as("props"),
       round(col(Model.TsCol), 6).as("ts"),
-      round(col(Model.ValueCol), roundDigits).as("value"))
+      noNegZero(round(col(Model.ValueCol), roundDigits)).as("value"))
 
   // ---------------------------------------------------------------- queries
 
@@ -90,14 +95,14 @@ object TsQueries {
         col(Model.LabelsCol).getItem("event_type").as("event_type"),
         col(Model.LabelsCol).getItem("props").as("props"),
         round(col(Model.TsCol), 6).as("ts"),
-        round(col(Model.ValueCol), 6).as("value"))
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
 
   def sumBy(spark: SparkSession, dir: String): DataFrame =
     Eval("""sum by (event_type) (events)""", spark, dir)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
         round(col(Model.TsCol), 6).as("ts"),
-        round(col(Model.ValueCol), 4).as("value"))
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
 
   private def Eval(q: String, spark: SparkSession, dir: String): DataFrame =
     engine(spark, dir).queryRangeRaw(q, grid)
@@ -147,7 +152,7 @@ object TsQueries {
       "histogram_quantile(0.95, sum by (Le, event_type) (rate(events_hist_bucket{}[1h])))", grid)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
         round(col(Model.TsCol), 6).as("ts"),
-        round(col(Model.ValueCol), 4).as("value"))
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
       .filter(col("value").isNotNull && !isnan(col("value")))
   }
 
@@ -303,7 +308,7 @@ object TsQueries {
     s"""WITH ${sCte(where)},
        |${gridCte(Seq(("i", offset)))},
        |${bracketCte(withLag = false)}
-       |SELECT event_type, props, round(gt, 6) AS ts, round($interpExpr, 6) AS value
+       |SELECT event_type, props, round(gt, 6) AS ts, round($interpExpr, 6) + 0.0 AS value
        |FROM w WHERE ord = 1""".stripMargin
 
   def oracleResample1h: String = oracleResample("WHERE event_type = 'purchase'", 0.0)
@@ -317,7 +322,7 @@ object TsQueries {
        |  SELECT event_type, props, gt, kind, $interpExpr AS v FROM w WHERE ord = 1
        |)
        |SELECT event_type, props, round(gt, 6) AS ts,
-       |  round((max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END)) / 3600.0, 6) AS value
+       |  round((max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END)) / 3600.0, 6) + 0.0 AS value
        |FROM iv GROUP BY event_type, props, gt""".stripMargin
 
   def oracleIncrease1h: String =
@@ -328,7 +333,7 @@ object TsQueries {
        |  SELECT event_type, props, gt, kind, $interpExpr AS v FROM w WHERE ord = 1
        |)
        |SELECT event_type, props, round(gt, 6) AS ts,
-       |  round(max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END), 6) AS value
+       |  round(max(CASE WHEN kind = 'h' THEN v END) - max(CASE WHEN kind = 'l' THEN v END), 6) + 0.0 AS value
        |FROM iv GROUP BY event_type, props, gt""".stripMargin
 
   def oracleAvgOverTime1h: String =
@@ -341,7 +346,7 @@ object TsQueries {
        |x AS (SELECT event_type, props, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
        |      FROM w WHERE greatest(klo, 0) <= khi)
        |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
-       |  round(avg(v), 6) AS value
+       |  round(avg(v), 6) + 0.0 AS value
        |FROM x GROUP BY event_type, props, k""".stripMargin
 
   def oracleIrate1h: String =
@@ -360,7 +365,7 @@ object TsQueries {
        |    END AS v
        |  FROM w WHERE ord = 1
        |)
-       |SELECT event_type, props, round(gt, 6) AS ts, round(v, 6) AS value
+       |SELECT event_type, props, round(gt, 6) AS ts, round(v, 6) + 0.0 AS value
        |FROM iv WHERE NOT isnan(v)""".stripMargin
 
   def oracleSumBy: String =
@@ -370,7 +375,7 @@ object TsQueries {
        |iv AS (
        |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
        |)
-       |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) AS value
+       |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
   def oracleHistQuantile: String =
@@ -431,7 +436,7 @@ object TsQueries {
        |  FROM finite f JOIN tot t ON f.event_type = t.event_type AND f.gt = t.gt
        |  GROUP BY f.event_type, f.gt
        |)
-       |SELECT event_type, round(gt, 6) AS ts, round(est, 4) AS value
+       |SELECT event_type, round(gt, 6) AS ts, round(est, 4) + 0.0 AS value
        |FROM walk WHERE NOT isnan(est)""".stripMargin
 
   def oracleIngestHistogram: String =
