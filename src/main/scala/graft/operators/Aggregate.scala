@@ -37,4 +37,30 @@ object Aggregate {
   def minBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, min)
   def maxBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, max)
   def countBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, count)
+
+  /** `quantile(q, v) by (...)`: exact linear-interpolated percentile per
+    * group per instant (Spark's sort-based `percentile`, not the sketch-based
+    * approx — group sizes are series counts, which are small). */
+  def quantileBy(df: DataFrame, q: Double, by: Seq[String]): DataFrame =
+    aggBy(df, by, _ => expr(s"percentile(${Model.ValueCol}, $q)"))
+
+  /** `topk(k, v)` / `bottomk(k, v)`: per instant (and per `by` group when
+    * given), keep the k series with the largest/smallest value. Unlike the
+    * grouping aggregations the survivors keep their own labels. Ties break
+    * deterministically on the canonical series key. One window pass,
+    * partitioned by (group, ts) — no global sort. */
+  def topk(df: DataFrame, k: Int, by: Option[Seq[String]], bottom: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gkey = by match {
+      case Some(b) => Model.canonicalKey(retainedMap(b))
+      case None => lit("")
+    }
+    val ord = if (bottom) col(Model.ValueCol).asc else col(Model.ValueCol).desc
+    val w = Window.partitionBy(col("__gkey__"), col(Model.TsCol))
+      .orderBy(ord, col(Model.SkeyCol).asc)
+    df.withColumn("__gkey__", gkey)
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
+  }
 }

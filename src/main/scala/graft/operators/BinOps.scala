@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Model
+
+/** PromQL binary operators (extension — the reference rejects
+  * `Node::Operator` with "Not implemented yet", query.rs:549-551; semantics
+  * follow the Prometheus operator documentation).
+  *
+  * All inputs are resampled instant vectors `(skey, labels, ts, value)` on
+  * the same grid, so vector-vector matching is an equi-join on
+  * `(match-key, ts)` — one shuffle keyed exactly like every other per-series
+  * operator, no cartesian anywhere. Output labels of an arithmetic /
+  * bool-comparison result are the MATCH labels (metric name dropped, as
+  * Prometheus drops it); filter-comparisons keep the input series unchanged.
+  *
+  * One-to-one matching is assumed (duplicate match keys on either side
+  * produce join fan-out rather than Prometheus's "many-to-one matching must
+  * be explicit" error — detecting that would cost an extra aggregation per
+  * query; `on`/`ignoring` give the user the same control).
+  */
+object BinOps {
+
+  import graft.promql.Ops
+
+  def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case "^" => pow(l, r)
+    case other => throw new IllegalArgumentException(s"not an arithmetic operator: '$other'")
+  }
+
+  def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "==" => l === r
+    case "!=" => l =!= r
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case other => throw new IllegalArgumentException(s"not a comparison operator: '$other'")
+  }
+
+  def scalarScalar(op: String, a: Double, b: Double, boolMod: Boolean): Double =
+    if (Ops.isCmp(op)) {
+      if (!boolMod)
+        throw graft.promql.Eval.EvalException("comparisons between scalars must use BOOL modifier")
+      val r = op match {
+        case "==" => a == b; case "!=" => a != b
+        case ">" => a > b; case "<" => a < b
+        case ">=" => a >= b; case "<=" => a <= b
+      }
+      if (r) 1.0 else 0.0
+    } else op match {
+      case "+" => a + b; case "-" => a - b; case "*" => a * b
+      case "/" => a / b; case "%" => a % b; case "^" => math.pow(a, b)
+    }
+
+  /** Labels minus the metric name — Prometheus drops `__name__` from any
+    * arithmetic / bool-comparison result. */
+  private def dropName(df: DataFrame): DataFrame =
+    df.withColumn(Model.LabelsCol,
+        map_filter(col(Model.LabelsCol), (k, _) => k =!= Model.NameLabel))
+      .withColumn(Model.SkeyCol, Model.canonicalKey(col(Model.LabelsCol)))
+
+  /** vector ⊗ scalar (scalar ⊗ vector when `scalarOnRight` is false). */
+  def vectorScalar(df: DataFrame, op: String, s: Double, scalarOnRight: Boolean,
+                   boolMod: Boolean): DataFrame = {
+    val v = col(Model.ValueCol)
+    val sc = lit(s)
+    def sided(f: (Column, Column) => Column): Column =
+      if (scalarOnRight) f(v, sc) else f(sc, v)
+    if (Ops.isCmp(op)) {
+      val c = sided(cmp(op, _, _))
+      if (boolMod)
+        dropName(df.withColumn(Model.ValueCol, when(c, lit(1.0)).otherwise(lit(0.0))))
+      else df.filter(c) // filter form keeps the series as-is, name included
+    } else {
+      dropName(df.withColumn(Model.ValueCol, sided(arith(op, _, _))))
+    }
+  }
+
+  /** The vector-matching key: `on(...)` keeps exactly those labels;
+    * `ignoring(...)` drops those plus `__name__`; default drops `__name__`
+    * only. */
+  private def matchMap(on: Option[Seq[String]], ignoring: Option[Seq[String]]): Column =
+    on match {
+      case Some(names) =>
+        map_filter(col(Model.LabelsCol), (k, _) => array_contains(lit(names.toArray), k))
+      case None =>
+        val dropped = ignoring.getOrElse(Seq.empty) :+ Model.NameLabel
+        map_filter(col(Model.LabelsCol), (k, _) => !array_contains(lit(dropped.toArray), k))
+    }
+
+  /** vector ⊗ vector, one-to-one: inner join on `(match-key, ts)`. Output
+    * labels are the match labels. */
+  def vectorVector(lhs: DataFrame, rhs: DataFrame, op: String,
+                   on: Option[Seq[String]], ignoring: Option[Seq[String]],
+                   boolMod: Boolean): DataFrame = {
+    val mm = matchMap(on, ignoring)
+    val l = lhs.select(Model.canonicalKey(mm).as(Model.SkeyCol), mm.as(Model.LabelsCol),
+      col(Model.TsCol), col(Model.ValueCol).as("__lv__"))
+    val r = rhs.select(Model.canonicalKey(mm).as(Model.SkeyCol),
+      col(Model.TsCol), col(Model.ValueCol).as("__rv__"))
+    val joined = l.join(r, Seq(Model.SkeyCol, Model.TsCol))
+    val out =
+      if (Ops.isCmp(op)) {
+        val c = cmp(op, col("__lv__"), col("__rv__"))
+        if (boolMod) joined.withColumn(Model.ValueCol, when(c, lit(1.0)).otherwise(lit(0.0)))
+        else joined.filter(c).withColumn(Model.ValueCol, col("__lv__"))
+      } else {
+        joined.withColumn(Model.ValueCol, arith(op, col("__lv__"), col("__rv__")))
+      }
+    out.select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
+  }
+
+  /** `and` / `unless` / `or` set operators: semi/anti joins on
+    * `(match-key, ts)`; `or` unions in the right-side rows with no left
+    * match. Series keep their own labels (names included), as in Prometheus. */
+  def setOp(lhs: DataFrame, rhs: DataFrame, op: String,
+            on: Option[Seq[String]], ignoring: Option[Seq[String]]): DataFrame = {
+    val mm = matchMap(on, ignoring)
+    def keyed(df: DataFrame): DataFrame = df.withColumn("__mkey__", Model.canonicalKey(mm))
+    val l = keyed(lhs)
+    val rKeys = keyed(rhs).select(col("__mkey__"), col(Model.TsCol))
+    op match {
+      case "and" => l.join(rKeys, Seq("__mkey__", Model.TsCol), "left_semi").drop("__mkey__")
+      case "unless" => l.join(rKeys, Seq("__mkey__", Model.TsCol), "left_anti").drop("__mkey__")
+      case "or" =>
+        val lKeys = l.select(col("__mkey__"), col(Model.TsCol))
+        val extra = keyed(rhs).join(lKeys, Seq("__mkey__", Model.TsCol), "left_anti").drop("__mkey__")
+        lhs.unionByName(extra)
+      case other => throw new IllegalArgumentException(s"not a set operator: '$other'")
+    }
+  }
+}

@@ -80,6 +80,19 @@ object Eval {
     case FuncCall("max", args, by) => evalAgg(args, by, collection, grid, Aggregate.maxBy)
     case FuncCall("count", args, by) => evalAgg(args, by, collection, grid, Aggregate.countBy)
 
+    case FuncCall("topk", args, by) => evalTopk(args, by, collection, grid, bottom = false)
+    case FuncCall("bottomk", args, by) => evalTopk(args, by, collection, grid, bottom = true)
+    case FuncCall("quantile", args, by) =>
+      val (q, inner) = scalarAndVector("quantile", args)
+      resampled(eval(inner, collection, grid), grid) match {
+        case Processed(df) =>
+          Processed(Aggregate.quantileBy(df, q,
+            by.getOrElse(throw EvalException("unimplemented: aggregation without 'by'"))))
+        case _ => throw EvalException("resampling failed")
+      }
+
+    case b: BinOp => evalBinOp(b, collection, grid)
+
     case FuncCall("histogram_quantile", args, agg) =>
       if (args.length != 2)
         throw EvalException(s"'histogram_quantile' needs exactly 2 arguments, got ${args.length}")
@@ -125,6 +138,45 @@ object Eval {
           df.withColumn(graft.Model.TsCol, org.apache.spark.sql.functions.col(graft.Model.TsCol) + off))
         Processed(fn(shifted, grid, overRange))
       case _ => throw EvalException("'_over_time' requires a vectorized time series")
+    }
+  }
+
+  /** Two-arg aggregations `topk(k, v)` / `quantile(q, v)`: first argument
+    * must be a scalar literal. */
+  private def scalarAndVector(name: String, args: Seq[Node]): (Double, Node) = args match {
+    case Seq(ScalarLit(k), inner) => (k, inner)
+    case _ => throw EvalException(s"'$name' expects (scalar, vector) arguments")
+  }
+
+  private def evalTopk(args: Seq[Node], by: Option[Seq[String]], collection: DataFrame,
+                       grid: Grid, bottom: Boolean): QR = {
+    val (k, inner) = scalarAndVector(if (bottom) "bottomk" else "topk", args)
+    if (k != math.rint(k) || k < 1) throw EvalException(s"topk/bottomk k must be a positive integer, got $k")
+    resampled(eval(inner, collection, grid), grid) match {
+      case Processed(df) => Processed(Aggregate.topk(df, k.toInt, by, bottom))
+      case _ => throw EvalException("resampling failed")
+    }
+  }
+
+  /** Binary operators (extension; reference query.rs:549-551 rejects them).
+    * Both sides are resampled onto the grid first, so vector-vector matching
+    * is an equi-join per instant. */
+  private def evalBinOp(b: BinOp, collection: DataFrame, grid: Grid): QR = {
+    def proc(n: Node): QR = resampled(eval(n, collection, grid), grid)
+    (proc(b.lhs), proc(b.rhs)) match {
+      case (ScalarQ(a), ScalarQ(c)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between scalars")
+        ScalarQ(BinOps.scalarScalar(b.op, a, c, b.boolMod))
+      case (Processed(df), ScalarQ(s)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between vector and scalar")
+        Processed(BinOps.vectorScalar(df, b.op, s, scalarOnRight = true, b.boolMod))
+      case (ScalarQ(s), Processed(df)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between vector and scalar")
+        Processed(BinOps.vectorScalar(df, b.op, s, scalarOnRight = false, b.boolMod))
+      case (Processed(l), Processed(r)) =>
+        if (Ops.SetOps(b.op)) Processed(BinOps.setOp(l, r, b.op, b.matchOn, b.matchIgnoring))
+        else Processed(BinOps.vectorVector(l, r, b.op, b.matchOn, b.matchIgnoring, b.boolMod))
+      case _ => throw EvalException("binary operands must be instant vectors or scalars")
     }
   }
 

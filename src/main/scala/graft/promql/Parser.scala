@@ -14,6 +14,22 @@ sealed trait Node
 final case class VectorSel(matchers: Seq[Matcher], range: Option[Double], offset: Option[Double]) extends Node
 final case class ScalarLit(value: Double) extends Node
 final case class FuncCall(name: String, args: Seq[Node], by: Option[Seq[String]]) extends Node
+/** Binary operation (extension — the reference's process_ast rejects
+  * `Node::Operator` with "Not implemented yet", query.rs:549-551; semantics
+  * follow the Prometheus operator docs). `matchOn`/`matchIgnoring` are the
+  * `on(...)`/`ignoring(...)` vector-matching modifiers; `boolMod` is the
+  * `bool` modifier on comparison operators. */
+final case class BinOp(op: String, lhs: Node, rhs: Node,
+                       matchOn: Option[Seq[String]], matchIgnoring: Option[Seq[String]],
+                       boolMod: Boolean) extends Node
+
+/** Operator classes shared by the parser and the evaluator. */
+object Ops {
+  val ArithOps: Set[String] = Set("+", "-", "*", "/", "%", "^")
+  val CmpOps: Set[String] = Set("==", "!=", ">", "<", ">=", "<=")
+  val SetOps: Set[String] = Set("and", "or", "unless")
+  def isCmp(op: String): Boolean = CmpOps(op)
+}
 
 /** Recursive-descent parser for the PromQL subset. Replaces the reference's
   * dependency on the `promql` crate (query.rs:586) with ~150 lines — the
@@ -55,9 +71,12 @@ object Parser {
         i += 1
         out += Str(sb.toString)
       } else if (c == '=' && i + 1 < n && q(i + 1) == '~') { out += Sym("=~"); i += 2 }
+      else if (c == '=' && i + 1 < n && q(i + 1) == '=') { out += Sym("=="); i += 2 }
       else if (c == '!' && i + 1 < n && q(i + 1) == '=') { out += Sym("!="); i += 2 }
       else if (c == '!' && i + 1 < n && q(i + 1) == '~') { out += Sym("!~"); i += 2 }
-      else if ("{}[](),=".contains(c)) { out += Sym(c.toString); i += 1 }
+      else if (c == '<' && i + 1 < n && q(i + 1) == '=') { out += Sym("<="); i += 2 }
+      else if (c == '>' && i + 1 < n && q(i + 1) == '=') { out += Sym(">="); i += 2 }
+      else if ("{}[](),=<>+-*/%^".contains(c)) { out += Sym(c.toString); i += 1 }
       else throw ParseException(s"unexpected character '$c' at $i")
     }
     out.toList
@@ -86,15 +105,90 @@ object Parser {
     node
   }
 
-  private def parseExpr(st: State): Node = st.peek match {
+  /** Binary-operator precedence ladder (Prometheus order, high→low:
+    * `^` right-assoc; unary `-`/`+`; `* / %`; `+ -`; comparisons; `and
+    * unless`; `or`). Each operator may carry `bool` (comparisons only) and
+    * `on(...)`/`ignoring(...)` matching modifiers. */
+  private def parseExpr(st: State): Node = parseOr(st)
+
+  private final case class Mods(on: Option[Seq[String]], ignoring: Option[Seq[String]], bool: Boolean)
+
+  /** `bool`, then `on(...)` | `ignoring(...)`; `group_left/right` (many-to-
+    * one matching) is rejected explicitly. */
+  private def parseMods(st: State, op: String): Mods = {
+    var bool = false
+    if (st.peek.contains(Ident("bool"))) {
+      if (!Ops.isCmp(op)) throw ParseException(s"bool modifier can only be used on comparison operators, not '$op'")
+      st.next(); bool = true
+    }
+    var on: Option[Seq[String]] = None
+    var ignoring: Option[Seq[String]] = None
+    st.peek match {
+      case Some(Ident("on")) => st.next(); on = Some(parseNameList(st))
+      case Some(Ident("ignoring")) => st.next(); ignoring = Some(parseNameList(st))
+      case _ => ()
+    }
+    st.peek match {
+      case Some(Ident(g @ ("group_left" | "group_right"))) =>
+        throw ParseException(s"not implemented: many-to-one matching '$g'")
+      case _ => ()
+    }
+    Mods(on, ignoring, bool)
+  }
+
+  private def binOpLevel(st: State, ops: Set[String], next: State => Node): Node = {
+    var lhs = next(st)
+    var done = false
+    while (!done) {
+      st.peek match {
+        case Some(Sym(s)) if ops(s) =>
+          st.next(); val m = parseMods(st, s)
+          lhs = BinOp(s, lhs, next(st), m.on, m.ignoring, m.bool)
+        case Some(Ident(s)) if ops(s) =>
+          st.next(); val m = parseMods(st, s)
+          lhs = BinOp(s, lhs, next(st), m.on, m.ignoring, m.bool)
+        case _ => done = true
+      }
+    }
+    lhs
+  }
+
+  private def parseOr(st: State): Node = binOpLevel(st, Set("or"), parseAnd)
+  private def parseAnd(st: State): Node = binOpLevel(st, Set("and", "unless"), parseCmp)
+  private def parseCmp(st: State): Node = binOpLevel(st, Ops.CmpOps, parseAdd)
+  private def parseAdd(st: State): Node = binOpLevel(st, Set("+", "-"), parseMul)
+  private def parseMul(st: State): Node = binOpLevel(st, Set("*", "/", "%"), parseUnary)
+
+  private def parseUnary(st: State): Node = st.peek match {
+    case Some(Sym("-")) =>
+      st.next()
+      parseUnary(st) match {
+        case ScalarLit(v) => ScalarLit(-v)
+        case n => BinOp("-", ScalarLit(0.0), n, None, None, boolMod = false)
+      }
+    case Some(Sym("+")) => st.next(); parseUnary(st)
+    case _ => parsePow(st)
+  }
+
+  private def parsePow(st: State): Node = {
+    val base = parseAtom(st)
+    if (st.peek.contains(Sym("^"))) { // right-associative
+      st.next(); val m = parseMods(st, "^")
+      BinOp("^", base, parsePow(st), m.on, m.ignoring, boolMod = false)
+    } else base
+  }
+
+  private def parseAtom(st: State): Node = st.peek match {
     case Some(Num(s)) => st.next(); ScalarLit(s.toDouble)
+    case Some(Sym("(")) => st.next(); val e = parseExpr(st); st.expect(")"); e
     // any identifier directly followed by '(' (or a 'by' clause) is a
     // function call — unknown functions fail at eval time like the
     // reference's process_function (query.rs:252-255), not at parse time
     case Some(Ident(name)) if st.toks.drop(1).headOption.exists(t =>
       t == Sym("(") || t == Ident("by") || t == Ident("without")) => parseFunc(st, name)
     case Some(Ident(_)) | Some(Sym("{")) => parseSelector(st)
-    case other => throw ParseException(s"unexpected token $other")
+    case Some(other) => throw ParseException(s"unexpected token $other")
+    case None => throw ParseException("unexpected end of query")
   }
 
   private def parseFunc(st: State, name: String): Node = {

@@ -107,6 +107,38 @@ object TsQueries {
   private def Eval(q: String, spark: SparkSession, dir: String): DataFrame =
     engine(spark, dir).queryRangeRaw(q, grid)
 
+  // Binary operators + extended aggregations (extensions; the reference's
+  // process_ast rejects Node::Operator, query.rs:549-551).
+
+  def binopVs(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events{event_type="purchase"} * 2 - 100""", spark, dir))
+
+  /** vector/vector one-to-one: current value over the value 1h ago. */
+  def binopVv(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events{event_type="purchase"} / (events{event_type="purchase"} offset 1h)""", spark, dir))
+      .filter(abs(col("value")) < lit(Double.PositiveInfinity)) // NaN/±Inf (0/0, x/0) out on both sides
+
+  def binopCmp(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events{event_type="purchase"} > bool 120""", spark, dir))
+
+  def binopOr(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events{event_type="purchase"} or events{event_type="refund"}""", spark, dir))
+
+  def avgBy(spark: SparkSession, dir: String): DataFrame =
+    Eval("""avg by (event_type) (events)""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
+
+  def topk3(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""topk(3, events)""", spark, dir))
+
+  def quantileBy(spark: SparkSession, dir: String): DataFrame =
+    Eval("""quantile(0.9, events) by (event_type)""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
+
   /** Cumulative histogram-bucket counter series synthesized from events:
     * per (event_type, le), sample at each matching event's ts with the
     * running count of events with value <= le. */
@@ -378,6 +410,74 @@ object TsQueries {
        |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
+  def oracleBinopVs: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  round(($interpExpr) * 2.0 - 100.0, 6) + 0.0 AS value
+       |FROM w WHERE ord = 1""".stripMargin
+
+  def oracleBinopVv: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("h", 0.0), ("l", 3600.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, kind, $interpExpr AS v FROM w WHERE ord = 1
+       |),
+       |d AS (
+       |  SELECT event_type, props, round(gt, 6) AS ts,
+       |    round(max(CASE WHEN kind = 'h' THEN v END) / max(CASE WHEN kind = 'l' THEN v END), 6) + 0.0 AS value
+       |  FROM iv GROUP BY event_type, props, gt
+       |)
+       |SELECT * FROM d WHERE isfinite(value)""".stripMargin
+
+  def oracleBinopCmp: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  CASE WHEN ($interpExpr) > 120.0 THEN 1.0 ELSE 0.0 END AS value
+       |FROM w WHERE ord = 1""".stripMargin
+
+  def oracleBinopOr: String = oracleResample("WHERE event_type IN ('purchase', 'refund')", 0.0)
+
+  def oracleAvgBy: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, round(gt, 6) AS ts, round(avg(v), 4) + 0.0 AS value
+       |FROM iv GROUP BY event_type, gt""".stripMargin
+
+  def oracleTopk3: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |),
+       |r AS (
+       |  SELECT event_type, props, gt, v,
+       |    row_number() OVER (PARTITION BY gt ORDER BY v DESC,
+       |      '__name__=events,event_type=' || event_type || ',props=' || props) AS rn
+       |  FROM iv
+       |)
+       |SELECT event_type, props, round(gt, 6) AS ts, round(v, 6) + 0.0 AS value
+       |FROM r WHERE rn <= 3""".stripMargin
+
+  def oracleQuantileBy: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, round(gt, 6) AS ts, round(quantile_cont(v, 0.9), 4) + 0.0 AS value
+       |FROM iv GROUP BY event_type, gt""".stripMargin
+
   def oracleHistQuantile: String =
     s"""WITH b(le, le_str) AS (VALUES (50.0, '50'), (100.0, '100'), (200.0, '200'), ('inf'::DOUBLE, '+Inf')),
        |ev AS (SELECT event_type, epoch(ts) AS t, value FROM events),
@@ -495,6 +595,13 @@ object TsQueries {
     "avg_over_time_1h" -> (avgOverTime1h _),
     "irate_1h" -> (irate1h _),
     "sum_by" -> (sumBy _),
+    "binop_vs" -> (binopVs _),
+    "binop_vv" -> (binopVv _),
+    "binop_cmp" -> (binopCmp _),
+    "binop_or" -> (binopOr _),
+    "avg_by" -> (avgBy _),
+    "topk" -> (topk3 _),
+    "quantile_by" -> (quantileBy _),
     "hist_quantile" -> (histQuantile _),
     "ingest_histogram" -> (ingestHistogram _),
     "retag_config" -> (retagConfig _),
@@ -514,6 +621,13 @@ object TsQueries {
     "avg_over_time_1h" -> oracleAvgOverTime1h,
     "irate_1h" -> oracleIrate1h,
     "sum_by" -> oracleSumBy,
+    "binop_vs" -> oracleBinopVs,
+    "binop_vv" -> oracleBinopVv,
+    "binop_cmp" -> oracleBinopCmp,
+    "binop_or" -> oracleBinopOr,
+    "avg_by" -> oracleAvgBy,
+    "topk" -> oracleTopk3,
+    "quantile_by" -> oracleQuantileBy,
     "hist_quantile" -> oracleHistQuantile,
     "ingest_histogram" -> oracleIngestHistogram,
     "retag_config" -> oracleRetagConfig,

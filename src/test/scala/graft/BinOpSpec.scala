@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Grid
+import graft.promql.{BinOp, Eval, Parser, ScalarLit, VectorSel}
+
+/** Binary operators + extended aggregations (extension; the reference's
+  * process_ast rejects Node::Operator — query.rs:549-551). */
+class BinOpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dir = "/root/testdata/sf0.001"
+  private def collection = queries.TsQueries.events(spark, Dir)
+  private val grid = Grid(1704067200.0, 1704074400.0, 3600.0)
+
+  test("parser: precedence and associativity") {
+    // * binds tighter than +
+    Parser.parse("1 + 2 * 3") match {
+      case BinOp("+", ScalarLit(1.0), BinOp("*", ScalarLit(2.0), ScalarLit(3.0), _, _, _), _, _, _) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    // ^ is right-associative and binds tighter than unary minus
+    Parser.parse("-2 ^ 2") match {
+      case BinOp("-", ScalarLit(0.0), BinOp("^", ScalarLit(2.0), ScalarLit(2.0), _, _, _), _, _, _) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    Parser.parse("2 ^ 3 ^ 2") match {
+      case BinOp("^", ScalarLit(2.0), BinOp("^", ScalarLit(3.0), ScalarLit(2.0), _, _, _), _, _, _) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    // parentheses override
+    Parser.parse("(1 + 2) * 3") match {
+      case BinOp("*", BinOp("+", _, _, _, _, _), ScalarLit(3.0), _, _, _) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    // comparison with bool + matching modifiers
+    Parser.parse("""a{x="1"} > bool on (x) b""") match {
+      case BinOp(">", _: VectorSel, _: VectorSel, Some(Seq("x")), None, true) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    Parser.parse("a / ignoring (host) b") match {
+      case BinOp("/", _, _, None, Some(Seq("host")), false) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    // set-operator keywords
+    Parser.parse("a and b or c unless d") match {
+      case BinOp("or", BinOp("and", _, _, _, _, _), BinOp("unless", _, _, _, _, _), _, _, _) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    intercept[Parser.ParseException](Parser.parse("a + group_left b"))
+    intercept[Parser.ParseException](Parser.parse("a + bool b")) // bool only on comparisons
+  }
+
+  test("scalar-scalar arithmetic folds to a scalar; comparisons need bool") {
+    intercept[Eval.EvalException](Eval.run(collection, "1 + 2", grid)) // scalar result is not a range vector
+    assert(operators.BinOps.scalarScalar("^", 2.0, 10.0, boolMod = false) == 1024.0)
+    assert(operators.BinOps.scalarScalar(">", 2.0, 1.0, boolMod = true) == 1.0)
+    intercept[Eval.EvalException](operators.BinOps.scalarScalar(">", 2.0, 1.0, boolMod = false))
+  }
+
+  test("vector-scalar arithmetic drops __name__; filter comparison keeps it") {
+    val out = Eval.run(collection, """events{event_type="purchase"} * 2""", grid)
+    val keys = out.select(map_keys(col("labels"))).as[Seq[String]].head()
+    assert(!keys.contains(Model.NameLabel))
+    val filtered = Eval.run(collection, """events{event_type="purchase"} > 0""", grid)
+    val fkeys = filtered.select(map_keys(col("labels"))).as[Seq[String]].head()
+    assert(fkeys.contains(Model.NameLabel))
+    // bool comparison: all values in {0, 1}
+    val b = Eval.run(collection, """events{event_type="purchase"} >= bool 0""", grid)
+    assert(b.select("value").distinct().as[Double].collect().toSet.subsetOf(Set(0.0, 1.0)))
+  }
+
+  test("vector-vector: self-division is 1, scalar-left works, matching joins per instant") {
+    val one = Eval.run(collection,
+      """events{event_type="purchase"} / events{event_type="purchase"}""", grid)
+    val vals = one.select("value").as[Double].collect()
+    assert(vals.nonEmpty && vals.forall(v => v == 1.0 || v.isNaN)) // NaN only if 0/0
+    val inv = Eval.run(collection, """100 / events{event_type="purchase"}""", grid)
+    assert(inv.count() > 0)
+  }
+
+  test("set operators: and/unless/or row algebra") {
+    val p = Eval.run(collection, """events{event_type="purchase"}""", grid).count()
+    val r = Eval.run(collection, """events{event_type="refund"}""", grid).count()
+    val andN = Eval.run(collection, """events{event_type="purchase"} and events{event_type="purchase"}""", grid).count()
+    val unlessN = Eval.run(collection, """events{event_type="purchase"} unless events{event_type="purchase"}""", grid).count()
+    val orN = Eval.run(collection, """events{event_type="purchase"} or events{event_type="refund"}""", grid).count()
+    assert(andN == p)
+    assert(unlessN == 0)
+    assert(orN == p + r) // disjoint series sets
+    val disjointAnd = Eval.run(collection, """events{event_type="purchase"} and events{event_type="refund"}""", grid).count()
+    assert(disjointAnd == 0)
+  }
+
+  test("topk/bottomk keep k series per instant with original labels") {
+    val t = Eval.run(collection, "topk(2, events)", grid)
+    val instants = t.groupBy("ts").count().select("count").as[Long].collect()
+    assert(instants.nonEmpty && instants.forall(_ <= 2))
+    val keys = t.select(map_keys(col("labels"))).as[Seq[String]].head()
+    assert(keys.contains(Model.NameLabel)) // survivors keep their own labels
+    val b = Eval.run(collection, "bottomk(1, events)", grid)
+    // bottomk(1) value <= topk's minimum at each instant
+    val topMin = t.groupBy("ts").agg(min("value").as("tv"))
+    val joined = b.join(topMin, "ts").where(col("value") > col("tv")).count()
+    assert(joined == 0)
+    intercept[Eval.EvalException](Eval.run(collection, "topk(0, events)", grid))
+  }
+
+  test("quantile by: q=1 equals max, q=0 equals min") {
+    val qmax = Eval.run(collection, "quantile(1, events) by (event_type)", grid)
+      .withColumnRenamed("value", "qv")
+    val mx = Eval.run(collection, "max by (event_type) (events)", grid)
+    val diff = qmax.select(col("skey"), col("ts"), col("qv"))
+      .join(mx.select(col("skey"), col("ts"), col("value")), Seq("skey", "ts"))
+      .where(col("qv") =!= col("value")).count()
+    assert(diff == 0)
+  }
+}
