@@ -74,17 +74,15 @@ object Dedup {
   }
 
   /** MinHash signatures: k md5-seeded permutation mins over the distinct
-    * n-gram set, folded per document with higher-order functions — ONE
-    * shuffle on doc_id instead of a k× row explosion + extra aggregation
-    * (4× faster at sf0.1, bit-identical output). Returns
-    * (doc_id, sig array<long>). */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    * n-gram set — ONE shuffle on doc_id, then the native single-pass
+    * [[graft.functions.MinHash60]] expression (bit-identical to the k-pass
+    * HOF/SQL formulation the oracle uses). Returns (doc_id, sig array<long>). */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    graft.functions.MinHash60.register(docs.sparkSession)
     wordNgrams(docs, n)
       .groupBy("doc_id").agg(collect_list("g").as("gs"))
-      .select(col("doc_id"), expr(
-        s"transform(sequence(0, ${k - 1}), s -> array_min(transform(gs, g -> " +
-          "cast(conv(substring(md5(cast(concat(cast(s as string), ':', g) as binary)), 1, 15), 16, 10) as bigint))))")
-        .as("sig"))
+      .select(col("doc_id"), expr(s"graft_minhash(gs, $k)").as("sig"))
+  }
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `k/bands` rows; docs sharing any band-hash become candidates; candidates

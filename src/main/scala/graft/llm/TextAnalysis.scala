@@ -66,14 +66,13 @@ object TextAnalysis {
 
   /** Winnowing fingerprints: md5-hashed character 8-grams, sliding window of
     * 4, distinct window minima (Schleimer et al., SIGMOD'03 scheme). One row
-    * per (doc_id, fingerprint hash). */
-  def fingerprints(docs: DataFrame): DataFrame =
+    * per (doc_id, fingerprint hash). Hashing + windowing run in the native
+    * single-pass [[graft.functions.Winnow]] expression (bit-identical to the
+    * HOF/DuckDB formulation, without ~2N interpreted lambdas per doc). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.Winnow.register(docs.sparkSession)
     docs
-      .withColumn("t", lower(col("text")))
-      .withColumn("hs", expr(
-        "transform(transform(sequence(1, greatest(length(t) - 7, 1)), i -> substring(t, i, 8)), " +
-          "x -> cast(conv(substring(md5(cast(x as binary)), 1, 15), 16, 10) as bigint))"))
-      .withColumn("fp", explode(array_distinct(expr(
-        "transform(sequence(1, greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4)))"))))
+      .withColumn("fp", explode(expr("graft_winnow(lower(text))")))
       .select("doc_id", "fp")
+  }
 }

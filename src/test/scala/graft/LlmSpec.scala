@@ -104,4 +104,49 @@ class LlmSpec extends SparkSpec {
       assert(f.width >= 16 && f.height >= 16)
     }
   }
+  test("native winnow expression matches the HOF formulation exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.functions.Winnow.register(spark)
+    val hof = docs
+      .withColumn("t", lower(col("text")))
+      .withColumn("hs", expr(
+        "transform(transform(sequence(1, greatest(length(t) - 7, 1)), i -> substring(t, i, 8)), " +
+          "x -> cast(conv(substring(md5(cast(x as binary)), 1, 15), 16, 10) as bigint))"))
+      .withColumn("fp", explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4)))"))))
+      .select(col("doc_id"), col("fp"))
+    val native = docs.select(col("doc_id"), explode(expr("graft_winnow(lower(text))")).as("fp"))
+    assert(hof.exceptAll(native).count() == 0)
+    assert(native.exceptAll(hof).count() == 0)
+    // short-text edges: empty, < 8 chars, exactly 8, < 11 (single window)
+    import spark.implicits._
+    val edge = Seq("", "abc", "abcdefgh", "abcdefghij").toDF("text").withColumn("doc_id", col("text"))
+    val ehof = edge
+      .withColumn("t", lower(col("text")))
+      .withColumn("hs", expr(
+        "transform(transform(sequence(1, greatest(length(t) - 7, 1)), i -> substring(t, i, 8)), " +
+          "x -> cast(conv(substring(md5(cast(x as binary)), 1, 15), 16, 10) as bigint))"))
+      .withColumn("fp", explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4)))"))))
+      .select(col("doc_id"), col("fp"))
+    val enat = edge.select(col("doc_id"), explode(expr("graft_winnow(lower(text))")).as("fp"))
+    assert(ehof.exceptAll(enat).count() == 0 && enat.exceptAll(ehof).count() == 0)
+  }
+
+  test("native minhash expression matches the HOF formulation exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.functions.MinHash60.register(spark)
+    val grams = Dedup.wordNgrams(docs, 3).groupBy("doc_id")
+      .agg(collect_list("g").as("gs"))
+    val k = 12
+    val hof = grams.select(col("doc_id"), expr(
+      s"transform(sequence(0, ${k - 1}), s -> array_min(transform(gs, g -> " +
+        "cast(conv(substring(md5(cast(concat(cast(s as string), ':', g) as binary)), 1, 15), 16, 10) as bigint))))")
+      .as("sig"))
+    val native = grams.select(col("doc_id"), expr(s"graft_minhash(gs, $k)").as("sig"))
+    val joined = hof.withColumnRenamed("sig", "h").join(native, "doc_id")
+    assert(joined.filter(col("h") =!= col("sig")).count() == 0)
+    assert(joined.count() == grams.count())
+  }
+
 }
