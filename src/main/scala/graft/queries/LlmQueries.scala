@@ -87,9 +87,13 @@ object LlmQueries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(docs(spark, dir))
 
-  /** No SQL oracle (mapPartitions typed decode path) — rows-only check. */
+  /** The typed mapPartitions decode path; the stub codec is deterministic
+    * (8-bin byte histogram over the first 64 payload bytes), so the result
+    * IS oracle-checkable — the DuckDB side re-derives the histogram from
+    * hex-encoded bytes. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.features(spark, docs(spark, dir))
+      .withColumn("dim", col("dim").cast(org.apache.spark.sql.types.LongType))
 
   // ---------------------------------------------------------------- oracles
 
@@ -346,6 +350,23 @@ object LlmQueries {
       |  CAST((octet_length(encode(text)) * 7) % 640 + 16 AS BIGINT) AS fake_width
       |FROM documents""".stripMargin
 
+
+  /** Re-derives FakeCodec's byte histogram in SQL: UTF-8 payload bytes via
+    * hex(), bin = byte % 8 over the first 64 bytes, normalized. */
+  def oracleMultimodalFeatures: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         least(octet_length(encode(text)), 64) AS n
+      |  FROM documents),
+      |dims AS (SELECT unnest(range(0, 8)) AS dim),
+      |cnt AS (
+      |  SELECT doc_id, ('0x' || substr(hx, CAST(i AS INT) * 2 + 1, 2))::INT % 8 AS dim, count(*) AS c
+      |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM p)
+      |  GROUP BY 1, 2)
+      |SELECT p.doc_id AS doc_id, d.dim AS dim,
+      |  round(CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(p.n, 1), 6) AS feature
+      |FROM p CROSS JOIN dims d LEFT JOIN cnt c ON c.doc_id = p.doc_id AND c.dim = d.dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
@@ -377,5 +398,6 @@ object LlmQueries {
     "text_tokens" -> oracleTextTokens,
     "text_fingerprint" -> oracleTextFingerprint,
     "corpus_curate" -> oracleCorpusCurate,
-    "multimodal_meta" -> oracleMultimodalMeta)
+    "multimodal_meta" -> oracleMultimodalMeta,
+    "multimodal_features" -> oracleMultimodalFeatures)
 }
