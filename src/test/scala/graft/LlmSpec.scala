@@ -120,7 +120,9 @@ class LlmSpec extends SparkSpec {
     assert(native.exceptAll(hof).count() == 0)
     // short-text edges: empty, < 8 chars, exactly 8, < 11 (single window)
     import spark.implicits._
-    val edge = Seq("", "abc", "abcdefgh", "abcdefghij").toDF("text").withColumn("doc_id", col("text"))
+    val edge = Seq("", "abc", "abcdefgh", "abcdefghij",
+      "h\u00e9llo w\u00f6rld \u00fcn\u00efcode text", "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059\u3088")
+      .toDF("text").withColumn("doc_id", col("text"))
     val ehof = edge
       .withColumn("t", lower(col("text")))
       .withColumn("hs", expr(
@@ -147,6 +149,14 @@ class LlmSpec extends SparkSpec {
     val joined = hof.withColumnRenamed("sig", "h").join(native, "doc_id")
     assert(joined.filter(col("h") =!= col("sig")).count() == 0)
     assert(joined.count() == grams.count())
+    // multibyte grams: the md5 input is the UTF-8 bytes of "s:gram" in both paths
+    import spark.implicits._
+    val mb = Seq(Seq("caf\u00e9 con leche", "\u65e5\u672c\u8a9e gram here")).toDF("gs")
+    val mbHof = mb.select(expr(
+      "transform(sequence(0, 3), s -> array_min(transform(gs, g -> " +
+        "cast(conv(substring(md5(cast(concat(cast(s as string), ':', g) as binary)), 1, 15), 16, 10) as bigint))))").as("h"))
+    val mbNat = mb.select(expr("graft_minhash(gs, 4)").as("sig"))
+    assert(mbHof.head().getSeq[Long](0) == mbNat.head().getSeq[Long](0))
   }
 
 }
