@@ -156,15 +156,22 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
-  /** Embedding-cosine near-duplicate pairs within multi-table LSH buckets. */
+  /** Embedding-cosine near-duplicate pairs within multi-table LSH buckets.
+    * Candidate pairs come from a per-bucket groupBy + ordered-pair explode
+    * (one bucketing-pipeline pass — a self-join would recompute it per
+    * branch); `maxBucket` bounds the O(B²) fan-out of degenerate buckets. */
   def lshNearDup(corpus: DataFrame, minCosine: Double,
-                 nTables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+                 nTables: Int = 8, planesPerTable: Int = 4,
+                 maxBucket: Int = 10000): DataFrame = {
     val bucketed = bucketTables(corpus, nTables, planesPerTable)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("aemb"),
-        col("b.vec_id").as("vec_b"), col("b.embedding").as("bemb"))
+    val cand = bucketed.groupBy("tbl", "bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ds, a -> transform(filter(ds, b -> a.vec_id < b.vec_id), " +
+          "b -> struct(a.vec_id as vec_a, a.embedding as aemb, b.vec_id as vec_b, b.embedding as bemb))))")).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.aemb").as("aemb"),
+        col("p.vec_b").as("vec_b"), col("p.bemb").as("bemb"))
       .distinct()
     cand.select(col("vec_a"), col("vec_b"),
         nativeScore(corpus, "aemb", "bemb").as("cos"))

@@ -56,12 +56,17 @@ object Dedup {
                    maxDf: Long = 1000): DataFrame = {
     val grams = wordNgrams(docs, n)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val postings = grams
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("df") <= maxDf)
-    val common = postings.as("a").join(postings.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted index as ONE groupBy-per-gram posting list (was a window-count
+    // + self-join: the join's two branches recompute the whole gram pipeline
+    // because column pruning defeats ReuseExchange). Ordered pairs explode
+    // from each posting list; `maxDf` both caps skew AND bounds the per-row
+    // pair fan-out (a df-capped list explodes to at most maxDf² pairs).
+    val common = grams.groupBy("g")
+      .agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(explode(expr(
+        "flatten(transform(ds, a -> transform(filter(ds, b -> a < b), b -> struct(a as doc_a, b as doc_b))))")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
@@ -89,17 +94,25 @@ object Dedup {
     * are verified with the exact n-gram Jaccard. The shuffle key is
     * (band index, band hash) — never all-pairs. */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
-                 minJaccard: Double = 0.5): DataFrame = {
+                 minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val r = k / bands
     val sigs = minhashSignatures(docs, n, k)
     val banded = sigs.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b as band, md5(array_join(transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), ',')) as bkey))")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidates per LSH bucket via groupBy + ordered-pair explode (ONE
+    // signature-pipeline pass — the former self-join recomputed it per branch;
+    // ReuseExchange can't rescue a self-join whose branches prune differently).
+    // A bucket with more than `maxBucket` members is degenerate (everything
+    // near-dups everything); dropping it bounds the O(B²) fan-out — the skew
+    // guard a 100 TB corpus needs against adversarial/boilerplate buckets.
+    val cand = banded.groupBy("band", "bkey")
+      .agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ds, a -> transform(filter(ds, b -> a < b), b -> struct(a as doc_a, b as doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard over the gram sets
     val grams = wordNgrams(docs, n)
@@ -134,16 +147,21 @@ object Dedup {
         expr(s"${graft.functions.SimHash60.FunctionName}(hs)").as("fp"))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, maxBucket: Int = 10000): DataFrame = {
     val fps = simhashFingerprints(docs)
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(fp, b * 15) & 32767 as bkey))")).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast(IntegerType).as("hamming"))
+    // same bucket-groupBy pair generation as minhashLsh (one fingerprint
+    // pipeline pass; maxBucket bounds degenerate-bucket fan-out)
+    banded.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ds, a -> transform(filter(ds, b -> a.doc_id < b.doc_id), " +
+          "b -> struct(a.doc_id as doc_a, b.doc_id as doc_b, a.fp as fpa, b.fp as fpb))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.fpa").bitwiseXOR(col("p.fpb"))).cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -24,12 +24,13 @@ import graft.Model
   */
 object Rate {
 
-  /** Shared two-probe endpoint machinery for rate/increase/delta. */
+  /** Shared two-probe endpoint machinery for rate/increase/delta. Both probe
+    * kinds ride the same inline bracket pass; the fold-by-instant groupBy
+    * reuses the skey partitioning (no extra exchange). */
   private def endpoints(samples: DataFrame, grid: Grid, overRange: Double,
                         offset: Double)(value: (Column, Column) => Column): DataFrame = {
-    val hi = Resample.gridProbes(samples, grid, offset, kind = "h")
-    val lo = hi.withColumn("kind", lit("l")).withColumn("probe_ts", col("probe_ts") - lit(overRange))
-    val br = Resample.bracket(samples, hi.unionByName(lo), withLag = false)
+    val br = Resample.bracketInline(samples, grid,
+        Seq(("h", offset), ("l", offset + overRange)), withLag = false)
       .withColumn("iv", Resample.interpolated(col("probe_ts"), col("prev"), col("next")))
     br.groupBy(Model.SkeyCol, "out_ts")
       .agg(first(Model.LabelsCol).as(Model.LabelsCol),
@@ -57,7 +58,7 @@ object Rate {
     // overRange is unused by the reference's irate math (timeseries.rs:116-161)
     // beyond requiring a range-vector selector; kept for API parity.
     val _ = overRange
-    val br = Resample.bracket(samples, Resample.gridProbes(samples, grid, offset), withLag = true)
+    val br = Resample.bracketInline(samples, grid, Seq(("i", offset)), withLag = true)
 
     val t = col("probe_ts")
     val prev = col("prev")

@@ -119,10 +119,64 @@ object Resample {
       .withColumn("probe_ts", col("out_ts") - lit(offset))
   }
 
+  /** [[bracket]] with the probe rows generated INLINE from the samples: the
+    * first sample of each series (row_number over the same skey window)
+    * explodes into one probe per (kind, grid instant). Semantically identical
+    * to `bracket(samples, gridProbes(...))`, but the upstream pipeline is
+    * computed ONCE and shuffled ONCE — the two-branch formulation re-computed
+    * the whole input per branch (column pruning makes the branches
+    * non-canonical, so Spark's ReuseExchange never fires; observed 3 full
+    * input scans in the hist_quantile plan, and none after this).
+    *
+    * @param kinds (kind marker, total probe offset): `probe_ts = out_ts - off`
+    */
+  def bracketInline(samples: DataFrame, grid: Grid, kinds: Seq[(String, Double)],
+                    withLag: Boolean): DataFrame = {
+    val w0 = Window.partitionBy(Model.SkeyCol).orderBy(Model.TsCol)
+    val lagged = samples
+      .withColumn("p_ts", if (withLag) lag(Model.TsCol, 1).over(w0) else lit(null).cast(DoubleType))
+      .withColumn("p_value", if (withLag) lag(Model.ValueCol, 1).over(w0) else lit(null).cast(DoubleType))
+      .withColumn("__rn__", row_number().over(w0))
+
+    val mapT = MapType(StringType, StringType)
+    val sampleStruct = struct(
+      col(Model.TsCol).as("t"), lit(0).as("ord"),
+      struct(col(Model.TsCol).as("ts"), col(Model.ValueCol).as("v"),
+        col("p_ts"), col("p_value")).as("sv"),
+      lit(null).cast(mapT).as(Model.LabelsCol),
+      lit(null).cast(DoubleType).as("out_ts"),
+      lit(null).cast(StringType).as("kind"))
+    val probeArrays: Seq[Column] = kinds.map { case (k, off) =>
+      transform(grid.pointsCol, p => struct(
+        (p - lit(off)).as("t"), lit(1).as("ord"),
+        lit(null).cast(svType).as("sv"),
+        col(Model.LabelsCol).as(Model.LabelsCol),
+        p.as("out_ts"), lit(k).as("kind")))
+    }
+    val rowArr = when(col("__rn__") === 1, concat(array(sampleStruct) +: probeArrays: _*))
+      .otherwise(array(sampleStruct))
+    // explode preserves the skey partitioning: the bracketing windows below
+    // need only an intra-partition sort, no further exchange
+    val unioned = lagged
+      .select(col(Model.SkeyCol), explode(rowArr).as("__r__"))
+      .select(col(Model.SkeyCol), col("__r__.*"))
+
+    val wAsc = Window.partitionBy(Model.SkeyCol).orderBy(col("t"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(Model.SkeyCol).orderBy(col("t").desc, col("ord").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    unioned
+      .withColumn("prev", last(col("sv"), ignoreNulls = true).over(wAsc))
+      .withColumn("next", last(col("sv"), ignoreNulls = true).over(wDesc))
+      .filter(col("ord") === 1)
+      .select(col(Model.SkeyCol), col(Model.LabelsCol), col("out_ts"), col("kind"),
+        col("t").as("probe_ts"), col("prev"), col("next"))
+  }
+
   /** Resample each series onto the grid (reference `calculate_resampled_series`,
     * timeseries.rs:57-68). Output: (skey, labels, ts, value). */
   def resample(samples: DataFrame, grid: Grid, offset: Double = 0.0): DataFrame = {
-    val br = bracket(samples, gridProbes(samples, grid, offset), withLag = false)
+    val br = bracketInline(samples, grid, Seq(("i", offset)), withLag = false)
     br.select(
       col(Model.SkeyCol), col(Model.LabelsCol),
       col("out_ts").as(Model.TsCol),

@@ -19,8 +19,9 @@ class AllQueriesSpec extends SparkSpec {
     // every oracle refers to an existing query
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty, s"oracles without queries: $orphan")
-    // the one intentional rows-only query is the only one without an oracle
+    // every query is oracle-checked (multimodal_features gained a SQL oracle
+    // in r3 — the stub codec is deterministic)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("multimodal_features"), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only: $rowsOnly")
   }
 }
