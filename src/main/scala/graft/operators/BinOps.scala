@@ -61,8 +61,9 @@ object BinOps {
     }
 
   /** Labels minus the metric name — Prometheus drops `__name__` from any
-    * arithmetic / bool-comparison result. */
-  private def dropName(df: DataFrame): DataFrame =
+    * arithmetic / bool-comparison result (and from the math-function
+    * family, which shares this helper). */
+  def dropName(df: DataFrame): DataFrame =
     df.withColumn(Model.LabelsCol,
         map_filter(col(Model.LabelsCol), (k, _) => k =!= Model.NameLabel))
       .withColumn(Model.SkeyCol, Model.canonicalKey(col(Model.LabelsCol)))

@@ -68,6 +68,8 @@ object Eval {
     case FuncCall("increase", args, agg) => evalRate(args, agg, collection, grid, Rate.increase)
     case FuncCall("delta", args, agg) => evalRate(args, agg, collection, grid, Rate.delta)
 
+    case FuncCall("deriv", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.derivOverTime)
+
     case FuncCall("avg_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.avgOverTime)
     case FuncCall("min_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.minOverTime)
     case FuncCall("max_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.maxOverTime)
@@ -90,6 +92,28 @@ object Eval {
             by.getOrElse(throw EvalException("unimplemented: aggregation without 'by'"))))
         case _ => throw EvalException("resampling failed")
       }
+
+    case FuncCall(name, args, agg) if MathFns.contains(name) =>
+      if (agg.isDefined) throw EvalException(s"'$name' expects no aggregation")
+      if (args.length != 1) throw EvalException(s"'$name' expects a single argument, got ${args.length}")
+      mapValues(args.head, collection, grid)(MathFns(name))
+
+    case FuncCall("clamp", args, agg) =>
+      if (agg.isDefined) throw EvalException("'clamp' expects no aggregation")
+      args match {
+        case Seq(v, ScalarLit(lo), ScalarLit(hi)) =>
+          mapValues(v, collection, grid)(c =>
+            org.apache.spark.sql.functions.least(
+              org.apache.spark.sql.functions.greatest(c, org.apache.spark.sql.functions.lit(lo)),
+              org.apache.spark.sql.functions.lit(hi)))
+        case _ => throw EvalException("'clamp' expects (vector, scalar min, scalar max)")
+      }
+    case FuncCall("clamp_min", Seq(v, ScalarLit(m)), None) =>
+      mapValues(v, collection, grid)(c =>
+        org.apache.spark.sql.functions.greatest(c, org.apache.spark.sql.functions.lit(m)))
+    case FuncCall("clamp_max", Seq(v, ScalarLit(m)), None) =>
+      mapValues(v, collection, grid)(c =>
+        org.apache.spark.sql.functions.least(c, org.apache.spark.sql.functions.lit(m)))
 
     case b: BinOp => evalBinOp(b, collection, grid)
 
@@ -140,6 +164,44 @@ object Eval {
       case _ => throw EvalException("'_over_time' requires a vectorized time series")
     }
   }
+
+  /** Unary math functions (PromQL extension; Prometheus semantics — labels
+    * keep everything but the metric name). All are plain codegen'd column
+    * expressions. Spark's ceil/floor return LONG; cast back to double. */
+  private val MathFns: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    // Spark's log/log2/log10 return NULL for input <= 0; Prometheus (IEEE)
+    // wants -Inf at 0 and NaN below — map explicitly so no NULL ever enters
+    // the value column (the wire serializer is NaN-aware, not NULL-aware).
+    def ieeeLog(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+               (c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c > 0, f(c))
+        .when(c === 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    Map(
+      "abs" -> (c => abs(c)),
+      "ceil" -> (c => ceil(c).cast(DoubleType)),
+      "floor" -> (c => floor(c).cast(DoubleType)),
+      "sqrt" -> (c => sqrt(c)),
+      "exp" -> (c => exp(c)),
+      "ln" -> ieeeLog(log),
+      "log2" -> ieeeLog(log2),
+      "log10" -> ieeeLog(log10),
+      "sgn" -> (c => signum(c)))
+  }
+
+  /** Resample the operand and transform the value column; metric name drops
+    * from the labels (Prometheus math-function semantics). */
+  private def mapValues(arg: Node, collection: DataFrame, grid: Grid)(
+      fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): QR =
+    resampled(eval(arg, collection, grid), grid) match {
+      case Processed(df) =>
+        Processed(BinOps.dropName(df.withColumn(Model.ValueCol,
+          fn(org.apache.spark.sql.functions.col(Model.ValueCol)))))
+      case ScalarQ(_) => throw EvalException("math functions expect an instant vector")
+      case _ => throw EvalException("resampling failed")
+    }
 
   /** Two-arg aggregations `topk(k, v)` / `quantile(q, v)`: first argument
     * must be a scalar literal. */

@@ -124,6 +124,24 @@ object TsQueries {
   def binopOr(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""events{event_type="purchase"} or events{event_type="refund"}""", spark, dir))
 
+  def mathLn(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""ln(events{event_type="purchase"})""", spark, dir))
+
+  def clampQ(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""clamp(events{event_type="purchase"}, 50, 150)""", spark, dir))
+
+  /** Least-squares slope over the trailing 1h window (deriv extension). */
+  def deriv1h(spark: SparkSession, dir: String): DataFrame = {
+    val selected = Selector.select(Model.withSkey(events(spark, dir)), Seq(
+      Selector.Eq(Model.NameLabel, "events"), Selector.Eq("event_type", "purchase")))
+    RangeAgg.derivOverTime(selected, grid, 3600.0)
+      .select(
+        col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        col(Model.LabelsCol).getItem("props").as("props"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
+  }
+
   def avgBy(spark: SparkSession, dir: String): DataFrame =
     Eval("""avg by (event_type) (events)""", spark, dir)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
@@ -410,6 +428,43 @@ object TsQueries {
        |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
+  def oracleMathLn: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  round(ln($interpExpr), 6) + 0.0 AS value
+       |FROM w WHERE ord = 1""".stripMargin
+
+  def oracleClamp: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  round(least(greatest($interpExpr, 50.0), 150.0), 6) + 0.0 AS value
+       |FROM w WHERE ord = 1""".stripMargin
+
+  /** Same centered sums as RangeAgg.derivOverTime. */
+  def oracleDeriv1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, t, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi),
+       |c AS (SELECT event_type, props, k,
+       |    t - (1704067200.0 + (CAST(k AS DOUBLE) * 3600.0)) AS tc, v FROM x),
+       |g AS (SELECT event_type, props, k,
+       |    CAST(count(*) AS DOUBLE) AS n, sum(tc) AS st, sum(v) AS sv,
+       |    sum(tc * v) AS stv, sum(tc * tc) AS stt
+       |  FROM c GROUP BY 1, 2, 3)
+       |SELECT event_type, props,
+       |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round((n * stv - st * sv) / (n * stt - st * st), 6) + 0.0 AS value
+       |FROM g WHERE n >= 2 AND (n * stt - st * st) != 0""".stripMargin
+
   def oracleBinopVs: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -599,6 +654,9 @@ object TsQueries {
     "binop_vv" -> (binopVv _),
     "binop_cmp" -> (binopCmp _),
     "binop_or" -> (binopOr _),
+    "math_ln" -> (mathLn _),
+    "clamp" -> (clampQ _),
+    "deriv_1h" -> (deriv1h _),
     "avg_by" -> (avgBy _),
     "topk" -> (topk3 _),
     "quantile_by" -> (quantileBy _),
@@ -625,6 +683,9 @@ object TsQueries {
     "binop_vv" -> oracleBinopVv,
     "binop_cmp" -> oracleBinopCmp,
     "binop_or" -> oracleBinopOr,
+    "math_ln" -> oracleMathLn,
+    "clamp" -> oracleClamp,
+    "deriv_1h" -> oracleDeriv1h,
     "avg_by" -> oracleAvgBy,
     "topk" -> oracleTopk3,
     "quantile_by" -> oracleQuantileBy,

@@ -116,4 +116,33 @@ class BinOpSpec extends SparkSpec {
       .where(col("qv") =!= col("value")).count()
     assert(diff == 0)
   }
+  test("math functions: column-expression equivalence, name dropped; clamp; deriv slope") {
+    import org.apache.spark.sql.functions._
+    val base = Eval.run(collection, """events{event_type="purchase"}""", grid)
+    for ((q, fn) <- Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        ("abs", abs), ("sqrt", c => sqrt(c)), ("exp", c => exp(c)), ("ln", c => log(c)),
+        ("log2", c => log2(c)), ("log10", c => log10(c)), ("sgn", c => signum(c)),
+        ("ceil", c => ceil(c).cast("double")), ("floor", c => floor(c).cast("double")))) {
+      val out = Eval.run(collection, s"""$q(events{event_type="purchase"})""", grid)
+      val keys = out.select(map_keys(col("labels"))).as[Seq[String]].head()
+      assert(!keys.contains(Model.NameLabel), s"$q kept __name__")
+      val expected = base.select(col("labels")("props").as("p"), col("ts"), fn(col("value")).as("e"))
+      val diff = out.select(col("labels")("props").as("p"), col("ts"), col("value"))
+        .join(expected, Seq("p", "ts"))
+        .where(col("value") =!= col("e")).count()
+      assert(diff == 0, s"$q mismatch")
+    }
+    val cl = Eval.run(collection, """clamp(events{event_type="purchase"}, 50, 150)""", grid)
+    val mm = cl.agg(min("value"), max("value")).head()
+    assert(mm.getDouble(0) >= 50.0 && mm.getDouble(1) <= 150.0)
+    // deriv: slope of a perfectly linear series == its coefficient
+    val lin = Model.withSkey(
+      Seq.tabulate(20)(i => (1704067200.0 + i * 600.0, 3.0 * i * 600.0))
+        .toDF("ts", "value")
+        .withColumn("labels", map(lit("__name__"), lit("m"))))
+    val d = operators.RangeAgg.derivOverTime(lin, operators.Grid(1704067200.0, 1704074400.0, 3600.0), 3600.0)
+    val vals = d.select("value").as[Double].collect()
+    assert(vals.nonEmpty && vals.forall(v => math.abs(v - 3.0) < 1e-9), vals.mkString(","))
+  }
+
 }

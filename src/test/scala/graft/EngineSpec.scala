@@ -49,8 +49,8 @@ class EngineSpec extends SparkSpec {
     intercept[Eval.EvalException](Eval.run(collection, "rate(events)", grid))
     // cannot return a vectorized result
     intercept[Eval.EvalException](Eval.run(collection, "events[5m]", grid))
-    // unknown function
-    intercept[Eval.EvalException](Eval.run(collection, "abs(events)", grid))
+    // unknown function (abs is implemented since r3; use a real unknown)
+    intercept[Eval.EvalException](Eval.run(collection, "no_such_fn(events)", grid))
     // aggregation 'without' is parsed but rejected (query.rs:461-463)
     intercept[Eval.EvalException](Eval.run(collection, "sum without (props) (events)", grid))
   }
