@@ -3,17 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.server.PromApi
-import graft.sources.TsIngest
+import graft.sources.MetricStore
 
-/** Server entrypoint (the reference is itself a server binary, main.rs:64-113):
-  * ingest the parquet tables in a directory and serve the Prometheus HTTP API.
+/** Server entrypoint, mirroring the reference binary's run modes
+  * (main.rs:64-113): serve a metric store over the Prometheus HTTP API.
   *
-  * Usage: runMain graft.Serve <dir-with-parquet> [port]
+  * Usage: runMain graft.Serve <store> [port] [--config <yaml>] [--shift-to-midnight <epoch>]
+  *
+  *  - `<store>.zip`  — the reference's storage artifact (zip of parquet
+  *    members + YAML re-tag mapping); without `--config`, top-level members
+  *    are accepted untagged.
+  *  - directory      — demo mode: ingests `events.parquet` (epoch-seconds
+  *    normalized) like the driver's testdata layout.
+  *  - `--shift-to-midnight <epoch>` — maps the collection start onto the
+  *    given query-time epoch (reference `--shift_to_midnight`, main.rs:110).
   */
 object Serve {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(sys.error("usage: Serve <parquet-dir> [port]"))
-    val port = args.lift(1).map(_.toInt).getOrElse(3003)
+    val positional = args.filterNot(_.startsWith("--")).toSeq
+    def flagValue(name: String): Option[String] =
+      args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
+
+    val store = positional.headOption.getOrElse(sys.error(
+      "usage: Serve <store.zip|dir> [port] [--config <yaml>] [--shift-to-midnight <epoch>]"))
+    val port = positional.lift(1).map(_.toInt).getOrElse(3003)
+
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-serve")
@@ -23,10 +37,22 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val collection = queries.TsQueries.events(spark, dir).cache()
-    val engine = new PromEngine(collection)
+    val collection =
+      if (store.endsWith(".zip")) flagValue("--config") match {
+        case Some(yaml) => MetricStore.processFile(spark, store, yaml)
+        case None => MetricStore.processFileWithMapping(spark, store,
+          Map("__root__" -> Map.empty[String, String]))
+      }
+      else queries.TsQueries.events(spark, store)
+    val cached = collection.cache()
+
+    val engine0 = new PromEngine(cached)
+    val engine = flagValue("--shift-to-midnight") match {
+      case Some(t) => engine0.withStartTime(t.toDouble)
+      case None => engine0
+    }
     val api = new PromApi(engine, port).start()
-    println(s"graft: serving ${collection.count()} samples on port ${api.boundPort}")
+    println(s"graft: serving ${cached.count()} samples on port ${api.boundPort}")
     Thread.currentThread().join() // serve until killed
   }
 }

@@ -57,8 +57,12 @@ object MetricStore {
     * collection DataFrame. Members without a mapping entry are skipped, and
     * members that fail classification are skipped with a warning, like the
     * reference's per-metric error handling (metricstore.rs:556-565). */
-  def processFile(spark: SparkSession, zipPath: String, yamlPath: String): DataFrame = {
-    val mapping = ReTag.parse(Files.readString(new File(yamlPath).toPath)).mapping
+  def processFile(spark: SparkSession, zipPath: String, yamlPath: String): DataFrame =
+    processFileWithMapping(spark, zipPath,
+      ReTag.parse(Files.readString(new File(yamlPath).toPath)).mapping)
+
+  def processFileWithMapping(spark: SparkSession, zipPath: String,
+                             mapping: Map[String, Map[String, String]]): DataFrame = {
     val frames = unpack(zipPath).flatMap { m =>
       mapping.get(m.prefix) match {
         case None =>
