@@ -54,4 +54,31 @@ class PropertySpec extends SparkSpec {
       assert(Model.makeMetricNameLegal(legal) == legal)
     }
   }
+  test("parser round-trip: fully parenthesized renderings parse to the same tree") {
+    import graft.promql.{BinOp, Node, Parser, ScalarLit}
+    val leaf: Gen[Node] = Gen.choose(0, 99).map(n => ScalarLit(n.toDouble))
+    def tree(depth: Int): Gen[Node] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        2 -> leaf,
+        3 -> (for {
+          op <- Gen.oneOf("+", "-", "*", "/", "%", "^")
+          l <- tree(depth - 1)
+          r <- tree(depth - 1)
+        } yield BinOp(op, l, r, None, None, boolMod = false)))
+    def render(n: Node): String = n match {
+      case ScalarLit(v) => v.toLong.toString
+      case BinOp(op, l, r, _, _, _) => s"(${render(l)} $op ${render(r)})"
+      case other => fail(s"unexpected node $other")
+    }
+    def strip(n: Node): Node = n match {
+      case BinOp(op, l, r, _, _, _) => BinOp(op, strip(l), strip(r), None, None, boolMod = false)
+      case other => other
+    }
+    samples(tree(4)).foreach { t =>
+      val parsed = Parser.parse(render(t))
+      assert(strip(parsed) == strip(t), s"round-trip failed for ${render(t)}")
+    }
+  }
+
 }
