@@ -38,6 +38,14 @@ object Aggregate {
   def maxBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, max)
   def countBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, count)
 
+  /** Population variance/stddev via explicit moment sums (identical
+    * expression tree in any engine; Welford implementations differ in final
+    * ULPs, which the oracle hash would see). */
+  def stdvarBy(df: DataFrame, by: Seq[String]): DataFrame =
+    aggBy(df, by, v => sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1))))
+  def stddevBy(df: DataFrame, by: Seq[String]): DataFrame =
+    aggBy(df, by, v => sqrt(sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1)))))
+
   /** `quantile(q, v) by (...)`: exact linear-interpolated percentile per
     * group per instant (Spark's sort-based `percentile`, not the sketch-based
     * approx — group sizes are series counts, which are small). */

@@ -20,14 +20,14 @@ import graft.Model
   */
 object RangeAgg {
 
-  def overTime(samples: DataFrame, grid: Grid, overRange: Double,
-               aggFn: Column => Column, outName: String = Model.ValueCol): DataFrame = {
+  /** Explode each sample into the grid windows it falls into: window k
+    * (0-based grid index) contains sample t iff `grid_t - range < t <=
+    * grid_t`, `grid_t = start + k*step` — at most `ceil(range/step)` window
+    * indices per sample, a bounded constant. */
+  def windowExplode(samples: DataFrame, grid: Grid, overRange: Double): DataFrame = {
     require(overRange > 0, "range <= 0")
     val start = lit(grid.start)
     val step = lit(grid.step)
-    // window k (0-based grid index) contains sample t iff
-    // grid_t - range < t <= grid_t, grid_t = start + k*step
-    //  =>  k >= (t - start)/step  and  k < (t - start + range)/step
     val kLo = ceil((col(Model.TsCol) - start) / step).cast(IntegerType)
     val kHi = least(
       floor((col(Model.TsCol) - start + lit(overRange)) / step -
@@ -36,38 +36,34 @@ object RangeAgg {
         .cast(IntegerType),
       lit(grid.length - 1))
     val kLo0 = greatest(kLo, lit(0))
-    samples
-      .withColumn("__k__", explode(
-        when(kLo0 <= kHi, sequence(kLo0, kHi))
-          .otherwise(array().cast(ArrayType(IntegerType)))))
+    samples.withColumn("__k__", explode(
+      when(kLo0 <= kHi, sequence(kLo0, kHi))
+        .otherwise(array().cast(ArrayType(IntegerType)))))
+  }
+
+  private def gridTs(grid: Grid): Column =
+    lit(grid.start) + col("__k__").cast(DoubleType) * lit(grid.step)
+
+  def overTime(samples: DataFrame, grid: Grid, overRange: Double,
+               aggFn: Column => Column, outName: String = Model.ValueCol): DataFrame =
+    windowExplode(samples, grid, overRange)
       .groupBy(col(Model.SkeyCol), col("__k__"))
       .agg(first(Model.LabelsCol).as(Model.LabelsCol), aggFn(col(Model.ValueCol)).as(outName))
       .select(col(Model.SkeyCol), col(Model.LabelsCol),
-        (start + col("__k__").cast(DoubleType) * step).as(Model.TsCol), col(outName))
-  }
+        gridTs(grid).as(Model.TsCol), col(outName))
 
-  /** `deriv(v[range])`: least-squares slope of value vs time over the
-    * window's samples (PromQL extension; sample semantics like the rest of
-    * the family). Time is centered on the window's grid instant before the
-    * sums — t² at epoch scale (~3e18) would eat all double precision; the
-    * slope is shift-invariant. Windows with fewer than two samples or zero
-    * time variance yield no row. */
-  def derivOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame = {
-    require(overRange > 0, "range <= 0")
-    val start = lit(grid.start)
-    val step = lit(grid.step)
-    val kLo = ceil((col(Model.TsCol) - start) / step).cast(IntegerType)
-    val kHi = least(
-      floor((col(Model.TsCol) - start + lit(overRange)) / step -
-        when((col(Model.TsCol) - start + lit(overRange)) % step === 0, 1).otherwise(0))
-        .cast(IntegerType),
-      lit(grid.length - 1))
-    val kLo0 = greatest(kLo, lit(0))
-    samples
-      .withColumn("__k__", explode(
-        when(kLo0 <= kHi, sequence(kLo0, kHi))
-          .otherwise(array().cast(ArrayType(IntegerType)))))
-      .withColumn("__tc__", col(Model.TsCol) - (start + col("__k__").cast(DoubleType) * step))
+  /** Least-squares regression over the window's samples, shared by `deriv`
+    * and `predict_linear`. Time is centered on the window's grid instant
+    * before the sums — t² at epoch scale (~3e18) would eat all double
+    * precision; slope is shift-invariant and the intercept lands exactly at
+    * the grid instant (which is `predict_linear`'s evaluation origin).
+    * Windows with fewer than two samples or zero time variance yield no
+    * row. `horizon = None` → slope (deriv); `Some(d)` → intercept +
+    * slope * d (predict_linear). */
+  private def regressionOverTime(samples: DataFrame, grid: Grid, overRange: Double,
+                                 horizon: Option[Double]): DataFrame = {
+    val grouped = windowExplode(samples, grid, overRange)
+      .withColumn("__tc__", col(Model.TsCol) - gridTs(grid))
       .groupBy(col(Model.SkeyCol), col("__k__"))
       .agg(first(Model.LabelsCol).as(Model.LabelsCol),
         count(lit(1)).cast(DoubleType).as("__n__"),
@@ -76,11 +72,64 @@ object RangeAgg {
         sum(col("__tc__") * col("__tc__")).as("__stt__"))
       .withColumn("__den__", col("__n__") * col("__stt__") - col("__st__") * col("__st__"))
       .filter(col("__n__") >= 2 && col("__den__") =!= 0.0)
-      .select(col(Model.SkeyCol), col(Model.LabelsCol),
-        (start + col("__k__").cast(DoubleType) * step).as(Model.TsCol),
-        ((col("__n__") * col("__stv__") - col("__st__") * col("__sv__")) / col("__den__"))
-          .as(Model.ValueCol))
+      .withColumn("__slope__",
+        (col("__n__") * col("__stv__") - col("__st__") * col("__sv__")) / col("__den__"))
+    val value = horizon match {
+      case None => col("__slope__")
+      case Some(d) => // intercept at the grid instant (tc = 0) + slope * d
+        (col("__sv__") - col("__slope__") * col("__st__")) / col("__n__") + col("__slope__") * lit(d)
+    }
+    grouped.select(col(Model.SkeyCol), col(Model.LabelsCol),
+      gridTs(grid).as(Model.TsCol), value.as(Model.ValueCol))
   }
+
+  def derivOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    regressionOverTime(samples, grid, overRange, None)
+
+  /** `predict_linear(v[range], horizon)`: linear projection `horizon`
+    * seconds past each grid instant. */
+  def predictLinear(samples: DataFrame, grid: Grid, overRange: Double,
+                    horizon: Double): DataFrame =
+    regressionOverTime(samples, grid, overRange, Some(horizon))
+
+  /** `last_over_time` / `present_over_time`. */
+  def lastOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    overTime(samples, grid, overRange, v => max_by(v, col(Model.TsCol)))
+  def presentOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    overTime(samples, grid, overRange, _ => lit(1.0))
+
+  /** Population stddev/stdvar via explicit moment sums — the same expression
+    * tree any SQL engine (incl. the oracle) reproduces; Welford-style
+    * implementations would differ in the last ULPs. */
+  def stdvarOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    overTime(samples, grid, overRange,
+      v => sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1))))
+  def stddevOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    overTime(samples, grid, overRange,
+      v => sqrt(sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1)))))
+
+  /** `changes` / `resets`: adjacent-pair counts over the window's samples in
+    * time order. One ordered window pass per (series, grid window) — the
+    * explode already co-locates them, so the lag window needs no exchange
+    * beyond the groupBy's. */
+  private def pairCounts(samples: DataFrame, grid: Grid, overRange: Double,
+                         pair: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(Model.SkeyCol, "__k__").orderBy(Model.TsCol)
+    windowExplode(samples, grid, overRange)
+      .withColumn("__pv__", lag(Model.ValueCol, 1).over(w))
+      .groupBy(col(Model.SkeyCol), col("__k__"))
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        sum(when(col("__pv__").isNotNull && pair(col("__pv__"), col(Model.ValueCol)), 1.0)
+          .otherwise(0.0)).as(Model.ValueCol))
+      .select(col(Model.SkeyCol), col(Model.LabelsCol),
+        gridTs(grid).as(Model.TsCol), col(Model.ValueCol))
+  }
+
+  def changesOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    pairCounts(samples, grid, overRange, (prev, cur) => cur =!= prev)
+  def resetsOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    pairCounts(samples, grid, overRange, (prev, cur) => cur < prev)
 
   def avgOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
     overTime(samples, grid, overRange, avg)

@@ -75,6 +75,57 @@ object Eval {
     case FuncCall("max_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.maxOverTime)
     case FuncCall("sum_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.sumOverTime)
     case FuncCall("count_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.countOverTime)
+    case FuncCall("last_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.lastOverTime)
+    case FuncCall("present_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.presentOverTime)
+    case FuncCall("stddev_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.stddevOverTime)
+    case FuncCall("stdvar_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.stdvarOverTime)
+    case FuncCall("changes", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.changesOverTime)
+    case FuncCall("resets", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.resetsOverTime)
+
+    case FuncCall("predict_linear", args, agg) =>
+      if (agg.isDefined) throw EvalException("'predict_linear' expects no aggregation")
+      args match {
+        case Seq(inner, ScalarLit(horizon)) =>
+          eval(inner, collection, grid) match {
+            case UnprocessedVector(df, overRange, offset) =>
+              val shifted = offset.fold(df)(off =>
+                df.withColumn(Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
+              Processed(RangeAgg.predictLinear(shifted, grid, overRange, horizon))
+            case _ => throw EvalException("'predict_linear' requires a vectorized time series")
+          }
+        case _ => throw EvalException("'predict_linear' expects (range vector, scalar horizon)")
+      }
+
+    case FuncCall("label_replace", args, agg) =>
+      if (agg.isDefined) throw EvalException("'label_replace' expects no aggregation")
+      args match {
+        case Seq(v, StringLit(dst), StringLit(repl), StringLit(src), StringLit(regex)) =>
+          resampled(eval(v, collection, grid), grid) match {
+            case Processed(df) => Processed(Labels.labelReplace(df, dst, repl, src, regex))
+            case _ => throw EvalException("'label_replace' expects an instant vector")
+          }
+        case _ => throw EvalException("'label_replace' expects (vector, dst, replacement, src, regex)")
+      }
+
+    case FuncCall("label_join", args, agg) =>
+      if (agg.isDefined) throw EvalException("'label_join' expects no aggregation")
+      args match {
+        case (v +: StringLit(dst) +: StringLit(sep) +: rest) if rest.nonEmpty &&
+            rest.forall(_.isInstanceOf[StringLit]) =>
+          resampled(eval(v, collection, grid), grid) match {
+            case Processed(df) => Processed(Labels.labelJoin(df, dst, sep,
+              rest.map(_.asInstanceOf[StringLit].value)))
+            case _ => throw EvalException("'label_join' expects an instant vector")
+          }
+        case _ => throw EvalException("'label_join' expects (vector, dst, sep, src...)")
+      }
+
+    case FuncCall("stddev", args, by) => evalAgg(args, by, collection, grid, Aggregate.stddevBy)
+    case FuncCall("stdvar", args, by) => evalAgg(args, by, collection, grid, Aggregate.stdvarBy)
+
+    case StringLit(_) => throw EvalException("Not implemented yet") // Node::String, query.rs:568-570
+
+    case b: BinOp => evalBinOp(b, collection, grid)
 
     case FuncCall("sum", args, by) => evalAgg(args, by, collection, grid, Aggregate.sumBy)
     case FuncCall("avg", args, by) => evalAgg(args, by, collection, grid, Aggregate.avgBy)

@@ -13,6 +13,10 @@ import graft.operators.Selector.Matcher
 sealed trait Node
 final case class VectorSel(matchers: Seq[Matcher], range: Option[Double], offset: Option[Double]) extends Node
 final case class ScalarLit(value: Double) extends Node
+/** String literal — valid only as a function argument (label_replace etc.);
+  * as a top-level expression it is rejected at eval like the reference's
+  * `Node::String` (query.rs:568-570). */
+final case class StringLit(value: String) extends Node
 final case class FuncCall(name: String, args: Seq[Node], by: Option[Seq[String]]) extends Node
 /** Binary operation (extension — the reference's process_ast rejects
   * `Node::Operator` with "Not implemented yet", query.rs:549-551; semantics
@@ -180,6 +184,7 @@ object Parser {
 
   private def parseAtom(st: State): Node = st.peek match {
     case Some(Num(s)) => st.next(); ScalarLit(s.toDouble)
+    case Some(Str(s)) => st.next(); StringLit(s)
     case Some(Sym("(")) => st.next(); val e = parseExpr(st); st.expect(")"); e
     // any identifier directly followed by '(' (or a 'by' clause) is a
     // function call — unknown functions fail at eval time like the

@@ -142,6 +142,30 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
 
+  def lastOverTime1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""last_over_time(events{event_type="purchase"}[1h])""", spark, dir))
+
+  def changes1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""changes(events{event_type="purchase"}[1h])""", spark, dir))
+
+  def predictLinear1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""predict_linear(events{event_type="purchase"}[1h], 600)""", spark, dir))
+
+  def stddevBy(spark: SparkSession, dir: String): DataFrame =
+    Eval("""stddev by (event_type) (events)""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
+
+  def labelReplaceQ(spark: SparkSession, dir: String): DataFrame =
+    Eval("""label_replace(events{event_type="purchase"}, "etype", "$1X", "event_type", "purch(.*)")""",
+      spark, dir)
+      .select(
+        col(Model.LabelsCol).getItem("etype").as("etype"),
+        col(Model.LabelsCol).getItem("props").as("props"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
+
   def avgBy(spark: SparkSession, dir: String): DataFrame =
     Eval("""avg by (event_type) (events)""", spark, dir)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
@@ -428,6 +452,68 @@ object TsQueries {
        |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
+  /** Shared sample→window CTE for the `*_over_time` oracle family. */
+  private def windowCte(where: String): String =
+    s"""${sCte(where)},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, t, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi)""".stripMargin
+
+  def oracleLastOverTime1h: String =
+    s"""WITH ${windowCte("WHERE event_type = 'purchase'")}
+       |SELECT event_type, props,
+       |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(max_by(v, t), 6) + 0.0 AS value
+       |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  def oracleChanges1h: String =
+    s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
+       |lg AS (SELECT event_type, props, k, v,
+       |    lag(v) OVER (PARTITION BY event_type, props, k ORDER BY t) AS pv
+       |  FROM x)
+       |SELECT event_type, props,
+       |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(sum(CASE WHEN pv IS NOT NULL AND v != pv THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS value
+       |FROM lg GROUP BY event_type, props, k""".stripMargin
+
+  def oraclePredictLinear1h: String =
+    s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
+       |c AS (SELECT event_type, props, k,
+       |    t - (1704067200.0 + (CAST(k AS DOUBLE) * 3600.0)) AS tc, v FROM x),
+       |g AS (SELECT event_type, props, k,
+       |    CAST(count(*) AS DOUBLE) AS n, sum(tc) AS st, sum(v) AS sv,
+       |    sum(tc * v) AS stv, sum(tc * tc) AS stt
+       |  FROM c GROUP BY 1, 2, 3),
+       |r AS (SELECT *, (n * stv - st * sv) / (n * stt - st * st) AS slope
+       |  FROM g WHERE n >= 2 AND (n * stt - st * st) != 0)
+       |SELECT event_type, props,
+       |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round((sv - slope * st) / n + slope * 600.0, 6) + 0.0 AS value
+       |FROM r""".stripMargin
+
+  def oracleStddevBy: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, round(gt, 6) AS ts,
+       |  round(sqrt(sum(v * v) / count(*) - (sum(v) / count(*)) * (sum(v) / count(*))), 4) + 0.0 AS value
+       |FROM iv GROUP BY event_type, gt""".stripMargin
+
+  def oracleLabelReplace: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT regexp_replace(event_type, '^(?:purch(.*))$$', '\\1X') AS etype, props,
+       |  round(gt, 6) AS ts, round($interpExpr, 6) + 0.0 AS value
+       |FROM w WHERE ord = 1""".stripMargin
+
   def oracleMathLn: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -657,6 +743,11 @@ object TsQueries {
     "math_ln" -> (mathLn _),
     "clamp" -> (clampQ _),
     "deriv_1h" -> (deriv1h _),
+    "last_over_time_1h" -> (lastOverTime1h _),
+    "changes_1h" -> (changes1h _),
+    "predict_linear_1h" -> (predictLinear1h _),
+    "stddev_by" -> (stddevBy _),
+    "label_replace" -> (labelReplaceQ _),
     "avg_by" -> (avgBy _),
     "topk" -> (topk3 _),
     "quantile_by" -> (quantileBy _),
@@ -686,6 +777,11 @@ object TsQueries {
     "math_ln" -> oracleMathLn,
     "clamp" -> oracleClamp,
     "deriv_1h" -> oracleDeriv1h,
+    "last_over_time_1h" -> oracleLastOverTime1h,
+    "changes_1h" -> oracleChanges1h,
+    "predict_linear_1h" -> oraclePredictLinear1h,
+    "stddev_by" -> oracleStddevBy,
+    "label_replace" -> oracleLabelReplace,
     "avg_by" -> oracleAvgBy,
     "topk" -> oracleTopk3,
     "quantile_by" -> oracleQuantileBy,

@@ -82,14 +82,14 @@ class BinOpSpec extends SparkSpec {
 
   test("set operators: and/unless/or row algebra") {
     val p = Eval.run(collection, """events{event_type="purchase"}""", grid).count()
-    val r = Eval.run(collection, """events{event_type="refund"}""", grid).count()
+    val r = Eval.run(collection, """events{event_type="signup"}""", grid).count()
     val andN = Eval.run(collection, """events{event_type="purchase"} and events{event_type="purchase"}""", grid).count()
     val unlessN = Eval.run(collection, """events{event_type="purchase"} unless events{event_type="purchase"}""", grid).count()
-    val orN = Eval.run(collection, """events{event_type="purchase"} or events{event_type="refund"}""", grid).count()
+    val orN = Eval.run(collection, """events{event_type="purchase"} or events{event_type="signup"}""", grid).count()
     assert(andN == p)
     assert(unlessN == 0)
     assert(orN == p + r) // disjoint series sets
-    val disjointAnd = Eval.run(collection, """events{event_type="purchase"} and events{event_type="refund"}""", grid).count()
+    val disjointAnd = Eval.run(collection, """events{event_type="purchase"} and events{event_type="signup"}""", grid).count()
     assert(disjointAnd == 0)
   }
 
@@ -143,6 +143,36 @@ class BinOpSpec extends SparkSpec {
     val d = operators.RangeAgg.derivOverTime(lin, operators.Grid(1704067200.0, 1704074400.0, 3600.0), 3600.0)
     val vals = d.select("value").as[Double].collect()
     assert(vals.nonEmpty && vals.forall(v => math.abs(v - 3.0) < 1e-9), vals.mkString(","))
+  }
+
+  test("label_join/present/resets/stdvar and label_replace no-match/removal semantics") {
+    import org.apache.spark.sql.functions._
+    val j = Eval.run(collection,
+      """label_join(events{event_type="purchase"}, "combo", "-", "event_type", "props")""", grid)
+    val combo = j.select(col("labels")("combo")).distinct().as[String].collect()
+    assert(combo.nonEmpty && combo.forall(_.startsWith("purchase-")))
+    // label_replace: no-match leaves series untouched; empty replacement drops the label
+    val untouched = Eval.run(collection,
+      """label_replace(events{event_type="purchase"}, "etype", "$1", "event_type", "nomatch(.*)")""", grid)
+    assert(untouched.select(col("labels")("etype")).filter(col("labels")("etype").isNotNull).count() == 0)
+    val dropped = Eval.run(collection,
+      """label_replace(events{event_type="purchase"}, "props", "", "event_type", "purchase")""", grid)
+    assert(dropped.select(map_keys(col("labels"))).as[Seq[String]].head().forall(_ != "props"))
+    // present_over_time: all ones; resets <= changes pointwise
+    val pres = Eval.run(collection, """present_over_time(events{event_type="purchase"}[1d])""", grid)
+    assert(pres.select("value").distinct().as[Double].collect().toSeq == Seq(1.0))
+    val ch = Eval.run(collection, """changes(events{event_type="purchase"}[1d])""", grid)
+      .withColumnRenamed("value", "ch")
+    val rs = Eval.run(collection, """resets(events{event_type="purchase"}[1d])""", grid)
+    val bad = rs.join(ch.select("skey", "ts", "ch"), Seq("skey", "ts"))
+      .where(col("value") > col("ch")).count()
+    assert(bad == 0)
+    // stdvar == stddev^2 (same moments)
+    val sv = Eval.run(collection, "stdvar by (event_type) (events)", grid).withColumnRenamed("value", "sv")
+    val sd = Eval.run(collection, "stddev by (event_type) (events)", grid)
+    val mism = sd.join(sv.select("skey", "ts", "sv"), Seq("skey", "ts"))
+      .where(abs(col("value") * col("value") - col("sv")) > lit(1e-9)).count()
+    assert(mism == 0)
   }
 
 }
