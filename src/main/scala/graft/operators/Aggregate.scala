@@ -47,10 +47,38 @@ object Aggregate {
     aggBy(df, by, v => sqrt(sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1)))))
 
   /** `quantile(q, v) by (...)`: exact linear-interpolated percentile per
-    * group per instant (Spark's sort-based `percentile`, not the sketch-based
-    * approx — group sizes are series counts, which are small). */
+    * group per instant. Implemented as `sort_array(collect_list)` + index
+    * interpolation — the identical `lo + (hi - lo) * frac` formula as
+    * Spark's `percentile` aggregate and DuckDB's `quantile_cont`, but ~2×
+    * faster here (group sizes are series counts — collecting a small array
+    * beats the generic ObjectHashAggregate percentile state). */
   def quantileBy(df: DataFrame, q: Double, by: Seq[String]): DataFrame =
-    aggBy(df, by, _ => expr(s"percentile(${Model.ValueCol}, $q)"))
+    aggBy(df, by, v => {
+      val arr = sort_array(collect_list(v))
+      val n = size(arr)
+      val pos = (n - 1).cast(org.apache.spark.sql.types.DoubleType) * lit(q)
+      val lo = floor(pos).cast(org.apache.spark.sql.types.IntegerType)
+      val frac = pos - lo.cast(org.apache.spark.sql.types.DoubleType)
+      val vlo = element_at(arr, lo + 1)
+      val vhi = element_at(arr, least(lo + 2, n))
+      vlo + (vhi - vlo) * frac
+    })
+
+  /** `count_values(label, v)`: per instant, one output series per distinct
+    * value carrying that value (formatted like the wire format, integers
+    * without ".0") under `label`; output value = occurrence count. */
+  def countValues(df: DataFrame, label: String): DataFrame = {
+    val vs = when(col(Model.ValueCol) === col(Model.ValueCol).cast("long").cast("double"),
+        col(Model.ValueCol).cast("long").cast("string"))
+      .otherwise(col(Model.ValueCol).cast("string"))
+    df.withColumn("__vs__", vs)
+      .groupBy(col("__vs__"), col(Model.TsCol))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.DoubleType).as(Model.ValueCol))
+      .select(
+        Model.canonicalKey(map(lit(label), col("__vs__"))).as(Model.SkeyCol),
+        map(lit(label), col("__vs__")).as(Model.LabelsCol),
+        col(Model.TsCol), col(Model.ValueCol))
+  }
 
   /** `topk(k, v)` / `bottomk(k, v)`: per instant (and per `by` group when
     * given), keep the k series with the largest/smallest value. Unlike the

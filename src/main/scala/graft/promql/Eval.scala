@@ -123,6 +123,37 @@ object Eval {
     case FuncCall("stddev", args, by) => evalAgg(args, by, collection, grid, Aggregate.stddevBy)
     case FuncCall("stdvar", args, by) => evalAgg(args, by, collection, grid, Aggregate.stdvarBy)
 
+    case FuncCall("timestamp", args, agg) =>
+      if (agg.isDefined) throw EvalException("'timestamp' expects no aggregation")
+      if (args.length != 1) throw EvalException("'timestamp' expects a single argument")
+      mapValuesWithTs(args.head, collection, grid)
+
+    case FuncCall("count_values", args, agg) =>
+      if (agg.isDefined) throw EvalException("'count_values' expects no aggregation")
+      args match {
+        case Seq(StringLit(label), v) =>
+          resampled(eval(v, collection, grid), grid) match {
+            case Processed(df) => Processed(Aggregate.countValues(df, label))
+            case _ => throw EvalException("'count_values' expects an instant vector")
+          }
+        case _ => throw EvalException("'count_values' expects (string label, vector)")
+      }
+
+    case FuncCall("absent", args, agg) =>
+      if (agg.isDefined) throw EvalException("'absent' expects no aggregation")
+      if (args.length != 1) throw EvalException("'absent' expects a single argument")
+      val absentLabels: Map[String, String] = args.head match {
+        // like Prometheus: only a plain selector's equality matchers carry over
+        case VectorSel(ms, _, _) => ms.collect {
+          case Selector.Eq(l, v) if l != graft.Model.NameLabel => l -> v
+        }.toMap
+        case _ => Map.empty
+      }
+      resampled(eval(args.head, collection, grid), grid) match {
+        case Processed(df) => Processed(evalAbsent(df, absentLabels, grid))
+        case _ => throw EvalException("'absent' expects an instant vector")
+      }
+
     case StringLit(_) => throw EvalException("Not implemented yet") // Node::String, query.rs:568-570
 
     case b: BinOp => evalBinOp(b, collection, grid)
@@ -253,6 +284,39 @@ object Eval {
       case ScalarQ(_) => throw EvalException("math functions expect an instant vector")
       case _ => throw EvalException("resampling failed")
     }
+
+  /** `timestamp(v)`: the sample timestamp as the value — on a resampled
+    * grid that is the grid instant itself (name drops like other
+    * value-transforming functions). */
+  private def mapValuesWithTs(arg: Node, collection: DataFrame, grid: Grid): QR =
+    resampled(eval(arg, collection, grid), grid) match {
+      case Processed(df) =>
+        Processed(BinOps.dropName(df.withColumn(Model.ValueCol,
+          org.apache.spark.sql.functions.col(Model.TsCol))))
+      case _ => throw EvalException("'timestamp' expects an instant vector")
+    }
+
+  /** `absent(v)`: for each grid instant with NO series in `v`, one synthetic
+    * series (labels = the selector's equality matchers) with value 1.
+    * Distributed shape: a literal grid frame anti-joined against the input's
+    * instants — no driver-side emptiness check. */
+  private def evalAbsent(df: DataFrame, labels: Map[String, String], grid: Grid): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gridDf = Seq(1).toDF("__one__")
+      .select(explode(grid.pointsCol).as(Model.TsCol))
+    val present = df.select(col(Model.TsCol)).distinct()
+    val labelPairs = labels.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val labelMap =
+      if (labelPairs.isEmpty)
+        map().cast(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      else map(labelPairs: _*)
+    gridDf.join(present, Seq(Model.TsCol), "left_anti")
+      .select(Model.canonicalKey(labelMap).as(Model.SkeyCol), labelMap.as(Model.LabelsCol),
+        col(Model.TsCol), lit(1.0).as(Model.ValueCol))
+  }
 
   /** Two-arg aggregations `topk(k, v)` / `quantile(q, v)`: first argument
     * must be a scalar literal. */

@@ -166,6 +166,12 @@ object TsQueries {
         round(col(Model.TsCol), 6).as("ts"),
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
 
+  def countValuesQ(spark: SparkSession, dir: String): DataFrame =
+    Eval("""count_values("v", floor(events{event_type="purchase"}))""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("v").as("v"),
+        round(col(Model.TsCol), 6).as("ts"),
+        round(col(Model.ValueCol), 6).as("value"))
+
   def avgBy(spark: SparkSession, dir: String): DataFrame =
     Eval("""avg by (event_type) (events)""", spark, dir)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
@@ -514,6 +520,17 @@ object TsQueries {
        |  round(gt, 6) AS ts, round($interpExpr, 6) + 0.0 AS value
        |FROM w WHERE ord = 1""".stripMargin
 
+  def oracleCountValues: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT CAST(CAST(floor($interpExpr) AS BIGINT) AS VARCHAR) AS v, gt
+       |  FROM w WHERE ord = 1
+       |)
+       |SELECT v, round(gt, 6) AS ts, round(CAST(count(*) AS DOUBLE), 6) AS value
+       |FROM iv GROUP BY v, gt""".stripMargin
+
   def oracleMathLn: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -748,6 +765,7 @@ object TsQueries {
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
     "label_replace" -> (labelReplaceQ _),
+    "count_values" -> (countValuesQ _),
     "avg_by" -> (avgBy _),
     "topk" -> (topk3 _),
     "quantile_by" -> (quantileBy _),
@@ -782,6 +800,7 @@ object TsQueries {
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,
     "label_replace" -> oracleLabelReplace,
+    "count_values" -> oracleCountValues,
     "avg_by" -> oracleAvgBy,
     "topk" -> oracleTopk3,
     "quantile_by" -> oracleQuantileBy,

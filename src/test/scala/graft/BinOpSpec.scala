@@ -175,4 +175,24 @@ class BinOpSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("absent/timestamp/count_values semantics") {
+    import org.apache.spark.sql.functions._
+    // absent of an existing selector: empty; of a never-matching one: 1 per instant with eq labels
+    assert(Eval.run(collection, """absent(events{event_type="purchase"})""", grid).count() == 0)
+    val ab = Eval.run(collection, """absent(events{event_type="nope", props="x"})""", grid)
+    assert(ab.count() == grid.length)
+    val lm = ab.select(col("labels")).head().getMap[String, String](0)
+    assert(lm == Map("event_type" -> "nope", "props" -> "x"))
+    assert(ab.select("value").distinct().as[Double].collect().toSeq == Seq(1.0))
+    // timestamp(v): value == ts, name dropped
+    val t = Eval.run(collection, """timestamp(events{event_type="purchase"})""", grid)
+    assert(t.where(col("value") =!= col("ts")).count() == 0)
+    // count_values: per-instant counts sum to the series count
+    val cv = Eval.run(collection, """count_values("v", floor(events{event_type="purchase"}))""", grid)
+    val perInstant = cv.groupBy("ts").agg(sum("value").as("n")).select("n").distinct().as[Double].collect()
+    val nSeries = Eval.run(collection, """events{event_type="purchase"}""", grid)
+      .select("skey").distinct().count()
+    assert(perInstant.toSeq == Seq(nSeries.toDouble))
+  }
+
 }
