@@ -133,6 +133,41 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph via min-label propagation — each doc converges to the
+    * smallest doc_id reachable from it. The step a production dedup
+    * pipeline runs after pair generation (keep one doc per cluster).
+    *
+    * Iterative Spark shape: labels(doc) = min(label(doc), min over
+    * neighbors) per round; `localCheckpoint` truncates the lineage each
+    * round (20 rounds of joins would otherwise build an exponential plan),
+    * and the loop stops when a round changes nothing. Convergence needs at
+    * most diameter(graph) rounds; near-dup clusters are shallow. Returns
+    * (doc_id, cluster). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = edges.join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("nc").as("nbr"))
+      val next = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 60-bit SimHash over distinct word tokens; near-dup pairs via 4 bands of
     * 15 bits (any equal band → candidate) verified by Hamming distance. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {

@@ -28,6 +28,13 @@ object LlmQueries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(spark, dir), n = 3, k = 12, bands = 4, minJaccard = 0.5)
 
+
+  /** Connected components over the minhash near-dup pairs (same parameters
+    * as dedup_minhash). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.minhashLsh(docs(spark, dir), n = 3, k = 12, bands = 4, minJaccard = 0.5))
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 6)
 
@@ -367,11 +374,45 @@ object LlmQueries {
       |  round(CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(p.n, 1), 6) AS feature
       |FROM p CROSS JOIN dims d LEFT JOIN cnt c ON c.doc_id = p.doc_id AND c.dim = d.dim""".stripMargin
 
+
+  /** Recursive min-reachable-doc_id over the same minhash pair graph. */
+  def oracleDedupClusters: String =
+    s"""WITH RECURSIVE $gramsCte,
+       |seeds AS (SELECT unnest(range(0, 12)) AS seed),
+       |mh AS (SELECT doc_id, seed, min(${md5Big.format("seed::VARCHAR || ':' || g")}) AS mh
+       |       FROM grams CROSS JOIN seeds GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, b.b AS band,
+       |    md5(array_to_string(list_transform(list_slice(sig, b.b * 3 + 1, b.b * 3 + 3), x -> x::VARCHAR), ',')) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |co AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+       |       FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
+       |       GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT co.doc_a, co.doc_b,
+       |      round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |    FROM co JOIN sizes sa ON co.doc_a = sa.doc_id JOIN sizes sb ON co.doc_b = sb.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id
+       |)
+       |SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_embed" -> (dedupEmbed _),
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
@@ -389,6 +430,7 @@ object LlmQueries {
     "dedup_ngram" -> oracleDedupNgram,
     "dedup_minhash" -> oracleDedupMinhash,
     "dedup_simhash" -> oracleDedupSimhash,
+    "dedup_clusters" -> oracleDedupClusters,
     "dedup_embed" -> oracleDedupEmbed,
     "ann_brute" -> oracleAnnBrute,
     "ann_lsh" -> oracleAnnLsh,

@@ -159,4 +159,14 @@ class LlmSpec extends SparkSpec {
     assert(mbHof.head().getSeq[Long](0) == mbNat.head().getSeq[Long](0))
   }
 
+  test("duplicateClusters: multi-hop chain collapses to one cluster; disjoint stay apart") {
+    import spark.implicits._
+    // chain 10-11-12-...-19 (diameter 9) + separate pair (100, 101)
+    val pairs = ((10L to 18L).map(i => (i, i + 1)) :+ (100L, 101L)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (10L to 19L).foreach(d => assert(out(d) == 10L, s"doc $d"))
+    assert(out(100L) == 100L && out(101L) == 100L)
+    assert(out.size == 12)
+  }
+
 }
