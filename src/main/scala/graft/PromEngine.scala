@@ -42,6 +42,15 @@ final class PromEngine(val collection: DataFrame, val queryStartTime: Option[Dou
   /** Internal-frame variant used by the correctness harness. */
   def queryRangeRaw(query: String, grid: Grid): DataFrame = Eval.run(keyed, query, grid)
 
+  /** Instant query (extension — the reference's /api/v1/query only evaluates
+    * "1+1", main.rs:399-405): evaluate on a single-instant grid at `t`. */
+  def queryInstant(query: String, t: Double): DataFrame = {
+    val off = queryTimeOffset.getOrElse(0.0)
+    val grid = Grid(t - off, t - off + 0.5, 1.0) // length 1 → the instant itself
+    val out = Eval.run(keyed, query, grid)
+    out.select(col(Model.LabelsCol), (col(Model.TsCol) + lit(off)).as(Model.TsCol), col(Model.ValueCol))
+  }
+
   /** Sorted distinct label names (timeseries.rs:459-476). */
   def allLabelsDF: DataFrame =
     collection.select(explode(map_keys(col(Model.LabelsCol))).as("label"))

@@ -38,10 +38,13 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
     })
     server.createContext("/api/v1/query", exchange => safely(exchange) {
       val params = parseParams(exchange)
-      // instant queries: the reference only evaluates "1+1" (main.rs:399-405)
+      // reference parity first: it special-cases "1+1" (main.rs:399-405)
       if (params.get("query").contains("1+1"))
         respondJson(exchange, 200, success(s"""{"resultType": "matrix", "result": 2.0}"""))
-      else respondJson(exchange, 400, failure("querySemantics", "sorry"))
+      else handleInstantQuery(exchange, params)
+    })
+    server.createContext("/api/v1/series", exchange => safely(exchange) {
+      handleSeries(exchange, parseParamList(exchange))
     })
     server.createContext("/api/v1/label/", exchange => safely(exchange) {
       val path = exchange.getRequestURI.getPath
@@ -81,6 +84,69 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
     }
   }
 
+  /** Real instant query (extension beyond the reference's "1+1" quirk):
+    * evaluate at `time` (default: the collection's max timestamp) and emit
+    * the Prometheus `vector` wire shape. */
+  private def handleInstantQuery(exchange: HttpExchange, params: Map[String, String]): Unit = {
+    val parsed = for {
+      q <- params.get("query").toRight("missing 'query'")
+      t <- params.get("time").map(TimeParse.parseTimestamp)
+        .getOrElse(Right(engine.maxTime))
+    } yield (q, t)
+    parsed match {
+      case Left(err) => respondJson(exchange, 400, failure("queryError", err))
+      case Right((q, t)) =>
+        try {
+          val rows = engine.queryInstant(q, t).collect()
+          val series = rows.sortBy(_.getMap[String, String](0).toSeq.sorted.mkString(","))
+            .map { r =>
+              val metric = r.getMap[String, String](0).toSeq.sorted
+                .map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
+                .mkString("{", ", ", "}")
+              s"""{"metric": $metric, "value": [${fmt(r.getDouble(1))}, ${jsonString(fmt(r.getDouble(2)))}]}"""
+            }
+          respondJson(exchange, 200, success(
+            s"""{"resultType": "vector", "result": ${series.mkString("[", ", ", "]")}}"""))
+        } catch {
+          case e: Exception => respondJson(exchange, 400, failure("queryError", e.getMessage))
+        }
+    }
+  }
+
+  /** `/api/v1/series?match[]=<selector>...`: distinct label sets of the
+    * series matched by any selector (Prometheus metadata endpoint; extension
+    * — the reference does not serve it). */
+  private def handleSeries(exchange: HttpExchange, params: Seq[(String, String)]): Unit = {
+    val matchers = params.collect { case (k, v) if k == "match[]" || k.startsWith("match") => v }
+    if (matchers.isEmpty) {
+      respondJson(exchange, 400, failure("queryError", "missing 'match[]'"))
+      return
+    }
+    try {
+      val frames = matchers.toSeq.map { sel =>
+        graft.promql.Parser.parse(sel) match {
+          case graft.promql.VectorSel(ms, None, None) =>
+            // distinct on the canonical key — Spark cannot set-op MAP columns
+            graft.operators.Selector.select(engine.collection, ms)
+              .select(
+                Model.canonicalKey(org.apache.spark.sql.functions.col(Model.LabelsCol))
+                  .as(Model.SkeyCol),
+                org.apache.spark.sql.functions.col(Model.LabelsCol))
+          case _ => throw new IllegalArgumentException(s"not a plain selector: $sel")
+        }
+      }
+      val all = frames.reduce(_ unionByName _).dropDuplicates(Model.SkeyCol).collect()
+      val sets = all.map(_.getMap[String, String](1).toSeq.sorted)
+        .sortBy(_.mkString(",")).map { labels =>
+          labels.map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
+            .mkString("{", ", ", "}")
+        }
+      respondJson(exchange, 200, success(sets.mkString("[", ", ", "]")))
+    } catch {
+      case e: Exception => respondJson(exchange, 400, failure("queryError", e.getMessage))
+    }
+  }
+
   /** Group collected (labels, ts, value) rows into per-series value lists. */
   private def serializeMatrix(rows: Array[Row]): String = {
     val bySeries = rows.groupBy(r => r.getMap[String, String](0).toSeq.sorted)
@@ -98,18 +164,22 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
   private def fmt(d: Double): String =
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  private def parseParams(exchange: HttpExchange): Map[String, String] = {
+  /** All (key, value) pairs — repeated keys (e.g. `match[]`) preserved. */
+  private def parseParamList(exchange: HttpExchange): Seq[(String, String)] = {
     val fromQuery = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
     val fromBody =
       if (exchange.getRequestMethod == "POST")
         new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       else ""
-    (fromQuery + "&" + fromBody).split("&").filter(_.contains("="))
+    (fromQuery + "&" + fromBody).split("&").filter(_.contains("=")).toSeq
       .map { kv =>
         val Array(k, v) = kv.split("=", 2)
         URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
-      }.toMap
+      }
   }
+
+  private def parseParams(exchange: HttpExchange): Map[String, String] =
+    parseParamList(exchange).toMap
 
   private def success(dataJson: String): String =
     s"""{"status": "success", "data": $dataJson}"""
