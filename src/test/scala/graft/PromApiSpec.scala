@@ -56,4 +56,33 @@ class PromApiSpec extends SparkSpec {
       assert(c5 == 200 && two.contains("2.0"))
     } finally api.stop()
   }
+  test("instant query vector shape and /api/v1/series") {
+    val engine = new PromEngine(queries.TsQueries.events(spark, "/root/testdata/sf0.001"))
+    val api = PromApi(engine, port = 0).start()
+    try {
+      val port = api.boundPort
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+
+      // real instant query → vector wire shape
+      val (c1, iv) = get(port, "/api/v1/query?query=" +
+        enc("""sum by (event_type) (events)""") + "&time=1704153600")
+      assert(c1 == 200, iv.take(300))
+      assert(iv.contains("\"resultType\": \"vector\""))
+      assert(iv.contains("\"value\": [1704153600, "))
+
+      // the reference's 1+1 quirk is preserved
+      val (c2, quirk) = post(port, "/api/v1/query", "query=1%2B1")
+      assert(c2 == 200 && quirk.contains("\"result\": 2.0"))
+
+      // series: two selectors, distinct label sets
+      val (c3, sr) = get(port, "/api/v1/series?match[]=" +
+        enc("""events{event_type="purchase"}""") + "&match[]=" + enc("""events{event_type="click"}"""))
+      assert(c3 == 200, sr.take(300))
+      assert(sr.contains("\"event_type\": \"purchase\"") && sr.contains("\"event_type\": \"click\""))
+
+      val (c4, _) = get(port, "/api/v1/series")
+      assert(c4 == 400)
+    } finally api.stop()
+  }
+
 }
