@@ -156,13 +156,15 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val nbr = edges.join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nc").as("nbr"))
+      // old label rides along so change detection is a filter over the
+      // checkpointed frame, not another join
       val next = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+          col("cluster").as("__old__"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("__old__")).count()
+      labels = next.drop("__old__")
       iter += 1
     }
     labels

@@ -81,4 +81,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("resample matches an in-memory reference interpolation on random series (timeseries.rs:164-191)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // in-memory mirror of the reference semantics: clamp before-first/after-last, linear inside
+    def interpRef(ts: Vector[Double], vs: Vector[Double], t: Double): Double = {
+      require(ts.nonEmpty)
+      if (t < ts.head) vs.head
+      else if (t >= ts.last) vs.last
+      else {
+        val i = ts.lastIndexWhere(_ <= t)
+        val (t0, t1, v0, v1) = (ts(i), ts(i + 1), vs(i), vs(i + 1))
+        ((t - t0) * v1 + (t1 - t) * v0) / (t1 - t0)
+      }
+    }
+    val seriesGen = for {
+      n <- Gen.choose(1, 12)
+      ts0 <- Gen.listOfN(n, Gen.choose(0.0, 1000.0))
+      vs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield (ts0.distinct.sorted.toVector, vs.toVector)
+    val grid = operators.Grid(-100.0, 1100.0, 97.0) // probes straddle both edges
+    samples(seriesGen, n = 40).zipWithIndex.foreach { case ((ts, vs0), i) =>
+      val vs = vs0.take(ts.length)
+      val df = Model.withSkey(
+        ts.zip(vs).toDF("ts", "value")
+          .withColumn("labels", map(lit("__name__"), lit(s"m$i"))))
+      val out = operators.Resample.resample(df, grid)
+        .select("ts", "value").as[(Double, Double)].collect().toMap
+      assert(out.size == grid.length, s"series $i: ${out.size} != ${grid.length}")
+      (0 until grid.length).foreach { k =>
+        val t = grid.start + k * grid.step
+        val expect = interpRef(ts, vs, t)
+        val got = out(t)
+        assert(math.abs(got - expect) <= 1e-9 * math.max(1.0, math.abs(expect)),
+          s"series $i t=$t: $got vs $expect (ts=$ts vs=$vs)")
+      }
+    }
+  }
+
 }
