@@ -94,4 +94,29 @@ class MetricStoreSpec extends SparkSpec {
     assert(out.filter(col(Model.LabelsCol)("host") === "b")
       .select("value").as[Double].head() == 9.0)
   }
+  test("TsSink round-trip preserves the collection; name selector prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val coll = queries.TsQueries.events(spark, "/root/testdata/sf0.001")
+    sources.TsSink.write(coll, dir)
+    val back = sources.TsSink.read(spark, dir)
+    // exact round-trip (same rows, labels map incl. reconstructed __name__)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(Model.canonicalKey(col("labels")).as("k"), col("ts"), col("value"))
+    assert(canon(back).exceptAll(canon(coll)).count() == 0)
+    assert(canon(coll).exceptAll(canon(back)).count() == 0)
+    // partition layout exists per metric
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("__metric__="))
+    assert(parts.toSet == Set("__metric__=events", "__metric__=events_event_id", "__metric__=events_user_id"))
+    // readMetric → REAL partition pruning: a non-empty PartitionFilters
+    // entry (a generic labels['__name__'] filter cannot prune — Catalyst
+    // can't fold the map_concat extraction onto the partition column)
+    val sel = sources.TsSink.readMetric(spark, dir, "events")
+    val plan = sel.queryExecution.executedPlan.toString
+    val pf = plan.split("\\n").map(_.trim).find(_.startsWith("PartitionFilters"))
+      .orElse(plan.split(", ").find(_.contains("PartitionFilters"))).getOrElse("")
+    assert(pf.contains("__metric__") && !pf.contains("PartitionFilters: []"), pf)
+    assert(sel.count() == coll.filter(col("labels")("__name__") === "events").count())
+  }
+
 }
