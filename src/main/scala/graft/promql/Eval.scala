@@ -270,7 +270,18 @@ object Eval {
       "ln" -> ieeeLog(log),
       "log2" -> ieeeLog(log2),
       "log10" -> ieeeLog(log10),
-      "sgn" -> (c => signum(c)))
+      "sgn" -> (c => signum(c)),
+      // time-component family: the VALUE is interpreted as an epoch (the
+      // idiomatic call is e.g. hour(timestamp(v)), like Prometheus). The
+      // first three are pure arithmetic (engine-portable); the calendar
+      // ones go through UTC timestamp functions (session TZ is UTC).
+      "minute" -> (c => (floor(c / 60) % 60).cast(DoubleType)),
+      "hour" -> (c => (floor(c / 3600) % 24).cast(DoubleType)),
+      "day_of_week" -> (c => ((floor(c / 86400) + 4) % 7).cast(DoubleType)), // epoch day 0 = Thursday
+      "day_of_month" -> (c => dayofmonth(timestamp_seconds(c.cast("long"))).cast(DoubleType)),
+      "month" -> (c => month(timestamp_seconds(c.cast("long"))).cast(DoubleType)),
+      "year" -> (c => year(timestamp_seconds(c.cast("long"))).cast(DoubleType)),
+      "days_in_month" -> (c => dayofmonth(last_day(timestamp_seconds(c.cast("long")))).cast(DoubleType)))
   }
 
   /** Resample the operand and transform the value column; metric name drops

@@ -166,6 +166,12 @@ object TsQueries {
         round(col(Model.TsCol), 6).as("ts"),
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
 
+  def hourOfTs(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""hour(timestamp(events{event_type="purchase"}))""", spark, dir))
+
+  def monthOfTs(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""month(timestamp(events{event_type="purchase"}))""", spark, dir))
+
   def countValuesQ(spark: SparkSession, dir: String): DataFrame =
     Eval("""count_values("v", floor(events{event_type="purchase"}))""", spark, dir)
       .select(col(Model.LabelsCol).getItem("v").as("v"),
@@ -520,6 +526,21 @@ object TsQueries {
        |  round(gt, 6) AS ts, round($interpExpr, 6) + 0.0 AS value
        |FROM w WHERE ord = 1""".stripMargin
 
+  /** Probe grid instants for a resampled purchase selector (series × grid),
+    * for value-is-the-timestamp function oracles. */
+  private def gtOnly(valueExpr: String): String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |series AS (SELECT DISTINCT event_type, props FROM s),
+       |gi AS (SELECT unnest(generate_series(0, $GridSteps)) AS i),
+       |g AS (SELECT event_type, props, (1704067200.0 + (i * 3600.0)) AS gt FROM series CROSS JOIN gi)
+       |SELECT event_type, props, round(gt, 6) AS ts, $valueExpr AS value FROM g""".stripMargin
+
+  def oracleHourOfTs: String =
+    gtOnly("CAST(CAST(floor(gt / 3600.0) AS BIGINT) % 24 AS DOUBLE)")
+
+  def oracleMonthOfTs: String =
+    gtOnly("CAST(date_part('month', make_timestamp(CAST(gt AS BIGINT) * 1000000)) AS DOUBLE)")
+
   def oracleCountValues: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -766,6 +787,8 @@ object TsQueries {
     "stddev_by" -> (stddevBy _),
     "label_replace" -> (labelReplaceQ _),
     "count_values" -> (countValuesQ _),
+    "hour_of_ts" -> (hourOfTs _),
+    "month_of_ts" -> (monthOfTs _),
     "avg_by" -> (avgBy _),
     "topk" -> (topk3 _),
     "quantile_by" -> (quantileBy _),
@@ -801,6 +824,8 @@ object TsQueries {
     "stddev_by" -> oracleStddevBy,
     "label_replace" -> oracleLabelReplace,
     "count_values" -> oracleCountValues,
+    "hour_of_ts" -> oracleHourOfTs,
+    "month_of_ts" -> oracleMonthOfTs,
     "avg_by" -> oracleAvgBy,
     "topk" -> oracleTopk3,
     "quantile_by" -> oracleQuantileBy,

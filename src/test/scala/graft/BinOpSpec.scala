@@ -195,4 +195,17 @@ class BinOpSpec extends SparkSpec {
     assert(perInstant.toSeq == Seq(nSeries.toDouble))
   }
 
+  test("time-component functions over timestamp()") {
+    import org.apache.spark.sql.functions._
+    // 2024-01-01T00:00:00Z is a Monday; epoch-day formula must say 1
+    val dow = Eval.run(collection, """day_of_week(timestamp(events{event_type="purchase"}))""", grid)
+    assert(dow.filter(col("ts") === 1704067200.0).select("value").distinct()
+      .as[Double].collect().toSeq == Seq(1.0))
+    val h = Eval.run(collection, """hour(timestamp(events{event_type="purchase"}))""", grid)
+      .filter(col("ts") === 1704070800.0) // T01:00Z
+    assert(h.select("value").distinct().as[Double].collect().toSeq == Seq(1.0))
+    val dim = Eval.run(collection, """days_in_month(timestamp(events{event_type="purchase"}))""", grid)
+    assert(dim.select("value").distinct().as[Double].collect().toSeq == Seq(31.0)) // January
+  }
+
 }
