@@ -108,6 +108,43 @@ object RangeAgg {
     overTime(samples, grid, overRange,
       v => sqrt(sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1)))))
 
+  /** `holt_winters(v[range], sf, tf)`: double exponential smoothing over the
+    * window's samples in time order (Prometheus funcHoltWinters recurrence:
+    * the trend update at step i>1 uses the two previous smoothed values and
+    * is applied BEFORE the new smoothed value). Windows with fewer than two
+    * samples emit no row. The fold runs as an `aggregate()` HOF over the
+    * sorted per-window sample array — window sizes are bounded by
+    * samples-per-range, and the identical expression tree is reproducible
+    * in the DuckDB oracle (list_reduce). */
+  def holtWinters(samples: DataFrame, grid: Grid, overRange: Double,
+                  sf: Double, tf: Double): DataFrame = {
+    val grouped = windowExplode(samples, grid, overRange)
+      .groupBy(col(Model.SkeyCol), col("__k__"))
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        sort_array(collect_list(struct(col(Model.TsCol).as("t"), col(Model.ValueCol).as("v"))))
+          .as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .withColumn("vs", transform(col("ps"), p => p("v")))
+    val vs = col("vs")
+    val n = size(vs)
+    val init = struct(
+      lit(1).as("i"), lit(0.0).as("p"),
+      element_at(vs, 1).as("s"),
+      (element_at(vs, 2) - element_at(vs, 1)).as("b"))
+    val value = aggregate(slice(vs, lit(2), n - 1), init,
+      (acc, x) => {
+        val bNew = when(acc("i") === 1, acc("b"))
+          .otherwise(lit(tf) * (acc("s") - acc("p")) + lit(1.0 - tf) * acc("b"))
+        struct(
+          (acc("i") + 1).as("i"), acc("s").as("p"),
+          (lit(sf) * x + lit(1.0 - sf) * (acc("s") + bNew)).as("s"),
+          bNew.as("b"))
+      },
+      acc => acc("s"))
+    grouped.select(col(Model.SkeyCol), col(Model.LabelsCol),
+      gridTs(grid).as(Model.TsCol), value.as(Model.ValueCol))
+  }
+
   /** `changes` / `resets`: adjacent-pair counts over the window's samples in
     * time order. One ordered window pass per (series, grid window) — the
     * explode already co-locates them, so the lag window needs no exchange

@@ -82,6 +82,22 @@ object Eval {
     case FuncCall("changes", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.changesOverTime)
     case FuncCall("resets", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.resetsOverTime)
 
+    case FuncCall("holt_winters", args, agg) =>
+      if (agg.isDefined) throw EvalException("'holt_winters' expects no aggregation")
+      args match {
+        case Seq(inner, ScalarLit(sf), ScalarLit(tf)) =>
+          if (sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1)
+            throw EvalException("holt_winters smoothing factors must be in (0, 1)")
+          eval(inner, collection, grid) match {
+            case UnprocessedVector(df, overRange, offset) =>
+              val shifted = offset.fold(df)(off =>
+                df.withColumn(Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
+              Processed(RangeAgg.holtWinters(shifted, grid, overRange, sf, tf))
+            case _ => throw EvalException("'holt_winters' requires a vectorized time series")
+          }
+        case _ => throw EvalException("'holt_winters' expects (range vector, scalar sf, scalar tf)")
+      }
+
     case FuncCall("predict_linear", args, agg) =>
       if (agg.isDefined) throw EvalException("'predict_linear' expects no aggregation")
       args match {

@@ -172,6 +172,19 @@ object TsQueries {
   def monthOfTs(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""month(timestamp(events{event_type="purchase"}))""", spark, dir))
 
+  /** Floor-based rounding on BOTH sides: with sf=0.5 the smoothing produces
+    * dyadic combinations of 2-decimal inputs — values that land EXACTLY on
+    * decimal rounding ties, where Spark's HALF_UP and DuckDB's round()
+    * disagree by construction. floor(x*1e6 + 0.5)/1e6 is plain IEEE
+    * arithmetic, bit-identical across engines. */
+  def holtWinters1d(spark: SparkSession, dir: String): DataFrame =
+    Eval("""holt_winters(events{event_type="purchase"}[1d], 0.5, 0.3)""", spark, dir)
+      .select(
+        col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        col(Model.LabelsCol).getItem("props").as("props"),
+        round(col(Model.TsCol), 6).as("ts"),
+        (floor(col(Model.ValueCol) * lit(1e6) + lit(0.5)) / lit(1e6)).as("value"))
+
   def countValuesQ(spark: SparkSession, dir: String): DataFrame =
     Eval("""count_values("v", floor(events{event_type="purchase"}))""", spark, dir)
       .select(col(Model.LabelsCol).getItem("v").as("v"),
@@ -465,15 +478,41 @@ object TsQueries {
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
   /** Shared sample→window CTE for the `*_over_time` oracle family. */
-  private def windowCte(where: String): String =
+  private def windowCte(where: String, range: Double = 3600.0): String =
     s"""${sCte(where)},
        |w AS (SELECT event_type, props, t, v,
        |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
-       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
-       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |    LEAST(CAST(floor((t - 1704067200.0 + $range) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + $range) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
        |  FROM s),
        |x AS (SELECT event_type, props, t, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
        |      FROM w WHERE greatest(klo, 0) <= khi)""".stripMargin
+
+  /** The Prometheus holt_winters recurrence as a list_reduce fold with
+    * LIST state `[i, p, s, b]` — DuckDB's struct-state lambdas mutate `acc`
+    * field-by-field mid-expression, lists don't. */
+  def oracleHoltWinters1d: String = {
+    val (sf, tf) = (0.5, 0.3)
+    s"""WITH ${windowCte("WHERE event_type = 'purchase'", 86400.0)},
+       |lv AS (SELECT event_type, props, k, list(v ORDER BY t) AS vs
+       |       FROM x GROUP BY 1, 2, 3),
+       |f AS (SELECT event_type, props, k,
+       |    list_reduce(
+       |      [[1.0::DOUBLE, 0.0::DOUBLE, vs[1]::DOUBLE, (vs[2] - vs[1])::DOUBLE]] ||
+       |        list_transform(vs[2:], y -> [y::DOUBLE]),
+       |      (acc, y) -> [
+       |        acc[1] + 1.0,
+       |        acc[3],
+       |        $sf * y[1] + (1 - $sf) * (acc[3] + (CASE WHEN acc[1] = 1.0 THEN acc[4] ELSE $tf * (acc[3] - acc[2]) + (1 - $tf) * acc[4] END)),
+       |        CASE WHEN acc[1] = 1.0 THEN acc[4] ELSE $tf * (acc[3] - acc[2]) + (1 - $tf) * acc[4] END
+       |      ]
+       |    )[3] AS hw
+       |  FROM lv WHERE len(vs) >= 2)
+       |SELECT event_type, props,
+       |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  floor(hw * 1e6 + 0.5) / 1e6 AS value
+       |FROM f""".stripMargin
+  }
 
   def oracleLastOverTime1h: String =
     s"""WITH ${windowCte("WHERE event_type = 'purchase'")}
@@ -789,6 +828,7 @@ object TsQueries {
     "count_values" -> (countValuesQ _),
     "hour_of_ts" -> (hourOfTs _),
     "month_of_ts" -> (monthOfTs _),
+    "holt_winters_1d" -> (holtWinters1d _),
     "avg_by" -> (avgBy _),
     "topk" -> (topk3 _),
     "quantile_by" -> (quantileBy _),
@@ -826,6 +866,7 @@ object TsQueries {
     "count_values" -> oracleCountValues,
     "hour_of_ts" -> oracleHourOfTs,
     "month_of_ts" -> oracleMonthOfTs,
+    "holt_winters_1d" -> oracleHoltWinters1d,
     "avg_by" -> oracleAvgBy,
     "topk" -> oracleTopk3,
     "quantile_by" -> oracleQuantileBy,

@@ -208,4 +208,39 @@ class BinOpSpec extends SparkSpec {
     assert(dim.select("value").distinct().as[Double].collect().toSeq == Seq(31.0)) // January
   }
 
+  test("holt_winters: constant series is a fixed point; matches the scalar recurrence") {
+    import org.apache.spark.sql.functions._
+    // constant series → smoothed value is the constant
+    val const = Model.withSkey(
+      Seq.tabulate(10)(i => (1704067200.0 + i * 600.0, 42.0)).toDF("ts", "value")
+        .withColumn("labels", map(lit("__name__"), lit("c"))))
+    val hw = operators.RangeAgg.holtWinters(const,
+      operators.Grid(1704067200.0, 1704074400.0, 3600.0), 3600.0, 0.5, 0.3)
+    assert(hw.count() > 0)
+    assert(hw.filter(abs(col("value") - 42.0) > 1e-12).count() == 0)
+    // scalar reference recurrence (Prometheus funcHoltWinters shape)
+    def ref(vs: Seq[Double], sf: Double, tf: Double): Double = {
+      var (s0, s1, b) = (0.0, vs(0), vs(1) - vs(0))
+      for (i <- 1 until vs.length) {
+        val x = sf * vs(i)
+        b = if (i - 1 == 0) b else tf * (s1 - s0) + (1 - tf) * b
+        val y = (1 - sf) * (s1 + b)
+        s0 = s1; s1 = x + y
+      }
+      s1
+    }
+    val vs = Seq(3.0, 7.0, 2.0, 9.0, 4.0)
+    val lin = Model.withSkey(
+      vs.zipWithIndex.map { case (v, i) => (1704067200.0 + 600.0 + i * 600.0, v) }
+        .toDF("ts", "value")
+        .withColumn("labels", map(lit("__name__"), lit("m"))))
+    val out = operators.RangeAgg.holtWinters(lin,
+      operators.Grid(1704067200.0, 1704070800.0, 3600.0), 3600.0, 0.4, 0.2)
+      .filter(col("ts") === 1704070800.0)
+      .select("value").as[Double].head()
+    assert(math.abs(out - ref(vs, 0.4, 0.2)) < 1e-12, s"$out vs ${ref(vs, 0.4, 0.2)}")
+    // <2 samples in window → no row
+    intercept[Eval.EvalException](Eval.run(collection, "holt_winters(events[1h], 1.5, 0.3)", grid))
+  }
+
 }
