@@ -42,10 +42,16 @@ object Winnow {
   private val Window = 4
 
   /** 8-gram hashes (`substring(t, i, 8)` semantics, incl. the short-text
-    * single-gram case), window-of-4 minima, distinct, in one pass. */
+    * single-gram case), window-of-4 minima, distinct, in one pass.
+    *
+    * Grams are sliced by Unicode CODE POINTS, not UTF-16 code units —
+    * DuckDB's `substr` (the oracle formulation) counts code points, and
+    * supplementary-plane characters (emoji etc.) would otherwise shift gram
+    * boundaries and split surrogate pairs into invalid UTF-8. */
   def compute(s: UTF8String): ArrayData = {
     val str = s.toString
-    val n = str.length
+    val cps = str.codePoints().toArray
+    val n = cps.length
     val positions = math.max(n - (Gram - 1), 1)
     val hs = new Array[Long](positions)
     val md = MessageDigest.getInstance("MD5")
@@ -53,7 +59,7 @@ object Winnow {
     while (i < positions) {
       md.reset()
       val end = math.min(i + Gram, n)
-      val d = md.digest(str.substring(i, end).getBytes(StandardCharsets.UTF_8))
+      val d = md.digest(new String(cps, i, end - i).getBytes(StandardCharsets.UTF_8))
       // big-endian top 8 bytes >>> 4 == first 15 hex digits as base-16 int
       val top =
         ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |

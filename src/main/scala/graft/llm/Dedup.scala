@@ -10,10 +10,17 @@ import org.apache.spark.sql.types._
   *  - never an all-pairs compare: every candidate generation step shuffles on
   *    a bounded key (content hash, LSH band hash, SimHash band) and joins only
   *    within buckets;
+  *  - per-document features (gram sets, minhash signatures, simhash
+  *    fingerprints) are computed IN-ROW — a document's grams all live in its
+  *    own `text` column, so the explode → groupBy(doc_id) → collect round
+  *    trip is a wasted full shuffle of the gram corpus. Signature extraction
+  *    here is map-only; the only wide dependencies are the bucket groupBys
+  *    over (band, hash) keys and small candidate-pair joins;
   *  - all hashing is md5-derived (reproducible in any engine — the DuckDB
   *    oracle replicates each algorithm bit-for-bit);
-  *  - all heavy lifting is exploded long-form + groupBy (map-side partial
-  *    aggregation), no UDFs, no driver-side state.
+  *  - no UDFs: higher-order functions + native codegen'd expressions
+  *    ([[graft.functions.MinHash60]], [[graft.functions.SimHash60]],
+  *    [[graft.functions.Hash60Array]]).
   */
 object Dedup {
 
@@ -28,17 +35,37 @@ object Dedup {
     expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
   }
 
-  /** Distinct word n-grams per document: (doc_id, g). */
-  def wordNgrams(docs: DataFrame, n: Int): DataFrame = {
-    val grams = docs
-      .withColumn("tk", tokens(col("text")))
-      .withColumn("g", explode(
-        when(size(col("tk")) >= n,
-          expr(s"transform(sequence(1, size(tk) - ${n - 1}), i -> " +
-            (1 to n).map(j => s"element_at(tk, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")") + ")"))
-          .otherwise(array().cast(ArrayType(StringType)))))
-    grams.select(col("doc_id"), col("g")).distinct()
+  /** Adds `gs`: the document's DISTINCT word n-gram set, computed in-row
+    * (token array → sliding concat → array_distinct; no shuffle). */
+  def withGramSet(docs: DataFrame, n: Int): DataFrame = {
+    val gram = (1 to n).map(j => s"element_at(__tk__, i + ${j - 1})")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs.withColumn("__tk__", tokens(col("text")))
+      .withColumn("gs",
+        when(size(col("__tk__")) >= n,
+          array_distinct(expr(s"transform(sequence(1, size(__tk__) - ${n - 1}), i -> $gram)")))
+          .otherwise(array().cast(ArrayType(StringType))))
+      .drop("__tk__")
   }
+
+  /** Raw (duplicate-carrying) word n-grams, long form: (doc_id, g). The
+    * in-row distinct set is NOT exploded here on purpose: Spark evaluates
+    * `explode(array_distinct(...))` an order of magnitude slower than the
+    * raw generator (measured 17 s vs 1.6 s on sf0.1 documents) — consumers
+    * dedup in their aggregation instead (`collect_set`, `distinct`). */
+  private def rawNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val gram = (1 to n).map(j => s"element_at(__tk__, i + ${j - 1})")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs.withColumn("__tk__", tokens(col("text")))
+      .select(col("doc_id"), explode(
+        when(size(col("__tk__")) >= n,
+          expr(s"transform(sequence(1, size(__tk__) - ${n - 1}), i -> $gram)"))
+          .otherwise(array().cast(ArrayType(StringType)))).as("g"))
+  }
+
+  /** Distinct word n-grams per document, long form: (doc_id, g). */
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame =
+    rawNgrams(docs, n).distinct()
 
   /** Exact dedup: hash of normalized text → keep lowest doc_id per group.
     * Shuffles on the hash (bounded key), not the full text. */
@@ -50,19 +77,22 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index: join per
     * gram (postings capped at `maxDf` to bound skew — at corpus scale the
-    * head grams carry no signal), count common grams, Jaccard from set
-    * sizes. Output: (doc_a, doc_b, jaccard) with jaccard >= minJaccard. */
+    * head grams carry no signal), count common grams, Jaccard from the
+    * in-row set sizes. Output: (doc_a, doc_b, jaccard), jaccard >= minJaccard. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.3,
                    maxDf: Long = 1000): DataFrame = {
-    val grams = wordNgrams(docs, n)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // Inverted index as ONE groupBy-per-gram posting list (was a window-count
-    // + self-join: the join's two branches recompute the whole gram pipeline
-    // because column pruning defeats ReuseExchange). Ordered pairs explode
-    // from each posting list; `maxDf` both caps skew AND bounds the per-row
-    // pair fan-out (a df-capped list explodes to at most maxDf² pairs).
-    val common = grams.groupBy("g")
-      .agg(collect_list("doc_id").as("ds"))
+    // set sizes come from the in-row gram set — a pure projection, no shuffle
+    val sizes = withGramSet(docs, n)
+      .select(col("doc_id"), size(col("gs")).cast(LongType).as("sz"))
+    // Inverted index as ONE groupBy-per-gram posting list; `collect_set`
+    // dedups each doc's repeated grams inside the (map-side partial)
+    // aggregation, replacing the r3 cross-row distinct shuffle. Ordered
+    // pairs explode from each posting list; `maxDf` both caps skew AND
+    // bounds the per-row pair fan-out (a df-capped list explodes to at most
+    // maxDf² pairs).
+    val common = rawNgrams(docs, n)
+      .groupBy("g")
+      .agg(collect_set("doc_id").as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds"), explode(col("ds")).as("da"))
       .select(col("da"), explode(col("ds")).as("db"))
@@ -80,34 +110,38 @@ object Dedup {
   }
 
   /** MinHash signatures: k md5-seeded permutation mins over the distinct
-    * n-gram set — ONE shuffle on doc_id, then the native single-pass
+    * n-gram set — map-only: the in-row gram set feeds the native single-pass
     * [[graft.functions.MinHash60]] expression (bit-identical to the k-pass
-    * HOF/SQL formulation the oracle uses). Returns (doc_id, sig array<long>). */
+    * HOF/SQL formulation the oracle uses; the min is invariant to gram
+    * order). Returns (doc_id, sig array<long>). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     graft.functions.MinHash60.register(docs.sparkSession)
-    wordNgrams(docs, n)
-      .groupBy("doc_id").agg(collect_list("g").as("gs"))
+    withGramSet(docs, n)
       .select(col("doc_id"), expr(s"graft_minhash(gs, $k)").as("sig"))
   }
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `k/bands` rows; docs sharing any band-hash become candidates; candidates
-    * are verified with the exact n-gram Jaccard. The shuffle key is
-    * (band index, band hash) — never all-pairs. */
+    * are verified with the exact n-gram Jaccard. The ONLY shuffles are the
+    * (band, band-hash) bucket groupBy and the candidate distinct — signature
+    * extraction and verification gram sets are in-row, so the gram corpus is
+    * never shuffled. Candidate joins are small (near-dup rate × corpus) and
+    * AQE broadcasts them against the map-side gram-set scan.
+    *
+    * Pairs whose gram sets share nothing only surface when minJaccard <= 0
+    * (they score 0.0). */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
                  minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(docs, n, k)
-    val banded = sigs.select(col("doc_id"),
+    val perDoc = minhashSignatures(docs, n, k)
+    val banded = perDoc.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b as band, md5(array_join(transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), ',')) as bkey))")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Candidates per LSH bucket via groupBy + ordered-pair explode (ONE
-    // signature-pipeline pass — the former self-join recomputed it per branch;
-    // ReuseExchange can't rescue a self-join whose branches prune differently).
-    // A bucket with more than `maxBucket` members is degenerate (everything
-    // near-dups everything); dropping it bounds the O(B²) fan-out — the skew
-    // guard a 100 TB corpus needs against adversarial/boilerplate buckets.
+    // Candidates per LSH bucket via groupBy + ordered-pair explode. A bucket
+    // with more than `maxBucket` members is degenerate (everything near-dups
+    // everything); dropping it bounds the O(B²) fan-out — the skew guard a
+    // 100 TB corpus needs against adversarial/boilerplate buckets.
     val cand = banded.groupBy("band", "bkey")
       .agg(collect_list("doc_id").as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
@@ -115,76 +149,84 @@ object Dedup {
         "flatten(transform(ds, a -> transform(filter(ds, b -> a < b), b -> struct(a as doc_a, b as doc_b))))")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over the gram sets
-    val grams = wordNgrams(docs, n)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = cand
-      .join(grams.toDF("doc_a", "g"), "doc_a")
-      .join(grams.toDF("doc_b", "g"), Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    cand.join(common, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+    // verify candidates against the exact in-row gram sets: two joins of the
+    // small candidate table against the map-side scan, intersection size via
+    // array_intersect — zero gram-corpus shuffles.
+    val gsets = withGramSet(docs, n).select(col("doc_id"), col("gs"))
+    cand
+      .join(gsets.select(col("doc_id").as("doc_a"), col("gs").as("__ga__")), "doc_a")
+      .join(gsets.select(col("doc_id").as("doc_b"), col("gs").as("__gb__")), "doc_b")
+      .withColumn("common", size(array_intersect(col("__ga__"), col("__gb__"))).cast(LongType))
       .withColumn("jaccard",
         round(col("common").cast(DoubleType) /
-          (col("sza") + col("szb") - col("common")).cast(DoubleType), 6))
+          (size(col("__ga__")) + size(col("__gb__")) - col("common")).cast(DoubleType), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
-    * pair graph via min-label propagation — each doc converges to the
-    * smallest doc_id reachable from it. The step a production dedup
-    * pipeline runs after pair generation (keep one doc per cluster).
+    * pair graph — each doc converges to the smallest doc_id reachable from
+    * it. The step a production dedup pipeline runs after pair generation
+    * (keep one doc per cluster).
     *
-    * Iterative Spark shape: labels(doc) = min(label(doc), min over
-    * neighbors) per round; `localCheckpoint` truncates the lineage each
-    * round (20 rounds of joins would otherwise build an exponential plan),
-    * and the loop stops when a round changes nothing. Convergence needs at
-    * most diameter(graph) rounds; near-dup clusters are shallow. Returns
-    * (doc_id, cluster). */
+    * Iterative Spark shape: per round, ONE hop of neighbor min-propagation
+    * followed by ONE pointer-doubling step (cluster := cluster(cluster)),
+    * so label information moves two hops per round — half the rounds of
+    * plain propagation on chain-shaped components. Each round's frame is
+    * checkpointed to truncate lineage (20 rounds of joins would otherwise
+    * build an exponential plan): RELIABLY (HDFS/object store) when
+    * `SparkContext.setCheckpointDir` is configured — the cluster-safe mode,
+    * surviving executor loss — falling back to `localCheckpoint` for
+    * single-JVM tools where executor loss means process death anyway.
+    * Convergence needs at most ~log2(diameter)+1 rounds; near-dup clusters
+    * are shallow. Returns (doc_id, cluster). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
+    val sc = pairs.sparkSession.sparkContext
+    def ckpt(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")))
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (!converged && iter < maxIters) {
       val nbr = edges.join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nc").as("nbr"))
-      // old label rides along so change detection is a filter over the
-      // checkpointed frame, not another join
-      val next = labels.join(nbr, Seq("doc_id"), "left")
+      // the round-start label rides along as __old__ so convergence detection
+      // is a filter over the checkpointed frame, not another join
+      val hop = ckpt(labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          col("cluster").as("__old__"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("__old__")).count()
+          col("cluster").as("__old__")))
+      val ptr = hop.select(col("doc_id").as("__cid__"), col("cluster").as("__cc__"))
+      val next = ckpt(hop.join(ptr, hop("cluster") === ptr("__cid__"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("__cc__"), col("cluster"))).as("cluster"),
+          col("__old__")))
+      converged = next.filter(col("cluster") =!= col("__old__")).isEmpty
       labels = next.drop("__old__")
       iter += 1
     }
     labels
   }
 
-  /** 60-bit SimHash over distinct word tokens; near-dup pairs via 4 bands of
-    * 15 bits (any equal band → candidate) verified by Hamming distance. */
+  /** 60-bit SimHash over distinct word tokens — map-only: in-row token
+    * hashing ([[graft.functions.Hash60Array]]) feeding ONE codegen'd pass
+    * maintaining all 60 bit counters ([[graft.functions.SimHash60]]).
+    * Per-bit integer sums are order-independent: identical fingerprints to
+    * the portable 60-pass HOF/SQL definition the oracle uses. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    // One shuffle on doc_id, then ONE codegen'd pass over the token-hash
-    // array maintaining all 60 bit counters (graft.functions.SimHash60).
-    // Per-bit integer sums are order-independent: identical fingerprints to
-    // the portable 60-pass HOF/SQL definition the oracle uses.
     graft.functions.SimHash60.register(docs.sparkSession)
-    val toks = docs.withColumn("t", explode(array_distinct(tokens(col("text")))))
-      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
-    toks.groupBy("doc_id").agg(collect_list("h").as("hs"))
+    graft.functions.Hash60Array.register(docs.sparkSession)
+    docs.withColumn("__ts__", array_distinct(tokens(col("text"))))
       .select(col("doc_id"),
-        expr(s"${graft.functions.SimHash60.FunctionName}(hs)").as("fp"))
+        expr(s"${graft.functions.SimHash60.FunctionName}(" +
+          s"${graft.functions.Hash60Array.FunctionName}(__ts__))").as("fp"))
   }
 
+  /** Near-dup pairs via 4 bands of 15 bits (any equal band → candidate)
+    * verified by Hamming distance. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6, maxBucket: Int = 10000): DataFrame = {
     val fps = simhashFingerprints(docs)
     val banded = fps.select(col("doc_id"), col("fp"),

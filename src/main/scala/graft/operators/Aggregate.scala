@@ -51,9 +51,16 @@ object Aggregate {
     * interpolation — the identical `lo + (hi - lo) * frac` formula as
     * Spark's `percentile` aggregate and DuckDB's `quantile_cont`, but ~2×
     * faster here (group sizes are series counts — collecting a small array
-    * beats the generic ObjectHashAggregate percentile state). */
+    * beats the generic ObjectHashAggregate percentile state).
+    *
+    * Out-of-range q follows Prometheus: q < 0 → -Inf, q > 1 → +Inf, NaN →
+    * NaN for every group (guards Spark's negative-index `element_at`, which
+    * would otherwise silently read from the END of the sorted array). */
   def quantileBy(df: DataFrame, q: Double, by: Seq[String]): DataFrame =
-    aggBy(df, by, v => {
+    if (q.isNaN) aggBy(df, by, _ => min(lit(Double.NaN)))
+    else if (q < 0) aggBy(df, by, _ => min(lit(Double.NegativeInfinity)))
+    else if (q > 1) aggBy(df, by, _ => min(lit(Double.PositiveInfinity)))
+    else aggBy(df, by, v => {
       val arr = sort_array(collect_list(v))
       val n = size(arr)
       val pos = (n - 1).cast(org.apache.spark.sql.types.DoubleType) * lit(q)

@@ -97,26 +97,36 @@ object BinOps {
         map_filter(col(Model.LabelsCol), (k, _) => !array_contains(lit(dropped.toArray), k))
     }
 
-  /** vector ⊗ vector, one-to-one: inner join on `(match-key, ts)`. Output
-    * labels are the match labels. */
+  /** vector ⊗ vector, one-to-one: inner join on `(match-key, ts)`.
+    * Arithmetic / bool-comparison output labels are the MATCH labels;
+    * filter-form comparisons pass surviving LHS series through UNCHANGED
+    * (original metric name and labels), as Prometheus does. */
   def vectorVector(lhs: DataFrame, rhs: DataFrame, op: String,
                    on: Option[Seq[String]], ignoring: Option[Seq[String]],
                    boolMod: Boolean): DataFrame = {
     val mm = matchMap(on, ignoring)
-    val l = lhs.select(Model.canonicalKey(mm).as(Model.SkeyCol), mm.as(Model.LabelsCol),
+    // join key is the canonical match key; the LHS's own skey/labels ride
+    // along so the filter form can return the untouched input series
+    val l = lhs.select(Model.canonicalKey(mm).as("__mkey__"), mm.as("__ml__"),
+      col(Model.SkeyCol), col(Model.LabelsCol),
       col(Model.TsCol), col(Model.ValueCol).as("__lv__"))
-    val r = rhs.select(Model.canonicalKey(mm).as(Model.SkeyCol),
+    val r = rhs.select(Model.canonicalKey(mm).as("__mkey__"),
       col(Model.TsCol), col(Model.ValueCol).as("__rv__"))
-    val joined = l.join(r, Seq(Model.SkeyCol, Model.TsCol))
-    val out =
-      if (Ops.isCmp(op)) {
-        val c = cmp(op, col("__lv__"), col("__rv__"))
-        if (boolMod) joined.withColumn(Model.ValueCol, when(c, lit(1.0)).otherwise(lit(0.0)))
-        else joined.filter(c).withColumn(Model.ValueCol, col("__lv__"))
-      } else {
-        joined.withColumn(Model.ValueCol, arith(op, col("__lv__"), col("__rv__")))
-      }
-    out.select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
+    val joined = l.join(r, Seq("__mkey__", Model.TsCol))
+    def matchLabeled(df: DataFrame): DataFrame =
+      df.select(col("__mkey__").as(Model.SkeyCol), col("__ml__").as(Model.LabelsCol),
+        col(Model.TsCol), col(Model.ValueCol))
+    if (Ops.isCmp(op)) {
+      val c = cmp(op, col("__lv__"), col("__rv__"))
+      if (boolMod)
+        matchLabeled(joined.withColumn(Model.ValueCol, when(c, lit(1.0)).otherwise(lit(0.0))))
+      else // filter form: original LHS series, value included
+        joined.filter(c)
+          .select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol),
+            col("__lv__").as(Model.ValueCol))
+    } else {
+      matchLabeled(joined.withColumn(Model.ValueCol, arith(op, col("__lv__"), col("__rv__"))))
+    }
   }
 
   /** `and` / `unless` / `or` set operators: semi/anti joins on

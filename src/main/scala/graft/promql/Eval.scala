@@ -213,8 +213,6 @@ object Eval {
       mapValues(v, collection, grid)(c =>
         org.apache.spark.sql.functions.least(c, org.apache.spark.sql.functions.lit(m)))
 
-    case b: BinOp => evalBinOp(b, collection, grid)
-
     case FuncCall("histogram_quantile", args, agg) =>
       if (args.length != 2)
         throw EvalException(s"'histogram_quantile' needs exactly 2 arguments, got ${args.length}")

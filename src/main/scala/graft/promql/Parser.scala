@@ -62,6 +62,15 @@ object Parser {
       } else if (c.isDigit || (c == '.' && i + 1 < n && q(i + 1).isDigit)) {
         val start = i
         while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
+        // exponent suffix: 1e3, 1.5e-2, 2E+5 (duration units never use 'e',
+        // so `5m`-style tokens are unaffected)
+        if (i < n && (q(i) == 'e' || q(i) == 'E')) {
+          val j = if (i + 1 < n && (q(i + 1) == '+' || q(i + 1) == '-')) i + 2 else i + 1
+          if (j < n && q(j).isDigit) {
+            i = j
+            while (i < n && q(i).isDigit) i += 1
+          }
+        }
         out += Num(q.substring(start, i))
       } else if (c == '"' || c == '\'') {
         val quoteChar = c
@@ -178,8 +187,21 @@ object Parser {
     val base = parseAtom(st)
     if (st.peek.contains(Sym("^"))) { // right-associative
       st.next(); val m = parseMods(st, "^")
-      BinOp("^", base, parsePow(st), m.on, m.ignoring, boolMod = false)
+      BinOp("^", base, parsePowRhs(st), m.on, m.ignoring, boolMod = false)
     } else base
+  }
+
+  /** The exponent of `^` may carry a unary sign (`2^-1` is valid PromQL)
+    * even though `^` binds tighter than unary minus on its LEFT. */
+  private def parsePowRhs(st: State): Node = st.peek match {
+    case Some(Sym("-")) =>
+      st.next()
+      parsePowRhs(st) match {
+        case ScalarLit(v) => ScalarLit(-v)
+        case n => BinOp("-", ScalarLit(0.0), n, None, None, boolMod = false)
+      }
+    case Some(Sym("+")) => st.next(); parsePowRhs(st)
+    case _ => parsePow(st)
   }
 
   private def parseAtom(st: State): Node = st.peek match {
