@@ -21,7 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 final case class Hash60Array(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements hash to null, so nullability mirrors the input array's —
+  // the registered SQL function (graft_hash60s) is callable on arbitrary
+  // arrays, not just the null-free token arrays the dedup pipeline builds
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(LongType, containsNull)
+    case _ => ArrayType(LongType, containsNull = false)
+  }
   override def prettyName: String = Hash60Array.FunctionName
 
   override def nullSafeEval(input: Any): Any =
@@ -38,22 +44,36 @@ final case class Hash60Array(child: Expression) extends UnaryExpression {
 object Hash60Array {
   val FunctionName = "graft_hash60s"
 
+  private def hashOne(md: MessageDigest, xs: ArrayData, i: Int): Long = {
+    md.reset()
+    val d = md.digest(xs.getUTF8String(i).getBytes) // UTF-8 bytes
+    val top =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4 // first 15 hex digits as a base-16 integer
+  }
+
   def compute(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
-    val out = new Array[Long](n)
     val md = MessageDigest.getInstance("MD5")
+    var hasNull = false
     var i = 0
-    while (i < n) {
-      md.reset()
-      val d = md.digest(xs.getUTF8String(i).getBytes) // UTF-8 bytes
-      val top =
-        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
-          ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-      out(i) = top >>> 4 // first 15 hex digits as a base-16 integer
-      i += 1
+    while (i < n && !hasNull) { hasNull = xs.isNullAt(i); i += 1 }
+    if (!hasNull) { // primitive fast path — the dedup hot loop never boxes
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = hashOne(md, xs, i); i += 1 }
+      new GenericArrayData(out)
+    } else { // null elements pass through as null
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (xs.isNullAt(i)) null else hashOne(md, xs, i)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -25,6 +25,8 @@ final case class SimHash60(child: Expression) extends UnaryExpression {
     var i = 0
     val n = hs.numElements()
     while (i < n) {
+      if (hs.isNullAt(i)) { i += 1 }
+      else {
       val h = hs.getLong(i)
       var j = 0
       while (j < 60) {

@@ -128,12 +128,15 @@ object Dedup {
     * never shuffled. Candidate joins are small (near-dup rate × corpus) and
     * AQE broadcasts them against the map-side gram-set scan.
     *
-    * Pairs whose gram sets share nothing only surface when minJaccard <= 0
-    * (they score 0.0). */
+    * Docs with fewer than n tokens have an EMPTY gram set and hence an empty
+    * MinHash signature; they are dropped before banding — otherwise every
+    * such doc would share the md5("") band key and one degenerate bucket per
+    * band (up to maxBucket² pair fan-out × bands). Matches the oracle, where
+    * gram-less docs never produce signature rows. */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
                  minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val r = k / bands
-    val perDoc = minhashSignatures(docs, n, k)
+    val perDoc = minhashSignatures(docs, n, k).filter(size(col("sig")) > 0)
     val banded = perDoc.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b as band, md5(array_join(transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), ',')) as bkey))")).as("bk"))
@@ -215,11 +218,17 @@ object Dedup {
     * hashing ([[graft.functions.Hash60Array]]) feeding ONE codegen'd pass
     * maintaining all 60 bit counters ([[graft.functions.SimHash60]]).
     * Per-bit integer sums are order-independent: identical fingerprints to
-    * the portable 60-pass HOF/SQL definition the oracle uses. */
+    * the portable 60-pass HOF/SQL definition the oracle uses.
+    *
+    * Zero-token docs (no [a-z0-9] characters at all) are EXCLUDED rather
+    * than fingerprinted as 0 — an all-zero fingerprint would band every such
+    * doc together and emit hamming-0 "duplicate" pairs; the oracle's
+    * token-level CTE likewise produces no rows for them. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     graft.functions.SimHash60.register(docs.sparkSession)
     graft.functions.Hash60Array.register(docs.sparkSession)
     docs.withColumn("__ts__", array_distinct(tokens(col("text"))))
+      .filter(size(col("__ts__")) > 0)
       .select(col("doc_id"),
         expr(s"${graft.functions.SimHash60.FunctionName}(" +
           s"${graft.functions.Hash60Array.FunctionName}(__ts__))").as("fp"))
