@@ -25,13 +25,13 @@ final case class SimHash60(child: Expression) extends UnaryExpression {
     var i = 0
     val n = hs.numElements()
     while (i < n) {
-      if (hs.isNullAt(i)) { i += 1 }
-      else {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < 60) {
-        counts(j) += (((h >> j) & 1L) * 2 - 1).toInt
-        j += 1
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 60) {
+          counts(j) += (((h >> j) & 1L) * 2 - 1).toInt
+          j += 1
+        }
       }
       i += 1
     }
@@ -51,6 +51,7 @@ final case class SimHash60(child: Expression) extends UnaryExpression {
       s"""
          |int[] $counts = new int[60];
          |for (int $i = 0; $i < $hs.numElements(); $i++) {
+         |  if ($hs.isNullAt($i)) continue;
          |  long $h = $hs.getLong($i);
          |  for (int $j = 0; $j < 60; $j++) {
          |    $counts[$j] += (int) ((($h >> $j) & 1L) * 2 - 1);

@@ -159,6 +159,41 @@ class LlmSpec extends SparkSpec {
     assert(mbHof.head().getSeq[Long](0) == mbNat.head().getSeq[Long](0))
   }
 
+  test("graft_hash60s/graft_simhash: null elements and empty arrays agree across eval paths") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    graft.functions.Hash60Array.register(spark)
+    graft.functions.SimHash60.register(spark)
+
+    // codegen path (WholeStageCodegen over a DataFrame select)
+    val out = spark.sql(
+      """SELECT id, graft_hash60s(toks) AS hs, graft_simhash(graft_hash60s(toks)) AS fp
+        |FROM VALUES (1L, array('a','b')),
+        |            (2L, array(cast(null as string))),
+        |            (3L, array('a', cast(null as string))) AS t(id, toks)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getSeq[Any](1)(1) == null)       // null element hashes to null
+    assert(!out(1L).getSeq[Any](1).contains(null))
+    // null slots are SKIPPED (not read as 0): fp([h(a), null]) == fp([h(a)])
+    val fpA = spark.sql("SELECT graft_simhash(graft_hash60s(array('a')))").head.getLong(0)
+    assert(out(3L).getLong(2) == fpA)
+    assert(out(2L).getLong(2) == 0L)                // all-null array -> zero fingerprint
+
+    // interpreted path: direct Expression.eval must match the codegen result
+    val hsExpr = graft.functions.Hash60Array(
+      Literal.create(Seq("a", null), ArrayType(StringType, containsNull = true)))
+    val hs = hsExpr.eval().asInstanceOf[ArrayData]
+    assert(hs.isNullAt(1) && !hs.isNullAt(0))
+    val fpInterp = graft.functions.SimHash60(
+      Literal(hs, ArrayType(LongType, containsNull = true))).eval()
+    assert(fpInterp == out(3L).getLong(2))
+    // empty array, interpreted
+    val fpEmpty = graft.functions.SimHash60(
+      Literal(ArrayData.toArrayData(Array.empty[Long]), ArrayType(LongType))).eval()
+    assert(fpEmpty == 0L)
+  }
+
   test("duplicateClusters: multi-hop chain collapses to one cluster; disjoint stay apart") {
     import spark.implicits._
     // chain 10-11-12-...-19 (diameter 9) + separate pair (100, 101)
