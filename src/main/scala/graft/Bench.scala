@@ -24,21 +24,48 @@ object Bench {
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    // Queries must not inherit each other's heap: operators that checkpoint
+    // (duplicateClusters) leave their final frame persisted, and 50+ queries
+    // of leftovers turn into GC stalls attributed to whichever query runs
+    // when the heap finally fills. Drop everything between queries.
+    def clearState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration); the
+    // driver never sets it, so the published line always covers every query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): Double = {
+        clearState()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       // best of 2: the first run pays codegen/compile warmup; min is the
-      // stable per-query signal
+      // stable per-query signal. GC time is attributed across both runs so a
+      // stall shows up next to the query it hit (stderr only — the stdout
+      // JSON line keeps the driver's schema).
+      val gc0 = gcMillis()
       val a = once()
       val secs = if (a < 0) a else math.min(a, once())
+      gcPerQuery(name) = (gcMillis() - gc0) / 1e3
       name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val gcTotal = gcPerQuery.values.sum
+    val gcHot = gcPerQuery.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")
+    System.err.println(f"[bench] gc total $gcTotal%.2fs; top: $gcHot")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

@@ -81,18 +81,25 @@ object Dedup {
     * in-row set sizes. Output: (doc_a, doc_b, jaccard), jaccard >= minJaccard. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.3,
                    maxDf: Long = 1000): DataFrame = {
-    // set sizes come from the in-row gram set — a pure projection, no shuffle
-    val sizes = withGramSet(docs, n)
-      .select(col("doc_id"), size(col("gs")).cast(LongType).as("sz"))
     // Inverted index as ONE groupBy-per-gram posting list; `collect_set`
     // dedups each doc's repeated grams inside the (map-side partial)
-    // aggregation, replacing the r3 cross-row distinct shuffle. Ordered
-    // pairs explode from each posting list; `maxDf` both caps skew AND
-    // bounds the per-row pair fan-out (a df-capped list explodes to at most
-    // maxDf² pairs).
-    val common = rawNgrams(docs, n)
+    // aggregation, replacing the r3 cross-row distinct shuffle.
+    val postings = rawNgrams(docs, n)
       .groupBy("g")
       .agg(collect_set("doc_id").as("ds"))
+    // Per-doc distinct gram counts fall out of the SAME posting aggregation
+    // (each (gram, doc) pair appears exactly once across posting lists) —
+    // no second corpus scan / tokenize pass and no per-row array_distinct
+    // materialization; ReuseExchange shares the groupBy(g) shuffle between
+    // the two consumers, and the count's map-side combine collapses the
+    // extra shuffle to ~one row per doc per partition.
+    val sizes = postings
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
+    // Ordered pairs explode from each posting list; `maxDf` both caps skew
+    // AND bounds the per-row pair fan-out (a df-capped list explodes to at
+    // most maxDf² pairs).
+    val common = postings
       .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds"), explode(col("ds")).as("da"))
       .select(col("da"), explode(col("ds")).as("db"))
@@ -129,17 +136,25 @@ object Dedup {
     * AQE broadcasts them against the map-side gram-set scan.
     *
     * Docs with fewer than n tokens have an EMPTY gram set and hence an empty
-    * MinHash signature; they are dropped before banding — otherwise every
-    * such doc would share the md5("") band key and one degenerate bucket per
-    * band (up to maxBucket² pair fan-out × bands). Matches the oracle, where
-    * gram-less docs never produce signature rows. */
+    * MinHash signature; they are dropped at the banding step — otherwise
+    * every such doc would share the md5("") band key and one degenerate
+    * bucket per band (up to maxBucket² pair fan-out × bands). Matches the
+    * oracle, where gram-less docs never produce signature rows.
+    *
+    * The drop is expressed IN the band generator (`when` → NULL → explode
+    * emits nothing), NOT as a Filter: a `filter(size(sig) > 0)` gets
+    * predicate-pushed below the signature projection, re-evaluating the
+    * whole tokenize→gram→minhash chain per row outside codegen (measured
+    * 2.4× on the signature stage, 1.8 s → 10.3 s on the sf0.1 query). The
+    * guard references `sig` twice, so CollapseProject keeps the signature
+    * projection separate and it is computed once. */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
                  minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val r = k / bands
-    val perDoc = minhashSignatures(docs, n, k).filter(size(col("sig")) > 0)
+    val perDoc = minhashSignatures(docs, n, k)
     val banded = perDoc.select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"struct(b as band, md5(array_join(transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), ',')) as bkey))")).as("bk"))
+        explode(when(size(col("sig")) > 0, expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b as band, md5(array_join(transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), ',')) as bkey))"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // Candidates per LSH bucket via groupBy + ordered-pair explode. A bucket
     // with more than `maxBucket` members is degenerate (everything near-dups
@@ -185,11 +200,23 @@ object Dedup {
     * are shallow. Returns (doc_id, cluster). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    def ckpt(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Each round's frame is checkpointed eagerly; once the NEXT round's frame
+    // is materialized, the previous one is dead weight — ~2·maxIters cached
+    // RDDs (the r4 bench's slow heap leak) unless released. Track the RDD ids
+    // each ckpt() persists (localCheckpoint registers them in
+    // sc.persistentRdds) and unpersist superseded rounds; only `edges` and
+    // the final labels frame survive the loop.
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSeq)
+    }
+    def release(ids: Seq[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val (edges, edgeIds) = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+    var (labels, labelIds) = ckpt(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")))
     var converged = false
     var iter = 0
@@ -198,19 +225,22 @@ object Dedup {
         .groupBy(col("src").as("doc_id")).agg(min("nc").as("nbr"))
       // the round-start label rides along as __old__ so convergence detection
       // is a filter over the checkpointed frame, not another join
-      val hop = ckpt(labels.join(nbr, Seq("doc_id"), "left")
+      val (hop, hopIds) = ckpt(labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
           col("cluster").as("__old__")))
       val ptr = hop.select(col("doc_id").as("__cid__"), col("cluster").as("__cc__"))
-      val next = ckpt(hop.join(ptr, hop("cluster") === ptr("__cid__"), "left")
+      val (next, nextIds) = ckpt(hop.join(ptr, hop("cluster") === ptr("__cid__"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("__cc__"), col("cluster"))).as("cluster"),
           col("__old__")))
       converged = next.filter(col("cluster") =!= col("__old__")).isEmpty
+      release(labelIds); release(hopIds)
       labels = next.drop("__old__")
+      labelIds = nextIds
       iter += 1
     }
+    release(edgeIds)
     labels
   }
 
@@ -223,15 +253,19 @@ object Dedup {
     * Zero-token docs (no [a-z0-9] characters at all) are EXCLUDED rather
     * than fingerprinted as 0 — an all-zero fingerprint would band every such
     * doc together and emit hamming-0 "duplicate" pairs; the oracle's
-    * token-level CTE likewise produces no rows for them. */
+    * token-level CTE likewise produces no rows for them. The exclusion is an
+    * `explode(when(...))` (NULL generator input → no rows), not a Filter: a
+    * filter on the token array gets predicate-pushed below the projection
+    * and re-tokenizes every row; the guard's double reference to `__ts__`
+    * keeps the tokenize projection un-collapsed, evaluated once. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     graft.functions.SimHash60.register(docs.sparkSession)
     graft.functions.Hash60Array.register(docs.sparkSession)
     docs.withColumn("__ts__", array_distinct(tokens(col("text"))))
-      .filter(size(col("__ts__")) > 0)
       .select(col("doc_id"),
-        expr(s"${graft.functions.SimHash60.FunctionName}(" +
-          s"${graft.functions.Hash60Array.FunctionName}(__ts__))").as("fp"))
+        explode(when(size(col("__ts__")) > 0,
+          array(expr(s"${graft.functions.SimHash60.FunctionName}(" +
+            s"${graft.functions.Hash60Array.FunctionName}(__ts__))")))).as("fp"))
   }
 
   /** Near-dup pairs via 4 bands of 15 bits (any equal band → candidate)
