@@ -8,7 +8,7 @@ import graft.sources.MetricStore
 /** Server entrypoint, mirroring the reference binary's run modes
   * (main.rs:64-113): serve a metric store over the Prometheus HTTP API.
   *
-  * Usage: runMain graft.Serve <store> [port] [--config <yaml>] [--shift-to-midnight <epoch>]
+  * Usage: runMain graft.Serve <store> [port] [--config <yaml>] [--shift-to-midnight <epoch>] [--assume-deduped]
   *
   *  - `<store>.zip`  — the reference's storage artifact (zip of parquet
   *    members + YAML re-tag mapping); without `--config`, top-level members
@@ -25,7 +25,7 @@ object Serve {
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
 
     val store = positional.headOption.getOrElse(sys.error(
-      "usage: Serve <store.zip|dir> [port] [--config <yaml>] [--shift-to-midnight <epoch>]"))
+      "usage: Serve <store.zip|dir> [port] [--config <yaml>] [--shift-to-midnight <epoch>] [--assume-deduped]"))
     val port = positional.lift(1).map(_.toInt).getOrElse(3003)
 
     val spark = SparkSession.builder()
@@ -37,11 +37,14 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --assume-deduped: trust the store to hold one row per (series, ts)
+    // and skip the ingest dedup shuffle (curated/TsSink-produced archives)
+    val dedup = !args.contains("--assume-deduped")
     val collection =
       if (store.endsWith(".zip")) flagValue("--config") match {
-        case Some(yaml) => MetricStore.processFile(spark, store, yaml)
+        case Some(yaml) => MetricStore.processFile(spark, store, yaml, dedup)
         case None => MetricStore.processFileWithMapping(spark, store,
-          Map("__root__" -> Map.empty[String, String]))
+          Map("__root__" -> Map.empty[String, String]), dedup)
       }
       else queries.TsQueries.events(spark, store)
     val cached = collection.cache()

@@ -56,13 +56,22 @@ object MetricStore {
   /** `process_file` (metricstore.rs:548-568): zip + YAML mapping → one long
     * collection DataFrame. Members without a mapping entry are skipped, and
     * members that fail classification are skipped with a warning, like the
-    * reference's per-metric error handling (metricstore.rs:556-565). */
-  def processFile(spark: SparkSession, zipPath: String, yamlPath: String): DataFrame =
+    * reference's per-metric error handling (metricstore.rs:556-565).
+    *
+    * `dedup = false` skips the per-(series, ts) averaging groupBy — the ONE
+    * shuffle in the ingest path. Use it for stores whose members are already
+    * one row per (series, ts) (e.g. produced by [[TsSink]] or any curated
+    * archive): at 100 TB that shuffle re-partitions the whole store on every
+    * open for no effect. The default stays defensive (raw exports carry
+    * duplicate samples; non-monotonic series break range semantics). */
+  def processFile(spark: SparkSession, zipPath: String, yamlPath: String,
+                  dedup: Boolean = true): DataFrame =
     processFileWithMapping(spark, zipPath,
-      ReTag.parse(Files.readString(new File(yamlPath).toPath)).mapping)
+      ReTag.parse(Files.readString(new File(yamlPath).toPath)).mapping, dedup)
 
   def processFileWithMapping(spark: SparkSession, zipPath: String,
-                             mapping: Map[String, Map[String, String]]): DataFrame = {
+                             mapping: Map[String, Map[String, String]],
+                             dedup: Boolean = true): DataFrame = {
     val frames = unpack(zipPath).flatMap { m =>
       mapping.get(m.prefix) match {
         case None =>
@@ -70,7 +79,8 @@ object MetricStore {
           None
         case Some(tags) =>
           try Some(TsIngest.read(spark, m.file.getAbsolutePath,
-            TsIngest.IngestOptions(metricName = Some(m.metricName), fixedLabels = tags)))
+            TsIngest.IngestOptions(metricName = Some(m.metricName), fixedLabels = tags,
+              dedup = dedup)))
           catch {
             case e: Exception =>
               System.err.println(s"Failed to process ${m.file.getName}: ${e.getMessage}")
@@ -83,6 +93,7 @@ object MetricStore {
   }
 
   /** Engine facade over an archive, ready for PromQL. */
-  def open(spark: SparkSession, zipPath: String, yamlPath: String): graft.PromEngine =
-    new graft.PromEngine(processFile(spark, zipPath, yamlPath))
+  def open(spark: SparkSession, zipPath: String, yamlPath: String,
+           dedup: Boolean = true): graft.PromEngine =
+    new graft.PromEngine(processFile(spark, zipPath, yamlPath, dedup))
 }

@@ -117,6 +117,26 @@ class MetricStoreSpec extends SparkSpec {
       .orElse(plan.split(", ").find(_.contains("PartitionFilters"))).getOrElse("")
     assert(pf.contains("__metric__") && !pf.contains("PartitionFilters: []"), pf)
     assert(sel.count() == coll.filter(col("labels")("__name__") === "events").count())
+    // store reads are shuffle-free: readMetric is scan → filter → rebuild
+    // projection, NO Exchange — already-deduped store data must not pay a
+    // re-dedup re-partition on every open
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("dedup=false ingest is shuffle-free (trusted already-deduped source)") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").cast("double").as("time"),
+        col("event_type"), col("value").cast("double").as("value"))
+    val out = sources.TsIngest.fromDataFrame(raw, "events",
+      sources.TsIngest.IngestOptions(dedup = false))
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(12).mkString("\n"))
+    // the defensive default still dedups (one groupBy exchange)
+    val dd = sources.TsIngest.fromDataFrame(raw, "events")
+    dd.write.format("noop").mode("overwrite").save()
+    assert(dd.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
 }
