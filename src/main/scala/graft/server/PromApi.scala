@@ -29,8 +29,23 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
     server.createContext("/", exchange => safely(exchange) {
       respond(exchange, 200, s"Got ${engine.collection.count()} time series")
     })
+    server.createContext("/favicon.ico", exchange => safely(exchange) {
+      // static embedded icon (reference main.rs:104,235,255-257): 200 +
+      // image/x-icon. The bytes are generated, not shipped — a valid 16×16
+      // 32bpp ICO with a flat accent fill.
+      exchange.getResponseHeaders.set("Content-Type", "image/x-icon")
+      exchange.sendResponseHeaders(200, PromApi.Favicon.length)
+      val os = exchange.getResponseBody
+      os.write(PromApi.Favicon)
+      os.close()
+    })
     server.createContext("/api/v1/labels", exchange => safely(exchange) {
-      respondJson(exchange, 200, success(jsonArray(engine.allLabels().map(jsonString))))
+      // POST bodies are ignored but capped at 4096 bytes like the
+      // reference's ContentLengthLimit extractor (main.rs:349) → 413
+      if (exchange.getRequestMethod == "POST" && bodyTooLarge(exchange))
+        respondJson(exchange, 413, failure("payloadTooLarge", "body exceeds 4096 bytes"))
+      else
+        respondJson(exchange, 200, success(jsonArray(engine.allLabels().map(jsonString))))
     })
     server.createContext("/api/v1/query_range", exchange => safely(exchange) {
       val params = parseParams(exchange)
@@ -164,12 +179,35 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
   private def fmt(d: Double): String =
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  /** All (key, value) pairs — repeated keys (e.g. `match[]`) preserved. */
+  /** Reads (and discards) the request body, reporting whether it exceeds the
+    * reference's 4096-byte POST cap (main.rs:349). Bounded read — a larger
+    * body is never buffered past the limit. */
+  private def bodyTooLarge(exchange: HttpExchange, limit: Int = 4096): Boolean = {
+    val in = exchange.getRequestBody
+    val buf = new Array[Byte](limit + 1)
+    var total = 0
+    var n = in.read(buf, total, buf.length - total)
+    while (n > 0 && total <= limit) {
+      total += n
+      n = in.read(buf, total, math.max(buf.length - total, 0))
+    }
+    total > limit
+  }
+
+  /** All (key, value) pairs — repeated keys (e.g. `match[]`) preserved.
+    * Bodies are bounded (1 MiB robustness cap — the reference's explicit
+    * 4096-byte cap applies only to the labels endpoint; query bodies are
+    * legitimate at a few KB but never megabytes). */
   private def parseParamList(exchange: HttpExchange): Seq[(String, String)] = {
+    val maxBody = 1 << 20
     val fromQuery = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
     val fromBody =
-      if (exchange.getRequestMethod == "POST")
-        new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (exchange.getRequestMethod == "POST") {
+        val bytes = exchange.getRequestBody.readNBytes(maxBody + 1)
+        if (bytes.length > maxBody)
+          throw new PromApi.PayloadTooLarge(maxBody)
+        new String(bytes, StandardCharsets.UTF_8)
+      }
       else ""
     (fromQuery + "&" + fromBody).split("&").filter(_.contains("=")).toSeq
       .map { kv =>
@@ -200,6 +238,9 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
   private def safely(exchange: HttpExchange)(body: => Unit): Unit =
     try body
     catch {
+      case e: PromApi.PayloadTooLarge =>
+        try respondJson(exchange, 413, failure("payloadTooLarge", e.getMessage))
+        catch { case _: Exception => () }
       case e: Exception =>
         try respondJson(exchange, 500, failure("internal", e.toString))
         catch { case _: Exception => () }
@@ -222,4 +263,30 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
 object PromApi {
   /** Bind on an ephemeral port with port=0. */
   def apply(engine: PromEngine, port: Int = 3003): PromApi = new PromApi(engine, port)
+
+  final class PayloadTooLarge(limit: Int)
+    extends RuntimeException(s"request body exceeds $limit bytes")
+
+  /** A valid 16×16 32bpp ICO, generated (NOT copied from the reference's
+    * embedded asset — only the route behavior is parity: 200 + image/x-icon,
+    * main.rs:104,255-257). ICONDIR + ICONDIRENTRY + BITMAPINFOHEADER +
+    * BGRA pixels + AND mask. */
+  lazy val Favicon: Array[Byte] = {
+    val w = 16
+    val bmpSize = 40 + w * w * 4 + w * 4 // header + XOR (BGRA) + AND mask
+    val buf = java.nio.ByteBuffer.allocate(6 + 16 + bmpSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0).putShort(1).putShort(1)                  // ICONDIR: icon, 1 image
+    buf.put(w.toByte).put(w.toByte).put(0.toByte).put(0.toByte) // 16x16, no palette
+    buf.putShort(1).putShort(32).putInt(bmpSize).putInt(6 + 16) // planes, bpp, size, offset
+    buf.putInt(40).putInt(w).putInt(w * 2)                   // BITMAPINFOHEADER, doubled height
+    buf.putShort(1).putShort(32).putInt(0).putInt(w * w * 4).putInt(0).putInt(0).putInt(0).putInt(0)
+    for (y <- 0 until w; x <- 0 until w) {                   // bottom-up BGRA: simple "G" block motif
+      val on = x >= 2 && x < 14 && y >= 2 && y < 14 && !(x >= 8 && x < 11 && y >= 6 && y < 9)
+      if (on) buf.put(0x5c.toByte).put(0x3c.toByte).put(0xc8.toByte).put(0xff.toByte)
+      else buf.putInt(0)
+    }
+    for (_ <- 0 until w) buf.putInt(0)                       // AND mask: fully opaque rows
+    buf.array()
+  }
 }

@@ -85,4 +85,35 @@ class PromApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("favicon, POST body cap, error JSON shape (main.rs:104,300-318,349)") {
+    val engine = new PromEngine(queries.TsQueries.events(spark, "/root/testdata/sf0.001"))
+    val api = PromApi(engine, port = 0).start()
+    try {
+      val port = api.boundPort
+
+      // embedded static favicon: 200 + image/x-icon + valid ICO magic
+      val client = java.net.http.HttpClient.newHttpClient()
+      val fav = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/favicon.ico")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(fav.statusCode() == 200)
+      assert(fav.headers().firstValue("Content-Type").orElse("") == "image/x-icon")
+      val ico = fav.body()
+      assert(ico.length > 22 && ico(0) == 0 && ico(1) == 0 && ico(2) == 1 && ico(3) == 0)
+
+      // labels POST: small body fine, >4096 bytes → 413 (ContentLengthLimit parity)
+      val (cs, small) = post(port, "/api/v1/labels", "ignored=1")
+      assert(cs == 200 && small.contains("\"__name__\""))
+      val (cb, big) = post(port, "/api/v1/labels", "x=" + "a" * 5000)
+      assert(cb == 413 && big.contains("payloadTooLarge"), s"$cb ${big.take(200)}")
+
+      // error JSON shape: {"status": "error", "errorType": ..., "error": ...}
+      val (ce, err) = get(port, "/api/v1/query_range?query=bogus%7B&start=0&end=1&step=1")
+      assert(ce == 400)
+      assert(err.contains("\"status\": \"error\""))
+      assert(err.contains("\"errorType\": \"queryError\""))
+      assert(err.contains("\"error\": "))
+    } finally api.stop()
+  }
+
 }
