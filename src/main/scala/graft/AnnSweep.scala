@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Ann
+
+/** Recall/cost sweep for the ANN operators: recall@5 of LSH (tables ×
+  * planes) and IVF (centroids × nprobe) against the exact brute-force
+  * top-5, plus the scored-candidate count — the cost that actually scales
+  * (each candidate is one cosine at corpus scale; wall time at sf0.1 is
+  * dominated by fixed overheads). Prints a markdown table for SURVEY.md.
+  *
+  * Usage: runMain graft.AnnSweep [sfDir] [nQueries]
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQ = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val corpusN = emb.count()
+    val queries = emb.filter(col("vec_id") < nQ).cache()
+    val truth = Ann.bruteTopK(emb, queries, 5)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    truth.count()
+
+    def recallAndTime(approx: => DataFrame): (Double, Double, Long) = {
+      val t0 = System.nanoTime()
+      val got = approx.select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(got, Seq("query_id", "neighbor_id")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (hits.toDouble / (nQ * 5.0), secs, hits)
+    }
+
+    // candidate counts: the work a 100 TB run would actually pay per query
+    def lshCand(t: Int, p: Int): Long = {
+      val b = Ann.bucketTables(emb, t, p)
+      val qb = Ann.bucketTables(queries, t, p)
+        .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+      b.join(broadcast(qb), Seq("tbl", "bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select("qid", "vec_id").distinct().count()
+    }
+
+    println(s"corpus=$corpusN queries=$nQ ground truth = brute top-5")
+    println("| scheme | params | recall@5 | scored candidates/query | secs |")
+    println("|---|---|---|---|---|")
+    for ((t, p) <- Seq((4, 4), (8, 4), (16, 4), (8, 6), (16, 6), (8, 8))) {
+      val (r, s, _) = recallAndTime(Ann.lshTopK(emb, queries, 5, t, p))
+      val cand = lshCand(t, p)
+      println(f"| LSH | $t tables × $p planes | $r%.3f | ${cand / nQ} | $s%.1f |")
+    }
+    for ((c, np) <- Seq((16, 1), (16, 2), (16, 4), (64, 2), (64, 4), (64, 8))) {
+      val (r, s, _) = recallAndTime(Ann.ivfTopK(emb, queries, 5, c, np))
+      // IVF cost: probed-list sizes ≈ corpus × nprobe / centroids
+      println(f"| IVF | $c cents, nprobe=$np | $r%.3f | ~${corpusN * np / c} | $s%.1f |")
+    }
+    spark.stop()
+  }
+}

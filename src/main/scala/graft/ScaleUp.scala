@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a driver-generated SF directory: replicates
+  * every table `factor`× with a per-replica key offset (one shared stride
+  * across each foreign-key domain, so customer↔orders↔lineitem etc. still
+  * join), producing an sf1-shaped dataset from sf0.1 for scale evidence.
+  *
+  * Replication choices, chosen so the scaled data exercises — not breaks —
+  * the operators:
+  *  - `region`/`nation` stay as-is (dimensions; their keys are not offset
+  *    anywhere, so FKs into them remain valid).
+  *  - `events.value` gets a per-replica +r·1e-6 nudge: replica series are
+  *    distinct, so topk/bottomk over the scaled metrics stay tie-free (a
+  *    tie would make the DuckDB-vs-Spark hash compare nondeterministic).
+  *  - `documents.text` gets a short per-replica suffix for r>0: replicas
+  *    are *near*-duplicates of the original, not exact copies — the
+  *    realistic shape for dedup at scale (and it bounds exact-dup group
+  *    fan-out). `n_chars` is recomputed to stay consistent.
+  *  - `embeddings.embedding` gets a tiny deterministic per-(replica,dim)
+  *    perturbation so cosine top-k has no cross-replica ties.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [factor]
+  */
+object ScaleUp {
+  /** One stride for every surrogate-key domain; far above any sf0.1 max key
+    * (largest is event_id ≤ 1e5) so replica ranges never collide. */
+  private val Stride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(table: String): DataFrame =
+      spark.read.parquet(s"$src/$table.parquet")
+        .withColumn("__r__", explode(sequence(lit(0), lit(factor - 1))))
+
+    def off(c: String) = (col(c) + col("__r__") * Stride).as(c)
+
+    def write(df: DataFrame, table: String, files: Int): Unit =
+      df.drop("__r__").repartition(files)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    write(replicate("customer").withColumn("c_custkey", off("c_custkey")), "customer", 4)
+    write(replicate("supplier").withColumn("s_suppkey", off("s_suppkey")), "supplier", 2)
+    write(replicate("part").withColumn("p_partkey", off("p_partkey")), "part", 4)
+    write(replicate("orders")
+      .withColumn("o_orderkey", off("o_orderkey"))
+      .withColumn("o_custkey", off("o_custkey")), "orders", 8)
+    write(replicate("lineitem")
+      .withColumn("l_orderkey", off("l_orderkey"))
+      .withColumn("l_partkey", off("l_partkey"))
+      .withColumn("l_suppkey", off("l_suppkey")), "lineitem", 16)
+    write(replicate("events")
+      .withColumn("event_id", off("event_id"))
+      .withColumn("user_id", off("user_id"))
+      .withColumn("value", col("value") + col("__r__") * lit(1e-6)), "events", 16)
+    write(replicate("documents")
+      .withColumn("doc_id", off("doc_id"))
+      .withColumn("text",
+        when(col("__r__") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" ~"), col("__r__"))))
+      .withColumn("n_chars", length(col("text")).cast("long")), "documents", 8)
+    write(replicate("embeddings")
+      .withColumn("vec_id", off("vec_id"))
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> x + cast(__r__ * 1e-5 * (i % 7 - 3) as float))")),
+      "embeddings", 4)
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings")) {
+      val n = spark.read.parquet(s"$dst/$t.parquet").count()
+      println(s"$t: $n rows")
+    }
+    spark.stop()
+  }
+}

@@ -125,9 +125,14 @@ object Ann {
     * nearest centroid lists only. The centroid set here is a deterministic
     * sample (first `nCentroids` vectors) — a production pipeline plugs a
     * k-means fit in its place; the partition/probe shape (the part that must
-    * scale) is identical. Shuffle key = centroid id. */
+    * scale) is identical. Shuffle key = centroid id.
+    *
+    * Defaults (64, 4) come from the AnnSweep recall/cost table (SURVEY §6):
+    * recall@5 = 0.71 while scoring ~nprobe/nCentroids = 6% of the corpus per
+    * query — the best recall-per-candidate point measured; at corpus scale,
+    * grow nCentroids ~√N to keep list sizes (and per-probe cost) bounded. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+              nCentroids: Int = 64, nprobe: Int = 4): DataFrame = {
     val cents = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
