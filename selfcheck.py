@@ -24,7 +24,10 @@ con = duckdb.connect()
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    p = f"{SF_DIR}/{t}.parquet"
+    if os.path.isdir(p):  # Spark-written dataset (e.g. ScaleUp output)
+        p = f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 ok, bad = [], []

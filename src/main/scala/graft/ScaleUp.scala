@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
   * the operators:
   *  - `region`/`nation` stay as-is (dimensions; their keys are not offset
   *    anywhere, so FKs into them remain valid).
-  *  - `events.value` gets a per-replica +r·1e-6 nudge: replica series are
+  *  - `events.value` gets a per-replica +r·1e-4 nudge: replica series are
   *    distinct, so topk/bottomk over the scaled metrics stay tie-free (a
   *    tie would make the DuckDB-vs-Spark hash compare nondeterministic).
-  *  - `documents.text` gets a short per-replica suffix for r>0: replicas
-  *    are *near*-duplicates of the original, not exact copies — the
-  *    realistic shape for dedup at scale (and it bounds exact-dup group
-  *    fan-out). `n_chars` is recomputed to stay consistent.
+  *    1e-4 and not smaller: the ingest dedup AVERAGES same-timestamp
+  *    samples, and averaged 1e-6 nudges land exactly on the round-to-6
+  *    half-way boundary where Spark and DuckDB split on the final ULP
+  *    (38-22k rows per query did, in the first sf1 run).
+  *  - `documents.text` is replicated VERBATIM: every doc becomes an exact
+  *    10-way duplicate cluster — the realistic web-crawl shape for dedup at
+  *    scale. (A per-replica suffix was tried first: it turns every doc into
+  *    a 10-way NEAR-duplicate cluster instead, and the cross-product of
+  *    suffix-variants × the corpus's own near-dup structure explodes
+  *    simhash candidate pairs 100× into the maxBucket skew guard, which the
+  *    SQL oracle deliberately does not replicate.)
   *  - `embeddings.embedding` gets a tiny deterministic per-(replica,dim)
   *    perturbation so cosine top-k has no cross-replica ties.
   *
@@ -40,6 +47,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // events.parquet is TIMESTAMP(NANOS): read as long nanos, write back as
+    // µs-granular native TIMESTAMP (readers are type-adaptive; DuckDB's
+    // epoch() agrees on both encodings)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def replicate(table: String): DataFrame =
       spark.read.parquet(s"$src/$table.parquet")
@@ -68,13 +79,10 @@ object ScaleUp {
     write(replicate("events")
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id"))
-      .withColumn("value", col("value") + col("__r__") * lit(1e-6)), "events", 16)
+      .withColumn("value", col("value") + col("__r__") * lit(1e-4))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "events", 16)
     write(replicate("documents")
-      .withColumn("doc_id", off("doc_id"))
-      .withColumn("text",
-        when(col("__r__") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" ~"), col("__r__"))))
-      .withColumn("n_chars", length(col("text")).cast("long")), "documents", 8)
+      .withColumn("doc_id", off("doc_id")), "documents", 8)
     write(replicate("embeddings")
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding",

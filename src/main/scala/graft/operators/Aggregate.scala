@@ -57,10 +57,16 @@ object Aggregate {
     * NaN for every group (guards Spark's negative-index `element_at`, which
     * would otherwise silently read from the END of the sorted array). */
   def quantileBy(df: DataFrame, q: Double, by: Seq[String]): DataFrame =
-    if (q.isNaN) aggBy(df, by, _ => min(lit(Double.NaN)))
-    else if (q < 0) aggBy(df, by, _ => min(lit(Double.NegativeInfinity)))
-    else if (q > 1) aggBy(df, by, _ => min(lit(Double.PositiveInfinity)))
-    else aggBy(df, by, v => {
+    aggBy(df, by, quantileAgg(q))
+
+  /** The shared aggregation column for `quantile(...) by` and
+    * `quantile_over_time`: Prometheus out-of-range guards + exact
+    * linear-interpolated percentile. */
+  def quantileAgg(q: Double): Column => Column =
+    if (q.isNaN) _ => min(lit(Double.NaN))
+    else if (q < 0) _ => min(lit(Double.NegativeInfinity))
+    else if (q > 1) _ => min(lit(Double.PositiveInfinity))
+    else v => {
       val arr = sort_array(collect_list(v))
       val n = size(arr)
       val pos = (n - 1).cast(org.apache.spark.sql.types.DoubleType) * lit(q)
@@ -69,7 +75,7 @@ object Aggregate {
       val vlo = element_at(arr, lo + 1)
       val vhi = element_at(arr, least(lo + 2, n))
       vlo + (vhi - vlo) * frac
-    })
+    }
 
   /** `count_values(label, v)`: per instant, one output series per distinct
     * value carrying that value (formatted like the wire format, integers

@@ -98,6 +98,13 @@ object RangeAgg {
   def presentOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
     overTime(samples, grid, overRange, _ => lit(1.0))
 
+  /** `quantile_over_time(q, m[r])`: exact linear-interpolated percentile of
+    * the window's samples — the same collect-sort-interpolate aggregation as
+    * `quantile(...) by` (window sample counts are bounded by range/scrape
+    * interval, so the per-group array is small by construction). */
+  def quantileOverTime(samples: DataFrame, grid: Grid, overRange: Double, q: Double): DataFrame =
+    overTime(samples, grid, overRange, Aggregate.quantileAgg(q))
+
   /** Population stddev/stdvar via explicit moment sums — the same expression
     * tree any SQL engine (incl. the oracle) reproduces; Welford-style
     * implementations would differ in the last ULPs. */

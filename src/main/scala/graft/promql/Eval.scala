@@ -213,6 +213,36 @@ object Eval {
       mapValues(v, collection, grid)(c =>
         org.apache.spark.sql.functions.least(c, org.apache.spark.sql.functions.lit(m)))
 
+    // round(v[, to_nearest]): nearest multiple of to_nearest, ties UP —
+    // Prometheus is floor(v/n + 0.5)*n (functions.go), not half-even.
+    case FuncCall("round", args, agg) =>
+      if (agg.isDefined) throw EvalException("'round' expects no aggregation")
+      args match {
+        case Seq(v) => mapValues(v, collection, grid)(c =>
+          org.apache.spark.sql.functions.floor(
+            c + org.apache.spark.sql.functions.lit(0.5)).cast(
+            org.apache.spark.sql.types.DoubleType))
+        case Seq(v, ScalarLit(n)) if n != 0 => mapValues(v, collection, grid)(c =>
+          org.apache.spark.sql.functions.floor(
+            c / org.apache.spark.sql.functions.lit(n) +
+              org.apache.spark.sql.functions.lit(0.5)) * org.apache.spark.sql.functions.lit(n))
+        case _ => throw EvalException("'round' expects (vector[, non-zero scalar to_nearest])")
+      }
+
+    case FuncCall("quantile_over_time", args, agg) =>
+      if (agg.isDefined) throw EvalException("'quantile_over_time' expects no aggregation")
+      args match {
+        case Seq(ScalarLit(q), inner) =>
+          eval(inner, collection, grid) match {
+            case UnprocessedVector(df, overRange, offset) =>
+              val shifted = offset.fold(df)(off =>
+                df.withColumn(Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
+              Processed(RangeAgg.quantileOverTime(shifted, grid, overRange, q))
+            case _ => throw EvalException("'quantile_over_time' requires a range vector")
+          }
+        case _ => throw EvalException("'quantile_over_time' expects (scalar q, range vector)")
+      }
+
     case FuncCall("histogram_quantile", args, agg) =>
       if (args.length != 2)
         throw EvalException(s"'histogram_quantile' needs exactly 2 arguments, got ${args.length}")

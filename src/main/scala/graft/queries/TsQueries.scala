@@ -29,8 +29,14 @@ object TsQueries {
     * (Nanos→double directly would lose precision: 1.7e18 > 2^53.) */
   def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("ts div 1000").cast(DoubleType) / lit(1000000.0))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    val tsSeconds = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as long
+        expr("ts div 1000").cast(DoubleType) / lit(1000000.0)
+      case _ => // native TIMESTAMP (µs/ms): epoch micros < 2^53, cast is exact
+        col("ts").cast(DoubleType)
+    }
+    df.withColumn("ts", tsSeconds)
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
@@ -97,6 +103,12 @@ object TsQueries {
         round(col(Model.TsCol), 6).as("ts"),
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
+
+  def quantileOverTime1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""quantile_over_time(0.9, events{event_type="purchase"}[1h])""", spark, dir))
+
+  def roundTo(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""round(events{event_type="purchase"}, 10)""", spark, dir))
 
   def sumBy(spark: SparkSession, dir: String): DataFrame =
     Eval("""sum by (event_type) (events)""", spark, dir)
@@ -447,6 +459,27 @@ object TsQueries {
        |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
        |  round(avg(v), 6) + 0.0 AS value
        |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  def oracleQuantileOverTime1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi)
+       |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(quantile_cont(v, 0.9), 6) + 0.0 AS value
+       |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  def oracleRoundTo: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  round(floor($interpExpr / 10.0 + 0.5) * 10.0, 6) + 0.0 AS value
+       |FROM w WHERE ord = 1""".stripMargin
 
   def oracleIrate1h: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
@@ -811,6 +844,8 @@ object TsQueries {
     "rate_1h" -> (rate1h _),
     "increase_1h" -> (increase1h _),
     "avg_over_time_1h" -> (avgOverTime1h _),
+    "quantile_over_time_1h" -> (quantileOverTime1h _),
+    "round_to" -> (roundTo _),
     "irate_1h" -> (irate1h _),
     "sum_by" -> (sumBy _),
     "binop_vs" -> (binopVs _),
@@ -849,6 +884,8 @@ object TsQueries {
     "rate_1h" -> oracleRate1h,
     "increase_1h" -> oracleIncrease1h,
     "avg_over_time_1h" -> oracleAvgOverTime1h,
+    "quantile_over_time_1h" -> oracleQuantileOverTime1h,
+    "round_to" -> oracleRoundTo,
     "irate_1h" -> oracleIrate1h,
     "sum_by" -> oracleSumBy,
     "binop_vs" -> oracleBinopVs,

@@ -20,7 +20,10 @@ object EventStream {
     spark.readStream
       .schema(schema)
       .parquet(inputDir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ets", schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts")
+      })
       .withWatermark("ets", "1 hour")
       .groupBy(col("event_type"), window(col("ets"), "1 day").as("w"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))

@@ -74,6 +74,40 @@ class EngineSpec extends SparkSpec {
     a.foreach { case (k, av) => assert(math.abs(av - s(k) / c(k)) < 1e-9) }
   }
 
+  test("quantile_over_time bounded by min/max_over_time; q=1 equals max") {
+    val grid = Grid(1704067200.0, 1704074400.0, 3600.0)
+    def byKey(q: String) = Eval.run(collection, q, grid)
+      .select(col("skey"), col("ts"), col("value").cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val med = byKey("""quantile_over_time(0.5, events{event_type="purchase"}[1h])""")
+    val mn = byKey("""min_over_time(events{event_type="purchase"}[1h])""")
+    val mx = byKey("""max_over_time(events{event_type="purchase"}[1h])""")
+    assert(med.nonEmpty && med.keySet == mn.keySet)
+    med.foreach { case (k, v) => assert(v >= mn(k) - 1e-9 && v <= mx(k) + 1e-9) }
+    val q1 = byKey("""quantile_over_time(1, events{event_type="purchase"}[1h])""")
+    q1.foreach { case (k, v) => assert(math.abs(v - mx(k)) < 1e-9) }
+  }
+
+  test("round: nearest multiple, ties up (functions.go floor(v/n + 0.5)*n)") {
+    val grid = Grid(1704067200.0, 1704074400.0, 3600.0)
+    // functions drop __name__ from the result labels (Prometheus semantics),
+    // so normalize the plain selector's keys before comparing
+    val base = Eval.run(collection, """events{event_type="purchase"}""", grid)
+      .select(col("skey"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0).replace("__name__=events,", ""), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val r10 = Eval.run(collection, """round(events{event_type="purchase"}, 10)""", grid)
+      .select(col("skey"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(r10.nonEmpty && r10.keySet == base.keySet)
+    r10.foreach { case (k, v) =>
+      assert(v % 10 == 0.0)
+      assert(math.abs(v - base(k)) <= 5.0 + 1e-9)
+      // tie goes UP: v is the floor-based round, so base exactly on a .5
+      // boundary maps to the higher multiple
+      assert(v == math.floor(base(k) / 10.0 + 0.5) * 10.0)
+    }
+  }
+
   test("shift_to_midnight offset (main.rs:110, timeseries.rs:410-417)") {
     val eng = new PromEngine(collection)
     val target = 2000000000.0
