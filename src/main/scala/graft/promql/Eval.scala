@@ -63,6 +63,29 @@ object Eval {
         case Some(r) => UnprocessedVector(filtered, r, offset)
       }
 
+    // Subquery `expr[range:step]`: evaluate the inner expression as an
+    // instant vector on its own step-aligned grid (points are absolute
+    // multiples of `step`, Prometheus-style) spanning the outer windows
+    // `(outer_t - range, outer_t]`, then hand the gridded samples to the
+    // enclosing range function as a range vector. Inner values follow this
+    // engine's resample semantics (linear interpolation, edge extension —
+    // Resample.scala); offset shifts the evaluated span like a range
+    // selector's offset.
+    case Subquery(inner, range, stepOpt, offsetOpt) =>
+      val step = stepOpt.getOrElse(grid.step)
+      if (step <= 0) throw EvalException("subquery step <= 0")
+      val off = offsetOpt.getOrElse(0.0)
+      val lo = grid.start - range - off // exclusive lower edge of the span
+      val hi = grid.end - off
+      val tFirst = (math.floor(lo / step) + 1) * step
+      if (tFirst > hi) throw EvalException("empty subquery range")
+      val innerGrid = Grid(tFirst, hi, step)
+      resampled(eval(inner, collection, innerGrid), innerGrid) match {
+        case Processed(df) => UnprocessedVector(df, range, offsetOpt)
+        case ScalarQ(_) => throw EvalException("subquery over a scalar is not meaningful")
+        case _ => throw EvalException("subquery inner expression did not resample")
+      }
+
     case FuncCall("rate", args, agg) => evalRate(args, agg, collection, grid, Rate.rate)
     case FuncCall("irate", args, agg) => evalRate(args, agg, collection, grid, Rate.irate)
     case FuncCall("increase", args, agg) => evalRate(args, agg, collection, grid, Rate.increase)

@@ -18,6 +18,13 @@ final case class ScalarLit(value: Double) extends Node
   * `Node::String` (query.rs:568-570). */
 final case class StringLit(value: String) extends Node
 final case class FuncCall(name: String, args: Seq[Node], by: Option[Seq[String]]) extends Node
+/** Subquery `expr[range:step]` (extension — Prometheus subquery syntax):
+  * the inner expression is evaluated as an instant vector on its own
+  * step-aligned grid, and the result is consumed like a range vector by the
+  * enclosing range function. `step = None` (`[1h:]`) inherits the outer
+  * query step. */
+final case class Subquery(inner: Node, range: Double, step: Option[Double],
+                          offset: Option[Double]) extends Node
 /** Binary operation (extension — the reference's process_ast rejects
   * `Node::Operator` with "Not implemented yet", query.rs:549-551; semantics
   * follow the Prometheus operator docs). `matchOn`/`matchIgnoring` are the
@@ -204,18 +211,60 @@ object Parser {
     case _ => parsePow(st)
   }
 
-  private def parseAtom(st: State): Node = st.peek match {
-    case Some(Num(s)) => st.next(); ScalarLit(s.toDouble)
-    case Some(Str(s)) => st.next(); StringLit(s)
-    case Some(Sym("(")) => st.next(); val e = parseExpr(st); st.expect(")"); e
-    // any identifier directly followed by '(' (or a 'by' clause) is a
-    // function call — unknown functions fail at eval time like the
-    // reference's process_function (query.rs:252-255), not at parse time
-    case Some(Ident(name)) if st.toks.drop(1).headOption.exists(t =>
-      t == Sym("(") || t == Ident("by") || t == Ident("without")) => parseFunc(st, name)
-    case Some(Ident(_)) | Some(Sym("{")) => parseSelector(st)
-    case Some(other) => throw ParseException(s"unexpected token $other")
-    case None => throw ParseException("unexpected end of query")
+  private def parseAtom(st: State): Node = {
+    val atom = st.peek match {
+      case Some(Num(s)) => st.next(); ScalarLit(s.toDouble)
+      case Some(Str(s)) => st.next(); StringLit(s)
+      case Some(Sym("(")) => st.next(); val e = parseExpr(st); st.expect(")"); e
+      // any identifier directly followed by '(' (or a 'by' clause) is a
+      // function call — unknown functions fail at eval time like the
+      // reference's process_function (query.rs:252-255), not at parse time
+      case Some(Ident(name)) if st.toks.drop(1).headOption.exists(t =>
+        t == Sym("(") || t == Ident("by") || t == Ident("without")) => parseFunc(st, name)
+      case Some(Ident(_)) | Some(Sym("{")) => parseSelector(st)
+      case Some(other) => throw ParseException(s"unexpected token $other")
+      case None => throw ParseException("unexpected end of query")
+    }
+    parseSubquerySuffix(st, atom)
+  }
+
+  /** `:` folds into identifier tokens (metric names may carry colons), so a
+    * subquery range `[1h:5m]` arrives as Num(1) + Ident("h:5m"); detect the
+    * colon by scanning the bracket's token span. */
+  private def bracketContainsColon(toks: List[Tok]): Boolean =
+    toks.takeWhile(_ != Sym("]")).exists {
+      case Ident(s) => s.contains(':')
+      case Sym(":") => true
+      case _ => false
+    }
+
+  private def parseSubquerySuffix(st: State, atom: Node): Node = st.peek match {
+    case Some(Sym("[")) if bracketContainsColon(st.toks.drop(1)) =>
+      st.next()
+      val sb = new StringBuilder
+      var done = false
+      while (!done) st.peek match {
+        case Some(Sym("]")) => st.next(); done = true
+        case Some(Num(s)) => st.next(); sb.append(s)
+        case Some(Ident(s)) => st.next(); sb.append(s)
+        case Some(Sym(s)) => st.next(); sb.append(s)
+        case Some(Str(s)) => throw ParseException(s"unexpected string '$s' in subquery range")
+        case None => throw ParseException("unterminated subquery range")
+      }
+      val parts = sb.toString.split(":", -1)
+      if (parts.length != 2 || parts(0).isEmpty)
+        throw ParseException(s"bad subquery range '[$sb]'")
+      def dur(s: String): Double = TimeParse.parseDuration(s)
+        .fold(e => throw ParseException(s"bad duration '$s': $e"), identity)
+      val range = dur(parts(0))
+      val step = if (parts(1).isEmpty) None else Some(dur(parts(1)))
+      var offset: Option[Double] = None
+      if (st.peek.contains(Ident("offset"))) {
+        st.next()
+        offset = Some(parseDurationTok(st))
+      }
+      Subquery(atom, range, step, offset)
+    case _ => atom
   }
 
   private def parseFunc(st: State, name: String): Node = {
@@ -289,7 +338,9 @@ object Parser {
     if (matchers.isEmpty) throw ParseException("empty selector")
 
     var range: Option[Double] = None
-    if (st.peek.contains(Sym("["))) {
+    // a bracket containing ':' is a subquery suffix — leave it for
+    // parseSubquerySuffix (the selector is then the subquery's inner)
+    if (st.peek.contains(Sym("[")) && !bracketContainsColon(st.toks.drop(1))) {
       st.next()
       range = Some(parseDurationTok(st))
       st.expect("]")

@@ -141,8 +141,12 @@ object LlmQueries {
        |  SELECT doc_id, b.b AS band,
        |    md5(array_to_string(list_transform(list_slice(sig, b.b * 3 + 1, b.b * 3 + 3), x -> x::VARCHAR), ',')) AS bkey
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |-- replicate the operator's maxBucket skew guard (minhashLsh drops
+       |-- degenerate (band, bkey) buckets instead of exploding them)
+       |bsz AS (SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= 10000),
+       |bf AS (SELECT banded.* FROM banded JOIN bsz USING (band, bkey)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |         FROM bf a JOIN bf b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
        |co AS (SELECT c.doc_a, c.doc_b, count(*) AS common
        |       FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g
@@ -162,10 +166,14 @@ object LlmQueries {
        |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
        |       FROM bits GROUP BY 1),
        |banded AS (SELECT doc_id, fp, b.b AS band, (fp >> (b.b * 15)) & 32767 AS bkey
-       |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b)
+       |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |-- replicate the operator's maxBucket skew guard: a (band, bkey)
+       |-- bucket over 10000 members is dropped, not exploded into pairs
+       |bsz AS (SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= 10000),
+       |bf AS (SELECT banded.* FROM banded JOIN bsz USING (band, bkey))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |FROM bf a JOIN bf b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin
 
   /** Shared cosine-scoring SQL over candidate (query, neighbor) pairs CTE
@@ -242,9 +250,12 @@ object LlmQueries {
   def oracleDedupEmbed: String =
     s"""WITH ${bucketCte(8, 4)},
        |eb AS (SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+       |-- replicate lshNearDup's maxBucket skew guard on (tbl, bucket)
+       |ebsz AS (SELECT tbl, bucket FROM eb GROUP BY tbl, bucket HAVING count(*) <= 10000),
+       |ebf AS (SELECT eb.* FROM eb JOIN ebsz USING (tbl, bucket)),
        |pairs AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    a.embedding AS qe, b.embedding AS ce
-       |  FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM ebf a JOIN ebf b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |gi AS (SELECT unnest(range(1, 65)) AS i),
        |dots AS (SELECT query_id, neighbor_id,
        |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
@@ -386,8 +397,12 @@ object LlmQueries {
        |  SELECT doc_id, b.b AS band,
        |    md5(array_to_string(list_transform(list_slice(sig, b.b * 3 + 1, b.b * 3 + 3), x -> x::VARCHAR), ',')) AS bkey
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |-- replicate the operator's maxBucket skew guard (minhashLsh drops
+       |-- degenerate (band, bkey) buckets instead of exploding them)
+       |bsz AS (SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= 10000),
+       |bf AS (SELECT banded.* FROM banded JOIN bsz USING (band, bkey)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |         FROM bf a JOIN bf b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
        |co AS (SELECT c.doc_a, c.doc_b, count(*) AS common
        |       FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a JOIN grams gb ON gb.doc_id = c.doc_b AND ga.g = gb.g

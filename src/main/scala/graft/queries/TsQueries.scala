@@ -104,6 +104,11 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
 
+  /** Subquery: inner instant vector on a 30m step-aligned grid, outer
+    * max_over_time over 3h of those gridded samples. */
+  def subqueryMax(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""max_over_time(events{event_type="purchase"}[3h:30m])""", spark, dir))
+
   def quantileOverTime1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""quantile_over_time(0.9, events{event_type="purchase"}[1h])""", spark, dir))
 
@@ -458,6 +463,31 @@ object TsQueries {
        |      FROM w WHERE greatest(klo, 0) <= khi)
        |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
        |  round(avg(v), 6) + 0.0 AS value
+       |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  /** Subquery oracle: inner 30m-aligned grid (first instant = smallest
+    * multiple of 1800 > start - 3h = 1704058200; 1398 instants through the
+    * grid end), interpolated like resample, then the same window-explode
+    * mapping as the Spark side for the outer 3h max. */
+  def oracleSubqueryMax: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |series AS (SELECT DISTINCT event_type, props FROM s),
+       |gi AS (SELECT unnest(generate_series(0, 1397)) AS i),
+       |grid AS (
+       |  SELECT event_type, props, (1704058200.0 + (i * 1800.0)) AS gt, 'i' AS kind,
+       |         (1704058200.0 + (i * 1800.0)) AS pr FROM series CROSS JOIN gi
+       |),
+       |${bracketCte(withLag = false)},
+       |iv AS (SELECT event_type, props, gt AS it, $interpExpr AS v FROM w WHERE ord = 1),
+       |iw AS (SELECT event_type, props, v,
+       |    CAST(ceil((it - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((it - 1704067200.0 + 10800.0) / 3600.0 -
+       |      CASE WHEN (it - 1704067200.0 + 10800.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM iv),
+       |x AS (SELECT event_type, props, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM iw WHERE greatest(klo, 0) <= khi)
+       |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(max(v), 6) + 0.0 AS value
        |FROM x GROUP BY event_type, props, k""".stripMargin
 
   def oracleQuantileOverTime1h: String =
@@ -845,6 +875,7 @@ object TsQueries {
     "increase_1h" -> (increase1h _),
     "avg_over_time_1h" -> (avgOverTime1h _),
     "quantile_over_time_1h" -> (quantileOverTime1h _),
+    "subquery_max" -> (subqueryMax _),
     "round_to" -> (roundTo _),
     "irate_1h" -> (irate1h _),
     "sum_by" -> (sumBy _),
@@ -885,6 +916,7 @@ object TsQueries {
     "increase_1h" -> oracleIncrease1h,
     "avg_over_time_1h" -> oracleAvgOverTime1h,
     "quantile_over_time_1h" -> oracleQuantileOverTime1h,
+    "subquery_max" -> oracleSubqueryMax,
     "round_to" -> oracleRoundTo,
     "irate_1h" -> oracleIrate1h,
     "sum_by" -> oracleSumBy,

@@ -88,6 +88,28 @@ class EngineSpec extends SparkSpec {
     q1.foreach { case (k, v) => assert(math.abs(v - mx(k)) < 1e-9) }
   }
 
+  test("subquery [1h:1h] aligned to the grid reduces to plain resample") {
+    val grid = Grid(1704067200.0, 1704074400.0, 3600.0)
+    def byKey(q: String) = Eval.run(collection, q, grid)
+      .select(col("skey"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // grid start is a multiple of 3600, so the inner 1h-aligned instants
+    // coincide with the outer grid; each (t-1h, t] window then holds exactly
+    // the sample at t and last_over_time is the identity
+    val sub = byKey("""last_over_time(events{event_type="purchase"}[1h:1h])""")
+    val plain = byKey("""events{event_type="purchase"}""")
+    assert(sub.nonEmpty && sub.keySet == plain.keySet)
+    sub.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-9) }
+    // subquery offset shifts the span exactly like a range-selector offset
+    val subOff = byKey("""last_over_time(events{event_type="purchase"}[1h:1h] offset 1h)""")
+    val plainOff = byKey("""events{event_type="purchase"} offset 1h""")
+    assert(subOff.keySet == plainOff.keySet)
+    subOff.foreach { case (k, v) => assert(math.abs(v - plainOff(k)) < 1e-9) }
+    // default step `[1h:]` inherits the outer grid step — same identity
+    val subDef = byKey("""last_over_time(events{event_type="purchase"}[1h:])""")
+    subDef.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-9) }
+  }
+
   test("round: nearest multiple, ties up (functions.go floor(v/n + 0.5)*n)") {
     val grid = Grid(1704067200.0, 1704074400.0, 3600.0)
     // functions drop __name__ from the result labels (Prometheus semantics),
