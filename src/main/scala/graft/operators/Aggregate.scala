@@ -17,34 +17,57 @@ import graft.Model
   */
 object Aggregate {
 
-  private def retainedMap(by: Seq[String]): Column =
-    map_filter(col(Model.LabelsCol), (k, _) => array_contains(lit(by.toArray), k))
+  /** The group-defining label subset: `by` RETAINS the listed labels
+    * (reference `LabelValueMap::retaining`, labels.rs:193-203); `without`
+    * DROPS them plus `__name__` (Prometheus semantics — the metric name never
+    * survives a `without` aggregation). */
+  private def retainedMap(labels: Seq[String], without: Boolean): Column =
+    if (without) {
+      val dropped = (labels :+ Model.NameLabel).distinct
+      map_filter(col(Model.LabelsCol), (k, _) => !array_contains(lit(dropped.toArray), k))
+    } else
+      map_filter(col(Model.LabelsCol), (k, _) => array_contains(lit(labels.toArray), k))
 
-  def aggBy(df: DataFrame, by: Seq[String], aggFn: Column => Column): DataFrame = {
-    val retained = retainedMap(by)
-    df.withColumn("__gmap__", retained)
-      .withColumn("__gkey__", Model.canonicalKey(col("__gmap__")))
-      .groupBy(col("__gkey__"), col(Model.TsCol))
-      .agg(first("__gmap__").as(Model.LabelsCol), aggFn(col(Model.ValueCol)).as(Model.ValueCol))
-      .select(col("__gkey__").as(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
-  }
+  /** One `groupBy(group entries, ts)` with map-side partial aggregation.
+    *
+    * The group key is the SORTED `map_entries` array of the retained label
+    * map, not a `first(map)` carry-along: a map-typed aggregation buffer
+    * falls off HashAggregate onto SortAggregate (two extra full sorts, one
+    * per partial/final stage — measured on the sum_by plan), while an
+    * array-of-struct GROUPING key hashes fine. Both the canonical skey
+    * string and the output label map are rebuilt from the entries array
+    * after the agg, so the round-trip is exact (no string re-parsing). */
+  def aggBy(df: DataFrame, by: Seq[String], without: Boolean, aggFn: Column => Column): DataFrame =
+    df.withColumn("__gents__", array_sort(map_entries(retainedMap(by, without))))
+      .groupBy(col("__gents__"), col(Model.TsCol))
+      .agg(aggFn(col(Model.ValueCol)).as(Model.ValueCol))
+      .select(
+        array_join(transform(col("__gents__"), e => concat(e("key"), lit("="), e("value"))), ",")
+          .as(Model.SkeyCol),
+        map_from_entries(col("__gents__")).as(Model.LabelsCol),
+        col(Model.TsCol), col(Model.ValueCol))
 
   /** `sum by (labels...)` — the reference's only implemented aggregation. */
-  def sumBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, sum)
+  def sumBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, sum)
 
   /** Natural extensions with identical grouping semantics. */
-  def avgBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, avg)
-  def minBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, min)
-  def maxBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, max)
-  def countBy(df: DataFrame, by: Seq[String]): DataFrame = aggBy(df, by, count)
+  def avgBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, avg)
+  def minBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, min)
+  def maxBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, max)
+  def countBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, count)
 
   /** Population variance/stddev via explicit moment sums (identical
     * expression tree in any engine; Welford implementations differ in final
     * ULPs, which the oracle hash would see). */
-  def stdvarBy(df: DataFrame, by: Seq[String]): DataFrame =
-    aggBy(df, by, v => sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1))))
-  def stddevBy(df: DataFrame, by: Seq[String]): DataFrame =
-    aggBy(df, by, v => sqrt(sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1)))))
+  def stdvarBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, v => sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1))))
+  def stddevBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, v => sqrt(sum(v * v) / count(lit(1)) - (sum(v) / count(lit(1))) * (sum(v) / count(lit(1)))))
 
   /** `quantile(q, v) by (...)`: exact linear-interpolated percentile per
     * group per instant. Implemented as `sort_array(collect_list)` + index
@@ -56,8 +79,8 @@ object Aggregate {
     * Out-of-range q follows Prometheus: q < 0 → -Inf, q > 1 → +Inf, NaN →
     * NaN for every group (guards Spark's negative-index `element_at`, which
     * would otherwise silently read from the END of the sorted array). */
-  def quantileBy(df: DataFrame, q: Double, by: Seq[String]): DataFrame =
-    aggBy(df, by, quantileAgg(q))
+  def quantileBy(df: DataFrame, q: Double, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, quantileAgg(q))
 
   /** The shared aggregation column for `quantile(...) by` and
     * `quantile_over_time`: Prometheus out-of-range guards + exact
@@ -98,10 +121,10 @@ object Aggregate {
     * grouping aggregations the survivors keep their own labels. Ties break
     * deterministically on the canonical series key. One window pass,
     * partitioned by (group, ts) — no global sort. */
-  def topk(df: DataFrame, k: Int, by: Option[Seq[String]], bottom: Boolean): DataFrame = {
+  def topk(df: DataFrame, k: Int, by: Option[(Seq[String], Boolean)], bottom: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gkey = by match {
-      case Some(b) => Model.canonicalKey(retainedMap(b))
+      case Some((b, without)) => Model.canonicalKey(retainedMap(b, without))
       case None => lit("")
     }
     val ord = if (bottom) col(Model.ValueCol).asc else col(Model.ValueCol).desc

@@ -207,10 +207,9 @@ object Eval {
     case FuncCall("bottomk", args, by) => evalTopk(args, by, collection, grid, bottom = true)
     case FuncCall("quantile", args, by) =>
       val (q, inner) = scalarAndVector("quantile", args)
+      val (labels, without) = aggLabels(by)
       resampled(eval(inner, collection, grid), grid) match {
-        case Processed(df) =>
-          Processed(Aggregate.quantileBy(df, q,
-            by.getOrElse(throw EvalException("unimplemented: aggregation without 'by'"))))
+        case Processed(df) => Processed(Aggregate.quantileBy(df, q, labels, without))
         case _ => throw EvalException("resampling failed")
       }
 
@@ -245,10 +244,15 @@ object Eval {
           org.apache.spark.sql.functions.floor(
             c + org.apache.spark.sql.functions.lit(0.5)).cast(
             org.apache.spark.sql.types.DoubleType))
-        case Seq(v, ScalarLit(n)) if n != 0 => mapValues(v, collection, grid)(c =>
-          org.apache.spark.sql.functions.floor(
-            c / org.apache.spark.sql.functions.lit(n) +
-              org.apache.spark.sql.functions.lit(0.5)) * org.apache.spark.sql.functions.lit(n))
+        // Prometheus computes via the INVERSE (functions.go funcRound:
+        // floor(v*toNearestInverse+0.5)/toNearestInverse); v/n differs in the
+        // last ULP at tie boundaries, so mirror the inverse form exactly.
+        case Seq(v, ScalarLit(n)) if n != 0 =>
+          val inv = 1.0 / n
+          mapValues(v, collection, grid)(c =>
+            org.apache.spark.sql.functions.floor(
+              c * org.apache.spark.sql.functions.lit(inv) +
+                org.apache.spark.sql.functions.lit(0.5)) / org.apache.spark.sql.functions.lit(inv))
         case _ => throw EvalException("'round' expects (vector[, non-zero scalar to_nearest])")
       }
 
@@ -283,7 +287,7 @@ object Eval {
     case FuncCall(other, _, _) => throw EvalException(s"Cannot handle function '$other'")
   }
 
-  private def evalRate(args: Seq[Node], agg: Option[Seq[String]], collection: DataFrame,
+  private def evalRate(args: Seq[Node], agg: Option[AggMod], collection: DataFrame,
                        grid: Grid,
                        fn: (DataFrame, Grid, Double, Double) => DataFrame): QR = {
     if (agg.isDefined) throw EvalException("'rate' expects no aggregation")
@@ -300,7 +304,7 @@ object Eval {
   /** `*_over_time` range functions (extension): sample-based aggregation
     * over `(t - range, t]`. An `offset` shifts the window by shifting the
     * sample timestamps (equivalent and cheaper than shifting every probe). */
-  private def evalOverTime(args: Seq[Node], agg: Option[Seq[String]], collection: DataFrame,
+  private def evalOverTime(args: Seq[Node], agg: Option[AggMod], collection: DataFrame,
                            grid: Grid,
                            fn: (DataFrame, Grid, Double) => DataFrame): QR = {
     if (agg.isDefined) throw EvalException("'_over_time' expects no aggregation")
@@ -403,12 +407,13 @@ object Eval {
     case _ => throw EvalException(s"'$name' expects (scalar, vector) arguments")
   }
 
-  private def evalTopk(args: Seq[Node], by: Option[Seq[String]], collection: DataFrame,
+  private def evalTopk(args: Seq[Node], by: Option[AggMod], collection: DataFrame,
                        grid: Grid, bottom: Boolean): QR = {
     val (k, inner) = scalarAndVector(if (bottom) "bottomk" else "topk", args)
     if (k != math.rint(k) || k < 1) throw EvalException(s"topk/bottomk k must be a positive integer, got $k")
+    val group = by.map { case ByMod(ls) => (ls, false); case WithoutMod(ls) => (ls, true) }
     resampled(eval(inner, collection, grid), grid) match {
-      case Processed(df) => Processed(Aggregate.topk(df, k.toInt, by, bottom))
+      case Processed(df) => Processed(Aggregate.topk(df, k.toInt, group, bottom))
       case _ => throw EvalException("resampling failed")
     }
   }
@@ -435,12 +440,21 @@ object Eval {
     }
   }
 
-  private def evalAgg(args: Seq[Node], by: Option[Seq[String]], collection: DataFrame,
-                      grid: Grid, fn: (DataFrame, Seq[String]) => DataFrame): QR = {
+  /** Unpacks an aggregation grouping modifier into (labels, without-flag).
+    * A bare aggregation (no `by`/`without`) stays rejected like the
+    * reference (query.rs:461-463 requires the modifier). */
+  private def aggLabels(mod: Option[AggMod]): (Seq[String], Boolean) = mod match {
+    case Some(ByMod(ls)) => (ls, false)
+    case Some(WithoutMod(ls)) => (ls, true)
+    case None => throw EvalException("unimplemented: aggregation without 'by'")
+  }
+
+  private def evalAgg(args: Seq[Node], by: Option[AggMod], collection: DataFrame,
+                      grid: Grid, fn: (DataFrame, Seq[String], Boolean) => DataFrame): QR = {
     if (args.length != 1) throw EvalException(s"aggregation expects a single argument, got ${args.length}")
-    val byLabels = by.getOrElse(throw EvalException("unimplemented: aggregation without 'by'"))
+    val (labels, without) = aggLabels(by)
     resampled(eval(args.head, collection, grid), grid) match {
-      case Processed(df) => Processed(fn(df, byLabels))
+      case Processed(df) => Processed(fn(df, labels, without))
       case _ => throw EvalException("resampling failed")
     }
   }

@@ -17,7 +17,14 @@ final case class ScalarLit(value: Double) extends Node
   * as a top-level expression it is rejected at eval like the reference's
   * `Node::String` (query.rs:568-570). */
 final case class StringLit(value: String) extends Node
-final case class FuncCall(name: String, args: Seq[Node], by: Option[Seq[String]]) extends Node
+/** Aggregation grouping modifier: `by (...)` keeps the listed labels,
+  * `without (...)` drops them (plus `__name__`, Prometheus semantics). The
+  * reference rejects `without` (query.rs:461-463); supporting it is an
+  * extension like the binary operators. */
+sealed trait AggMod { def labels: Seq[String] }
+final case class ByMod(labels: Seq[String]) extends AggMod
+final case class WithoutMod(labels: Seq[String]) extends AggMod
+final case class FuncCall(name: String, args: Seq[Node], by: Option[AggMod]) extends Node
 /** Subquery `expr[range:step]` (extension — Prometheus subquery syntax):
   * the inner expression is evaluated as an instant vector on its own
   * step-aligned grid, and the result is consumed like a range vector by the
@@ -263,19 +270,18 @@ object Parser {
         st.next()
         offset = Some(parseDurationTok(st))
       }
-      Subquery(atom, range, step, offset)
+      // nested subqueries are valid Prometheus (`x[5m:1m][1h:5m]`) — keep
+      // consuming suffixes
+      parseSubquerySuffix(st, Subquery(atom, range, step, offset))
     case _ => atom
   }
 
   private def parseFunc(st: State, name: String): Node = {
     st.next() // function name
-    var by: Option[Seq[String]] = None
-    // `without (...)` parses but evaluation rejects it, like the reference
-    // (query.rs:461-463 "not implemented")
-    var without = false
+    var by: Option[AggMod] = None
     def aggMod(): Unit = st.peek match {
-      case Some(Ident("by")) => st.next(); by = Some(parseNameList(st))
-      case Some(Ident("without")) => st.next(); without = true; parseNameList(st)
+      case Some(Ident("by")) => st.next(); by = Some(ByMod(parseNameList(st)))
+      case Some(Ident("without")) => st.next(); by = Some(WithoutMod(parseNameList(st)))
       case _ => ()
     }
     aggMod() // `sum by (a,b) (expr)` prefix form
@@ -283,8 +289,7 @@ object Parser {
     val args = scala.collection.mutable.ListBuffer[Node](parseExpr(st))
     while (st.peek.contains(Sym(","))) { st.next(); args += parseExpr(st) }
     st.expect(")")
-    if (by.isEmpty && !without) aggMod() // `sum(expr) by (a,b)` suffix form
-    if (without) throw Eval.EvalException("not implemented: aggregation 'without'")
+    if (by.isEmpty) aggMod() // `sum(expr) by (a,b)` suffix form
     FuncCall(name, args.toSeq, by)
   }
 

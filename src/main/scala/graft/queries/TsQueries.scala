@@ -121,6 +121,15 @@ object TsQueries {
         round(col(Model.TsCol), 6).as("ts"),
         noNegZero(round(col(Model.ValueCol), 4)).as("value"))
 
+  /** `without` grouping (extension; the reference rejects it,
+    * query.rs:461-463): drops event_type and `__name__`, so the surviving
+    * group key is props. */
+  def sumWithout(spark: SparkSession, dir: String): DataFrame =
+    Eval("""sum without (event_type) (events)""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("props").as("props"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
+
   private def Eval(q: String, spark: SparkSession, dir: String): DataFrame =
     engine(spark, dir).queryRangeRaw(q, grid)
 
@@ -508,7 +517,7 @@ object TsQueries {
        |${gridCte(Seq(("i", 0.0)))},
        |${bracketCte(withLag = false)}
        |SELECT event_type, props, round(gt, 6) AS ts,
-       |  round(floor($interpExpr / 10.0 + 0.5) * 10.0, 6) + 0.0 AS value
+       |  round(floor($interpExpr * 0.1 + 0.5) / 0.1, 6) + 0.0 AS value
        |FROM w WHERE ord = 1""".stripMargin
 
   def oracleIrate1h: String =
@@ -539,6 +548,16 @@ object TsQueries {
        |)
        |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
+
+  def oracleSumWithout: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT props, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
+       |FROM iv GROUP BY props, gt""".stripMargin
 
   /** Shared sample→window CTE for the `*_over_time` oracle family. */
   private def windowCte(where: String, range: Double = 3600.0): String =
@@ -879,6 +898,7 @@ object TsQueries {
     "round_to" -> (roundTo _),
     "irate_1h" -> (irate1h _),
     "sum_by" -> (sumBy _),
+    "sum_without" -> (sumWithout _),
     "binop_vs" -> (binopVs _),
     "binop_vv" -> (binopVv _),
     "binop_cmp" -> (binopCmp _),
@@ -920,6 +940,7 @@ object TsQueries {
     "round_to" -> oracleRoundTo,
     "irate_1h" -> oracleIrate1h,
     "sum_by" -> oracleSumBy,
+    "sum_without" -> oracleSumWithout,
     "binop_vs" -> oracleBinopVs,
     "binop_vv" -> oracleBinopVv,
     "binop_cmp" -> oracleBinopCmp,

@@ -42,8 +42,13 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
     server.createContext("/api/v1/labels", exchange => safely(exchange) {
       // POST bodies are ignored but capped at 4096 bytes like the
       // reference's ContentLengthLimit extractor (main.rs:349) → 413
-      if (exchange.getRequestMethod == "POST" && bodyTooLarge(exchange))
+      if (exchange.getRequestMethod == "POST" && bodyTooLarge(exchange)) {
+        // The body was only read up to limit+1 bytes; on a keep-alive
+        // connection the JDK server would otherwise try to reuse the stream
+        // with the unread remainder still in flight. Force a close.
+        exchange.getResponseHeaders.set("Connection", "close")
         respondJson(exchange, 413, failure("payloadTooLarge", "body exceeds 4096 bytes"))
+      }
       else
         respondJson(exchange, 200, success(jsonArray(engine.allLabels().map(jsonString))))
     })
@@ -239,8 +244,10 @@ final class PromApi(engine: PromEngine, port: Int = 3003) {
     try body
     catch {
       case e: PromApi.PayloadTooLarge =>
-        try respondJson(exchange, 413, failure("payloadTooLarge", e.getMessage))
-        catch { case _: Exception => () }
+        try {
+          exchange.getResponseHeaders.set("Connection", "close") // unread body remainder
+          respondJson(exchange, 413, failure("payloadTooLarge", e.getMessage))
+        } catch { case _: Exception => () }
       case e: Exception =>
         try respondJson(exchange, 500, failure("internal", e.toString))
         catch { case _: Exception => () }

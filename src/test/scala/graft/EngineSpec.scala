@@ -27,7 +27,7 @@ class EngineSpec extends SparkSpec {
     val n1 = Parser.parse("""histogram_quantile(0.95, sum by (Le, timing) (rate(webmango_request_duration_bucket{}[5m])))""")
     n1 match {
       case FuncCall("histogram_quantile", Seq(ScalarLit(q), FuncCall("sum", Seq(FuncCall("rate", Seq(sel: VectorSel), None)), Some(by))), None) =>
-        assert(q == 0.95); assert(by == Seq("Le", "timing"))
+        assert(q == 0.95); assert(by == graft.promql.ByMod(Seq("Le", "timing")))
         assert(sel.range.contains(300.0))
       case other => fail(s"unexpected AST: $other")
     }
@@ -36,7 +36,8 @@ class EngineSpec extends SparkSpec {
       case VectorSel(ms, Some(90.0), Some(3600.0)) => assert(ms.length == 5)
       case other => fail(s"unexpected AST: $other")
     }
-    assert(Parser.parse("sum(m) by (a)").asInstanceOf[FuncCall].by.contains(Seq("a")))
+    assert(Parser.parse("sum(m) by (a)").asInstanceOf[FuncCall].by.contains(graft.promql.ByMod(Seq("a"))))
+    assert(Parser.parse("sum without (a) (m)").asInstanceOf[FuncCall].by.contains(graft.promql.WithoutMod(Seq("a"))))
     intercept[Parser.ParseException](Parser.parse("m{a=}"))
     intercept[Parser.ParseException](Parser.parse("m["))
   }
