@@ -22,7 +22,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
+    // JVM/codegen warmup: exercise the same physical operators the queries
+    // use (HashAggregate with sum/avg, window, sort-merge artifacts), not
+    // just a range-sum — the first queries in alphabetical order otherwise
+    // pay the JIT cost for the whole fleet and read 30-40% slow.
+    spark.range(1000000).selectExpr("id % 97 as k", "id as v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v)"),
+        org.apache.spark.sql.functions.expr("avg(v)"),
+        org.apache.spark.sql.functions.expr("max(v)"))
+      .selectExpr("sum(`sum(v)`)").collect()
 
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
@@ -50,23 +58,30 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      // best of 2: the first run pays codegen/compile warmup; min is the
-      // stable per-query signal. GC time is attributed across both runs so a
-      // stall shows up next to the query it hit (stderr only — the stdout
-      // JSON line keeps the driver's schema).
+      // 3 timed runs per query; the published per-query number is the
+      // MEDIAN (stable against one lucky or unlucky run), with min/max
+      // alongside so a stall recurrence is visible in the artifact itself:
+      // a healthy query has max ≤ 2× median. GC time is attributed across
+      // all runs so a stall shows up next to the query it hit.
       val gc0 = gcMillis()
-      val a = once()
-      val secs = if (a < 0) a else math.min(a, once())
+      val runs = Seq.fill(3)(once())
+      val secs =
+        if (runs.exists(_ < 0)) -1.0
+        else runs.sorted.apply(1) // median of 3
       gcPerQuery(name) = (gcMillis() - gc0) / 1e3
-      name -> secs
+      (name, secs, if (secs < 0) -1.0 else runs.min, if (secs < 0) -1.0 else runs.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def jmap(vs: Seq[(String, Double)]): String =
+      vs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    val qsMin = jmap(results.map(r => r._1 -> r._3))
+    val qsMax = jmap(results.map(r => r._1 -> r._4))
     val total = results.map(_._2).filter(_ >= 0).sum
     val gcTotal = gcPerQuery.values.sum
     val gcHot = gcPerQuery.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")
     System.err.println(f"[bench] gc total $gcTotal%.2fs; top: $gcHot")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -52,8 +52,12 @@ class EngineSpec extends SparkSpec {
     intercept[Eval.EvalException](Eval.run(collection, "events[5m]", grid))
     // unknown function (abs is implemented since r3; use a real unknown)
     intercept[Eval.EvalException](Eval.run(collection, "no_such_fn(events)", grid))
-    // aggregation 'without' is parsed but rejected (query.rs:461-463)
-    intercept[Eval.EvalException](Eval.run(collection, "sum without (props) (events)", grid))
+    // aggregation 'without' — rejected by the reference (query.rs:461-463)
+    // but implemented here as an extension since r7: must evaluate, and must
+    // drop both the listed label and __name__ from the group key.
+    val wo = Eval.run(collection, "sum without (props) (events)", grid)
+    val keys = wo.select(map_keys(col("labels"))).collect().flatMap(_.getSeq[String](0)).toSet
+    assert(!keys.contains("props") && !keys.contains("__name__") && keys.contains("event_type"))
   }
 
   test("_over_time family through the PromQL pipeline") {
