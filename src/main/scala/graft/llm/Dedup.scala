@@ -223,22 +223,33 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val nbr = edges.join(labels.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("nc").as("nbr"))
-      // the round-start label rides along as __old__ so convergence detection
-      // is a filter over the checkpointed frame, not another join
-      val (hop, hopIds) = ckpt(labels.join(nbr, Seq("doc_id"), "left")
+      // hop is used twice (both sides of the pointer-jump self-join): a lazy
+      // persist makes the second use a cache read WITHOUT its own driver
+      // action — it materializes inside the `next` checkpoint job. Lineage
+      // is truncated at `next`, so hop doesn't need a checkpoint of its own.
+      val hop = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          col("cluster").as("__old__")))
+          col("cluster").as("__old__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ptr = hop.select(col("doc_id").as("__cid__"), col("cluster").as("__cc__"))
       val (next, nextIds) = ckpt(hop.join(ptr, hop("cluster") === ptr("__cid__"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("__cc__"), col("cluster"))).as("cluster"),
           col("__old__")))
-      converged = next.filter(col("cluster") =!= col("__old__")).isEmpty
-      release(labelIds); release(hopIds)
+      iter += 1
+      // Convergence is polled every 2nd round only (pointer doubling
+      // converges in ~log2(diameter) rounds; the worst case is one spare
+      // round of work) — the round-start label rides along as __old__ so
+      // the poll is a filter over the already-checkpointed frame, not a
+      // join. Per round this leaves the checkpoint job plus at most one
+      // short-circuiting isEmpty, versus the previous 2 checkpoints + 1
+      // isEmpty every round.
+      converged = iter % 2 == 0 && next.filter(col("cluster") =!= col("__old__")).isEmpty
+      hop.unpersist(blocking = false)
+      release(labelIds)
       labels = next.drop("__old__")
       labelIds = nextIds
-      iter += 1
     }
     release(edgeIds)
     labels

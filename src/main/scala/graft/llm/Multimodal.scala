@@ -7,31 +7,46 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media payloads as opaque `binary` columns with
   * typed metadata, batch-decoded per partition.
   *
-  * The container has no image/audio codecs, so [[FakeCodec]] is a clearly
-  * marked deterministic stand-in; the Spark-side plumbing — binary schema,
-  * typed Dataset, per-partition batch decode, feature explosion — is real and
-  * is exactly what a libjpeg/ffmpeg-backed codec would plug into.
+  * The decode step is real for the container formats a header parse can
+  * serve without a codec library — PNG/JPEG/GIF/BMP dimensions and channel
+  * counts via [[MediaCodec]]. Payloads that aren't recognized media (like
+  * the text-derived blobs in the synthetic corpus) fall back to the
+  * deterministic [[FakeCodec]] features, which keeps the gate query
+  * oracle-checkable in DuckDB. The plumbing — binary schema, typed Dataset,
+  * per-partition batch decode, feature explosion — is shared by both paths.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class MediaFeatures(doc_id: Long, width: Int, height: Int, features: Array[Double])
+  final case class MediaFeatures(doc_id: Long, format: String, width: Int, height: Int,
+      channels: Int, features: Array[Double])
 
-  /** STUB CODEC: a real implementation would decode the payload (JPEG/PNG/
-    * WAV...) here. This fake derives deterministic "dimensions" and an
-    * 8-bin byte histogram over the first 64 bytes, so the pipeline shape
-    * (batched per-partition decode → fixed-length feature vector) is real. */
+  /** Deterministic fallback for unrecognized payloads: fake "dimensions"
+    * from payload length/first byte plus an 8-bin byte histogram over the
+    * first 64 bytes — a stable, oracle-reproducible feature vector. */
   object FakeCodec {
-    def decode(payload: Array[Byte]): MediaFeatures = {
-      val head = payload.take(64)
-      val hist = new Array[Double](8)
-      head.foreach(b => hist((b & 0xff) % 8) += 1.0)
-      val n = math.max(head.length, 1)
-      MediaFeatures(0L, (payload.length * 7) % 640 + 16,
+    def decode(payload: Array[Byte]): MediaFeatures =
+      MediaFeatures(0L, "raw", (payload.length * 7) % 640 + 16,
         ((if (payload.nonEmpty) payload(0) & 0xff else 0) * 13) % 480 + 16,
-        hist.map(_ / n))
-    }
+        0, byteHistogram(payload))
   }
+
+  private def byteHistogram(payload: Array[Byte]): Array[Double] = {
+    val head = payload.take(64)
+    val hist = new Array[Double](8)
+    head.foreach(b => hist((b & 0xff) % 8) += 1.0)
+    val n = math.max(head.length, 1)
+    hist.map(_ / n)
+  }
+
+  /** Decode one payload: real header parse first, deterministic fallback
+    * otherwise. Total — malformed media can't throw (MediaCodec is
+    * bounds-checked and returns None). */
+  def decode(payload: Array[Byte]): MediaFeatures =
+    MediaCodec.sniff(payload) match {
+      case Some(m) => MediaFeatures(0L, m.format, m.width, m.height, m.channels, byteHistogram(payload))
+      case None    => FakeCodec.decode(payload)
+    }
 
   /** Attach a binary payload column (derived from text here; in production
     * this is the stored media bytes). */
@@ -55,7 +70,7 @@ object Multimodal {
     import spark.implicits._
     mediaFrame(docs).as[MediaRow].mapPartitions { rows =>
       // per-partition codec init would go here
-      rows.map(r => FakeCodec.decode(r.payload).copy(doc_id = r.doc_id))
+      rows.map(r => decode(r.payload).copy(doc_id = r.doc_id))
     }
   }
 
