@@ -58,10 +58,18 @@ object AnnSweep {
       val cand = lshCand(t, p)
       println(f"| LSH | $t tables × $p planes | $r%.3f | ${cand / nQ} | $s%.1f |")
     }
-    for ((c, np) <- Seq((16, 1), (16, 2), (16, 4), (64, 2), (64, 4), (64, 8))) {
-      val (r, s, _) = recallAndTime(Ann.ivfTopK(emb, queries, 5, c, np))
-      // IVF cost: probed-list sizes ≈ corpus × nprobe / centroids
-      println(f"| IVF | $c cents, nprobe=$np | $r%.3f | ~${corpusN * np / c} | $s%.1f |")
+    // (centroids, nprobe, lloydIters, spreadSeed, multiAssign)
+    for ((c, np, ll, sp, ma) <- Seq(
+        (16, 2, 0, false, 1), (16, 4, 0, false, 1), (64, 2, 0, false, 1),
+        (64, 4, 0, false, 1), (64, 8, 0, false, 1), // first-N seeds (oracle path)
+        (64, 4, 0, true, 1), (64, 4, 1, true, 1), (64, 4, 2, true, 1), // seeding/refinement
+        (64, 2, 0, false, 2), (64, 4, 0, false, 2), (128, 4, 0, false, 2),
+        (64, 2, 1, false, 2), (128, 4, 1, false, 2))) { // replicated lists
+      val (r, s, _) = recallAndTime(Ann.ivfTopK(emb, queries, 5, c, np,
+        lloydIters = ll, spreadSeed = sp, multiAssign = ma))
+      // IVF cost: probed-list sizes ≈ corpus × nprobe × multiAssign / centroids
+      println(f"| IVF | $c cents, nprobe=$np, lloyd=$ll, spread=$sp, assign=$ma " +
+        f"| $r%.3f | ~${corpusN * np * ma / c} | $s%.1f |")
     }
     spark.stop()
   }

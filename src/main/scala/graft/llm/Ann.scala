@@ -120,41 +120,140 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
-  /** IVF-style top-k: vectors are assigned to their nearest centroid
-    * (deterministic tie-break on centroid id); queries probe the `nprobe`
-    * nearest centroid lists only. The centroid set here is a deterministic
-    * sample (first `nCentroids` vectors) — a production pipeline plugs a
-    * k-means fit in its place; the partition/probe shape (the part that must
-    * scale) is identical. Shuffle key = centroid id.
-    *
-    * Defaults (64, 4) come from the AnnSweep recall/cost table (SURVEY §6):
-    * recall@5 = 0.71 while scoring ~nprobe/nCentroids = 6% of the corpus per
-    * query — the best recall-per-candidate point measured; at corpus scale,
-    * grow nCentroids ~√N to keep list sizes (and per-probe cost) bounded. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 64, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCentroids)
+  /** Deterministic seed centroids: the first `nCentroids` corpus vectors. */
+  private def seedCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  /** Farthest-point (max-min cosine) seeding over a small deterministic
+    * candidate pool — the k-means++-style spread that fixes the weakness of
+    * first-N seeding (centroids bunched wherever the first rows happen to
+    * lie). The pool (first `poolFactor × nCentroids` vectors) is collected
+    * and the greedy scan runs driver-side: pool × Dims floats is model-fit
+    * territory, one bounded collect regardless of corpus size. Centroid ids
+    * are renumbered 0..n-1 in selection order, so downstream tie-breaks stay
+    * deterministic. */
+  def spreadCentroids(corpus: DataFrame, nCentroids: Int, poolFactor: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val pool = corpus.filter(col("vec_id") < (nCentroids.toLong * poolFactor))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    val maxSim = scala.collection.mutable.ArrayBuffer.tabulate(pool.length)(i => cos(pool(i)._2, pool.head._2))
+    while (chosen.length < math.min(nCentroids, pool.length)) {
+      // the candidate whose NEAREST chosen centroid is farthest (min max-sim)
+      var best = -1; var bestSim = Double.MaxValue
+      var i = 0
+      while (i < pool.length) {
+        if (maxSim(i) < bestSim && !chosen.exists(_._1 == pool(i)._1)) { bestSim = maxSim(i); best = i }
+        i += 1
+      }
+      chosen += pool(best)
+      var j = 0
+      while (j < pool.length) {
+        val s = cos(pool(j)._2, pool(best)._2)
+        if (s > maxSim(j)) maxSim(j) = s
+        j += 1
+      }
+    }
+    import spark.implicits._
+    chosen.zipWithIndex.map { case ((_, emb), i) => (i.toLong, emb) }.toSeq
+      .toDF("cent_id", "cent_emb")
+  }
+
+  /** Assign each vector to its `n` best centroids (max cosine, min centroid
+    * id on ties). Centroids broadcast; the corpus streams. */
+  private def assignTo(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("graft_cosine(embedding, cent_emb)"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)))
+      .filter(col("rk") <= n)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+
+  /** Spherical-k-means refinement of the seed centroids: `iters` Lloyd
+    * rounds of assign → element-wise mean. The mean is 64 declarative `avg`
+    * aggregates in ONE map-side-combined groupBy — no posexplode (which
+    * would shuffle Dims× the corpus). Cosine assignment doesn't need the
+    * mean normalized, and the result is cast back to float so the codegen'd
+    * scorer applies unchanged. Empty clusters keep their previous centroid.
+    * The final centroid table is collected (≤ nCentroids × Dims floats — a
+    * model parameter, like any k-means fit) so downstream plans embed a
+    * literal local relation instead of re-running the fit per use. */
+  def lloydCentroids(corpus: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val assigned = assignTo(corpus, cents, 1)
+      val meanCols = (1 to Dims).map(i =>
+        avg(element_at(col("embedding"), i).cast(DoubleType)).as(s"__m$i"))
+      val means = assigned.groupBy("cent_id").agg(meanCols.head, meanCols.tail: _*)
+        .select(col("cent_id"),
+          array((1 to Dims).map(i => col(s"__m$i").cast(FloatType)): _*).as("new_emb"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
+    }
+    if (iters == 0) cents
+    else {
+      val spark = corpus.sparkSession
+      val schema = StructType(Seq(StructField("cent_id", LongType),
+        StructField("cent_emb", ArrayType(FloatType))))
+      spark.createDataFrame(java.util.Arrays.asList(cents.collect(): _*), schema)
+    }
+  }
 
-    // assign every vector to its best centroid (max cosine, min id on ties)
-    def assign(df: DataFrame, n: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", expr("graft_cosine(embedding, cent_emb)"))
-        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)))
-        .filter(col("rk") <= n)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
+  /** IVF-style top-k: vectors are assigned to their `multiAssign` nearest
+    * centroids (deterministic tie-break on centroid id); queries probe the
+    * `nprobe` nearest centroid lists only. Shuffle key = centroid id.
+    *
+    * Defaults (128 cents, nprobe 4, assign 2) come from the AnnSweep
+    * recall/cost table (SURVEY §6): recall@5 = 0.988 while scoring
+    * ~nprobe·multiAssign/nCentroids ≈ 6% of the corpus per query — list
+    * REPLICATION is the measured lever (a vector near a cell boundary lives
+    * in both adjacent lists, so the probe that lands on either side finds
+    * it), worth far more per candidate than probing additional lists.
+    * The refinement options measured WORSE on the synthetic corpus and are
+    * off by default, kept because their value is corpus-dependent:
+    * `lloydIters` (spherical k-means rounds, [[lloydCentroids]]) pulls
+    * centroids into dense regions (0.708 → 0.686 at 64/4/1×); `spreadSeed`
+    * (farthest-point, [[spreadCentroids]]) seeds on outliers (→ 0.354).
+    * At corpus scale, grow nCentroids ~√N to keep list sizes (and per-probe
+    * cost) bounded; multiAssign multiplies index size, not query cost at
+    * fixed candidate budget. The oracle gate query pins lloydIters = 0 /
+    * spreadSeed = false / multiAssign = 1: first-N seeds are
+    * SQL-reproducible, a distributed float mean is not hash-stable across
+    * engines. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 128, nprobe: Int = 4, lloydIters: Int = 0,
+              spreadSeed: Boolean = false, multiAssign: Int = 2): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    val seed =
+      if (spreadSeed) spreadCentroids(corpus, nCentroids)
+      else seedCentroids(corpus, nCentroids)
+    val cents =
+      if (lloydIters <= 0) seed
+      else lloydCentroids(corpus, seed, lloydIters)
 
-    val lists = assign(corpus, 1)
-    val probes = assign(queries, nprobe)
+    val lists = assignTo(corpus, cents, multiAssign)
+    val probes = assignTo(queries, cents, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cent_id"))
 
-    val scored = lists.as("c").join(broadcast(probes.as("q")),
+    val scored0 = lists.as("c").join(broadcast(probes.as("q")),
         col("q.cent_id") === col("c.cent_id") && col("q.qid") =!= col("c.vec_id"))
       .select(col("q.qid").as("query_id"), col("c.vec_id").as("neighbor_id"),
         round(expr("graft_cosine(q.qemb, c.embedding)"), 6).as("score"))
-    // no dedup needed: every corpus vector lives in exactly one list
+    // with multiAssign = 1 every corpus vector lives in exactly one list and
+    // pairs are unique by construction; replicated lists need the dedup
+    val scored = if (multiAssign <= 1) scored0 else scored0.distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -53,7 +53,12 @@ object LlmQueries {
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, nCentroids = 16, nprobe = 2)
+    // lloydIters = 0 / spreadSeed = false: the DuckDB oracle replicates the
+    // deterministic first-N seed centroids; neither a distributed float mean
+    // nor the greedy spread scan is worth re-deriving in SQL. The refined
+    // paths are measured by AnnSweep instead.
+    Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, nCentroids = 16, nprobe = 2,
+      lloydIters = 0, spreadSeed = false, multiAssign = 1)
   }
 
   def textLang(spark: SparkSession, dir: String): DataFrame =
