@@ -32,11 +32,23 @@ object Model {
     * groupable) and as the human-readable series identity in query outputs.
     * Mirrors the reference's `LabelValueMap::display_string` ordering
     * (labels.rs:317-321, BTreeMap = sorted by key).
+    *
+    * The separator characters (`\`, `=`, `,`) are backslash-escaped inside
+    * keys and values, making the encoding injective: two distinct label maps
+    * can never collide into one skey, so every downstream skey equi-join
+    * (binops) and groupBy sees exact series identity. Chained `replace` keeps
+    * the escape inside whole-stage codegen (no regex engine).
     */
   def canonicalKey(labels: Column): Column =
-    array_join(
-      transform(array_sort(map_entries(labels)), e => concat(e("key"), lit("="), e("value"))),
-      ",")
+    canonicalKeyFromEntries(array_sort(map_entries(labels)))
+
+  /** Same encoding over an already-sorted `map_entries` array (shared with
+    * `Aggregate.aggBy`, which groups on the entries array directly). */
+  def canonicalKeyFromEntries(entries: Column): Column =
+    array_join(transform(entries, e => concat(escapeLabel(e("key")), lit("="), escapeLabel(e("value")))), ",")
+
+  private def escapeLabel(c: Column): Column =
+    replace(replace(replace(c, lit("\\"), lit("\\\\")), lit("="), lit("\\=")), lit(","), lit("\\,"))
 
   /** Adds the canonical series key column to a samples DataFrame. */
   def withSkey(df: DataFrame): DataFrame =

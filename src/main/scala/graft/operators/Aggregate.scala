@@ -42,8 +42,7 @@ object Aggregate {
       .groupBy(col("__gents__"), col(Model.TsCol))
       .agg(aggFn(col(Model.ValueCol)).as(Model.ValueCol))
       .select(
-        array_join(transform(col("__gents__"), e => concat(e("key"), lit("="), e("value"))), ",")
-          .as(Model.SkeyCol),
+        Model.canonicalKeyFromEntries(col("__gents__")).as(Model.SkeyCol),
         map_from_entries(col("__gents__")).as(Model.LabelsCol),
         col(Model.TsCol), col(Model.ValueCol))
 

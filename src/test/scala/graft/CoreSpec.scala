@@ -108,4 +108,19 @@ class CoreSpec extends SparkSpec {
     assert(Model.makeMetricNameLegal("42") == "_42")
     assert(Model.makeMetricNameLegal("s-s-s-[_]??/.") == "s_s_s________")
   }
+
+  test("canonicalKey is injective when label values contain separator chars") {
+    // Pre-escaping, both maps rendered as "a=b,c=d" — a silent series-identity
+    // collision that downstream skey equi-joins (binops) would fan out on.
+    def key(labels: org.apache.spark.sql.Column): String =
+      Seq(1).toDF("x").select(Model.canonicalKey(labels)).head().getString(0)
+    val collided = key(map(lit("a"), lit("b,c=d")))
+    val distinct = key(map(lit("a"), lit("b"), lit("c"), lit("d")))
+    assert(collided == "a=b\\,c\\=d")
+    assert(distinct == "a=b,c=d")
+    assert(collided != distinct)
+    assert(key(map(lit("p"), lit("x\\y"))) == "p=x\\\\y")
+    // Plain labels are untouched — the escape is a no-op on ordinary data.
+    assert(key(map(lit("__name__"), lit("m"), lit("host"), lit("h1"))) == "__name__=m,host=h1")
+  }
 }
