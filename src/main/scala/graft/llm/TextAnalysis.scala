@@ -64,6 +64,97 @@ object TextAnalysis {
       size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]', 0)"))
         .cast(LongType).as("bpe_tokens"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
+    * filters"): per document, the character-coverage of the single most
+    * frequent word 2-gram and the fraction of word characters inside
+    * `dupN`-grams that occur more than once (overlaps counted, the standard
+    * approximation; Gopher uses 5..10 — on the synthetic corpus 3 is the
+    * informative setting, and the gate query pins dupN=3). High values flag boilerplate / TBH-spam documents that
+    * exact+near dedup miss because the repetition is INTERNAL to one doc.
+    *
+    * Shape: explode word n-grams → groupBy(doc_id, gram) with map-side
+    * partial counts → per-doc aggregate → join back on doc_id. Every shuffle
+    * is keyed by doc_id (+gram), so the fan-out is bounded by document
+    * length, never corpus size — the same plan holds at 100 TB.
+    *
+    * Char conventions: `char_total` = sum of word lengths (separators
+    * excluded); an n-gram rendered "a b c" covers `length - (n-1)` word
+    * chars. Ties for the top gram break on the lexicographically LARGEST
+    * gram (max over (count, gram) structs — mirrored in the oracle's
+    * `ORDER BY cnt DESC, g DESC`).
+    */
+  def repetition(docs: DataFrame, dupN: Int = 3): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("w"))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .withColumn("char_total",
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x).cast(LongType)))
+
+    def grams(n: Int): DataFrame =
+      base.filter(size(col("w")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - n),
+            i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("g"))
+
+    val top2 = grams(2).groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cnt"), col("g"))).as("m"))
+      .select(col("doc_id"), col("m.g").as("top_2gram"),
+        (col("m.cnt") * (length(col("m.g")) - 1)).cast(DoubleType).as("top2_chars"))
+
+    val dupG = grams(dupN).groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * (length(col("g")) - (dupN - 1))).cast(DoubleType).as("dup_chars"))
+
+    base.join(top2, Seq("doc_id"), "left").join(dupG, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+        when(col("char_total") === 0, 0.0)
+          .otherwise(round(coalesce(col("top2_chars"), lit(0.0)) / col("char_total").cast(DoubleType), 6))
+          .as("top_2gram_frac"),
+        when(col("char_total") === 0, 0.0)
+          .otherwise(round(coalesce(col("dup_chars"), lit(0.0)) / col("char_total").cast(DoubleType), 6))
+          .as(s"dup_${dupN}gram_frac"))
+  }
+
+  /** PII detection + redaction: emails, IPv4 addresses, NANP-style phone
+    * numbers, SSN-shaped ids. Counts per category plus the redacted text,
+    * all single-pass column expressions (codegen'd regex, no shuffle at
+    * all — the ideal 100 TB shape: embarrassingly parallel over row groups).
+    *
+    * The patterns deliberately stay inside the regex subset with identical
+    * semantics in Java regex and RE2 (character classes, bounded repeats,
+    * `\b`; no backrefs/lookarounds) so one pattern string serves both the
+    * engine and the DuckDB oracle. Redaction order is fixed (email, SSN,
+    * phone, IP) so category placeholders never overlap.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def pii(docs: DataFrame, textCol: Column): DataFrame = {
+    def cnt(re: String): Column =
+      size(regexp_extract_all(textCol, lit(re), lit(0))).cast(LongType)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(textCol, lit(EmailRe), lit("<EMAIL>")),
+            lit(SsnRe), lit("<SSN>")),
+          lit(PhoneRe), lit("<PHONE>")),
+        lit(Ipv4Re), lit("<IP>"))
+    docs.select(col("doc_id"),
+      cnt(EmailRe).as("n_emails"),
+      cnt(Ipv4Re).as("n_ipv4"),
+      cnt(PhoneRe).as("n_phones"),
+      cnt(SsnRe).as("n_ssn"),
+      (cnt(EmailRe) + cnt(Ipv4Re) + cnt(PhoneRe) + cnt(SsnRe)).as("pii_total"),
+      redacted.as("redacted"))
+  }
+
   /** Winnowing fingerprints: md5-hashed character 8-grams, sliding window of
     * 4, distinct window minima (Schleimer et al., SIGMOD'03 scheme). One row
     * per (doc_id, fingerprint hash). Hashing + windowing run in the native

@@ -78,6 +78,27 @@ object LlmQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(spark, dir))
 
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(spark, dir))
+
+  /** The synthetic documents carry no PII, so the query injects
+    * deterministic doc_id-derived PII (emails / IPv4 / phone / SSN shapes)
+    * BEFORE detection — the identical SQL fragment runs in the oracle, so
+    * the regex detectors and the redaction chain are exercised on varied
+    * true positives rather than vacuously counting zero. */
+  def textPii(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pii(docs(spark, dir), expr(PiiInjectSql))
+
+  /** Shared Spark/DuckDB SQL for the injected PII text (both engines parse
+    * this fragment identically: `||` concat, CASE, lpad, CAST AS STRING). */
+  val PiiInjectSql: String =
+    """text || CASE CAST(doc_id % 5 AS INT)
+      |  WHEN 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com or admin@test.org'
+      |  WHEN 1 THEN ' server 10.' || CAST(doc_id % 250 AS STRING) || '.0.1 up'
+      |  WHEN 2 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+      |  WHEN 3 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' on 10.0.0.' || CAST(doc_id % 200 AS STRING)
+      |  ELSE '' END""".stripMargin
+
   /** End-to-end curation pipeline: exact-dedup keepers ∩ quality floor ∩
     * language-ID agreement with the recorded lang column — the composition a
     * training-data pipeline actually ships. One pass over documents, three
@@ -317,6 +338,42 @@ object LlmQueries {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens
       |FROM documents""".stripMargin
 
+  def oracleTextRepetition: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS char_total FROM t),
+      |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM t WHERE len(w) >= 2),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |t2 AS (SELECT doc_id, g AS top_2gram, CAST(cnt * (length(g) - 1) AS DOUBLE) AS top2_chars FROM
+      |    (SELECT doc_id, g, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn FROM c2)
+      |  WHERE rn = 1),
+      |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+      |  FROM t WHERE len(w) >= 3),
+      |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+      |d3 AS (SELECT doc_id, CAST(sum(cnt * (length(g) - 2)) AS DOUBLE) AS dup3_chars FROM c3 WHERE cnt >= 2 GROUP BY 1)
+      |SELECT b.doc_id, n_words,
+      |  coalesce(top_2gram, '') AS top_2gram,
+      |  CASE WHEN char_total = 0 THEN 0.0 ELSE round(coalesce(top2_chars, 0.0) / char_total, 6) END AS top_2gram_frac,
+      |  CASE WHEN char_total = 0 THEN 0.0 ELSE round(coalesce(dup3_chars, 0.0) / char_total, 6) END AS dup_3gram_frac
+      |FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin
+
+  def oracleTextPii: String = {
+    val (em, ip, ph, sn) =
+      (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe, TextAnalysis.SsnRe)
+    s"""WITH p AS (SELECT doc_id, $PiiInjectSql AS pt FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pt, '$em')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(pt, '$ip')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(pt, '$ph')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(pt, '$sn')) AS BIGINT) AS n_ssn,
+       |  CAST(len(regexp_extract_all(pt, '$em')) + len(regexp_extract_all(pt, '$ip')) +
+       |       len(regexp_extract_all(pt, '$ph')) + len(regexp_extract_all(pt, '$sn')) AS BIGINT) AS pii_total,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(pt,
+       |    '$em', '<EMAIL>', 'g'), '$sn', '<SSN>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
+       |FROM p""".stripMargin
+  }
+
   def oracleTextFingerprint: String =
     s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
        |g AS (SELECT doc_id,
@@ -441,6 +498,8 @@ object LlmQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
+    "text_pii" -> (textPii _),
     "corpus_curate" -> (corpusCurate _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _))
@@ -459,6 +518,8 @@ object LlmQueries {
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
     "text_fingerprint" -> oracleTextFingerprint,
+    "text_repetition" -> oracleTextRepetition,
+    "text_pii" -> oracleTextPii,
     "corpus_curate" -> oracleCorpusCurate,
     "multimodal_meta" -> oracleMultimodalMeta,
     "multimodal_features" -> oracleMultimodalFeatures)
