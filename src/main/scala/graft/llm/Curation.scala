@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup: benchmark decontamination, deterministic stratified
+  * sampling, and token-budget domain mixing.
+  *
+  * Design rules for 100 TB (same contract as [[Dedup]]):
+  *  - the benchmark/eval side of decontamination is SMALL (benchmarks are
+  *    megabytes) — it is always the broadcast side; the corpus is scanned
+  *    once and never shuffled on anything unbounded;
+  *  - sampling decisions are pure per-row hash arithmetic (zero shuffle,
+  *    zero state, reproducible across engines and re-runs);
+  *  - budget cuts avoid the naive per-domain global sort: a banded
+  *    two-phase cutoff aggregates token mass per (domain, quality-band)
+  *    first (tiny), classifies whole bands, and only sorts the single
+  *    boundary band per domain — the part of the data the cut actually
+  *    depends on.
+  */
+object Curation {
+
+  /** Benchmark decontamination (the GPT-3 appendix-C / PaLM-style n-gram
+    * overlap check): flag every training document sharing any word n-gram
+    * with a held-out benchmark set.
+    *
+    * `isBench` selects the benchmark rows out of `docs`; the remaining rows
+    * are the training corpus under test. Output (one row per corpus doc):
+    * `doc_id`, `n_grams` (distinct n-grams in the doc), `n_hits` (distinct
+    * n-grams also present in the benchmark set), `contaminated`.
+    *
+    * Plan shape: benchmark grams are distinct-ed and BROADCAST (at real
+    * scale: benchmarks ~MBs → at most a few million grams); the corpus-side
+    * gram generator is map-only (in-row sliding window, [[Dedup.rawNgrams]]);
+    * the broadcast left-join marks hits without moving the corpus; the only
+    * shuffle is the final groupBy(doc_id) whose map-side partials are one
+    * row per doc per partition.
+    */
+  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 5): DataFrame = {
+    val benchGrams = Dedup.rawNgrams(docs.filter(isBench), n)
+      .select("g").distinct()
+      .withColumn("__hit__", lit(1))
+    val corpus = docs.filter(!isBench)
+    val agg = Dedup.rawNgrams(corpus, n)
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("__hit__") === 1, col("g"))).as("n_hits"))
+    // Docs shorter than n tokens emit no gram rows — restore them with a
+    // left join from the corpus spine so the output is one row per doc.
+    corpus.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic hash-stratified sampling: keep a document iff its md5
+    * bucket (0..99, derived from the text so resampling a re-crawled corpus
+    * is stable) falls under its stratum's configured percentage.
+    *
+    * Pure per-row arithmetic — no shuffle, no RNG state, reproducible in
+    * any engine (`('0x'||substr(md5(text),1,6))::BIGINT % 100` in DuckDB).
+    * This is how a 100 TB pipeline takes a "20% of web, 80% of books" mix:
+    * the decision function rides along with the scan.
+    */
+  def sampleStratified(docs: DataFrame, strataCol: Column,
+                       rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("text").cast(BinaryType)), 1, 6), 16, 10)
+      .cast(LongType), lit(100L))
+    val rate = rates.foldLeft(lit(defaultRate).cast(LongType)) {
+      case (acc, (k, v)) => when(strataCol === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), strataCol.as("stratum"), col("bucket"))
+  }
+
+  /** Token-budget domain mixing: per `source`, keep the highest-quality
+    * documents until the running token total crosses `budget` (keep rule:
+    * a doc is kept iff its inclusive cumulative token count, in
+    * (quality_score DESC, doc_id ASC) order within its source, is ≤ budget).
+    *
+    * Semantically identical to one window
+    * `sum(tok) OVER (PARTITION BY source ORDER BY p DESC, doc_id)` + filter
+    * — which is what the DuckDB oracle runs — but a per-source global sort
+    * does not survive 100×: one source can be terabytes, and a window
+    * partition is a single task. Instead, a banded two-phase cutoff:
+    *
+    *  1. band each doc by `floor(quality_score·100)` and aggregate token
+    *     mass per (source, band) — map-side combined, output ≤ |sources|·101
+    *     rows;
+    *  2. a window over that TINY aggregate computes the token mass strictly
+    *     above each band, classifying bands as full (kept wholesale),
+    *     dropped, or THE boundary band (≤ 1 per source);
+    *  3. only boundary-band docs — one band's worth per source — are sorted;
+    *     their window gets the band's token offset added so the inclusive
+    *     cumulative sum matches the global definition exactly.
+    *
+    * Exactness: (quality DESC, doc_id) is a total order and band boundaries
+    * respect it (equal scores share a band), so full ∪ boundary-kept is
+    * row-for-row the same set the single window produces.
+    */
+  def mixByBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score").as("p"))
+      .join(docs.select(col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)"))
+          .cast(LongType).as("tok")), "doc_id")
+      .withColumn("band", floor(col("p") * 100).cast(IntegerType))
+
+    // Phase 1+2: per-(source, band) token mass, then the mass strictly in
+    // better bands. The aggregate is tiny; the window is over ≤101 rows per
+    // source.
+    val better = Window.partitionBy("source").orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bands = scored.groupBy("source", "band")
+      .agg(sum("tok").as("btok"))
+      .withColumn("above", coalesce(sum("btok").over(better), lit(0L)))
+      .withColumn("status",
+        when(col("above") + col("btok") <= budget, "full")
+          .when(col("above") > budget, "drop")
+          .otherwise("boundary"))
+
+    val tagged = scored.join(broadcast(bands), Seq("source", "band"))
+    val full = tagged.filter(col("status") === "full")
+    // Phase 3: sort ONLY the boundary band (≤ one band per source).
+    val inBand = Window.partitionBy("source", "band")
+      .orderBy(col("p").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = tagged.filter(col("status") === "boundary")
+      .withColumn("cum", col("above") + sum("tok").over(inBand))
+      .filter(col("cum") <= budget)
+    full.select("source", "doc_id", "tok")
+      .unionByName(boundary.select("source", "doc_id", "tok"))
+  }
+}

@@ -53,7 +53,7 @@ object Dedup {
     * `explode(array_distinct(...))` an order of magnitude slower than the
     * raw generator (measured 17 s vs 1.6 s on sf0.1 documents) — consumers
     * dedup in their aggregation instead (`collect_set`, `distinct`). */
-  private def rawNgrams(docs: DataFrame, n: Int): DataFrame = {
+  private[llm] def rawNgrams(docs: DataFrame, n: Int): DataFrame = {
     val gram = (1 to n).map(j => s"element_at(__tk__, i + ${j - 1})")
       .mkString("concat_ws(' ', ", ", ", ")")
     docs.withColumn("__tk__", tokens(col("text")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Curation, Dedup, Multimodal, TextAnalysis}
 
 /** LLM-data-pipeline queries + DuckDB oracles. Each oracle replicates the
   * same deterministic algorithm (md5-derived hashing, identical expression
@@ -98,6 +98,24 @@ object LlmQueries {
       |  WHEN 2 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
       |  WHEN 3 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' on 10.0.0.' || CAST(doc_id % 200 AS STRING)
       |  ELSE '' END""".stripMargin
+
+  /** Benchmark decontamination: docs with doc_id ≡ 7 (mod 20) stand in for
+    * the held-out benchmark set; every other doc is checked for word
+    * 5-gram overlap against it (the GPT-3/PaLM recipe). */
+  def decontaminateQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.decontaminate(docs(spark, dir),
+      pmod(col("doc_id"), lit(20L)) === 7, n = 5)
+
+  /** Deterministic per-language sampling mix: 80% of en, 50% de, 40% es,
+    * 20% zh, 30% anything else — decided by an md5 bucket of the text. */
+  def sampleStratifiedQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.sampleStratified(docs(spark, dir), col("lang"),
+      Map("en" -> 80, "de" -> 50, "es" -> 40, "zh" -> 20), defaultRate = 30)
+
+  /** Token-budget domain mixing: per source, keep the highest-quality docs
+    * until 800 whitespace tokens are spent. */
+  def mixBudgetQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixByBudget(docs(spark, dir), budget = 800L)
 
   /** End-to-end curation pipeline: exact-dedup keepers ∩ quality floor ∩
     * language-ID agreement with the recorded lang column — the composition a
@@ -374,6 +392,45 @@ object LlmQueries {
        |FROM p""".stripMargin
   }
 
+  def oracleDecontaminate: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |g5 AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(range(1, len(tk) - 3),
+      |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks)),
+      |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 20 = 7),
+      |agg AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(CASE WHEN b.g IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits
+      |  FROM (SELECT doc_id, g FROM g5 WHERE doc_id % 20 <> 7) c
+      |  LEFT JOIN bench b ON c.g = b.g GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, coalesce(a.n_hits, 0) AS n_hits,
+      |  coalesce(a.n_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |WHERE d.doc_id % 20 <> 7""".stripMargin
+
+  def oracleSampleStratified: String =
+    """WITH b AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 AS bucket FROM documents)
+      |SELECT doc_id, lang AS stratum, bucket FROM b
+      |WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+      |  WHEN 'es' THEN 40 WHEN 'zh' THEN 20 ELSE 30 END""".stripMargin
+
+  /** The oracle states the mixing semantics as the ONE window the Spark
+    * side deliberately avoids (see [[graft.llm.Curation.mixByBudget]]):
+    * per-source running token sum in (quality DESC, doc_id) order, keep
+    * while ≤ budget. */
+  def oracleMixBudget: String =
+    s"""SELECT source, doc_id, tok FROM (
+       |  SELECT source, doc_id, tok,
+       |    sum(tok) OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS cum
+       |  FROM (
+       |    SELECT d.source, d.doc_id,
+       |      CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\r]+')) AS BIGINT) AS tok,
+       |      q.quality_score AS p
+       |    FROM documents d JOIN ($oracleTextQuality) q ON d.doc_id = q.doc_id))
+       |WHERE cum <= 800""".stripMargin
+
   def oracleTextFingerprint: String =
     s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
        |g AS (SELECT doc_id,
@@ -500,6 +557,9 @@ object LlmQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii" -> (textPii _),
+    "decontaminate" -> (decontaminateQ _),
+    "sample_stratified" -> (sampleStratifiedQ _),
+    "mix_budget" -> (mixBudgetQ _),
     "corpus_curate" -> (corpusCurate _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _))
@@ -520,6 +580,9 @@ object LlmQueries {
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,
     "text_pii" -> oracleTextPii,
+    "decontaminate" -> oracleDecontaminate,
+    "sample_stratified" -> oracleSampleStratified,
+    "mix_budget" -> oracleMixBudget,
     "corpus_curate" -> oracleCorpusCurate,
     "multimodal_meta" -> oracleMultimodalMeta,
     "multimodal_features" -> oracleMultimodalFeatures)

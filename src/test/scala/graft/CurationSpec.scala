@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+
+/** Behavior of the corpus-curation ops ([[graft.llm.Curation]]) on planted
+  * inputs, including the banded two-phase budget cut's exact equivalence to
+  * the naive global window it replaces. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, src: String, words: Int, word: String = "w"): (Long, String, String) =
+    (id, (1 to words).map(i => s"$word$i").mkString(" "), src)
+
+  test("decontaminate flags exactly the docs sharing a benchmark n-gram") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),          // bench (isBench below)
+      (1L, "alpha beta gamma delta epsilon zeta eta"),      // superset: contaminated
+      (2L, "one two three four five six seven"),            // disjoint: clean
+      (3L, "zz alpha beta gamma delta epsilon yy"),         // inner 5-gram overlap
+      (4L, "too short")                                     // < n tokens: 0 grams
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, col("doc_id") === 0L, n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(!out.contains(0L))                       // bench doc not in output
+    assert(out(1L)._3 && out(1L)._2 == 2)           // both bench 5-grams present
+    assert(out(2L) == ((3L, 0L, false)))
+    assert(out(3L)._3 && out(3L)._2 == 1)           // "alpha..epsilon" only
+    assert(out(4L) == ((0L, 0L, false)))            // short doc kept with 0 grams
+  }
+
+  test("stratified sampling: rate 100 keeps all, rate 0 keeps none, default applies") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"text body number $i", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.sampleStratified(docs, col("lang"),
+      Map("a" -> 100, "b" -> 0), defaultRate = 50)
+    val byStratum = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(byStratum("a") == 20)
+    assert(!byStratum.contains("b"))
+    assert(byStratum.getOrElse("c", 0L) > 0 && byStratum("c") < 20)
+    // deterministic: same rows on a second run
+    val again = Curation.sampleStratified(docs, col("lang"),
+      Map("a" -> 100, "b" -> 0), defaultRate = 50)
+    assert(out.collect().toSet == again.collect().toSet)
+  }
+
+  /** The naive definition the two-phase cut must reproduce row-for-row. */
+  private def naiveMix(docs: DataFrame, budget: Long): Set[(String, Long, Long)] = {
+    val scored = graft.llm.TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score").as("p"))
+      .join(docs.select(col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)"))
+          .cast("long").as("tok")), "doc_id")
+    val w = Window.partitionBy("source").orderBy(col("p").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.withColumn("cum", sum("tok").over(w))
+      .filter(col("cum") <= budget)
+      .select("source", "doc_id", "tok")
+      .as[(String, Long, Long)].collect().toSet
+  }
+
+  test("mixByBudget two-phase cut == global window, including boundary bands") {
+    // Two sources; varied word counts so quality scores (and bands) spread;
+    // several docs share a band so the boundary band holds >1 doc.
+    val docs = (
+      (0 until 30).map(i => doc(i.toLong, "web", words = 5 + 7 * (i % 9))) ++
+      (0 until 20).map(i => doc(100L + i, "books", words = 10 + 11 * (i % 5)))
+    ).toDF("doc_id", "text", "source")
+    for (budget <- Seq(0L, 37L, 120L, 350L, 100000L)) {
+      val fast = Curation.mixByBudget(docs, budget)
+        .as[(String, Long, Long)].collect().toSet
+      assert(fast == naiveMix(docs, budget), s"budget=$budget")
+    }
+  }
+
+  test("mixByBudget: zero-token docs ride on the budget edge consistently") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "s"),   // 10 tokens
+      (1L, "", "s"),                      // 0 tokens — cum stays where it is
+      (2L, "k l m n o", "s")              // 5 tokens
+    ).toDF("doc_id", "text", "source")
+    for (budget <- 0L to 16L) {
+      val fast = Curation.mixByBudget(docs, budget)
+        .as[(String, Long, Long)].collect().toSet
+      assert(fast == naiveMix(docs, budget), s"budget=$budget")
+    }
+  }
+}
