@@ -59,6 +59,10 @@ object Aggregate {
     aggBy(df, by, without, max)
   def countBy(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
     aggBy(df, by, without, count)
+  /** `group by (...)`: constant 1 for every group with members (Prometheus
+    * 2.31+) — the idiom for "which label combinations exist at each step". */
+  def groupAgg(df: DataFrame, by: Seq[String], without: Boolean = false): DataFrame =
+    aggBy(df, by, without, _ => max(lit(1.0)))
 
   /** Population variance/stddev via explicit moment sums (identical
     * expression tree in any engine; Welford implementations differ in final

@@ -29,8 +29,20 @@ object BinOps {
     case "+" => l + r
     case "-" => l - r
     case "*" => l * r
-    case "/" => l / r
-    case "%" => l % r
+    // Prometheus runs IEEE-754 float division: x/0 = ±Inf, 0/0 = NaN,
+    // x%0 = NaN. Spark 4's ANSI mode (default on) instead raises
+    // DIVIDE_BY_ZERO — guard the zero-divisor rows explicitly (CaseWhen
+    // codegen only evaluates the taken branch, so the guarded division
+    // never sees a zero). Divergence kept: a -0.0 divisor yields the +0.0
+    // sign (detecting the sign bit of zero isn't worth a custom expression
+    // here).
+    case "/" =>
+      when(r =!= 0.0, l / r)
+        .otherwise(
+          when(l.isNaN || (l === 0.0), lit(Double.NaN))
+            .when(l > 0, lit(Double.PositiveInfinity))
+            .otherwise(lit(Double.NegativeInfinity)))
+    case "%" => when(r =!= 0.0, l % r).otherwise(lit(Double.NaN))
     case "^" => pow(l, r)
     case other => throw new IllegalArgumentException(s"not an arithmetic operator: '$other'")
   }

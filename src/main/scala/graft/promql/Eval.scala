@@ -203,6 +203,26 @@ object Eval {
     case FuncCall("max", args, by) => evalAgg(args, by, collection, grid, Aggregate.maxBy)
     case FuncCall("count", args, by) => evalAgg(args, by, collection, grid, Aggregate.countBy)
 
+    case FuncCall("group", args, by) => evalAgg(args, by, collection, grid, Aggregate.groupAgg)
+
+    // pi() is the one zero-arg scalar function (Prometheus 2.31+).
+    case FuncCall("pi", args, agg) =>
+      if (agg.isDefined) throw EvalException("'pi' expects no aggregation")
+      if (args.nonEmpty) throw EvalException("'pi' expects no arguments")
+      ScalarQ(math.Pi)
+
+    // sort/sort_desc order an instant vector by value (presentation only —
+    // row content is unchanged; like Prometheus, meaningful for table views).
+    case FuncCall(sortName @ ("sort" | "sort_desc"), args, agg) =>
+      if (agg.isDefined) throw EvalException(s"'$sortName' expects no aggregation")
+      if (args.length != 1) throw EvalException(s"'$sortName' expects a single argument")
+      resampled(eval(args.head, collection, grid), grid) match {
+        case Processed(df) =>
+          val v = df.col(graft.Model.ValueCol)
+          Processed(df.orderBy(if (sortName == "sort") v.asc else v.desc))
+        case _ => throw EvalException(s"'$sortName' expects an instant vector")
+      }
+
     case FuncCall("topk", args, by) => evalTopk(args, by, collection, grid, bottom = false)
     case FuncCall("bottomk", args, by) => evalTopk(args, by, collection, grid, bottom = true)
     case FuncCall("quantile", args, by) =>
@@ -342,6 +362,14 @@ object Eval {
       "log2" -> ieeeLog(log2),
       "log10" -> ieeeLog(log10),
       "sgn" -> (c => signum(c)),
+      // trig family (Prometheus 2.31+): straight IEEE pass-throughs —
+      // Spark follows java.lang.Math, so out-of-domain inputs (asin(2),
+      // acosh(0.5)) yield NaN exactly like Prometheus.
+      "sin" -> (c => sin(c)), "cos" -> (c => cos(c)), "tan" -> (c => tan(c)),
+      "asin" -> (c => asin(c)), "acos" -> (c => acos(c)), "atan" -> (c => atan(c)),
+      "sinh" -> (c => sinh(c)), "cosh" -> (c => cosh(c)), "tanh" -> (c => tanh(c)),
+      "asinh" -> (c => asinh(c)), "acosh" -> (c => acosh(c)), "atanh" -> (c => atanh(c)),
+      "deg" -> (c => degrees(c)), "rad" -> (c => radians(c)),
       // time-component family: the VALUE is interpreted as an epoch (the
       // idiomatic call is e.g. hour(timestamp(v)), like Prometheus). The
       // first three are pure arithmetic (engine-portable); the calendar
@@ -446,7 +474,11 @@ object Eval {
   private def aggLabels(mod: Option[AggMod]): (Seq[String], Boolean) = mod match {
     case Some(ByMod(ls)) => (ls, false)
     case Some(WithoutMod(ls)) => (ls, true)
-    case None => throw EvalException("unimplemented: aggregation without 'by'")
+    // bare `sum(m)` = aggregate everything into one series (Prometheus
+    // semantics: equivalent to `by ()` — retain no labels). The reference
+    // rejects this (query.rs:461-463); supporting it is an extension like
+    // `without`.
+    case None => (Seq.empty, false)
   }
 
   private def evalAgg(args: Seq[Node], by: Option[AggMod], collection: DataFrame,

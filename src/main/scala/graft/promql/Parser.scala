@@ -286,8 +286,11 @@ object Parser {
     }
     aggMod() // `sum by (a,b) (expr)` prefix form
     st.expect("(")
-    val args = scala.collection.mutable.ListBuffer[Node](parseExpr(st))
-    while (st.peek.contains(Sym(","))) { st.next(); args += parseExpr(st) }
+    val args = scala.collection.mutable.ListBuffer[Node]()
+    if (!st.peek.contains(Sym(")"))) { // zero-arg functions: pi()
+      args += parseExpr(st)
+      while (st.peek.contains(Sym(","))) { st.next(); args += parseExpr(st) }
+    }
     st.expect(")")
     if (by.isEmpty) aggMod() // `sum(expr) by (a,b)` suffix form
     FuncCall(name, args.toSeq, by)

@@ -156,6 +156,20 @@ object TsQueries {
   def clampQ(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""clamp(events{event_type="purchase"}, 50, 150)""", spark, dir))
 
+  /** Trig family + zero-arg pi() through the parser (Prometheus 2.31+
+    * extensions): deg(atan(sin(v))) / pi() exercises three trig functions
+    * and scalar-vector division in one expression. */
+  def mathTrig(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""deg(atan(sin(events{event_type="purchase"}))) / pi()""", spark, dir))
+
+  /** `group by (...)` aggregator (Prometheus 2.31+): 1 for every group
+    * present at each step. */
+  def groupByQ(spark: SparkSession, dir: String): DataFrame =
+    Eval("""group by (event_type) (events)""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        col(Model.ValueCol).as("value"))
+
   /** Least-squares slope over the trailing 1h window (deriv extension). */
   def deriv1h(spark: SparkSession, dir: String): DataFrame = {
     val selected = Selector.select(Model.withSkey(events(spark, dir)), Seq(
@@ -689,6 +703,24 @@ object TsQueries {
        |  round(least(greatest($interpExpr, 50.0), 150.0), 6) + 0.0 AS value
        |FROM w WHERE ord = 1""".stripMargin
 
+  def oracleMathTrig: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts,
+       |  round(degrees(atan(sin($interpExpr))) / pi(), 6) + 0.0 AS value
+       |FROM w WHERE ord = 1""".stripMargin
+
+  def oracleGroupBy: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, round(gt, 6) AS ts, 1.0 AS value
+       |FROM iv GROUP BY event_type, gt""".stripMargin
+
   /** Same centered sums as RangeAgg.derivOverTime. */
   def oracleDeriv1h: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
@@ -904,6 +936,8 @@ object TsQueries {
     "binop_cmp" -> (binopCmp _),
     "binop_or" -> (binopOr _),
     "math_ln" -> (mathLn _),
+    "math_trig" -> (mathTrig _),
+    "group_by" -> (groupByQ _),
     "clamp" -> (clampQ _),
     "deriv_1h" -> (deriv1h _),
     "last_over_time_1h" -> (lastOverTime1h _),
@@ -946,6 +980,8 @@ object TsQueries {
     "binop_cmp" -> oracleBinopCmp,
     "binop_or" -> oracleBinopOr,
     "math_ln" -> oracleMathLn,
+    "math_trig" -> oracleMathTrig,
+    "group_by" -> oracleGroupBy,
     "clamp" -> oracleClamp,
     "deriv_1h" -> oracleDeriv1h,
     "last_over_time_1h" -> oracleLastOverTime1h,

@@ -243,4 +243,25 @@ class BinOpSpec extends SparkSpec {
     intercept[Eval.EvalException](Eval.run(collection, "holt_winters(events[1h], 1.5, 0.3)", grid))
   }
 
+  test("IEEE zero-divisor semantics: x/0=±Inf, 0/0=NaN, x%0=NaN (no ANSI error)") {
+    // (v - v) builds an all-zero vector with the same label sets as v.
+    def vals(q: String): Seq[Double] =
+      Eval.run(collection, q, grid).select("value").as[Double].collect().toSeq
+    val div = vals("""events{event_type="purchase"} / (events{event_type="purchase"} - events{event_type="purchase"})""")
+    assert(div.nonEmpty && div.forall(_ == Double.PositiveInfinity), s"x/0: $div")
+    val div2 = vals("""(0 - events{event_type="purchase"}) / (events{event_type="purchase"} - events{event_type="purchase"})""")
+    assert(div2.nonEmpty && div2.forall(_ == Double.NegativeInfinity), s"-x/0: $div2")
+    val zz = vals("""(events - events) / (events - events)""")
+    assert(zz.nonEmpty && zz.forall(_.isNaN), s"0/0: $zz")
+    val mod = vals("""events % (events - events)""")
+    assert(mod.nonEmpty && mod.forall(_.isNaN), s"x%0: $mod")
+  }
+
+  test("bare aggregation (no by/without) collapses to one series; group yields 1") {
+    val sumAll = Eval.run(collection, "sum(events)", grid)
+    assert(sumAll.select("skey").distinct().count() == 1)
+    val g = Eval.run(collection, "group by (event_type) (events)", grid)
+    assert(g.select("value").as[Double].collect().forall(_ == 1.0))
+  }
+
 }

@@ -119,4 +119,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("grammar sweep: every generated well-typed expression parses AND evaluates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two series of metric m (labels h=a/h=b), 5 points each
+    val collection = Model.withSkey(
+      (for (h <- Seq("a", "b"); i <- 0 to 4)
+        yield (i * 60.0, (i + 1) * (if (h == "a") 1.0 else -2.0), h))
+        .toDF("ts", "value", "h")
+        .withColumn("labels", map(lit("__name__"), lit("m"), lit("h"), col("h")))
+        .drop("h"))
+    val grid = operators.Grid(0.0, 240.0, 120.0)
+
+    val sel: Gen[String] = Gen.oneOf("m", """m{h="a"}""", """m{h!="a"}""",
+      """m{h=~"a|b"}""", """m{h!~"zzz"}""")
+    val mathFn = Gen.oneOf("abs", "ceil", "floor", "sqrt", "exp", "ln", "log2",
+      "log10", "sgn", "sin", "cos", "tan", "asin", "acos", "atan", "sinh",
+      "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad")
+    val aggFn = Gen.oneOf("sum", "avg", "min", "max", "count", "group",
+      "stddev", "stdvar")
+    val rangeFn = Gen.oneOf("rate", "irate", "increase", "delta",
+      "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+      "count_over_time", "last_over_time", "stddev_over_time",
+      "stdvar_over_time", "changes", "resets", "deriv", "present_over_time")
+    def instant(depth: Int): Gen[String] =
+      if (depth == 0) sel
+      else Gen.frequency(
+        3 -> sel,
+        2 -> (for { f <- mathFn; e <- instant(depth - 1) } yield s"$f($e)"),
+        2 -> (for {
+          f <- aggFn; e <- instant(depth - 1)
+          mode <- Gen.oneOf("by", "without"); lbl <- Gen.oneOf("h", "nolabel")
+        } yield s"$f $mode ($lbl) ($e)"),
+        2 -> (for { f <- rangeFn; s <- sel } yield s"$f($s[5m])"),
+        1 -> (for { f <- rangeFn; e <- instant(depth - 1) } yield s"$f(($e)[10m:5m])"),
+        2 -> (for {
+          op <- Gen.oneOf("+", "-", "*", "/", "^")
+          l <- instant(depth - 1); r <- instant(depth - 1)
+        } yield s"($l) $op ($r)"),
+        1 -> (for {
+          op <- Gen.oneOf("+", "-", "*", "/", "%", "^")
+          e <- instant(depth - 1); k <- Gen.choose(1, 9)
+        } yield s"($e) $op $k"),
+        1 -> instant(depth - 1).map(e => s"clamp(($e), -10, 10)"),
+        1 -> instant(depth - 1).map(e => s"round(($e), 0.001)"),
+        1 -> instant(depth - 1).map(e => s"($e) * pi()"),
+        1 -> (for { s <- Gen.oneOf("sort", "sort_desc"); e <- instant(depth - 1) } yield s"$s($e)"),
+        1 -> instant(depth - 1).map(e => s"topk(1, $e)"),
+        1 -> instant(depth - 1).map(e => s"quantile(0.5, $e)"),
+        1 -> instant(depth - 1).map(e => s"timestamp($e)"))
+    samples(instant(3), n = 60).foreach { q =>
+      val ast = graft.promql.Parser.parse(q) // must parse
+      assert(ast != null)
+      try {
+        val rows = graft.promql.Eval.run(collection, q, grid).collect() // must eval
+        assert(rows.forall(_.schema.fieldNames.contains(Model.ValueCol)), s"query $q")
+      } catch {
+        case e: Throwable => fail(s"query `$q` failed: ${e.getMessage.take(300)}", e)
+      }
+    }
+  }
+
 }
