@@ -86,6 +86,26 @@ object Eval {
         case _ => throw EvalException("subquery inner expression did not resample")
       }
 
+    // `expr @ t`: evaluate the instant expression once on a single-point
+    // grid pinned at t, then replicate that value across every output step
+    // (a literal-array explode — no data motion, no shuffle).
+    case AtMod(inner, spec) =>
+      import org.apache.spark.sql.functions.explode
+      val t = spec match {
+        case AtTs(v) => v
+        case AtStart => grid.start
+        case AtEnd => grid.start + (grid.length - 1) * grid.step
+      }
+      val pinned = Grid(t, t + grid.step * 0.5, grid.step) // exactly one instant: t
+      resampled(eval(inner, collection, pinned), pinned) match {
+        case Processed(df) =>
+          Processed(df.drop(Model.TsCol)
+            .withColumn(Model.TsCol, explode(grid.pointsCol))
+            .select(Model.SkeyCol, Model.LabelsCol, Model.TsCol, Model.ValueCol))
+        case s: ScalarQ => s
+        case _ => throw EvalException("'@' expects an instant expression")
+      }
+
     case FuncCall("rate", args, agg) => evalRate(args, agg, collection, grid, Rate.rate)
     case FuncCall("irate", args, agg) => evalRate(args, agg, collection, grid, Rate.irate)
     case FuncCall("increase", args, agg) => evalRate(args, agg, collection, grid, Rate.increase)

@@ -32,6 +32,18 @@ final case class FuncCall(name: String, args: Seq[Node], by: Option[AggMod]) ext
   * query step. */
 final case class Subquery(inner: Node, range: Double, step: Option[Double],
                           offset: Option[Double]) extends Node
+/** `@` timestamp pin (extension; Prometheus 2.25+): evaluate the wrapped
+  * instant expression at one fixed time and replicate the result across
+  * every output grid step. Prometheus's grammar attaches `@` to selectors
+  * and subqueries; here it is a general postfix on any instant expression —
+  * `rate(m[5m]) @ t` expresses Prometheus's `rate(m[5m] @ t)` (the two are
+  * defined to be equal: a pinned range window makes the enclosing function
+  * constant over the output steps). */
+sealed trait AtSpec
+final case class AtTs(ts: Double) extends AtSpec
+case object AtStart extends AtSpec
+case object AtEnd extends AtSpec
+final case class AtMod(inner: Node, at: AtSpec) extends Node
 /** Binary operation (extension — the reference's process_ast rejects
   * `Node::Operator` with "Not implemented yet", query.rs:549-551; semantics
   * follow the Prometheus operator docs). `matchOn`/`matchIgnoring` are the
@@ -103,7 +115,7 @@ object Parser {
       else if (c == '!' && i + 1 < n && q(i + 1) == '~') { out += Sym("!~"); i += 2 }
       else if (c == '<' && i + 1 < n && q(i + 1) == '=') { out += Sym("<="); i += 2 }
       else if (c == '>' && i + 1 < n && q(i + 1) == '=') { out += Sym(">="); i += 2 }
-      else if ("{}[](),=<>+-*/%^".contains(c)) { out += Sym(c.toString); i += 1 }
+      else if ("{}[](),=<>+-*/%^@".contains(c)) { out += Sym(c.toString); i += 1 }
       else throw ParseException(s"unexpected character '$c' at $i")
     }
     out.toList
@@ -232,7 +244,26 @@ object Parser {
       case Some(other) => throw ParseException(s"unexpected token $other")
       case None => throw ParseException("unexpected end of query")
     }
-    parseSubquerySuffix(st, atom)
+    parseAtSuffix(st, parseSubquerySuffix(st, atom))
+  }
+
+  /** Postfix `@ <unix-ts> | @ start() | @ end()`; may interleave with
+    * subquery suffixes (`(m @ 1000)[1h:5m]` etc.). */
+  private def parseAtSuffix(st: State, atom: Node): Node = st.peek match {
+    case Some(Sym("@")) =>
+      st.next()
+      val spec = st.next() match {
+        case Num(s) => AtTs(s.toDouble)
+        case Sym("-") => st.next() match {
+          case Num(s) => AtTs(-s.toDouble)
+          case other => throw ParseException(s"bad @ timestamp: -$other")
+        }
+        case Ident("start") => st.expect("("); st.expect(")"); AtStart
+        case Ident("end") => st.expect("("); st.expect(")"); AtEnd
+        case other => throw ParseException(s"bad @ timestamp: $other")
+      }
+      parseAtSuffix(st, parseSubquerySuffix(st, AtMod(atom, spec)))
+    case _ => atom
   }
 
   /** `:` folds into identifier tokens (metric names may carry colons), so a

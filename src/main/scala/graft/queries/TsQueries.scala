@@ -162,6 +162,15 @@ object TsQueries {
   def mathTrig(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""deg(atan(sin(events{event_type="purchase"}))) / pi()""", spark, dir))
 
+  /** `@` timestamp pin (Prometheus 2.25+ extension): every series' value at
+    * 1704153600 (day 2, 00:00 UTC) replicated across all grid steps, then
+    * summed per event_type — exercises pin + replicate + aggregation. */
+  def atModifier(spark: SparkSession, dir: String): DataFrame =
+    Eval("""sum by (event_type) (events @ 1704153600)""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
+
   /** `group by (...)` aggregator (Prometheus 2.31+): 1 for every group
     * present at each step. */
   def groupByQ(spark: SparkSession, dir: String): DataFrame =
@@ -711,6 +720,22 @@ object TsQueries {
        |  round(degrees(atan(sin($interpExpr))) / pi(), 6) + 0.0 AS value
        |FROM w WHERE ord = 1""".stripMargin
 
+  /** Pinned-probe variant of the grid CTE: every output instant gt brackets
+    * the SAME probe time (the @ timestamp), mirroring AtMod's pin+replicate. */
+  def oracleAtModifier: String =
+    s"""WITH ${sCte("")},
+       |series AS (SELECT DISTINCT event_type, props FROM s),
+       |gi AS (SELECT unnest(generate_series(0, $GridSteps)) AS i),
+       |grid AS (
+       |  SELECT event_type, props, (1704067200.0 + (i * 3600.0)) AS gt, 'i' AS kind, 1704153600.0 AS pr FROM series CROSS JOIN gi
+       |),
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |)
+       |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
+       |FROM iv GROUP BY event_type, gt""".stripMargin
+
   def oracleGroupBy: String =
     s"""WITH ${sCte("")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -938,6 +963,7 @@ object TsQueries {
     "math_ln" -> (mathLn _),
     "math_trig" -> (mathTrig _),
     "group_by" -> (groupByQ _),
+    "at_modifier" -> (atModifier _),
     "clamp" -> (clampQ _),
     "deriv_1h" -> (deriv1h _),
     "last_over_time_1h" -> (lastOverTime1h _),
@@ -982,6 +1008,7 @@ object TsQueries {
     "math_ln" -> oracleMathLn,
     "math_trig" -> oracleMathTrig,
     "group_by" -> oracleGroupBy,
+    "at_modifier" -> oracleAtModifier,
     "clamp" -> oracleClamp,
     "deriv_1h" -> oracleDeriv1h,
     "last_over_time_1h" -> oracleLastOverTime1h,

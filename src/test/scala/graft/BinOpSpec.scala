@@ -257,6 +257,31 @@ class BinOpSpec extends SparkSpec {
     assert(mod.nonEmpty && mod.forall(_.isNaN), s"x%0: $mod")
   }
 
+  test("@ modifier: pinned value is constant across steps and equals the value at t") {
+    val at = Eval.run(collection, """events{event_type="purchase"} @ 1704070800""", grid)
+      .select("skey", "ts", "value").as[(String, Double, Double)].collect()
+    // constant per series across all grid steps
+    at.groupBy(_._1).foreach { case (k, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"series $k not constant")
+      assert(rows.map(_._2).distinct.length == grid.length)
+    }
+    // and the constant is the un-pinned value at t
+    val plain = Eval.run(collection, """events{event_type="purchase"}""", grid)
+      .filter(col("ts") === 1704070800.0)
+      .select("skey", "value").as[(String, Double)].collect().toMap
+    at.groupBy(_._1).foreach { case (k, rows) => assert(rows.head._3 == plain(k)) }
+    // start()/end() resolve to the grid edges
+    val s = Eval.run(collection, """events{event_type="purchase"} @ start()""", grid)
+      .select("skey", "value").as[(String, Double)].collect().toMap
+    val plainStart = Eval.run(collection, """events{event_type="purchase"}""", grid)
+      .filter(col("ts") === grid.start)
+      .select("skey", "value").as[(String, Double)].collect().toMap
+    assert(s == plainStart)
+    // composes under aggregation + binops
+    assert(Eval.run(collection, """sum by (event_type) (events @ 1704070800) * 2""", grid).count() > 0)
+    intercept[graft.promql.Parser.ParseException](Parser.parse("events @ banana"))
+  }
+
   test("bare aggregation (no by/without) collapses to one series; group yields 1") {
     val sumAll = Eval.run(collection, "sum(events)", grid)
     assert(sumAll.select("skey").distinct().count() == 1)

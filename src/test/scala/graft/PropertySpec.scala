@@ -166,6 +166,7 @@ class PropertySpec extends SparkSpec {
         1 -> instant(depth - 1).map(e => s"($e) * pi()"),
         1 -> (for { s <- Gen.oneOf("sort", "sort_desc"); e <- instant(depth - 1) } yield s"$s($e)"),
         1 -> instant(depth - 1).map(e => s"topk(1, $e)"),
+        1 -> (for { e <- instant(depth - 1); t <- Gen.oneOf("120", "start()", "end()") } yield s"($e) @ $t"),
         1 -> instant(depth - 1).map(e => s"quantile(0.5, $e)"),
         1 -> instant(depth - 1).map(e => s"timestamp($e)"))
     samples(instant(3), n = 60).foreach { q =>
