@@ -97,6 +97,41 @@ object BinOps {
     }
   }
 
+  /** vector ⊗ per-step scalar (`time()` / `scalar(v)`): broadcast-join the
+    * tiny (ts, value) step frame on ts alone and apply the op element-wise —
+    * the vector side never shuffles, so this scales exactly like the
+    * literal-scalar form. */
+  def vectorStepScalar(df: DataFrame, op: String, step: DataFrame,
+                       scalarOnRight: Boolean, boolMod: Boolean): DataFrame = {
+    val joined = df.join(
+      broadcast(step.withColumnRenamed(Model.ValueCol, "__sv__")), Model.TsCol)
+    val v = col(Model.ValueCol)
+    val sc = col("__sv__")
+    def sided(f: (Column, Column) => Column): Column =
+      if (scalarOnRight) f(v, sc) else f(sc, v)
+    val out =
+      if (Ops.isCmp(op)) {
+        val c = sided(cmp(op, _, _))
+        if (boolMod)
+          dropName(joined.withColumn(Model.ValueCol, when(c, lit(1.0)).otherwise(lit(0.0))))
+        else joined.filter(c)
+      } else dropName(joined.withColumn(Model.ValueCol, sided(arith(op, _, _))))
+    out.select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** per-step scalar ⊗ per-step scalar: join the two tiny frames on ts.
+    * Comparison semantics follow scalar⊗scalar (bool required — enforced by
+    * the evaluator; the value becomes 0/1). */
+  def stepStep(l: DataFrame, r: DataFrame, op: String): DataFrame = {
+    val j = l.withColumnRenamed(Model.ValueCol, "__l__")
+      .join(r.withColumnRenamed(Model.ValueCol, "__r__"), Model.TsCol)
+    val out =
+      if (Ops.isCmp(op))
+        when(cmp(op, col("__l__"), col("__r__")), lit(1.0)).otherwise(lit(0.0))
+      else arith(op, col("__l__"), col("__r__"))
+    j.withColumn(Model.ValueCol, out).select(Model.TsCol, Model.ValueCol)
+  }
+
   /** The vector-matching key: `on(...)` keeps exactly those labels;
     * `ignoring(...)` drops those plus `__name__`; default drops `__name__`
     * only. */

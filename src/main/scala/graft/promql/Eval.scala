@@ -22,6 +22,10 @@ object Eval {
   /** resampled onto the grid (query.rs:46) */
   final case class Processed(df: DataFrame) extends QR
   final case class ScalarQ(value: Double) extends QR
+  /** per-step scalar (extension): one (ts, value) row per grid instant —
+    * `time()`, `scalar(v)`. Composes with vectors by a broadcast join on ts
+    * alone; grid-length rows, so always the broadcast side. */
+  final case class StepScalar(df: DataFrame) extends QR
 
   /** Evaluate `query` against the collection and resample onto `grid`.
     * Output columns: (skey, labels, ts, value). */
@@ -32,6 +36,13 @@ object Eval {
     val ast = Parser.parse(query)
     resampled(eval(ast, keyed, grid), grid) match {
       case Processed(df) => df
+      case StepScalar(df) => // serialize like vector(...): one labelless series
+        import org.apache.spark.sql.functions._
+        val emptyLabels = map().cast(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+        df.withColumn(Model.LabelsCol, emptyLabels)
+          .withColumn(Model.SkeyCol, Model.canonicalKey(col(Model.LabelsCol)))
+          .select(Model.SkeyCol, Model.LabelsCol, Model.TsCol, Model.ValueCol)
       case ScalarQ(_) => throw EvalException("scalar result")
       case _ => throw EvalException("no processing")
     }
@@ -42,7 +53,18 @@ object Eval {
     case Unprocessed(df, offset) => Processed(Resample.resample(df, grid, offset.getOrElse(0.0)))
     case p: Processed => p
     case s: ScalarQ => s
+    case s: StepScalar => s // already one value per grid instant
     case _: UnprocessedVector => throw EvalException("Cannot resample a vectorized time series")
+  }
+
+  /** The grid instants as a tiny single-partition (ts, value=ts) frame —
+    * the seed for `time()` and the spine for `scalar(v)`. Built from a
+    * literal array: no scan, no shuffle. */
+  private def timeFrame(collection: DataFrame, grid: Grid): DataFrame = {
+    import org.apache.spark.sql.functions._
+    collection.sparkSession.range(1)
+      .select(explode(grid.pointsCol).as(Model.TsCol))
+      .withColumn(Model.ValueCol, org.apache.spark.sql.functions.col(Model.TsCol))
   }
 
   private def eval(node: Node, collection: DataFrame, grid: Grid): QR = node match {
@@ -225,11 +247,55 @@ object Eval {
 
     case FuncCall("group", args, by) => evalAgg(args, by, collection, grid, Aggregate.groupAgg)
 
-    // pi() is the one zero-arg scalar function (Prometheus 2.31+).
+    // pi() is the one zero-arg constant scalar function (Prometheus 2.31+).
     case FuncCall("pi", args, agg) =>
       if (agg.isDefined) throw EvalException("'pi' expects no aggregation")
       if (args.nonEmpty) throw EvalException("'pi' expects no arguments")
       ScalarQ(math.Pi)
+
+    // time(): the evaluation timestamp as a per-step scalar.
+    case FuncCall("time", args, agg) =>
+      if (agg.isDefined) throw EvalException("'time' expects no aggregation")
+      if (args.nonEmpty) throw EvalException("'time' expects no arguments")
+      StepScalar(timeFrame(collection, grid))
+
+    // vector(s): a scalar as a single labelless series.
+    case FuncCall("vector", args, agg) =>
+      if (agg.isDefined) throw EvalException("'vector' expects no aggregation")
+      if (args.length != 1) throw EvalException("'vector' expects a single argument")
+      val base = resampled(eval(args.head, collection, grid), grid) match {
+        case ScalarQ(v) =>
+          timeFrame(collection, grid)
+            .withColumn(Model.ValueCol, org.apache.spark.sql.functions.lit(v))
+        case StepScalar(df) => df
+        case _ => throw EvalException("'vector' expects a scalar argument")
+      }
+      val emptyLabels = org.apache.spark.sql.functions.map()
+        .cast(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      Processed(base
+        .withColumn(Model.LabelsCol, emptyLabels)
+        .withColumn(Model.SkeyCol, Model.canonicalKey(org.apache.spark.sql.functions.col(Model.LabelsCol)))
+        .select(Model.SkeyCol, Model.LabelsCol, Model.TsCol, Model.ValueCol))
+
+    // scalar(v): the vector's value where it has exactly one series at a
+    // step, NaN elsewhere (Prometheus semantics) — a groupBy on ts plus a
+    // left join from the grid spine so missing steps surface as NaN.
+    case FuncCall("scalar", args, agg) =>
+      if (agg.isDefined) throw EvalException("'scalar' expects no aggregation")
+      if (args.length != 1) throw EvalException("'scalar' expects a single argument")
+      resampled(eval(args.head, collection, grid), grid) match {
+        case Processed(df) =>
+          import org.apache.spark.sql.functions._
+          val perTs = df.groupBy(Model.TsCol).agg(
+            when(count(lit(1)) === 1, max(Model.ValueCol))
+              .otherwise(lit(Double.NaN)).as("__sv__"))
+          StepScalar(timeFrame(collection, grid)
+            .join(perTs, Seq(Model.TsCol), "left")
+            .select(col(Model.TsCol),
+              coalesce(col("__sv__"), lit(Double.NaN)).as(Model.ValueCol)))
+        case _ => throw EvalException("'scalar' expects an instant vector")
+      }
 
     // sort/sort_desc order an instant vector by value (presentation only —
     // row content is unchanged; like Prometheus, meaningful for table views).
@@ -411,6 +477,9 @@ object Eval {
       case Processed(df) =>
         Processed(BinOps.dropName(df.withColumn(Model.ValueCol,
           fn(org.apache.spark.sql.functions.col(Model.ValueCol)))))
+      case StepScalar(df) => // hour(time()) and friends stay per-step scalars
+        StepScalar(df.withColumn(Model.ValueCol,
+          fn(org.apache.spark.sql.functions.col(Model.ValueCol))))
       case ScalarQ(_) => throw EvalException("math functions expect an instant vector")
       case _ => throw EvalException("resampling failed")
     }
@@ -484,13 +553,46 @@ object Eval {
       case (Processed(l), Processed(r)) =>
         if (Ops.SetOps(b.op)) Processed(BinOps.setOp(l, r, b.op, b.matchOn, b.matchIgnoring))
         else Processed(BinOps.vectorVector(l, r, b.op, b.matchOn, b.matchIgnoring, b.boolMod))
+      case (Processed(df), StepScalar(s)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between vector and scalar")
+        Processed(BinOps.vectorStepScalar(df, b.op, s, scalarOnRight = true, b.boolMod))
+      case (StepScalar(s), Processed(df)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between vector and scalar")
+        Processed(BinOps.vectorStepScalar(df, b.op, s, scalarOnRight = false, b.boolMod))
+      case (StepScalar(l), StepScalar(r)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between scalars")
+        if (Ops.isCmp(b.op) && !b.boolMod)
+          throw EvalException("comparisons between scalars must use BOOL modifier")
+        StepScalar(BinOps.stepStep(l, r, b.op))
+      case (StepScalar(l), ScalarQ(s)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between scalars")
+        if (Ops.isCmp(b.op) && !b.boolMod)
+          throw EvalException("comparisons between scalars must use BOOL modifier")
+        StepScalar(stepLit(l, b.op, s, scalarOnRight = true))
+      case (ScalarQ(s), StepScalar(r)) =>
+        if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between scalars")
+        if (Ops.isCmp(b.op) && !b.boolMod)
+          throw EvalException("comparisons between scalars must use BOOL modifier")
+        StepScalar(stepLit(r, b.op, s, scalarOnRight = false))
       case _ => throw EvalException("binary operands must be instant vectors or scalars")
     }
   }
 
-  /** Unpacks an aggregation grouping modifier into (labels, without-flag).
-    * A bare aggregation (no `by`/`without`) stays rejected like the
-    * reference (query.rs:461-463 requires the modifier). */
+  /** step-scalar ⊗ literal scalar: pure column arithmetic on the tiny frame
+    * (`scalarOnRight` = the literal is the RIGHT operand). */
+  private def stepLit(df: DataFrame, op: String, s: Double, scalarOnRight: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = col(Model.ValueCol)
+    val sc = lit(s)
+    def sided(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      if (scalarOnRight) f(v, sc) else f(sc, v)
+    val out =
+      if (Ops.isCmp(op)) when(sided(BinOps.cmp(op, _, _)), lit(1.0)).otherwise(lit(0.0))
+      else sided(BinOps.arith(op, _, _))
+    df.withColumn(Model.ValueCol, out).select(Model.TsCol, Model.ValueCol)
+  }
+
+  /** Unpacks an aggregation grouping modifier into (labels, without-flag). */
   private def aggLabels(mod: Option[AggMod]): (Seq[String], Boolean) = mod match {
     case Some(ByMod(ls)) => (ls, false)
     case Some(WithoutMod(ls)) => (ls, true)

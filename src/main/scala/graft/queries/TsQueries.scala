@@ -171,6 +171,18 @@ object TsQueries {
         round(col(Model.TsCol), 6).as("ts"),
         noNegZero(round(col(Model.ValueCol), 4)).as("value"))
 
+  /** Per-step scalar composition: each purchase series normalized by the
+    * all-series total at that step — `scalar()` over a bare `sum()`, then
+    * vector ÷ step-scalar (broadcast ts-join, vector side unshuffled). */
+  def scalarNorm(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events{event_type="purchase"} / scalar(sum(events{event_type="purchase"}))""", spark, dir))
+
+  /** `hour(time())` — the math family applied to the per-step scalar
+    * `time()`; serialized as one labelless series. */
+  def timeHour(spark: SparkSession, dir: String): DataFrame =
+    Eval("""hour(time())""", spark, dir)
+      .select(round(col(Model.TsCol), 6).as("ts"), col(Model.ValueCol).as("value"))
+
   /** `group by (...)` aggregator (Prometheus 2.31+): 1 for every group
     * present at each step. */
   def groupByQ(spark: SparkSession, dir: String): DataFrame =
@@ -736,6 +748,23 @@ object TsQueries {
        |SELECT event_type, round(gt, 6) AS ts, round(sum(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
+  def oracleScalarNorm: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |),
+       |tot AS (SELECT gt, sum(v) AS s FROM iv GROUP BY gt)
+       |SELECT iv.event_type, iv.props, round(iv.gt, 6) AS ts,
+       |  round(iv.v / tot.s, 6) + 0.0 AS value
+       |FROM iv JOIN tot ON iv.gt = tot.gt""".stripMargin
+
+  def oracleTimeHour: String =
+    s"""SELECT round(1704067200.0 + (i * 3600.0), 6) AS ts,
+       |  CAST(floor((1704067200.0 + (i * 3600.0)) / 3600.0) % 24 AS DOUBLE) AS value
+       |FROM (SELECT unnest(generate_series(0, $GridSteps)) AS i)""".stripMargin
+
   def oracleGroupBy: String =
     s"""WITH ${sCte("")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -964,6 +993,8 @@ object TsQueries {
     "math_trig" -> (mathTrig _),
     "group_by" -> (groupByQ _),
     "at_modifier" -> (atModifier _),
+    "scalar_norm" -> (scalarNorm _),
+    "time_hour" -> (timeHour _),
     "clamp" -> (clampQ _),
     "deriv_1h" -> (deriv1h _),
     "last_over_time_1h" -> (lastOverTime1h _),
@@ -1009,6 +1040,8 @@ object TsQueries {
     "math_trig" -> oracleMathTrig,
     "group_by" -> oracleGroupBy,
     "at_modifier" -> oracleAtModifier,
+    "scalar_norm" -> oracleScalarNorm,
+    "time_hour" -> oracleTimeHour,
     "clamp" -> oracleClamp,
     "deriv_1h" -> oracleDeriv1h,
     "last_over_time_1h" -> oracleLastOverTime1h,

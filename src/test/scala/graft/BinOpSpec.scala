@@ -282,6 +282,43 @@ class BinOpSpec extends SparkSpec {
     intercept[graft.promql.Parser.ParseException](Parser.parse("events @ banana"))
   }
 
+  test("time()/vector()/scalar() per-step scalars") {
+    // time(): one labelless series, value == evaluation timestamp
+    val t = Eval.run(collection, "time()", grid)
+      .select("ts", "value").as[(Double, Double)].collect()
+    assert(t.length == grid.length && t.forall(p => p._1 == p._2))
+    // vector(5): constant labelless series across the grid
+    val v5 = Eval.run(collection, "vector(5)", grid)
+    assert(v5.count() == grid.length)
+    assert(v5.select("value").as[Double].collect().forall(_ == 5.0))
+    assert(v5.select("labels").head().getMap[String, String](0).isEmpty)
+    // scalar(): NaN for a multi-series vector, the value for a 1-series one
+    val nan = Eval.run(collection, "vector(scalar(events))", grid)
+      .select("value").as[Double].collect()
+    assert(nan.nonEmpty && nan.forall(_.isNaN))
+    val one = Eval.run(collection, "vector(scalar(sum(events)))", grid)
+      .select("value").as[Double].collect()
+    val sums = Eval.run(collection, "sum(events)", grid)
+      .select("value").as[Double].collect()
+    assert(one.sorted.toSeq == sums.sorted.toSeq)
+    // math family over a per-step scalar stays a per-step scalar
+    val h = Eval.run(collection, "hour(time())", grid)
+      .select("ts", "value").as[(Double, Double)].collect()
+    assert(h.nonEmpty && h.forall(p => p._2 == math.floor(p._1 / 3600) % 24))
+    // vector ⊗ step-scalar: labels survive, each row divided by the step total
+    val norm = Eval.run(collection, "events / scalar(sum(events))", grid)
+      .groupBy("ts").agg(org.apache.spark.sql.functions.sum("value").as("s"))
+      .select("s").as[Double].collect()
+    assert(norm.nonEmpty && norm.forall(s => math.abs(s - 1.0) < 1e-9))
+    // step ⊗ step and step ⊗ literal
+    val z = Eval.run(collection, "time() - time()", grid).select("value").as[Double].collect()
+    assert(z.forall(_ == 0.0))
+    val cmp = Eval.run(collection, "vector(time() >= bool 1704070800)", grid)
+      .select("ts", "value").as[(Double, Double)].collect()
+    assert(cmp.forall(p => p._2 == (if (p._1 >= 1704070800.0) 1.0 else 0.0)))
+    intercept[Eval.EvalException](Eval.run(collection, "vector(time() > 5)", grid))
+  }
+
   test("bare aggregation (no by/without) collapses to one series; group yields 1") {
     val sumAll = Eval.run(collection, "sum(events)", grid)
     assert(sumAll.select("skey").distinct().count() == 1)

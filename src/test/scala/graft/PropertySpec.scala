@@ -167,6 +167,10 @@ class PropertySpec extends SparkSpec {
         1 -> (for { s <- Gen.oneOf("sort", "sort_desc"); e <- instant(depth - 1) } yield s"$s($e)"),
         1 -> instant(depth - 1).map(e => s"topk(1, $e)"),
         1 -> (for { e <- instant(depth - 1); t <- Gen.oneOf("120", "start()", "end()") } yield s"($e) @ $t"),
+        1 -> (for { op <- Gen.oneOf("+", "-", "*", "/"); e <- instant(depth - 1) } yield s"($e) $op time()"),
+        1 -> instant(depth - 1).map(e => s"($e) / scalar(sum($e))"),
+        1 -> Gen.const("vector(1)"),
+        1 -> Gen.const("vector(hour(time()))"),
         1 -> instant(depth - 1).map(e => s"quantile(0.5, $e)"),
         1 -> instant(depth - 1).map(e => s"timestamp($e)"))
     samples(instant(3), n = 60).foreach { q =>
