@@ -60,4 +60,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batchSessions)
   }
+
+  test("streaming exact dedup: first batch matches Dedup.exact, second batch of dups emits nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup")
+    // batch 1: the corpus itself; batch 2 (strictly later mtime): the same
+    // texts under shifted doc_ids — every row is a cross-batch duplicate
+    docs.coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    docs.selectExpr("doc_id + 1000000 AS doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_corpus.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_dups.parquet"))
+    streamDir.resolve("a_corpus.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_dups.parquet").toFile.setLastModified(2000000000000L)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force two micro-batches, oldest first
+      .parquet(streamDir.toString)
+    val q = streaming.StreamDedup.streaming(spark, stream)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val kept = spark.sql("SELECT doc_id FROM dedup_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batchKeepers = llm.Dedup.exact(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // nothing from the dup batch survived, and batch 1 matches Dedup.exact
+    assert(kept.nonEmpty && kept.forall(_ < 1000000L))
+    assert(kept == batchKeepers)
+  }
 }
