@@ -61,6 +61,26 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss-style random projection to `outDim` dimensions:
+    * out_j = dot(vec, plane_{offset+j}) over the same deterministic
+    * md5-derived hyperplane stream the LSH tables draw from (offset keeps
+    * the draws independent). Pure in-row column arithmetic — map-only, zero
+    * shuffle — the standard cheap pre-step that shrinks every downstream
+    * ANN / clustering shuffle by Dims/outDim at corpus scale. The dot is a
+    * strict left fold, so any engine replaying the same literal matrix in
+    * order reproduces it bit-for-bit. */
+  def project(df: DataFrame, outDim: Int, planeOffset: Int = 256): DataFrame = {
+    val vec = col("embedding")
+    val outs = (0 until outDim).map { j =>
+      val comps = Array.tabulate(Dims)(d => planeComponent(planeOffset + j, d))
+      val dotP = aggregate(
+        zip_with(vec, lit(comps), (x, h) => x.cast(DoubleType) * h),
+        lit(0.0), (acc, v) => acc + v)
+      round(dotP, 6).as(s"p$j")
+    }
+    df.select(col("vec_id") +: outs: _*)
+  }
+
   /** Multi-table LSH bucketing: one row per (vector, table). Single-table
     * LSH has near-zero recall on near-orthogonal vectors (one unlucky plane
     * kills the match); L independent tables of fewer planes union their

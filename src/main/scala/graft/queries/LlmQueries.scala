@@ -61,6 +61,11 @@ object LlmQueries {
       lloydIters = 0, spreadSeed = false, multiAssign = 1)
   }
 
+  /** Random projection of the 64-dim embeddings to 4 dims (JL transform;
+    * plane offset 256 keeps the matrix independent of the LSH tables). */
+  def embedProject(spark: SparkSession, dir: String): DataFrame =
+    Ann.project(emb(spark, dir), outDim = 4)
+
   def textLang(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(docs(spark, dir))
       .select(col("doc_id"), col("pred_lang"),
@@ -392,6 +397,21 @@ object LlmQueries {
        |FROM p""".stripMargin
   }
 
+  /** Explicit 64-term left-associated sums (SQL `a + b + c` parses as
+    * `((a+b)+c)`), matching Spark's strict-fold dot exactly — no reliance
+    * on any engine's aggregate ordering. The integer `m/65536.0` literals
+    * reproduce [[Ann.planeComponent]] bit-for-bit. */
+  def oracleEmbedProject: String = {
+    val dims = (0 until 4).map { j =>
+      val terms = (0 until Ann.Dims).map { d =>
+        val m = math.round(Ann.planeComponent(256 + j, d) * 65536).toInt
+        s"CAST(embedding[${d + 1}] AS DOUBLE) * ($m / 65536.0)"
+      }.mkString(" + ")
+      s"round($terms, 6) AS p$j"
+    }.mkString(", ")
+    s"SELECT vec_id, $dims FROM embeddings"
+  }
+
   def oracleDecontaminate: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
       |g5 AS (SELECT DISTINCT doc_id, g FROM (
@@ -557,6 +577,7 @@ object LlmQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii" -> (textPii _),
+    "embed_project" -> (embedProject _),
     "decontaminate" -> (decontaminateQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "mix_budget" -> (mixBudgetQ _),
@@ -580,6 +601,7 @@ object LlmQueries {
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,
     "text_pii" -> oracleTextPii,
+    "embed_project" -> oracleEmbedProject,
     "decontaminate" -> oracleDecontaminate,
     "sample_stratified" -> oracleSampleStratified,
     "mix_budget" -> oracleMixBudget,

@@ -244,4 +244,24 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 12)
   }
 
+  test("random projection: strict-fold dot against the deterministic planes") {
+    import spark.implicits._
+    val ones = Array.fill(Ann.Dims)(1.0f)
+    val out = Ann.project(Seq((7L, ones)).toDF("vec_id", "embedding"), outDim = 2)
+      .collect().head
+    def expected(j: Int): Double = {
+      val raw = (0 until Ann.Dims).foldLeft(0.0)((acc, d) => acc + Ann.planeComponent(256 + j, d))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.getLong(0) == 7L)
+    assert(out.getDouble(1) == expected(0))
+    assert(out.getDouble(2) == expected(1))
+    // linear: scaling the vector scales the projection
+    val twos = Array.fill(Ann.Dims)(2.0f)
+    val doubled = Ann.project(Seq((8L, twos)).toDF("vec_id", "embedding"), outDim = 1)
+      .collect().head.getDouble(1)
+    val base = (0 until Ann.Dims).foldLeft(0.0)((acc, d) => acc + 2.0 * Ann.planeComponent(256, d))
+    assert(doubled == BigDecimal(base).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
 }
