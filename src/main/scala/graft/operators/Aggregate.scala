@@ -138,4 +138,35 @@ object Aggregate {
       .filter(col("__rn__") <= k)
       .select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
   }
+
+  /** `limitk(k, v) by (...)` (Prometheus 3.x experimental): up to k series
+    * per group. Prometheus picks an arbitrary-but-stable subset; here the
+    * choice is DETERMINISTIC — the k smallest skeys — so the sample is
+    * reproducible across engines and runs (same window shape as topk,
+    * ranked by series key instead of value). */
+  def limitk(df: DataFrame, k: Int, by: Option[(Seq[String], Boolean)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gkey = by match {
+      case Some((b, without)) => Model.canonicalKey(retainedMap(b, without))
+      case None => lit("")
+    }
+    val w = Window.partitionBy(col("__gkey__"), col(Model.TsCol))
+      .orderBy(col(Model.SkeyCol).asc)
+    df.withColumn("__gkey__", gkey)
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= k)
+      .select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
+  }
+
+  /** `limit_ratio(r, v)` (Prometheus 3.x experimental): a deterministic
+    * hash-based fraction of series. r ∈ (0, 1] keeps series whose md5
+    * bucket falls under r; r ∈ [-1, 0) keeps exactly the complement, so
+    * `limit_ratio(0.3, v)` ∪ `limit_ratio(-0.7, v)` = v with no overlap.
+    * Pure per-row arithmetic on the series key — zero shuffle. */
+  def limitRatio(df: DataFrame, r: Double): DataFrame = {
+    val bucket = conv(substring(md5(col(Model.SkeyCol).cast("binary")), 1, 6), 16, 10)
+      .cast("long").cast("double") / 16777216.0 // 16^6: bucket ∈ [0, 1)
+    val keep = if (r >= 0) bucket < r else bucket >= 1.0 + r
+    df.filter(keep)
+  }
 }

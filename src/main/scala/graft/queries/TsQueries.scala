@@ -261,6 +261,16 @@ object TsQueries {
   def topk3(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""topk(3, events)""", spark, dir))
 
+  /** `limitk(2, v) by (event_type)` (Prometheus 3.x experimental): the two
+    * smallest-skey series per group — a deterministic series sample. */
+  def limitkQ(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""limitk(2, events) by (event_type)""", spark, dir))
+
+  /** `limit_ratio(0.4, v)`: md5-bucket series sampling, the same decision
+    * function style as [[graft.llm.Curation.sampleStratified]]. */
+  def limitRatioQ(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""limit_ratio(0.4, events{event_type="purchase"})""", spark, dir))
+
   def quantileBy(spark: SparkSession, dir: String): DataFrame =
     Eval("""quantile(0.9, events) by (event_type)""", spark, dir)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
@@ -838,6 +848,30 @@ object TsQueries {
        |SELECT event_type, round(gt, 6) AS ts, round(avg(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
+  def oracleLimitk: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |),
+       |r AS (
+       |  SELECT event_type, props, gt, v,
+       |    row_number() OVER (PARTITION BY event_type, gt ORDER BY
+       |      '__name__=events,event_type=' || event_type || ',props=' || props) AS rn
+       |  FROM iv
+       |)
+       |SELECT event_type, props, round(gt, 6) AS ts, round(v, 6) + 0.0 AS value
+       |FROM r WHERE rn <= 2""".stripMargin
+
+  def oracleLimitRatio: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)}
+       |SELECT event_type, props, round(gt, 6) AS ts, round($interpExpr, 6) + 0.0 AS value
+       |FROM w WHERE ord = 1
+       |  AND ('0x' || substr(md5('__name__=events,event_type=' || event_type || ',props=' || props), 1, 6))::BIGINT / 16777216.0 < 0.4""".stripMargin
+
   def oracleTopk3: String =
     s"""WITH ${sCte("")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -995,6 +1029,8 @@ object TsQueries {
     "at_modifier" -> (atModifier _),
     "scalar_norm" -> (scalarNorm _),
     "time_hour" -> (timeHour _),
+    "limitk" -> (limitkQ _),
+    "limit_ratio" -> (limitRatioQ _),
     "clamp" -> (clampQ _),
     "deriv_1h" -> (deriv1h _),
     "last_over_time_1h" -> (lastOverTime1h _),
@@ -1042,6 +1078,8 @@ object TsQueries {
     "at_modifier" -> oracleAtModifier,
     "scalar_norm" -> oracleScalarNorm,
     "time_hour" -> oracleTimeHour,
+    "limitk" -> oracleLimitk,
+    "limit_ratio" -> oracleLimitRatio,
     "clamp" -> oracleClamp,
     "deriv_1h" -> oracleDeriv1h,
     "last_over_time_1h" -> oracleLastOverTime1h,

@@ -243,6 +243,26 @@ class BinOpSpec extends SparkSpec {
     intercept[Eval.EvalException](Eval.run(collection, "holt_winters(events[1h], 1.5, 0.3)", grid))
   }
 
+  test("limitk/limit_ratio: deterministic sample; ratio complement partitions the vector") {
+    val base = Eval.run(collection, "events", grid)
+    val nSteps = base.select("ts").distinct().count()
+    // limitk: exactly 2 series per (event_type) group at every step
+    val lk = Eval.run(collection, "limitk(2, events) by (event_type)", grid)
+    val groups = base.select(col("labels").getItem("event_type")).distinct().count()
+    assert(lk.count() == 2 * groups * nSteps)
+    assert(lk.select("skey").distinct().count() == 2 * groups)
+    // limit_ratio: r and r-1 complement each other exactly, no overlap
+    val keep = Eval.run(collection, "limit_ratio(0.4, events)", grid)
+      .select("skey").distinct().collect().map(_.getString(0)).toSet
+    val rest = Eval.run(collection, "limit_ratio(-0.6, events)", grid)
+      .select("skey").distinct().collect().map(_.getString(0)).toSet
+    val all = base.select("skey").distinct().collect().map(_.getString(0)).toSet
+    assert(keep.intersect(rest).isEmpty)
+    assert(keep.union(rest) == all)
+    intercept[Eval.EvalException](Eval.run(collection, "limit_ratio(1.5, events)", grid))
+    intercept[Eval.EvalException](Eval.run(collection, "limitk(0, events)", grid))
+  }
+
   test("IEEE zero-divisor semantics: x/0=±Inf, 0/0=NaN, x%0=NaN (no ANSI error)") {
     // (v - v) builds an all-zero vector with the same label sets as v.
     def vals(q: String): Seq[Double] =
