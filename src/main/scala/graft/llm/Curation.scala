@@ -61,6 +61,49 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Sub-document (span-level) deduplication — the C4/RefinedWeb passage
+    * removal step: the corpus is cut into DISJOINT `span`-token chunks, and
+    * every repeated chunk keeps only its first occurrence (global order:
+    * smallest (doc_id, chunk-index)). Whole-doc exact dedup misses a
+    * boilerplate paragraph pasted into a thousand otherwise-distinct pages;
+    * this catches it.
+    *
+    * Output: one row per doc — `doc_id`, `n_spans`, `n_kept`, and
+    * `kept_frac` (rounded; 1.0 = nothing removed).
+    *
+    * Plan shape: chunking is in-row (token array → disjoint slices — no
+    * sliding-window blowup: |chunks| = |tokens|/span); the only wide stage
+    * is the groupBy on chunk hash (group size = a chunk's global duplicate
+    * count) plus the per-doc re-aggregation. Winner selection is a min_by
+    * on the (doc_id, chunk-idx) struct inside the same aggregation — no
+    * join back against the corpus.
+    */
+  def dedupSpans(docs: DataFrame, span: Int = 15): DataFrame = {
+    val chunked = docs
+      .withColumn("__tk__", Dedup.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode_outer(expr(
+          s"""transform(sequence(0, greatest(cast(ceil(size(__tk__) / ${span}.0) as int) - 1, 0)),
+             |  c -> concat_ws(' ', slice(__tk__, c * $span + 1, $span)))""".stripMargin)))
+      .withColumnRenamed("pos", "cidx")
+      .withColumnRenamed("col", "chunk")
+      .filter(col("chunk") =!= "") // empty docs produce one empty chunk
+    val winners = chunked
+      .groupBy(md5(col("chunk").cast(BinaryType)).as("h"))
+      .agg(min(struct(col("doc_id"), col("cidx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.cidx").as("cidx"),
+        lit(1L).as("__kept__"))
+    docs.select("doc_id")
+      .join(chunked.groupBy("doc_id").agg(count(lit(1)).as("n_spans")), Seq("doc_id"), "left")
+      .join(winners.groupBy("doc_id").agg(sum("__kept__").as("n_kept")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_kept"), lit(0L)).cast(DoubleType) /
+            col("n_spans").cast(DoubleType), 6)).as("kept_frac"))
+  }
+
   /** Deterministic hash-stratified sampling: keep a document iff its md5
     * bucket (0..99, derived from the text so resampling a re-crawled corpus
     * is stable) falls under its stratum's configured percentage.

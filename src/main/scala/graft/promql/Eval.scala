@@ -147,6 +147,11 @@ object Eval {
     case FuncCall("changes", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.changesOverTime)
     case FuncCall("resets", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.resetsOverTime)
 
+    // double_exponential_smoothing is the Prometheus 3.x name for the same
+    // function (holt_winters kept as the classic alias).
+    case FuncCall("double_exponential_smoothing", args, agg) =>
+      eval(FuncCall("holt_winters", args, agg), collection, grid)
+
     case FuncCall("holt_winters", args, agg) =>
       if (agg.isDefined) throw EvalException("'holt_winters' expects no aggregation")
       args match {

@@ -122,6 +122,10 @@ object LlmQueries {
   def mixBudgetQ(spark: SparkSession, dir: String): DataFrame =
     Curation.mixByBudget(docs(spark, dir), budget = 800L)
 
+  /** Span-level dedup: disjoint 15-token chunks, first occurrence wins. */
+  def dedupSpansQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.dedupSpans(docs(spark, dir), span = 15)
+
   /** End-to-end curation pipeline: exact-dedup keepers ∩ quality floor ∩
     * language-ID agreement with the recorded lang column — the composition a
     * training-data pipeline actually ships. One pass over documents, three
@@ -429,6 +433,25 @@ object LlmQueries {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |WHERE d.doc_id % 20 <> 7""".stripMargin
 
+  def oracleDedupSpans: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |ch AS (
+      |  SELECT doc_id, CAST(u.c AS BIGINT) AS cidx,
+      |    array_to_string(tk[(CAST(u.c AS BIGINT) * 15 + 1):(CAST(u.c AS BIGINT) * 15 + 15)], ' ') AS chunk
+      |  FROM toks, UNNEST(range(0, greatest(CAST(ceil(len(tk) / 15.0) AS BIGINT), 1))) AS u(c)
+      |),
+      |nz AS (SELECT * FROM ch WHERE chunk <> ''),
+      |rn AS (SELECT doc_id, cidx,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS r FROM nz),
+      |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM nz GROUP BY 1),
+      |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM rn WHERE r = 1 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(s.n_spans, 0) AS n_spans, coalesce(k.n_kept, 0) AS n_kept,
+      |  CASE WHEN coalesce(s.n_spans, 0) = 0 THEN 1.0
+      |       ELSE round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / CAST(s.n_spans AS DOUBLE), 6) END AS kept_frac
+      |FROM documents d
+      |LEFT JOIN spans s ON d.doc_id = s.doc_id
+      |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
+
   def oracleSampleStratified: String =
     """WITH b AS (SELECT doc_id, lang,
       |    ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 AS bucket FROM documents)
@@ -581,6 +604,7 @@ object LlmQueries {
     "decontaminate" -> (decontaminateQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "mix_budget" -> (mixBudgetQ _),
+    "dedup_spans" -> (dedupSpansQ _),
     "corpus_curate" -> (corpusCurate _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _))
@@ -605,6 +629,7 @@ object LlmQueries {
     "decontaminate" -> oracleDecontaminate,
     "sample_stratified" -> oracleSampleStratified,
     "mix_budget" -> oracleMixBudget,
+    "dedup_spans" -> oracleDedupSpans,
     "corpus_curate" -> oracleCorpusCurate,
     "multimodal_meta" -> oracleMultimodalMeta,
     "multimodal_features" -> oracleMultimodalFeatures)

@@ -241,6 +241,15 @@ class BinOpSpec extends SparkSpec {
     assert(math.abs(out - ref(vs, 0.4, 0.2)) < 1e-12, s"$out vs ${ref(vs, 0.4, 0.2)}")
     // <2 samples in window → no row
     intercept[Eval.EvalException](Eval.run(collection, "holt_winters(events[1h], 1.5, 0.3)", grid))
+    // Prometheus 3.x rename is a strict alias (late grid so the 7d window
+    // holds ≥2 samples per series at sf0.001 density)
+    val lateGrid = operators.Grid(1704067200.0 + 20 * 86400.0,
+      1704067200.0 + 20 * 86400.0 + 7200.0, 3600.0)
+    val a = Eval.run(collection, "holt_winters(events[7d], 0.4, 0.2)", lateGrid)
+      .select("skey", "ts", "value").collect().toSet
+    val b = Eval.run(collection, "double_exponential_smoothing(events[7d], 0.4, 0.2)", lateGrid)
+      .select("skey", "ts", "value").collect().toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("limitk/limit_ratio: deterministic sample; ratio complement partitions the vector") {

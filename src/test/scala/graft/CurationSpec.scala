@@ -48,6 +48,22 @@ class CurationSpec extends SparkSpec {
     assert(out.collect().toSet == again.collect().toSet)
   }
 
+  test("span dedup: shared boilerplate chunk kept only at its first occurrence") {
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ") // one 5-token chunk
+    val docs = Seq(
+      (0L, boiler + " " + (1 to 5).map(i => s"x$i").mkString(" ")),  // chunks: boiler, x
+      (1L, boiler + " " + (1 to 5).map(i => s"y$i").mkString(" ")),  // boiler dup + unique y
+      (2L, (1 to 10).map(i => s"z$i").mkString(" ")),                // fully unique
+      (3L, "")                                                       // empty: 0 spans
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupSpans(docs, span = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((2L, 2L, 1.0)))        // first occurrence keeps everything
+    assert(out(1L) == ((2L, 1L, 0.5)))        // boiler chunk deduped away
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((0L, 0L, 1.0)))        // empty doc: vacuously kept
+  }
+
   /** The naive definition the two-phase cut must reproduce row-for-row. */
   private def naiveMix(docs: DataFrame, budget: Long): Set[(String, Long, Long)] = {
     val scored = graft.llm.TextAnalysis.quality(docs)
