@@ -103,6 +103,24 @@ object Aggregate {
       vlo + (vhi - vlo) * frac
     }
 
+  /** Median absolute deviation: median(|x − median(x)|), both medians
+    * linearly interpolated like [[quantileAgg]] (shared index arithmetic,
+    * so the DuckDB oracle's quantile_cont-based `mad()` reproduces it). */
+  def madAgg: Column => Column = v => {
+    def q50(arr: Column): Column = {
+      val n = size(arr)
+      val pos = (n - 1).cast(org.apache.spark.sql.types.DoubleType) * lit(0.5)
+      val lo = floor(pos).cast(org.apache.spark.sql.types.IntegerType)
+      val frac = pos - lo.cast(org.apache.spark.sql.types.DoubleType)
+      val vlo = element_at(arr, lo + 1)
+      val vhi = element_at(arr, least(lo + 2, n))
+      vlo + (vhi - vlo) * frac
+    }
+    val arr = sort_array(collect_list(v))
+    val med = q50(arr)
+    q50(sort_array(transform(arr, x => abs(x - med))))
+  }
+
   /** `count_values(label, v)`: per instant, one output series per distinct
     * value carrying that value (formatted like the wire format, integers
     * without ".0") under `label`; output value = occurrence count. */

@@ -105,6 +105,12 @@ object RangeAgg {
   def quantileOverTime(samples: DataFrame, grid: Grid, overRange: Double, q: Double): DataFrame =
     overTime(samples, grid, overRange, Aggregate.quantileAgg(q))
 
+  /** `mad_over_time(v[r])` (Prometheus experimental): median absolute
+    * deviation of the window's samples — the robust spread measure
+    * (stddev_over_time's outlier-insensitive sibling). */
+  def madOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    overTime(samples, grid, overRange, Aggregate.madAgg)
+
   /** Population stddev/stdvar via explicit moment sums — the same expression
     * tree any SQL engine (incl. the oracle) reproduces; Welford-style
     * implementations would differ in the last ULPs. */

@@ -146,6 +146,7 @@ object Eval {
     case FuncCall("stdvar_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.stdvarOverTime)
     case FuncCall("changes", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.changesOverTime)
     case FuncCall("resets", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.resetsOverTime)
+    case FuncCall("mad_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.madOverTime)
 
     // double_exponential_smoothing is the Prometheus 3.x name for the same
     // function (holt_winters kept as the classic alias).

@@ -112,6 +112,9 @@ object TsQueries {
   def quantileOverTime1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""quantile_over_time(0.9, events{event_type="purchase"}[1h])""", spark, dir))
 
+  def madOverTime1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""mad_over_time(events{event_type="purchase"}[1h])""", spark, dir))
+
   def roundTo(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""round(events{event_type="purchase"}, 10)""", spark, dir))
 
@@ -555,6 +558,19 @@ object TsQueries {
        |      FROM w WHERE greatest(klo, 0) <= khi)
        |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
        |  round(quantile_cont(v, 0.9), 6) + 0.0 AS value
+       |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  def oracleMadOverTime1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi)
+       |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(mad(v), 6) + 0.0 AS value
        |FROM x GROUP BY event_type, props, k""".stripMargin
 
   def oracleRoundTo: String =
@@ -1014,6 +1030,7 @@ object TsQueries {
     "increase_1h" -> (increase1h _),
     "avg_over_time_1h" -> (avgOverTime1h _),
     "quantile_over_time_1h" -> (quantileOverTime1h _),
+    "mad_over_time_1h" -> (madOverTime1h _),
     "subquery_max" -> (subqueryMax _),
     "round_to" -> (roundTo _),
     "irate_1h" -> (irate1h _),
@@ -1063,6 +1080,7 @@ object TsQueries {
     "increase_1h" -> oracleIncrease1h,
     "avg_over_time_1h" -> oracleAvgOverTime1h,
     "quantile_over_time_1h" -> oracleQuantileOverTime1h,
+    "mad_over_time_1h" -> oracleMadOverTime1h,
     "subquery_max" -> oracleSubqueryMax,
     "round_to" -> oracleRoundTo,
     "irate_1h" -> oracleIrate1h,
