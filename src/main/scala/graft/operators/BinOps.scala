@@ -176,6 +176,56 @@ object BinOps {
     }
   }
 
+  /** Many-to-one vector matching (`group_left` / `group_right`): the MANY
+    * side keeps its full label identity (minus `__name__` for arith/bool
+    * results), each of its series matched to the single one-side series
+    * sharing the match key — the "ratio to group aggregate" idiom. Labels
+    * listed in `include` are copied over from the one side (overwriting).
+    * Plan shape: the same `(match-key, ts)` equi-join as one-to-one
+    * matching; the one side is typically a per-group aggregate and AQE
+    * broadcasts it when small.
+    *
+    * `leftIsMany` = group_left. Filter-form comparisons return the many
+    * side's rows untouched, like Prometheus. */
+  def vectorVectorGrouped(lhs: DataFrame, rhs: DataFrame, op: String,
+                          on: Option[Seq[String]], ignoring: Option[Seq[String]],
+                          boolMod: Boolean, leftIsMany: Boolean,
+                          include: Seq[String]): DataFrame = {
+    val mm = matchMap(on, ignoring)
+    val (many, one) = if (leftIsMany) (lhs, rhs) else (rhs, lhs)
+    val m = many.select(Model.canonicalKey(mm).as("__mkey__"),
+      col(Model.SkeyCol), col(Model.LabelsCol),
+      col(Model.TsCol), col(Model.ValueCol).as("__mv__"))
+    val o = one.select(Model.canonicalKey(mm).as("__mkey__"),
+      col(Model.LabelsCol).as("__ol__"),
+      col(Model.TsCol), col(Model.ValueCol).as("__ov__"))
+    val joined = m.join(o, Seq("__mkey__", Model.TsCol))
+    val (lv, rv) =
+      if (leftIsMany) (col("__mv__"), col("__ov__")) else (col("__ov__"), col("__mv__"))
+    val outLabels =
+      if (include.isEmpty)
+        map_filter(col(Model.LabelsCol), (k, _) => k =!= Model.NameLabel)
+      else map_concat(
+        map_filter(col(Model.LabelsCol), (k, _) =>
+          k =!= Model.NameLabel && !array_contains(lit(include.toArray), k)),
+        map_filter(col("__ol__"), (k, _) => array_contains(lit(include.toArray), k)))
+    def relabeled(df: DataFrame): DataFrame =
+      df.withColumn(Model.LabelsCol, outLabels)
+        .withColumn(Model.SkeyCol, Model.canonicalKey(col(Model.LabelsCol)))
+        .select(Model.SkeyCol, Model.LabelsCol, Model.TsCol, Model.ValueCol)
+    if (Ops.isCmp(op)) {
+      val c = cmp(op, lv, rv)
+      if (boolMod)
+        relabeled(joined.withColumn(Model.ValueCol, when(c, lit(1.0)).otherwise(lit(0.0))))
+      else // filter form: the many side's series pass through unchanged
+        joined.filter(c)
+          .select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol),
+            col("__mv__").as(Model.ValueCol))
+    } else {
+      relabeled(joined.withColumn(Model.ValueCol, arith(op, lv, rv)))
+    }
+  }
+
   /** `and` / `unless` / `or` set operators: semi/anti joins on
     * `(match-key, ts)`; `or` unions in the right-side rows with no left
     * match. Series keep their own labels (names included), as in Prometheus. */

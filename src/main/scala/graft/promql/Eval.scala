@@ -245,6 +245,16 @@ object Eval {
 
     case b: BinOp => evalBinOp(b, collection, grid)
 
+    // many-to-one matching: both sides must be instant vectors
+    case Grouped(b, g) =>
+      (resampled(eval(b.lhs, collection, grid), grid),
+        resampled(eval(b.rhs, collection, grid), grid)) match {
+        case (Processed(l), Processed(r)) =>
+          Processed(BinOps.vectorVectorGrouped(l, r, b.op, b.matchOn, b.matchIgnoring,
+            b.boolMod, g.leftIsMany, g.include))
+        case _ => throw EvalException("group_left/group_right require vector operands")
+      }
+
     case FuncCall("sum", args, by) => evalAgg(args, by, collection, grid, Aggregate.sumBy)
     case FuncCall("avg", args, by) => evalAgg(args, by, collection, grid, Aggregate.avgBy)
     case FuncCall("min", args, by) => evalAgg(args, by, collection, grid, Aggregate.minBy)

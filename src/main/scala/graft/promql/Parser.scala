@@ -52,6 +52,12 @@ final case class AtMod(inner: Node, at: AtSpec) extends Node
 final case class BinOp(op: String, lhs: Node, rhs: Node,
                        matchOn: Option[Seq[String]], matchIgnoring: Option[Seq[String]],
                        boolMod: Boolean) extends Node
+/** Many-to-one vector matching (`group_left`/`group_right`, with an
+  * optional include-label list), wrapped around the BinOp it modifies so
+  * the 6-field BinOp shape (and every pattern match on it) stays stable.
+  * `leftIsMany` = group_left. Requires an explicit `on`/`ignoring`. */
+final case class ManyToOne(leftIsMany: Boolean, include: Seq[String])
+final case class Grouped(b: BinOp, group: ManyToOne) extends Node
 
 /** Operator classes shared by the parser and the evaluator. */
 object Ops {
@@ -150,10 +156,11 @@ object Parser {
     * `on(...)`/`ignoring(...)` matching modifiers. */
   private def parseExpr(st: State): Node = parseOr(st)
 
-  private final case class Mods(on: Option[Seq[String]], ignoring: Option[Seq[String]], bool: Boolean)
+  private final case class Mods(on: Option[Seq[String]], ignoring: Option[Seq[String]],
+                                bool: Boolean, group: Option[ManyToOne])
 
-  /** `bool`, then `on(...)` | `ignoring(...)`; `group_left/right` (many-to-
-    * one matching) is rejected explicitly. */
+  /** `bool`, then `on(...)` | `ignoring(...)`, then optional
+    * `group_left`/`group_right` with an optional include-label list. */
   private def parseMods(st: State, op: String): Mods = {
     var bool = false
     if (st.peek.contains(Ident("bool"))) {
@@ -167,12 +174,19 @@ object Parser {
       case Some(Ident("ignoring")) => st.next(); ignoring = Some(parseNameList(st))
       case _ => ()
     }
+    var group: Option[ManyToOne] = None
     st.peek match {
       case Some(Ident(g @ ("group_left" | "group_right"))) =>
-        throw ParseException(s"not implemented: many-to-one matching '$g'")
+        st.next()
+        if (on.isEmpty && ignoring.isEmpty)
+          throw ParseException(s"'$g' requires an explicit on(...) or ignoring(...) matching")
+        if (Ops.SetOps(op))
+          throw ParseException(s"'$g' is not allowed on set operator '$op'")
+        val include = if (st.peek.contains(Sym("("))) parseNameList(st) else Seq.empty
+        group = Some(ManyToOne(g == "group_left", include))
       case _ => ()
     }
-    Mods(on, ignoring, bool)
+    Mods(on, ignoring, bool, group)
   }
 
   private def binOpLevel(st: State, ops: Set[String], next: State => Node): Node = {
@@ -182,10 +196,12 @@ object Parser {
       st.peek match {
         case Some(Sym(s)) if ops(s) =>
           st.next(); val m = parseMods(st, s)
-          lhs = BinOp(s, lhs, next(st), m.on, m.ignoring, m.bool)
+          val b = BinOp(s, lhs, next(st), m.on, m.ignoring, m.bool)
+          lhs = m.group.fold(b: Node)(g => Grouped(b, g))
         case Some(Ident(s)) if ops(s) =>
           st.next(); val m = parseMods(st, s)
-          lhs = BinOp(s, lhs, next(st), m.on, m.ignoring, m.bool)
+          val b = BinOp(s, lhs, next(st), m.on, m.ignoring, m.bool)
+          lhs = m.group.fold(b: Node)(g => Grouped(b, g))
         case _ => done = true
       }
     }
@@ -213,7 +229,8 @@ object Parser {
     val base = parseAtom(st)
     if (st.peek.contains(Sym("^"))) { // right-associative
       st.next(); val m = parseMods(st, "^")
-      BinOp("^", base, parsePowRhs(st), m.on, m.ignoring, boolMod = false)
+      val b = BinOp("^", base, parsePowRhs(st), m.on, m.ignoring, boolMod = false)
+      m.group.fold(b: Node)(g => Grouped(b, g))
     } else base
   }
 

@@ -180,6 +180,12 @@ object TsQueries {
   def scalarNorm(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""events{event_type="purchase"} / scalar(sum(events{event_type="purchase"}))""", spark, dir))
 
+  /** Many-to-one matching: each series divided by its event_type group
+    * total — `group_left` against a `sum by` aggregate, the canonical
+    * ratio-to-group idiom. */
+  def groupRatio(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""events / on (event_type) group_left sum by (event_type) (events)""", spark, dir))
+
   /** `hour(time())` — the math family applied to the per-step scalar
     * `time()`; serialized as one labelless series. */
   def timeHour(spark: SparkSession, dir: String): DataFrame =
@@ -786,6 +792,18 @@ object TsQueries {
        |  round(iv.v / tot.s, 6) + 0.0 AS value
        |FROM iv JOIN tot ON iv.gt = tot.gt""".stripMargin
 
+  def oracleGroupRatio: String =
+    s"""WITH ${sCte("")},
+       |${gridCte(Seq(("i", 0.0)))},
+       |${bracketCte(withLag = false)},
+       |iv AS (
+       |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
+       |),
+       |tot AS (SELECT event_type, gt, sum(v) AS s FROM iv GROUP BY 1, 2)
+       |SELECT iv.event_type, iv.props, round(iv.gt, 6) AS ts,
+       |  round(iv.v / tot.s, 6) + 0.0 AS value
+       |FROM iv JOIN tot ON iv.event_type = tot.event_type AND iv.gt = tot.gt""".stripMargin
+
   def oracleTimeHour: String =
     s"""SELECT round(1704067200.0 + (i * 3600.0), 6) AS ts,
        |  CAST(floor((1704067200.0 + (i * 3600.0)) / 3600.0) % 24 AS DOUBLE) AS value
@@ -1048,6 +1066,7 @@ object TsQueries {
     "time_hour" -> (timeHour _),
     "limitk" -> (limitkQ _),
     "limit_ratio" -> (limitRatioQ _),
+    "group_ratio" -> (groupRatio _),
     "clamp" -> (clampQ _),
     "deriv_1h" -> (deriv1h _),
     "last_over_time_1h" -> (lastOverTime1h _),
@@ -1098,6 +1117,7 @@ object TsQueries {
     "time_hour" -> oracleTimeHour,
     "limitk" -> oracleLimitk,
     "limit_ratio" -> oracleLimitRatio,
+    "group_ratio" -> oracleGroupRatio,
     "clamp" -> oracleClamp,
     "deriv_1h" -> oracleDeriv1h,
     "last_over_time_1h" -> oracleLastOverTime1h,

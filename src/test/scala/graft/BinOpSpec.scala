@@ -252,6 +252,39 @@ class BinOpSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("group_left/group_right many-to-one matching") {
+    // each series' share of its event_type total sums to 1 per (type, ts)
+    val shares = Eval.run(collection,
+      "events / on (event_type) group_left sum by (event_type) (events)", grid)
+    val sums = shares
+      .groupBy(col("labels").getItem("event_type"), col("ts"))
+      .agg(org.apache.spark.sql.functions.sum("value").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    // many side keeps its full label set (minus __name__)
+    assert(shares.select("labels").head().getMap[String, String](0).keySet == Set("event_type", "props"))
+    // group_right mirrors group_left with sides swapped
+    val gr = Eval.run(collection,
+      "sum by (event_type) (events) / on (event_type) group_right events", grid)
+      .select("skey", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), 1.0 / r.getDouble(2))).toSet
+    val gl = shares.select("skey", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    def close(a: Set[(String, Double, Double)], b: Set[(String, Double, Double)]) = {
+      val bm = b.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.head._3 }
+      a.forall(t => math.abs(bm((t._1, t._2)) - t._3) < 1e-9)
+    }
+    assert(gr.size == gl.size && close(gl, gr))
+    // include labels are copied from the one side
+    val inc = Eval.run(collection,
+      """events{event_type="purchase"} / on (event_type) group_left (props) group by (event_type, props) (events{props="{\"k\": 0}"})""",
+      grid)
+    assert(inc.select("labels").head().getMap[String, String](0).get("props").contains("{\"k\": 0}"))
+    // group_* without explicit matching is a parse error
+    intercept[graft.promql.Parser.ParseException](
+      Parser.parse("events / group_left sum by (event_type) (events)"))
+  }
+
   test("limitk/limit_ratio: deterministic sample; ratio complement partitions the vector") {
     val base = Eval.run(collection, "events", grid)
     val nSteps = base.select("ts").distinct().count()

@@ -170,6 +170,8 @@ class PropertySpec extends SparkSpec {
         1 -> (for { e <- instant(depth - 1); t <- Gen.oneOf("120", "start()", "end()") } yield s"($e) @ $t"),
         1 -> (for { op <- Gen.oneOf("+", "-", "*", "/"); e <- instant(depth - 1) } yield s"($e) $op time()"),
         1 -> instant(depth - 1).map(e => s"($e) / scalar(sum($e))"),
+        1 -> (for { l <- instant(depth - 1); r <- instant(depth - 1) }
+          yield s"($l) / on (h) group_left sum by (h) ($r)"),
         1 -> Gen.const("vector(1)"),
         1 -> Gen.const("vector(hour(time()))"),
         1 -> instant(depth - 1).map(e => s"quantile(0.5, $e)"),
