@@ -125,6 +125,41 @@ object Curation {
       .select(col("doc_id"), strataCol.as("stratum"), col("bucket"))
   }
 
+  /** Sequence packing (GPT-style): documents are concatenated in doc_id
+    * order and the token stream is cut into fixed `blockSize` blocks; each
+    * doc reports the block span it lands in ([first_block, last_block]) and
+    * its offset inside the first block — what a training pipeline needs to
+    * materialize examples without re-tokenizing.
+    *
+    * The global running token offset is a prefix sum, computed scalably by
+    * the same two-phase shape as [[mixByBudget]]: per doc_id-range bucket
+    * token totals (tiny aggregate), a window over that tiny frame for
+    * bucket base offsets, then a within-bucket window + base — no global
+    * single-partition sort. Exactness: doc_id order is total, and bucket
+    * boundaries respect it.
+    */
+  def packSequences(docs: DataFrame, blockSize: Long,
+                    bucketWidth: Long = 1000L): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)"))
+        .cast(LongType).as("tok"))
+      .withColumn("bkt", floor(col("doc_id") / bucketWidth).cast(LongType))
+    val baseW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toked.groupBy("bkt").agg(sum("tok").as("btok"))
+      .withColumn("base", coalesce(sum("btok").over(baseW), lit(0L)))
+      .select("bkt", "base")
+    val inBkt = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toked.join(broadcast(bases), "bkt")
+      .withColumn("off", col("base") + coalesce(sum("tok").over(inBkt), lit(0L)))
+      .select(col("doc_id"), col("tok"), col("off"),
+        (col("off") / blockSize).cast(LongType).as("first_block"),
+        // empty docs occupy no tokens: span collapses onto first_block
+        greatest((col("off") + col("tok") - 1) / blockSize, col("off") / blockSize)
+          .cast(LongType).as("last_block"),
+        pmod(col("off"), lit(blockSize)).as("block_offset"))
+  }
+
   /** Token-budget domain mixing: per `source`, keep the highest-quality
     * documents until the running token total crosses `budget` (keep rule:
     * a doc is kept iff its inclusive cumulative token count, in

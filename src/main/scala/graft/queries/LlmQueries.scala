@@ -126,6 +126,10 @@ object LlmQueries {
   def dedupSpansQ(spark: SparkSession, dir: String): DataFrame =
     Curation.dedupSpans(docs(spark, dir), span = 15)
 
+  /** Sequence packing into 512-token blocks (GPT-style concatenation). */
+  def packBlocksQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(docs(spark, dir), blockSize = 512L)
+
   /** End-to-end curation pipeline: exact-dedup keepers ∩ quality floor ∩
     * language-ID agreement with the recorded lang column — the composition a
     * training-data pipeline actually ships. One pass over documents, three
@@ -452,6 +456,20 @@ object LlmQueries {
       |LEFT JOIN spans s ON d.doc_id = s.doc_id
       |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
 
+  /** The packing oracle is the ONE global window the Spark side avoids
+    * via the bucketed two-phase prefix sum. */
+  def oraclePackBlocks: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS BIGINT) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok,
+       |    coalesce(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t)
+       |SELECT doc_id, tok, off,
+       |  CAST(floor(off / 512.0) AS BIGINT) AS first_block,
+       |  CAST(greatest(floor((off + tok - 1) / 512.0), floor(off / 512.0)) AS BIGINT) AS last_block,
+       |  off % 512 AS block_offset
+       |FROM c""".stripMargin
+
   def oracleSampleStratified: String =
     """WITH b AS (SELECT doc_id, lang,
       |    ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 AS bucket FROM documents)
@@ -605,6 +623,7 @@ object LlmQueries {
     "sample_stratified" -> (sampleStratifiedQ _),
     "mix_budget" -> (mixBudgetQ _),
     "dedup_spans" -> (dedupSpansQ _),
+    "pack_blocks" -> (packBlocksQ _),
     "corpus_curate" -> (corpusCurate _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _))
@@ -630,6 +649,7 @@ object LlmQueries {
     "sample_stratified" -> oracleSampleStratified,
     "mix_budget" -> oracleMixBudget,
     "dedup_spans" -> oracleDedupSpans,
+    "pack_blocks" -> oraclePackBlocks,
     "corpus_curate" -> oracleCorpusCurate,
     "multimodal_meta" -> oracleMultimodalMeta,
     "multimodal_features" -> oracleMultimodalFeatures)

@@ -64,6 +64,27 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 1.0)))        // empty doc: vacuously kept
   }
 
+  test("sequence packing: bucketed prefix sum == global window; spans are contiguous") {
+    val docs = (0L until 57L).map(i =>
+      (i, if (i % 7 == 3) "" else (1 to (3 + (i % 11)).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // tiny bucketWidth forces many buckets → the two-phase path is exercised
+    val out = Curation.packSequences(docs, blockSize = 16L, bucketWidth = 5L)
+      .orderBy("doc_id")
+      .select("doc_id", "tok", "off", "first_block", "last_block", "block_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // naive single-pass check
+    var off = 0L
+    out.foreach { case (id, tok, o, fb, lb, bo) =>
+      assert(o == off, s"doc $id offset")
+      assert(fb == o / 16 && bo == o % 16)
+      assert(lb == math.max((o + tok - 1) / 16, o / 16), s"doc $id last_block")
+      off += tok
+    }
+    // consecutive docs tile the token stream with no gaps or overlaps
+    assert(out.sliding(2).forall { case Array(a, b) => a._3 + a._2 == b._3; case _ => true })
+  }
+
   /** The naive definition the two-phase cut must reproduce row-for-row. */
   private def naiveMix(docs: DataFrame, budget: Long): Set[(String, Long, Long)] = {
     val scored = graft.llm.TextAnalysis.quality(docs)
