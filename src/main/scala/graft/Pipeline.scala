@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Dedup, TextAnalysis}
+
+/** End-to-end training-data curation runner: the spark-submit-able
+  * composition of the library's LLM operators over a documents table —
+  * what a user runs to turn a raw crawl dump into a training-ready corpus.
+  *
+  * Stages (each one a library operator; every intermediate is a lazy
+  * DataFrame, so Catalyst plans the whole DAG together):
+  *   1. exact dedup            — keep-first on normalized content hash
+  *   2. near-dup clustering    — MinHash+LSH pairs → connected components,
+  *                               keep each cluster's smallest doc_id
+  *   3. span dedup stats       — C4-style passage-removal accounting
+  *   4. quality + language     — scores joined onto survivors
+  *   5. PII redaction          — survivors' text scrubbed
+  *   6. quality floor + mix    — drop the low-quality tail, then cap each
+  *                               source at a token budget (banded cutoff)
+  *   7. sequence packing       — block spans for the final keeper set
+  *
+  * Usage: runMain graft.Pipeline <docsDir> <outDir>
+  *          [--budget <tokens-per-source>] [--min-quality <0..1>]
+  *
+  * Writes `<outDir>/corpus` (doc_id, text_redacted, lang, quality_score,
+  * source, first_block, last_block, block_offset) and prints one JSON
+  * stats line per stage.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val positional = args.filterNot(_.startsWith("--")).toSeq
+    def flagValue(name: String): Option[String] =
+      args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
+    if (positional.length < 2)
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>]")
+    val Seq(docsDir, outDir) = positional.take(2)
+    val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
+    val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    run(spark, docs, outDir, budget, minQuality)
+    spark.stop()
+  }
+
+  /** The composition itself, separated from arg parsing so specs can drive
+    * it on an in-memory frame. Returns the final curated corpus. */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+          budget: Long, minQuality: Double): DataFrame = {
+    def stat(stage: String, n: Long): Unit =
+      println(s"""{"stage":"$stage","rows":$n}""")
+    stat("input", docs.count())
+
+    // 1-2: exact dedup, then near-dup cluster resolution on the survivors
+    val exactKeepers = Dedup.exact(docs).select("doc_id")
+    val afterExact = docs.join(exactKeepers, "doc_id")
+    val pairs = Dedup.minhashLsh(afterExact, minJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)
+    val nearDupLosers = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    val deduped = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    stat("after_dedup", deduped.count())
+
+    // 3: passage-removal accounting rides along as columns
+    val spanStats = Curation.dedupSpans(deduped)
+      .select(col("doc_id"), col("kept_frac").as("span_kept_frac"))
+
+    // 4-5: scores + language + redacted text
+    val quality = TextAnalysis.quality(deduped).select("doc_id", "quality_score")
+    val lang = TextAnalysis.languageId(deduped).select("doc_id", "pred_lang")
+    val redacted = TextAnalysis.pii(deduped, col("text"))
+      .select(col("doc_id"), col("redacted").as("text_redacted"))
+
+    val scored = deduped
+      .join(quality, "doc_id").join(lang, "doc_id")
+      .join(redacted, "doc_id").join(spanStats, "doc_id")
+      .filter(col("quality_score") >= minQuality)
+    stat("after_quality_floor", scored.count())
+
+    // 6: per-source token budget over the quality-floored survivors
+    val mixed = Curation.mixByBudget(
+      scored.select("doc_id", "text", "source"), budget)
+      .select("doc_id")
+    val kept = scored.join(mixed, "doc_id")
+    stat("after_budget_mix", kept.count())
+
+    // 7: pack the final keeper set into training blocks
+    val packed = Curation.packSequences(kept.select("doc_id", "text"), blockSize = 2048L)
+      .select("doc_id", "first_block", "last_block", "block_offset")
+
+    val corpus = kept
+      .select("doc_id", "text_redacted", "pred_lang", "quality_score",
+        "span_kept_frac", "source")
+      .join(packed, "doc_id")
+    corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
+    stat("corpus", spark.read.parquet(s"$outDir/corpus").count())
+    corpus
+  }
+}

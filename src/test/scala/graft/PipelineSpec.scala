@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline (graft.Pipeline.run) on real testdata. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipeline composes: dedup -> quality -> redact -> budget mix -> pack") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 400L, minQuality = 0.2)
+      .cache()
+
+    val n = corpus.count()
+    assert(n > 0 && n < docs.count()) // dedup + budget actually removed rows
+
+    // per-source token spend respects the budget (tokens of the ORIGINAL
+    // text, the same measure mixByBudget cuts on)
+    val spend = corpus.select("doc_id", "source")
+      .join(docs.select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)"))
+          .cast("long").as("tok")), "doc_id")
+      .groupBy("source").agg(sum("tok").as("spent"))
+      .select("spent").as[Long].collect()
+    assert(spend.nonEmpty && spend.forall(_ <= 400L))
+
+    // packing tiles the kept docs: block spans are monotone in doc_id
+    val packs = corpus.orderBy("doc_id")
+      .select("first_block", "last_block").as[(Long, Long)].collect()
+    assert(packs.sliding(2).forall {
+      case Array(a, b) => a._1 <= b._1 && a._2 <= b._2; case _ => true })
+
+    // exact-dup losers are gone: every normalized text is unique
+    val texts = corpus.join(docs.select("doc_id", "text"), "doc_id")
+      .select(lower(trim(col("text")))).as[String].collect()
+    assert(texts.distinct.length == texts.length)
+
+    // redaction happened: no raw emails survive in the emitted text
+    val emails = corpus.filter(col("text_redacted").rlike(
+      graft.llm.TextAnalysis.EmailRe)).count()
+    assert(emails == 0)
+    corpus.unpersist()
+  }
+}
