@@ -226,6 +226,41 @@ object BinOps {
     }
   }
 
+  /** Single-pass fast path for the dominant many-to-one idiom
+    * `v op group_left agg by (L) (v)` (same subtree both sides, on-labels =
+    * by-labels): instead of resampling the vector twice and joining, the
+    * group aggregate is a WINDOW over the one resampled frame partitioned
+    * by (match-key, ts). Saves a full corpus re-read + the join; the
+    * evaluator proves applicability structurally (Node equality) before
+    * calling this. */
+  def vectorGroupWindow(many: DataFrame, op: String, on: Seq[String],
+                        aggName: String, boolMod: Boolean,
+                        manyIsLeft: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = matchMap(Some(on), None)
+    val keyed = many.withColumn("__mkey__", Model.canonicalKey(mm))
+    val w = Window.partitionBy(col("__mkey__"), col(Model.TsCol))
+    val v = col(Model.ValueCol)
+    val aggCol = (aggName match {
+      case "sum" => sum(v)
+      case "avg" => avg(v)
+      case "min" => min(v)
+      case "max" => max(v)
+      case "count" => count(v)
+      case other => throw new IllegalArgumentException(s"no window form for '$other'")
+    }).over(w)
+    val withAgg = keyed.withColumn("__ov__", aggCol)
+    val (lv, rv) = if (manyIsLeft) (v, col("__ov__")) else (col("__ov__"), v)
+    val out =
+      if (Ops.isCmp(op)) {
+        val c = cmp(op, lv, rv)
+        if (boolMod)
+          dropName(withAgg.withColumn(Model.ValueCol, when(c, lit(1.0)).otherwise(lit(0.0))))
+        else withAgg.filter(c)
+      } else dropName(withAgg.withColumn(Model.ValueCol, arith(op, lv, rv)))
+    out.select(Model.SkeyCol, Model.LabelsCol, Model.TsCol, Model.ValueCol)
+  }
+
   /** `and` / `unless` / `or` set operators: semi/anti joins on
     * `(match-key, ts)`; `or` unions in the right-side rows with no left
     * match. Series keep their own labels (names included), as in Prometheus. */

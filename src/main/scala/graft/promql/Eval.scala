@@ -245,14 +245,39 @@ object Eval {
 
     case b: BinOp => evalBinOp(b, collection, grid)
 
-    // many-to-one matching: both sides must be instant vectors
+    // many-to-one matching: both sides must be instant vectors.
+    // Fast path: `v op group_left agg by (L) (v)` with on(L) — the one
+    // side is the many side's own group aggregate, so it becomes a window
+    // over the single resampled frame (structural Node equality proves
+    // applicability; saves the second resample and the join).
     case Grouped(b, g) =>
-      (resampled(eval(b.lhs, collection, grid), grid),
-        resampled(eval(b.rhs, collection, grid), grid)) match {
-        case (Processed(l), Processed(r)) =>
-          Processed(BinOps.vectorVectorGrouped(l, r, b.op, b.matchOn, b.matchIgnoring,
-            b.boolMod, g.leftIsMany, g.include))
-        case _ => throw EvalException("group_left/group_right require vector operands")
+      val windowAgg: Option[String] = (g.include.isEmpty, b.matchOn) match {
+        case (true, Some(onLs)) =>
+          val (manyNode, oneNode) = if (g.leftIsMany) (b.lhs, b.rhs) else (b.rhs, b.lhs)
+          oneNode match {
+            case FuncCall(agg @ ("sum" | "avg" | "min" | "max" | "count"),
+                          Seq(inner), Some(ByMod(ls)))
+              if inner == manyNode && ls.sorted == onLs.sorted => Some(agg)
+            case _ => None
+          }
+        case _ => None
+      }
+      windowAgg match {
+        case Some(agg) =>
+          resampled(eval(if (g.leftIsMany) b.lhs else b.rhs, collection, grid), grid) match {
+            case Processed(df) =>
+              Processed(BinOps.vectorGroupWindow(df, b.op, b.matchOn.get, agg,
+                b.boolMod, g.leftIsMany))
+            case _ => throw EvalException("group_left/group_right require vector operands")
+          }
+        case None =>
+          (resampled(eval(b.lhs, collection, grid), grid),
+            resampled(eval(b.rhs, collection, grid), grid)) match {
+            case (Processed(l), Processed(r)) =>
+              Processed(BinOps.vectorVectorGrouped(l, r, b.op, b.matchOn, b.matchIgnoring,
+                b.boolMod, g.leftIsMany, g.include))
+            case _ => throw EvalException("group_left/group_right require vector operands")
+          }
       }
 
     case FuncCall("sum", args, by) => evalAgg(args, by, collection, grid, Aggregate.sumBy)
