@@ -119,6 +119,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("curation invariants hold on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    samples(Gen.listOfN(30, docGen), n = 5).zipWithIndex.foreach { case (texts, run) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, s"s${i % 3}") }
+        .toDF("doc_id", "text", "source")
+
+      // span dedup: counts bounded, fractions in (0, 1]
+      val spans = graft.llm.Curation.dedupSpans(docs, span = 4)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(spans.length == texts.length, s"run $run")
+      spans.foreach { case (id, nSpans, nKept, frac) =>
+        assert(nKept <= nSpans, s"run $run doc $id")
+        // 0.0 is legitimate: every chunk already seen in an earlier doc
+        assert(frac >= 0.0 && frac <= 1.0, s"run $run doc $id frac $frac")
+        assert((frac == 0.0) == (nKept == 0 && nSpans > 0) || nSpans == 0, s"run $run doc $id")
+      }
+      // every distinct chunk is kept exactly once corpus-wide
+      val totalKept = spans.map(_._3).sum
+      val distinctChunks = docs.withColumn("tk",
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .selectExpr("explode(transform(sequence(0, greatest(cast(ceil(size(tk)/4.0) as int)-1, 0)), c -> concat_ws(' ', slice(tk, c*4+1, 4)))) AS ch")
+        .filter(col("ch") =!= "").select("ch").distinct().count()
+      assert(totalKept == distinctChunks, s"run $run")
+
+      // decontaminate: hits never exceed grams; bench docs excluded
+      val dec = graft.llm.Curation.decontaminate(docs, col("doc_id") % 5 === 0, n = 3)
+        .as[(Long, Long, Long, Boolean)].collect()
+      dec.foreach { case (id, g, h, c) =>
+        assert(id % 5 != 0 && h <= g && c == (h > 0), s"run $run doc $id")
+      }
+
+      // packing tiles exactly: sum of toks == final offset + last tok
+      val packed = graft.llm.Curation.packSequences(docs, blockSize = 8L, bucketWidth = 7L)
+        .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+      var off = 0L
+      packed.foreach { case (_, tok, o, _, _, _) => assert(o == off); off += tok }
+    }
+  }
+
   test("grammar sweep: every generated well-typed expression parses AND evaluates") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -168,6 +214,7 @@ class PropertySpec extends SparkSpec {
         1 -> (for { s <- Gen.oneOf("sort", "sort_desc"); e <- instant(depth - 1) } yield s"$s($e)"),
         1 -> instant(depth - 1).map(e => s"topk(1, $e)"),
         1 -> (for { e <- instant(depth - 1); t <- Gen.oneOf("120", "start()", "end()") } yield s"($e) @ $t"),
+        1 -> (for { f <- rangeFn; e <- instant(depth - 1) } yield s"$f((($e) @ 120)[10m:5m])"),
         1 -> (for { op <- Gen.oneOf("+", "-", "*", "/"); e <- instant(depth - 1) } yield s"($e) $op time()"),
         1 -> instant(depth - 1).map(e => s"($e) / scalar(sum($e))"),
         1 -> (for { l <- instant(depth - 1); r <- instant(depth - 1) }
