@@ -597,8 +597,33 @@ object Eval {
   /** Binary operators (extension; reference query.rs:549-551 rejects them).
     * Both sides are resampled onto the grid first, so vector-vector matching
     * is an equi-join per instant. */
+  /** Detects `scalar(agg(v))` where the aggregate's subtree IS `many` —
+    * the normalization idiom `v / scalar(sum(v))`. A bare aggregate always
+    * yields exactly one series per step, so scalar() is the aggregate value
+    * and the whole thing is a window over the one resampled frame. */
+  private def scalarSelfAgg(many: Node, other: Node): Option[String] = other match {
+    case FuncCall("scalar", Seq(FuncCall(agg @ ("sum" | "avg" | "min" | "max" | "count"),
+                                         Seq(inner), mod)), None)
+      if inner == many && (mod.isEmpty || mod.contains(ByMod(Seq.empty))) => Some(agg)
+    case _ => None
+  }
+
   private def evalBinOp(b: BinOp, collection: DataFrame, grid: Grid): QR = {
     def proc(n: Node): QR = resampled(eval(n, collection, grid), grid)
+    if (!Ops.SetOps(b.op)) {
+      val fast = scalarSelfAgg(b.lhs, b.rhs).map(a => (a, true))
+        .orElse(scalarSelfAgg(b.rhs, b.lhs).map(a => (a, false)))
+      fast match {
+        case Some((agg, manyIsLeft)) =>
+          proc(if (manyIsLeft) b.lhs else b.rhs) match {
+            case Processed(df) =>
+              return Processed(BinOps.vectorGroupWindow(df, b.op, Seq.empty, agg,
+                b.boolMod, manyIsLeft))
+            case _ => () // non-vector operand: fall through to the general paths
+          }
+        case None => ()
+      }
+    }
     (proc(b.lhs), proc(b.rhs)) match {
       case (ScalarQ(a), ScalarQ(c)) =>
         if (Ops.SetOps(b.op)) throw EvalException(s"set operator '${b.op}' not defined between scalars")
