@@ -111,6 +111,27 @@ object RangeAgg {
   def madOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
     overTime(samples, grid, overRange, Aggregate.madAgg)
 
+  /** `idelta(v[r])` (Prometheus): difference of the LAST TWO raw samples in
+    * the window — no interpolation, unlike the reference's irate. Windows
+    * with fewer than two samples emit no row. */
+  def ideltaOverTime(samples: DataFrame, grid: Grid, overRange: Double): DataFrame = {
+    val grouped = windowExplode(samples, grid, overRange)
+      .groupBy(col(Model.SkeyCol), col("__k__"))
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        sort_array(collect_list(struct(col(Model.TsCol).as("t"), col(Model.ValueCol).as("v"))))
+          .as("ps"))
+      .filter(size(col("ps")) >= 2)
+    grouped.select(col(Model.SkeyCol), col(Model.LabelsCol),
+      gridTs(grid).as(Model.TsCol),
+      (element_at(col("ps"), -1)("v") - element_at(col("ps"), -2)("v")).as(Model.ValueCol))
+  }
+
+  /** The grid steps whose trailing window holds at least one raw sample —
+    * the complement feeds `absent_over_time`. */
+  def presentSteps(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    windowExplode(samples, grid, overRange)
+      .select(gridTs(grid).as(Model.TsCol)).distinct()
+
   /** Population stddev/stdvar via explicit moment sums — the same expression
     * tree any SQL engine (incl. the oracle) reproduces; Welford-style
     * implementations would differ in the last ULPs. */

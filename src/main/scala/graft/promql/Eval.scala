@@ -147,6 +147,27 @@ object Eval {
     case FuncCall("changes", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.changesOverTime)
     case FuncCall("resets", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.resetsOverTime)
     case FuncCall("mad_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.madOverTime)
+    case FuncCall("idelta", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.ideltaOverTime)
+
+    // absent_over_time: 1 at steps whose trailing window holds NO sample of
+    // the selector (window-presence complement of absent()).
+    case FuncCall("absent_over_time", args, agg) =>
+      if (agg.isDefined) throw EvalException("'absent_over_time' expects no aggregation")
+      if (args.length != 1) throw EvalException("'absent_over_time' expects a single argument")
+      val absentLabels: Map[String, String] = args.head match {
+        case VectorSel(ms, _, _) => ms.collect {
+          case Selector.Eq(l, v) if l != graft.Model.NameLabel => l -> v
+        }.toMap
+        case _ => Map.empty
+      }
+      eval(args.head, collection, grid) match {
+        case UnprocessedVector(df, overRange, offset) =>
+          val shifted = offset.fold(df)(off =>
+            df.withColumn(Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
+          Processed(absentFrame(RangeAgg.presentSteps(shifted, grid, overRange),
+            absentLabels, grid))
+        case _ => throw EvalException("'absent_over_time' requires a range vector")
+      }
 
     // double_exponential_smoothing is the Prometheus 3.x name for the same
     // function (holt_winters kept as the classic alias).
@@ -558,13 +579,19 @@ object Eval {
     * series (labels = the selector's equality matchers) with value 1.
     * Distributed shape: a literal grid frame anti-joined against the input's
     * instants — no driver-side emptiness check. */
-  private def evalAbsent(df: DataFrame, labels: Map[String, String], grid: Grid): DataFrame = {
+  private def evalAbsent(df: DataFrame, labels: Map[String, String], grid: Grid): DataFrame =
+    absentFrame(df.select(org.apache.spark.sql.functions.col(Model.TsCol)).distinct(),
+      labels, grid)
+
+  /** Grid steps NOT in `present` (a ts-column frame), as 1.0-valued rows
+    * under the matcher-derived label map — shared by absent (instant
+    * presence) and absent_over_time (window presence). */
+  private def absentFrame(present: DataFrame, labels: Map[String, String], grid: Grid): DataFrame = {
     import org.apache.spark.sql.functions._
-    val spark = df.sparkSession
+    val spark = present.sparkSession
     import spark.implicits._
     val gridDf = Seq(1).toDF("__one__")
       .select(explode(grid.pointsCol).as(Model.TsCol))
-    val present = df.select(col(Model.TsCol)).distinct()
     val labelPairs = labels.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     val labelMap =
       if (labelPairs.isEmpty)

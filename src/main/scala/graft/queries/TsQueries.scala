@@ -115,6 +115,17 @@ object TsQueries {
   def madOverTime1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""mad_over_time(events{event_type="purchase"}[1h])""", spark, dir))
 
+  def idelta1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""idelta(events{event_type="purchase"}[1h])""", spark, dir))
+
+  /** `[5m]` windows against hourly probes: most steps have a purchase
+    * sample in the trailing 5 minutes, some don't — mixed present/absent. */
+  def absentOverTimeQ(spark: SparkSession, dir: String): DataFrame =
+    Eval("""absent_over_time(events{event_type="purchase"}[5m])""", spark, dir)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        col(Model.ValueCol).as("value"))
+
   def roundTo(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""round(events{event_type="purchase"}, 10)""", spark, dir))
 
@@ -578,6 +589,33 @@ object TsQueries {
        |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
        |  round(mad(v), 6) + 0.0 AS value
        |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  def oracleIdelta1h: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, t, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi),
+       |r AS (SELECT event_type, props, k, v,
+       |    row_number() OVER (PARTITION BY event_type, props, k ORDER BY t DESC) AS rn FROM x)
+       |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(max(CASE WHEN rn = 1 THEN v END) - max(CASE WHEN rn = 2 THEN v END), 6) + 0.0 AS value
+       |FROM r WHERE rn <= 2 GROUP BY event_type, props, k HAVING count(*) = 2""".stripMargin
+
+  def oracleAbsentOverTime: String =
+    s"""WITH ${sCte("WHERE event_type = 'purchase'")},
+       |p AS (SELECT DISTINCT uk.k FROM (
+       |    SELECT CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |      LEAST(CAST(floor((t - 1704067200.0 + 300.0) / 3600.0 -
+       |        CASE WHEN (t - 1704067200.0 + 300.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |    FROM s) u, UNNEST(range(greatest(u.klo, 0), u.khi + 1)) AS uk(k)
+       |  WHERE greatest(u.klo, 0) <= u.khi),
+       |gi AS (SELECT unnest(generate_series(0, $GridSteps)) AS i)
+       |SELECT 'purchase' AS event_type, round(1704067200.0 + (i * 3600.0), 6) AS ts, 1.0 AS value
+       |FROM gi WHERE i NOT IN (SELECT k FROM p)""".stripMargin
 
   def oracleRoundTo: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
@@ -1049,6 +1087,8 @@ object TsQueries {
     "avg_over_time_1h" -> (avgOverTime1h _),
     "quantile_over_time_1h" -> (quantileOverTime1h _),
     "mad_over_time_1h" -> (madOverTime1h _),
+    "idelta_1h" -> (idelta1h _),
+    "absent_over_time" -> (absentOverTimeQ _),
     "subquery_max" -> (subqueryMax _),
     "round_to" -> (roundTo _),
     "irate_1h" -> (irate1h _),
@@ -1100,6 +1140,8 @@ object TsQueries {
     "avg_over_time_1h" -> oracleAvgOverTime1h,
     "quantile_over_time_1h" -> oracleQuantileOverTime1h,
     "mad_over_time_1h" -> oracleMadOverTime1h,
+    "idelta_1h" -> oracleIdelta1h,
+    "absent_over_time" -> oracleAbsentOverTime,
     "subquery_max" -> oracleSubqueryMax,
     "round_to" -> oracleRoundTo,
     "irate_1h" -> oracleIrate1h,
