@@ -54,6 +54,30 @@ class PromApiSpec extends SparkSpec {
       // the reference's instant-query easter egg (main.rs:399-405)
       val (c5, two) = post(port, "/api/v1/query", "query=1%2B1&time=0")
       assert(c5 == 200 && two.contains("2.0"))
+
+      // round-8 surface over the wire: @ pin composed with per-step scalar
+      // normalization, and a per-step scalar serialized as a labelless series
+      val (c6, pin) = get(port,
+        "/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode(
+            """sum by (event_type) (events @ 1704070800) / scalar(sum(events))""", "UTF-8") +
+          "&start=1704067200&end=1704070800&step=15m")
+      assert(c6 == 200, pin.take(300))
+      assert(pin.contains("\"resultType\": \"matrix\"") && pin.contains("\"event_type\""))
+
+      val (c7, th) = get(port,
+        "/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode("hour(time())", "UTF-8") +
+          "&start=1704067200&end=1704074400&step=1h")
+      assert(c7 == 200 && th.contains("\"metric\": {}"), th.take(200))
+      assert(th.contains("[1704070800, \"1\"]") || th.contains("[1704070800, \"1.0\"]"), th.take(400))
+
+      // scalar-comparison bool rule surfaces as a query error, not a 500
+      val (c8, sc) = get(port,
+        "/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode("time() > 5", "UTF-8") +
+          "&start=1704067200&end=1704070800&step=1h")
+      assert(c8 == 400 && sc.contains("BOOL modifier"), sc.take(200))
     } finally api.stop()
   }
   test("instant query vector shape and /api/v1/series") {
