@@ -64,6 +64,25 @@ object TextAnalysis {
       size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]', 0)"))
         .cast(LongType).as("bpe_tokens"))
 
+  /** Shannon entropy (nats) of the a-z0-9/space character distribution —
+    * the classic gibberish/spam floor: natural text sits near ~2.8-3.0,
+    * repeated-character spam collapses toward 0. Counts come from 37
+    * single-char `replace` passes (len − len(removed)), so the whole signal
+    * is one codegen'd row-local expression with a deterministic
+    * left-associated sum — bit-reproducible in any engine. */
+  def entropy(docs: DataFrame): DataFrame = {
+    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
+    val lowered = lower(col("text"))
+    val counts = alphabet.map(ch =>
+      (length(lowered) - length(replace(lowered, lit(ch.toString), lit(""))))
+        .cast(DoubleType))
+    val n = counts.reduce(_ + _)
+    val terms = counts.map(c => when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0)))
+    docs.select(col("doc_id"),
+      n.cast(LongType).as("n_alpha"),
+      when(n === 0, 0.0).otherwise(round(terms.reduce(_ + _), 6)).as("char_entropy"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
     * filters"): per document, the character-coverage of the single most
     * frequent word 2-gram and the fraction of word characters inside

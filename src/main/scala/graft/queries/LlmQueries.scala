@@ -86,6 +86,9 @@ object LlmQueries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(spark, dir))
 
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.entropy(docs(spark, dir))
+
   /** The synthetic documents carry no PII, so the query injects
     * deterministic doc_id-derived PII (emails / IPv4 / phone / SSN shapes)
     * BEFORE detection — the identical SQL fragment runs in the oracle, so
@@ -420,6 +423,26 @@ object LlmQueries {
     s"SELECT vec_id, $dims FROM embeddings"
   }
 
+  /** The identical left-associated 37-term sums (DuckDB parses `a + b + c`
+    * as `((a+b)+c)` too), with counts from the same literal replaces. */
+  def oracleTextEntropy: String = {
+    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
+    def cnt(ch: Char): String = {
+      val lit = if (ch == '\'') "''" else ch.toString
+      s"CAST(length(lt) - length(replace(lt, '$lit', '')) AS DOUBLE)"
+    }
+    val n = alphabet.map(cnt).mkString(" + ")
+    val terms = alphabet.map { ch =>
+      val c = cnt(ch)
+      s"CASE WHEN $c > 0 THEN -($c / n) * ln($c / n) ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+       |c AS (SELECT doc_id, lt, $n AS n FROM t)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_alpha,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE round($terms, 6) END AS char_entropy
+       |FROM c""".stripMargin
+  }
+
   def oracleDecontaminate: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
       |g5 AS (SELECT DISTINCT doc_id, g FROM (
@@ -617,6 +640,7 @@ object LlmQueries {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "text_entropy" -> (textEntropy _),
     "text_pii" -> (textPii _),
     "embed_project" -> (embedProject _),
     "decontaminate" -> (decontaminateQ _),
@@ -643,6 +667,7 @@ object LlmQueries {
     "text_tokens" -> oracleTextTokens,
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,
+    "text_entropy" -> oracleTextEntropy,
     "text_pii" -> oracleTextPii,
     "embed_project" -> oracleEmbedProject,
     "decontaminate" -> oracleDecontaminate,

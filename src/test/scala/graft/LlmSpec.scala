@@ -244,6 +244,22 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 12)
   }
 
+  test("char entropy: 0 for single-char spam, ln(k) for uniform k-char text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaaaaaaaa"),          // single symbol: entropy 0
+      (1L, "abababababab"),        // two symbols, uniform: ln 2
+      (2L, ""),                    // empty: defined 0
+      (3L, "!!!???###")            // nothing in the alphabet: n_alpha 0
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.entropy(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L) == ((10L, 0.0)))
+    assert(out(1L)._1 == 12L && math.abs(out(1L)._2 - math.log(2)) < 1e-6)
+    assert(out(2L) == ((0L, 0.0)))
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
   test("random projection: strict-fold dot against the deterministic planes") {
     import spark.implicits._
     val ones = Array.fill(Ann.Dims)(1.0f)
