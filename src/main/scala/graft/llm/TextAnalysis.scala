@@ -73,14 +73,49 @@ object TextAnalysis {
   def entropy(docs: DataFrame): DataFrame = {
     val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
     val lowered = lower(col("text"))
-    val counts = alphabet.map(ch =>
+    // Counts land in ONE array column and the sums run as array folds over
+    // it: inlining the 37-replace count expressions into every entropy term
+    // (the naive `counts.reduce` form) was measured 37× the work — Catalyst
+    // duplicates, it does not CSE across branches. The folds start at 0.0
+    // and associate left, exactly like the oracle's written-out sums.
+    val cnts = array(alphabet.map(ch =>
       (length(lowered) - length(replace(lowered, lit(ch.toString), lit(""))))
-        .cast(DoubleType))
-    val n = counts.reduce(_ + _)
-    val terms = counts.map(c => when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0)))
-    docs.select(col("doc_id"),
-      n.cast(LongType).as("n_alpha"),
-      when(n === 0, 0.0).otherwise(round(terms.reduce(_ + _), 6)).as("char_entropy"))
+        .cast(DoubleType)): _*)
+    val n = col("__n__")
+    docs
+      .withColumn("__cnts__", cnts)
+      .withColumn("__n__", aggregate(col("__cnts__"), lit(0.0), (a, c) => a + c))
+      .select(col("doc_id"),
+        n.cast(LongType).as("n_alpha"),
+        when(n === 0, 0.0)
+          .otherwise(round(aggregate(col("__cnts__"), lit(0.0),
+            (a, c) => a + when(c > 0, -(c / n) * log(c / n)).otherwise(lit(0.0))), 6))
+          .as("char_entropy"))
+  }
+
+  /** Corpus-typicality score: the average natural log of the corpus-wide
+    * frequency of each word bigram occurrence in the doc — a cheap
+    * unigram/bigram "language model" signal that flags out-of-distribution
+    * text (very negative = rare constructions everywhere) without an
+    * external model.
+    *
+    * Two-pass shape that any corpus statistic shares: bigram counts are a
+    * bounded-key groupBy (key space = observed vocab², group size = corpus
+    * frequency); the scoring join shuffles on the same bounded key; the
+    * final per-doc average is map-side combined. No broadcast assumption —
+    * at 100 TB the count table is itself large and the shuffle join is the
+    * right plan. */
+  def typicality(docs: DataFrame): DataFrame = {
+    val grams = Dedup.rawNgrams(docs, 2) // (doc_id, g) with duplicates
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cf"))
+    val scored = grams.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        avg(log(col("cf").cast(DoubleType))).as("avg_ln_freq"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("avg_ln_freq"), lit(0.0)), 6).as("avg_ln_freq"))
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition

@@ -89,6 +89,9 @@ object LlmQueries {
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.entropy(docs(spark, dir))
 
+  def textTypicality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typicality(docs(spark, dir))
+
   /** The synthetic documents carry no PII, so the query injects
     * deterministic doc_id-derived PII (emails / IPv4 / phone / SSN shapes)
     * BEFORE detection — the identical SQL fragment runs in the oracle, so
@@ -443,6 +446,19 @@ object LlmQueries {
        |FROM c""".stripMargin
   }
 
+  def oracleTextTypicality: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |g2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> concat_ws(' ', tk[i], tk[i+1]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+      |cf AS (SELECT g, count(*) AS c FROM g2 GROUP BY 1),
+      |sc AS (SELECT g2.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    avg(ln(cf.c)) AS alf
+      |  FROM g2 JOIN cf USING (g) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  round(coalesce(sc.alf, 0.0), 6) AS avg_ln_freq
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   def oracleDecontaminate: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
       |g5 AS (SELECT DISTINCT doc_id, g FROM (
@@ -641,6 +657,7 @@ object LlmQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_entropy" -> (textEntropy _),
+    "text_typicality" -> (textTypicality _),
     "text_pii" -> (textPii _),
     "embed_project" -> (embedProject _),
     "decontaminate" -> (decontaminateQ _),
@@ -668,6 +685,7 @@ object LlmQueries {
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,
     "text_entropy" -> oracleTextEntropy,
+    "text_typicality" -> oracleTextTypicality,
     "text_pii" -> oracleTextPii,
     "embed_project" -> oracleEmbedProject,
     "decontaminate" -> oracleDecontaminate,
