@@ -39,6 +39,26 @@ object AnalyticsQueries {
       .select("l_orderkey", "revenue", "o_orderdate")
   }
 
+  /** Q18-style large-customer query: the big-big shuffle join shape (the
+    * HAVING-filtered lineitem aggregate is far too large to broadcast at
+    * real scale — orders⋈aggregate shuffles on orderkey, then the customer
+    * dimension broadcasts). Deterministic top-100 via a unique sort key. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Gap-based sessionization (30-min inactivity) per user. */
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Sessionize.batch(TsQueries.rawEvents(spark, dir), 1800.0)
@@ -71,6 +91,17 @@ object AnalyticsQueries {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  def oracleQ18: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250.0)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   def oracleEventsSessionize: String =
     """WITH e AS (SELECT user_id, epoch(ts) AS t, value FROM events),
       |m AS (SELECT user_id, t, value,
@@ -91,12 +122,14 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
+    "q18_topn" -> (q18 _),
     "events_window" -> (eventsWindow _),
     "events_sessionize" -> (eventsSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> oracleQ1,
     "q3_join" -> oracleQ3,
+    "q18_topn" -> oracleQ18,
     "events_window" -> oracleEventsWindow,
     "events_sessionize" -> oracleEventsSessionize)
 }
