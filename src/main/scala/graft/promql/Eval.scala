@@ -371,6 +371,25 @@ object Eval {
         case _ => throw EvalException(s"'$sortName' expects an instant vector")
       }
 
+    // sort_by_label/sort_by_label_desc (Prometheus 3.x experimental):
+    // presentation ordering by the listed label values, then skey.
+    case FuncCall(sortName @ ("sort_by_label" | "sort_by_label_desc"), args, agg) =>
+      if (agg.isDefined) throw EvalException(s"'$sortName' expects no aggregation")
+      if (args.isEmpty) throw EvalException(s"'$sortName' expects (vector, label, ...)")
+      val labelNames = args.tail.map {
+        case StringLit(l) => l
+        case other => throw EvalException(s"'$sortName' label arguments must be strings, got $other")
+      }
+      resampled(eval(args.head, collection, grid), grid) match {
+        case Processed(df) =>
+          import org.apache.spark.sql.functions.col
+          val keys = labelNames.map(l => df.col(Model.LabelsCol).getItem(l)) :+
+            col(Model.SkeyCol)
+          val ordered = keys.map(k => if (sortName == "sort_by_label") k.asc else k.desc)
+          Processed(df.orderBy(ordered: _*))
+        case _ => throw EvalException(s"'$sortName' expects an instant vector")
+      }
+
     // limitk/limit_ratio (Prometheus 3.x experimental): series sampling.
     case FuncCall("limitk", args, by) =>
       val (k, inner) = scalarAndVector("limitk", args)

@@ -381,6 +381,20 @@ class BinOpSpec extends SparkSpec {
     intercept[Eval.EvalException](Eval.run(collection, "vector(time() > 5)", grid))
   }
 
+  test("sort_by_label orders rows without changing content") {
+    val plain = Eval.run(collection, "events", grid)
+      .select("skey", "ts", "value").collect().toSet
+    val sorted = Eval.run(collection, """sort_by_label(events, "event_type", "props")""", grid)
+    assert(sorted.select("skey", "ts", "value").collect().toSet == plain)
+    val heads = sorted.select(col("labels").getItem("event_type"))
+      .collect().map(_.getString(0))
+    assert(heads.head == heads.min) // first row carries the smallest label value
+    val descHeads = Eval.run(collection, """sort_by_label_desc(events, "event_type")""", grid)
+      .select(col("labels").getItem("event_type")).collect().map(_.getString(0))
+    assert(descHeads.head == descHeads.max)
+    intercept[Eval.EvalException](Eval.run(collection, "sort_by_label(events, 5)", grid))
+  }
+
   test("bare aggregation (no by/without) collapses to one series; group yields 1") {
     val sumAll = Eval.run(collection, "sum(events)", grid)
     assert(sumAll.select("skey").distinct().count() == 1)
