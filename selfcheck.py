@@ -20,6 +20,7 @@ if RUN_SBT:
         print("VERIFY FAILED rc=", r.returncode, "\n", tail)
         sys.exit(1)
 
+print(f"duckdb {duckdb.__version__}")  # oracle-engine version, for skew diagnosis
 con = duckdb.connect()
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

@@ -23,6 +23,18 @@ import org.apache.spark.sql.types._
   */
 object Curation {
 
+  /** Whitespace token count (maximal runs of non-{space, tab, LF, CR}),
+    * computed WITHOUT a regex engine: translate the three escape
+    * whitespace chars to spaces, split on the literal space, drop empties.
+    * Both this and the DuckDB oracle use the same formulation so the gate
+    * never depends on two regex engines agreeing (the r8 `pack_blocks`
+    * driver hash-miss — locally unreproducible — was only explicable as an
+    * oracle-environment regexp skew; a single doc's token disagreement
+    * cascades through the cumulative offset into many rows). */
+  private[graft] def tokCount(text: Column): Column =
+    size(filter(split(translate(text, "\t\n\r", "   "), " ", -1),
+      t => t =!= lit(""))).cast(LongType)
+
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM-style n-gram
     * overlap check): flag every training document sharing any word n-gram
     * with a held-out benchmark set.
@@ -137,12 +149,15 @@ object Curation {
     * bucket base offsets, then a within-bucket window + base — no global
     * single-partition sort. Exactness: doc_id order is total, and bucket
     * boundaries respect it.
+    *
+    * `bucketWidth` bounds BOTH single-task windows: the bases frame is
+    * N/bucketWidth rows (default 1e6 → 1e5 rows even at 100 B docs) and
+    * each within-bucket partition is ≤ bucketWidth rows. Output is
+    * bucketWidth-invariant (CurationSpec pins equality across widths).
     */
   def packSequences(docs: DataFrame, blockSize: Long,
-                    bucketWidth: Long = 1000L): DataFrame = {
-    val toked = docs.select(col("doc_id"),
-      size(expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)"))
-        .cast(LongType).as("tok"))
+                    bucketWidth: Long = 1000000L): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokCount(col("text")).as("tok"))
       .withColumn("bkt", floor(col("doc_id") / bucketWidth).cast(LongType))
     val baseW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val bases = toked.groupBy("bkt").agg(sum("tok").as("btok"))
@@ -189,8 +204,7 @@ object Curation {
     val scored = TextAnalysis.quality(docs)
       .select(col("doc_id"), col("quality_score").as("p"))
       .join(docs.select(col("doc_id"), col("source"),
-        size(expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)"))
-          .cast(LongType).as("tok")), "doc_id")
+        tokCount(col("text")).as("tok")), "doc_id")
       .withColumn("band", floor(col("p") * 100).cast(IntegerType))
 
     // Phase 1+2: per-(source, band) token mass, then the mass strictly in

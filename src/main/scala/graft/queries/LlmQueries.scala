@@ -499,7 +499,7 @@ object LlmQueries {
     * via the bucketed two-phase prefix sum. */
   def oraclePackBlocks: String =
     s"""WITH t AS (SELECT doc_id,
-       |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS BIGINT) AS tok FROM documents),
+       |    CAST(len(list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS tok FROM documents),
        |c AS (SELECT doc_id, tok,
        |    coalesce(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
        |  FROM t)
@@ -526,7 +526,7 @@ object LlmQueries {
        |    sum(tok) OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS cum
        |  FROM (
        |    SELECT d.source, d.doc_id,
-       |      CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\r]+')) AS BIGINT) AS tok,
+       |      CAST(len(list_filter(string_split(replace(replace(replace(d.text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS tok,
        |      q.quality_score AS p
        |    FROM documents d JOIN ($oracleTextQuality) q ON d.doc_id = q.doc_id))
        |WHERE cum <= 800""".stripMargin

@@ -83,6 +83,18 @@ class CurationSpec extends SparkSpec {
     }
     // consecutive docs tile the token stream with no gaps or overlaps
     assert(out.sliding(2).forall { case Array(a, b) => a._3 + a._2 == b._3; case _ => true })
+    // output is bucketWidth-invariant: single-bucket (default 1e6) == many-bucket
+    val oneBucket = Curation.packSequences(docs, blockSize = 16L)
+      .orderBy("doc_id")
+      .select("doc_id", "tok", "off", "first_block", "last_block", "block_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(oneBucket.toSeq == out.toSeq)
+    // tokenizer: tab/CR/LF are separators, runs collapse, empty → 0 tokens
+    val weird = Seq((0L, "a\tb\r\nc  d "), (1L, ""), (2L, " \t\r\n"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val toks = Curation.packSequences(weird, blockSize = 4L).orderBy("doc_id")
+      .select("tok").as[Long].collect().toSeq
+    assert(toks == Seq(4L, 0L, 0L, 1L))
   }
 
   /** The naive definition the two-phase cut must reproduce row-for-row. */
