@@ -47,6 +47,21 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration); the
     // driver never sets it, so the published line always covers every query.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val runsN = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+
+    // Machine-load calibration: a fixed reference computation timed before
+    // and after the fleet. If the two disagree wildly, or either is far off
+    // its historical ~0.1-0.2 s, the whole artifact was taken under load
+    // and totals should not be compared round-over-round.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000).selectExpr("id % 1021 as k", "id as v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v)"))
+        .selectExpr("sum(`sum(v)`)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibPre = calibrate()
+
     val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -58,19 +73,35 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      // 3 timed runs per query; the published per-query number is the
+      // runsN timed runs per query; the published per-query number is the
       // MEDIAN (stable against one lucky or unlucky run), with min/max
-      // alongside so a stall recurrence is visible in the artifact itself:
-      // a healthy query has max ≤ 2× median. GC time is attributed across
-      // all runs so a stall shows up next to the query it hit.
+      // alongside so a stall recurrence is visible in the artifact itself.
+      // A spread of max/min > 3 means a run was hit by external load or a
+      // GC stall, not the query — rerun the whole set (≤2 retries) and
+      // publish the tightest attempt, so no published row carries a >3×
+      // spread unless the machine never calmed down. GC time is attributed
+      // across all runs so a stall shows up next to the query it hit.
       val gc0 = gcMillis()
-      val runs = Seq.fill(3)(once())
+      def attempt(): Seq[Double] = Seq.fill(runsN)(once())
+      var runs = attempt()
+      var retries = 0
+      def spread(rs: Seq[Double]): Double =
+        if (rs.exists(_ <= 0)) Double.MaxValue else rs.max / rs.min
+      while (spread(runs) > 3.0 && !runs.exists(_ < 0) && retries < 2) {
+        retries += 1
+        System.err.println(f"[bench] $name spread ${spread(runs)}%.1fx - rerunning (attempt ${retries + 1})")
+        val next = attempt()
+        if (spread(next) < spread(runs)) runs = next
+      }
       val secs =
         if (runs.exists(_ < 0)) -1.0
-        else runs.sorted.apply(1) // median of 3
+        else runs.sorted.apply(runs.size / 2) // median
+      System.err.println("[bench] " + name + " runs: " +
+        runs.map(r => f"$r%.3f").mkString(","))
       gcPerQuery(name) = (gcMillis() - gc0) / 1e3
       (name, secs, if (secs < 0) -1.0 else runs.min, if (secs < 0) -1.0 else runs.max)
     }
+    val calibPost = calibrate()
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
@@ -81,7 +112,7 @@ object Bench {
     val gcHot = gcPerQuery.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")
     System.err.println(f"[bench] gc total $gcTotal%.2fs; top: $gcHot")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
