@@ -41,7 +41,7 @@ object RangeAgg {
         .otherwise(array().cast(ArrayType(IntegerType)))))
   }
 
-  private def gridTs(grid: Grid): Column =
+  private[operators] def gridTs(grid: Grid): Column =
     lit(grid.start) + col("__k__").cast(DoubleType) * lit(grid.step)
 
   def overTime(samples: DataFrame, grid: Grid, overRange: Double,

@@ -54,6 +54,46 @@ object Rate {
   def delta(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame =
     increase(samples, grid, overRange, offset)
 
+  /** Opt-in Prometheus-style counter-reset semantics (`rate_resets` /
+    * `increase_resets` in the PromQL surface): every real Prometheus
+    * counter resets to 0 on process restart, and upstream Prometheus
+    * compensates by adding the pre-reset value wherever a sample drops
+    * below its predecessor (funcIncrease's reset walk). The reference has
+    * no reset logic (timeseries.rs:104-113), so the default `rate`/
+    * `increase` stay parity-faithful with interpolated endpoints.
+    *
+    * The reset mode switches the endpoint model too: raw FIRST/LAST
+    * samples inside the window (no interpolation, no extrapolation) plus
+    * the correction sum. Mixing interpolated endpoints with reset
+    * corrections would overcorrect pairs straddling the window's lower
+    * edge — interpolating across a reset is meaningless for counters.
+    * Windows with fewer than two samples emit no row (Prometheus rule).
+    *
+    * Shape: one [[RangeAgg.windowExplode]] (bounded fan-out) + an ordered
+    * lag inside each (series, window) partition + one partial-aggregated
+    * groupBy — same single-shuffle budget as `changes`/`resets`. */
+  def increaseResets(samples: DataFrame, grid: Grid, overRange: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(Model.SkeyCol, "__k__").orderBy(Model.TsCol)
+    RangeAgg.windowExplode(samples, grid, overRange)
+      .withColumn("__pv__", lag(Model.ValueCol, 1).over(w))
+      .groupBy(col(Model.SkeyCol), col("__k__"))
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        count(lit(1)).as("__n__"),
+        min_by(col(Model.ValueCol), col(Model.TsCol)).as("__first__"),
+        max_by(col(Model.ValueCol), col(Model.TsCol)).as("__last__"),
+        sum(when(col("__pv__").isNotNull && col(Model.ValueCol) < col("__pv__"),
+          col("__pv__")).otherwise(lit(0.0))).as("__corr__"))
+      .filter(col("__n__") >= 2)
+      .select(col(Model.SkeyCol), col(Model.LabelsCol),
+        RangeAgg.gridTs(grid).as(Model.TsCol),
+        (col("__last__") - col("__first__") + col("__corr__")).as(Model.ValueCol))
+  }
+
+  def rateResets(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    increaseResets(samples, grid, overRange)
+      .withColumn(Model.ValueCol, col(Model.ValueCol) / lit(overRange))
+
   def irate(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame = {
     // overRange is unused by the reference's irate math (timeseries.rs:116-161)
     // beyond requiring a range-vector selector; kept for API parity.

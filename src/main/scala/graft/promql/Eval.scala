@@ -144,6 +144,10 @@ object Eval {
     case FuncCall("present_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.presentOverTime)
     case FuncCall("stddev_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.stddevOverTime)
     case FuncCall("stdvar_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.stdvarOverTime)
+    // Opt-in counter-reset modes (the default rate/increase are
+    // reference-parity, which has no reset logic — see Rate.increaseResets).
+    case FuncCall("rate_resets", args, agg) => evalOverTime(args, agg, collection, grid, Rate.rateResets)
+    case FuncCall("increase_resets", args, agg) => evalOverTime(args, agg, collection, grid, Rate.increaseResets)
     case FuncCall("changes", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.changesOverTime)
     case FuncCall("resets", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.resetsOverTime)
     case FuncCall("mad_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.madOverTime)

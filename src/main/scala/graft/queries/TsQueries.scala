@@ -229,6 +229,12 @@ object TsQueries {
   def changes1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""changes(events{event_type="purchase"}[1h])""", spark, dir))
 
+  /** Opt-in counter-reset rate (see [[graft.operators.Rate.increaseResets]]):
+    * the events series is non-monotonic, so every adjacent drop exercises
+    * the reset-correction path on real data. */
+  def rateResets1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""rate_resets(events{event_type="purchase"}[1h])""", spark, dir))
+
   def predictLinear1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""predict_linear(events{event_type="purchase"}[1h], 600)""", spark, dir))
 
@@ -718,6 +724,21 @@ object TsQueries {
        |  round(sum(CASE WHEN pv IS NOT NULL AND v != pv THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS value
        |FROM lg GROUP BY event_type, props, k""".stripMargin
 
+  def oracleRateResets1h: String =
+    s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
+       |lg AS (SELECT event_type, props, k, t, v,
+       |    lag(v) OVER (PARTITION BY event_type, props, k ORDER BY t) AS pv
+       |  FROM x),
+       |g AS (SELECT event_type, props, k,
+       |    count(*) AS n,
+       |    arg_min(v, t) AS fv, arg_max(v, t) AS lv,
+       |    sum(CASE WHEN pv IS NOT NULL AND v < pv THEN pv ELSE 0.0 END) AS corr
+       |  FROM lg GROUP BY 1, 2, 3)
+       |SELECT event_type, props,
+       |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round((lv - fv + corr) / 3600.0, 6) + 0.0 AS value
+       |FROM g WHERE n >= 2""".stripMargin
+
   def oraclePredictLinear1h: String =
     s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
        |c AS (SELECT event_type, props, k,
@@ -1111,6 +1132,7 @@ object TsQueries {
     "deriv_1h" -> (deriv1h _),
     "last_over_time_1h" -> (lastOverTime1h _),
     "changes_1h" -> (changes1h _),
+    "rate_resets_1h" -> (rateResets1h _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
     "label_replace" -> (labelReplaceQ _),
@@ -1164,6 +1186,7 @@ object TsQueries {
     "deriv_1h" -> oracleDeriv1h,
     "last_over_time_1h" -> oracleLastOverTime1h,
     "changes_1h" -> oracleChanges1h,
+    "rate_resets_1h" -> oracleRateResets1h,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,
     "label_replace" -> oracleLabelReplace,

@@ -402,4 +402,33 @@ class BinOpSpec extends SparkSpec {
     assert(g.select("value").as[Double].collect().forall(_ == 1.0))
   }
 
+  test("rate_resets / increase_resets: counter-reset correction, raw endpoints") {
+    def ctrOf(samples: Seq[(Double, Double)]) = Model.withSkey(
+      samples.toDF("ts", "value")
+        .withColumn("labels", map(lit("__name__"), lit("ctr"))))
+    val g = Grid(0.0, 3600.0, 3600.0)
+    // counter climbs 10→40, resets to 5, climbs to 35
+    val ctr = ctrOf(Seq((600.0, 10.0), (1200.0, 25.0), (1800.0, 40.0),
+      (2400.0, 5.0), (3000.0, 20.0), (3600.0, 35.0)))
+    val inc = Eval.run(ctr, "increase_resets(ctr[1h])", g)
+      .select("ts", "value").as[(Double, Double)].collect().toMap
+    assert(inc.keySet == Set(3600.0)) // t=0 window holds no samples
+    assert(math.abs(inc(3600.0) - 65.0) < 1e-9) // 35 - 10 + reset(40)
+    val rate = Eval.run(ctr, "rate_resets(ctr[1h])", g)
+      .select("value").as[Double].collect().head
+    assert(math.abs(rate - 65.0 / 3600.0) < 1e-12)
+    // reference-parity default has no reset logic: the reset is swallowed
+    val plain = Eval.run(ctr, "increase(ctr[1h])", g)
+      .filter(col("ts") === 3600.0).select("value").as[Double].collect().head
+    assert(math.abs(plain - 25.0) < 1e-9) // interp(3600) - clamp(0) = 35 - 10
+    // monotonic counter: reset mode == raw endpoint difference, no correction
+    val mono = ctrOf(Seq((600.0, 1.0), (1800.0, 4.0), (3000.0, 9.0)))
+    val incMono = Eval.run(mono, "increase_resets(ctr[1h])", g)
+      .select("value").as[Double].collect().head
+    assert(math.abs(incMono - 8.0) < 1e-12)
+    // windows with fewer than two samples emit no row (Prometheus rule)
+    val one = ctrOf(Seq((600.0, 7.0)))
+    assert(Eval.run(one, "rate_resets(ctr[1h])", g).isEmpty)
+  }
+
 }

@@ -188,7 +188,8 @@ class PropertySpec extends SparkSpec {
       "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
       "count_over_time", "last_over_time", "stddev_over_time",
       "stdvar_over_time", "changes", "resets", "deriv", "present_over_time",
-      "mad_over_time", "idelta", "absent_over_time")
+      "mad_over_time", "idelta", "absent_over_time",
+      "rate_resets", "increase_resets")
     def instant(depth: Int): Gen[String] =
       if (depth == 0) sel
       else Gen.frequency(
