@@ -23,6 +23,7 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   *
   * Usage: runMain graft.Pipeline <docsDir> <outDir>
   *          [--budget <tokens-per-source>] [--min-quality <0..1>]
+  *          [--benchmark <eval-set.jsonl>]
   *
   * Writes `<outDir>/corpus` (doc_id, text_redacted, lang, quality_score,
   * source, first_block, last_block, block_offset) and prints one JSON
@@ -34,10 +35,11 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
+    val benchmarkPath = flagValue("--benchmark")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -49,21 +51,32 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
-    run(spark, docs, outDir, budget, minQuality)
+    run(spark, docs, outDir, budget, minQuality,
+      benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)))
     spark.stop()
   }
 
   /** The composition itself, separated from arg parsing so specs can drive
     * it on an in-memory frame. Returns the final curated corpus. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-          budget: Long, minQuality: Double): DataFrame = {
+          budget: Long, minQuality: Double,
+          benchmark: Option[DataFrame] = None): DataFrame = {
     def stat(stage: String, n: Long): Unit =
       println(s"""{"stage":"$stage","rows":$n}""")
     stat("input", docs.count())
 
+    // 0: benchmark decontamination — docs sharing any word 5-gram with the
+    // held-out eval set never enter the training corpus (GPT-3 appendix C).
+    val clean = benchmark.fold(docs) { bench =>
+      val keepers = Curation.decontaminateAgainst(docs, bench)
+        .filter(!col("contaminated")).select("doc_id")
+      docs.join(keepers, "doc_id")
+    }
+    if (benchmark.isDefined) stat("after_decontamination", clean.count())
+
     // 1-2: exact dedup, then near-dup cluster resolution on the survivors
-    val exactKeepers = Dedup.exact(docs).select("doc_id")
-    val afterExact = docs.join(exactKeepers, "doc_id")
+    val exactKeepers = Dedup.exact(clean).select("doc_id")
+    val afterExact = clean.join(exactKeepers, "doc_id")
     val pairs = Dedup.minhashLsh(afterExact, minJaccard = 0.8)
       .select(col("doc_a"), col("doc_b"))
     val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)

@@ -51,11 +51,38 @@ object Curation {
     * shuffle is the final groupBy(doc_id) whose map-side partials are one
     * row per doc per partition.
     */
-  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 5): DataFrame = {
-    val benchGrams = Dedup.rawNgrams(docs.filter(isBench), n)
+  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 5): DataFrame =
+    decontaminateCore(docs.filter(!isBench), docs.filter(isBench), n)
+
+  /** Decontaminate `docs` against an EXTERNAL benchmark frame — any frame
+    * with a `text` column, typically [[loadBenchmark]]'s output. Same
+    * output and plan shape as [[decontaminate]] (bench grams
+    * distinct+broadcast, corpus scanned once); this is the
+    * production-shaped entry: real eval sets live in their own files, not
+    * as rows of the corpus schema. */
+  def decontaminateAgainst(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame =
+    decontaminateCore(docs, bench.select(lit(0L).as("doc_id"), col("text")), n)
+
+  /** Load a held-out eval set from a JSONL file (one JSON object per
+    * line — the lingua franca of published benchmark dumps). The text
+    * under test is the first present of the common field spellings
+    * `text` / `prompt` / `question` / `input`, null-coalesced per row so
+    * mixed files work. Benchmarks are small (MBs), but the read is still
+    * a distributed json scan — nothing is materialized on the driver. */
+  def loadBenchmark(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    val fields = Seq("text", "prompt", "question", "input")
+      .filter(raw.columns.contains)
+    require(fields.nonEmpty,
+      s"$path has no text-bearing field (expected one of text/prompt/question/input)")
+    raw.select(coalesce(fields.map(f => col(f).cast(StringType)): _*).as("text"))
+      .filter(col("text").isNotNull && col("text") =!= "")
+  }
+
+  private def decontaminateCore(corpus: DataFrame, benchDocs: DataFrame, n: Int): DataFrame = {
+    val benchGrams = Dedup.rawNgrams(benchDocs, n)
       .select("g").distinct()
       .withColumn("__hit__", lit(1))
-    val corpus = docs.filter(!isBench)
     val agg = Dedup.rawNgrams(corpus, n)
       .join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy("doc_id")

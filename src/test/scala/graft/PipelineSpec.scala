@@ -42,4 +42,37 @@ class PipelineSpec extends SparkSpec {
     assert(emails == 0)
     corpus.unpersist()
   }
+
+  test("pipeline decontaminates against a file-loaded JSONL benchmark") {
+    import graft.llm.Curation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // build an eval set from real corpus text: one doc's first 8 words as a
+    // "prompt" (guaranteed 5-gram hit), plus a question no doc contains,
+    // exercising the mixed-field coalesce
+    val victim = docs.orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].head()
+    val prompt = victim._2.split("\\s+").take(8).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench")
+    val benchFile = dir.resolve("eval.jsonl")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    java.nio.file.Files.writeString(benchFile,
+      s"""{"prompt": ${jstr(prompt)}}
+         |{"question": "what is the airspeed velocity of an unladen swallow"}
+         |""".stripMargin)
+
+    val bench = Curation.loadBenchmark(spark, benchFile.toString)
+    assert(bench.count() == 2) // both field spellings loaded
+
+    // direct operator: the victim doc is flagged, and a hit was found
+    val dec = Curation.decontaminateAgainst(docs, bench)
+    val flagged = dec.filter(col("contaminated")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(flagged.contains(victim._1))
+
+    // end-to-end: the pipeline drops the victim from the corpus
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_dec").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 400L,
+      minQuality = 0.0, benchmark = Some(bench))
+    assert(!corpus.select("doc_id").as[Long].collect().contains(victim._1))
+  }
 }
