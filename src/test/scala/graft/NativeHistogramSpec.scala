@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.NativeHistogram
+
+/** Native (exponential/sparse) histograms over synthetic frames — the
+  * forward-looking extension beyond the reference's classic Le-bucket
+  * model (design note in SURVEY §7). */
+class NativeHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** rows: (ts, series-label, schema, zeroCount, sum, count, idx[], cnt[]) */
+  private def frame(rows: Seq[(Double, String, Int, Double, Double, Double,
+      Seq[Int], Seq[Double])]): DataFrame =
+    rows.toDF("ts", "h", "nh_schema", "nh_zero_count", "nh_sum", "nh_count",
+        "nh_pos_idx", "nh_pos_cnt")
+      .withColumn("labels",
+        map(lit("__name__"), lit("lat"), lit("app"), lit("x"), lit("h"), col("h")))
+      .drop("h")
+
+  test("quantile: zero bucket, interpolation, edges") {
+    // schema 0 → base 2: bucket i covers (2^(i-1), 2^i]
+    val h = frame(Seq((60.0, "a", 0, 2.0, 50.0, 12.0,
+      Seq(1, 2, 3), Seq(2.0, 4.0, 4.0))))
+    def q(p: Double): Double =
+      NativeHistogram.quantile(h, p).select("value").as[Double].head()
+    // rank 6: zero(2) + b1(2) = 4, lands mid-b2 (2,4] at fraction 0.5
+    assert(math.abs(q(0.5) - 3.0) < 1e-12)
+    // rank inside the zero bucket → 0
+    assert(q(0.1) == 0.0)
+    // q=1 → upper bound of the last populated bucket (2^3)
+    assert(math.abs(q(1.0) - 8.0) < 1e-12)
+    // out-of-range q, Prometheus-style
+    assert(q(-0.5).isNegInfinity && q(1.5).isPosInfinity)
+    // empty histogram → NaN
+    val empty = frame(Seq((60.0, "a", 0, 0.0, 0.0, 0.0, Seq(), Seq())))
+    assert(NativeHistogram.quantile(empty, 0.5)
+      .select("value").as[Double].head().isNaN)
+    // finer resolution: schema 1 → base sqrt(2); bucket 2 = (sqrt2, 2]
+    val fine = frame(Seq((60.0, "a", 1, 0.0, 10.0, 4.0, Seq(2), Seq(4.0))))
+    val r2 = math.sqrt(2.0)
+    assert(math.abs(NativeHistogram.quantile(fine, 0.5)
+      .select("value").as[Double].head() - (r2 + (2 - r2) * 0.5)) < 1e-12)
+  }
+
+  test("merge: sparse union across series, scalar sums, schema guard") {
+    val two = frame(Seq(
+      (60.0, "a", 0, 1.0, 10.0, 5.0, Seq(1, 3), Seq(2.0, 2.0)),
+      (60.0, "b", 0, 0.0, 20.0, 4.0, Seq(2, 3), Seq(1.0, 3.0))))
+    val m = NativeHistogram.merge(two, Seq("app"))
+    val row = m.select("nh_zero_count", "nh_sum", "nh_count",
+        "nh_pos_idx", "nh_pos_cnt")
+      .as[(Double, Double, Double, Seq[Int], Seq[Double])].collect()
+    assert(row.length == 1)
+    val (z, s, c, idx, cnt) = row.head
+    assert(z == 1.0 && s == 30.0 && c == 9.0)
+    assert(idx == Seq(1, 2, 3) && cnt == Seq(2.0, 1.0, 5.0))
+    // quantile over the merged histogram: total=9, q=0.5 → rank 4.5;
+    // zero(1)+b1(2)+b2(1)=4, lands in b3 (4,8] at fraction (4.5-4)/5
+    val med = NativeHistogram.quantile(m, 0.5).select("value").as[Double].head()
+    assert(math.abs(med - (4.0 + 4.0 * 0.1)) < 1e-12)
+    // mixed schemas in one group must raise, not silently merge
+    val mixed = frame(Seq(
+      (60.0, "a", 0, 0.0, 1.0, 1.0, Seq(1), Seq(1.0)),
+      (60.0, "b", 2, 0.0, 1.0, 1.0, Seq(1), Seq(1.0))))
+    intercept[Exception] {
+      NativeHistogram.merge(mixed, Seq("app")).collect()
+    }
+  }
+}
