@@ -3,7 +3,20 @@
 scale factor, then run each oracle SQL in DuckDB over the same tables and
 compare (columns sorted by name, rows sorted, values compared with exact
 match for non-floats and tiny-epsilon for floats so we can see how close
-rounding gets us)."""
+rounding gets us).
+
+TOLERANCE RULE (codified round 9; previously ad-hoc per-query notes in
+SURVEY §6): the driver's gate at sf0.01 hashes raw values, so PASS here
+means bit-exact including the sign of zero. At LARGER scale factors
+(ScaleUp sf1 runs) float aggregation order differs between engines and
+float addition is non-associative, so last-ULP diffs on round()-boundary
+values are expected data-dependent noise, not correctness drift. Rows
+whose float columns differ by at most SELF_ULP (default 4) units in the
+last place — after both sides' query-level rounding — are classified
+PASS_ULP and count as passing (exit 0) but are reported distinctly with
+their max ULP distance. Anything beyond SELF_ULP ULPs, any NaN/non-NaN
+disagreement, and any non-float diff is a FAIL. Set SELF_STRICT=1 to
+disable the ULP class entirely (bit-exact or fail: the driver's view)."""
 import json, math, subprocess, sys, os
 import duckdb
 
@@ -49,7 +62,23 @@ for name, sql in sorted(oracle.items()):
     b = duck_df[dc].sort_values(dc).reset_index(drop=True)
     if len(a) != len(b):
         bad.append((name, f"row count: spark={len(a)} duck={len(b)}")); continue
+    ULP_MAX = 0 if os.environ.get("SELF_STRICT") == "1" else \
+        int(os.environ.get("SELF_ULP", "4"))
+
+    def ulp_dist(x, y):
+        """Units-in-the-last-place distance between double arrays (finite,
+        NaN-free inputs). Bit patterns are mapped to a monotone integer
+        line (negatives reflected) so adjacent doubles are distance 1 and
+        -0.0/+0.0 are distance 0."""
+        import numpy as np
+        xi = x.view(np.int64); yi = y.view(np.int64)
+        MIN = np.int64(-2 ** 63)
+        xm = np.where(xi < 0, MIN - xi, xi).astype(np.float64)
+        ym = np.where(yi < 0, MIN - yi, yi).astype(np.float64)
+        return np.abs(xm - ym)
+
     mismatch = None
+    ulp_note = None
     for c in sc:
         av, bv = a[c].values, b[c].values
         try:
@@ -60,6 +89,16 @@ for name, sql in sorted(oracle.items()):
                 diff = ~(((av == bv) & (np.signbit(av) == np.signbit(bv)))
                          | (np.isnan(av) & np.isnan(bv)))
                 if diff.any():
+                    nan_skew = np.isnan(av) != np.isnan(bv)
+                    finite = diff & ~nan_skew & np.isfinite(av) & np.isfinite(bv)
+                    ulps = ulp_dist(av[finite], bv[finite]) if finite.any() else None
+                    bounded = (not nan_skew.any()) and (finite == diff).all() \
+                        and ulps is not None and float(ulps.max()) <= ULP_MAX
+                    if bounded:
+                        note = (f"col {c}: {int(diff.sum())}/{len(av)} differ "
+                                f"within {int(ulps.max())} ULP")
+                        ulp_note = note if ulp_note is None else f"{ulp_note}; {note}"
+                        continue  # bounded — keep checking remaining columns
                     i = int(np.argmax(diff))
                     mx = float(np.nanmax(np.abs(av - bv)))
                     mismatch = f"col {c}: {int(diff.sum())}/{len(av)} differ, first@{i}: {av[i]} vs {bv[i]}, maxabs={mx}"
@@ -73,9 +112,14 @@ for name, sql in sorted(oracle.items()):
         except Exception as e:
             mismatch = f"col {c}: compare error {e}"; break
     if mismatch: bad.append((name, mismatch))
-    else: ok.append((name, len(a)))
+    elif ulp_note: ok.append((name, len(a), ulp_note))
+    else: ok.append((name, len(a), None))
 
-for n, rows in ok: print(f"PASS {n} ({rows} rows)")
+for entry in ok:
+    n, rows, note = entry
+    if note: print(f"PASS_ULP {n} ({rows} rows; {note})")
+    else: print(f"PASS {n} ({rows} rows)")
 for n, msg in bad: print(f"FAIL {n}: {msg}")
-print(f"\n{len(ok)} pass / {len(bad)} fail")
+exact = sum(1 for e in ok if e[2] is None)
+print(f"\n{len(ok)} pass ({exact} exact, {len(ok) - exact} ulp-bounded) / {len(bad)} fail")
 sys.exit(1 if bad else 0)
