@@ -59,6 +59,41 @@ object NativeHistogram {
   private def upperBound(idx: Column, sch: Column): Column =
     pow(lit(2.0), idx.cast(DoubleType) * pow(lit(2.0), -sch.cast(DoubleType)))
 
+  /** Synthesize native histograms from raw value samples — the ingest path
+    * for stores that only have classic per-observation rows: every
+    * (series, ts) group becomes ONE native-histogram row. `v > 0` lands in
+    * bucket `ceil(log2(v) * 2^sch)`; `v <= 0` goes to the zero bucket (a
+    * simplification of Prometheus's zero-threshold machinery, documented).
+    *
+    * The log2 product is rounded to 9 decimals before ceil so the bucket
+    * index is reproducible across engines (libm vs JVM log differ in the
+    * last ULP; exact powers of two are exact in both). Two groupBys, both
+    * keyed on the bounded (series, ts[, idx]) — the same shuffle budget as
+    * any sum-by; the sparse arrays come out sorted. */
+  def fromSamples(samples: DataFrame, sch: Int): DataFrame = {
+    val idx = ceil(round(log2(col(Model.ValueCol)) * lit(math.pow(2.0, sch)), 9))
+      .cast(IntegerType)
+    samples
+      .withColumn("__i__", when(col(Model.ValueCol) > 0, idx))
+      .groupBy(col(Model.SkeyCol), col(Model.TsCol), col("__i__"))
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        count(lit(1)).cast(DoubleType).as("cnt"),
+        sum(Model.ValueCol).as("vsum"))
+      .groupBy(col(Model.SkeyCol), col(Model.TsCol))
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        sum(when(col("__i__").isNull, col("cnt")).otherwise(lit(0.0)))
+          .as("nh_zero_count"),
+        sum("vsum").as("nh_sum"),
+        sum("cnt").as("nh_count"),
+        sort_array(collect_list(when(col("__i__").isNotNull,
+          struct(col("__i__").as("i"), col("cnt").as("c"))))).as("bs"))
+      .select(col(Model.LabelsCol), col(Model.TsCol),
+        lit(sch).as("nh_schema"), col("nh_zero_count"), col("nh_sum"),
+        col("nh_count"),
+        transform(col("bs"), b => b("i")).as("nh_pos_idx"),
+        transform(col("bs"), b => b("c")).as("nh_pos_cnt"))
+  }
+
   /** `histogram_quantile(q, <native>)`: per row, locate the bucket whose
     * cumulative count reaches `rank = q * count` walking zero bucket then
     * positive buckets ascending, and interpolate linearly inside it

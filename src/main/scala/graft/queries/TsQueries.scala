@@ -352,6 +352,28 @@ object TsQueries {
       .filter(col("value").isNotNull && !isnan(col("value")))
   }
 
+  /** Native-histogram flagship (#55): synthesize per-(event_type, hour)
+    * exponential histograms (schema 2, base 2^0.25) from RAW event values
+    * via [[NativeHistogram.fromSamples]], then p90 through the MAP-ONLY
+    * native quantile walk — no group-by-instant of bucket series, the
+    * whole distribution rides in-row. */
+  def nativeQuantileQ(spark: SparkSession, dir: String): DataFrame = {
+    val samples = rawEvents(spark, dir).select(
+      col("event_type"),
+      (lit(GridStart) + floor((col("ts") - lit(GridStart)) / Step) * Step)
+        .as(Model.TsCol),
+      col("value").as(Model.ValueCol))
+      .withColumn(Model.LabelsCol, map(
+        lit(Model.NameLabel), lit("events_native"),
+        lit("event_type"), col("event_type")))
+      .drop("event_type")
+    val nh = NativeHistogram.fromSamples(Model.withSkey(samples), sch = 2)
+    NativeHistogram.quantile(nh, 0.9)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
+  }
+
   /** Histogram-layout ingestion (#2): a wide per-minute histogram table
     * (Le50/Le100/Le200/count/sum columns) derived from events is classified
     * by TsIngest — buckets get `Le` labels, `Le+Inf` is synthesized from
@@ -723,6 +745,34 @@ object TsQueries {
        |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
        |  round(sum(CASE WHEN pv IS NOT NULL AND v != pv THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS value
        |FROM lg GROUP BY event_type, props, k""".stripMargin
+
+  /** The native-histogram quantile walk, relationally: bucket index from
+    * the same round-guarded log2, cumulative counts ordered by idx, first
+    * bucket reaching rank, linear interpolation inside it. Counts are
+    * integer-valued doubles, so every cumulative sum is exact regardless
+    * of order; only the final pow-interpolation is rounded. */
+  def oracleNativeQuantile: String =
+    s"""WITH s AS (SELECT event_type,
+       |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 3600.0) * 3600.0 AS gt,
+       |    value AS v FROM events),
+       |i AS (SELECT event_type, gt,
+       |    CASE WHEN v > 0 THEN CAST(ceil(round(log2(v) * 4, 9)) AS INT) END AS idx FROM s),
+       |b AS (SELECT event_type, gt, idx, CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM i WHERE idx IS NOT NULL GROUP BY 1, 2, 3),
+       |tot AS (SELECT event_type, gt,
+       |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS zc,
+       |    CAST(count(*) AS DOUBLE) AS total FROM i GROUP BY 1, 2),
+       |c AS (SELECT b.*, sum(cnt) OVER (PARTITION BY event_type, gt ORDER BY idx) AS cum FROM b),
+       |r AS (SELECT c.event_type, c.gt, c.idx, c.cnt, c.cum, tot.zc,
+       |    0.9 * tot.total AS rk FROM c JOIN tot USING (event_type, gt)),
+       |hit AS (SELECT *, row_number() OVER (PARTITION BY event_type, gt ORDER BY idx) AS rn
+       |  FROM r WHERE zc + cum >= rk)
+       |SELECT event_type, round(gt, 6) AS ts,
+       |  round(CASE WHEN rk <= zc AND zc > 0 THEN 0.0
+       |    ELSE pow(2.0, (idx - 1) * 0.25) +
+       |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (zc + cum - cnt)) / cnt)
+       |    END, 6) + 0.0 AS value
+       |FROM hit WHERE rn = 1""".stripMargin
 
   def oracleRateResets1h: String =
     s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
@@ -1133,6 +1183,7 @@ object TsQueries {
     "last_over_time_1h" -> (lastOverTime1h _),
     "changes_1h" -> (changes1h _),
     "rate_resets_1h" -> (rateResets1h _),
+    "native_quantile" -> (nativeQuantileQ _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
     "label_replace" -> (labelReplaceQ _),
@@ -1187,6 +1238,7 @@ object TsQueries {
     "last_over_time_1h" -> oracleLastOverTime1h,
     "changes_1h" -> oracleChanges1h,
     "rate_resets_1h" -> oracleRateResets1h,
+    "native_quantile" -> oracleNativeQuantile,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,
     "label_replace" -> oracleLabelReplace,
