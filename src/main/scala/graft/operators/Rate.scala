@@ -94,6 +94,26 @@ object Rate {
     increaseResets(samples, grid, overRange)
       .withColumn(Model.ValueCol, col(Model.ValueCol) / lit(overRange))
 
+  /** `irate_resets`: Prometheus funcIrate proper — slope of the LAST TWO
+    * raw samples in the window, where a drop means the counter reset and
+    * the instant increase is the raw new value (not a negative delta, and
+    * not the default irate's NaN rejection). Same bounded collect shape as
+    * `idelta`. */
+  def irateResets(samples: DataFrame, grid: Grid, overRange: Double): DataFrame = {
+    val grouped = RangeAgg.windowExplode(samples, grid, overRange)
+      .groupBy(col(Model.SkeyCol), col("__k__"))
+      .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        sort_array(collect_list(struct(col(Model.TsCol).as("t"),
+          col(Model.ValueCol).as("v")))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    val l = element_at(col("ps"), -1)
+    val p = element_at(col("ps"), -2)
+    val dv = when(l("v") >= p("v"), l("v") - p("v")).otherwise(l("v"))
+    grouped.select(col(Model.SkeyCol), col(Model.LabelsCol),
+      RangeAgg.gridTs(grid).as(Model.TsCol),
+      (dv / (l("t") - p("t"))).as(Model.ValueCol))
+  }
+
   def irate(samples: DataFrame, grid: Grid, overRange: Double, offset: Double = 0.0): DataFrame = {
     // overRange is unused by the reference's irate math (timeseries.rs:116-161)
     // beyond requiring a range-vector selector; kept for API parity.

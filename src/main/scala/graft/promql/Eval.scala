@@ -148,6 +148,7 @@ object Eval {
     // reference-parity, which has no reset logic — see Rate.increaseResets).
     case FuncCall("rate_resets", args, agg) => evalOverTime(args, agg, collection, grid, Rate.rateResets)
     case FuncCall("increase_resets", args, agg) => evalOverTime(args, agg, collection, grid, Rate.increaseResets)
+    case FuncCall("irate_resets", args, agg) => evalOverTime(args, agg, collection, grid, Rate.irateResets)
     case FuncCall("changes", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.changesOverTime)
     case FuncCall("resets", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.resetsOverTime)
     case FuncCall("mad_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.madOverTime)

@@ -235,6 +235,9 @@ object TsQueries {
   def rateResets1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""rate_resets(events{event_type="purchase"}[1h])""", spark, dir))
 
+  def irateResets1h(spark: SparkSession, dir: String): DataFrame =
+    flat(Eval("""irate_resets(events{event_type="purchase"}[1h])""", spark, dir))
+
   def predictLinear1h(spark: SparkSession, dir: String): DataFrame =
     flat(Eval("""predict_linear(events{event_type="purchase"}[1h], 600)""", spark, dir))
 
@@ -789,6 +792,17 @@ object TsQueries {
        |  round((lv - fv + corr) / 3600.0, 6) + 0.0 AS value
        |FROM g WHERE n >= 2""".stripMargin
 
+  def oracleIrateResets1h: String =
+    s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
+       |lv AS (SELECT event_type, props, k,
+       |    list(v ORDER BY t) AS vs, list(t ORDER BY t) AS tss
+       |  FROM x GROUP BY 1, 2, 3)
+       |SELECT event_type, props,
+       |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round((CASE WHEN vs[-1] >= vs[-2] THEN vs[-1] - vs[-2] ELSE vs[-1] END)
+       |    / (tss[-1] - tss[-2]), 6) + 0.0 AS value
+       |FROM lv WHERE len(vs) >= 2""".stripMargin
+
   def oraclePredictLinear1h: String =
     s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
        |c AS (SELECT event_type, props, k,
@@ -1184,6 +1198,7 @@ object TsQueries {
     "changes_1h" -> (changes1h _),
     "rate_resets_1h" -> (rateResets1h _),
     "native_quantile" -> (nativeQuantileQ _),
+    "irate_resets_1h" -> (irateResets1h _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
     "label_replace" -> (labelReplaceQ _),
@@ -1239,6 +1254,7 @@ object TsQueries {
     "changes_1h" -> oracleChanges1h,
     "rate_resets_1h" -> oracleRateResets1h,
     "native_quantile" -> oracleNativeQuantile,
+    "irate_resets_1h" -> oracleIrateResets1h,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,
     "label_replace" -> oracleLabelReplace,

@@ -429,6 +429,15 @@ class BinOpSpec extends SparkSpec {
     // windows with fewer than two samples emit no row (Prometheus rule)
     val one = ctrOf(Seq((600.0, 7.0)))
     assert(Eval.run(one, "rate_resets(ctr[1h])", g).isEmpty)
+    // irate_resets: last two samples are 20 → 35 (rising): (35-20)/600
+    val ir = Eval.run(ctr, "irate_resets(ctr[1h])", g)
+      .select("value").as[Double].collect().head
+    assert(math.abs(ir - 15.0 / 600.0) < 1e-12)
+    // reset on the LAST pair: 40 → 5 means instant increase = raw 5
+    val tail = ctrOf(Seq((2400.0, 25.0), (3000.0, 40.0), (3600.0, 5.0)))
+    val irr = Eval.run(tail, "irate_resets(ctr[1h])", g)
+      .select("value").as[Double].collect().head
+    assert(math.abs(irr - 5.0 / 600.0) < 1e-12)
   }
 
 }

@@ -189,7 +189,7 @@ class PropertySpec extends SparkSpec {
       "count_over_time", "last_over_time", "stddev_over_time",
       "stdvar_over_time", "changes", "resets", "deriv", "present_over_time",
       "mad_over_time", "idelta", "absent_over_time",
-      "rate_resets", "increase_resets")
+      "rate_resets", "increase_resets", "irate_resets")
     def instant(depth: Int): Gen[String] =
       if (depth == 0) sel
       else Gen.frequency(
