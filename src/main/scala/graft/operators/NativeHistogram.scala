@@ -140,6 +140,39 @@ object NativeHistogram {
 
   private def nullifNaN(c: Column): Column = when(!isnan(c), c)
 
+  /** Estimated count of observations ≤ `x` (positive spectrum + zero
+    * bucket): whole buckets below `x` count fully, the straddling bucket
+    * linearly — each bucket's contribution is independent, so this is an
+    * order-free transform + sum, no walk needed. */
+  private def cdfCount(x: Column): Column = {
+    val contribs = transform(
+      zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
+        (i, c) => struct(i.as("i"), c.as("c"))),
+      b => {
+        val lower = upperBound(b("i") - 1, col("nh_schema"))
+        val upper = upperBound(b("i"), col("nh_schema"))
+        when(upper <= x, b("c"))
+          .when(lower < x, b("c") * (x - lower) / (upper - lower))
+          .otherwise(lit(0.0))
+      })
+    when(x < 0, lit(0.0)).otherwise(
+      col("nh_zero_count") + coalesce(
+        aggregate(contribs, lit(0.0), (a, v) => a + v), lit(0.0)))
+  }
+
+  /** `histogram_fraction(lo, hi, <native>)`: estimated fraction of
+    * observations in `[lo, hi]` — the native-histogram sibling of
+    * histogram_quantile (Prometheus 2.40+). Map-only like [[quantile]];
+    * empty histograms yield NaN (guarded — Spark 4 ANSI would otherwise
+    * raise DIVIDE_BY_ZERO). */
+  def fraction(df: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val total = col("nh_zero_count") + coalesce(
+      aggregate(col("nh_pos_cnt"), lit(0.0), (a, x) => a + x), lit(0.0))
+    val frac = greatest(cdfCount(lit(hi)) - cdfCount(lit(lo)), lit(0.0)) / total
+    df.select(col(Model.LabelsCol), col(Model.TsCol),
+      when(total === 0, lit(Double.NaN)).otherwise(frac).as(Model.ValueCol))
+  }
+
   /** Sum of native histograms across series, `by` retained label names —
     * the `sum by (...)` of the native world. One explode + one groupBy on
     * (group-labels, ts, bucket-idx) + one sorted re-collect; requires a

@@ -45,6 +45,23 @@ class NativeHistogramSpec extends SparkSpec {
       .select("value").as[Double].head() - (r2 + (2 - r2) * 0.5)) < 1e-12)
   }
 
+  test("fraction: per-bucket CDF contributions, zero bucket, empty guard") {
+    // schema 0: zero(2), b1 (1,2]=2, b2 (2,4]=4, b3 (4,8]=4; total 12
+    val h = frame(Seq((60.0, "a", 0, 2.0, 50.0, 12.0,
+      Seq(1, 2, 3), Seq(2.0, 4.0, 4.0))))
+    def f(lo: Double, hi: Double): Double =
+      NativeHistogram.fraction(h, lo, hi).select("value").as[Double].head()
+    assert(math.abs(f(0.0, 2.0) - (4.0 - 2.0) / 12.0) < 1e-12) // b1 only
+    assert(math.abs(f(2.0, 8.0) - 8.0 / 12.0) < 1e-12)         // b2 + b3
+    // straddling both ends: half of b2 above 3, half of b3 below 6
+    assert(math.abs(f(3.0, 6.0) - (10.0 - 6.0) / 12.0) < 1e-12)
+    assert(math.abs(f(-5.0, 0.0) - 2.0 / 12.0) < 1e-12)        // zero bucket
+    assert(math.abs(f(0.0, 100.0) - 10.0 / 12.0) < 1e-12)      // all positive
+    val empty = frame(Seq((60.0, "a", 0, 0.0, 0.0, 0.0, Seq(), Seq())))
+    assert(NativeHistogram.fraction(empty, 0, 1)
+      .select("value").as[Double].head().isNaN)
+  }
+
   test("merge: sparse union across series, scalar sums, schema guard") {
     val two = frame(Seq(
       (60.0, "a", 0, 1.0, 10.0, 5.0, Seq(1, 3), Seq(2.0, 2.0)),
