@@ -16,9 +16,17 @@ import graft.promql.Eval
   *        grid instants are shifted back by `queryTimeOffset` before
   *        evaluation and shifted forward again in the output.
   */
-final class PromEngine(val collection: DataFrame, val queryStartTime: Option[Double] = None) {
+final class PromEngine(val collection: DataFrame, val queryStartTime: Option[Double] = None,
+                       val nativeHistograms: Map[String, DataFrame] = Map.empty) {
 
   private lazy val keyed = Model.withSkey(collection)
+  private lazy val ctx = Eval.Ctx(keyed, nativeHistograms)
+
+  /** Register native-histogram frames ([[graft.operators.NativeHistogram]]
+    * layout) by metric name; `histogram_quantile` over a registered name
+    * dispatches to the map-only native walk. */
+  def withNativeHistograms(m: Map[String, DataFrame]): PromEngine =
+    new PromEngine(collection, queryStartTime, m)
 
   lazy val (minTime, maxTime): (Double, Double) = {
     val r: Row = collection.agg(min(Model.TsCol), max(Model.TsCol)).head()
@@ -28,26 +36,26 @@ final class PromEngine(val collection: DataFrame, val queryStartTime: Option[Dou
   /** `set_query_start_time` (timeseries.rs:414-417). */
   def queryTimeOffset: Option[Double] = queryStartTime.map(_ - minTime)
 
-  def withStartTime(t: Double): PromEngine = new PromEngine(collection, Some(t))
+  def withStartTime(t: Double): PromEngine = new PromEngine(collection, Some(t), nativeHistograms)
 
   /** Run a PromQL range query; start/end/step in the *query* time frame.
     * Output (labels, ts, value) with ts back in the query time frame. */
   def queryRange(query: String, start: Double, end: Double, step: Double): DataFrame = {
     val off = queryTimeOffset.getOrElse(0.0)
     val grid = Grid(start - off, end - off, step)
-    val out = Eval.run(keyed, query, grid)
+    val out = Eval.run(ctx, query, grid)
     out.select(col(Model.LabelsCol), (col(Model.TsCol) + lit(off)).as(Model.TsCol), col(Model.ValueCol))
   }
 
   /** Internal-frame variant used by the correctness harness. */
-  def queryRangeRaw(query: String, grid: Grid): DataFrame = Eval.run(keyed, query, grid)
+  def queryRangeRaw(query: String, grid: Grid): DataFrame = Eval.run(ctx, query, grid)
 
   /** Instant query (extension — the reference's /api/v1/query only evaluates
     * "1+1", main.rs:399-405): evaluate on a single-instant grid at `t`. */
   def queryInstant(query: String, t: Double): DataFrame = {
     val off = queryTimeOffset.getOrElse(0.0)
     val grid = Grid(t - off, t - off + 0.5, 1.0) // length 1 → the instant itself
-    val out = Eval.run(keyed, query, grid)
+    val out = Eval.run(ctx, query, grid)
     out.select(col(Model.LabelsCol), (col(Model.TsCol) + lit(off)).as(Model.TsCol), col(Model.ValueCol))
   }
 

@@ -94,6 +94,21 @@ object NativeHistogram {
         transform(col("bs"), b => b("c")).as("nh_pos_cnt"))
   }
 
+  /** Snap native-histogram samples onto the query grid: for each (series,
+    * grid instant), the LATEST histogram row whose ts falls in the
+    * one-step lookback window `(grid_t - step, grid_t]` — Prometheus
+    * staleness semantics with lookback = step. Linear interpolation (the
+    * classic resample) is undefined between whole distributions, so
+    * last-known-value is the correct snap. Same bounded windowExplode +
+    * one groupBy shape as any `*_over_time`. */
+  def snapToGrid(nh: DataFrame, grid: Grid): DataFrame =
+    RangeAgg.windowExplode(nh, grid, grid.step)
+      .groupBy(col(Model.SkeyCol), col("__k__"))
+      .agg(max_by(struct((Model.LabelsCol +: Columns).map(col): _*),
+        col(Model.TsCol)).as("h"))
+      .select(Seq(col(Model.SkeyCol), RangeAgg.gridTs(grid).as(Model.TsCol)) ++
+        (Model.LabelsCol +: Columns).map(c => col(s"h.$c")): _*)
+
   /** `histogram_quantile(q, <native>)`: per row, locate the bucket whose
     * cumulative count reaches `rank = q * count` walking zero bucket then
     * positive buckets ascending, and interpolate linearly inside it

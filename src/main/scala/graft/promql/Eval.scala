@@ -27,12 +27,24 @@ object Eval {
     * alone; grid-length rows, so always the broadcast side. */
   final case class StepScalar(df: DataFrame) extends QR
 
+  /** Evaluation context: the long sample collection plus optional
+    * NATIVE-HISTOGRAM frames keyed by metric name
+    * ([[graft.operators.NativeHistogram]] layout). `histogram_quantile`
+    * dispatches on the selector's metric name: registered native metrics
+    * take the map-only sparse-bucket walk; everything else takes the
+    * classic Le-label path. All other functions see only the sample
+    * collection. */
+  final case class Ctx(df: DataFrame, native: Map[String, DataFrame] = Map.empty)
+
   /** Evaluate `query` against the collection and resample onto `grid`.
     * Output columns: (skey, labels, ts, value). */
-  def run(collection: DataFrame, query: String, grid: Grid): DataFrame = {
+  def run(collection: DataFrame, query: String, grid: Grid): DataFrame =
+    run(Ctx(collection), query, grid)
+
+  def run(ctx: Ctx, query: String, grid: Grid): DataFrame = {
     val keyed =
-      if (collection.columns.contains(Model.SkeyCol)) collection
-      else Model.withSkey(collection)
+      if (ctx.df.columns.contains(Model.SkeyCol)) ctx
+      else ctx.copy(df = Model.withSkey(ctx.df))
     val ast = Parser.parse(query)
     resampled(eval(ast, keyed, grid), grid) match {
       case Processed(df) => df
@@ -67,7 +79,7 @@ object Eval {
       .withColumn(Model.ValueCol, org.apache.spark.sql.functions.col(Model.TsCol))
   }
 
-  private def eval(node: Node, collection: DataFrame, grid: Grid): QR = node match {
+  private def eval(node: Node, collection: Ctx, grid: Grid): QR = node match {
     case ScalarLit(v) => ScalarQ(v)
 
     case VectorSel(matchers, range, offset) =>
@@ -79,7 +91,7 @@ object Eval {
         case Seq(_) => throw EvalException("The name filter must be an equals filter")
         case ms => throw EvalException(s"Having a single label name filter is mandatory, got ${ms.length}")
       }
-      val filtered = Selector.select(collection, matchers)
+      val filtered = Selector.select(collection.df, matchers)
       range match {
         case None => Unprocessed(filtered, offset)
         case Some(r) => UnprocessedVector(filtered, r, offset)
@@ -324,7 +336,7 @@ object Eval {
     case FuncCall("time", args, agg) =>
       if (agg.isDefined) throw EvalException("'time' expects no aggregation")
       if (args.nonEmpty) throw EvalException("'time' expects no arguments")
-      StepScalar(timeFrame(collection, grid))
+      StepScalar(timeFrame(collection.df, grid))
 
     // vector(s): a scalar as a single labelless series.
     case FuncCall("vector", args, agg) =>
@@ -332,7 +344,7 @@ object Eval {
       if (args.length != 1) throw EvalException("'vector' expects a single argument")
       val base = resampled(eval(args.head, collection, grid), grid) match {
         case ScalarQ(v) =>
-          timeFrame(collection, grid)
+          timeFrame(collection.df, grid)
             .withColumn(Model.ValueCol, org.apache.spark.sql.functions.lit(v))
         case StepScalar(df) => df
         case _ => throw EvalException("'vector' expects a scalar argument")
@@ -357,7 +369,7 @@ object Eval {
           val perTs = df.groupBy(Model.TsCol).agg(
             when(count(lit(1)) === 1, max(Model.ValueCol))
               .otherwise(lit(Double.NaN)).as("__sv__"))
-          StepScalar(timeFrame(collection, grid)
+          StepScalar(timeFrame(collection.df, grid)
             .join(perTs, Seq(Model.TsCol), "left")
             .select(col(Model.TsCol),
               coalesce(col("__sv__"), lit(Double.NaN)).as(Model.ValueCol)))
@@ -489,15 +501,33 @@ object Eval {
         case ScalarQ(v) => v
         case _ => throw EvalException("Expected a scalar")
       }
-      resampled(eval(args(1), collection, grid), grid) match {
-        case Processed(df) => Processed(HistogramQuantile.quantile(df, q))
-        case _ => throw EvalException("resampling failed")
+      // Native-histogram dispatch: an instant selector whose metric name is
+      // registered in the context takes the map-only sparse-bucket walk.
+      val nativeSel = args(1) match {
+        case sel @ VectorSel(ms, None, _) =>
+          ms.collectFirst { case Selector.Eq(l, n)
+            if l == Model.NameLabel && collection.native.contains(n) => (sel, n) }
+        case _ => None
+      }
+      nativeSel match {
+        case Some((VectorSel(ms, _, offset), name)) =>
+          val nh = Model.withSkey(collection.native(name))
+          val filtered = Selector.select(nh, ms)
+          val shifted = offset.fold(filtered)(off => filtered.withColumn(
+            Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
+          val snapped = NativeHistogram.snapToGrid(shifted, grid)
+          Processed(Model.withSkey(NativeHistogram.quantile(snapped, q)))
+        case _ =>
+          resampled(eval(args(1), collection, grid), grid) match {
+            case Processed(df) => Processed(HistogramQuantile.quantile(df, q))
+            case _ => throw EvalException("resampling failed")
+          }
       }
 
     case FuncCall(other, _, _) => throw EvalException(s"Cannot handle function '$other'")
   }
 
-  private def evalRate(args: Seq[Node], agg: Option[AggMod], collection: DataFrame,
+  private def evalRate(args: Seq[Node], agg: Option[AggMod], collection: Ctx,
                        grid: Grid,
                        fn: (DataFrame, Grid, Double, Double) => DataFrame): QR = {
     if (agg.isDefined) throw EvalException("'rate' expects no aggregation")
@@ -514,7 +544,7 @@ object Eval {
   /** `*_over_time` range functions (extension): sample-based aggregation
     * over `(t - range, t]`. An `offset` shifts the window by shifting the
     * sample timestamps (equivalent and cheaper than shifting every probe). */
-  private def evalOverTime(args: Seq[Node], agg: Option[AggMod], collection: DataFrame,
+  private def evalOverTime(args: Seq[Node], agg: Option[AggMod], collection: Ctx,
                            grid: Grid,
                            fn: (DataFrame, Grid, Double) => DataFrame): QR = {
     if (agg.isDefined) throw EvalException("'_over_time' expects no aggregation")
@@ -575,7 +605,7 @@ object Eval {
 
   /** Resample the operand and transform the value column; metric name drops
     * from the labels (Prometheus math-function semantics). */
-  private def mapValues(arg: Node, collection: DataFrame, grid: Grid)(
+  private def mapValues(arg: Node, collection: Ctx, grid: Grid)(
       fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): QR =
     resampled(eval(arg, collection, grid), grid) match {
       case Processed(df) =>
@@ -591,7 +621,7 @@ object Eval {
   /** `timestamp(v)`: the sample timestamp as the value — on a resampled
     * grid that is the grid instant itself (name drops like other
     * value-transforming functions). */
-  private def mapValuesWithTs(arg: Node, collection: DataFrame, grid: Grid): QR =
+  private def mapValuesWithTs(arg: Node, collection: Ctx, grid: Grid): QR =
     resampled(eval(arg, collection, grid), grid) match {
       case Processed(df) =>
         Processed(BinOps.dropName(df.withColumn(Model.ValueCol,
@@ -634,7 +664,7 @@ object Eval {
     case _ => throw EvalException(s"'$name' expects (scalar, vector) arguments")
   }
 
-  private def evalTopk(args: Seq[Node], by: Option[AggMod], collection: DataFrame,
+  private def evalTopk(args: Seq[Node], by: Option[AggMod], collection: Ctx,
                        grid: Grid, bottom: Boolean): QR = {
     val (k, inner) = scalarAndVector(if (bottom) "bottomk" else "topk", args)
     if (k != math.rint(k) || k < 1) throw EvalException(s"topk/bottomk k must be a positive integer, got $k")
@@ -659,7 +689,7 @@ object Eval {
     case _ => None
   }
 
-  private def evalBinOp(b: BinOp, collection: DataFrame, grid: Grid): QR = {
+  private def evalBinOp(b: BinOp, collection: Ctx, grid: Grid): QR = {
     def proc(n: Node): QR = resampled(eval(n, collection, grid), grid)
     if (!Ops.SetOps(b.op)) {
       val fast = scalarSelfAgg(b.lhs, b.rhs).map(a => (a, true))
@@ -738,7 +768,7 @@ object Eval {
     case None => (Seq.empty, false)
   }
 
-  private def evalAgg(args: Seq[Node], by: Option[AggMod], collection: DataFrame,
+  private def evalAgg(args: Seq[Node], by: Option[AggMod], collection: Ctx,
                       grid: Grid, fn: (DataFrame, Seq[String], Boolean) => DataFrame): QR = {
     if (args.length != 1) throw EvalException(s"aggregation expects a single argument, got ${args.length}")
     val (labels, without) = aggLabels(by)

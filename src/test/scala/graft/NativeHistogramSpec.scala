@@ -62,6 +62,42 @@ class NativeHistogramSpec extends SparkSpec {
       .select("value").as[Double].head().isNaN)
   }
 
+  test("PromQL dispatch: histogram_quantile routes registered native metrics") {
+    import graft.operators.Grid
+    // raw observations, hour-bucketed ts; two series of metric "lat"
+    val obs = Seq(
+      (1800.0, 1.5, "a"), // stale earlier histogram for series a
+      (3600.0, 1.5, "a"), (3600.0, 3.0, "a"), (3600.0, 3.0, "a"), (3600.0, 3.0, "a"),
+      (3600.0, 7.0, "b"))
+      .toDF("ts", "value", "h")
+      .withColumn("labels", map(lit("__name__"), lit("lat"), lit("h"), col("h")))
+      .drop("h")
+    val nh = NativeHistogram.fromSamples(Model.withSkey(obs), 0)
+    // classic Le-bucket series in the sample collection (fall-through path)
+    val classic = Seq((3600.0, 1.0, "1"), (3600.0, 2.0, "+Inf"))
+      .toDF("ts", "value", "le")
+      .withColumn("labels",
+        map(lit("__name__"), lit("lat_classic"), lit("Le"), col("le")))
+      .drop("le")
+    val eng = new PromEngine(classic).withNativeHistograms(Map("lat" -> nh))
+    val g = Grid(3600.0, 5400.0, 3600.0) // one populated instant: 3600
+
+    // native route, with label matcher: schema 0 buckets for series a are
+    // (1,2]=1, (2,4]=3; q=0.5 → rank 2 lands in (2,4] at fraction 1/3 —
+    // and the SNAP picks the ts=3600 histogram, not the stale 1800 one
+    val a = eng.queryRangeRaw("""histogram_quantile(0.5, lat{h="a"})""", g)
+      .select("ts", "value").as[(Double, Double)].collect()
+    assert(a.toSeq == Seq((3600.0, 2.0 + 2.0 / 3.0)))
+    // both series without matcher
+    val all = eng.queryRangeRaw("histogram_quantile(0.5, lat{})", g)
+      .select("value").as[Double].collect().sorted
+    assert(all.length == 2 && math.abs(all(1) - 6.0) < 1e-12)
+    // unregistered names fall through to the classic Le-label path
+    val cl = eng.queryRangeRaw("histogram_quantile(0.5, lat_classic{})", g)
+      .select("value").as[Double].collect()
+    assert(cl.length == 1 && !cl.head.isNaN)
+  }
+
   test("merge: sparse union across series, scalar sums, schema guard") {
     val two = frame(Seq(
       (60.0, "a", 0, 1.0, 10.0, 5.0, Seq(1, 3), Seq(2.0, 2.0)),
