@@ -69,6 +69,14 @@ object Rate {
     * edge — interpolating across a reset is meaningless for counters.
     * Windows with fewer than two samples emit no row (Prometheus rule).
     *
+    * A drop only counts as a reset when it exceeds a 1e-9 RELATIVE
+    * epsilon: upstream Prometheus compares raw scraped values (identical
+    * on every replica), but this engine's samples can be distributed
+    * ingest-time aggregates whose last ULP differs between engines/runs —
+    * and the reset rule amplifies a 1-ULP "drop" into the full pre-reset
+    * value. Real counter resets (process restart → ~0) are orders of
+    * magnitude past the epsilon.
+    *
     * Shape: one [[RangeAgg.windowExplode]] (bounded fan-out) + an ordered
     * lag inside each (series, window) partition + one partial-aggregated
     * groupBy — same single-shuffle budget as `changes`/`resets`. */
@@ -82,13 +90,19 @@ object Rate {
         count(lit(1)).as("__n__"),
         min_by(col(Model.ValueCol), col(Model.TsCol)).as("__first__"),
         max_by(col(Model.ValueCol), col(Model.TsCol)).as("__last__"),
-        sum(when(col("__pv__").isNotNull && col(Model.ValueCol) < col("__pv__"),
+        sum(when(col("__pv__").isNotNull &&
+            isResetDrop(col("__pv__"), col(Model.ValueCol)),
           col("__pv__")).otherwise(lit(0.0))).as("__corr__"))
       .filter(col("__n__") >= 2)
       .select(col(Model.SkeyCol), col(Model.LabelsCol),
         RangeAgg.gridTs(grid).as(Model.TsCol),
         (col("__last__") - col("__first__") + col("__corr__")).as(Model.ValueCol))
   }
+
+  /** prev → cur counts as a counter reset: a drop past the relative
+    * epsilon (see [[increaseResets]]). */
+  private def isResetDrop(prev: Column, cur: Column): Column =
+    (prev - cur) > abs(prev) * lit(1e-9)
 
   def rateResets(samples: DataFrame, grid: Grid, overRange: Double): DataFrame =
     increaseResets(samples, grid, overRange)
@@ -108,7 +122,7 @@ object Rate {
       .filter(size(col("ps")) >= 2)
     val l = element_at(col("ps"), -1)
     val p = element_at(col("ps"), -2)
-    val dv = when(l("v") >= p("v"), l("v") - p("v")).otherwise(l("v"))
+    val dv = when(isResetDrop(p("v"), l("v")), l("v")).otherwise(l("v") - p("v"))
     grouped.select(col(Model.SkeyCol), col(Model.LabelsCol),
       RangeAgg.gridTs(grid).as(Model.TsCol),
       (dv / (l("t") - p("t"))).as(Model.ValueCol))

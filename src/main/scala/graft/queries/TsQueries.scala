@@ -785,7 +785,8 @@ object TsQueries {
        |g AS (SELECT event_type, props, k,
        |    count(*) AS n,
        |    arg_min(v, t) AS fv, arg_max(v, t) AS lv,
-       |    sum(CASE WHEN pv IS NOT NULL AND v < pv THEN pv ELSE 0.0 END) AS corr
+       |    sum(CASE WHEN pv IS NOT NULL AND (pv - v) > abs(pv) * 1e-9
+       |      THEN pv ELSE 0.0 END) AS corr
        |  FROM lg GROUP BY 1, 2, 3)
        |SELECT event_type, props,
        |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
@@ -799,8 +800,8 @@ object TsQueries {
        |  FROM x GROUP BY 1, 2, 3)
        |SELECT event_type, props,
        |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
-       |  round((CASE WHEN vs[-1] >= vs[-2] THEN vs[-1] - vs[-2] ELSE vs[-1] END)
-       |    / (tss[-1] - tss[-2]), 6) + 0.0 AS value
+       |  round((CASE WHEN (vs[-2] - vs[-1]) > abs(vs[-2]) * 1e-9 THEN vs[-1]
+       |    ELSE vs[-1] - vs[-2] END) / (tss[-1] - tss[-2]), 6) + 0.0 AS value
        |FROM lv WHERE len(vs) >= 2""".stripMargin
 
   def oraclePredictLinear1h: String =
