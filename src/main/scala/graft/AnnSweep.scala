@@ -71,6 +71,17 @@ object AnnSweep {
       println(f"| IVF | $c cents, nprobe=$np, lloyd=$ll, spread=$sp, assign=$ma " +
         f"| $r%.3f | ~${corpusN * np * ma / c} | $s%.1f |")
     }
+    // PQ: recall vs compression (every candidate scored — the pruning
+    // comes from composing with IVF; the dial here is codebook size).
+    // "Candidates" column shows bytes/vector instead: the 100 TB lever.
+    for ((m, cbk, it) <- Seq((8, 16, 0), (8, 64, 0), (8, 256, 0),
+        (16, 64, 0), (16, 256, 0),
+        (8, 64, 3), (8, 256, 3), (16, 64, 3), (16, 256, 3))) {
+      val (r, s, _) = recallAndTime(
+        Ann.pqTopK(emb, queries, 5, m, cbk, codebookIters = it))
+      println(f"| PQ | m=$m subspaces, $cbk codes, lloyd=$it (${Ann.Dims * 4 / m}x compression) " +
+        f"| $r%.3f | $m bytes/vec | $s%.1f |")
+    }
     spark.stop()
   }
 }

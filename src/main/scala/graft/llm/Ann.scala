@@ -300,14 +300,31 @@ object Ann {
     * Distance = summed per-subspace L2²; ranked ascending on the rounded
     * distance with neighbor_id tie-break (rounding first keeps the rank
     * reproducible across engines). */
+  /** `normalize = true` L2-normalizes vectors before quantization, making
+    * PQ's L2 ranking cosine-equivalent (2 - 2cos) for corpora that are NOT
+    * pre-normalized (the synthetic corpus already is — measured no-op
+    * there, norms ∈ [1 ± 1e-7]). `codebookIters > 0` Lloyd-refines the
+    * codebook per subspace (k-means on subvectors — the production
+    * refinement; §6 sweep measures the recall lift over first-K seeding).
+    * The GATE query pins normalize = false / codebookIters = 0: both put
+    * cross-engine float sums upstream of the argmin, and oracle hash
+    * stability beats recall there. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, codebookSize: Int = 16): DataFrame = {
+             m: Int = 8, codebookSize: Int = 16,
+             normalize: Boolean = false, codebookIters: Int = 0): DataFrame = {
     require(Dims % m == 0, s"m=$m must divide Dims=$Dims")
     val w = Dims / m
-    def subs(df: DataFrame, idCol: String): DataFrame = df
-      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("vec_id").as(idCol), col("sub"),
-        slice(col("embedding"), col("sub") * w + 1, lit(w)).as("sv"))
+    def subs(df: DataFrame, idCol: String): DataFrame = {
+      val scaled =
+        if (!normalize) df
+        else df.withColumn("embedding", transform(col("embedding"), x =>
+          (x.cast(DoubleType) / sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, y) => a + y.cast(DoubleType) * y.cast(DoubleType)))).cast(FloatType)))
+      scaled
+        .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+        .select(col("vec_id").as(idCol), col("sub"),
+          slice(col("embedding"), col("sub") * w + 1, lit(w)).as("sv"))
+    }
     // L2² between float subvectors, computed in doubles, fixed fold order
     def subDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) =>
@@ -315,13 +332,36 @@ object Ann {
           (x.cast(DoubleType) - y.cast(DoubleType))),
         lit(0.0), (acc, d) => acc + d)
 
-    val cb = subs(corpus.filter(col("vec_id") < codebookSize), "code")
+    val cb0 = subs(corpus.filter(col("vec_id") < codebookSize), "code")
       .select(col("code").cast(IntegerType).as("code"), col("sub"),
         col("sv").as("cv"))
 
+    // optional per-subspace k-means: assign every subvector to its nearest
+    // code, recompute codes as element-wise means (posexplode + one bounded
+    // groupBy per iteration); codes that lose all members keep their old
+    // position (the left join + coalesce)
+    val corpusSubs = subs(corpus, "vec_id")
+    val cb = (1 to codebookIters).foldLeft(cb0) { (cur, _) =>
+      val d = corpusSubs.join(broadcast(cur), "sub")
+        .select(col("vec_id"), col("sub"), col("code"),
+          subDist(col("sv"), col("cv")).as("d"))
+      val best = d.groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      val means = corpusSubs.join(best, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(avg(col("x").cast(DoubleType)).as("mx"))
+        .groupBy("sub", "code")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+        .select(col("sub"), col("code"),
+          transform(col("ps"), p => p("mx").cast(FloatType)).as("ncv"))
+      cur.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("ncv"), col("cv")).as("cv"))
+    }
+
     // encode: per (vec, sub) the closest code, smallest code on ties —
     // two-step min so both engines break ties identically
-    val dists = subs(corpus, "vec_id").join(broadcast(cb), "sub")
+    val dists = corpusSubs.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         subDist(col("sv"), col("cv")).as("d"))
     val dmin = dists.groupBy("vec_id", "sub").agg(min("d").as("dm"))

@@ -90,6 +90,9 @@ class LlmSpec extends SparkSpec {
     val q0 = Ann.pqTopK(emb, emb.filter(col("vec_id") === 1), 5)
       .select("neighbor_id", "dist").as[(Long, Double)].collect()
     assert(q0.exists { case (n, d) => n != 1L && d >= 0.0 })
+    // engine-side options keep the output shape: normalized + Lloyd-refined
+    val refined = Ann.pqTopK(emb, q, 5, normalize = true, codebookIters = 1)
+    assert(refined.count() == 15)
   }
 
   test("native LSH-bucket expression is bit-identical to the HOF formulation") {
