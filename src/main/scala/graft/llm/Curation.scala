@@ -79,6 +79,37 @@ object Curation {
       .filter(col("text").isNotNull && col("text") =!= "")
   }
 
+  /** SEMANTIC decontamination: flag every corpus vector whose embedding
+    * cosine against ANY benchmark vector reaches `minCosine` — catches the
+    * paraphrased/translated eval leakage that n-gram overlap
+    * ([[decontaminate]]) misses; run both in a real pipeline.
+    *
+    * Input frames carry (vec_id, embedding); `bench` is the eval set.
+    * Output: one row per corpus vector — vec_id, max_cos (rounded),
+    * contaminated.
+    *
+    * Plan shape: benchmarks are small → bench is BROADCAST and the corpus
+    * is scanned once, map-only + one final groupBy(vec_id); cost is
+    * |bench| codegen'd cosines per corpus vector. When the bench side
+    * grows past broadcast comfort (rare for eval sets), the LSH-bucketed
+    * variant is [[Ann.lshNearDup]]'s shape with bench as one side —
+    * candidates only within shared hyperplane buckets. */
+  def decontaminateEmbed(corpus: DataFrame, bench: DataFrame,
+                         minCosine: Double): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    val scored = corpus.as("c").join(
+        broadcast(bench.select(col("vec_id").as("bid"),
+          col("embedding").as("bemb")).as("b")),
+        col("c.vec_id") =!= col("bid"))
+      .select(col("c.vec_id").as("vec_id"),
+        round(expr(s"${graft.functions.CosineSimilarity.FunctionName}(c.embedding, b.bemb)"), 6)
+          .as("cos"))
+      .groupBy("vec_id")
+      .agg(max("cos").as("max_cos"))
+    scored.select(col("vec_id"), col("max_cos"),
+      (col("max_cos") >= minCosine).as("contaminated"))
+  }
+
   private def decontaminateCore(corpus: DataFrame, benchDocs: DataFrame, n: Int): DataFrame = {
     val benchGrams = Dedup.rawNgrams(benchDocs, n)
       .select("g").distinct()

@@ -61,6 +61,18 @@ object LlmQueries {
       lloydIters = 0, spreadSeed = false, multiAssign = 1)
   }
 
+  /** Semantic decontamination: corpus = vectors 50+, bench = vectors <50,
+    * cosine threshold 0.4 — the synthetic embeddings are near-orthogonal
+    * (max cross-set cosine 0.493), so the production near-dup bar of
+    * ~0.95 would never fire; 0.4 flags 11 vectors and exercises both
+    * branches. */
+  def decontaminateEmbedQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Curation.decontaminateEmbed(
+      e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+      minCosine = 0.4)
+  }
+
   /** Product-quantization ADC top-k: 8 subspaces × 16 codes over the
     * 64-dim embeddings (first-16 codebook — same SQL-reproducible seeding
     * convention as ann_ivf). */
@@ -317,6 +329,18 @@ object LlmQueries {
        |  JOIN embeddings qe ON qe.vec_id = q.vec_id
        |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
        |$cosineRankSql""".stripMargin
+
+  def oracleDecontaminateEmbed: String =
+    s"""WITH b AS (SELECT vec_id AS bid, embedding AS bemb FROM embeddings WHERE vec_id < 50),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+       |gi AS (SELECT unnest(range(1, 65)) AS i),
+       |cos AS (SELECT c.vec_id, b.bid,
+       |    round(sum(CAST(c.embedding[i] AS DOUBLE) * CAST(b.bemb[i] AS DOUBLE)) /
+       |      (sqrt(sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) *
+       |       sqrt(sum(CAST(b.bemb[i] AS DOUBLE) * CAST(b.bemb[i] AS DOUBLE)))), 6) AS cs
+       |  FROM c CROSS JOIN b CROSS JOIN gi GROUP BY 1, 2)
+       |SELECT vec_id, max(cs) AS max_cos, max(cs) >= 0.4 AS contaminated
+       |FROM cos GROUP BY 1""".stripMargin
 
   /** PQ replica: per-subspace L2² via (diff·diff) sums over unnested
     * indexes (rounded like every cross-engine float sum), two-step argmin
@@ -691,6 +715,7 @@ object LlmQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "decontaminate_embed" -> (decontaminateEmbedQ _),
     "text_lang" -> (textLang _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -720,6 +745,7 @@ object LlmQueries {
     "ann_lsh" -> oracleAnnLsh,
     "ann_ivf" -> oracleAnnIvf,
     "ann_pq" -> oracleAnnPq,
+    "decontaminate_embed" -> oracleDecontaminateEmbed,
     "text_lang" -> oracleTextLang,
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
