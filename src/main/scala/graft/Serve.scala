@@ -17,6 +17,11 @@ import graft.sources.MetricStore
   *    normalized) like the driver's testdata layout.
   *  - `--shift-to-midnight <epoch>` — maps the collection start onto the
   *    given query-time epoch (reference `--shift_to_midnight`, main.rs:110).
+  *  - `--native-histograms <schema>` — (demo-dir mode) additionally
+  *    registers per-(event_type, hour) NATIVE histograms synthesized from
+  *    raw event values as metric `events_native`;
+  *    `histogram_quantile(q, events_native{...})` then takes the map-only
+  *    sparse-bucket walk over the wire.
   */
 object Serve {
   def main(args: Array[String]): Unit = {
@@ -49,7 +54,22 @@ object Serve {
       else queries.TsQueries.events(spark, store)
     val cached = collection.cache()
 
-    val engine0 = new PromEngine(cached)
+    val engine0 = flagValue("--native-histograms") match {
+      case Some(sch) if !store.endsWith(".zip") =>
+        import org.apache.spark.sql.functions._
+        val samples = queries.TsQueries.rawEvents(spark, store).select(
+          col("event_type"),
+          (floor(col("ts") / 3600.0) * 3600.0).as(Model.TsCol),
+          col("value").as(Model.ValueCol))
+          .withColumn(Model.LabelsCol, map(
+            lit(Model.NameLabel), lit("events_native"),
+            lit("event_type"), col("event_type")))
+          .drop("event_type")
+        val nh = operators.NativeHistogram
+          .fromSamples(Model.withSkey(samples), sch.toInt).cache()
+        new PromEngine(cached, nativeHistograms = Map("events_native" -> nh))
+      case _ => new PromEngine(cached)
+    }
     val engine = flagValue("--shift-to-midnight") match {
       case Some(t) => engine0.withStartTime(t.toDouble)
       case None => engine0
