@@ -359,17 +359,19 @@ object Ann {
         .select(col("sub"), col("code"), coalesce(col("ncv"), col("cv")).as("cv"))
     }
 
-    // encode: per (vec, sub) the closest code, smallest code on ties —
-    // two-step min so both engines break ties identically
+    // encode: per (vec, sub) the closest code in ONE aggregation —
+    // min over struct(d, code) orders lexicographically in both engines
+    // (smallest code wins ties), so the corpus is scanned once, no
+    // min-join-back second pass
     val dists = corpusSubs.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         subDist(col("sv"), col("cv")).as("d"))
-    val dmin = dists.groupBy("vec_id", "sub").agg(min("d").as("dm"))
-    val codes = dists.join(dmin, Seq("vec_id", "sub"))
-      .filter(col("d") === col("dm"))
-      .groupBy("vec_id", "sub").agg(min("code").as("code"))
+    val codes = dists
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
       .groupBy("vec_id")
-      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("cs"))
+      .agg(sort_array(collect_list(struct(col("sub"),
+        col("best").getField("code").as("code")))).as("cs"))
       .select(col("vec_id"), transform(col("cs"), c => c("code")).as("codes"))
 
     // per-query distance table to every (sub, code), flattened sub-major

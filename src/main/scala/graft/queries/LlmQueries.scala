@@ -354,10 +354,9 @@ object LlmQueries {
        |      CAST(e.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
        |    FROM embeddings e CROSS JOIN subs s CROSS JOIN cbk c CROSS JOIN ji j)
        |  GROUP BY 1, 2, 3),
-       |dmin AS (SELECT vec_id, sub, min(d) AS dm FROM cd GROUP BY 1, 2),
-       |codes AS (SELECT cd.vec_id, cd.sub, min(cd.code) AS code
-       |  FROM cd JOIN dmin ON cd.vec_id = dmin.vec_id AND cd.sub = dmin.sub AND cd.d = dmin.dm
-       |  GROUP BY 1, 2),
+       |codes AS (SELECT vec_id, sub,
+       |    (min(struct_pack(d := d, code := code))).code AS code
+       |  FROM cd GROUP BY 1, 2),
        |qd AS (SELECT query_id, sub, code, sum(df * df) AS qdist FROM (
        |    SELECT q.vec_id AS query_id, s.sub, c.code,
        |      CAST(q.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
