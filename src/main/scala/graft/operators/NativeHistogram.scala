@@ -188,6 +188,17 @@ object NativeHistogram {
       when(total === 0, lit(Double.NaN)).otherwise(frac).as(Model.ValueCol))
   }
 
+  /** `histogram_sum` / `histogram_count` / `histogram_avg` (Prometheus
+    * 2.40+): scalar extracts of the in-row distribution — pure column
+    * selects, map-only. */
+  def sumOf(df: DataFrame): DataFrame = scalarOf(df, col("nh_sum"))
+  def countOf(df: DataFrame): DataFrame = scalarOf(df, col("nh_count"))
+  def avgOf(df: DataFrame): DataFrame =
+    scalarOf(df, when(col("nh_count") > 0, col("nh_sum") / col("nh_count"))
+      .otherwise(lit(Double.NaN)))
+  private def scalarOf(df: DataFrame, v: Column): DataFrame =
+    df.select(col(Model.LabelsCol), col(Model.TsCol), v.as(Model.ValueCol))
+
   /** Sum of native histograms across series, `by` retained label names —
     * the `sum by (...)` of the native world. One explode + one groupBy on
     * (group-labels, ts, bucket-idx) + one sorted re-collect; requires a

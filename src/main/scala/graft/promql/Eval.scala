@@ -524,6 +524,30 @@ object Eval {
           }
       }
 
+    // Native-histogram scalar extracts (Prometheus 2.40+) — native-only:
+    // classic histograms expose _sum/_count SERIES instead.
+    case FuncCall(fn @ ("histogram_sum" | "histogram_count" | "histogram_avg"), args, agg) =>
+      if (agg.isDefined) throw EvalException(s"'$fn' expects no aggregation")
+      args match {
+        case Seq(VectorSel(ms, None, offset)) =>
+          val name = ms.collectFirst {
+            case Selector.Eq(l, n) if l == Model.NameLabel => n }
+            .getOrElse(throw EvalException(s"'$fn' needs a metric name selector"))
+          val nh = collection.native.getOrElse(name, throw EvalException(
+            s"'$fn' requires a registered native-histogram metric, got '$name'"))
+          val filtered = Selector.select(Model.withSkey(nh), ms)
+          val shifted = offset.fold(filtered)(off => filtered.withColumn(
+            Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
+          val snapped = NativeHistogram.snapToGrid(shifted, grid)
+          val out = fn match {
+            case "histogram_sum" => NativeHistogram.sumOf(snapped)
+            case "histogram_count" => NativeHistogram.countOf(snapped)
+            case _ => NativeHistogram.avgOf(snapped)
+          }
+          Processed(Model.withSkey(out))
+        case _ => throw EvalException(s"'$fn' expects a plain instant vector selector")
+      }
+
     case FuncCall(other, _, _) => throw EvalException(s"Cannot handle function '$other'")
   }
 

@@ -96,6 +96,21 @@ class NativeHistogramSpec extends SparkSpec {
     val cl = eng.queryRangeRaw("histogram_quantile(0.5, lat_classic{})", g)
       .select("value").as[Double].collect()
     assert(cl.length == 1 && !cl.head.isNaN)
+    // scalar extracts: sum/count/avg of the snapped distribution
+    val cnt = eng.queryRangeRaw("""histogram_count(lat{h="a"})""", g)
+      .select("value").as[Double].collect()
+    assert(cnt.toSeq == Seq(4.0))
+    val avg = eng.queryRangeRaw("""histogram_avg(lat{h="a"})""", g)
+      .select("value").as[Double].collect().head
+    assert(math.abs(avg - (1.5 + 3.0 + 3.0 + 3.0) / 4.0) < 1e-12)
+    // composes downstream like any vector
+    val doubled = eng.queryRangeRaw("""histogram_sum(lat{h="a"}) * 2""", g)
+      .select("value").as[Double].collect().head
+    assert(math.abs(doubled - 2.0 * (1.5 + 9.0)) < 1e-12)
+    // unregistered metric is an error for the native-only extracts
+    intercept[graft.promql.Eval.EvalException] {
+      eng.queryRangeRaw("histogram_sum(lat_classic{})", g)
+    }
   }
 
   test("merge: sparse union across series, scalar sums, schema guard") {

@@ -109,6 +109,29 @@ class PromApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("native-histogram quantile serves over query_range") {
+    val nh = { // scoped: functions.get would shadow this suite's HTTP get
+      import org.apache.spark.sql.functions.{lit, map}
+      import spark.implicits._
+      val obs = Seq((1704067200.0, 1.0), (1704067200.0, 3.0), (1704067200.0, 3.0))
+        .toDF("ts", "value")
+        .withColumn("labels", map(lit("__name__"), lit("lat_native")))
+      graft.operators.NativeHistogram.fromSamples(Model.withSkey(obs), 0)
+    }
+    val engine = new PromEngine(
+      queries.TsQueries.events(spark, "/root/testdata/sf0.001"))
+      .withNativeHistograms(Map("lat_native" -> nh))
+    val api = PromApi(engine, port = 0).start()
+    try {
+      val (c, body) = get(api.boundPort,
+        "/api/v1/query_range?query=histogram_quantile(0.5,%20lat_native%7B%7D)" +
+          "&start=1704067200&end=1704070800&step=1h")
+      assert(c == 200 && body.contains("\"status\": \"success\""))
+      // schema-0 buckets (0.5,1]=1, (2,4]=2; q=0.5 → rank 1.5 in (2,4]
+      assert(body.contains("1704067200") && body.contains("2.5"))
+    } finally api.stop()
+  }
+
   test("favicon, POST body cap, error JSON shape (main.rs:104,300-318,349)") {
     val engine = new PromEngine(queries.TsQueries.events(spark, "/root/testdata/sf0.001"))
     val api = PromApi(engine, port = 0).start()
