@@ -118,6 +118,48 @@ object Pipeline {
       .join(packed, "doc_id")
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
     stat("corpus", spark.read.parquet(s"$outDir/corpus").count())
+
+    // 8: the data card — what a corpus release ships next to the parquet
+    // (one aggregation job over the emitted corpus; approx percentiles are
+    // the right tool at corpus scale, exactness buys nothing in a summary)
+    writeDataCard(spark, outDir, docs.count())
     corpus
+  }
+
+  /** Aggregate release metadata over `<outDir>/corpus`: language/source
+    * mix, token-count percentiles (of the emitted text), quality-score
+    * quartiles, span-dedup survival, block span. Written as
+    * `<outDir>/datacard.json` (single driver-side JSON — the aggregate is
+    * a handful of rows by construction). */
+  private[graft] def writeDataCard(spark: SparkSession, outDir: String,
+                                   inputRows: Long): Unit = {
+    val c = spark.read.parquet(s"$outDir/corpus")
+      .withColumn("__tok__", Curation.tokCount(col("text_redacted")))
+    val summary = c.agg(
+      count(lit(1)).as("rows"),
+      sum("__tok__").as("total_tokens"),
+      expr("approx_percentile(__tok__, array(0.1, 0.5, 0.9))")
+        .as("tok_p10_p50_p90"),
+      expr("approx_percentile(quality_score, array(0.25, 0.5, 0.75))")
+        .as("quality_quartiles"),
+      avg("span_kept_frac").as("avg_span_kept"),
+      max("last_block").as("max_block")).head()
+    def arr(a: Seq[Any]): String = a.mkString("[", ",", "]")
+    val mixes = Seq("pred_lang", "source").map { dim =>
+      val rows = c.groupBy(dim).count().orderBy(col(dim))
+        .collect().map(r => s""""${r.get(0)}": ${r.getLong(1)}""")
+      s""""${dim}_mix": {${rows.mkString(", ")}}"""
+    }
+    val json =
+      s"""{"input_rows": $inputRows, "rows": ${summary.getLong(0)},
+         |"total_tokens": ${summary.getLong(1)},
+         |"tok_p10_p50_p90": ${arr(summary.getSeq[Any](2))},
+         |"quality_quartiles": ${arr(summary.getSeq[Any](3))},
+         |"avg_span_kept": ${summary.getDouble(4)},
+         |"max_block": ${summary.getLong(5)},
+         |${mixes.mkString(",\n")}}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "datacard.json"), json + "\n")
+    println(s"""{"stage":"datacard","path":"$outDir/datacard.json"}""")
   }
 }

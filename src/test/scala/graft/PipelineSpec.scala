@@ -40,6 +40,16 @@ class PipelineSpec extends SparkSpec {
     val emails = corpus.filter(col("text_redacted").rlike(
       graft.llm.TextAnalysis.EmailRe)).count()
     assert(emails == 0)
+
+    // the data card shipped next to the corpus and is well-formed JSON
+    val cardPath = java.nio.file.Paths.get(out, "datacard.json")
+    assert(java.nio.file.Files.exists(cardPath))
+    val card = spark.read.option("multiLine", true).json(cardPath.toString)
+    val row = card.head()
+    assert(row.getAs[Long]("rows") == n)
+    assert(row.getAs[Long]("total_tokens") > 0)
+    assert(card.columns.contains("pred_lang_mix") &&
+      card.columns.contains("source_mix"))
     corpus.unpersist()
   }
 
