@@ -69,6 +69,20 @@ object AnalyticsQueries {
         (floor(col("ts") / 86400.0).cast(DoubleType) * 86400.0).as("day"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
 
+  /** Backward as-of join: each click enriched with the user's most recent
+    * prior-or-equal purchase (value + its age in seconds). (user_id, ts)
+    * is unique in the events table, so the match is deterministic. */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = TsQueries.rawEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"))
+      .select("event_id", "user_id", "ts", "click_value", "purchase_value")
+  }
+
   def oracleQ1: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
@@ -114,6 +128,15 @@ object AnalyticsQueries {
       |  round(sum(value), 2) AS sum_value
       |FROM s GROUP BY user_id, sno""".stripMargin
 
+  /** DuckDB has a native ASOF JOIN — the ideal independent oracle for the
+    * sort-merge formulation in [[graft.operators.AsofJoin]]. */
+  def oracleEventsAsof: String =
+    """SELECT l.event_id, l.user_id, epoch(l.ts) AS ts,
+      |  l.value AS click_value, r.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
   def oracleEventsWindow: String =
     """SELECT event_type, floor(epoch(ts) / 86400.0) * 86400.0 AS day,
       |  count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -124,6 +147,7 @@ object AnalyticsQueries {
     "q3_join" -> (q3 _),
     "q18_topn" -> (q18 _),
     "events_window" -> (eventsWindow _),
+    "events_asof" -> (eventsAsof _),
     "events_sessionize" -> (eventsSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +155,6 @@ object AnalyticsQueries {
     "q3_join" -> oracleQ3,
     "q18_topn" -> oracleQ18,
     "events_window" -> oracleEventsWindow,
+    "events_asof" -> oracleEventsAsof,
     "events_sessionize" -> oracleEventsSessionize)
 }

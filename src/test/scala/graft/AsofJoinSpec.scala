@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** Backward as-of join (sort-merge formulation) over hand-built frames. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+    (4L, "b", 15.0), (5L, "c", 5.0))
+    .toDF("id", "k", "ts")
+  private val right = Seq(
+    ("a", 10.0, 100.0), ("a", 25.0, 200.0),
+    ("b", 1.0, 300.0), ("b", 15.0, 400.0))
+    .toDF("k", "ts", "v")
+
+  private def run(strict: Boolean = false, tol: Option[Double] = None)
+      : Map[Long, Option[Double]] =
+    AsofJoin.backward(left, right, Seq("k"), strict = strict, tolerance = tol)
+      .select($"id", $"v")
+      .as[(Long, Option[Double])].collect().toMap
+
+  test("inclusive: latest right with ts <= left ts, null when none") {
+    assert(run() === Map(
+      1L -> Some(100.0),  // equal ts matches
+      2L -> Some(100.0),  // 25.0 is in the future
+      3L -> Some(200.0),
+      4L -> Some(400.0),  // equal ts beats the older 1.0 row
+      5L -> None))        // key with no right rows at all
+  }
+
+  test("strict: equal-ts right row is hidden") {
+    assert(run(strict = true)(1L) === None)
+    assert(run(strict = true)(4L) === Some(300.0))
+    assert(run(strict = true)(3L) === Some(200.0))
+  }
+
+  test("tolerance nulls out stale matches but keeps the row") {
+    val m = run(tol = Some(6.0))
+    assert(m(2L) === None)        // gap 10 > 6
+    assert(m(3L) === Some(200.0)) // gap 5 <= 6
+    assert(m.size === 5)          // still left-outer: every left row present
+  }
+
+  test("prefix renames right payload; left columns survive untouched") {
+    val out = AsofJoin.backward(left, right, Seq("k"), prefix = "r_")
+    assert(out.columns.toSeq === Seq("id", "k", "ts", "r_v"))
+    assert(out.count() === 5)
+  }
+
+  test("plan: one exchange on the key, no range-join explosion") {
+    val out = AsofJoin.backward(left, right, Seq("k"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // a single hash-partitioning exchange feeds the window
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1)
+  }
+}
