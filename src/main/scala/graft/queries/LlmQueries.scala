@@ -156,6 +156,13 @@ object LlmQueries {
   def packBlocksQ(spark: SparkSession, dir: String): DataFrame =
     Curation.packSequences(docs(spark, dir), blockSize = 512L)
 
+  /** Isolation probe for the pack_blocks gate: per-doc token counts only,
+    * no cumulative-offset cascade. If the driver disagrees on pack_blocks
+    * but agrees here, the skew is in the window/division arithmetic (or
+    * its result types); if it disagrees here too, it's tokenization. */
+  def packTokQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), Curation.tokCount(col("text")).as("tok"))
+
   /** End-to-end curation pipeline: exact-dedup keepers ∩ quality floor ∩
     * language-ID agreement with the recorded lang column — the composition a
     * training-data pipeline actually ships. One pass over documents, three
@@ -557,18 +564,34 @@ object LlmQueries {
       |LEFT JOIN spans s ON d.doc_id = s.doc_id
       |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
 
+  /** The shared tokenization CTE body of [[oraclePackBlocks]] — also the
+    * whole oracle of the `pack_tok` isolation probe (VERDICT r9 item 1:
+    * localize the driver-only pack_blocks hash skew to tokenization vs
+    * window arithmetic with one driver run). */
+  def oraclePackTok: String =
+    """SELECT doc_id,
+      |    CAST(len(list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS tok FROM documents""".stripMargin
+
   /** The packing oracle is the ONE global window the Spark side avoids
-    * via the bucketed two-phase prefix sum. */
+    * via the bucketed two-phase prefix sum.
+    *
+    * Every output column is explicitly CAST to BIGINT: DuckDB's `sum`
+    * over BIGINT yields HUGEINT (int128), so an un-cast `off` (and the
+    * `off % 512` derived from it) ships as a decimal128 arrow column —
+    * identical VALUES to Spark's int64 but a different physical type,
+    * which a value-hash taken over the raw arrow buffers will miss while
+    * rows and names still "match". This is the only gate oracle that ever
+    * OUTPUT an un-cast windowed sum — prime suspect for the hash-only
+    * driver-red that was locally unreproducible in r8/r9. */
   def oraclePackBlocks: String =
-    s"""WITH t AS (SELECT doc_id,
-       |    CAST(len(list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS tok FROM documents),
+    s"""WITH t AS ($oraclePackTok),
        |c AS (SELECT doc_id, tok,
-       |    coalesce(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
        |  FROM t)
        |SELECT doc_id, tok, off,
        |  CAST(floor(off / 512.0) AS BIGINT) AS first_block,
        |  CAST(greatest(floor((off + tok - 1) / 512.0), floor(off / 512.0)) AS BIGINT) AS last_block,
-       |  off % 512 AS block_offset
+       |  CAST(off % 512 AS BIGINT) AS block_offset
        |FROM c""".stripMargin
 
   def oracleSampleStratified: String =
@@ -729,6 +752,7 @@ object LlmQueries {
     "mix_budget" -> (mixBudgetQ _),
     "dedup_spans" -> (dedupSpansQ _),
     "pack_blocks" -> (packBlocksQ _),
+    "pack_tok" -> (packTokQ _),
     "corpus_curate" -> (corpusCurate _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _))
@@ -759,6 +783,7 @@ object LlmQueries {
     "mix_budget" -> oracleMixBudget,
     "dedup_spans" -> oracleDedupSpans,
     "pack_blocks" -> oraclePackBlocks,
+    "pack_tok" -> oraclePackTok,
     "corpus_curate" -> oracleCorpusCurate,
     "multimodal_meta" -> oracleMultimodalMeta,
     "multimodal_features" -> oracleMultimodalFeatures)
