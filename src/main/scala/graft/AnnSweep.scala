@@ -82,6 +82,16 @@ object AnnSweep {
       println(f"| PQ | m=$m subspaces, $cbk codes, lloyd=$it (${Ann.Dims * 4 / m}x compression) " +
         f"| $r%.3f | $m bytes/vec | $s%.1f |")
     }
+    // IVF×PQ: list pruning AND compressed scoring — recall vs the candidate
+    // fraction an ADC lookup actually sees (the production shape).
+    for ((c, np, ma, m, cbk, it) <- Seq(
+        (64, 4, 2, 8, 64, 0), (64, 4, 2, 8, 256, 0), (128, 4, 2, 8, 256, 0),
+        (64, 8, 2, 8, 256, 0), (64, 4, 2, 8, 256, 3), (128, 4, 2, 16, 256, 3))) {
+      val (r, s, _) = recallAndTime(Ann.ivfPqTopK(emb, queries, 5, c, np, ma,
+        m, cbk, codebookIters = it))
+      println(f"| IVF×PQ | $c cents, nprobe=$np, assign=$ma; m=$m, $cbk codes, lloyd=$it " +
+        f"| $r%.3f | ~${corpusN * np * ma / c} @ $m B/vec | $s%.1f |")
+    }
     spark.stop()
   }
 }

@@ -312,36 +312,55 @@ object Ann {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, codebookSize: Int = 16,
              normalize: Boolean = false, codebookIters: Int = 0): DataFrame = {
+    val cb = pqCodebook(corpus, m, codebookSize, normalize, codebookIters)
+    val codes = pqCodes(corpus, cb, m, normalize)
+    val dtab = pqQueryTable(queries, cb, m, codebookSize, normalize)
+    // ADC against EVERY code vector: correct, and fine as the small-query
+    // gate baseline, but the candidate set is the whole corpus — at scale
+    // use [[ivfPqTopK]], which prunes candidates to the probed IVF lists.
+    val scored = codes.as("c").join(broadcast(dtab.as("q")),
+        col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        adcDistance(col("q.dtab"), col("c.codes"), m, codebookSize).as("dist"))
+    pqRank(scored, k)
+  }
+
+  /** Split every vector into its `m` subvectors: (idCol, sub, sv). */
+  private def pqSubs(df: DataFrame, idCol: String, m: Int,
+                     normalize: Boolean): DataFrame = {
     require(Dims % m == 0, s"m=$m must divide Dims=$Dims")
     val w = Dims / m
-    def subs(df: DataFrame, idCol: String): DataFrame = {
-      val scaled =
-        if (!normalize) df
-        else df.withColumn("embedding", transform(col("embedding"), x =>
-          (x.cast(DoubleType) / sqrt(aggregate(col("embedding"), lit(0.0),
-            (a, y) => a + y.cast(DoubleType) * y.cast(DoubleType)))).cast(FloatType)))
-      scaled
-        .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-        .select(col("vec_id").as(idCol), col("sub"),
-          slice(col("embedding"), col("sub") * w + 1, lit(w)).as("sv"))
-    }
-    // L2² between float subvectors, computed in doubles, fixed fold order
-    def subDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-        (x.cast(DoubleType) - y.cast(DoubleType)) *
-          (x.cast(DoubleType) - y.cast(DoubleType))),
-        lit(0.0), (acc, d) => acc + d)
+    val scaled =
+      if (!normalize) df
+      else df.withColumn("embedding", transform(col("embedding"), x =>
+        (x.cast(DoubleType) / sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, y) => a + y.cast(DoubleType) * y.cast(DoubleType)))).cast(FloatType)))
+    scaled
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id").as(idCol), col("sub"),
+        slice(col("embedding"), col("sub") * w + 1, lit(w)).as("sv"))
+  }
 
-    val cb0 = subs(corpus.filter(col("vec_id") < codebookSize), "code")
+  /** L2² between float subvectors, computed in doubles, fixed fold order. */
+  private def subDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast(DoubleType) - y.cast(DoubleType)) *
+        (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** The (sub, code, cv) codebook: first-`codebookSize` seeding (the
+    * SQL-reproducible gate convention), optionally Lloyd-refined per
+    * subspace — assign every subvector to its nearest code, recompute codes
+    * as element-wise means (posexplode + one bounded groupBy per iteration);
+    * codes that lose all members keep their old position. */
+  private def pqCodebook(corpus: DataFrame, m: Int, codebookSize: Int,
+                         normalize: Boolean, codebookIters: Int): DataFrame = {
+    val cb0 = pqSubs(corpus.filter(col("vec_id") < codebookSize), "code", m, normalize)
       .select(col("code").cast(IntegerType).as("code"), col("sub"),
         col("sv").as("cv"))
-
-    // optional per-subspace k-means: assign every subvector to its nearest
-    // code, recompute codes as element-wise means (posexplode + one bounded
-    // groupBy per iteration); codes that lose all members keep their old
-    // position (the left join + coalesce)
-    val corpusSubs = subs(corpus, "vec_id")
-    val cb = (1 to codebookIters).foldLeft(cb0) { (cur, _) =>
+    if (codebookIters <= 0) return cb0
+    val corpusSubs = pqSubs(corpus, "vec_id", m, normalize)
+    (1 to codebookIters).foldLeft(cb0) { (cur, _) =>
       val d = corpusSubs.join(broadcast(cur), "sub")
         .select(col("vec_id"), col("sub"), col("code"),
           subDist(col("sv"), col("cv")).as("d"))
@@ -358,15 +377,17 @@ object Ann {
       cur.join(means, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"), coalesce(col("ncv"), col("cv")).as("cv"))
     }
+  }
 
-    // encode: per (vec, sub) the closest code in ONE aggregation —
-    // min over struct(d, code) orders lexicographically in both engines
-    // (smallest code wins ties), so the corpus is scanned once, no
-    // min-join-back second pass
-    val dists = corpusSubs.join(broadcast(cb), "sub")
+  /** Encode the corpus: per (vec, sub) the closest code in ONE aggregation —
+    * min over struct(d, code) orders lexicographically in both engines
+    * (smallest code wins ties), so the corpus is scanned once, no
+    * min-join-back second pass. Output: (vec_id, codes array<int>[m]). */
+  private def pqCodes(corpus: DataFrame, cb: DataFrame, m: Int,
+                      normalize: Boolean): DataFrame =
+    pqSubs(corpus, "vec_id", m, normalize).join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         subDist(col("sv"), col("cv")).as("d"))
-    val codes = dists
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("d"), col("code"))).as("best"))
       .groupBy("vec_id")
@@ -374,8 +395,11 @@ object Ann {
         col("best").getField("code").as("code")))).as("cs"))
       .select(col("vec_id"), transform(col("cs"), c => c("code")).as("codes"))
 
-    // per-query distance table to every (sub, code), flattened sub-major
-    val dtab = subs(queries, "query_id").join(broadcast(cb), "sub")
+  /** Per-query ADC distance table to every (sub, code), flattened
+    * sub-major: (query_id, dtab array<double>[m·codebookSize]). */
+  private def pqQueryTable(queries: DataFrame, cb: DataFrame, m: Int,
+                           codebookSize: Int, normalize: Boolean): DataFrame =
+    pqSubs(queries, "query_id", m, normalize).join(broadcast(cb), "sub")
       .select(col("query_id"),
         (col("sub") * codebookSize + col("code")).as("slot"),
         subDist(col("sv"), col("cv")).as("qd"))
@@ -383,18 +407,63 @@ object Ann {
       .agg(sort_array(collect_list(struct(col("slot"), col("qd")))).as("ds"))
       .select(col("query_id"), transform(col("ds"), x => x("qd")).as("dtab"))
 
-    // ADC: m table lookups per (query, candidate)
-    val scored = codes.as("c").join(broadcast(dtab.as("q")),
-        col("q.query_id") =!= col("c.vec_id"))
-      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
-        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(col("q.dtab"),
-            (s * codebookSize + element_at(col("c.codes"), s + 1) + 1)
-              .cast(IntegerType))), 6).as("dist"))
+  /** ADC: m table lookups per (query, candidate), rounded so the rank is
+    * reproducible across engines. */
+  private def adcDistance(dtab: Column, codes: Column, m: Int,
+                          codebookSize: Int): Column =
+    round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(dtab,
+        (s * codebookSize + element_at(codes, s + 1) + 1)
+          .cast(IntegerType))), 6)
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "dist", "rn")
+  }
+
+  /** IVF×PQ — the composition that makes a billion-vector index real: IVF
+    * list pruning picks WHICH vectors to score (candidates ≈
+    * nprobe·multiAssign/nCentroids of the corpus), PQ ADC decides HOW each
+    * candidate is scored (m byte-code lookups against a per-query table
+    * instead of a Dims-mult dot product on the raw floats).
+    *
+    * Plan shape: corpus → IVF lists (one shuffle on cent_id via the
+    * assignment window) joined to its PQ codes on vec_id; the query side —
+    * probes ⋈ per-query distance tables — is tiny and BROADCAST, so
+    * scoring is a broadcast HASH join keyed on cent_id (the fix for
+    * [[pqTopK]]'s full-corpus nested-loop scan). At 100 TB the code table
+    * (m bytes/vector) is the only per-vector state the scoring join
+    * touches; raw embeddings never leave the encode stage.
+    *
+    * Same gate conventions as ann_ivf/ann_pq: first-N centroid seeding,
+    * first-K codebook, unrefined — every float the oracle must reproduce
+    * is a deterministic literal. Production knobs (lloydIters on either
+    * half, normalize, multiAssign) compose exactly as in the halves. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 128, nprobe: Int = 4, multiAssign: Int = 2,
+                m: Int = 8, codebookSize: Int = 16,
+                normalize: Boolean = false, codebookIters: Int = 0): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    val cents = seedCentroids(corpus, nCentroids)
+    val lists = assignTo(corpus, cents, multiAssign).select("vec_id", "cent_id")
+    val cb = pqCodebook(corpus, m, codebookSize, normalize, codebookIters)
+    val codes = pqCodes(corpus, cb, m, normalize)
+    val listCodes = lists.join(codes, "vec_id")
+    val probes = assignTo(queries, cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val qside = probes.join(pqQueryTable(queries, cb, m, codebookSize, normalize),
+      "query_id")
+    val scored0 = listCodes.as("c").join(broadcast(qside.as("q")),
+        col("q.cent_id") === col("c.cent_id") && col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        adcDistance(col("q.dtab"), col("c.codes"), m, codebookSize).as("dist"))
+    // multiAssign > 1 replicates a vector into several lists, so a (query,
+    // candidate) pair can reappear through each shared list; nprobe alone
+    // cannot duplicate (a vector is in exactly one list at multiAssign = 1)
+    val scored = if (multiAssign <= 1) scored0 else scored0.distinct()
+    pqRank(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs within multi-table LSH buckets.

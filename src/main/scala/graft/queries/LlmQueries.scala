@@ -81,6 +81,16 @@ object LlmQueries {
     Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5)
   }
 
+  /** IVF×PQ composed index: first-16 centroids / nprobe 2 / single
+    * assignment (the ann_ivf list conventions) pruning candidates for
+    * 8×16 ADC scoring (the ann_pq code conventions) — the gate pin of the
+    * production billion-vector shape. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 5,
+      nCentroids = 16, nprobe = 2, multiAssign = 1)
+  }
+
   /** Random projection of the 64-dim embeddings to 4 dims (JL transform;
     * plane offset 256 keeps the matrix independent of the LSH tables). */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -374,6 +384,48 @@ object LlmQueries {
        |    round(sum(qd.qdist), 6) AS dist
        |  FROM codes JOIN qd ON qd.sub = codes.sub AND qd.code = codes.code
        |  WHERE qd.query_id <> codes.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
+       |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
+
+  /** IVF×PQ replica: ann_ivf's lists/probes CTEs pick the candidate pairs,
+    * ann_pq's codes/qd CTEs score them — the SQL statement of "PQ scoring
+    * sees only probed-list candidates". */
+  def oracleAnnIvfPq: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+       |gi0 AS (SELECT unnest(range(1, 65)) AS i),
+       |ac AS (SELECT e.vec_id, c.cent_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)) /
+       |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+       |       sqrt(sum(CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)))) AS csim
+       |  FROM embeddings e CROSS JOIN cents c CROSS JOIN gi0 GROUP BY 1, 2),
+       |ranked_ac AS (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk FROM ac),
+       |lists AS (SELECT vec_id, cent_id FROM ranked_ac WHERE rk = 1),
+       |probes AS (SELECT vec_id, cent_id FROM ranked_ac WHERE rk <= 2 AND vec_id < 5),
+       |subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |ji AS (SELECT unnest(range(1, 9)) AS j),
+       |cbk AS (SELECT CAST(vec_id AS INT) AS code, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |cd AS (SELECT vec_id, sub, code, sum(df * df) AS d FROM (
+       |    SELECT e.vec_id, s.sub, c.code,
+       |      CAST(e.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
+       |    FROM embeddings e CROSS JOIN subs s CROSS JOIN cbk c CROSS JOIN ji j)
+       |  GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub,
+       |    (min(struct_pack(d := d, code := code))).code AS code
+       |  FROM cd GROUP BY 1, 2),
+       |qd AS (SELECT query_id, sub, code, sum(df * df) AS qdist FROM (
+       |    SELECT q.vec_id AS query_id, s.sub, c.code,
+       |      CAST(q.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
+       |    FROM embeddings q CROSS JOIN subs s CROSS JOIN cbk c CROSS JOIN ji j
+       |    WHERE q.vec_id < 5)
+       |  GROUP BY 1, 2, 3),
+       |score AS (SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+       |    round(sum(qd.qdist), 6) AS dist
+       |  FROM lists l JOIN probes p ON p.cent_id = l.cent_id AND p.vec_id <> l.vec_id
+       |  JOIN codes ON codes.vec_id = l.vec_id
+       |  JOIN qd ON qd.query_id = p.vec_id AND qd.sub = codes.sub AND qd.code = codes.code
        |  GROUP BY 1, 2),
        |ranked AS (SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
@@ -737,6 +789,7 @@ object LlmQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "decontaminate_embed" -> (decontaminateEmbedQ _),
     "text_lang" -> (textLang _),
     "text_quality" -> (textQuality _),
@@ -768,6 +821,7 @@ object LlmQueries {
     "ann_lsh" -> oracleAnnLsh,
     "ann_ivf" -> oracleAnnIvf,
     "ann_pq" -> oracleAnnPq,
+    "ann_ivfpq" -> oracleAnnIvfPq,
     "decontaminate_embed" -> oracleDecontaminateEmbed,
     "text_lang" -> oracleTextLang,
     "text_quality" -> oracleTextQuality,

@@ -95,6 +95,30 @@ class LlmSpec extends SparkSpec {
     assert(refined.count() == 15)
   }
 
+  test("IVF×PQ: pruned candidates are a subset of full-corpus ADC ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    // nprobe = nCentroids ⇒ every list probed ⇒ identical to full-PQ ADC
+    val full = Ann.pqTopK(emb, q, 5)
+      .select("query_id", "neighbor_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val allProbed = Ann.ivfPqTopK(emb, q, 5, nCentroids = 8, nprobe = 8,
+        multiAssign = 1).select("query_id", "neighbor_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(allProbed == full)
+    // pruned probing returns well-formed ranked rows whose ADC distances
+    // agree with the full table wherever a pair survives the pruning
+    val pruned = Ann.ivfPqTopK(emb, q, 5, nCentroids = 16, nprobe = 2,
+        multiAssign = 2).select("query_id", "neighbor_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(pruned.nonEmpty)
+    val fullDist = full.map(r => (r._1, r._2) -> r._3).toMap
+    pruned.foreach { case (qid, nid, d, rn) =>
+      assert(rn >= 1 && rn <= 5 && qid != nid)
+      fullDist.get((qid, nid)).foreach(fd => assert(fd == d))
+    }
+  }
+
   test("native LSH-bucket expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.functions.HyperplaneBucket.register(spark)
