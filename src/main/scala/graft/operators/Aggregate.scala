@@ -160,19 +160,30 @@ object Aggregate {
   /** `limitk(k, v) by (...)` (Prometheus 3.x experimental): up to k series
     * per group. Prometheus picks an arbitrary-but-stable subset; here the
     * choice is DETERMINISTIC — the k smallest skeys — so the sample is
-    * reproducible across engines and runs (same window shape as topk,
-    * ranked by series key instead of value). */
+    * reproducible across engines and runs.
+    *
+    * The choice depends only on the distinct (group, series) set — NOT on
+    * sample timestamps — so instead of ranking the full frame with a
+    * `(group, ts)` window (a shuffle+sort of every sample, the topk
+    * shape), rank the distinct (group, series) pairs — a frame bounded by
+    * series count, shrunk map-side by partial dedup — and
+    * broadcast-semi-join the ≤ k·groups keepers back. The samples
+    * themselves never shuffle, and the result is the same whether the
+    * input is raw samples or a resampled grid (Eval exploits this by
+    * pushing the filter below the resample). */
   def limitk(df: DataFrame, k: Int, by: Option[(Seq[String], Boolean)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gkey = by match {
       case Some((b, without)) => Model.canonicalKey(retainedMap(b, without))
       case None => lit("")
     }
-    val w = Window.partitionBy(col("__gkey__"), col(Model.TsCol))
-      .orderBy(col(Model.SkeyCol).asc)
-    df.withColumn("__gkey__", gkey)
-      .withColumn("__rn__", row_number().over(w))
+    val keyed = df.withColumn("__gkey__", gkey)
+    val keep = keyed.select(col("__gkey__"), col(Model.SkeyCol)).distinct()
+      .withColumn("__rn__", row_number().over(
+        Window.partitionBy(col("__gkey__")).orderBy(col(Model.SkeyCol).asc)))
       .filter(col("__rn__") <= k)
+      .select(col("__gkey__"), col(Model.SkeyCol))
+    keyed.join(broadcast(keep), Seq("__gkey__", Model.SkeyCol), "left_semi")
       .select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol), col(Model.ValueCol))
   }
 

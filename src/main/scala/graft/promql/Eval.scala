@@ -408,21 +408,32 @@ object Eval {
       }
 
     // limitk/limit_ratio (Prometheus 3.x experimental): series sampling.
+    // Both select SERIES, not samples, and the series set (and every skey)
+    // is invariant under resample — so when the inner expression is a bare
+    // unresampled selector, the filter is PUSHED BELOW the resample: only
+    // the surviving series pay the gridding windows. At 100 TB this is the
+    // difference between resampling every series and resampling k·groups.
     case FuncCall("limitk", args, by) =>
       val (k, inner) = scalarAndVector("limitk", args)
       if (k != math.rint(k) || k < 1) throw EvalException(s"limitk k must be a positive integer, got $k")
       val group = by.map { case ByMod(ls) => (ls, false); case WithoutMod(ls) => (ls, true) }
-      resampled(eval(inner, collection, grid), grid) match {
-        case Processed(df) => Processed(Aggregate.limitk(df, k.toInt, group))
-        case _ => throw EvalException("'limitk' expects an instant vector")
+      eval(inner, collection, grid) match {
+        case Unprocessed(df, offset) => Unprocessed(Aggregate.limitk(df, k.toInt, group), offset)
+        case other => resampled(other, grid) match {
+          case Processed(df) => Processed(Aggregate.limitk(df, k.toInt, group))
+          case _ => throw EvalException("'limitk' expects an instant vector")
+        }
       }
     case FuncCall("limit_ratio", args, agg) =>
       val _ = agg // hash is per-series; grouping cannot change the result
       val (r, inner) = scalarAndVector("limit_ratio", args)
       if (r < -1.0 || r > 1.0) throw EvalException(s"limit_ratio must be in [-1, 1], got $r")
-      resampled(eval(inner, collection, grid), grid) match {
-        case Processed(df) => Processed(Aggregate.limitRatio(df, r))
-        case _ => throw EvalException("'limit_ratio' expects an instant vector")
+      eval(inner, collection, grid) match {
+        case Unprocessed(df, offset) => Unprocessed(Aggregate.limitRatio(df, r), offset)
+        case other => resampled(other, grid) match {
+          case Processed(df) => Processed(Aggregate.limitRatio(df, r))
+          case _ => throw EvalException("'limit_ratio' expects an instant vector")
+        }
       }
 
     case FuncCall("topk", args, by) => evalTopk(args, by, collection, grid, bottom = false)
