@@ -34,9 +34,9 @@ import graft.Model
   *  - [[merge]] is the classic-shape aggregation (sum of histograms
   *    across series): explode the sparse arrays, ONE groupBy on
   *    (group-labels, ts, bucket-idx) — group size bounded by series
-  *    count per bucket — then re-collect the sparse form. Merging
-  *    requires equal `nh_schema` across the group (Prometheus downscales
-  *    mixed schemas; we require homogeneity and fail loudly otherwise).
+  *    count per bucket — then re-collect the sparse form. Mixed schemas
+  *    within a group downscale to the coarsest member (Prometheus
+  *    semantics); a strict mode raises instead.
   */
 object NativeHistogram {
 
@@ -201,39 +201,60 @@ object NativeHistogram {
 
   /** Sum of native histograms across series, `by` retained label names —
     * the `sum by (...)` of the native world. One explode + one groupBy on
-    * (group-labels, ts, bucket-idx) + one sorted re-collect; requires a
-    * homogeneous `nh_schema` within each group (checked per group in the
-    * aggregation — mixed schemas raise rather than silently merging
-    * incompatible bucket boundaries). */
-  def merge(df: DataFrame, by: Seq[String]): DataFrame = {
+    * (group-labels, ts, bucket-idx) + one sorted re-collect.
+    *
+    * Mixed resolutions within a group follow Prometheus: every member is
+    * DOWNSCALED to the group's coarsest schema before bucket counts merge
+    * — `d = s - s_tgt` halvings map bucket `i` to `ceil(i / 2^d)` (each
+    * coarse bucket `(base^(2^d·(j-1)), base^(2^d·j)]` absorbs exactly the
+    * fine buckets with `2^d·(j-1) < i ≤ 2^d·j`; the division is dyadic and
+    * the indexes small, so the double `ceil` is exact). The target schema
+    * is a `min` window over the same (group, ts) partitioning the merge
+    * shuffles on anyway. `downscaleMixed = false` restores the strict
+    * pre-r10 guard: a mixed-schema group raises instead of merging —
+    * for stores where a schema change signals a config error rather than
+    * Prometheus's adaptive bucket scaling. */
+  def merge(df: DataFrame, by: Seq[String],
+            downscaleMixed: Boolean = true): DataFrame = {
     val groupLabels = map_from_arrays(
       array(by.map(lit(_)): _*),
       array(by.map(b => col(Model.LabelsCol).getItem(b)): _*))
     // maps can't be grouping keys — shuffle on the canonical skey of the
     // RETAINED label set (same trick as Aggregate.aggBy), labels ride along
-    val base = df.withColumn("__gl__", groupLabels)
+    val base0 = df.withColumn("__gl__", groupLabels)
       .withColumn("__gk__", Model.canonicalKey(col("__gl__")))
+    val base =
+      if (downscaleMixed)
+        base0.withColumn("__stgt__", min("nh_schema").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__gk__"), col(Model.TsCol))))
+      else base0.withColumn("__stgt__", col("nh_schema"))
     val keyed = base.select(col("__gk__"), col("__gl__"), col(Model.TsCol),
-      col("nh_schema"),
-      explode_outer(arrays_zip(col("nh_pos_idx"), col("nh_pos_cnt"))).as("b"))
-    val bucketAgg = keyed
-      .groupBy(col("__gk__"), col(Model.TsCol), col("b.nh_pos_idx"))
+        col("nh_schema"), col("__stgt__"),
+        explode_outer(arrays_zip(col("nh_pos_idx"), col("nh_pos_cnt"))).as("b"))
+      .withColumn("__ri__", ceil(col("b.nh_pos_idx").cast(DoubleType) /
+        pow(lit(2.0), (col("nh_schema") - col("__stgt__")).cast(DoubleType)))
+        .cast(IntegerType))
+    val bucketAgg0 = keyed
+      .groupBy(col("__gk__"), col(Model.TsCol), col("__ri__"))
       .agg(first("__gl__").as("__gl__"), sum(col("b.nh_pos_cnt")).as("cnt"),
-        min("nh_schema").as("s_min"), max("nh_schema").as("s_max"))
-      // the guard rides the OUTPUT schema column so column pruning can't
-      // drop it: a mixed-schema group raises instead of silently merging
-      // incompatible bucket boundaries
-      .withColumn("s_chk",
-        when(col("s_min") === col("s_max"), col("s_min"))
-          .otherwise(raise_error(concat(lit("mixed nh_schema in merge group: "),
-            col("s_min").cast(StringType), lit(" vs "),
-            col("s_max").cast(StringType))).cast(IntegerType)))
+        min("nh_schema").as("s_min"), max("nh_schema").as("s_max"),
+        first("__stgt__").as("__stgt__"))
+    // in strict mode the guard rides the OUTPUT schema column so column
+    // pruning can't drop it: a mixed-schema group raises instead of
+    // silently merging incompatible bucket boundaries
+    val bucketAgg = bucketAgg0.withColumn("s_chk",
+      if (downscaleMixed) col("__stgt__")
+      else when(col("s_min") === col("s_max"), col("s_min"))
+        .otherwise(raise_error(concat(lit("mixed nh_schema in merge group: "),
+          col("s_min").cast(StringType), lit(" vs "),
+          col("s_max").cast(StringType))).cast(IntegerType)))
     val buckets = bucketAgg
       .groupBy(col("__gk__"), col(Model.TsCol))
       .agg(first("__gl__").as(Model.LabelsCol), first("s_chk").as("nh_schema"),
-        sort_array(collect_list(when(col("nh_pos_idx").isNotNull,
-          struct(col("nh_pos_idx").as("i"), col("cnt").as("c"))))).as("bs"))
-    val scalars = base
+        sort_array(collect_list(when(col("__ri__").isNotNull,
+          struct(col("__ri__").as("i"), col("cnt").as("c"))))).as("bs"))
+    val scalars = base0
       .groupBy(col("__gk__"), col(Model.TsCol))
       .agg(sum("nh_zero_count").as("nh_zero_count"),
         sum("nh_sum").as("nh_sum"), sum("nh_count").as("nh_count"))

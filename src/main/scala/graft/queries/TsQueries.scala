@@ -377,6 +377,38 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
 
+  /** Mixed-resolution native-histogram merge: purchase events synthesize
+    * at schema 3 (base 2^0.125), everything else at schema 2 (base
+    * 2^0.25); merging ALL series per instant downscales the fine half to
+    * the group's coarsest schema (`ceil(i / 2^d)` bucket collapse —
+    * Prometheus semantics) before bucket counts sum. Output: one row per
+    * (instant, merged bucket) plus the distribution scalars. */
+  def nativeMergeMixedQ(spark: SparkSession, dir: String): DataFrame = {
+    val samples = rawEvents(spark, dir).select(
+      col("event_type"),
+      (lit(GridStart) + floor((col("ts") - lit(GridStart)) / Step) * Step)
+        .as(Model.TsCol),
+      col("value").as(Model.ValueCol))
+      .withColumn(Model.LabelsCol, map(
+        lit(Model.NameLabel), lit("events_native"),
+        lit("event_type"), col("event_type")))
+    val fine = NativeHistogram.fromSamples(
+      Model.withSkey(samples.filter(col("event_type") === "purchase")
+        .drop("event_type")), sch = 3)
+    val coarse = NativeHistogram.fromSamples(
+      Model.withSkey(samples.filter(col("event_type") =!= "purchase")
+        .drop("event_type")), sch = 2)
+    val merged = NativeHistogram.merge(fine.unionByName(coarse), by = Seq.empty)
+    merged.select(round(col(Model.TsCol), 6).as("ts"), col("nh_schema"),
+        round(col("nh_zero_count"), 6).as("zero_count"),
+        round(col("nh_sum"), 6).as("hsum"),
+        round(col("nh_count"), 6).as("hcount"),
+        explode(arrays_zip(col("nh_pos_idx"), col("nh_pos_cnt"))).as("b"))
+      .select(col("ts"), col("nh_schema"), col("zero_count"), col("hsum"),
+        col("hcount"), col("b.nh_pos_idx").as("idx"),
+        round(col("b.nh_pos_cnt"), 6).as("cnt"))
+  }
+
   /** Histogram-layout ingestion (#2): a wide per-minute histogram table
     * (Le50/Le100/Le200/count/sum columns) derived from events is classified
     * by TsIngest — buckets get `Le` labels, `Le+Inf` is synthesized from
@@ -776,6 +808,34 @@ object TsQueries {
        |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (zc + cum - cnt)) / cnt)
        |    END, 6) + 0.0 AS value
        |FROM hit WHERE rn = 1""".stripMargin
+
+  /** Mixed-schema merge replica: per-sample bucket index at the series'
+    * own schema, per-instant target = min schema present, remap
+    * `ceil(idx / 2^(s - tgt))`, then count per merged bucket. Counts are
+    * integer-valued doubles (exact in any sum order); nh_sum rounds like
+    * every cross-engine float sum. */
+  def oracleNativeMergeMixed: String =
+    s"""WITH s AS (SELECT event_type,
+       |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 3600.0) * 3600.0 AS gt,
+       |    value AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 3 ELSE 2 END AS sch
+       |  FROM events),
+       |i AS (SELECT event_type, gt, sch, v,
+       |    CASE WHEN v > 0 THEN CAST(ceil(round(log2(v) * pow(2.0, sch), 9)) AS INT) END AS idx FROM s),
+       |tgt AS (SELECT gt, CAST(min(sch) AS INT) AS stgt FROM i GROUP BY 1),
+       |r AS (SELECT i.gt, tgt.stgt,
+       |    CASE WHEN idx IS NOT NULL
+       |      THEN CAST(ceil(CAST(idx AS DOUBLE) / pow(2.0, i.sch - tgt.stgt)) AS INT) END AS ri,
+       |    v FROM i JOIN tgt USING (gt)),
+       |b AS (SELECT gt, stgt, ri, CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM r WHERE ri IS NOT NULL GROUP BY 1, 2, 3),
+       |sc AS (SELECT gt,
+       |    CAST(sum(CASE WHEN ri IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS zc,
+       |    sum(v) AS vs, CAST(count(*) AS DOUBLE) AS total FROM r GROUP BY 1)
+       |SELECT round(b.gt, 6) AS ts, b.stgt AS nh_schema,
+       |  round(sc.zc, 6) AS zero_count, round(sc.vs, 6) AS hsum,
+       |  round(sc.total, 6) AS hcount, b.ri AS idx, round(b.cnt, 6) AS cnt
+       |FROM b JOIN sc USING (gt)""".stripMargin
 
   def oracleRateResets1h: String =
     s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
@@ -1199,6 +1259,7 @@ object TsQueries {
     "changes_1h" -> (changes1h _),
     "rate_resets_1h" -> (rateResets1h _),
     "native_quantile" -> (nativeQuantileQ _),
+    "native_merge_mixed" -> (nativeMergeMixedQ _),
     "irate_resets_1h" -> (irateResets1h _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
@@ -1255,6 +1316,7 @@ object TsQueries {
     "changes_1h" -> oracleChanges1h,
     "rate_resets_1h" -> oracleRateResets1h,
     "native_quantile" -> oracleNativeQuantile,
+    "native_merge_mixed" -> oracleNativeMergeMixed,
     "irate_resets_1h" -> oracleIrateResets1h,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,

@@ -129,12 +129,45 @@ class NativeHistogramSpec extends SparkSpec {
     // zero(1)+b1(2)+b2(1)=4, lands in b3 (4,8] at fraction (4.5-4)/5
     val med = NativeHistogram.quantile(m, 0.5).select("value").as[Double].head()
     assert(math.abs(med - (4.0 + 4.0 * 0.1)) < 1e-12)
-    // mixed schemas in one group must raise, not silently merge
+    // mixed schemas in one group must raise in STRICT mode
     val mixed = frame(Seq(
       (60.0, "a", 0, 0.0, 1.0, 1.0, Seq(1), Seq(1.0)),
       (60.0, "b", 2, 0.0, 1.0, 1.0, Seq(1), Seq(1.0))))
     intercept[Exception] {
-      NativeHistogram.merge(mixed, Seq("app")).collect()
+      NativeHistogram.merge(mixed, Seq("app"), downscaleMixed = false).collect()
     }
+  }
+
+  test("merge: mixed schemas downscale to the group's coarsest (default)") {
+    // a at schema 1 (base √2), b at schema 0 (base 2): target schema 0,
+    // a's buckets collapse pairwise — ceil(i/2): 1,2 → 1; 3,4 → 2
+    val mixed = frame(Seq(
+      (60.0, "a", 1, 1.0, 10.0, 5.0, Seq(1, 2, 3, 4), Seq(1.0, 1.0, 1.0, 1.0)),
+      (60.0, "b", 0, 0.0, 24.0, 12.0, Seq(1, 2), Seq(5.0, 7.0))))
+    val m = NativeHistogram.merge(mixed, Seq("app"))
+    val row = m.select("nh_schema", "nh_zero_count", "nh_sum", "nh_count",
+        "nh_pos_idx", "nh_pos_cnt")
+      .as[(Int, Double, Double, Double, Seq[Int], Seq[Double])].collect()
+    assert(row.length == 1)
+    val (sch, z, s, c, idx, cnt) = row.head
+    assert(sch == 0 && z == 1.0 && s == 34.0 && c == 17.0)
+    assert(idx == Seq(1, 2) && cnt == Seq(7.0, 9.0))
+    // homogeneous groups are untouched by the default mode: same result
+    // as the strict path on the two-series frame above
+    val two = frame(Seq(
+      (60.0, "a", 0, 1.0, 10.0, 5.0, Seq(1, 3), Seq(2.0, 2.0)),
+      (60.0, "b", 0, 0.0, 20.0, 4.0, Seq(2, 3), Seq(1.0, 3.0))))
+    val hom = NativeHistogram.merge(two, Seq("app"))
+      .select("nh_schema", "nh_pos_idx", "nh_pos_cnt")
+      .as[(Int, Seq[Int], Seq[Double])].collect()
+    assert(hom.toSeq == Seq((0, Seq(1, 2, 3), Seq(2.0, 1.0, 5.0))))
+    // negative/zero indexes remap with exact ceil division too:
+    // schema 2 idx -3..0 at target 0 → ceil(i/4): -3,-2,-1,0 → 0
+    val neg = frame(Seq(
+      (60.0, "a", 2, 0.0, 1.0, 4.0, Seq(-3, -2, -1, 0), Seq(1.0, 1.0, 1.0, 1.0)),
+      (60.0, "b", 0, 0.0, 1.0, 1.0, Seq(1), Seq(1.0))))
+    val nm = NativeHistogram.merge(neg, Seq("app"))
+      .select("nh_pos_idx", "nh_pos_cnt").as[(Seq[Int], Seq[Double])].collect()
+    assert(nm.toSeq == Seq((Seq(0, 1), Seq(4.0, 1.0))))
   }
 }
