@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * Right rows must be unique per (keys, rightTs) — pre-aggregate
   * otherwise; with duplicates the winner among equal timestamps is
   * nondeterministic (same contract as DuckDB's ASOF JOIN, the oracle we
-  * gate against).
+  * gate against). Right rows with a null key or null timestamp are
+  * dropped (they can match nothing under SQL semantics); left rows are
+  * always kept — a null left timestamp simply matches nothing.
   */
 object AsofJoin {
 
@@ -38,14 +40,29 @@ object AsofJoin {
     * @return left columns, then each right non-key non-ts column as
     *         `prefix + name` (null where no right row qualifies)
     */
+  private val Reserved = Set("__t", "__side", "__l", "__r", "__m", "__rt")
+
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String = "ts", rightTs: String = "ts", prefix: String = "",
       strict: Boolean = false, tolerance: Option[Double] = None): DataFrame = {
+    val clash = (left.columns ++ right.columns).filter(Reserved)
+    require(clash.isEmpty,
+      s"column name(s) reserved by AsofJoin: ${clash.mkString(", ")}")
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val outNames = left.columns.toSeq ++ payloadCols.map(prefix + _)
+    require(outNames.distinct.length == outNames.length,
+      "output column collision: " +
+        outNames.diff(outNames.distinct).distinct.mkString(", ") +
+        " (set a prefix or rename)")
+    // a right row with a null key or null ts matches no left row under the
+    // SQL as-of contract (comparisons with NULL are never true) — but
+    // unfiltered it would sort to the partition front (nulls-first) and
+    // act as ts = -infinity, or equi-group with null left keys
+    val rValid = (keys :+ rightTs).foldLeft(right)((df, c) => df.filter(col(c).isNotNull))
     // the right ts rides inside the payload struct for the tolerance test
     val rPayload = struct(
       (col(rightTs).cast("double").as("__rt") +: payloadCols.map(col)): _*)
-    val rType = right.select(rPayload).schema.head.dataType
+    val rType = rValid.select(rPayload).schema.head.dataType
     val lStruct = struct(left.columns.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType
 
@@ -56,7 +73,7 @@ object AsofJoin {
       keys.map(col) ++ Seq(col(leftTs).cast("double").as("__t"),
         lit(lTag).as("__side"), lStruct.as("__l"),
         lit(null).cast(rType).as("__r")): _*)
-    val rTagged = right.select(
+    val rTagged = rValid.select(
       keys.map(col) ++ Seq(col(rightTs).cast("double").as("__t"),
         lit(rTag).as("__side"), lit(null).cast(lType).as("__l"),
         rPayload.as("__r")): _*)
@@ -72,6 +89,7 @@ object AsofJoin {
       case None      => col("__m")
     }
     val outRight = payloadCols.map(c => inRange(c).as(prefix + c))
-    matched.select(left.columns.map(c => col(s"__l.$c")) ++ outRight: _*)
+    // getField, not the dotted string path: caller names may contain dots
+    matched.select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++ outRight: _*)
   }
 }

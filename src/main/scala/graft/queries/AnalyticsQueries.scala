@@ -71,17 +71,33 @@ object AnalyticsQueries {
 
   /** Backward as-of join: each click enriched with the user's most recent
     * prior-or-equal purchase (value + its age in seconds). (user_id, ts)
-    * is unique in the events table, so the match is deterministic. */
-  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    * is unique in the events table, so the match is deterministic. The
+    * purchase ts enters as an extra payload column so the age is plain
+    * output arithmetic. */
+  private def asofBase(spark: SparkSession, dir: String,
+                       tolerance: Option[Double]): DataFrame = {
     val ev = TsQueries.rawEvents(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"),
         col("value").as("click_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
-    graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"))
-      .select("event_id", "user_id", "ts", "click_value", "purchase_value")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"),
+        col("ts").as("purchase_ts"))
+    graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+        tolerance = tolerance)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_value"),
+        col("purchase_value"),
+        round(col("ts") - col("purchase_ts"), 6).as("purchase_age"))
   }
+
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame =
+    asofBase(spark, dir, tolerance = None)
+
+  /** Tolerance-gated as-of join: matches older than 2 hours are nulled
+    * (the sensor-staleness contract — "most recent reading, but only if
+    * fresh"). */
+  def eventsAsofTol(spark: SparkSession, dir: String): DataFrame =
+    asofBase(spark, dir, tolerance = Some(7200.0))
 
   def oracleQ1: String =
     """SELECT l_returnflag, l_linestatus,
@@ -132,7 +148,20 @@ object AnalyticsQueries {
     * sort-merge formulation in [[graft.operators.AsofJoin]]. */
   def oracleEventsAsof: String =
     """SELECT l.event_id, l.user_id, epoch(l.ts) AS ts,
-      |  l.value AS click_value, r.value AS purchase_value
+      |  l.value AS click_value, r.value AS purchase_value,
+      |  round(epoch(l.ts) - epoch(r.ts), 6) AS purchase_age
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  /** The tolerance mode stated in SQL: the as-of match stands, then
+    * every right field is nulled when it is older than the bound. */
+  def oracleEventsAsofTol: String =
+    """SELECT l.event_id, l.user_id, epoch(l.ts) AS ts,
+      |  l.value AS click_value,
+      |  CASE WHEN epoch(l.ts) - epoch(r.ts) <= 7200.0 THEN r.value END AS purchase_value,
+      |  CASE WHEN epoch(l.ts) - epoch(r.ts) <= 7200.0
+      |    THEN round(epoch(l.ts) - epoch(r.ts), 6) END AS purchase_age
       |FROM (SELECT * FROM events WHERE event_type = 'click') l
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
@@ -148,6 +177,7 @@ object AnalyticsQueries {
     "q18_topn" -> (q18 _),
     "events_window" -> (eventsWindow _),
     "events_asof" -> (eventsAsof _),
+    "events_asof_tol" -> (eventsAsofTol _),
     "events_sessionize" -> (eventsSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +186,6 @@ object AnalyticsQueries {
     "q18_topn" -> oracleQ18,
     "events_window" -> oracleEventsWindow,
     "events_asof" -> oracleEventsAsof,
+    "events_asof_tol" -> oracleEventsAsofTol,
     "events_sessionize" -> oracleEventsSessionize)
 }

@@ -58,4 +58,30 @@ class AsofJoinSpec extends SparkSpec {
     // a single hash-partitioning exchange feeds the window
     assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1)
   }
+
+  test("null right keys/timestamps match nothing instead of acting as -inf") {
+    import spark.implicits._
+    val nullish = Seq(
+      (Some(1L), Some(1.0), 7.0),   // valid: ts 1, v 7
+      (Some(1L), None, 666.0),      // null ts: would sort to front unfiltered
+      (None, Some(2.0), 667.0))     // null key
+      .toDF("k", "ts", "v")
+    val l = Seq((10L, 1L, 5.0)).toDF("id", "k", "ts")
+    val out = AsofJoin.backward(l, nullish, Seq("k"))
+      .select("id", "v").as[(Long, Option[Double])].collect()
+    assert(out.toSeq === Seq((10L, Some(7.0))))
+  }
+
+  test("reserved and colliding column names are rejected up front") {
+    import spark.implicits._
+    val bad = Seq((1L, 1.0, 2.0)).toDF("k", "ts", "__side")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, bad, Seq("k"))
+    }
+    // right payload 'ts' (under empty prefix) collides with left 'ts'
+    val dup = Seq((1L, 1.0, 2.0)).toDF("k", "ts2", "ts")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, dup, Seq("k"), rightTs = "ts2")
+    }
+  }
 }
