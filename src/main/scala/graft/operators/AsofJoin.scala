@@ -4,11 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: every left row picks the LATEST right row whose
-  * timestamp is `<=` (or `<` in strict mode) its own, per join key — the
-  * canonical "enrich an event with the most recent reading" operator
-  * (events ↔ sensor samples, trades ↔ quotes). The reference engine has no
-  * join surface at all; this is part of the analytics extension.
+/** As-of joins: every left row picks one right row per join key by
+  * temporal proximity — [[backward]] the LATEST right row at-or-before
+  * its timestamp (`<` in strict mode), [[forward]] the EARLIEST
+  * at-or-after, [[nearest]] whichever of the two is closer. The canonical
+  * "enrich an event with the most recent reading" operator family
+  * (events ↔ sensor samples, trades ↔ quotes). The reference engine has
+  * no join surface at all; this is part of the analytics extension.
   *
   * Implementation is the SORT-MERGE formulation, not a range join: both
   * sides are union-tagged and shuffled ONCE on the join keys, and a single
@@ -40,11 +42,14 @@ object AsofJoin {
     * @return left columns, then each right non-key non-ts column as
     *         `prefix + name` (null where no right row qualifies)
     */
-  private val Reserved = Set("__t", "__side", "__l", "__r", "__m", "__rt")
+  private val Reserved = Set("__t", "__side", "__l", "__r", "__m", "__rt", "__mb", "__mf")
 
-  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String = "ts", rightTs: String = "ts", prefix: String = "",
-      strict: Boolean = false, tolerance: Option[Double] = None): DataFrame = {
+  /** The shared union-tag pipeline: validate names, drop unmatchable right
+    * rows, tag both sides, union. `lTag`/`rTag` order equal timestamps
+    * within the window sort. Returns (unioned frame, payload names, lTag). */
+  private def tagUnion(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, prefix: String,
+      lTag: Int, rTag: Int): (DataFrame, Seq[String]) = {
     val clash = (left.columns ++ right.columns).filter(Reserved)
     require(clash.isEmpty,
       s"column name(s) reserved by AsofJoin: ${clash.mkString(", ")}")
@@ -65,10 +70,6 @@ object AsofJoin {
     val rType = rValid.select(rPayload).schema.head.dataType
     val lStruct = struct(left.columns.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType
-
-    // side tags order equal timestamps: inclusive → right first (visible
-    // to a same-ts left row); strict → left first (right hidden)
-    val (lTag, rTag) = if (strict) (0, 1) else (1, 0)
     val lTagged = left.select(
       keys.map(col) ++ Seq(col(leftTs).cast("double").as("__t"),
         lit(lTag).as("__side"), lStruct.as("__l"),
@@ -77,19 +78,93 @@ object AsofJoin {
       keys.map(col) ++ Seq(col(rightTs).cast("double").as("__t"),
         lit(rTag).as("__side"), lit(null).cast(lType).as("__l"),
         rPayload.as("__r")): _*)
+    (lTagged.unionByName(rTagged), payloadCols)
+  }
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lTagged.unionByName(rTagged)
+  /** The ordered per-key window the match expressions run over. */
+  private def keyWindow(keys: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__side"))
+
+  private def finish(matched: DataFrame, leftCols: Seq[String],
+      payloadCols: Seq[String], prefix: String, pick: Column): DataFrame = {
+    val outRight = payloadCols.map(c => pick(c).as(prefix + c))
+    // getField, not the dotted string path: caller names may contain dots
+    matched.select(leftCols.map(c => col("__l").getField(c).as(c)) ++ outRight: _*)
+  }
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String = "ts", rightTs: String = "ts", prefix: String = "",
+      strict: Boolean = false, tolerance: Option[Double] = None): DataFrame = {
+    // side tags order equal timestamps: inclusive → right first (visible
+    // to a same-ts left row); strict → left first (right hidden)
+    val (lTag, rTag) = if (strict) (0, 1) else (1, 0)
+    val (unioned, payloadCols) =
+      tagUnion(left, right, keys, leftTs, rightTs, prefix, lTag, rTag)
+    val w = keyWindow(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === lTag)
     val inRange: Column = tolerance match {
       case Some(tol) => when(col("__t") - col("__m")("__rt") <= tol, col("__m"))
       case None      => col("__m")
     }
-    val outRight = payloadCols.map(c => inRange(c).as(prefix + c))
-    // getField, not the dotted string path: caller names may contain dots
-    matched.select(left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++ outRight: _*)
+    finish(matched, left.columns.toSeq, payloadCols, prefix, inRange)
+  }
+
+  /** Left-outer FORWARD as-of join: the EARLIEST right row with
+    * `right.ts >= left.ts` (`>` in strict mode). Identical plan shape to
+    * [[backward]] — same single exchange and sort, the running frame just
+    * looks ahead (`first` over current→following) instead of behind.
+    * `tolerance` bounds `right.ts - left.ts`. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String = "ts", rightTs: String = "ts", prefix: String = "",
+      strict: Boolean = false, tolerance: Option[Double] = None): DataFrame = {
+    // inclusive → right sorts after left (inside the look-ahead frame);
+    // strict → right sorts before left (hidden from it)
+    val (lTag, rTag) = if (strict) (1, 0) else (0, 1)
+    val (unioned, payloadCols) =
+      tagUnion(left, right, keys, leftTs, rightTs, prefix, lTag, rTag)
+    val w = keyWindow(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lTag)
+    val inRange: Column = tolerance match {
+      case Some(tol) => when(col("__m")("__rt") - col("__t") <= tol, col("__m"))
+      case None      => col("__m")
+    }
+    finish(matched, left.columns.toSeq, payloadCols, prefix, inRange)
+  }
+
+  /** Left-outer NEAREST as-of join: whichever of the backward/forward
+    * candidates is temporally closer (ties → the earlier, i.e. backward,
+    * row — pandas merge_asof semantics). ONE exchange and ONE sort: both
+    * direction frames (running `last` behind, running `first` ahead) ride
+    * the same Window sort, so nearest costs the same shuffle as either
+    * directed join. Equal-ts right rows land in the backward frame only
+    * (age 0 — always the winner), which keeps one consistent ordering
+    * valid for both frames. `tolerance` bounds |left.ts - right.ts|;
+    * out-of-bound candidates are discarded per side BEFORE the pick. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String = "ts", rightTs: String = "ts", prefix: String = "",
+      tolerance: Option[Double] = None): DataFrame = {
+    val (lTag, rTag) = (1, 0) // right first: equal ts visible backward
+    val (unioned, payloadCols) =
+      tagUnion(left, right, keys, leftTs, rightTs, prefix, lTag, rTag)
+    val wb = keyWindow(keys).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = keyWindow(keys).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(col("__r"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === lTag)
+    def gate(m: Column, age: Column): Column = tolerance match {
+      case Some(tol) => when(age <= tol, m)
+      case None      => m
+    }
+    val bw = gate(col("__mb"), col("__t") - col("__mb")("__rt"))
+    val fw = gate(col("__mf"), col("__mf")("__rt") - col("__t"))
+    val pick = when(fw.isNull, bw).when(bw.isNull, fw)
+      .when(col("__t") - bw("__rt") <= fw("__rt") - col("__t"), bw)
+      .otherwise(fw)
+    finish(matched, left.columns.toSeq, payloadCols, prefix, pick)
   }
 }

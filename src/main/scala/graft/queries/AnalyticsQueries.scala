@@ -99,6 +99,35 @@ object AnalyticsQueries {
   def eventsAsofTol(spark: SparkSession, dir: String): DataFrame =
     asofBase(spark, dir, tolerance = Some(7200.0))
 
+  private def asofSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = TsQueries.rawEvents(spark, dir)
+    (ev.filter(col("event_type") === "click")
+       .select(col("event_id"), col("user_id"), col("ts"),
+         col("value").as("click_value")),
+     ev.filter(col("event_type") === "purchase")
+       .select(col("user_id"), col("ts"), col("value").as("purchase_value"),
+         col("ts").as("purchase_ts")))
+  }
+
+  /** FORWARD as-of: each click matched to the user's next purchase. */
+  def eventsAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = asofSides(spark, dir)
+    graft.operators.AsofJoin.forward(clicks, purchases, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_value"),
+        col("purchase_value"),
+        round(col("purchase_ts") - col("ts"), 6).as("purchase_gap"))
+  }
+
+  /** NEAREST as-of: the temporally closest purchase either way (ties →
+    * the earlier one). */
+  def eventsAsofNear(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = asofSides(spark, dir)
+    graft.operators.AsofJoin.nearest(clicks, purchases, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_value"),
+        col("purchase_value"),
+        round(abs(col("purchase_ts") - col("ts")), 6).as("purchase_dist"))
+  }
+
   def oracleQ1: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
@@ -166,6 +195,31 @@ object AnalyticsQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** DuckDB ASOF with the comparison flipped = the forward join. */
+  def oracleEventsAsofFwd: String =
+    """SELECT l.event_id, l.user_id, epoch(l.ts) AS ts,
+      |  l.value AS click_value, r.value AS purchase_value,
+      |  round(epoch(r.ts) - epoch(l.ts), 6) AS purchase_gap
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin
+
+  /** Nearest = both directed ASOF joins + the closer-wins CASE (ties →
+    * backward), stated independently of the engine's one-pass window. */
+  def oracleEventsAsofNear: String =
+    """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+      |r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |bw AS (SELECT l.event_id, r.value AS bv, epoch(l.ts) - epoch(r.ts) AS bage
+      |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+      |fw AS (SELECT l.event_id, r.value AS fv, epoch(r.ts) - epoch(l.ts) AS fage
+      |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+      |SELECT l.event_id, l.user_id, epoch(l.ts) AS ts, l.value AS click_value,
+      |  CASE WHEN fv IS NULL THEN bv WHEN bv IS NULL THEN fv
+      |       WHEN bage <= fage THEN bv ELSE fv END AS purchase_value,
+      |  round(CASE WHEN fv IS NULL THEN bage WHEN bv IS NULL THEN fage
+      |       WHEN bage <= fage THEN bage ELSE fage END, 6) AS purchase_dist
+      |FROM l JOIN bw USING (event_id) JOIN fw USING (event_id)""".stripMargin
+
   def oracleEventsWindow: String =
     """SELECT event_type, floor(epoch(ts) / 86400.0) * 86400.0 AS day,
       |  count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -178,6 +232,8 @@ object AnalyticsQueries {
     "events_window" -> (eventsWindow _),
     "events_asof" -> (eventsAsof _),
     "events_asof_tol" -> (eventsAsofTol _),
+    "events_asof_fwd" -> (eventsAsofFwd _),
+    "events_asof_near" -> (eventsAsofNear _),
     "events_sessionize" -> (eventsSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +243,7 @@ object AnalyticsQueries {
     "events_window" -> oracleEventsWindow,
     "events_asof" -> oracleEventsAsof,
     "events_asof_tol" -> oracleEventsAsofTol,
+    "events_asof_fwd" -> oracleEventsAsofFwd,
+    "events_asof_near" -> oracleEventsAsofNear,
     "events_sessionize" -> oracleEventsSessionize)
 }

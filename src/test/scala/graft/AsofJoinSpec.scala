@@ -59,6 +59,43 @@ class AsofJoinSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1)
   }
 
+  test("forward: earliest right with ts >= left ts; strict hides equal ts") {
+    val fwd = AsofJoin.forward(left, right, Seq("k"))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(fwd === Map(
+      1L -> Some(100.0),  // equal ts matches
+      2L -> Some(200.0),  // next ahead
+      3L -> None,         // nothing in the future
+      4L -> Some(400.0),
+      5L -> None))
+    val strictFwd = AsofJoin.forward(left, right, Seq("k"), strict = true)
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(strictFwd(1L) === Some(200.0) && strictFwd(4L) === None)
+    val tolFwd = AsofJoin.forward(left, right, Seq("k"), tolerance = Some(4.0))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(tolFwd(1L) === Some(100.0) && tolFwd(2L) === None)
+  }
+
+  test("nearest: closer side wins, ties go backward, one sort for both frames") {
+    val l6 = left.union(Seq((6L, "a", 17.5)).toDF("id", "k", "ts"))
+    val out = AsofJoin.nearest(l6, right, Seq("k"))
+    val m = out.select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(m === Map(
+      1L -> Some(100.0),  // age 0 backward
+      2L -> Some(200.0),  // fw age 5 beats bw age 10
+      3L -> Some(200.0),  // only backward exists
+      4L -> Some(400.0),
+      5L -> None,
+      6L -> Some(100.0))) // exact tie (7.5 each) → backward
+    val tol = AsofJoin.nearest(left, right, Seq("k"), tolerance = Some(5.0))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(tol(2L) === Some(200.0) && tol(3L) === Some(200.0) && tol(1L) === Some(100.0))
+    // both direction frames ride ONE sort: a single hash-partitioning
+    // exchange, no self-join of the union
+    val plan = out.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size === 1)
+  }
+
   test("null right keys/timestamps match nothing instead of acting as -inf") {
     import spark.implicits._
     val nullish = Seq(
