@@ -20,11 +20,16 @@ import graft.Model
   *
   * Frame layout (one row per series instant — see [[schema]]):
   *   labels, ts, nh_schema, nh_zero_count, nh_sum, nh_count,
-  *   nh_pos_idx: array<int> (ascending), nh_pos_cnt: array<double>
+  *   nh_pos_idx: array<int> (ascending), nh_pos_cnt: array<double>,
+  *   nh_neg_idx: array<int> (ascending), nh_neg_cnt: array<double>
   *
-  * Negative-spectrum buckets are deliberately out of scope for this first
-  * cut (latency/size metrics — the overwhelming native-histogram use case —
-  * are non-negative); the zero bucket IS handled. Scale story:
+  * The NEGATIVE spectrum mirrors the positive one: bucket `i` covers
+  * `[-base^i, -base^(i-1))`, so a LARGER index is MORE negative and
+  * ascending value order walks the negative indexes DESCENDING. Frames
+  * without the two `nh_neg_*` columns are accepted everywhere and treated
+  * as all-positive ([[normalized]] adds empty arrays), so pre-negative
+  * producers keep working unchanged. The zero bucket sits between the
+  * spectra. Scale story:
   *
   *  - [[quantile]] is MAP-ONLY: the whole distribution rides in-row, so
   *    the bucket walk is an `aggregate()` HOF over the sparse arrays —
@@ -43,7 +48,7 @@ object NativeHistogram {
   /** The canonical column set; a frame is "native-histogram shaped" if it
     * carries these on top of (labels, ts). */
   val Columns: Seq[String] = Seq("nh_schema", "nh_zero_count", "nh_sum",
-    "nh_count", "nh_pos_idx", "nh_pos_cnt")
+    "nh_count", "nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt")
 
   def schema: StructType = StructType(Seq(
     StructField(Model.LabelsCol, MapType(StringType, StringType)),
@@ -51,9 +56,19 @@ object NativeHistogram {
     StructField("nh_schema", IntegerType),      // resolution: base = 2^(2^-schema)
     StructField("nh_zero_count", DoubleType),   // observations in [-zt, zt]
     StructField("nh_sum", DoubleType),
-    StructField("nh_count", DoubleType),        // zero_count + Σ pos counts
+    StructField("nh_count", DoubleType),        // zero + Σ pos + Σ neg counts
     StructField("nh_pos_idx", ArrayType(IntegerType)),  // ascending, sparse
-    StructField("nh_pos_cnt", ArrayType(DoubleType))))
+    StructField("nh_pos_cnt", ArrayType(DoubleType)),
+    StructField("nh_neg_idx", ArrayType(IntegerType)),  // ascending, sparse
+    StructField("nh_neg_cnt", ArrayType(DoubleType))))
+
+  /** Accept frames predating (or not using) the negative spectrum: absent
+    * `nh_neg_*` columns become empty arrays. Pure projection, map-only. */
+  private def normalized(df: DataFrame): DataFrame =
+    if (df.columns.contains("nh_neg_idx")) df
+    else df
+      .withColumn("nh_neg_idx", array().cast(ArrayType(IntegerType)))
+      .withColumn("nh_neg_cnt", array().cast(ArrayType(DoubleType)))
 
   /** Upper bound of bucket `idx` at resolution `sch`: `2^(idx * 2^-sch)`. */
   private def upperBound(idx: Column, sch: Column): Column =
@@ -61,37 +76,43 @@ object NativeHistogram {
 
   /** Synthesize native histograms from raw value samples — the ingest path
     * for stores that only have classic per-observation rows: every
-    * (series, ts) group becomes ONE native-histogram row. `v > 0` lands in
-    * bucket `ceil(log2(v) * 2^sch)`; `v <= 0` goes to the zero bucket (a
-    * simplification of Prometheus's zero-threshold machinery, documented).
+    * (series, ts) group becomes ONE native-histogram row. `|v| > 0` lands
+    * in bucket `ceil(log2(|v|) * 2^sch)` of its sign's spectrum; `v = 0`
+    * goes to the zero bucket (Prometheus's zero-threshold machinery
+    * reduced to an exact-zero threshold, documented).
     *
     * The log2 product is rounded to 9 decimals before ceil so the bucket
     * index is reproducible across engines (libm vs JVM log differ in the
     * last ULP; exact powers of two are exact in both). Two groupBys, both
-    * keyed on the bounded (series, ts[, idx]) — the same shuffle budget as
-    * any sum-by; the sparse arrays come out sorted. */
+    * keyed on the bounded (series, ts[, sign, idx]) — the same shuffle
+    * budget as any sum-by; the sparse arrays come out sorted. */
   def fromSamples(samples: DataFrame, sch: Int): DataFrame = {
-    val idx = ceil(round(log2(col(Model.ValueCol)) * lit(math.pow(2.0, sch)), 9))
+    val idx = ceil(round(log2(abs(col(Model.ValueCol))) * lit(math.pow(2.0, sch)), 9))
       .cast(IntegerType)
     samples
-      .withColumn("__i__", when(col(Model.ValueCol) > 0, idx))
-      .groupBy(col(Model.SkeyCol), col(Model.TsCol), col("__i__"))
+      .withColumn("__sg__", signum(col(Model.ValueCol)).cast(IntegerType))
+      .withColumn("__i__", when(col("__sg__") =!= 0, idx))
+      .groupBy(col(Model.SkeyCol), col(Model.TsCol), col("__sg__"), col("__i__"))
       .agg(first(Model.LabelsCol).as(Model.LabelsCol),
         count(lit(1)).cast(DoubleType).as("cnt"),
         sum(Model.ValueCol).as("vsum"))
       .groupBy(col(Model.SkeyCol), col(Model.TsCol))
       .agg(first(Model.LabelsCol).as(Model.LabelsCol),
-        sum(when(col("__i__").isNull, col("cnt")).otherwise(lit(0.0)))
+        sum(when(col("__sg__") === 0, col("cnt")).otherwise(lit(0.0)))
           .as("nh_zero_count"),
         sum("vsum").as("nh_sum"),
         sum("cnt").as("nh_count"),
-        sort_array(collect_list(when(col("__i__").isNotNull,
-          struct(col("__i__").as("i"), col("cnt").as("c"))))).as("bs"))
+        sort_array(collect_list(when(col("__sg__") === 1,
+          struct(col("__i__").as("i"), col("cnt").as("c"))))).as("pbs"),
+        sort_array(collect_list(when(col("__sg__") === -1,
+          struct(col("__i__").as("i"), col("cnt").as("c"))))).as("nbs"))
       .select(col(Model.LabelsCol), col(Model.TsCol),
         lit(sch).as("nh_schema"), col("nh_zero_count"), col("nh_sum"),
         col("nh_count"),
-        transform(col("bs"), b => b("i")).as("nh_pos_idx"),
-        transform(col("bs"), b => b("c")).as("nh_pos_cnt"))
+        transform(col("pbs"), b => b("i")).as("nh_pos_idx"),
+        transform(col("pbs"), b => b("c")).as("nh_pos_cnt"),
+        transform(col("nbs"), b => b("i")).as("nh_neg_idx"),
+        transform(col("nbs"), b => b("c")).as("nh_neg_cnt"))
   }
 
   /** Snap native-histogram samples onto the query grid: for each (series,
@@ -101,49 +122,72 @@ object NativeHistogram {
     * classic resample) is undefined between whole distributions, so
     * last-known-value is the correct snap. Same bounded windowExplode +
     * one groupBy shape as any `*_over_time`. */
-  def snapToGrid(nh: DataFrame, grid: Grid): DataFrame =
+  def snapToGrid(nh0: DataFrame, grid: Grid): DataFrame = {
+    val nh = normalized(nh0)
     RangeAgg.windowExplode(nh, grid, grid.step)
       .groupBy(col(Model.SkeyCol), col("__k__"))
       .agg(max_by(struct((Model.LabelsCol +: Columns).map(col): _*),
         col(Model.TsCol)).as("h"))
       .select(Seq(col(Model.SkeyCol), RangeAgg.gridTs(grid).as(Model.TsCol)) ++
         (Model.LabelsCol +: Columns).map(c => col(s"h.$c")): _*)
+  }
 
   /** `histogram_quantile(q, <native>)`: per row, locate the bucket whose
-    * cumulative count reaches `rank = q * count` walking zero bucket then
-    * positive buckets ascending, and interpolate linearly inside it
-    * (Prometheus native-histogram interpolation). Edges follow classic
-    * histogram_quantile: q < 0 → -Inf, q > 1 → +Inf, empty → NaN; rank
-    * inside the zero bucket → 0.0; q = 1 → upper bound of the last bucket.
+    * cumulative count reaches `rank = q * count` walking ascending VALUE
+    * order — negative buckets (index DESCENDING: larger index = more
+    * negative), then the zero bucket, then positive buckets ascending —
+    * and interpolate linearly inside it (Prometheus native-histogram
+    * interpolation; a negative bucket `i` spans `[-base^i, -base^(i-1))`).
+    * Edges follow classic histogram_quantile: q < 0 → -Inf, q > 1 → +Inf,
+    * empty → NaN; rank inside the zero bucket → 0.0; q = 1 → upper bound
+    * of the last populated bucket.
     *
     * Map-only: no shuffle, no UDF — one `aggregate()` fold over the
-    * in-row sparse arrays. */
-  def quantile(df: DataFrame, q: Double): DataFrame = {
-    val total = col("nh_zero_count") + coalesce(
-      aggregate(col("nh_pos_cnt"), lit(0.0), (a, x) => a + x), lit(0.0))
+    * in-row sparse arrays (the zero bucket rides as a width-0
+    * pseudo-entry between the spectra). */
+  def quantile(df0: DataFrame, q: Double): DataFrame = {
+    val df = normalized(df0)
+    val total = col("nh_zero_count") +
+      coalesce(aggregate(col("nh_pos_cnt"), lit(0.0), (a, x) => a + x), lit(0.0)) +
+      coalesce(aggregate(col("nh_neg_cnt"), lit(0.0), (a, x) => a + x), lit(0.0))
     val rank = lit(q) * total
+    // ascending-value entry list: (sign, idx, cnt)
+    val entries = concat(
+      reverse(zip_with(col("nh_neg_idx"), col("nh_neg_cnt"),
+        (i, c) => struct(lit(-1).as("s"), i.as("i"), c.as("c")))),
+      array(struct(lit(0).as("s"), lit(0).as("i"),
+        col("nh_zero_count").as("c"))),
+      zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
+        (i, c) => struct(lit(1).as("s"), i.as("i"), c.as("c"))))
     // fold state: (cum count so far, found result or NaN)
-    val init = struct(col("nh_zero_count").as("cum"), when(
-      rank <= col("nh_zero_count") && col("nh_zero_count") > 0, lit(0.0))
-      .otherwise(lit(Double.NaN)).as("res"))
+    val init = struct(lit(0.0).as("cum"), lit(Double.NaN).as("res"))
     val walked = aggregate(
-      zip_with(col("nh_pos_idx"), col("nh_pos_cnt"), (i, c) => struct(i.as("i"), c.as("c"))),
+      entries,
       init,
       (acc, b) => {
-        val lower = upperBound(b("i") - 1, col("nh_schema"))
-        val upper = upperBound(b("i"), col("nh_schema"))
+        val lowerMag = upperBound(b("i") - 1, col("nh_schema"))
+        val upperMag = upperBound(b("i"), col("nh_schema"))
+        val valLo = when(b("s") === -1, -upperMag)
+          .when(b("s") === 0, lit(0.0)).otherwise(lowerMag)
+        val valHi = when(b("s") === -1, -lowerMag)
+          .when(b("s") === 0, lit(0.0)).otherwise(upperMag)
         val within = (rank - acc("cum")) / b("c")
         struct(
           (acc("cum") + b("c")).as("cum"),
           when(isnan(acc("res")) && acc("cum") + b("c") >= rank && b("c") > 0,
-            lower + (upper - lower) * within)
+            valLo + (valHi - valLo) * within)
             .otherwise(acc("res")).as("res"))
       },
       acc => acc("res"))
     // q = 1 lands exactly on the last cumulative count and is found by the
-    // walk; rank beyond total (fp wobble) clamps to the last upper bound.
+    // walk; rank beyond total (fp wobble) clamps to the maximum estimate:
+    // last positive upper bound, else 0 if the zero bucket holds anything,
+    // else the upper edge of the LEAST negative bucket (its first index).
     val lastUpper = when(size(col("nh_pos_idx")) > 0,
       upperBound(element_at(col("nh_pos_idx"), -1), col("nh_schema")))
+      .when(col("nh_zero_count") > 0, lit(0.0))
+      .when(size(col("nh_neg_idx")) > 0,
+        -upperBound(element_at(col("nh_neg_idx"), 1) - 1, col("nh_schema")))
       .otherwise(lit(0.0))
     val value =
       when(lit(q) < 0, lit(Double.NegativeInfinity))
@@ -155,12 +199,14 @@ object NativeHistogram {
 
   private def nullifNaN(c: Column): Column = when(!isnan(c), c)
 
-  /** Estimated count of observations ≤ `x` (positive spectrum + zero
-    * bucket): whole buckets below `x` count fully, the straddling bucket
-    * linearly — each bucket's contribution is independent, so this is an
-    * order-free transform + sum, no walk needed. */
+  /** Estimated count of observations ≤ `x` over BOTH spectra plus the
+    * zero bucket (point mass at 0): whole buckets below `x` count fully,
+    * the straddling bucket linearly — each bucket's contribution is
+    * independent, so this is an order-free transform + sum, no walk
+    * needed. A negative bucket `i` spans value range
+    * `[-base^i, -base^(i-1))`. */
   private def cdfCount(x: Column): Column = {
-    val contribs = transform(
+    val posContribs = transform(
       zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
         (i, c) => struct(i.as("i"), c.as("c"))),
       b => {
@@ -170,9 +216,19 @@ object NativeHistogram {
           .when(lower < x, b("c") * (x - lower) / (upper - lower))
           .otherwise(lit(0.0))
       })
-    when(x < 0, lit(0.0)).otherwise(
-      col("nh_zero_count") + coalesce(
-        aggregate(contribs, lit(0.0), (a, v) => a + v), lit(0.0)))
+    val negContribs = transform(
+      zip_with(col("nh_neg_idx"), col("nh_neg_cnt"),
+        (i, c) => struct(i.as("i"), c.as("c"))),
+      b => {
+        val valLo = -upperBound(b("i"), col("nh_schema"))
+        val valHi = -upperBound(b("i") - 1, col("nh_schema"))
+        when(valHi <= x, b("c"))
+          .when(valLo < x, b("c") * (x - valLo) / (valHi - valLo))
+          .otherwise(lit(0.0))
+      })
+    coalesce(aggregate(negContribs, lit(0.0), (a, v) => a + v), lit(0.0)) +
+      when(x >= 0, col("nh_zero_count")).otherwise(lit(0.0)) +
+      coalesce(aggregate(posContribs, lit(0.0), (a, v) => a + v), lit(0.0))
   }
 
   /** `histogram_fraction(lo, hi, <native>)`: estimated fraction of
@@ -180,9 +236,11 @@ object NativeHistogram {
     * histogram_quantile (Prometheus 2.40+). Map-only like [[quantile]];
     * empty histograms yield NaN (guarded — Spark 4 ANSI would otherwise
     * raise DIVIDE_BY_ZERO). */
-  def fraction(df: DataFrame, lo: Double, hi: Double): DataFrame = {
-    val total = col("nh_zero_count") + coalesce(
-      aggregate(col("nh_pos_cnt"), lit(0.0), (a, x) => a + x), lit(0.0))
+  def fraction(df0: DataFrame, lo: Double, hi: Double): DataFrame = {
+    val df = normalized(df0)
+    val total = col("nh_zero_count") +
+      coalesce(aggregate(col("nh_pos_cnt"), lit(0.0), (a, x) => a + x), lit(0.0)) +
+      coalesce(aggregate(col("nh_neg_cnt"), lit(0.0), (a, x) => a + x), lit(0.0))
     val frac = greatest(cdfCount(lit(hi)) - cdfCount(lit(lo)), lit(0.0)) / total
     df.select(col(Model.LabelsCol), col(Model.TsCol),
       when(total === 0, lit(Double.NaN)).otherwise(frac).as(Model.ValueCol))
@@ -214,8 +272,9 @@ object NativeHistogram {
     * pre-r10 guard: a mixed-schema group raises instead of merging —
     * for stores where a schema change signals a config error rather than
     * Prometheus's adaptive bucket scaling. */
-  def merge(df: DataFrame, by: Seq[String],
+  def merge(df0: DataFrame, by: Seq[String],
             downscaleMixed: Boolean = true): DataFrame = {
+    val df = normalized(df0)
     val groupLabels = map_from_arrays(
       array(by.map(lit(_)): _*),
       array(by.map(b => col(Model.LabelsCol).getItem(b)): _*))
@@ -229,15 +288,22 @@ object NativeHistogram {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("__gk__"), col(Model.TsCol))))
       else base0.withColumn("__stgt__", col("nh_schema"))
+    // both spectra ride one explode, tagged by sign; the downscale remap
+    // ceil(i / 2^d) is the same index arithmetic on either side (negative
+    // bucket magnitudes mirror the positive ones)
+    val entries = concat(
+      zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
+        (i, c) => struct(lit(1).as("sg"), i.as("i"), c.as("c"))),
+      zip_with(col("nh_neg_idx"), col("nh_neg_cnt"),
+        (i, c) => struct(lit(-1).as("sg"), i.as("i"), c.as("c"))))
     val keyed = base.select(col("__gk__"), col("__gl__"), col(Model.TsCol),
-        col("nh_schema"), col("__stgt__"),
-        explode_outer(arrays_zip(col("nh_pos_idx"), col("nh_pos_cnt"))).as("b"))
-      .withColumn("__ri__", ceil(col("b.nh_pos_idx").cast(DoubleType) /
+        col("nh_schema"), col("__stgt__"), explode_outer(entries).as("b"))
+      .withColumn("__ri__", ceil(col("b.i").cast(DoubleType) /
         pow(lit(2.0), (col("nh_schema") - col("__stgt__")).cast(DoubleType)))
         .cast(IntegerType))
     val bucketAgg0 = keyed
-      .groupBy(col("__gk__"), col(Model.TsCol), col("__ri__"))
-      .agg(first("__gl__").as("__gl__"), sum(col("b.nh_pos_cnt")).as("cnt"),
+      .groupBy(col("__gk__"), col(Model.TsCol), col("b.sg"), col("__ri__"))
+      .agg(first("__gl__").as("__gl__"), sum(col("b.c")).as("cnt"),
         min("nh_schema").as("s_min"), max("nh_schema").as("s_max"),
         first("__stgt__").as("__stgt__"))
     // in strict mode the guard rides the OUTPUT schema column so column
@@ -252,8 +318,10 @@ object NativeHistogram {
     val buckets = bucketAgg
       .groupBy(col("__gk__"), col(Model.TsCol))
       .agg(first("__gl__").as(Model.LabelsCol), first("s_chk").as("nh_schema"),
-        sort_array(collect_list(when(col("__ri__").isNotNull,
-          struct(col("__ri__").as("i"), col("cnt").as("c"))))).as("bs"))
+        sort_array(collect_list(when(col("__ri__").isNotNull && col("sg") === 1,
+          struct(col("__ri__").as("i"), col("cnt").as("c"))))).as("pbs"),
+        sort_array(collect_list(when(col("__ri__").isNotNull && col("sg") === -1,
+          struct(col("__ri__").as("i"), col("cnt").as("c"))))).as("nbs"))
     val scalars = base0
       .groupBy(col("__gk__"), col(Model.TsCol))
       .agg(sum("nh_zero_count").as("nh_zero_count"),
@@ -261,7 +329,9 @@ object NativeHistogram {
     buckets.join(scalars, Seq("__gk__", Model.TsCol))
       .select(col(Model.LabelsCol), col(Model.TsCol), col("nh_schema"),
         col("nh_zero_count"), col("nh_sum"), col("nh_count"),
-        transform(col("bs"), b => b("i")).as("nh_pos_idx"),
-        transform(col("bs"), b => b("c")).as("nh_pos_cnt"))
+        transform(col("pbs"), b => b("i")).as("nh_pos_idx"),
+        transform(col("pbs"), b => b("c")).as("nh_pos_cnt"),
+        transform(col("nbs"), b => b("i")).as("nh_neg_idx"),
+        transform(col("nbs"), b => b("c")).as("nh_neg_cnt"))
   }
 }

@@ -377,6 +377,28 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
 
+  /** Signed native-histogram quantile: shifting values by -50 puts real
+    * mass in BOTH spectra (and the occasional exact 50 in the zero
+    * bucket), so the p50 walk crosses negative buckets (index DESCENDING
+    * = ascending value), the zero bucket, and positive buckets in one
+    * fold. */
+  def nativeQuantileSignedQ(spark: SparkSession, dir: String): DataFrame = {
+    val samples = rawEvents(spark, dir).select(
+      col("event_type"),
+      (lit(GridStart) + floor((col("ts") - lit(GridStart)) / Step) * Step)
+        .as(Model.TsCol),
+      (col("value") - 50.0).as(Model.ValueCol))
+      .withColumn(Model.LabelsCol, map(
+        lit(Model.NameLabel), lit("events_native_signed"),
+        lit("event_type"), col("event_type")))
+      .drop("event_type")
+    val nh = NativeHistogram.fromSamples(Model.withSkey(samples), sch = 2)
+    NativeHistogram.quantile(nh, 0.5)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
+  }
+
   /** Mixed-resolution native-histogram merge: purchase events synthesize
     * at schema 3 (base 2^0.125), everything else at schema 2 (base
     * 2^0.25); merging ALL series per instant downscales the fine half to
@@ -806,6 +828,41 @@ object TsQueries {
        |  round(CASE WHEN rk <= zc AND zc > 0 THEN 0.0
        |    ELSE pow(2.0, (idx - 1) * 0.25) +
        |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (zc + cum - cnt)) / cnt)
+       |    END, 6) + 0.0 AS value
+       |FROM hit WHERE rn = 1""".stripMargin
+
+  /** Signed quantile replica: the zero bucket joins the spectra as an
+    * injected `sg = 0` row, the cumulative walk orders by
+    * (sg, sign-flipped idx) = ascending value, and interpolation picks
+    * its bounds per sign. */
+  def oracleNativeQuantileSigned: String =
+    s"""WITH s AS (SELECT event_type,
+       |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 3600.0) * 3600.0 AS gt,
+       |    value - 50.0 AS v FROM events),
+       |i AS (SELECT event_type, gt, v,
+       |    CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sg,
+       |    CASE WHEN v <> 0 THEN CAST(ceil(round(log2(abs(v)) * 4, 9)) AS INT) END AS idx FROM s),
+       |b AS (SELECT event_type, gt, sg, idx, CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM i WHERE sg <> 0 GROUP BY 1, 2, 3, 4),
+       |z AS (SELECT event_type, gt, 0 AS sg, NULL AS idx,
+       |    CAST(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS cnt
+       |  FROM i GROUP BY 1, 2),
+       |tot AS (SELECT event_type, gt, CAST(count(*) AS DOUBLE) AS total
+       |  FROM i GROUP BY 1, 2),
+       |u AS (SELECT * FROM b UNION ALL SELECT * FROM z),
+       |c AS (SELECT u.*, tot.total, 0.5 * tot.total AS rk,
+       |    sum(cnt) OVER (PARTITION BY u.event_type, u.gt
+       |      ORDER BY sg, CASE WHEN sg = -1 THEN -idx ELSE idx END) AS cum
+       |  FROM u JOIN tot USING (event_type, gt)),
+       |hit AS (SELECT *, row_number() OVER (PARTITION BY event_type, gt
+       |    ORDER BY sg, CASE WHEN sg = -1 THEN -idx ELSE idx END) AS rn
+       |  FROM c WHERE cum >= rk AND cnt > 0)
+       |SELECT event_type, round(gt, 6) AS ts,
+       |  round(CASE WHEN sg = 0 THEN 0.0
+       |    WHEN sg = 1 THEN pow(2.0, (idx - 1) * 0.25) +
+       |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (cum - cnt)) / cnt)
+       |    ELSE -pow(2.0, idx * 0.25) +
+       |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (cum - cnt)) / cnt)
        |    END, 6) + 0.0 AS value
        |FROM hit WHERE rn = 1""".stripMargin
 
@@ -1260,6 +1317,7 @@ object TsQueries {
     "rate_resets_1h" -> (rateResets1h _),
     "native_quantile" -> (nativeQuantileQ _),
     "native_merge_mixed" -> (nativeMergeMixedQ _),
+    "native_quantile_signed" -> (nativeQuantileSignedQ _),
     "irate_resets_1h" -> (irateResets1h _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
@@ -1317,6 +1375,7 @@ object TsQueries {
     "rate_resets_1h" -> oracleRateResets1h,
     "native_quantile" -> oracleNativeQuantile,
     "native_merge_mixed" -> oracleNativeMergeMixed,
+    "native_quantile_signed" -> oracleNativeQuantileSigned,
     "irate_resets_1h" -> oracleIrateResets1h,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,

@@ -170,4 +170,53 @@ class NativeHistogramSpec extends SparkSpec {
       .select("nh_pos_idx", "nh_pos_cnt").as[(Seq[Int], Seq[Double])].collect()
     assert(nm.toSeq == Seq((Seq(0, 1), Seq(4.0, 1.0))))
   }
+
+  test("negative spectrum: fromSamples, signed quantile walk, fraction, merge") {
+    // schema 0, base 2: -3 → neg idx 2 ([-4,-2)), -1 → neg idx 0 ([-1,-0.5)),
+    // 0 → zero bucket, 2 → pos idx 1, 8 → pos idx 3
+    val samples = Seq(-3.0, -1.0, 0.0, 2.0, 8.0).map(v => (60.0, v))
+      .toDF("ts", "value")
+      .withColumn("labels", map(lit("__name__"), lit("m")))
+    val nh = NativeHistogram.fromSamples(Model.withSkey(samples), sch = 0)
+    val row = nh.select("nh_zero_count", "nh_count", "nh_sum",
+        "nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt")
+      .as[(Double, Double, Double, Seq[Int], Seq[Double], Seq[Int], Seq[Double])]
+      .collect()
+    assert(row.length == 1)
+    val (z, n, s, pi, pc, ni, nc) = row.head
+    assert(z == 1.0 && n == 5.0 && s == 6.0)
+    assert(pi == Seq(1, 3) && pc == Seq(1.0, 1.0))
+    assert(ni == Seq(0, 2) && nc == Seq(1.0, 1.0))
+    // ascending-value walk: most negative bucket first, zero between spectra
+    def q(p: Double): Double =
+      NativeHistogram.quantile(nh, p).select("value").as[Double].head()
+    assert(math.abs(q(0.1) - -3.0) < 1e-12)  // rank 0.5 mid [-4,-2)
+    assert(math.abs(q(0.3) - -0.75) < 1e-12) // rank 1.5 mid [-1,-0.5)
+    assert(q(0.5) == 0.0)                    // rank 2.5 in the zero bucket
+    assert(math.abs(q(0.8) - 2.0) < 1e-12)   // rank 4 tops (1,2]
+    assert(math.abs(q(1.0) - 8.0) < 1e-12)   // rank 5 tops (4,8]
+    // fraction over a negative range: both neg buckets, nothing else
+    val fr = NativeHistogram.fraction(nh, -4.0, -0.5)
+      .select("value").as[Double].head()
+    assert(math.abs(fr - 0.4) < 1e-12)
+    // merge downscales negative indexes like positive ones:
+    // sch 1 neg (1, 2) → ceil(i/2) = (1, 1) at target sch 0
+    val mixed = frame2(Seq(
+      (60.0, "a", 1, Seq(1, 2), Seq(1.0, 1.0)),
+      (60.0, "b", 0, Seq(1), Seq(5.0))))
+    val nm2 = NativeHistogram.merge(mixed, Seq("app"))
+      .select("nh_schema", "nh_neg_idx", "nh_neg_cnt")
+      .as[(Int, Seq[Int], Seq[Double])].collect()
+    assert(nm2.toSeq == Seq((0, Seq(1), Seq(7.0))))
+  }
+
+  /** Negative-only frame builder (empty positive spectrum). */
+  private def frame2(rows: Seq[(Double, String, Int, Seq[Int], Seq[Double])]): DataFrame =
+    rows.map { case (ts, h, sch, ni, nc) =>
+      (ts, h, sch, 0.0, 0.0, nc.sum, Seq.empty[Int], Seq.empty[Double], ni, nc) }
+      .toDF("ts", "h", "nh_schema", "nh_zero_count", "nh_sum", "nh_count",
+        "nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt")
+      .withColumn("labels",
+        map(lit("__name__"), lit("lat"), lit("app"), lit("x"), lit("h"), col("h")))
+      .drop("h")
 }
