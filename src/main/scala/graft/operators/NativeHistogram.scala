@@ -257,6 +257,33 @@ object NativeHistogram {
   private def scalarOf(df: DataFrame, v: Column): DataFrame =
     df.select(col(Model.LabelsCol), col(Model.TsCol), v.as(Model.ValueCol))
 
+  /** Estimated population variance of the distribution (the
+    * `histogram_stdvar` / `histogram_stddev` extracts, Prometheus 2.40+):
+    * every observation in a bucket is assumed at the bucket's ARITHMETIC
+    * midpoint (negative buckets at the mirrored midpoint, the zero bucket
+    * at 0), the mean is the exact `sum/count`, and
+    * `var = Σ cnt·(mid - mean)² / count`. Map-only like the other
+    * extracts: two in-row folds over the sparse arrays, deterministic
+    * order. Empty histograms yield NaN. */
+  private def varianceCol: Column = {
+    val mean = col("nh_sum") / col("nh_count")
+    def contrib(idxs: Column, cnts: Column, sign: Double): Column =
+      coalesce(aggregate(
+        zip_with(idxs, cnts, (i, c) => struct(i.as("i"), c.as("c"))),
+        lit(0.0),
+        (acc, b) => {
+          val mid = lit(sign) * (upperBound(b("i"), col("nh_schema")) +
+            upperBound(b("i") - 1, col("nh_schema"))) / lit(2.0)
+          acc + b("c") * (mid - mean) * (mid - mean)
+        }), lit(0.0))
+    val sq = contrib(col("nh_pos_idx"), col("nh_pos_cnt"), 1.0) +
+      contrib(col("nh_neg_idx"), col("nh_neg_cnt"), -1.0) +
+      col("nh_zero_count") * mean * mean
+    when(col("nh_count") > 0, sq / col("nh_count")).otherwise(lit(Double.NaN))
+  }
+  def stdvarOf(df: DataFrame): DataFrame = scalarOf(normalized(df), varianceCol)
+  def stddevOf(df: DataFrame): DataFrame = scalarOf(normalized(df), sqrt(varianceCol))
+
   /** Sum of native histograms across series, `by` retained label names —
     * the `sum by (...)` of the native world. One explode + one groupBy on
     * (group-labels, ts, bucket-idx) + one sorted re-collect.

@@ -537,7 +537,8 @@ object Eval {
 
     // Native-histogram scalar extracts (Prometheus 2.40+) — native-only:
     // classic histograms expose _sum/_count SERIES instead.
-    case FuncCall(fn @ ("histogram_sum" | "histogram_count" | "histogram_avg"), args, agg) =>
+    case FuncCall(fn @ ("histogram_sum" | "histogram_count" | "histogram_avg"
+        | "histogram_stddev" | "histogram_stdvar"), args, agg) =>
       if (agg.isDefined) throw EvalException(s"'$fn' expects no aggregation")
       args match {
         case Seq(VectorSel(ms, None, offset)) =>
@@ -553,6 +554,8 @@ object Eval {
           val out = fn match {
             case "histogram_sum" => NativeHistogram.sumOf(snapped)
             case "histogram_count" => NativeHistogram.countOf(snapped)
+            case "histogram_stddev" => NativeHistogram.stddevOf(snapped)
+            case "histogram_stdvar" => NativeHistogram.stdvarOf(snapped)
             case _ => NativeHistogram.avgOf(snapped)
           }
           Processed(Model.withSkey(out))

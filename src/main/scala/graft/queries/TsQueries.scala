@@ -399,6 +399,27 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
 
+  /** histogram_stddev over signed synthesized histograms: bucket-midpoint
+    * variance around the exact mean — the same signed frames as
+    * [[nativeQuantileSignedQ]], so negative midpoints, the zero bucket's
+    * mean² term, and both folds are all exercised. */
+  def nativeStddevQ(spark: SparkSession, dir: String): DataFrame = {
+    val samples = rawEvents(spark, dir).select(
+      col("event_type"),
+      (lit(GridStart) + floor((col("ts") - lit(GridStart)) / Step) * Step)
+        .as(Model.TsCol),
+      (col("value") - 50.0).as(Model.ValueCol))
+      .withColumn(Model.LabelsCol, map(
+        lit(Model.NameLabel), lit("events_native_signed"),
+        lit("event_type"), col("event_type")))
+      .drop("event_type")
+    val nh = NativeHistogram.fromSamples(Model.withSkey(samples), sch = 2)
+    NativeHistogram.stddevOf(nh)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 4)).as("value"))
+  }
+
   /** Mixed-resolution native-histogram merge: purchase events synthesize
     * at schema 3 (base 2^0.125), everything else at schema 2 (base
     * 2^0.25); merging ALL series per instant downscales the fine half to
@@ -866,6 +887,29 @@ object TsQueries {
        |    END, 6) + 0.0 AS value
        |FROM hit WHERE rn = 1""".stripMargin
 
+  /** Bucket-midpoint stddev replica: per-(sign, idx) counts, arithmetic
+    * midpoints (sign-mirrored), exact mean from the raw sums, zero bucket
+    * contributing mean². */
+  def oracleNativeStddev: String =
+    s"""WITH s AS (SELECT event_type,
+       |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 3600.0) * 3600.0 AS gt,
+       |    value - 50.0 AS v FROM events),
+       |i AS (SELECT event_type, gt, v,
+       |    CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sg,
+       |    CASE WHEN v <> 0 THEN CAST(ceil(round(log2(abs(v)) * 4, 9)) AS INT) END AS idx FROM s),
+       |tot AS (SELECT event_type, gt, sum(v) / count(*) AS mean,
+       |    CAST(count(*) AS DOUBLE) AS total,
+       |    CAST(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS zc
+       |  FROM i GROUP BY 1, 2),
+       |b AS (SELECT event_type, gt, sg, idx, CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM i WHERE sg <> 0 GROUP BY 1, 2, 3, 4),
+       |sq AS (SELECT b.event_type, b.gt,
+       |    sum(b.cnt * pow(b.sg * (pow(2.0, b.idx * 0.25) + pow(2.0, (b.idx - 1) * 0.25)) / 2 - tot.mean, 2)) AS sq
+       |  FROM b JOIN tot USING (event_type, gt) GROUP BY 1, 2)
+       |SELECT tot.event_type, round(tot.gt, 6) AS ts,
+       |  round(sqrt((coalesce(sq.sq, 0) + tot.zc * tot.mean * tot.mean) / tot.total), 4) + 0.0 AS value
+       |FROM tot LEFT JOIN sq USING (event_type, gt)""".stripMargin
+
   /** Mixed-schema merge replica: per-sample bucket index at the series'
     * own schema, per-instant target = min schema present, remap
     * `ceil(idx / 2^(s - tgt))`, then count per merged bucket. Counts are
@@ -1318,6 +1362,7 @@ object TsQueries {
     "native_quantile" -> (nativeQuantileQ _),
     "native_merge_mixed" -> (nativeMergeMixedQ _),
     "native_quantile_signed" -> (nativeQuantileSignedQ _),
+    "native_stddev" -> (nativeStddevQ _),
     "irate_resets_1h" -> (irateResets1h _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
@@ -1376,6 +1421,7 @@ object TsQueries {
     "native_quantile" -> oracleNativeQuantile,
     "native_merge_mixed" -> oracleNativeMergeMixed,
     "native_quantile_signed" -> oracleNativeQuantileSigned,
+    "native_stddev" -> oracleNativeStddev,
     "irate_resets_1h" -> oracleIrateResets1h,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,

@@ -103,6 +103,12 @@ class NativeHistogramSpec extends SparkSpec {
     val avg = eng.queryRangeRaw("""histogram_avg(lat{h="a"})""", g)
       .select("value").as[Double].collect().head
     assert(math.abs(avg - (1.5 + 3.0 + 3.0 + 3.0) / 4.0) < 1e-12)
+    val sd = eng.queryRangeRaw("""histogram_stddev(lat{h="a"})""", g)
+      .select("value").as[Double].collect()
+    val sv = eng.queryRangeRaw("""histogram_stdvar(lat{h="a"})""", g)
+      .select("value").as[Double].collect()
+    assert(sd.length == 1 && sv.length == 1 && sd.head >= 0.0)
+    assert(math.abs(math.sqrt(sv.head) - sd.head) < 1e-12)
     // composes downstream like any vector
     val doubled = eng.queryRangeRaw("""histogram_sum(lat{h="a"}) * 2""", g)
       .select("value").as[Double].collect().head
@@ -169,6 +175,22 @@ class NativeHistogramSpec extends SparkSpec {
     val nm = NativeHistogram.merge(neg, Seq("app"))
       .select("nh_pos_idx", "nh_pos_cnt").as[(Seq[Int], Seq[Double])].collect()
     assert(nm.toSeq == Seq((Seq(0, 1), Seq(4.0, 1.0))))
+  }
+
+  test("stddev/stdvar: bucket-midpoint variance around the exact mean") {
+    // schema 0: buckets (1,2] mid 1.5, (2,4] mid 3, (4,8] mid 6; zero at 0
+    val h = frame(Seq((60.0, "a", 0, 2.0, 50.0, 12.0,
+      Seq(1, 2, 3), Seq(2.0, 4.0, 4.0))))
+    val m = 50.0 / 12.0
+    val expectVar = (2.0 * (1.5 - m) * (1.5 - m) + 4.0 * (3.0 - m) * (3.0 - m) +
+      4.0 * (6.0 - m) * (6.0 - m) + 2.0 * m * m) / 12.0
+    val sv = NativeHistogram.stdvarOf(h).select("value").as[Double].head()
+    assert(math.abs(sv - expectVar) < 1e-12)
+    val sd = NativeHistogram.stddevOf(h).select("value").as[Double].head()
+    assert(math.abs(sd - math.sqrt(expectVar)) < 1e-12)
+    // empty histogram → NaN
+    val empty = frame(Seq((60.0, "a", 0, 0.0, 0.0, 0.0, Seq(), Seq())))
+    assert(NativeHistogram.stddevOf(empty).select("value").as[Double].head().isNaN)
   }
 
   test("negative spectrum: fromSamples, signed quantile walk, fraction, merge") {
