@@ -132,6 +132,70 @@ object NativeHistogram {
         (Model.LabelsCol +: Columns).map(c => col(s"h.$c")): _*)
   }
 
+  /** `rate(m[range])` over native-histogram series: for each (series, grid
+    * instant), the BUCKET-WISE per-second delta between the LAST and FIRST
+    * histogram samples in the lookback window — a histogram-valued result
+    * that composes with [[quantile]]/[[fraction]]/the scalar extracts
+    * exactly like a snapped selector (`histogram_quantile(q, rate(m[5m]))`,
+    * the flagship native-histogram query).
+    *
+    * Semantics mirror this engine's classic `rate()` (reference
+    * query.rs simple last-minus-first over the window, no counter-reset
+    * correction — the resets family is the place for that): buckets whose
+    * delta is ≤ 0 drop out of the sparse result, the zero-bucket delta
+    * clamps at 0, `nh_sum` keeps the raw delta, and `nh_count` is rebuilt
+    * as zero + Σ kept buckets so the output is a self-consistent
+    * distribution for the downstream walks. Windows with fewer than two
+    * samples, or whose first/last samples carry different schemas (a
+    * resolution change mid-window), emit nothing.
+    *
+    * Plan shape: the same bounded windowExplode + one groupBy as any
+    * `*_over_time`; the subtraction is in-row map arithmetic over the
+    * sparse arrays — no extra shuffle. */
+  def rate(nh1: DataFrame, grid: Grid, overRange: Double): DataFrame = {
+    val nh0 = normalized(nh1)
+    val nh = if (nh0.columns.contains(Model.SkeyCol)) nh0 else Model.withSkey(nh0)
+    val hCols = (Model.LabelsCol +: Columns).map(col)
+    val paired = RangeAgg.windowExplode(nh, grid, overRange)
+      .groupBy(col(Model.SkeyCol), col("__k__"))
+      .agg(count(lit(1)).as("__n__"),
+        min_by(struct(hCols: _*), col(Model.TsCol)).as("f"),
+        max_by(struct(hCols: _*), col(Model.TsCol)).as("l"))
+      .filter(col("__n__") >= 2 && col("l.nh_schema") === col("f.nh_schema"))
+    val r = lit(overRange)
+    def spectrumDelta(li: Column, lc: Column, fi: Column, fc: Column): Column = {
+      val lm = map_from_arrays(li, lc)
+      val fm = map_from_arrays(fi, fc)
+      val keys = array_sort(array_union(li, fi))
+      filter(transform(keys, k => struct(k.as("i"),
+        ((coalesce(element_at(lm, k), lit(0.0)) -
+          coalesce(element_at(fm, k), lit(0.0))) / r).as("c"))),
+        e => e("c") > 0)
+    }
+    def total(entries: Column): Column =
+      coalesce(aggregate(entries, lit(0.0), (a, e) => a + e("c")), lit(0.0))
+    val pos = spectrumDelta(col("l.nh_pos_idx"), col("l.nh_pos_cnt"),
+      col("f.nh_pos_idx"), col("f.nh_pos_cnt"))
+    val neg = spectrumDelta(col("l.nh_neg_idx"), col("l.nh_neg_cnt"),
+      col("f.nh_neg_idx"), col("f.nh_neg_cnt"))
+    val zero = greatest(
+      (col("l.nh_zero_count") - col("f.nh_zero_count")) / r, lit(0.0))
+    paired
+      .withColumn("__p__", pos).withColumn("__ng__", neg)
+      .select(
+        col(Model.SkeyCol),
+        col(s"l.${Model.LabelsCol}").as(Model.LabelsCol),
+        RangeAgg.gridTs(grid).as(Model.TsCol),
+        col("l.nh_schema").as("nh_schema"),
+        zero.as("nh_zero_count"),
+        ((col("l.nh_sum") - col("f.nh_sum")) / r).as("nh_sum"),
+        (zero + total(col("__p__")) + total(col("__ng__"))).as("nh_count"),
+        transform(col("__p__"), e => e("i")).as("nh_pos_idx"),
+        transform(col("__p__"), e => e("c")).as("nh_pos_cnt"),
+        transform(col("__ng__"), e => e("i")).as("nh_neg_idx"),
+        transform(col("__ng__"), e => e("c")).as("nh_neg_cnt"))
+  }
+
   /** `histogram_quantile(q, <native>)`: per row, locate the bucket whose
     * cumulative count reaches `rank = q * count` walking ascending VALUE
     * order — negative buckets (index DESCENDING: larger index = more

@@ -512,23 +512,13 @@ object Eval {
         case ScalarQ(v) => v
         case _ => throw EvalException("Expected a scalar")
       }
-      // Native-histogram dispatch: an instant selector whose metric name is
-      // registered in the context takes the map-only sparse-bucket walk.
-      val nativeSel = args(1) match {
-        case sel @ VectorSel(ms, None, _) =>
-          ms.collectFirst { case Selector.Eq(l, n)
-            if l == Model.NameLabel && collection.native.contains(n) => (sel, n) }
-        case _ => None
-      }
-      nativeSel match {
-        case Some((VectorSel(ms, _, offset), name)) =>
-          val nh = Model.withSkey(collection.native(name))
-          val filtered = Selector.select(nh, ms)
-          val shifted = offset.fold(filtered)(off => filtered.withColumn(
-            Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
-          val snapped = NativeHistogram.snapToGrid(shifted, grid)
+      // Native-histogram dispatch: an instant selector — or rate() over a
+      // range selector — whose metric name is registered in the context
+      // takes the map-only sparse-bucket walk.
+      nativeGridFrame(args(1), collection, grid) match {
+        case Some(snapped) =>
           Processed(Model.withSkey(NativeHistogram.quantile(snapped, q)))
-        case _ =>
+        case None =>
           resampled(eval(args(1), collection, grid), grid) match {
             case Processed(df) => Processed(HistogramQuantile.quantile(df, q))
             case _ => throw EvalException("resampling failed")
@@ -536,31 +526,25 @@ object Eval {
       }
 
     // Native-histogram scalar extracts (Prometheus 2.40+) — native-only:
-    // classic histograms expose _sum/_count SERIES instead.
+    // classic histograms expose _sum/_count SERIES instead. Each also
+    // accepts rate(m[range]) like histogram_quantile does.
     case FuncCall(fn @ ("histogram_sum" | "histogram_count" | "histogram_avg"
         | "histogram_stddev" | "histogram_stdvar"), args, agg) =>
       if (agg.isDefined) throw EvalException(s"'$fn' expects no aggregation")
-      args match {
-        case Seq(VectorSel(ms, None, offset)) =>
-          val name = ms.collectFirst {
-            case Selector.Eq(l, n) if l == Model.NameLabel => n }
-            .getOrElse(throw EvalException(s"'$fn' needs a metric name selector"))
-          val nh = collection.native.getOrElse(name, throw EvalException(
-            s"'$fn' requires a registered native-histogram metric, got '$name'"))
-          val filtered = Selector.select(Model.withSkey(nh), ms)
-          val shifted = offset.fold(filtered)(off => filtered.withColumn(
-            Model.TsCol, org.apache.spark.sql.functions.col(Model.TsCol) + off))
-          val snapped = NativeHistogram.snapToGrid(shifted, grid)
-          val out = fn match {
-            case "histogram_sum" => NativeHistogram.sumOf(snapped)
-            case "histogram_count" => NativeHistogram.countOf(snapped)
-            case "histogram_stddev" => NativeHistogram.stddevOf(snapped)
-            case "histogram_stdvar" => NativeHistogram.stdvarOf(snapped)
-            case _ => NativeHistogram.avgOf(snapped)
-          }
-          Processed(Model.withSkey(out))
-        case _ => throw EvalException(s"'$fn' expects a plain instant vector selector")
+      val snapped = args match {
+        case Seq(node) => nativeGridFrame(node, collection, grid).getOrElse(
+          throw EvalException(
+            s"'$fn' requires a registered native-histogram metric selector (or rate over one)"))
+        case _ => throw EvalException(s"'$fn' expects a single vector argument")
       }
+      val out = fn match {
+        case "histogram_sum" => NativeHistogram.sumOf(snapped)
+        case "histogram_count" => NativeHistogram.countOf(snapped)
+        case "histogram_stddev" => NativeHistogram.stddevOf(snapped)
+        case "histogram_stdvar" => NativeHistogram.stdvarOf(snapped)
+        case _ => NativeHistogram.avgOf(snapped)
+      }
+      Processed(Model.withSkey(out))
 
     case FuncCall(other, _, _) => throw EvalException(s"Cannot handle function '$other'")
   }
@@ -804,6 +788,30 @@ object Eval {
     // rejects this (query.rs:461-463); supporting it is an extension like
     // `without`.
     case None => (Seq.empty, false)
+  }
+
+  /** Resolve an expression into an ON-GRID native-histogram frame when its
+    * underlying selector names a registered native metric: a bare instant
+    * selector snaps to the grid (staleness lookback = one step);
+    * `rate(sel[range])` produces the windowed bucket-delta rate, already
+    * gridded. None → not native-addressable (callers fall back to the
+    * classic path or raise). */
+  private def nativeGridFrame(node: Node, collection: Ctx, grid: Grid): Option[DataFrame] = {
+    def resolve(ms: Seq[Selector.Matcher], offset: Option[Double]): Option[DataFrame] =
+      ms.collectFirst { case Selector.Eq(l, n)
+          if l == Model.NameLabel && collection.native.contains(n) => n }
+        .map { name =>
+          val filtered = Selector.select(Model.withSkey(collection.native(name)), ms)
+          offset.fold(filtered)(off => filtered.withColumn(Model.TsCol,
+            org.apache.spark.sql.functions.col(Model.TsCol) + off))
+        }
+    node match {
+      case VectorSel(ms, None, offset) =>
+        resolve(ms, offset).map(NativeHistogram.snapToGrid(_, grid))
+      case FuncCall("rate", Seq(VectorSel(ms, Some(r), offset)), None) =>
+        resolve(ms, offset).map(NativeHistogram.rate(_, grid, r))
+      case _ => None
+    }
   }
 
   private def evalAgg(args: Seq[Node], by: Option[AggMod], collection: Ctx,

@@ -420,6 +420,30 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 4)).as("value"))
   }
 
+  /** `histogram_quantile(0.9, rate(m[1h]))` — the flagship native-histogram
+    * composition: per-MINUTE native histograms per event_type, the
+    * bucket-wise last-minus-first window delta over each hourly instant's
+    * 1h lookback, then the p90 walk over the delta distribution. Windows
+    * where every bucket delta is ≤ 0 fall back to the zero bucket (0.0) or
+    * NaN when the whole delta distribution is empty — both asserted by the
+    * oracle. */
+  def nativeRateQuantileQ(spark: SparkSession, dir: String): DataFrame = {
+    val samples = rawEvents(spark, dir).select(
+      col("event_type"),
+      (lit(GridStart) + floor((col("ts") - lit(GridStart)) / 60.0) * 60.0)
+        .as(Model.TsCol),
+      col("value").as(Model.ValueCol))
+      .withColumn(Model.LabelsCol, map(
+        lit(Model.NameLabel), lit("events_native_minute"),
+        lit("event_type"), col("event_type")))
+      .drop("event_type")
+    val nh = NativeHistogram.fromSamples(Model.withSkey(samples), sch = 2)
+    NativeHistogram.quantile(NativeHistogram.rate(nh, grid, 3600.0), 0.9)
+      .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
+        round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
+  }
+
   /** Mixed-resolution native-histogram merge: purchase events synthesize
     * at schema 3 (base 2^0.125), everything else at schema 2 (base
     * 2^0.25); merging ALL series per instant downscales the fine half to
@@ -886,6 +910,57 @@ object TsQueries {
        |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (cum - cnt)) / cnt)
        |    END, 6) + 0.0 AS value
        |FROM hit WHERE rn = 1""".stripMargin
+
+  /** Quantile-of-rate replica: bucket counts per (event_type, minute),
+    * first/last minute per hourly lookback window, per-bucket
+    * (last − first)/range deltas (positives kept, zero delta clamped),
+    * then the cumulative walk. Zero-only and empty windows are emitted
+    * explicitly (0.0 / NaN) to match the engine's quantile edges. */
+  def oracleNativeRateQuantile: String =
+    s"""WITH s AS (SELECT event_type,
+       |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 60.0) * 60.0 AS mt,
+       |    value AS v FROM events),
+       |i AS (SELECT event_type, mt,
+       |    CASE WHEN v > 0 THEN CAST(ceil(round(log2(v) * 4, 9)) AS INT) END AS idx FROM s),
+       |bc AS (SELECT event_type, mt, idx, CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM i WHERE idx IS NOT NULL GROUP BY 1, 2, 3),
+       |zc AS (SELECT event_type, mt,
+       |    CAST(sum(CASE WHEN idx IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS z
+       |  FROM i GROUP BY 1, 2),
+       |gt AS (SELECT 1704067200.0 + unnest(generate_series(0, $GridSteps)) * 3600.0 AS t),
+       |mm AS (SELECT d.event_type, gt.t, min(d.mt) AS mn, max(d.mt) AS mx
+       |  FROM (SELECT DISTINCT event_type, mt FROM s) d
+       |  JOIN gt ON d.mt > gt.t - 3600.0 AND d.mt <= gt.t
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |db AS (SELECT mm.event_type, mm.t, b.idx,
+       |    sum(CASE WHEN b.mt = mm.mx THEN b.cnt ELSE -b.cnt END) / 3600.0 AS dc
+       |  FROM mm JOIN bc b ON b.event_type = mm.event_type AND b.mt IN (mm.mn, mm.mx)
+       |  GROUP BY 1, 2, 3
+       |  HAVING sum(CASE WHEN b.mt = mm.mx THEN b.cnt ELSE -b.cnt END) > 0),
+       |dz AS (SELECT mm.event_type, mm.t,
+       |    greatest(sum(CASE WHEN z.mt = mm.mx THEN z.z ELSE -z.z END) / 3600.0, 0.0) AS z
+       |  FROM mm JOIN zc z ON z.event_type = mm.event_type AND z.mt IN (mm.mn, mm.mx)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT dz.event_type, dz.t, dz.z,
+       |    coalesce(bs.bsum, 0) + dz.z AS total
+       |  FROM dz LEFT JOIN (SELECT event_type, t, sum(dc) AS bsum
+       |    FROM db GROUP BY 1, 2) bs USING (event_type, t)),
+       |c AS (SELECT db.*, sum(dc) OVER (PARTITION BY event_type, t ORDER BY idx) AS cum FROM db),
+       |r AS (SELECT c.event_type, c.t, c.idx, c.dc, c.cum, tot.z,
+       |    0.9 * tot.total AS rk FROM c JOIN tot USING (event_type, t)),
+       |hit AS (SELECT *, row_number() OVER (PARTITION BY event_type, t ORDER BY idx) AS rn
+       |  FROM r WHERE z + cum >= rk AND dc > 0)
+       |SELECT event_type, round(t, 6) AS ts,
+       |  round(CASE WHEN rk <= z AND z > 0 THEN 0.0
+       |    ELSE pow(2.0, (idx - 1) * 0.25) +
+       |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (z + cum - dc)) / dc)
+       |    END, 6) + 0.0 AS value
+       |FROM hit WHERE rn = 1
+       |UNION ALL
+       |SELECT tot.event_type, round(tot.t, 6) AS ts,
+       |  CASE WHEN tot.total > 0 THEN 0.0 ELSE CAST('nan' AS DOUBLE) END AS value
+       |FROM tot LEFT JOIN (SELECT DISTINCT event_type, t FROM db) d USING (event_type, t)
+       |WHERE d.t IS NULL""".stripMargin
 
   /** Bucket-midpoint stddev replica: per-(sign, idx) counts, arithmetic
     * midpoints (sign-mirrored), exact mean from the raw sums, zero bucket
@@ -1363,6 +1438,7 @@ object TsQueries {
     "native_merge_mixed" -> (nativeMergeMixedQ _),
     "native_quantile_signed" -> (nativeQuantileSignedQ _),
     "native_stddev" -> (nativeStddevQ _),
+    "native_rate_quantile" -> (nativeRateQuantileQ _),
     "irate_resets_1h" -> (irateResets1h _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
@@ -1422,6 +1498,7 @@ object TsQueries {
     "native_merge_mixed" -> oracleNativeMergeMixed,
     "native_quantile_signed" -> oracleNativeQuantileSigned,
     "native_stddev" -> oracleNativeStddev,
+    "native_rate_quantile" -> oracleNativeRateQuantile,
     "irate_resets_1h" -> oracleIrateResets1h,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,

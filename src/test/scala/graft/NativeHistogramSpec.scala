@@ -117,6 +117,18 @@ class NativeHistogramSpec extends SparkSpec {
     intercept[graft.promql.Eval.EvalException] {
       eng.queryRangeRaw("histogram_sum(lat_classic{})", g)
     }
+    // rate() composes with the walks and extracts: series a's 1h window
+    // holds the ts=1800 histogram {b1: 1} and ts=3600 {b1: 1, b2: 3} —
+    // b1's delta 0 drops out, b2 carries 3/3600 obs/s, so the delta
+    // distribution is a single (2,4] bucket: p50 = 3.0
+    val rq = eng.queryRangeRaw("""histogram_quantile(0.5, rate(lat{h="a"}[1h]))""", g)
+      .select("ts", "value").as[(Double, Double)].collect()
+    assert(rq.toSeq == Seq((3600.0, 3.0)))
+    val rc = eng.queryRangeRaw("""histogram_count(rate(lat{h="a"}[1h]))""", g)
+      .select("value").as[Double].collect()
+    assert(rc.length == 1 && math.abs(rc.head - 3.0 / 3600.0) < 1e-15)
+    // single-sample windows emit nothing (rate needs two histograms)
+    assert(eng.queryRangeRaw("""histogram_count(rate(lat{h="b"}[1h]))""", g).count() == 0)
   }
 
   test("merge: sparse union across series, scalar sums, schema guard") {
