@@ -68,7 +68,7 @@ object AsofJoin {
     val rPayload = struct(
       (col(rightTs).cast("double").as("__rt") +: payloadCols.map(col)): _*)
     val rType = rValid.select(rPayload).schema.head.dataType
-    val lStruct = struct(left.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType
     val lTagged = left.select(
       keys.map(col) ++ Seq(col(leftTs).cast("double").as("__t"),

@@ -152,7 +152,16 @@ object NativeHistogram {
     * Plan shape: the same bounded windowExplode + one groupBy as any
     * `*_over_time`; the subtraction is in-row map arithmetic over the
     * sparse arrays — no extra shuffle. */
-  def rate(nh1: DataFrame, grid: Grid, overRange: Double): DataFrame = {
+  def rate(nh1: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    windowDelta(nh1, grid, overRange, overRange)
+
+  /** `increase(m[range])`: the same bucket-wise window delta as [[rate]]
+    * but un-normalized (counts, not counts/second) — rate × range. */
+  def increase(nh1: DataFrame, grid: Grid, overRange: Double): DataFrame =
+    windowDelta(nh1, grid, overRange, 1.0)
+
+  private def windowDelta(nh1: DataFrame, grid: Grid, overRange: Double,
+                          divisor: Double): DataFrame = {
     val nh0 = normalized(nh1)
     val nh = if (nh0.columns.contains(Model.SkeyCol)) nh0 else Model.withSkey(nh0)
     val hCols = (Model.LabelsCol +: Columns).map(col)
@@ -162,7 +171,7 @@ object NativeHistogram {
         min_by(struct(hCols: _*), col(Model.TsCol)).as("f"),
         max_by(struct(hCols: _*), col(Model.TsCol)).as("l"))
       .filter(col("__n__") >= 2 && col("l.nh_schema") === col("f.nh_schema"))
-    val r = lit(overRange)
+    val r = lit(divisor)
     def spectrumDelta(li: Column, lc: Column, fi: Column, fc: Column): Column = {
       val lm = map_from_arrays(li, lc)
       val fm = map_from_arrays(fi, fc)

@@ -525,6 +525,28 @@ object Eval {
           }
       }
 
+    // histogram_fraction(lo, hi, v) (Prometheus 2.40+) — native-only: the
+    // estimated share of observations in [lo, hi], same CDF machinery as
+    // the quantile walk; accepts the same inner shapes (selector, rate,
+    // increase, sum by) as histogram_quantile.
+    case FuncCall("histogram_fraction", args, agg) =>
+      if (args.length != 3)
+        throw EvalException(s"'histogram_fraction' needs exactly 3 arguments, got ${args.length}")
+      if (agg.isDefined)
+        throw EvalException("'histogram_fraction' expects no aggregation")
+      def scalarArg(n: Node, which: String): Double = eval(n, collection, grid) match {
+        case ScalarQ(v) => v
+        case _ => throw EvalException(s"'histogram_fraction' $which bound must be a scalar")
+      }
+      val lo = scalarArg(args(0), "lower")
+      val hi = scalarArg(args(1), "upper")
+      nativeGridFrame(args(2), collection, grid) match {
+        case Some(snapped) =>
+          Processed(Model.withSkey(NativeHistogram.fraction(snapped, lo, hi)))
+        case None => throw EvalException(
+          "'histogram_fraction' requires a registered native-histogram metric selector (or rate/increase/sum over one)")
+      }
+
     // Native-histogram scalar extracts (Prometheus 2.40+) — native-only:
     // classic histograms expose _sum/_count SERIES instead. Each also
     // accepts rate(m[range]) like histogram_quantile does.
@@ -559,7 +581,7 @@ object Eval {
         Processed(fn(df, grid, overRange, offset.getOrElse(0.0)))
       case Unprocessed(_, _) => throw EvalException("'rate' requires a vectorized time series")
       case Processed(_) => throw EvalException("'rate' cannot process the processed yet")
-      case ScalarQ(_) => throw EvalException("The rate over a scalar is not meaningful")
+      case ScalarQ(_) | StepScalar(_) => throw EvalException("The rate over a scalar is not meaningful")
     }
   }
 
@@ -810,6 +832,20 @@ object Eval {
         resolve(ms, offset).map(NativeHistogram.snapToGrid(_, grid))
       case FuncCall("rate", Seq(VectorSel(ms, Some(r), offset)), None) =>
         resolve(ms, offset).map(NativeHistogram.rate(_, grid, r))
+      case FuncCall("increase", Seq(VectorSel(ms, Some(r), offset)), None) =>
+        resolve(ms, offset).map(NativeHistogram.increase(_, grid, r))
+      // sum [by (...)] over a native frame merges whole distributions —
+      // the canonical histogram_quantile(q, sum by (l) (rate(m[5m]))).
+      case FuncCall("sum", Seq(inner), byMod) =>
+        nativeGridFrame(inner, collection, grid).map { nhf =>
+          val by = byMod match {
+            case None => Seq.empty[String]
+            case Some(ByMod(ls)) => ls
+            case Some(WithoutMod(_)) => throw EvalException(
+              "sum without (...) over native histograms is not supported; list the labels to keep with by (...)")
+          }
+          NativeHistogram.merge(nhf, by)
+        }
       case _ => None
     }
   }

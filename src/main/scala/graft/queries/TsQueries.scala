@@ -427,7 +427,7 @@ object TsQueries {
     * where every bucket delta is ≤ 0 fall back to the zero bucket (0.0) or
     * NaN when the whole delta distribution is empty — both asserted by the
     * oracle. */
-  def nativeRateQuantileQ(spark: SparkSession, dir: String): DataFrame = {
+  private def nativeMinuteNh(spark: SparkSession, dir: String): DataFrame = {
     val samples = rawEvents(spark, dir).select(
       col("event_type"),
       (lit(GridStart) + floor((col("ts") - lit(GridStart)) / 60.0) * 60.0)
@@ -437,12 +437,25 @@ object TsQueries {
         lit(Model.NameLabel), lit("events_native_minute"),
         lit("event_type"), col("event_type")))
       .drop("event_type")
-    val nh = NativeHistogram.fromSamples(Model.withSkey(samples), sch = 2)
-    NativeHistogram.quantile(NativeHistogram.rate(nh, grid, 3600.0), 0.9)
+    NativeHistogram.fromSamples(Model.withSkey(samples), sch = 2)
+  }
+
+  def nativeRateQuantileQ(spark: SparkSession, dir: String): DataFrame =
+    NativeHistogram.quantile(
+        NativeHistogram.rate(nativeMinuteNh(spark, dir), grid, 3600.0), 0.9)
       .select(col(Model.LabelsCol).getItem("event_type").as("event_type"),
         round(col(Model.TsCol), 6).as("ts"),
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
-  }
+
+  /** `histogram_quantile(0.9, sum(rate(m[1h])))` — per-series window
+    * deltas merged across every series per instant, then one walk. */
+  def nativeSumRateQuantileQ(spark: SparkSession, dir: String): DataFrame =
+    NativeHistogram.quantile(
+        NativeHistogram.merge(
+          NativeHistogram.rate(nativeMinuteNh(spark, dir), grid, 3600.0),
+          Seq.empty), 0.9)
+      .select(round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
 
   /** Mixed-resolution native-histogram merge: purchase events synthesize
     * at schema 3 (base 2^0.125), everything else at schema 2 (base
@@ -916,8 +929,11 @@ object TsQueries {
     * (last − first)/range deltas (positives kept, zero delta clamped),
     * then the cumulative walk. Zero-only and empty windows are emitted
     * explicitly (0.0 / NaN) to match the engine's quantile edges. */
-  def oracleNativeRateQuantile: String =
-    s"""WITH s AS (SELECT event_type,
+  /** Shared CTE prefix for the native-rate oracles: per-minute bucket
+    * counts, per-window first/last minutes, per-series bucket deltas
+    * (`db`, positives kept) and clamped zero deltas (`dz`). */
+  private def nativeRateCtes: String =
+    s"""s AS (SELECT event_type,
        |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 60.0) * 60.0 AS mt,
        |    value AS v FROM events),
        |i AS (SELECT event_type, mt,
@@ -940,7 +956,10 @@ object TsQueries {
        |dz AS (SELECT mm.event_type, mm.t,
        |    greatest(sum(CASE WHEN z.mt = mm.mx THEN z.z ELSE -z.z END) / 3600.0, 0.0) AS z
        |  FROM mm JOIN zc z ON z.event_type = mm.event_type AND z.mt IN (mm.mn, mm.mx)
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def oracleNativeRateQuantile: String =
+    s"""WITH $nativeRateCtes,
        |tot AS (SELECT dz.event_type, dz.t, dz.z,
        |    coalesce(bs.bsum, 0) + dz.z AS total
        |  FROM dz LEFT JOIN (SELECT event_type, t, sum(dc) AS bsum
@@ -960,6 +979,31 @@ object TsQueries {
        |SELECT tot.event_type, round(tot.t, 6) AS ts,
        |  CASE WHEN tot.total > 0 THEN 0.0 ELSE CAST('nan' AS DOUBLE) END AS value
        |FROM tot LEFT JOIN (SELECT DISTINCT event_type, t FROM db) d USING (event_type, t)
+       |WHERE d.t IS NULL""".stripMargin
+
+  /** sum(rate(...)) replica: per-series deltas aggregated across series
+    * per (instant, bucket), then the same walk with no event_type key. */
+  def oracleNativeSumRateQuantile: String =
+    s"""WITH $nativeRateCtes,
+       |sdb AS (SELECT t, idx, sum(dc) AS dc FROM db GROUP BY 1, 2),
+       |sdz AS (SELECT t, sum(z) AS z FROM dz GROUP BY 1),
+       |stot AS (SELECT sdz.t, sdz.z, coalesce(bs.bsum, 0) + sdz.z AS total
+       |  FROM sdz LEFT JOIN (SELECT t, sum(dc) AS bsum FROM sdb GROUP BY 1) bs USING (t)),
+       |c AS (SELECT sdb.*, sum(dc) OVER (PARTITION BY t ORDER BY idx) AS cum FROM sdb),
+       |r AS (SELECT c.t, c.idx, c.dc, c.cum, stot.z, 0.9 * stot.total AS rk
+       |  FROM c JOIN stot USING (t)),
+       |hit AS (SELECT *, row_number() OVER (PARTITION BY t ORDER BY idx) AS rn
+       |  FROM r WHERE z + cum >= rk AND dc > 0)
+       |SELECT round(t, 6) AS ts,
+       |  round(CASE WHEN rk <= z AND z > 0 THEN 0.0
+       |    ELSE pow(2.0, (idx - 1) * 0.25) +
+       |      (pow(2.0, idx * 0.25) - pow(2.0, (idx - 1) * 0.25)) * ((rk - (z + cum - dc)) / dc)
+       |    END, 6) + 0.0 AS value
+       |FROM hit WHERE rn = 1
+       |UNION ALL
+       |SELECT round(stot.t, 6) AS ts,
+       |  CASE WHEN stot.total > 0 THEN 0.0 ELSE CAST('nan' AS DOUBLE) END AS value
+       |FROM stot LEFT JOIN (SELECT DISTINCT t FROM sdb) d USING (t)
        |WHERE d.t IS NULL""".stripMargin
 
   /** Bucket-midpoint stddev replica: per-(sign, idx) counts, arithmetic
@@ -1439,6 +1483,7 @@ object TsQueries {
     "native_quantile_signed" -> (nativeQuantileSignedQ _),
     "native_stddev" -> (nativeStddevQ _),
     "native_rate_quantile" -> (nativeRateQuantileQ _),
+    "native_sum_rate_quantile" -> (nativeSumRateQuantileQ _),
     "irate_resets_1h" -> (irateResets1h _),
     "predict_linear_1h" -> (predictLinear1h _),
     "stddev_by" -> (stddevBy _),
@@ -1499,6 +1544,7 @@ object TsQueries {
     "native_quantile_signed" -> oracleNativeQuantileSigned,
     "native_stddev" -> oracleNativeStddev,
     "native_rate_quantile" -> oracleNativeRateQuantile,
+    "native_sum_rate_quantile" -> oracleNativeSumRateQuantile,
     "irate_resets_1h" -> oracleIrateResets1h,
     "predict_linear_1h" -> oraclePredictLinear1h,
     "stddev_by" -> oracleStddevBy,

@@ -129,6 +129,23 @@ class NativeHistogramSpec extends SparkSpec {
     assert(rc.length == 1 && math.abs(rc.head - 3.0 / 3600.0) < 1e-15)
     // single-sample windows emit nothing (rate needs two histograms)
     assert(eng.queryRangeRaw("""histogram_count(rate(lat{h="b"}[1h]))""", g).count() == 0)
+    // increase = rate un-normalized: count delta is 3 observations
+    val ic = eng.queryRangeRaw("""histogram_count(increase(lat{h="a"}[1h]))""", g)
+      .select("value").as[Double].collect()
+    assert(ic.toSeq == Seq(3.0))
+    // histogram_fraction over the snapped selector: series a at 3600 is
+    // {(1,2]: 1, (2,4]: 3}; [0,2] captures exactly the first bucket
+    val fr = eng.queryRangeRaw("""histogram_fraction(0, 2, lat{h="a"})""", g)
+      .select("value").as[Double].collect()
+    assert(fr.length == 1 && math.abs(fr.head - 0.25) < 1e-12)
+    // sum(rate(...)) merges the per-series delta distributions: only
+    // series a has a 2-sample window, so p50 of the merged delta = 3.0
+    val sr = eng.queryRangeRaw("""histogram_quantile(0.5, sum(rate(lat{}[1h])))""", g)
+      .select("value").as[Double].collect()
+    assert(sr.toSeq == Seq(3.0))
+    val srBy = eng.queryRangeRaw("""histogram_quantile(0.5, sum(rate(lat{}[1h])) by (h))""", g)
+      .select("value").as[Double].collect()
+    assert(srBy.toSeq == Seq(3.0))
   }
 
   test("merge: sparse union across series, scalar sums, schema guard") {
