@@ -290,4 +290,84 @@ object Curation {
     full.select("source", "doc_id", "tok")
       .unionByName(boundary.select("source", "doc_id", "tok"))
   }
+
+  /** Temperature-flattened mixture sampling (the XLM-R / Pile mixing
+    * knob): target source shares q_s ∝ m_s^alpha where m_s is the
+    * source's token mass — alpha = 1 keeps natural proportions, alpha → 0
+    * flattens toward uniform, lifting low-resource sources. Each doc is
+    * then kept by a deterministic md5 draw at its source's keep-rate
+    * `min(1, budget·q_s / m_s)`, so the realized corpus approximates
+    * `budget` tokens at the flattened shares while staying reproducible
+    * row-for-row across engines and re-runs (no RNG state).
+    *
+    * Plan shape: one groupBy(source) over token counts (tiny,
+    * map-side-combined), the share arithmetic as a window over that
+    * ≤|sources|-row frame, then a broadcast join back — the corpus is
+    * scanned once and never shuffled. Rates are pre-rounded to 9 decimals
+    * so the keep/drop comparison never sits on a cross-engine pow() ULP.
+    * Output: kept (source, doc_id, tok, rate9). */
+  def mixByTemperature(docs: DataFrame, alpha: Double, budget: Long): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("source"),
+      tokCount(col("text")).as("tok"),
+      (pmod(conv(substring(md5(col("text").cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType), lit(16777216L)).cast(DoubleType) / 16777216.0).as("draw"))
+    val masses = toked.groupBy("source").agg(sum("tok").as("m"))
+      .withColumn("p", pow(col("m").cast(DoubleType), lit(alpha)))
+      .withColumn("q", col("p") / sum("p").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rate9", round(least(lit(1.0),
+        lit(budget.toDouble) * col("q") / col("m").cast(DoubleType)), 9))
+      .select("source", "rate9")
+    toked.join(broadcast(masses), "source")
+      .filter(col("draw") < col("rate9"))
+      .select("source", "doc_id", "tok", "rate9")
+  }
+
+  /** T5-style span corruption, made deterministic: tokens are chunked
+    * into `span`-sized pieces and chunk `c` of doc `d` is masked iff
+    * `(c + d) % period == 0` (corruption rate span/(span·period) =
+    * 1/period of chunks ≈ 1/period of tokens — the T5 paper's 15% at the
+    * defaults). Masked chunks are replaced by `<X_k>` sentinels (k = the
+    * chunk's rank among the doc's masked chunks, 0-based) in the input;
+    * the target is the sentinel-prefixed masked spans in order — the
+    * (input, target) pair a span-corruption pretraining objective feeds
+    * the model.
+    *
+    * Deterministic-by-hash rather than RNG so the gate (and any re-run)
+    * reproduces examples bit-for-bit; swap the `(c + d) % period` site
+    * for a seeded hash for production variety. Plan: in-row chunking
+    * (|chunks| = |tokens|/span), one posexplode + per-doc window for the
+    * sentinel ranks + one groupBy(doc_id) — the dedup_spans shuffle
+    * budget. Empty docs emit nothing. */
+  def spanCorrupt(docs: DataFrame, span: Int = 3, period: Int = 7): DataFrame = {
+    val tk = filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
+      t => t =!= lit(""))
+    val nChunks = ceil(size(tk).cast(DoubleType) / span).cast(IntegerType)
+    val chunks = docs
+      .select(col("doc_id"), tk.as("tk"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1), c => struct(
+          c.cast(LongType).as("c"),
+          (pmod(c.cast(LongType) + col("doc_id"), lit(period.toLong)) === 0).as("m"),
+          array_join(slice(col("tk"), c * span + 1, lit(span)), " ").as("txt")))))
+      .select(col("doc_id"), col("col.c").as("c"), col("col.m").as("m"),
+        col("col.txt").as("txt"))
+    val before = Window.partitionBy("doc_id").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = chunks.withColumn("k",
+      coalesce(sum(when(col("m"), 1L).otherwise(0L)).over(before), lit(0L)))
+    ranked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(sort_array(collect_list(struct(col("c"),
+          when(col("m"), concat(lit("<X_"), col("k"), lit(">")))
+            .otherwise(col("txt")).as("piece")))), s => s("piece")), " ")
+          .as("input_text"),
+        array_join(transform(sort_array(collect_list(when(col("m"),
+          struct(col("c"), concat(lit("<X_"), col("k"), lit("> "), col("txt"))
+            .as("piece"))))), s => s("piece")), " ").as("target_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_masked"),
+        col("input_text"), col("target_text"))
+  }
 }

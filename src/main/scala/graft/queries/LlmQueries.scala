@@ -162,6 +162,16 @@ object LlmQueries {
   def dedupSpansQ(spark: SparkSession, dir: String): DataFrame =
     Curation.dedupSpans(docs(spark, dir), span = 15)
 
+  /** Temperature-flattened mixture sampling: alpha 0.5 (strongly flattens
+    * the synthetic corpus's source skew), ~20k-token target. */
+  def mixTemperatureQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixByTemperature(docs(spark, dir), alpha = 0.5, budget = 20000L)
+
+  /** Deterministic T5 span corruption at the paper-ish defaults (3-token
+    * spans, 1/7 of chunks masked). */
+  def spanCorruptQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.spanCorrupt(docs(spark, dir))
+
   /** Sequence packing into 512-token blocks (GPT-style concatenation). */
   def packBlocksQ(spark: SparkSession, dir: String): DataFrame =
     Curation.packSequences(docs(spark, dir), blockSize = 512L)
@@ -646,6 +656,38 @@ object LlmQueries {
        |  CAST(off % 512 AS BIGINT) AS block_offset
        |FROM c""".stripMargin
 
+  /** Temperature-mix replica: per-source token mass, q_s ∝ m^alpha, keep
+    * when the doc's 24-bit md5 draw falls under the rounded rate. */
+  def oracleMixTemperature: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS tok,
+       |    (('0x' || substr(md5(text), 1, 8))::BIGINT % 16777216) / 16777216.0 AS draw
+       |  FROM documents),
+       |m AS (SELECT source, sum(tok) AS mass FROM t GROUP BY 1),
+       |q AS (SELECT source, mass, pow(CAST(mass AS DOUBLE), 0.5) AS p FROM m),
+       |r AS (SELECT source,
+       |    round(least(1.0, 20000.0 * (p / (SELECT sum(p) FROM q)) / CAST(mass AS DOUBLE)), 9) AS rate9
+       |  FROM q)
+       |SELECT t.source, t.doc_id, t.tok, r.rate9
+       |FROM t JOIN r USING (source) WHERE t.draw < r.rate9""".stripMargin
+
+  /** Span-corruption replica: UNNEST chunking (the dedup_spans house
+    * style), a per-doc running count for sentinel ranks, ordered
+    * string_agg assembly. */
+  def oracleSpanCorrupt: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '') AS tk FROM documents),
+      |ch AS (SELECT doc_id, CAST(u.c AS BIGINT) AS c,
+      |    array_to_string(tk[(CAST(u.c AS BIGINT) * 3 + 1):(CAST(u.c AS BIGINT) * 3 + 3)], ' ') AS txt,
+      |    (CAST(u.c AS BIGINT) + doc_id) % 7 = 0 AS m
+      |  FROM t, UNNEST(range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT))) AS u(c)),
+      |k AS (SELECT *, coalesce(sum(CASE WHEN m THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY doc_id ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kk FROM ch)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  string_agg(CASE WHEN m THEN '<X_' || CAST(kk AS VARCHAR) || '>' ELSE txt END, ' ' ORDER BY c) AS input_text,
+      |  coalesce(string_agg(CASE WHEN m THEN '<X_' || CAST(kk AS VARCHAR) || '> ' || txt END, ' ' ORDER BY c), '') AS target_text
+      |FROM k GROUP BY doc_id""".stripMargin
+
   def oracleSampleStratified: String =
     """WITH b AS (SELECT doc_id, lang,
       |    ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 AS bucket FROM documents)
@@ -803,6 +845,8 @@ object LlmQueries {
     "decontaminate" -> (decontaminateQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "mix_budget" -> (mixBudgetQ _),
+    "mix_temperature" -> (mixTemperatureQ _),
+    "span_corrupt" -> (spanCorruptQ _),
     "dedup_spans" -> (dedupSpansQ _),
     "pack_blocks" -> (packBlocksQ _),
     "pack_tok" -> (packTokQ _),
@@ -835,6 +879,8 @@ object LlmQueries {
     "decontaminate" -> oracleDecontaminate,
     "sample_stratified" -> oracleSampleStratified,
     "mix_budget" -> oracleMixBudget,
+    "mix_temperature" -> oracleMixTemperature,
+    "span_corrupt" -> oracleSpanCorrupt,
     "dedup_spans" -> oracleDedupSpans,
     "pack_blocks" -> oraclePackBlocks,
     "pack_tok" -> oraclePackTok,

@@ -138,4 +138,58 @@ class CurationSpec extends SparkSpec {
       assert(fast == naiveMix(docs, budget), s"budget=$budget")
     }
   }
+
+  test("temperature mixing: alpha < 1 lifts the low-resource source's share") {
+    // big: 90 docs × 10 tokens = 900; small: 10 docs × 10 = 100.
+    // Distinct word stems per doc: the draw hashes the TEXT, so identical
+    // texts would share one draw and keep/drop whole sources atomically.
+    val docs = ((0L until 90L).map(i => doc(i, "big", 10, s"b$i")) ++
+      (100L until 110L).map(i => doc(i, "small", 10, s"s$i")))
+      .toDF("doc_id", "text", "source")
+    def rates(alpha: Double): Map[String, Double] =
+      Curation.mixByTemperature(docs, alpha, budget = 500L)
+        .select("source", "rate9").distinct()
+        .as[(String, Double)].collect().toMap
+    val natural = rates(1.0)
+    val flat = rates(0.1)
+    // natural (alpha=1): q_s = m_s/total, so both rates equal budget/total
+    assert(math.abs(natural("big") - natural("small")) < 1e-9)
+    // flattened: the small source's keep-rate rises, the big one's falls
+    assert(flat("small") > natural("small") && flat("big") < natural("big"))
+    // rates respect the cap: a fully-kept source never exceeds rate 1
+    assert(rates(0.0001).values.forall(r => r > 0.0 && r <= 1.0))
+    // deterministic: same call twice, same kept set
+    val a = Curation.mixByTemperature(docs, 0.5, 500L).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Curation.mixByTemperature(docs, 0.5, 500L).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("span corruption: sentinels line up and inputs+targets reconstruct the doc") {
+    // doc 0: chunk c masked iff c % 7 == 0 → chunks 0, 7 of 10 chunks
+    val docs = Seq(doc(0L, "s", 30), doc(6L, "s", 10), doc(3L, "s", 0))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.spanCorrupt(docs, span = 3, period = 7)
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(3L)) // empty doc emits nothing
+    val (_, nc0, nm0, in0, tgt0) = out(0L)
+    assert(nc0 == 10 && nm0 == 2)
+    assert(in0.startsWith("<X_0>") && in0.contains("<X_1>"))
+    assert(tgt0 == "<X_0> w1 w2 w3 <X_1> w22 w23 w24")
+    // doc 6: (c + 6) % 7 == 0 → chunk 1 of 4 (10 tokens → 4 chunks)
+    val (_, nc6, nm6, in6, tgt6) = out(6L)
+    assert(nc6 == 4 && nm6 == 1)
+    assert(in6 == "w1 w2 w3 <X_0> w7 w8 w9 w10" && tgt6 == "<X_0> w4 w5 w6")
+    // reconstruction: substituting each sentinel's target span back into
+    // the input recovers the original token stream
+    def reconstruct(inp: String, tgt: String): String = {
+      val spans = "<X_\\d+> ((?:(?!<X_)\\S+ ?)+)".r.findAllMatchIn(tgt)
+        .map(_.group(1).trim).toSeq
+      spans.zipWithIndex.foldLeft(inp) { case (s, (sp, k)) => s.replace(s"<X_$k>", sp) }
+    }
+    assert(reconstruct(in0, tgt0) == (1 to 30).map("w" + _).mkString(" "))
+    assert(reconstruct(in6, tgt6) == (1 to 10).map("w" + _).mkString(" "))
+  }
 }
