@@ -370,4 +370,92 @@ object Curation {
       .select(col("doc_id"), col("n_chunks"), col("n_masked"),
         col("input_text"), col("target_text"))
   }
+
+  /** Sliding-window token chunking with overlap — the document→example
+    * step of a RAG index build or a long-context pretraining shard:
+    * windows of `chunkSize` tokens advancing by `stride` (overlap =
+    * chunkSize - stride). Window starts are 0, stride, 2·stride, …;
+    * the LAST window is the first one whose span reaches the end of the
+    * doc, so every token is covered and at most one trailing window is
+    * short. Empty docs emit nothing.
+    *
+    * Output: (doc_id, chunk_id, n_tok, chunk_text).
+    *
+    * Plan shape: ZERO shuffles — tokenize, window-count, and slice are
+    * all in-row; the explode fans each doc into its ~n/stride windows on
+    * the partition it already lives on. At 100 TB this is a pure map
+    * stage that pipelines into whatever consumes the chunks. */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val tk = filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
+      t => t =!= lit(""))
+    docs.select(col("doc_id"), tk.as("tk"),
+        size(tk).cast(LongType).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("nc",
+        ceil(greatest(col("n") - chunkSize, lit(0L)).cast(DoubleType) / stride)
+          .cast(LongType) + 1L)
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_tok"),
+        array_join(slice(col("tk"), (col("chunk_id") * stride + 1)
+          .cast(IntegerType), lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus doc
+    * by how much more likely its hashed-n-gram bag is under the TARGET
+    * distribution than under the raw-corpus distribution,
+    * `w(doc) = Σ_g [ln p_target(bucket(g)) − ln p_raw(bucket(g))]`
+    * over the doc's unigrams + bigrams hashed into `buckets` buckets
+    * (add-1 smoothing both sides). High-weight docs "look like" the
+    * target domain; resampling by weight shifts the corpus mix toward it
+    * without a trained classifier.
+    *
+    * `isTarget` marks the target-domain exemplar rows inside `docs` (they
+    * are scored too — raw = everything). Deterministic: the feature hash
+    * is md5-based, so weights reproduce bit-for-bit across engines;
+    * weights are rounded to 6 decimals to keep the float-sum order off
+    * the gate. Output: (doc_id, n_grams, w6).
+    *
+    * Plan shape: gram→bucket is in-row; the two distributions are ONE
+    * groupBy over at most `buckets` keys (tiny, map-side combined — at
+    * 100 TB the partial aggregates are `buckets` counters per partition);
+    * the λ table (≤ buckets rows) broadcasts back; per-doc scoring is the
+    * one real shuffle, groupBy(doc_id). Nothing scales with corpus size
+    * except the two scans. */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = 4096): DataFrame = {
+    val tk = filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
+      t => t =!= lit(""))
+    val base = docs.select(col("doc_id"), isTarget.as("tgt"), tk.as("tk"))
+    val bigrams = when(size(col("tk")) >= 2,
+      expr("transform(sequence(1, size(tk) - 1), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val grams = base.select(col("doc_id"), col("tgt"),
+      explode(concat(col("tk"), bigrams)).as("g"))
+    val bucketed = grams.select(col("doc_id"), col("tgt"),
+      pmod(conv(substring(md5(col("g").cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType), lit(buckets.toLong)).as("b"))
+    val counts = bucketed.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lam = counts
+      .withColumn("tr", sum("cr").over(whole))
+      .withColumn("tt", sum("ct").over(whole))
+      .select(col("b"),
+        (log((col("ct") + 1.0) / (col("tt") + buckets.toDouble)) -
+         log((col("cr") + 1.0) / (col("tr") + buckets.toDouble))).as("lam"))
+    bucketed.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), round(sum("lam"), 6).as("w6"))
+      .select(col("doc_id"), col("n_grams"), col("w6"))
+  }
 }

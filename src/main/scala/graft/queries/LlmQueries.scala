@@ -172,6 +172,14 @@ object LlmQueries {
   def spanCorruptQ(spark: SparkSession, dir: String): DataFrame =
     Curation.spanCorrupt(docs(spark, dir))
 
+  /** RAG-style chunking: 64-token windows advancing by 48 (16 overlap). */
+  def chunkOverlapQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkOverlap(docs(spark, dir), chunkSize = 64, stride = 48)
+
+  /** DSIR importance weights with lang='en' as the target-domain proxy. */
+  def dsirWeightQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.dsirWeights(docs(spark, dir), col("lang") === "en")
+
   /** Sequence packing into 512-token blocks (GPT-style concatenation). */
   def packBlocksQ(spark: SparkSession, dir: String): DataFrame =
     Curation.packSequences(docs(spark, dir), blockSize = 512L)
@@ -688,6 +696,39 @@ object LlmQueries {
       |  coalesce(string_agg(CASE WHEN m THEN '<X_' || CAST(kk AS VARCHAR) || '> ' || txt END, ' ' ORDER BY c), '') AS target_text
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** Sliding-window chunking replica: UNNEST(range) window starts, list
+    * slicing for the window text (DuckDB's l[a:b] is 1-based inclusive =
+    * Spark's slice(l, a, len) with b = a + len - 1). */
+  def oracleChunkOverlap: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '') AS tk FROM documents),
+      |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t WHERE len(tk) > 0),
+      |c AS (SELECT doc_id, tk, n, CAST(u.c AS BIGINT) AS chunk_id
+      |  FROM n, UNNEST(range(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS u(c))
+      |SELECT doc_id, chunk_id,
+      |  least(CAST(64 AS BIGINT), n - chunk_id * 48) AS n_tok,
+      |  array_to_string(tk[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+      |FROM c""".stripMargin
+
+  /** DSIR replica: unigrams+bigrams → md5 hash buckets, one bucket-count
+    * aggregate for both distributions, λ joined back per gram occurrence.
+    * Same round(…, 6) as the Spark side so float-sum order is off the
+    * gate. */
+  def oracleDsirWeight: String =
+    """WITH t AS (SELECT doc_id, lang = 'en' AS tgt, list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '') AS tk FROM documents),
+      |g AS (SELECT doc_id, tgt, unnest(tk) AS g FROM t
+      |  UNION ALL
+      |  SELECT doc_id, tgt, tk[CAST(u.i AS BIGINT)] || ' ' || tk[CAST(u.i AS BIGINT) + 1] AS g
+      |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+      |bkt AS (SELECT doc_id, tgt, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b FROM g),
+      |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |  FROM bkt GROUP BY 1),
+      |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM c),
+      |lam AS (SELECT b, ln((ct + 1.0) / (tt + 4096.0)) - ln((cr + 1.0) / (tr + 4096.0)) AS lam
+      |  FROM c, tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, round(sum(lam), 6) AS w6
+      |FROM bkt JOIN lam USING (b) GROUP BY doc_id""".stripMargin
+
   def oracleSampleStratified: String =
     """WITH b AS (SELECT doc_id, lang,
       |    ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 AS bucket FROM documents)
@@ -847,6 +888,8 @@ object LlmQueries {
     "mix_budget" -> (mixBudgetQ _),
     "mix_temperature" -> (mixTemperatureQ _),
     "span_corrupt" -> (spanCorruptQ _),
+    "chunk_overlap" -> (chunkOverlapQ _),
+    "dsir_weight" -> (dsirWeightQ _),
     "dedup_spans" -> (dedupSpansQ _),
     "pack_blocks" -> (packBlocksQ _),
     "pack_tok" -> (packTokQ _),
@@ -881,6 +924,8 @@ object LlmQueries {
     "mix_budget" -> oracleMixBudget,
     "mix_temperature" -> oracleMixTemperature,
     "span_corrupt" -> oracleSpanCorrupt,
+    "chunk_overlap" -> oracleChunkOverlap,
+    "dsir_weight" -> oracleDsirWeight,
     "dedup_spans" -> oracleDedupSpans,
     "pack_blocks" -> oraclePackBlocks,
     "pack_tok" -> oraclePackTok,

@@ -192,4 +192,47 @@ class CurationSpec extends SparkSpec {
     assert(reconstruct(in0, tgt0) == (1 to 30).map("w" + _).mkString(" "))
     assert(reconstruct(in6, tgt6) == (1 to 10).map("w" + _).mkString(" "))
   }
+
+  test("chunk overlap: full coverage, stride geometry, short tail, empty doc") {
+    // 25 tokens, size 10, stride 6 → starts 0,6,12 then 18 (18+10 ≥ 25): 4 chunks
+    val docs = Seq(doc(0L, "s", 25), doc(1L, "s", 3), doc(2L, "s", 0),
+      doc(3L, "s", 10)).toDF("doc_id", "text", "source")
+    val out = Curation.chunkOverlap(docs, chunkSize = 10, stride = 6)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    assert(!out.contains(2L))                       // empty doc emits nothing
+    assert(out(1L).map(c => (c._2, c._3)).toSeq == Seq((0L, 3L)))
+    assert(out(3L).map(c => (c._2, c._3)).toSeq == Seq((0L, 10L))) // exact fit: 1 chunk
+    val c0 = out(0L)
+    assert(c0.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(c0.map(_._3).toSeq == Seq(10L, 10L, 10L, 7L))           // short tail
+    assert(c0(1)._4 == (7 to 16).map("w" + _).mkString(" "))       // start = stride
+    // consecutive chunks overlap by chunkSize - stride = 4 tokens
+    assert(c0(0)._4.split(" ").takeRight(4).toSeq == c0(1)._4.split(" ").take(4).toSeq)
+    // coverage: union of chunk tokens = the whole doc
+    assert(c0.flatMap(_._4.split(" ")).toSet == (1 to 25).map("w" + _).toSet)
+  }
+
+  test("DSIR weights: target-like docs score above off-target docs") {
+    // target exemplars (tgt vocab), on-target candidate, off-target candidate
+    val docs = Seq(
+      (0L, "cats purr and cats nap on warm mats", "en"),
+      (1L, "cats chase mice and nap on mats", "en"),
+      (2L, "cats nap on warm mats near mice", "fr"),        // target-like text
+      (3L, "stocks fell sharply as yields rose today", "fr") // off-target text
+    ).toDF("doc_id", "text", "lang")
+    val w = Curation.dsirWeights(docs, col("lang") === "en", buckets = 512)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w.size == 4)                              // target rows scored too
+    assert(w(2L)._3 > w(3L)._3)                      // domain ranking
+    // pinned against an independent md5/ln replication (python hashlib):
+    // absolute signs are smoothing-dominated at B >> corpus grams; the
+    // RANKING (target-like above off-target) is the operator's contract
+    assert(w(0L)._3 == -2.947366 && w(3L)._3 == -8.217268)
+    assert(w(0L)._2 == 15L)                          // 8 unigrams + 7 bigrams
+    // deterministic bit-for-bit across runs
+    val again = Curation.dsirWeights(docs, col("lang") === "en", buckets = 512)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == w)
+  }
 }
