@@ -63,6 +63,12 @@ object AnalyticsQueries {
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Sessionize.batch(TsQueries.rawEvents(spark, dir), 1800.0)
 
+  /** Multi-touch attribution: every click in the 24h before a purchase
+    * (same user) — the batch twin of the watermarked stream-stream join
+    * in [[graft.streaming.Attribution]]. */
+  def eventsAttrib(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Attribution.batch(TsQueries.rawEvents(spark, dir), 86400.0)
+
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     TsQueries.rawEvents(spark, dir)
       .groupBy(col("event_type"),
@@ -183,6 +189,18 @@ object AnalyticsQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** Interval-join replica: user equi-key + time-range predicates. */
+  def oracleEventsAttrib: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  epoch(p.ts) AS purchase_ts, p.value AS purchase_value,
+      |  c.event_id AS click_id,
+      |  round(epoch(p.ts) - epoch(c.ts), 6) AS touch_age
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch(c.ts) >= epoch(p.ts) - 86400
+      | AND epoch(c.ts) <= epoch(p.ts)""".stripMargin
+
   /** The tolerance mode stated in SQL: the as-of match stands, then
     * every right field is nulled when it is older than the bound. */
   def oracleEventsAsofTol: String =
@@ -231,6 +249,7 @@ object AnalyticsQueries {
     "q18_topn" -> (q18 _),
     "events_window" -> (eventsWindow _),
     "events_asof" -> (eventsAsof _),
+    "events_attrib" -> (eventsAttrib _),
     "events_asof_tol" -> (eventsAsofTol _),
     "events_asof_fwd" -> (eventsAsofFwd _),
     "events_asof_near" -> (eventsAsofNear _),
@@ -242,6 +261,7 @@ object AnalyticsQueries {
     "q18_topn" -> oracleQ18,
     "events_window" -> oracleEventsWindow,
     "events_asof" -> oracleEventsAsof,
+    "events_attrib" -> oracleEventsAttrib,
     "events_asof_tol" -> oracleEventsAsofTol,
     "events_asof_fwd" -> oracleEventsAsofFwd,
     "events_asof_near" -> oracleEventsAsofNear,

@@ -31,6 +31,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = queries.TsQueries.rawEvents(spark, dir)
+
+    val batchPairs = streaming.Attribution.batch(raw, 86400.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+
+    // same finite input as two one-batch streams (clicks + purchases)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    def side(tpe: String) = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000")
+        .cast("double") / org.apache.spark.sql.functions.lit(1000000.0))
+      .filter(org.apache.spark.sql.functions.col("event_type") === tpe)
+    val q = streaming.Attribution.streaming(side("click"), side("purchase"), 86400L)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM attrib")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batchPairs)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches the batch window op") {
     val dir = "/root/testdata/sf0.001"
     val raw = queries.TsQueries.rawEvents(spark, dir)
