@@ -422,12 +422,15 @@ object Curation {
     * weights are rounded to 6 decimals to keep the float-sum order off
     * the gate. Output: (doc_id, n_grams, w6).
     *
-    * Plan shape: gram→bucket is in-row; the two distributions are ONE
-    * groupBy over at most `buckets` keys (tiny, map-side combined — at
-    * 100 TB the partial aggregates are `buckets` counters per partition);
-    * the λ table (≤ buckets rows) broadcasts back; per-doc scoring is the
-    * one real shuffle, groupBy(doc_id). Nothing scales with corpus size
-    * except the two scans. */
+    * Plan shape: gram→bucket is in-row; everything downstream consumes
+    * ONE (doc_id, b)-level count aggregate, so the corpus is scanned —
+    * and the 2·|tokens| md5 hashes computed — exactly once: the bucket
+    * distribution is a second tiny aggregate over it (≤ buckets keys,
+    * map-side combined), the λ table (≤ buckets rows) broadcasts back,
+    * and per-doc scoring regroups the same exchange output
+    * (ReusedExchange in the executed plan, the group_ratio
+    * structural-CSE trick). Nothing scales with corpus size except the
+    * one scan. */
   def dsirWeights(docs: DataFrame, isTarget: Column,
                   buckets: Int = 4096): DataFrame = {
     val tk = filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
@@ -442,9 +445,20 @@ object Curation {
     val bucketed = grams.select(col("doc_id"), col("tgt"),
       pmod(conv(substring(md5(col("g").cast(BinaryType)), 1, 8), 16, 10)
         .cast(LongType), lit(buckets.toLong)).as("b"))
-    val counts = bucketed.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    // Materialize the doc×bucket counts ONCE: the distribution branch and
+    // the scoring branch prune different columns, so Catalyst plans two
+    // full gram scans (md5 ×2 over every token) without it. Checkpoint
+    // reliably when a checkpoint dir is configured (cluster), else
+    // localCheckpoint (single-JVM tools) — the duplicateClusters pattern.
+    val bc0 = bucketed.groupBy("doc_id", "tgt", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val sc = docs.sparkSession.sparkContext
+    val bcounts =
+      if (sc.getCheckpointDir.isDefined) bc0.checkpoint()
+      else bc0.localCheckpoint()
+    val counts = bcounts.groupBy("b").agg(
+      sum("cnt").as("cr"),
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("ct"))
     val whole = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lam = counts
@@ -453,9 +467,10 @@ object Curation {
       .select(col("b"),
         (log((col("ct") + 1.0) / (col("tt") + buckets.toDouble)) -
          log((col("cr") + 1.0) / (col("tr") + buckets.toDouble))).as("lam"))
-    bucketed.join(broadcast(lam), "b")
+    bcounts.join(broadcast(lam), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), round(sum("lam"), 6).as("w6"))
+      .agg(sum("cnt").as("n_grams"),
+        round(sum(col("cnt") * col("lam")), 6).as("w6"))
       .select(col("doc_id"), col("n_grams"), col("w6"))
   }
 }

@@ -720,14 +720,15 @@ object LlmQueries {
       |  SELECT doc_id, tgt, tk[CAST(u.i AS BIGINT)] || ' ' || tk[CAST(u.i AS BIGINT) + 1] AS g
       |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
       |bkt AS (SELECT doc_id, tgt, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b FROM g),
-      |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
-      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
-      |  FROM bkt GROUP BY 1),
+      |bc AS (SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS cnt FROM bkt GROUP BY 1, 2, 3),
+      |c AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS ct
+      |  FROM bc GROUP BY 1),
       |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM c),
       |lam AS (SELECT b, ln((ct + 1.0) / (tt + 4096.0)) - ln((cr + 1.0) / (tr + 4096.0)) AS lam
       |  FROM c, tot)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, round(sum(lam), 6) AS w6
-      |FROM bkt JOIN lam USING (b) GROUP BY doc_id""".stripMargin
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, round(sum(cnt * lam), 6) AS w6
+      |FROM bc JOIN lam USING (b) GROUP BY doc_id""".stripMargin
 
   def oracleSampleStratified: String =
     """WITH b AS (SELECT doc_id, lang,
