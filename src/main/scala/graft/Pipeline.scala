@@ -23,7 +23,7 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   *
   * Usage: runMain graft.Pipeline <docsDir> <outDir>
   *          [--budget <tokens-per-source>] [--min-quality <0..1>]
-  *          [--benchmark <eval-set.jsonl>]
+  *          [--benchmark <eval-set.jsonl>] [--chunks <size>,<stride>]
   *
   * Writes `<outDir>/corpus` (doc_id, text_redacted, lang, quality_score,
   * source, first_block, last_block, block_offset) and prints one JSON
@@ -35,11 +35,14 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
     val benchmarkPath = flagValue("--benchmark")
+    val chunkSpec = flagValue("--chunks").map { s =>
+      val Array(a, b) = s.split(","); (a.toInt, b.toInt)
+    }
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -52,7 +55,8 @@ object Pipeline {
 
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     run(spark, docs, outDir, budget, minQuality,
-      benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)))
+      benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
+      chunks = chunkSpec)
     spark.stop()
   }
 
@@ -60,7 +64,8 @@ object Pipeline {
     * it on an in-memory frame. Returns the final curated corpus. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
           budget: Long, minQuality: Double,
-          benchmark: Option[DataFrame] = None): DataFrame = {
+          benchmark: Option[DataFrame] = None,
+          chunks: Option[(Int, Int)] = None): DataFrame = {
     def stat(stage: String, n: Long): Unit =
       println(s"""{"stage":"$stage","rows":$n}""")
     stat("input", docs.count())
@@ -119,7 +124,19 @@ object Pipeline {
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
     stat("corpus", spark.read.parquet(s"$outDir/corpus").count())
 
-    // 8: the data card — what a corpus release ships next to the parquet
+    // 8 (optional): a RAG-ready chunked view of the curated corpus —
+    // sliding windows over the REDACTED text, so chunks never resurface
+    // PII the corpus itself scrubbed. Map-only over the emitted parquet.
+    chunks.foreach { case (size, stride) =>
+      Curation.chunkOverlap(
+        spark.read.parquet(s"$outDir/corpus")
+          .select(col("doc_id"), col("text_redacted").as("text")),
+        size, stride)
+        .write.mode("overwrite").parquet(s"$outDir/chunks")
+      stat("chunks", spark.read.parquet(s"$outDir/chunks").count())
+    }
+
+    // 9: the data card — what a corpus release ships next to the parquet
     // (one aggregation job over the emitted corpus; approx percentiles are
     // the right tool at corpus scale, exactness buys nothing in a summary)
     writeDataCard(spark, outDir, docs.count())

@@ -9,7 +9,8 @@ class PipelineSpec extends SparkSpec {
   test("pipeline composes: dedup -> quality -> redact -> budget mix -> pack") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
-    val corpus = Pipeline.run(spark, docs, out, budget = 400L, minQuality = 0.2)
+    val corpus = Pipeline.run(spark, docs, out, budget = 400L, minQuality = 0.2,
+      chunks = Some((32, 24)))
       .cache()
 
     val n = corpus.count()
@@ -40,6 +41,16 @@ class PipelineSpec extends SparkSpec {
     val emails = corpus.filter(col("text_redacted").rlike(
       graft.llm.TextAnalysis.EmailRe)).count()
     assert(emails == 0)
+
+    // the chunked RAG view shipped, covers every corpus doc, and is
+    // windowed over the REDACTED text (no resurfaced emails)
+    val chunks = spark.read.parquet(s"$out/chunks").cache()
+    assert(chunks.select("doc_id").distinct().count() ==
+      corpus.filter(length(trim(col("text_redacted"))) > 0).count())
+    assert(chunks.agg(max("n_tok")).as[Long].head() <= 32L)
+    assert(chunks.filter(col("chunk_text").rlike(
+      graft.llm.TextAnalysis.EmailRe)).count() == 0)
+    chunks.unpersist()
 
     // the data card shipped next to the corpus and is well-formed JSON
     val cardPath = java.nio.file.Paths.get(out, "datacard.json")
