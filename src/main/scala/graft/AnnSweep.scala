@@ -92,6 +92,16 @@ object AnnSweep {
       println(f"| IVF×PQ | $c cents, nprobe=$np, assign=$ma; m=$m, $cbk codes, lloyd=$it " +
         f"| $r%.3f | ~${corpusN * np * ma / c} @ $m B/vec | $s%.1f |")
     }
+    // IVF×PQ + exact re-rank (IVFADC+R): the compressed shortlist's top-R
+    // re-scored on raw vectors — how much recall the rerank recovers.
+    for ((c, np, ma, m, cbk, rr) <- Seq(
+        (128, 4, 2, 8, 256, 25), (128, 4, 2, 8, 256, 50),
+        (128, 4, 2, 8, 64, 50), (128, 4, 2, 8, 16, 100))) {
+      val (r, s, _) = recallAndTime(Ann.ivfPqRerankTopK(emb, queries, 5, rr,
+        c, np, ma, m, cbk))
+      println(f"| IVF×PQ+R | $c cents, nprobe=$np, assign=$ma; m=$m, $cbk codes, rerank=$rr " +
+        f"| $r%.3f | ~${corpusN * np * ma / c} @ $m B + $rr exact | $s%.1f |")
+    }
     spark.stop()
   }
 }

@@ -466,6 +466,43 @@ object Ann {
     pqRank(scored, k)
   }
 
+  /** IVF×PQ with exact re-ranking — the standard production recall
+    * recovery (Jégou et al.'s IVFADC+R): the compressed index picks a
+    * `rerank`-sized shortlist per query (cheap, m-byte codes), then the
+    * shortlist alone is re-scored with exact cosine on the raw vectors
+    * and the top `k` of THAT ordering is returned. Recall approaches the
+    * raw-vector IVF number while the exact math touches only
+    * queries·rerank vectors instead of the corpus.
+    *
+    * Plan shape: everything in [[ivfPqTopK]] unchanged; the re-rank adds
+    * one broadcast hash join (shortlist ⋈ corpus on vec_id — the
+    * shortlist side is queries·rerank rows, always the broadcast side)
+    * and a queries-keyed window. The corpus-side raw-vector fetch is the
+    * only full-width read, and it is hash-pruned to shortlist members. */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      rerank: Int = 50,
+                      nCentroids: Int = 128, nprobe: Int = 4,
+                      multiAssign: Int = 2, m: Int = 8,
+                      codebookSize: Int = 16, normalize: Boolean = false,
+                      codebookIters: Int = 0): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val shortlist = ivfPqTopK(corpus, queries, rerank, nCentroids, nprobe,
+        multiAssign, m, codebookSize, normalize, codebookIters)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"))
+    val sl = shortlist.join(qe, "query_id")
+    val scored = corpus.as("c").join(broadcast(sl.as("s")),
+        col("s.neighbor_id") === col("c.vec_id"))
+      .select(col("s.query_id").as("query_id"),
+        col("s.neighbor_id").as("neighbor_id"),
+        nativeScore(corpus, "s.qemb", "c.embedding").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs within multi-table LSH buckets.
     * Candidate pairs come from a per-bucket groupBy + ordered-pair explode
     * (one bucketing-pipeline pass — a self-join would recompute it per

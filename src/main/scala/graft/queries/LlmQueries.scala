@@ -91,6 +91,13 @@ object LlmQueries {
       nCentroids = 16, nprobe = 2, multiAssign = 1)
   }
 
+  /** IVF×PQ + exact re-rank of the ADC top-10 (IVFADC+R). */
+  def annIvfPqRr(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.ivfPqRerankTopK(e, e.filter(col("vec_id") < 5), k = 5, rerank = 10,
+      nCentroids = 16, nprobe = 2, multiAssign = 1)
+  }
+
   /** Random projection of the 64-dim embeddings to 4 dims (JL transform;
     * plane offset 256 keeps the matrix independent of the LSH tables). */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -410,7 +417,9 @@ object LlmQueries {
   /** IVF×PQ replica: ann_ivf's lists/probes CTEs pick the candidate pairs,
     * ann_pq's codes/qd CTEs score them — the SQL statement of "PQ scoring
     * sees only probed-list candidates". */
-  def oracleAnnIvfPq: String =
+  /** CTE chain shared by the IVF×PQ oracle and its re-ranked variant:
+    * everything up to the ADC-distance ranking. */
+  private val ivfPqCtes: String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
        |gi0 AS (SELECT unnest(range(1, 65)) AS i),
        |ac AS (SELECT e.vec_id, c.cent_id,
@@ -446,8 +455,32 @@ object LlmQueries {
        |  JOIN qd ON qd.query_id = p.vec_id AND qd.sub = codes.sub AND qd.code = codes.code
        |  GROUP BY 1, 2),
        |ranked AS (SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)""".stripMargin
+
+  def oracleAnnIvfPq: String =
+    s"""$ivfPqCtes
        |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
+
+  /** Re-ranked variant: the ADC top-10 shortlist re-scored with exact
+    * cosine on the raw vectors (the same final ranking CTE as ann_brute). */
+  def oracleAnnIvfPqRr: String =
+    s"""$ivfPqCtes,
+       |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10),
+       |rpairs AS (SELECT s.query_id, s.neighbor_id, q.embedding AS qe, c.embedding AS ce
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.neighbor_id),
+       |rgi AS (SELECT unnest(range(1, 65)) AS i),
+       |rdots AS (SELECT query_id, neighbor_id,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+       |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+       |  FROM rpairs CROSS JOIN rgi GROUP BY 1, 2),
+       |rscored AS (SELECT query_id, neighbor_id,
+       |    round(dot / (sqrt(qq) * sqrt(cc)), 6) AS score FROM rdots),
+       |rranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rn FROM rscored)
+       |SELECT query_id, neighbor_id, score, rn FROM rranked WHERE rn <= 5""".stripMargin
 
   def oracleDedupEmbed: String =
     s"""WITH ${bucketCte(8, 4)},
@@ -874,6 +907,7 @@ object LlmQueries {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_rr" -> (annIvfPqRr _),
     "decontaminate_embed" -> (decontaminateEmbedQ _),
     "text_lang" -> (textLang _),
     "text_quality" -> (textQuality _),
@@ -910,6 +944,7 @@ object LlmQueries {
     "ann_ivf" -> oracleAnnIvf,
     "ann_pq" -> oracleAnnPq,
     "ann_ivfpq" -> oracleAnnIvfPq,
+    "ann_ivfpq_rr" -> oracleAnnIvfPqRr,
     "decontaminate_embed" -> oracleDecontaminateEmbed,
     "text_lang" -> oracleTextLang,
     "text_quality" -> oracleTextQuality,

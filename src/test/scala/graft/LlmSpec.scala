@@ -119,6 +119,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF×PQ re-rank: exhaustive shortlist recovers exact bruteTopK; pruned shortlist ranks by true cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    // every list probed + shortlist = whole corpus ⇒ the PQ stage prunes
+    // nothing and the exact re-rank IS brute force, bit for bit
+    val rr = Ann.ivfPqRerankTopK(emb, q, 5, rerank = n, nCentroids = 8,
+        nprobe = 8, multiAssign = 1)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Ann.bruteTopK(emb, q, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rr == brute)
+    // pruned shortlist: output is ranked by EXACT cosine (desc), k rows/query
+    val pruned = Ann.ivfPqRerankTopK(emb, q, 5, rerank = 10, nCentroids = 16,
+        nprobe = 2, multiAssign = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = pruned.groupBy(_._1)
+    assert(byQ.values.forall(rows =>
+      rows.sortBy(_._4).sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true }))
+    val bruteScore = Ann.bruteTopK(emb, q, n - 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pruned.foreach { case (qid, nid, s, _) =>
+      assert(bruteScore((qid, nid)) == s) } // scores are the true cosines
+  }
+
   test("native LSH-bucket expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.functions.HyperplaneBucket.register(spark)
