@@ -69,6 +69,11 @@ object AnalyticsQueries {
   def eventsAttrib(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Attribution.batch(TsQueries.rawEvents(spark, dir), 86400.0)
 
+  /** Windowed counter-rate (streaming-expressible Prometheus rate shape):
+    * daily tumbling windows per event_type. */
+  def eventsRateWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamRate.batch(TsQueries.rawEvents(spark, dir), 86400L)
+
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     TsQueries.rawEvents(spark, dir)
       .groupBy(col("event_type"),
@@ -189,6 +194,21 @@ object AnalyticsQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** Windowed-rate replica: endpoint selection via composite-ordered
+    * row_number (DuckDB's arg_max/min cannot take a struct key). */
+  def oracleEventsRateWindow: String =
+    """WITH e AS (SELECT event_type, epoch(ts) AS ts, event_id, value FROM events),
+      |w AS (SELECT *, floor(ts / 86400) * 86400 AS win_start FROM e),
+      |o AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, win_start ORDER BY ts, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY event_type, win_start ORDER BY ts DESC, event_id DESC) AS rl
+      |  FROM w)
+      |SELECT event_type, win_start, CAST(count(*) AS BIGINT) AS n_events,
+      |  CASE WHEN max(ts) > min(ts) THEN
+      |    round((max(CASE WHEN rl = 1 THEN value END) - max(CASE WHEN rf = 1 THEN value END))
+      |      / (max(ts) - min(ts)), 6) END AS rate
+      |FROM o GROUP BY 1, 2""".stripMargin
+
   /** Interval-join replica: user equi-key + time-range predicates. */
   def oracleEventsAttrib: String =
     """SELECT p.event_id AS purchase_id, p.user_id,
@@ -250,6 +270,7 @@ object AnalyticsQueries {
     "events_window" -> (eventsWindow _),
     "events_asof" -> (eventsAsof _),
     "events_attrib" -> (eventsAttrib _),
+    "events_rate_window" -> (eventsRateWindow _),
     "events_asof_tol" -> (eventsAsofTol _),
     "events_asof_fwd" -> (eventsAsofFwd _),
     "events_asof_near" -> (eventsAsofNear _),
@@ -262,6 +283,7 @@ object AnalyticsQueries {
     "events_window" -> oracleEventsWindow,
     "events_asof" -> oracleEventsAsof,
     "events_attrib" -> oracleEventsAttrib,
+    "events_rate_window" -> oracleEventsRateWindow,
     "events_asof_tol" -> oracleEventsAsofTol,
     "events_asof_fwd" -> oracleEventsAsofFwd,
     "events_asof_near" -> oracleEventsAsofNear,

@@ -31,6 +31,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed rate matches batch (complete mode)") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = queries.TsQueries.rawEvents(spark, dir)
+    val batch = streaming.StreamRate.batch(raw, 86400L)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_srate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val streamEvents = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000")
+        .cast("double") / org.apache.spark.sql.functions.lit(1000000.0))
+    val q = streaming.StreamRate.streaming(streamEvents, 86400L)
+      .writeStream.format("memory").queryName("srate")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM srate")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     val dir = "/root/testdata/sf0.001"
     val raw = queries.TsQueries.rawEvents(spark, dir)
