@@ -223,7 +223,39 @@ class PropertySpec extends SparkSpec {
         1 -> Gen.const("vector(1)"),
         1 -> Gen.const("vector(hour(time()))"),
         1 -> instant(depth - 1).map(e => s"quantile(0.5, $e)"),
-        1 -> instant(depth - 1).map(e => s"timestamp($e)"))
+        1 -> instant(depth - 1).map(e => s"timestamp($e)"),
+        // round 8-10 surface: limiters, label sorters/rewriters, bucketing
+        // aggs, parameterized range functions, set ops and bool comparisons
+        1 -> (for {
+          pre <- Gen.oneOf("limitk(2, ", "limit_ratio(0.5, ", "bottomk(1, ")
+          e <- instant(depth - 1)
+        } yield s"$pre$e)"),
+        1 -> (for {
+          f <- Gen.oneOf("clamp_min", "clamp_max")
+          e <- instant(depth - 1)
+        } yield s"$f($e, 0)"),
+        1 -> (for {
+          f <- Gen.oneOf("sort_by_label", "sort_by_label_desc")
+          e <- instant(depth - 1)
+        } yield s"""$f($e, "h")"""),
+        1 -> instant(depth - 1).map(e =>
+          s"""label_replace($e, "dst", "x-$$1", "h", "(.*)")"""),
+        1 -> instant(depth - 1).map(e => s"""count_values("v", $e)"""),
+        1 -> (for {
+          s <- sel
+          q <- Gen.oneOf(s"quantile_over_time(0.5, $s[5m])",
+            s"holt_winters($s[5m], 0.5, 0.5)", s"predict_linear($s[5m], 60)")
+        } yield q),
+        1 -> (for {
+          op <- Gen.oneOf("and", "or", "unless")
+          l <- instant(depth - 1); r <- instant(depth - 1)
+        } yield s"($l) $op ($r)"),
+        1 -> (for {
+          op <- Gen.oneOf(">", "<", ">=", "<=", "==", "!=")
+          b <- Gen.oneOf("", "bool ")
+          l <- instant(depth - 1); r <- instant(depth - 1)
+        } yield s"($l) $op $b($r)"),
+        1 -> instant(depth - 1).map(e => s"absent($e)"))
     samples(instant(3), n = 60).foreach { q =>
       val ast = graft.promql.Parser.parse(q) // must parse
       assert(ast != null)
