@@ -42,6 +42,15 @@ import graft.Model
   *    count per bucket — then re-collect the sparse form. Mixed schemas
   *    within a group downscale to the coarsest member (Prometheus
   *    semantics); a strict mode raises instead.
+  *
+  * Documented out of scope (the remaining Prometheus 3.x surface):
+  * custom-bucket native histograms (NHCB, schema = -53, boundaries
+  * carried per-series instead of derived from the exponential base).
+  * The frame layout extends naturally — an `nh_bounds: array<double>`
+  * column and an upperBound() that indexes it instead of computing
+  * `2^(idx·2^-sch)` — and the quantile walk / merge shapes are
+  * unchanged; it needs its own downscale rule (bound-list intersection)
+  * before mixed-schema merge can include it.
   */
 object NativeHistogram {
 
