@@ -162,15 +162,25 @@ object Aggregate {
     * choice is DETERMINISTIC — the k smallest skeys — so the sample is
     * reproducible across engines and runs.
     *
+    * SEMANTICS: this is a WHOLE-RANGE series sample — ONE global rank of
+    * the distinct (group, series) set decides the survivors for the whole
+    * queried range, not a fresh rank per instant. A chosen series that
+    * churns (contributes samples to only part of the range) stays chosen
+    * wherever it has rows, and a series outside the k smallest skeys never
+    * appears even at instants where fewer than k chosen series have data.
+    * The DuckDB oracle (oracleLimitk) ranks the same global distinct set.
+    *
     * The choice depends only on the distinct (group, series) set — NOT on
     * sample timestamps — so instead of ranking the full frame with a
     * `(group, ts)` window (a shuffle+sort of every sample, the topk
     * shape), rank the distinct (group, series) pairs — a frame bounded by
     * series count, shrunk map-side by partial dedup — and
     * broadcast-semi-join the ≤ k·groups keepers back. The samples
-    * themselves never shuffle, and the result is the same whether the
-    * input is raw samples or a resampled grid (Eval exploits this by
-    * pushing the filter below the resample). */
+    * themselves never shuffle, and under the clamp-interpolating resample
+    * the distinct series set is identical before and after gridding, so
+    * the result is the same whether the input is raw samples or a
+    * resampled grid (Eval exploits this by pushing the filter below the
+    * resample). */
   def limitk(df: DataFrame, k: Int, by: Option[(Seq[String], Boolean)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gkey = by match {

@@ -132,7 +132,11 @@ object AsofJoin {
       case Some(tol) => when(col("__m")("__rt") - col("__t") <= tol, col("__m"))
       case None      => col("__m")
     }
-    finish(matched, left.columns.toSeq, payloadCols, prefix, inRange)
+    // a null left ts sorts nulls-FIRST, so the look-ahead frame would see
+    // every right row and "match" the earliest one — gate it to nothing
+    // (the contract above; backward is safe only because nothing precedes)
+    finish(matched, left.columns.toSeq, payloadCols, prefix,
+      when(col("__t").isNotNull, inRange))
   }
 
   /** Left-outer NEAREST as-of join: whichever of the backward/forward
@@ -165,6 +169,9 @@ object AsofJoin {
     val pick = when(fw.isNull, bw).when(bw.isNull, fw)
       .when(col("__t") - bw("__rt") <= fw("__rt") - col("__t"), bw)
       .otherwise(fw)
-    finish(matched, left.columns.toSeq, payloadCols, prefix, pick)
+    // null left ts: the forward frame would otherwise capture the earliest
+    // right row (nulls-first sort) — the contract is "matches nothing"
+    finish(matched, left.columns.toSeq, payloadCols, prefix,
+      when(col("__t").isNotNull, pick))
   }
 }

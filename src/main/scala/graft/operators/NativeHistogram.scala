@@ -72,12 +72,22 @@ object NativeHistogram {
     StructField("nh_neg_cnt", ArrayType(DoubleType))))
 
   /** Accept frames predating (or not using) the negative spectrum: absent
-    * `nh_neg_*` columns become empty arrays. Pure projection, map-only. */
-  private def normalized(df: DataFrame): DataFrame =
-    if (df.columns.contains("nh_neg_idx")) df
-    else df
-      .withColumn("nh_neg_idx", array().cast(ArrayType(IntegerType)))
-      .withColumn("nh_neg_cnt", array().cast(ArrayType(DoubleType)))
+    * `nh_neg_*` columns become empty arrays, and NULL bucket arrays (a
+    * conforming producer may emit null instead of empty) coalesce to empty
+    * — unguarded, a null array poisons `concat`/`array_union` downstream
+    * and silently drops the row's OTHER spectrum too. Pure projection. */
+  private def normalized(df0: DataFrame): DataFrame = {
+    val df =
+      if (df0.columns.contains("nh_neg_idx")) df0
+      else df0
+        .withColumn("nh_neg_idx", array().cast(ArrayType(IntegerType)))
+        .withColumn("nh_neg_cnt", array().cast(ArrayType(DoubleType)))
+    Seq("nh_pos_idx" -> IntegerType, "nh_neg_idx" -> IntegerType,
+        "nh_pos_cnt" -> DoubleType, "nh_neg_cnt" -> DoubleType)
+      .foldLeft(df) { case (d, (c, t)) =>
+        d.withColumn(c, coalesce(col(c), array().cast(ArrayType(t))))
+      }
+  }
 
   /** Upper bound of bucket `idx` at resolution `sch`: `2^(idx * 2^-sch)`. */
   private def upperBound(idx: Column, sch: Column): Column =
@@ -391,12 +401,24 @@ object NativeHistogram {
     // RETAINED label set (same trick as Aggregate.aggBy), labels ride along
     val base0 = df.withColumn("__gl__", groupLabels)
       .withColumn("__gk__", Model.canonicalKey(col("__gl__")))
+    val groupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gk__"), col(Model.TsCol))
+    // strict mode checks schema homogeneity PER (group, ts) on the
+    // pre-explode frame — a per-merged-bucket check would let two series
+    // with different schemas but disjoint populated bucket indexes (or
+    // empty arrays) merge silently with incompatible boundaries
     val base =
       if (downscaleMixed)
-        base0.withColumn("__stgt__", min("nh_schema").over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__gk__"), col(Model.TsCol))))
-      else base0.withColumn("__stgt__", col("nh_schema"))
+        base0.withColumn("__stgt__", min("nh_schema").over(groupW))
+      else base0
+        .withColumn("__smin__", min("nh_schema").over(groupW))
+        .withColumn("__smax__", max("nh_schema").over(groupW))
+        .withColumn("__stgt__",
+          when(col("__smin__") === col("__smax__"), col("nh_schema"))
+            .otherwise(raise_error(concat(
+              lit("mixed nh_schema in merge group: "),
+              col("__smin__").cast(StringType), lit(" vs "),
+              col("__smax__").cast(StringType))).cast(IntegerType)))
     // both spectra ride one explode, tagged by sign; the downscale remap
     // ceil(i / 2^d) is the same index arithmetic on either side (negative
     // bucket magnitudes mirror the positive ones)
@@ -410,20 +432,12 @@ object NativeHistogram {
       .withColumn("__ri__", ceil(col("b.i").cast(DoubleType) /
         pow(lit(2.0), (col("nh_schema") - col("__stgt__")).cast(DoubleType)))
         .cast(IntegerType))
-    val bucketAgg0 = keyed
+    // __stgt__ carries the strict-mode guard (it IS the output schema
+    // column, so column pruning can't drop the raise_error)
+    val bucketAgg = keyed
       .groupBy(col("__gk__"), col(Model.TsCol), col("b.sg"), col("__ri__"))
       .agg(first("__gl__").as("__gl__"), sum(col("b.c")).as("cnt"),
-        min("nh_schema").as("s_min"), max("nh_schema").as("s_max"),
-        first("__stgt__").as("__stgt__"))
-    // in strict mode the guard rides the OUTPUT schema column so column
-    // pruning can't drop it: a mixed-schema group raises instead of
-    // silently merging incompatible bucket boundaries
-    val bucketAgg = bucketAgg0.withColumn("s_chk",
-      if (downscaleMixed) col("__stgt__")
-      else when(col("s_min") === col("s_max"), col("s_min"))
-        .otherwise(raise_error(concat(lit("mixed nh_schema in merge group: "),
-          col("s_min").cast(StringType), lit(" vs "),
-          col("s_max").cast(StringType))).cast(IntegerType)))
+        first("__stgt__").as("s_chk"))
     val buckets = bucketAgg
       .groupBy(col("__gk__"), col(Model.TsCol))
       .agg(first("__gl__").as(Model.LabelsCol), first("s_chk").as("nh_schema"),

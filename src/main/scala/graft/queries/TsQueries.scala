@@ -1286,6 +1286,11 @@ object TsQueries {
        |SELECT event_type, round(gt, 6) AS ts, round(avg(v), 4) + 0.0 AS value
        |FROM iv GROUP BY event_type, gt""".stripMargin
 
+  /** limitk is a WHOLE-RANGE series sample (one global rank of the
+    * distinct series set, not a per-instant rank — mirrors
+    * Aggregate.limitk's distinct-(group, skey) selection exactly, so the
+    * oracle stays aligned even if a chosen series were absent from part
+    * of the grid). */
   def oracleLimitk: String =
     s"""WITH ${sCte("")},
        |${gridCte(Seq(("i", 0.0)))},
@@ -1293,14 +1298,15 @@ object TsQueries {
        |iv AS (
        |  SELECT event_type, props, gt, $interpExpr AS v FROM w WHERE ord = 1
        |),
-       |r AS (
-       |  SELECT event_type, props, gt, v,
-       |    row_number() OVER (PARTITION BY event_type, gt ORDER BY
+       |ser AS (
+       |  SELECT event_type, props,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY
        |      '__name__=events,event_type=' || event_type || ',props=' || props) AS rn
-       |  FROM iv
+       |  FROM (SELECT DISTINCT event_type, props FROM iv)
        |)
-       |SELECT event_type, props, round(gt, 6) AS ts, round(v, 6) + 0.0 AS value
-       |FROM r WHERE rn <= 2""".stripMargin
+       |SELECT iv.event_type, iv.props, round(gt, 6) AS ts, round(v, 6) + 0.0 AS value
+       |FROM iv JOIN ser ON iv.event_type = ser.event_type AND iv.props = ser.props
+       |WHERE ser.rn <= 2""".stripMargin
 
   def oracleLimitRatio: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},

@@ -109,6 +109,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, Some(7.0))))
   }
 
+  test("null LEFT timestamps match nothing in every direction") {
+    import spark.implicits._
+    // null left ts sorts nulls-first: unfixed, forward/nearest's look-ahead
+    // frame would see all right rows and match the EARLIEST one
+    val l = Seq((10L, Some(1L), Option.empty[Double]),
+                (11L, Some(1L), Some(20.0))).toDF("id", "k", "ts")
+    val r = Seq((1L, 10.0, 100.0), (1L, 25.0, 200.0)).toDF("k", "ts", "v")
+    def m(out: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      out.select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(m(AsofJoin.backward(l, r, Seq("k"))) === Map(10L -> None, 11L -> Some(100.0)))
+    assert(m(AsofJoin.forward(l, r, Seq("k")))  === Map(10L -> None, 11L -> Some(200.0)))
+    assert(m(AsofJoin.nearest(l, r, Seq("k")))  === Map(10L -> None, 11L -> Some(200.0)))
+    assert(m(AsofJoin.forward(l, r, Seq("k"), tolerance = Some(100.0)))
+      === Map(10L -> None, 11L -> Some(200.0)))
+  }
+
   test("reserved and colliding column names are rejected up front") {
     import spark.implicits._
     val bad = Seq((1L, 1.0, 2.0)).toDF("k", "ts", "__side")

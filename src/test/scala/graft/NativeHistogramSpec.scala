@@ -171,6 +171,55 @@ class NativeHistogramSpec extends SparkSpec {
     intercept[Exception] {
       NativeHistogram.merge(mixed, Seq("app"), downscaleMixed = false).collect()
     }
+    // strict mode must ALSO raise when the mixed-schema series populate
+    // DISJOINT bucket indexes (a per-merged-bucket check would miss this)
+    val disjoint = frame(Seq(
+      (60.0, "a", 0, 0.0, 1.0, 1.0, Seq(1), Seq(1.0)),
+      (60.0, "b", 2, 0.0, 1.0, 1.0, Seq(9), Seq(1.0))))
+    intercept[Exception] {
+      NativeHistogram.merge(disjoint, Seq("app"), downscaleMixed = false).collect()
+    }
+    // ... and when one mixed-schema member has EMPTY bucket arrays
+    val emptyMember = frame(Seq(
+      (60.0, "a", 0, 0.0, 1.0, 1.0, Seq(1), Seq(1.0)),
+      (60.0, "b", 2, 1.0, 0.0, 1.0, Seq(), Seq())))
+    intercept[Exception] {
+      NativeHistogram.merge(emptyMember, Seq("app"), downscaleMixed = false).collect()
+    }
+  }
+
+  test("null bucket arrays coalesce to empty instead of poisoning concat") {
+    // a conforming producer may emit NULL instead of [] — merge must not
+    // silently drop the row's populated positive spectrum
+    val withNull = Seq(
+      (60.0, "a", 0, 0.0, 10.0, 2.0, Seq(1), Seq(2.0), null, null),
+      (60.0, "b", 0, 0.0, 5.0, 1.0, Seq(2), Seq(1.0), Seq(0), Seq(1.0)))
+      .toDF("ts", "h", "nh_schema", "nh_zero_count", "nh_sum", "nh_count",
+        "nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt")
+      .withColumn("labels",
+        map(lit("__name__"), lit("lat"), lit("app"), lit("x"), lit("h"), col("h")))
+      .drop("h")
+    val m = NativeHistogram.merge(withNull, Seq("app"))
+      .select("nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt")
+      .as[(Seq[Int], Seq[Double], Seq[Int], Seq[Double])].collect()
+    assert(m.toSeq == Seq((Seq(1, 2), Seq(2.0, 1.0), Seq(0), Seq(1.0))))
+    // quantile's entries concat survives a null spectrum too
+    val q = NativeHistogram.quantile(withNull.filter($"nh_sum" === 10.0), 1.0)
+      .select("value").as[Double].head()
+    assert(math.abs(q - 2.0) < 1e-12)
+    // windowDelta (rate) sees null arrays as empty, not as data loss
+    import graft.operators.Grid
+    val ts2 = Seq(
+      (30.0, 0, 0.0, 1.0, 1.0, Seq(1), Seq(1.0), null, null),
+      (60.0, 0, 0.0, 5.0, 3.0, Seq(1), Seq(3.0), null, null))
+      .toDF("ts", "nh_schema", "nh_zero_count", "nh_sum", "nh_count",
+        "nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt")
+      .withColumn("labels", map(lit("__name__"), lit("m")))
+    val inc = NativeHistogram.increase(Model.withSkey(ts2), Grid(60.0, 120.0, 60.0), 60.0)
+      .filter($"ts" === 60.0)
+      .select("nh_pos_idx", "nh_pos_cnt", "nh_count")
+      .as[(Seq[Int], Seq[Double], Double)].collect()
+    assert(inc.toSeq == Seq((Seq(1), Seq(2.0), 2.0)))
   }
 
   test("merge: mixed schemas downscale to the group's coarsest (default)") {
