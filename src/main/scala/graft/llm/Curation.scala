@@ -174,6 +174,70 @@ object Curation {
             col("n_spans").cast(DoubleType), 6)).as("kept_frac"))
   }
 
+  /** Exact-SUBSTRING deduplication (the suffix-array method of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * re-shaped for Spark): find every duplicated token run of length ≥ `k`
+    * ANYWHERE in the corpus — unlike [[dedupSpans]], which only removes
+    * repeats aligned to disjoint `span`-token chunk boundaries, so a
+    * boilerplate passage shifted by one token escapes it entirely.
+    *
+    * Instead of a literal suffix array (a global sort of every suffix —
+    * single-machine thinking), emit the SLIDING `k`-token gram at every
+    * position (|tokens| rows per doc, the same explode budget as the
+    * position-indexed suffix set), rank each gram's occurrences by
+    * (doc_id, position) — first occurrence keeps it, every later one is a
+    * duplicated position — then merge overlapping hit windows per doc with
+    * one run-length lag window: a hit at position p covers `min(k, p -
+    * prev_hit_p)` NEW tokens. The union of covered tokens is exactly the
+    * token set lying inside some duplicated run ≥ k (any such run of
+    * length L contributes L−k+1 consecutive hits whose merged coverage is
+    * L), so `dup_tok` matches the suffix-array method's removal count.
+    *
+    * Output: one row per doc — `doc_id`, `n_tok`, `dup_tok` (tokens inside
+    * non-first duplicated runs), `kept_frac = 1 − dup_tok/n_tok`. Docs
+    * shorter than k tokens have no grams: `dup_tok = 0`, `kept_frac = 1`.
+    *
+    * Scale shape: two bounded wide stages — the rank window shuffles on
+    * the 60-bit gram hash (partition size = a gram's global duplicate
+    * count, the [[dedupSpans]] groupBy budget; the hash shrinks the
+    * shuffle key from ~k·8 bytes of text to 8 bytes), and the run-merge
+    * window shuffles ONLY the hit rows (duplicated positions, a small
+    * fraction of a healthy corpus) per doc. Never all-pairs, no global
+    * sort. 60-bit collisions mark a false duplicate position at odds
+    * ~n²/2⁶¹ — negligible against the grams they'd remove, and identical
+    * in the DuckDB oracle (same md5-prefix hash).
+    */
+  def dedupSubstr(docs: DataFrame, k: Int = 15): DataFrame = {
+    val toked = docs.withColumn("__tk__", Dedup.tokens(col("text")))
+    val grams = toked
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__tk__) >= $k
+           | THEN transform(sequence(0, size(__tk__) - $k),
+           |   p -> concat_ws(' ', slice(__tk__, p + 1, $k)))
+           | ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("p"),
+        Dedup.md5Hash60(col("col")).as("h"))
+    val rankW = Window.partitionBy("h").orderBy("doc_id", "p")
+    val hits = grams
+      .withColumn("__rn__", row_number().over(rankW))
+      .filter(col("__rn__") > 1)
+      .select("doc_id", "p")
+    val runW = Window.partitionBy("doc_id").orderBy("p")
+    val cover = hits
+      .withColumn("__pp__", lag(col("p"), 1).over(runW))
+      .groupBy("doc_id")
+      .agg(sum(when(col("__pp__").isNull, lit(k.toLong))
+        .otherwise(least(lit(k.toLong), col("p") - col("__pp__")))).as("dup_tok"))
+    toked.select(col("doc_id"), size(col("__tk__")).cast(LongType).as("n_tok"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+        when(col("n_tok") === 0, lit(1.0))
+          .otherwise(round(lit(1.0) -
+            coalesce(col("dup_tok"), lit(0L)).cast(DoubleType) /
+              col("n_tok").cast(DoubleType), 6)).as("kept_frac"))
+  }
+
   /** Deterministic hash-stratified sampling: keep a document iff its md5
     * bucket (0..99, derived from the text so resampling a re-crawled corpus
     * is stable) falls under its stratum's configured percentage.

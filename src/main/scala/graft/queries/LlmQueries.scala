@@ -169,6 +169,11 @@ object LlmQueries {
   def dedupSpansQ(spark: SparkSession, dir: String): DataFrame =
     Curation.dedupSpans(docs(spark, dir), span = 15)
 
+  /** Exact-substring dedup: sliding 15-token grams, first occurrence wins,
+    * overlapping hit windows run-length merged per doc. */
+  def dedupSubstrQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.dedupSubstr(docs(spark, dir), k = 15)
+
   /** Temperature-flattened mixture sampling: alpha 0.5 (strongly flattens
     * the synthetic corpus's source skew), ~20k-token target. */
   def mixTemperatureQ(spark: SparkSession, dir: String): DataFrame =
@@ -667,6 +672,29 @@ object LlmQueries {
       |LEFT JOIN spans s ON d.doc_id = s.doc_id
       |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin
 
+  /** Exact-substring dedup replica: sliding 15-gram per position, 60-bit
+    * md5-prefix hash (the Dedup.md5Hash60 convention), first occurrence
+    * by (doc_id, p) wins, later occurrences run-length merged per doc
+    * with a lag window — coverage `min(15, p - prev_p)` new tokens. */
+  def oracleDedupSubstr: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+      |    ('0x' || substr(md5(array_to_string(tk[(CAST(u.p AS BIGINT) + 1):(CAST(u.p AS BIGINT) + 15)], ' ')), 1, 15))::BIGINT AS h
+      |  FROM toks, UNNEST(range(0, greatest(len(tk) - 14, 0))) AS u(p)
+      |),
+      |rn AS (SELECT doc_id, p, row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS r FROM g),
+      |hits AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+      |  FROM rn WHERE r > 1),
+      |cov AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN pp IS NULL THEN 15 ELSE least(15, p - pp) END) AS BIGINT) AS dup_tok
+      |  FROM hits GROUP BY 1),
+      |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM toks)
+      |SELECT n.doc_id, n.n_tok, coalesce(c.dup_tok, 0) AS dup_tok,
+      |  CASE WHEN n.n_tok = 0 THEN 1.0
+      |       ELSE round(1.0 - CAST(coalesce(c.dup_tok, 0) AS DOUBLE) / CAST(n.n_tok AS DOUBLE), 6) END AS kept_frac
+      |FROM n LEFT JOIN cov c ON n.doc_id = c.doc_id""".stripMargin
+
   /** The shared tokenization CTE body of [[oraclePackBlocks]] — also the
     * whole oracle of the `pack_tok` isolation probe (VERDICT r9 item 1:
     * localize the driver-only pack_blocks hash skew to tokenization vs
@@ -926,6 +954,7 @@ object LlmQueries {
     "chunk_overlap" -> (chunkOverlapQ _),
     "dsir_weight" -> (dsirWeightQ _),
     "dedup_spans" -> (dedupSpansQ _),
+    "dedup_substr" -> (dedupSubstrQ _),
     "pack_blocks" -> (packBlocksQ _),
     "pack_tok" -> (packTokQ _),
     "corpus_curate" -> (corpusCurate _),
@@ -963,6 +992,7 @@ object LlmQueries {
     "chunk_overlap" -> oracleChunkOverlap,
     "dsir_weight" -> oracleDsirWeight,
     "dedup_spans" -> oracleDedupSpans,
+    "dedup_substr" -> oracleDedupSubstr,
     "pack_blocks" -> oraclePackBlocks,
     "pack_tok" -> oraclePackTok,
     "corpus_curate" -> oracleCorpusCurate,

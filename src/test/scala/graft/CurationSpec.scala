@@ -64,6 +64,50 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 1.0)))        // empty doc: vacuously kept
   }
 
+  test("substring dedup catches the 1-token-shifted passage dedup_spans misses") {
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ") // 5-token passage
+    val docs = Seq(
+      (0L, boiler + " " + (1 to 5).map(i => s"x$i").mkString(" ")),
+      // the same passage shifted ONE token off the 5-chunk boundary:
+      // chunks are (pad b1 b2 b3 b4) and (b5 y1 y2 y3 y4) — neither
+      // equals doc 0's (b1..b5) chunk, so dedupSpans sees nothing
+      (1L, "pad " + boiler + " " + (1 to 4).map(i => s"y$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Curation.dedupSpans(docs, span = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(spans(1L) == 1.0) // the shifted duplicate ESCAPES span dedup
+    val substr = Curation.dedupSubstr(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(substr(0L) == ((10L, 0L, 1.0)))     // first occurrence untouched
+    assert(substr(1L)._2 == 5L)                // ... substring dedup catches all 5 tokens
+    assert(substr(1L)._3 == 0.5)
+    assert(substr(2L) == ((10L, 0L, 1.0)))     // unique doc untouched
+  }
+
+  test("substring dedup: overlapping in-doc repeats merge to exact coverage") {
+    // doc 0: "w1..w6 w1..w6 tail" — the repeated 6-token run at positions
+    // 7..12 (1-based) yields hits at 0-based p∈{6} for k=6 → coverage 6
+    val six = (1 to 6).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, six + " " + six + " t1 t2"),
+      // doc 1 repeats doc 0's run once more: every sliding 6-gram of it is
+      // already claimed by doc 0 → hits at p=0..? doc1 = six + " u1" (7 toks):
+      // grams p∈{0,1}; p=0 (w1..w6) dups doc0's p=0 → coverage 6
+      (1L, six + " u1"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupSubstr(docs, k = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 0 has 14 tokens, grams at p=0..8; the self-repeat means gram
+    // p=6 (w1..w6 again) collides with p=0 → one hit, coverage 6
+    assert(out(0L) == ((14L, 6L, round4(1.0 - 6.0 / 14))))
+    assert(out(1L)._2 == 6L)
+    assert(out(2L) == ((0L, 0L, 1.0)))
+  }
+
+  private def round4(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("sequence packing: bucketed prefix sum == global window; spans are contiguous") {
     val docs = (0L until 57L).map(i =>
       (i, if (i % 7 == 3) "" else (1 to (3 + (i % 11)).toInt).map(j => s"w$j").mkString(" ")))
