@@ -43,21 +43,33 @@ import graft.Model
   *    within a group downscale to the coarsest member (Prometheus
   *    semantics); a strict mode raises instead.
   *
-  * Documented out of scope (the remaining Prometheus 3.x surface):
-  * custom-bucket native histograms (NHCB, schema = -53, boundaries
-  * carried per-series instead of derived from the exponential base).
-  * The frame layout extends naturally — an `nh_bounds: array<double>`
-  * column and an upperBound() that indexes it instead of computing
-  * `2^(idx·2^-sch)` — and the quantile walk / merge shapes are
-  * unchanged; it needs its own downscale rule (bound-list intersection)
-  * before mixed-schema merge can include it.
+  * CUSTOM-bucket native histograms (NHCB, `nh_schema = -53` — the layout
+  * Prometheus 3.x converts scraped classic histograms into) are carried
+  * by one extra column, `nh_bounds: array<double>` (ascending FINITE
+  * upper bounds): positive bucket index `i` (0-based) covers
+  * `(bounds[i-1], bounds[i]]` with an implicit 0 lower edge for `i = 0`
+  * (classic histogram_quantile semantics) and index `|bounds|` is the
+  * +Inf overflow bucket. The negative spectrum and zero bucket are
+  * unused (classic histograms have neither). [[quantile]]/[[fraction]]
+  * branch per row on the schema sentinel — one frame can mix
+  * exponential and custom series; [[fromClassic]] converts classic
+  * `Le`-label bucket series in, and [[mergeCustom]] aggregates across
+  * series with a bound-list-INTERSECTION downscale for mismatched
+  * layouts (exact: the intersection is a subset of every member's
+  * bounds, so each fine bucket lies entirely inside one coarse bucket).
   */
 object NativeHistogram {
 
+  /** `nh_schema` sentinel marking custom-bucket (NHCB) rows — the
+    * Prometheus 3.x value (histogram.CustomBucketsSchema). */
+  val CustomSchema: Int = -53
+
   /** The canonical column set; a frame is "native-histogram shaped" if it
-    * carries these on top of (labels, ts). */
+    * carries these on top of (labels, ts). `nh_bounds` is empty for
+    * exponential rows and holds the finite upper bounds for NHCB rows. */
   val Columns: Seq[String] = Seq("nh_schema", "nh_zero_count", "nh_sum",
-    "nh_count", "nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt")
+    "nh_count", "nh_pos_idx", "nh_pos_cnt", "nh_neg_idx", "nh_neg_cnt",
+    "nh_bounds")
 
   def schema: StructType = StructType(Seq(
     StructField(Model.LabelsCol, MapType(StringType, StringType)),
@@ -69,7 +81,8 @@ object NativeHistogram {
     StructField("nh_pos_idx", ArrayType(IntegerType)),  // ascending, sparse
     StructField("nh_pos_cnt", ArrayType(DoubleType)),
     StructField("nh_neg_idx", ArrayType(IntegerType)),  // ascending, sparse
-    StructField("nh_neg_cnt", ArrayType(DoubleType))))
+    StructField("nh_neg_cnt", ArrayType(DoubleType)),
+    StructField("nh_bounds", ArrayType(DoubleType))))   // NHCB upper bounds
 
   /** Accept frames predating (or not using) the negative spectrum: absent
     * `nh_neg_*` columns become empty arrays, and NULL bucket arrays (a
@@ -77,13 +90,17 @@ object NativeHistogram {
     * — unguarded, a null array poisons `concat`/`array_union` downstream
     * and silently drops the row's OTHER spectrum too. Pure projection. */
   private def normalized(df0: DataFrame): DataFrame = {
-    val df =
+    val df1 =
       if (df0.columns.contains("nh_neg_idx")) df0
       else df0
         .withColumn("nh_neg_idx", array().cast(ArrayType(IntegerType)))
         .withColumn("nh_neg_cnt", array().cast(ArrayType(DoubleType)))
+    val df =
+      if (df1.columns.contains("nh_bounds")) df1
+      else df1.withColumn("nh_bounds", array().cast(ArrayType(DoubleType)))
     Seq("nh_pos_idx" -> IntegerType, "nh_neg_idx" -> IntegerType,
-        "nh_pos_cnt" -> DoubleType, "nh_neg_cnt" -> DoubleType)
+        "nh_pos_cnt" -> DoubleType, "nh_neg_cnt" -> DoubleType,
+        "nh_bounds" -> DoubleType)
       .foldLeft(df) { case (d, (c, t)) =>
         d.withColumn(c, coalesce(col(c), array().cast(ArrayType(t))))
       }
@@ -131,7 +148,59 @@ object NativeHistogram {
         transform(col("pbs"), b => b("i")).as("nh_pos_idx"),
         transform(col("pbs"), b => b("c")).as("nh_pos_cnt"),
         transform(col("nbs"), b => b("i")).as("nh_neg_idx"),
-        transform(col("nbs"), b => b("c")).as("nh_neg_cnt"))
+        transform(col("nbs"), b => b("c")).as("nh_neg_cnt"),
+        array().cast(ArrayType(DoubleType)).as("nh_bounds"))
+  }
+
+  /** Convert classic `Le`-label cumulative bucket series into NHCB rows
+    * (what Prometheus 3.x does to scraped classic histograms so they
+    * enter the native pipeline): group bucket series by labels-minus-Le
+    * per instant, sort by numeric Le, take the FINITE les as `nh_bounds`,
+    * de-cumulate counts (bucket i = cum_i − cum_{i−1}; the +Inf remainder
+    * becomes the overflow bucket at index |bounds|), drop zero buckets to
+    * keep the arrays sparse. Groups whose top bucket is not `+Inf` are
+    * dropped (classic histogram_quantile yields NaN for them —
+    * query.rs:318-320). `nh_sum` is 0 (classic `_sum` rides a separate
+    * series; join it on if needed), the zero bucket and negative spectrum
+    * are unused.
+    *
+    * Same plan shape as classic histogram_quantile's grouping: ONE
+    * groupBy on (labels-minus-Le, ts) with a bounded collect_list (a
+    * histogram has tens of buckets); everything after is in-row. The
+    * de-cumulate → re-accumulate round trip is exact for counts
+    * (integer-valued doubles < 2^53). */
+  def fromClassic(buckets: DataFrame): DataFrame = {
+    val leNum = when(lower(col(Model.LabelsCol).getItem(Model.LeLabel)) === "+inf",
+      lit(Double.PositiveInfinity))
+      .otherwise(col(Model.LabelsCol).getItem(Model.LeLabel).cast(DoubleType))
+    val grouped = buckets
+      .filter(col(Model.LabelsCol).getItem(Model.LeLabel).isNotNull)
+      .withColumn("__gmap__",
+        map_filter(col(Model.LabelsCol), (k, _) => k =!= Model.LeLabel))
+      .withColumn("__le__", leNum)
+      .groupBy(Model.canonicalKey(col("__gmap__")).as(Model.SkeyCol), col(Model.TsCol))
+      .agg(first("__gmap__").as(Model.LabelsCol),
+        sort_array(collect_list(struct(col("__le__").as("le"),
+          col(Model.ValueCol).as("v")))).as("bs"))
+      .filter(size(col("bs")) > 0 &&
+        element_at(col("bs"), -1)("le") === lit(Double.PositiveInfinity))
+    val bs = col("bs")
+    val entries = filter(
+      transform(sequence(lit(0), size(bs) - 1), i => struct(
+        i.as("i"),
+        (element_at(bs, i + 1)("v") -
+          when(i === 0, lit(0.0)).otherwise(element_at(bs, i)("v"))).as("c"))),
+      e => e("c") =!= 0.0)
+    grouped.select(col(Model.SkeyCol), col(Model.LabelsCol), col(Model.TsCol),
+      lit(CustomSchema).as("nh_schema"),
+      lit(0.0).as("nh_zero_count"),
+      lit(0.0).as("nh_sum"),
+      element_at(bs, -1)("v").as("nh_count"),
+      transform(entries, e => e("i").cast(IntegerType)).as("nh_pos_idx"),
+      transform(entries, e => e("c")).as("nh_pos_cnt"),
+      array().cast(ArrayType(IntegerType)).as("nh_neg_idx"),
+      array().cast(ArrayType(DoubleType)).as("nh_neg_cnt"),
+      transform(slice(bs, lit(1), size(bs) - 1), b => b("le")).as("nh_bounds"))
   }
 
   /** Snap native-histogram samples onto the query grid: for each (series,
@@ -189,7 +258,8 @@ object NativeHistogram {
       .agg(count(lit(1)).as("__n__"),
         min_by(struct(hCols: _*), col(Model.TsCol)).as("f"),
         max_by(struct(hCols: _*), col(Model.TsCol)).as("l"))
-      .filter(col("__n__") >= 2 && col("l.nh_schema") === col("f.nh_schema"))
+      .filter(col("__n__") >= 2 && col("l.nh_schema") === col("f.nh_schema") &&
+        col("l.nh_bounds") === col("f.nh_bounds")) // NHCB: bounds change = resolution change
     val r = lit(divisor)
     def spectrumDelta(li: Column, lc: Column, fi: Column, fc: Column): Column = {
       val lm = map_from_arrays(li, lc)
@@ -221,7 +291,8 @@ object NativeHistogram {
         transform(col("__p__"), e => e("i")).as("nh_pos_idx"),
         transform(col("__p__"), e => e("c")).as("nh_pos_cnt"),
         transform(col("__ng__"), e => e("i")).as("nh_neg_idx"),
-        transform(col("__ng__"), e => e("c")).as("nh_neg_cnt"))
+        transform(col("__ng__"), e => e("c")).as("nh_neg_cnt"),
+        col("l.nh_bounds").as("nh_bounds"))
   }
 
   /** `histogram_quantile(q, <native>)`: per row, locate the bucket whose
@@ -237,37 +308,63 @@ object NativeHistogram {
     * Map-only: no shuffle, no UDF — one `aggregate()` fold over the
     * in-row sparse arrays (the zero bucket rides as a width-0
     * pseudo-entry between the spectra). */
+  private def isCustom: Column = col("nh_schema") === lit(CustomSchema)
+
+  /** Last finite NHCB bound, 0.0 when there are none (classic
+    * histogram_quantile's "no finite buckets" estimate). */
+  private def lastBound: Column =
+    when(size(col("nh_bounds")) === 0, lit(0.0))
+      .otherwise(element_at(col("nh_bounds"), -1))
+
+  /** The row's bucket list as ascending-value (lo, hi, c) entries — the
+    * layout-independent form both [[quantile]] and [[fraction]] walk.
+    * Exponential rows: negative spectrum (descending index = ascending
+    * value), the zero bucket as a width-0 pseudo-entry, then positive
+    * buckets. NHCB rows: index i covers (bounds[i-1], bounds[i]] with a
+    * 0 lower edge at i = 0 (classic semantics); the overflow bucket
+    * (i = |bounds|) is width-0 at the last bound, so a rank landing there
+    * estimates the last finite bound — exactly classic
+    * histogram_quantile's "no bucket qualifies" fallback. */
+  private def entryList: Column = {
+    val nB = size(col("nh_bounds"))
+    val expEntries = concat(
+      reverse(zip_with(col("nh_neg_idx"), col("nh_neg_cnt"), (i, c) => struct(
+        (-upperBound(i, col("nh_schema"))).as("lo"),
+        (-upperBound(i - 1, col("nh_schema"))).as("hi"),
+        c.as("c")))),
+      array(struct(lit(0.0).as("lo"), lit(0.0).as("hi"),
+        col("nh_zero_count").as("c"))),
+      zip_with(col("nh_pos_idx"), col("nh_pos_cnt"), (i, c) => struct(
+        upperBound(i - 1, col("nh_schema")).as("lo"),
+        upperBound(i, col("nh_schema")).as("hi"),
+        c.as("c"))))
+    val customEntries = zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
+      (i, c) => struct(
+        when(i >= nB, lastBound).when(i === 0, lit(0.0))
+          .otherwise(element_at(col("nh_bounds"), i)).as("lo"),
+        when(i >= nB, lastBound)
+          .otherwise(element_at(col("nh_bounds"), i + 1)).as("hi"),
+        c.as("c")))
+    when(isCustom, customEntries).otherwise(expEntries)
+  }
+
   def quantile(df0: DataFrame, q: Double): DataFrame = {
     val df = normalized(df0)
     val total = col("nh_zero_count") +
       coalesce(aggregate(col("nh_pos_cnt"), lit(0.0), (a, x) => a + x), lit(0.0)) +
       coalesce(aggregate(col("nh_neg_cnt"), lit(0.0), (a, x) => a + x), lit(0.0))
     val rank = lit(q) * total
-    // ascending-value entry list: (sign, idx, cnt)
-    val entries = concat(
-      reverse(zip_with(col("nh_neg_idx"), col("nh_neg_cnt"),
-        (i, c) => struct(lit(-1).as("s"), i.as("i"), c.as("c")))),
-      array(struct(lit(0).as("s"), lit(0).as("i"),
-        col("nh_zero_count").as("c"))),
-      zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
-        (i, c) => struct(lit(1).as("s"), i.as("i"), c.as("c"))))
     // fold state: (cum count so far, found result or NaN)
     val init = struct(lit(0.0).as("cum"), lit(Double.NaN).as("res"))
     val walked = aggregate(
-      entries,
+      entryList,
       init,
       (acc, b) => {
-        val lowerMag = upperBound(b("i") - 1, col("nh_schema"))
-        val upperMag = upperBound(b("i"), col("nh_schema"))
-        val valLo = when(b("s") === -1, -upperMag)
-          .when(b("s") === 0, lit(0.0)).otherwise(lowerMag)
-        val valHi = when(b("s") === -1, -lowerMag)
-          .when(b("s") === 0, lit(0.0)).otherwise(upperMag)
         val within = (rank - acc("cum")) / b("c")
         struct(
           (acc("cum") + b("c")).as("cum"),
           when(isnan(acc("res")) && acc("cum") + b("c") >= rank && b("c") > 0,
-            valLo + (valHi - valLo) * within)
+            b("lo") + (b("hi") - b("lo")) * within)
             .otherwise(acc("res")).as("res"))
       },
       acc => acc("res"))
@@ -275,12 +372,18 @@ object NativeHistogram {
     // walk; rank beyond total (fp wobble) clamps to the maximum estimate:
     // last positive upper bound, else 0 if the zero bucket holds anything,
     // else the upper edge of the LEAST negative bucket (its first index).
-    val lastUpper = when(size(col("nh_pos_idx")) > 0,
+    val expLast = when(size(col("nh_pos_idx")) > 0,
       upperBound(element_at(col("nh_pos_idx"), -1), col("nh_schema")))
       .when(col("nh_zero_count") > 0, lit(0.0))
       .when(size(col("nh_neg_idx")) > 0,
         -upperBound(element_at(col("nh_neg_idx"), 1) - 1, col("nh_schema")))
       .otherwise(lit(0.0))
+    // NHCB clamp: overflow populated → last bound; else the last populated
+    // bucket's own upper bound
+    val customLast = when(size(col("nh_pos_idx")) === 0, lit(0.0))
+      .when(element_at(col("nh_pos_idx"), -1) >= size(col("nh_bounds")), lastBound)
+      .otherwise(element_at(col("nh_bounds"), element_at(col("nh_pos_idx"), -1) + 1))
+    val lastUpper = when(isCustom, customLast).otherwise(expLast)
     val value =
       when(lit(q) < 0, lit(Double.NegativeInfinity))
         .when(lit(q) > 1, lit(Double.PositiveInfinity))
@@ -318,9 +421,31 @@ object NativeHistogram {
           .when(valLo < x, b("c") * (x - valLo) / (valHi - valLo))
           .otherwise(lit(0.0))
       })
-    coalesce(aggregate(negContribs, lit(0.0), (a, v) => a + v), lit(0.0)) +
-      when(x >= 0, col("nh_zero_count")).otherwise(lit(0.0)) +
-      coalesce(aggregate(posContribs, lit(0.0), (a, v) => a + v), lit(0.0))
+    // NHCB: same per-bucket independence, bounds from the explicit list;
+    // the overflow bucket spans (last_bound, +Inf) — it contributes only
+    // at x = +Inf (the partial term (x-lo)/(hi-lo) is 0 against an
+    // infinite width)
+    val nB = size(col("nh_bounds"))
+    val customContribs = transform(
+      zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
+        (i, c) => struct(i.as("i"), c.as("c"))),
+      b => {
+        val lower = when(b("i") >= nB, lastBound)
+          .when(b("i") === 0, lit(0.0))
+          .otherwise(element_at(col("nh_bounds"), b("i")))
+        val upper = when(b("i") >= nB, lit(Double.PositiveInfinity))
+          .otherwise(element_at(col("nh_bounds"), b("i") + 1))
+        when(upper <= x, b("c"))
+          .when(lower < x, b("c") * (x - lower) / (upper - lower))
+          .otherwise(lit(0.0))
+      })
+    val expCdf =
+      coalesce(aggregate(negContribs, lit(0.0), (a, v) => a + v), lit(0.0)) +
+        when(x >= 0, col("nh_zero_count")).otherwise(lit(0.0)) +
+        coalesce(aggregate(posContribs, lit(0.0), (a, v) => a + v), lit(0.0))
+    val customCdf =
+      coalesce(aggregate(customContribs, lit(0.0), (a, v) => a + v), lit(0.0))
+    when(isCustom, customCdf).otherwise(expCdf)
   }
 
   /** `histogram_fraction(lo, hi, <native>)`: estimated fraction of
@@ -393,7 +518,14 @@ object NativeHistogram {
     * Prometheus's adaptive bucket scaling. */
   def merge(df0: DataFrame, by: Seq[String],
             downscaleMixed: Boolean = true): DataFrame = {
-    val df = normalized(df0)
+    // NHCB rows have no exponential base — their downscale rule is the
+    // bound-list intersection in [[mergeCustom]]; route them there. The
+    // guard rides the schema column every downstream stage reads.
+    val df = normalized(df0).withColumn("nh_schema",
+      when(col("nh_schema") =!= lit(CustomSchema), col("nh_schema"))
+        .otherwise(raise_error(
+          lit("custom-bucket (NHCB) rows in merge(): use mergeCustom"))
+          .cast(IntegerType)))
     val groupLabels = map_from_arrays(
       array(by.map(lit(_)): _*),
       array(by.map(b => col(Model.LabelsCol).getItem(b)): _*))
@@ -455,6 +587,90 @@ object NativeHistogram {
         transform(col("pbs"), b => b("i")).as("nh_pos_idx"),
         transform(col("pbs"), b => b("c")).as("nh_pos_cnt"),
         transform(col("nbs"), b => b("i")).as("nh_neg_idx"),
-        transform(col("nbs"), b => b("c")).as("nh_neg_cnt"))
+        transform(col("nbs"), b => b("c")).as("nh_neg_cnt"),
+        array().cast(ArrayType(DoubleType)).as("nh_bounds"))
+  }
+
+  /** Sum of CUSTOM-bucket (NHCB) histograms across series — [[merge]]'s
+    * sibling for `nh_schema = -53` rows (exponential rows are rejected:
+    * the two layouts have no common coarsening).
+    *
+    * Mixed bound lists within a (group, ts) downscale to the
+    * INTERSECTION of all members' bound lists — the NHCB analogue of
+    * merge's downscale-to-coarsest. This is EXACT, not approximate: the
+    * target bounds are a subset of every member's bounds, so each member
+    * bucket (bounds[i-1], bounds[i]] lies entirely inside one target
+    * bucket, and counts re-bucket without splitting. Member bucket with
+    * upper bound `u` maps to target index `|{t ∈ target : t < u}|` (the
+    * overflow bucket when u exceeds every target bound; the member's own
+    * overflow, u = +Inf, always does). An empty intersection degenerates
+    * to a single overflow bucket — still well-formed, counts preserved.
+    * `intersectMixed = false` raises on any bound-list mismatch instead
+    * (the strict [[merge]] contract).
+    *
+    * Same plan shape as [[merge]]: the target-bounds window rides the
+    * (group, ts) partitioning the merge shuffles on anyway (collect_set
+    * of DISTINCT bound lists — bounded by the handful of layouts a
+    * metric ever had), then one explode + one groupBy on (group, ts,
+    * remapped index) + one sorted re-collect. */
+  def mergeCustom(df0: DataFrame, by: Seq[String],
+                  intersectMixed: Boolean = true): DataFrame = {
+    val df = normalized(df0).withColumn("nh_schema",
+      when(col("nh_schema") === lit(CustomSchema), col("nh_schema"))
+        .otherwise(raise_error(
+          lit("exponential rows in mergeCustom(): use merge"))
+          .cast(IntegerType)))
+    val groupLabels = map_from_arrays(
+      array(by.map(lit(_)): _*),
+      array(by.map(b => col(Model.LabelsCol).getItem(b)): _*))
+    val base0 = df.withColumn("__gl__", groupLabels)
+      .withColumn("__gk__", Model.canonicalKey(col("__gl__")))
+    val groupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gk__"), col(Model.TsCol))
+    val layouts = collect_set(col("nh_bounds")).over(groupW)
+    val tgt =
+      if (intersectMixed)
+        array_sort(aggregate(slice(layouts, lit(2), size(layouts) - 1),
+          element_at(layouts, 1), (acc, b) => array_intersect(acc, b)))
+      else
+        when(size(layouts) === 1, col("nh_bounds"))
+          .otherwise(raise_error(
+            lit("mixed nh_bounds in mergeCustom group (strict mode)"))
+            .cast(ArrayType(DoubleType)))
+    val base = base0.withColumn("__tb__", tgt)
+    // remap: member bucket upper bound u → |{t ∈ target : t < u}|; the
+    // member overflow bucket (i = |bounds|, u = +Inf) lands on the target
+    // overflow index |target|
+    val nB = size(col("nh_bounds"))
+    val entries = zip_with(col("nh_pos_idx"), col("nh_pos_cnt"),
+      (i, c) => struct(i.as("i"), c.as("c")))
+    val keyed = base.select(col("__gk__"), col("__gl__"), col(Model.TsCol),
+        col("nh_bounds"), col("__tb__"), explode_outer(entries).as("b"))
+      .withColumn("__u__", when(col("b.i") >= nB, lit(Double.PositiveInfinity))
+        .otherwise(element_at(col("nh_bounds"), col("b.i") + 1)))
+      .withColumn("__ri__", when(col("b.i").isNotNull, // null = empty member
+        size(filter(col("__tb__"), t => t < col("__u__"))).cast(IntegerType)))
+    val bucketAgg = keyed
+      .groupBy(col("__gk__"), col(Model.TsCol), col("__ri__"))
+      .agg(first("__gl__").as("__gl__"), sum(col("b.c")).as("cnt"),
+        first("__tb__").as("__tb__"))
+    val buckets = bucketAgg
+      .groupBy(col("__gk__"), col(Model.TsCol))
+      .agg(first("__gl__").as(Model.LabelsCol), first("__tb__").as("nh_bounds"),
+        sort_array(collect_list(when(col("__ri__").isNotNull,
+          struct(col("__ri__").as("i"), col("cnt").as("c"))))).as("pbs"))
+    val scalars = base0
+      .groupBy(col("__gk__"), col(Model.TsCol))
+      .agg(sum("nh_zero_count").as("nh_zero_count"),
+        sum("nh_sum").as("nh_sum"), sum("nh_count").as("nh_count"))
+    buckets.join(scalars, Seq("__gk__", Model.TsCol))
+      .select(col(Model.LabelsCol), col(Model.TsCol),
+        lit(CustomSchema).as("nh_schema"),
+        col("nh_zero_count"), col("nh_sum"), col("nh_count"),
+        transform(col("pbs"), b => b("i")).as("nh_pos_idx"),
+        transform(col("pbs"), b => b("c")).as("nh_pos_cnt"),
+        array().cast(ArrayType(IntegerType)).as("nh_neg_idx"),
+        array().cast(ArrayType(DoubleType)).as("nh_neg_cnt"),
+        col("nh_bounds"))
   }
 }

@@ -420,6 +420,44 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 4)).as("value"))
   }
 
+  /** NHCB custom buckets (#55f): synthesize classic Le-bucket series from
+    * events — purchase at a FINER layout (50,100,200) than the rest
+    * (100,200) — convert via [[NativeHistogram.fromClassic]], merge all
+    * series per instant via [[NativeHistogram.mergeCustom]] (the mixed
+    * layouts force the bound-INTERSECTION downscale to (100,200) — exact
+    * re-bucketing, so the oracle computes the merged counts directly from
+    * raw values), then the p90 custom-bucket quantile walk. */
+  def nativeCustomQuantileQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = rawEvents(spark, dir).select(
+      col("event_type"),
+      (lit(GridStart) + floor((col("ts") - lit(GridStart)) / Step) * Step)
+        .as("t"),
+      col("value"))
+    val cum = ev.groupBy("event_type", "t").agg(
+      count(when(col("value") <= 50.0, 1)).cast(DoubleType).as("c50"),
+      count(when(col("value") <= 100.0, 1)).cast(DoubleType).as("c100"),
+      count(when(col("value") <= 200.0, 1)).cast(DoubleType).as("c200"),
+      count(lit(1)).cast(DoubleType).as("cInf"))
+    val classic = cum.select(col("event_type"), col("t"),
+        explode(when(col("event_type") === "purchase",
+          map(lit("50"), col("c50"), lit("100"), col("c100"),
+            lit("200"), col("c200"), lit("+Inf"), col("cInf")))
+          .otherwise(
+            map(lit("100"), col("c100"), lit("200"), col("c200"),
+              lit("+Inf"), col("cInf")))))
+      .withColumnRenamed("key", "le_str")
+      .withColumnRenamed("value", "cum")
+      .select(
+        map(lit(Model.NameLabel), lit("events_nhcb"),
+          lit("event_type"), col("event_type"),
+          lit(Model.LeLabel), col("le_str")).as(Model.LabelsCol),
+        col("t").as(Model.TsCol), col("cum").as(Model.ValueCol))
+    val nhcb = NativeHistogram.fromClassic(classic)
+    NativeHistogram.quantile(NativeHistogram.mergeCustom(nhcb, Seq.empty), 0.9)
+      .select(round(col(Model.TsCol), 6).as("ts"),
+        noNegZero(round(col(Model.ValueCol), 6)).as("value"))
+  }
+
   /** `histogram_quantile(0.9, rate(m[1h]))` — the flagship native-histogram
     * composition: per-MINUTE native histograms per event_type, the
     * bucket-wise last-minus-first window delta over each hourly instant's
@@ -866,6 +904,29 @@ object TsQueries {
     * bucket reaching rank, linear interpolation inside it. Counts are
     * integer-valued doubles, so every cumulative sum is exact regardless
     * of order; only the final pow-interpolation is rounded. */
+  /** NHCB replica: the intersection downscale is EXACT re-bucketing, so
+    * the merged distribution equals direct bucketing of all raw values at
+    * the intersection bounds (100, 200); the walk mirrors the sparse
+    * custom-bucket fold — `lo + (hi−lo)·((rank − cum_before)/cnt)`, zero
+    * buckets skipped, overflow estimating the last finite bound. */
+  def oracleNativeCustomQuantile: String =
+    s"""WITH s AS (SELECT
+       |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 3600.0) * 3600.0 AS gt,
+       |    value AS v FROM events),
+       |c AS (SELECT gt,
+       |    CAST(count(CASE WHEN v <= 100.0 THEN 1 END) AS DOUBLE) AS c100,
+       |    CAST(count(CASE WHEN v <= 200.0 THEN 1 END) AS DOUBLE) AS c200,
+       |    CAST(count(*) AS DOUBLE) AS cInf
+       |  FROM s GROUP BY 1)
+       |SELECT round(gt, 6) AS ts,
+       |  round(CASE
+       |    WHEN c100 > 0 AND c100 >= 0.9 * cInf
+       |      THEN 0.0 + (100.0 - 0.0) * ((0.9 * cInf - 0.0) / c100)
+       |    WHEN c200 - c100 > 0 AND c200 >= 0.9 * cInf
+       |      THEN 100.0 + (200.0 - 100.0) * ((0.9 * cInf - c100) / (c200 - c100))
+       |    ELSE 200.0 END, 6) + 0.0 AS value
+       |FROM c""".stripMargin
+
   def oracleNativeQuantile: String =
     s"""WITH s AS (SELECT event_type,
        |    1704067200.0 + floor((epoch(ts) - 1704067200.0) / 3600.0) * 3600.0 AS gt,
@@ -1485,6 +1546,7 @@ object TsQueries {
     "changes_1h" -> (changes1h _),
     "rate_resets_1h" -> (rateResets1h _),
     "native_quantile" -> (nativeQuantileQ _),
+    "native_custom_quantile" -> (nativeCustomQuantileQ _),
     "native_merge_mixed" -> (nativeMergeMixedQ _),
     "native_quantile_signed" -> (nativeQuantileSignedQ _),
     "native_stddev" -> (nativeStddevQ _),
@@ -1546,6 +1608,7 @@ object TsQueries {
     "changes_1h" -> oracleChanges1h,
     "rate_resets_1h" -> oracleRateResets1h,
     "native_quantile" -> oracleNativeQuantile,
+    "native_custom_quantile" -> oracleNativeCustomQuantile,
     "native_merge_mixed" -> oracleNativeMergeMixed,
     "native_quantile_signed" -> oracleNativeQuantileSigned,
     "native_stddev" -> oracleNativeStddev,

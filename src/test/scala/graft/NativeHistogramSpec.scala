@@ -310,6 +310,112 @@ class NativeHistogramSpec extends SparkSpec {
     assert(nm2.toSeq == Seq((0, Seq(1), Seq(7.0))))
   }
 
+  /** Classic Le-label cumulative bucket rows: (ts, series, le, cumCount). */
+  private def classicFrame(rows: Seq[(Double, String, String, Double)]) =
+    rows.toDF("ts", "h", "le", "value")
+      .withColumn("labels", map(
+        lit("__name__"), lit("lat"), lit("app"), lit("x"),
+        lit("h"), col("h"), lit("Le"), col("le")))
+      .drop("h").drop("le")
+
+  test("NHCB: classic histogram_quantile == converted-custom-bucket quantile") {
+    import graft.operators.HistogramQuantile
+    // two series, bounds (50, 100, 200, +Inf); cumulative counts
+    val classic = classicFrame(Seq(
+      (60.0, "a", "50", 2.0), (60.0, "a", "100", 6.0),
+      (60.0, "a", "200", 9.0), (60.0, "a", "+Inf", 10.0),
+      (60.0, "b", "50", 0.0), (60.0, "b", "100", 0.0),
+      (60.0, "b", "200", 4.0), (60.0, "b", "+Inf", 4.0)))
+    val nhcb = NativeHistogram.fromClassic(classic)
+    // layout sanity: bounds carried, counts de-cumulated sparse
+    val rows = nhcb.orderBy(col("labels").getItem("h"))
+      .select("nh_bounds", "nh_pos_idx", "nh_pos_cnt", "nh_count")
+      .as[(Seq[Double], Seq[Int], Seq[Double], Double)].collect()
+    assert(rows(0) == ((Seq(50.0, 100.0, 200.0), Seq(0, 1, 2, 3),
+      Seq(2.0, 4.0, 3.0, 1.0), 10.0)))
+    assert(rows(1) == ((Seq(50.0, 100.0, 200.0), Seq(2), Seq(4.0), 4.0)))
+    for (q <- Seq(0.1, 0.5, 0.9, 0.95, 1.0)) {
+      val cl = HistogramQuantile.quantile(classic, q)
+        .select(col("labels").getItem("h"), col("value"))
+        .as[(String, Double)].collect().toMap
+      val nc = NativeHistogram.quantile(nhcb, q)
+        .select(col("labels").getItem("h"), col("value"))
+        .as[(String, Double)].collect().toMap
+      for (s <- Seq("a", "b"))
+        assert(math.abs(cl(s) - nc(s)) < 1e-12, s"q=$q series=$s: ${cl(s)} vs ${nc(s)}")
+    }
+    // rank in the overflow bucket → last finite bound (classic fallback)
+    val ovf = classicFrame(Seq((60.0, "c", "50", 1.0), (60.0, "c", "+Inf", 10.0)))
+    val qo = NativeHistogram.quantile(NativeHistogram.fromClassic(ovf), 0.9)
+      .select("value").as[Double].head()
+    assert(qo == 50.0)
+    // no finite buckets at all → 0.0 (classic "no buckets" estimate)
+    val none = classicFrame(Seq((60.0, "d", "+Inf", 5.0)))
+    assert(NativeHistogram.quantile(NativeHistogram.fromClassic(none), 0.5)
+      .select("value").as[Double].head() == 0.0)
+    // non-+Inf-topped groups are dropped, matching classic's NaN
+    val noInf = classicFrame(Seq((60.0, "e", "50", 1.0), (60.0, "e", "100", 2.0)))
+    assert(NativeHistogram.fromClassic(noInf).count() == 0)
+  }
+
+  test("NHCB: fraction over custom bounds, overflow contributes nothing finite") {
+    val classic = classicFrame(Seq(
+      (60.0, "a", "50", 2.0), (60.0, "a", "100", 6.0),
+      (60.0, "a", "200", 9.0), (60.0, "a", "+Inf", 10.0)))
+    val nhcb = NativeHistogram.fromClassic(classic)
+    def f(lo: Double, hi: Double): Double =
+      NativeHistogram.fraction(nhcb, lo, hi).select("value").as[Double].head()
+    assert(math.abs(f(0.0, 50.0) - 0.2) < 1e-12)            // first bucket whole
+    assert(math.abs(f(50.0, 100.0) - 0.4) < 1e-12)          // second whole
+    assert(math.abs(f(75.0, 100.0) - (4.0 * 0.5) / 10.0) < 1e-12) // straddle
+    assert(math.abs(f(0.0, 200.0) - 0.9) < 1e-12)           // all finite
+    assert(math.abs(f(0.0, 1e9) - 0.9) < 1e-12)             // overflow stays out
+  }
+
+  test("NHCB merge: identical bounds sum by index; mixed bounds intersect exactly") {
+    val classic = classicFrame(Seq(
+      (60.0, "a", "50", 2.0), (60.0, "a", "100", 6.0), (60.0, "a", "+Inf", 7.0),
+      (60.0, "b", "50", 1.0), (60.0, "b", "100", 3.0), (60.0, "b", "+Inf", 3.0)))
+    val m = NativeHistogram.mergeCustom(NativeHistogram.fromClassic(classic), Seq("app"))
+    val row = m.select("nh_bounds", "nh_pos_idx", "nh_pos_cnt", "nh_count")
+      .as[(Seq[Double], Seq[Int], Seq[Double], Double)].collect()
+    assert(row.toSeq == Seq((Seq(50.0, 100.0), Seq(0, 1, 2),
+      Seq(3.0, 6.0, 1.0), 10.0)))
+    // mixed layouts: a at (50,100,200), b at (100,300) → intersection (100):
+    // a's (0,50](50,100] collapse into (0,100], (100,200] + overflow → overflow;
+    // b's (0,100] stays, (100,300] + overflow → overflow. EXACT re-bucketing.
+    val mixed = classicFrame(Seq(
+      (60.0, "a", "50", 2.0), (60.0, "a", "100", 6.0),
+      (60.0, "a", "200", 9.0), (60.0, "a", "+Inf", 10.0),
+      (60.0, "b", "100", 5.0), (60.0, "b", "300", 8.0), (60.0, "b", "+Inf", 9.0)))
+    val mm = NativeHistogram.mergeCustom(NativeHistogram.fromClassic(mixed), Seq("app"))
+    val mrow = mm.select("nh_bounds", "nh_pos_idx", "nh_pos_cnt", "nh_count")
+      .as[(Seq[Double], Seq[Int], Seq[Double], Double)].collect()
+    assert(mrow.toSeq == Seq((Seq(100.0), Seq(0, 1), Seq(11.0, 8.0), 19.0)))
+    // ... and the merged quantile equals the quantile of the directly
+    // converted SUM of the classic series (the ground truth): cum at 100
+    // = 6+5 = 11 of 19
+    val summed = classicFrame(Seq(
+      (60.0, "s", "100", 11.0), (60.0, "s", "+Inf", 19.0)))
+    val qTruth = NativeHistogram.quantile(NativeHistogram.fromClassic(summed), 0.5)
+      .select("value").as[Double].head()
+    val qMerged = NativeHistogram.quantile(mm, 0.5).select("value").as[Double].head()
+    assert(math.abs(qTruth - qMerged) < 1e-12)
+    // strict mode raises on mismatched bounds
+    intercept[Exception] {
+      NativeHistogram.mergeCustom(NativeHistogram.fromClassic(mixed), Seq("app"),
+        intersectMixed = false).collect()
+    }
+    // exponential rows are rejected by mergeCustom, NHCB rows by merge
+    val exp = frame(Seq((60.0, "z", 0, 0.0, 1.0, 1.0, Seq(1), Seq(1.0))))
+    intercept[Exception] {
+      NativeHistogram.mergeCustom(exp, Seq("app")).collect()
+    }
+    intercept[Exception] {
+      NativeHistogram.merge(NativeHistogram.fromClassic(classic), Seq("app")).collect()
+    }
+  }
+
   /** Negative-only frame builder (empty positive spectrum). */
   private def frame2(rows: Seq[(Double, String, Int, Seq[Int], Seq[Double])]): DataFrame =
     rows.map { case (ts, h, sch, ni, nc) =>
