@@ -112,9 +112,16 @@ object Bench {
     val gcHot = gcPerQuery.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")
     System.err.println(f"[bench] gc total $gcTotal%.2fs; top: $gcHot")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
+    // The stdout line is what the driver captures into BENCH_r{N}.json, and
+    // the capture proved lossy for long lines (r10's artifact kept only the
+    // tail, dropping the first 16 queries' medians). Keep stdout COMPACT —
+    // totals + per-query medians only — and put the full detail (min/max
+    // spread, which only matters for local stall forensics) in
+    // bench_out.json where file size is unconstrained.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
     println(line)
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
   }
 }

@@ -305,13 +305,14 @@ object Ann {
     * pre-normalized (the synthetic corpus already is — measured no-op
     * there, norms ∈ [1 ± 1e-7]). `codebookIters > 0` Lloyd-refines the
     * codebook per subspace (k-means on subvectors — the production
-    * refinement; §6 sweep measures the recall lift over first-K seeding).
-    * The GATE query pins normalize = false / codebookIters = 0: both put
-    * cross-engine float sums upstream of the argmin, and oracle hash
-    * stability beats recall there. */
+    * refinement; the SURVEY §6 sweep measured +0.15 recall@5 over first-K
+    * seeding at m=8×16, which is why 3 is the library DEFAULT).
+    * The GATE queries pin normalize = false / codebookIters = 0
+    * explicitly: both knobs put cross-engine float sums upstream of the
+    * argmin, and oracle hash stability beats recall there. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, codebookSize: Int = 16,
-             normalize: Boolean = false, codebookIters: Int = 0): DataFrame = {
+             normalize: Boolean = false, codebookIters: Int = 3): DataFrame = {
     val cb = pqCodebook(corpus, m, codebookSize, normalize, codebookIters)
     val codes = pqCodes(corpus, cb, m, normalize)
     val dtab = pqQueryTable(queries, cb, m, codebookSize, normalize)
@@ -437,14 +438,16 @@ object Ann {
     * (m bytes/vector) is the only per-vector state the scoring join
     * touches; raw embeddings never leave the encode stage.
     *
-    * Same gate conventions as ann_ivf/ann_pq: first-N centroid seeding,
-    * first-K codebook, unrefined — every float the oracle must reproduce
-    * is a deterministic literal. Production knobs (lloydIters on either
-    * half, normalize, multiAssign) compose exactly as in the halves. */
+    * The GATE queries pin first-N centroid seeding, first-K codebook,
+    * codebookIters = 0 — every float the oracle must reproduce is a
+    * deterministic literal. The library DEFAULT refines the codebook
+    * (codebookIters = 3, the measured +0.15 recall@5 from the §6 sweep);
+    * production knobs (lloydIters on either half, normalize, multiAssign)
+    * compose exactly as in the halves. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCentroids: Int = 128, nprobe: Int = 4, multiAssign: Int = 2,
                 m: Int = 8, codebookSize: Int = 16,
-                normalize: Boolean = false, codebookIters: Int = 0): DataFrame = {
+                normalize: Boolean = false, codebookIters: Int = 3): DataFrame = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val cents = seedCentroids(corpus, nCentroids)
     val lists = assignTo(corpus, cents, multiAssign).select("vec_id", "cent_id")
@@ -484,7 +487,7 @@ object Ann {
                       nCentroids: Int = 128, nprobe: Int = 4,
                       multiAssign: Int = 2, m: Int = 8,
                       codebookSize: Int = 16, normalize: Boolean = false,
-                      codebookIters: Int = 0): DataFrame = {
+                      codebookIters: Int = 3): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val shortlist = ivfPqTopK(corpus, queries, rerank, nCentroids, nprobe,
         multiAssign, m, codebookSize, normalize, codebookIters)

@@ -75,10 +75,12 @@ object LlmQueries {
 
   /** Product-quantization ADC top-k: 8 subspaces × 16 codes over the
     * 64-dim embeddings (first-16 codebook — same SQL-reproducible seeding
-    * convention as ann_ivf). */
+    * convention as ann_ivf). codebookIters = 0 is the GATE PIN (library
+    * default is 3 Lloyd refinements): the oracle must reproduce every
+    * centroid as a deterministic literal. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5)
+    Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5, codebookIters = 0)
   }
 
   /** IVF×PQ composed index: first-16 centroids / nprobe 2 / single
@@ -88,14 +90,14 @@ object LlmQueries {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Ann.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 5,
-      nCentroids = 16, nprobe = 2, multiAssign = 1)
+      nCentroids = 16, nprobe = 2, multiAssign = 1, codebookIters = 0)
   }
 
   /** IVF×PQ + exact re-rank of the ADC top-10 (IVFADC+R). */
   def annIvfPqRr(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Ann.ivfPqRerankTopK(e, e.filter(col("vec_id") < 5), k = 5, rerank = 10,
-      nCentroids = 16, nprobe = 2, multiAssign = 1)
+      nCentroids = 16, nprobe = 2, multiAssign = 1, codebookIters = 0)
   }
 
   /** Random projection of the 64-dim embeddings to 4 dims (JL transform;
