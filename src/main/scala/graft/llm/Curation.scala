@@ -35,6 +35,19 @@ object Curation {
     size(filter(split(translate(text, "\t\n\r", "   "), " ", -1),
       t => t =!= lit(""))).cast(LongType)
 
+  /** Tokenizer dispatch for the token-budget operators: "ws" (whitespace
+    * words — the gate default, see [[tokCount]]'s oracle-stability note)
+    * or "bpe" ([[Bpe.tokenCount]] with the default merge table — what a
+    * real pipeline budgets in). Both are in-row codegen'd expressions;
+    * swapping tokenizers changes no plan shape. */
+  private def tokCountAs(text: Column, tokenizer: String): Column =
+    tokenizer match {
+      case "ws"  => tokCount(text)
+      case "bpe" => Bpe.tokenCount(text)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (expected ws | bpe)")
+    }
+
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM-style n-gram
     * overlap check): flag every training document sharing any word n-gram
     * with a held-out benchmark set.
@@ -278,8 +291,10 @@ object Curation {
     * bucketWidth-invariant (CurationSpec pins equality across widths).
     */
   def packSequences(docs: DataFrame, blockSize: Long,
-                    bucketWidth: Long = 1000000L): DataFrame = {
-    val toked = docs.select(col("doc_id"), tokCount(col("text")).as("tok"))
+                    bucketWidth: Long = 1000000L,
+                    tokenizer: String = "ws"): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      tokCountAs(col("text"), tokenizer).as("tok"))
       .withColumn("bkt", floor(col("doc_id") / bucketWidth).cast(LongType))
     val baseW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val bases = toked.groupBy("bkt").agg(sum("tok").as("btok"))
@@ -322,11 +337,12 @@ object Curation {
     * respect it (equal scores share a band), so full ∪ boundary-kept is
     * row-for-row the same set the single window produces.
     */
-  def mixByBudget(docs: DataFrame, budget: Long): DataFrame = {
+  def mixByBudget(docs: DataFrame, budget: Long,
+                  tokenizer: String = "ws"): DataFrame = {
     val scored = TextAnalysis.quality(docs)
       .select(col("doc_id"), col("quality_score").as("p"))
       .join(docs.select(col("doc_id"), col("source"),
-        tokCount(col("text")).as("tok")), "doc_id")
+        tokCountAs(col("text"), tokenizer).as("tok")), "doc_id")
       .withColumn("band", floor(col("p") * 100).cast(IntegerType))
 
     // Phase 1+2: per-(source, band) token mass, then the mass strictly in
@@ -370,9 +386,10 @@ object Curation {
     * scanned once and never shuffled. Rates are pre-rounded to 9 decimals
     * so the keep/drop comparison never sits on a cross-engine pow() ULP.
     * Output: kept (source, doc_id, tok, rate9). */
-  def mixByTemperature(docs: DataFrame, alpha: Double, budget: Long): DataFrame = {
+  def mixByTemperature(docs: DataFrame, alpha: Double, budget: Long,
+                       tokenizer: String = "ws"): DataFrame = {
     val toked = docs.select(col("doc_id"), col("source"),
-      tokCount(col("text")).as("tok"),
+      tokCountAs(col("text"), tokenizer).as("tok"),
       (pmod(conv(substring(md5(col("text").cast(BinaryType)), 1, 8), 16, 10)
         .cast(LongType), lit(16777216L)).cast(DoubleType) / 16777216.0).as("draw"))
     val masses = toked.groupBy("source").agg(sum("tok").as("m"))
@@ -450,11 +467,18 @@ object Curation {
     * the partition it already lives on. At 100 TB this is a pure map
     * stage that pipelines into whatever consumes the chunks. */
   def chunkOverlap(docs: DataFrame, chunkSize: Int = 64,
-                   stride: Int = 48): DataFrame = {
+                   stride: Int = 48, tokenizer: String = "ws"): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
-    val tk = filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
-      t => t =!= lit(""))
+    // Under "bpe", chunk_text joins SUBWORD tokens with spaces — a token
+    // rendering of the window, not a substring of the original text.
+    val tk = tokenizer match {
+      case "ws"  => filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
+        t => t =!= lit(""))
+      case "bpe" => Bpe.tokens(col("text"))
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (expected ws | bpe)")
+    }
     docs.select(col("doc_id"), tk.as("tk"),
         size(tk).cast(LongType).as("n"))
       .filter(col("n") > 0)

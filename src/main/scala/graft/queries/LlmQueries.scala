@@ -119,6 +119,14 @@ object LlmQueries {
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(docs(spark, dir))
 
+  /** Real merge-table BPE token counts (default English-fixture merges)
+    * next to the whitespace count — the systematic skew every token
+    * budget inherits when it counts words instead of subwords. */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      Curation.tokCount(col("text")).as("ws_tok"),
+      graft.llm.Bpe.tokenCount(col("text")).as("bpe_tok"))
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(spark, dir))
 
@@ -554,6 +562,19 @@ object LlmQueries {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens
       |FROM documents""".stripMargin
 
+  /** BPE replica: the tokenized-string replace chain is GENERATED from
+    * the same merge table the Spark side folds over
+    * ([[graft.llm.Bpe.oracleTokenizedSql]]) — both engines run the
+    * identical left-to-right replace semantics, so counts are exact
+    * integers at any scale. */
+  def oracleTextTokensBpe: String =
+    s"""WITH bpe_s AS (SELECT doc_id, text,
+       |    ${graft.llm.Bpe.oracleTokenizedSql("text")} AS s FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS ws_tok,
+       |  CAST(${graft.llm.Bpe.oracleCountSql("s")} AS BIGINT) AS bpe_tok
+       |FROM bpe_s""".stripMargin
+
   def oracleTextRepetition: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
       |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
@@ -942,6 +963,7 @@ object LlmQueries {
     "text_lang" -> (textLang _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_tokens_bpe" -> (textTokensBpe _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_entropy" -> (textEntropy _),
@@ -980,6 +1002,7 @@ object LlmQueries {
     "text_lang" -> oracleTextLang,
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
+    "text_tokens_bpe" -> oracleTextTokensBpe,
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,
     "text_entropy" -> oracleTextEntropy,
