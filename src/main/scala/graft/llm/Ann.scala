@@ -101,7 +101,7 @@ object Ann {
   /** Codegen'd scoring expression (see [[graft.functions.CosineSimilarity]]);
     * bit-identical to [[cosine]] but runs as a primitive loop inside
     * whole-stage codegen instead of interpreted HOF lambdas. */
-  private def nativeScore(df: DataFrame, a: String, b: String): Column = {
+  private[llm] def nativeScore(df: DataFrame, a: String, b: String): Column = {
     graft.functions.CosineSimilarity.register(df.sparkSession)
     round(expr(s"${graft.functions.CosineSimilarity.FunctionName}($a, $b)"), 6)
   }
@@ -141,7 +141,7 @@ object Ann {
   }
 
   /** Deterministic seed centroids: the first `nCentroids` corpus vectors. */
-  private def seedCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+  private[llm] def seedCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
     corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
 
@@ -192,7 +192,7 @@ object Ann {
 
   /** Assign each vector to its `n` best centroids (max cosine, min centroid
     * id on ties). Centroids broadcast; the corpus streams. */
-  private def assignTo(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
+  private[llm] def assignTo(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
     df.crossJoin(broadcast(cents))
       .withColumn("csim", expr("graft_cosine(embedding, cent_emb)"))
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
@@ -354,7 +354,7 @@ object Ann {
     * subspace — assign every subvector to its nearest code, recompute codes
     * as element-wise means (posexplode + one bounded groupBy per iteration);
     * codes that lose all members keep their old position. */
-  private def pqCodebook(corpus: DataFrame, m: Int, codebookSize: Int,
+  private[llm] def pqCodebook(corpus: DataFrame, m: Int, codebookSize: Int,
                          normalize: Boolean, codebookIters: Int): DataFrame = {
     val cb0 = pqSubs(corpus.filter(col("vec_id") < codebookSize), "code", m, normalize)
       .select(col("code").cast(IntegerType).as("code"), col("sub"),
@@ -384,7 +384,7 @@ object Ann {
     * min over struct(d, code) orders lexicographically in both engines
     * (smallest code wins ties), so the corpus is scanned once, no
     * min-join-back second pass. Output: (vec_id, codes array<int>[m]). */
-  private def pqCodes(corpus: DataFrame, cb: DataFrame, m: Int,
+  private[llm] def pqCodes(corpus: DataFrame, cb: DataFrame, m: Int,
                       normalize: Boolean): DataFrame =
     pqSubs(corpus, "vec_id", m, normalize).join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
@@ -398,7 +398,7 @@ object Ann {
 
   /** Per-query ADC distance table to every (sub, code), flattened
     * sub-major: (query_id, dtab array<double>[m·codebookSize]). */
-  private def pqQueryTable(queries: DataFrame, cb: DataFrame, m: Int,
+  private[llm] def pqQueryTable(queries: DataFrame, cb: DataFrame, m: Int,
                            codebookSize: Int, normalize: Boolean): DataFrame =
     pqSubs(queries, "query_id", m, normalize).join(broadcast(cb), "sub")
       .select(col("query_id"),
@@ -410,14 +410,14 @@ object Ann {
 
   /** ADC: m table lookups per (query, candidate), rounded so the rank is
     * reproducible across engines. */
-  private def adcDistance(dtab: Column, codes: Column, m: Int,
+  private[llm] def adcDistance(dtab: Column, codes: Column, m: Int,
                           codebookSize: Int): Column =
     round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(dtab,
         (s * codebookSize + element_at(codes, s + 1) + 1)
           .cast(IntegerType))), 6)
 
-  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
+  private[llm] def pqRank(scored: DataFrame, k: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)

@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persistent IVF×PQ index: build once, store, append incrementally, query
+  * from the store — the missing lifecycle around [[Ann.ivfPqTopK]], which
+  * refits centroids and codebook from the corpus on every call. A real
+  * 100 TB index is built once; new vectors are assigned and encoded against
+  * the FROZEN model (the standard FAISS-style contract: the coarse
+  * quantizer and codebook never move after training, so stored codes stay
+  * comparable forever).
+  *
+  * Layout under `dir` (all parquet — readable by any engine):
+  *   - `meta.parquet`      one row: (n_centroids, multi_assign, m,
+  *                         codebook_size, normalize) — the frozen config.
+  *   - `centroids.parquet` (cent_id, cent_emb) — the coarse quantizer.
+  *   - `codebook.parquet`  (sub, code, cv) — the PQ codebook.
+  *   - `codes.parquet`     (vec_id, codes[m]) PARTITIONED BY cent_id — the
+  *                         only per-vector state (m bytes + list id).
+  *
+  * Partitioning codes by cent_id is the scale design: a query probes
+  * `nprobe` lists, and the broadcast-hash scoring join on cent_id lets
+  * dynamic partition pruning read ONLY the probed list directories —
+  * at a billion vectors the scan touches nprobe/nCentroids of the store,
+  * not the corpus, and raw embeddings are never read at all (exact
+  * re-rank excepted, and that is hash-pruned to the shortlist).
+  *
+  * Determinism: build/append/query compose the same deterministic pieces
+  * as the transient path ([[Ann.seedCentroids]] first-N seeding,
+  * [[Ann.pqCodebook]], [[Ann.pqCodes]] one-aggregation encode), so a
+  * build-then-append over a vec_id-ordered split equals a single build
+  * over the union EXACTLY when the split point keeps the seed vectors in
+  * the build half (LlmSpec pins this round-trip against
+  * [[Ann.ivfPqTopK]]). */
+object AnnIndex {
+
+  /** Frozen index configuration. `codebookIters` only matters at [[build]]
+    * time (the trained codebook is stored); gate callers pin 0 for oracle
+    * reproducibility, the library default refines (see [[Ann.pqTopK]]). */
+  case class Params(nCentroids: Int = 128, multiAssign: Int = 2, m: Int = 8,
+                    codebookSize: Int = 16, normalize: Boolean = false,
+                    codebookIters: Int = 3)
+
+  /** Fit the model on `corpus` and write model + codes to `dir`. */
+  def build(corpus: DataFrame, dir: String, p: Params = Params()): Unit = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    val cents = Ann.seedCentroids(corpus, p.nCentroids)
+    val cb = Ann.pqCodebook(corpus, p.m, p.codebookSize, p.normalize,
+      p.codebookIters)
+    corpus.sparkSession.createDataFrame(Seq(
+      (p.nCentroids, p.multiAssign, p.m, p.codebookSize, p.normalize)))
+      .toDF("n_centroids", "multi_assign", "m", "codebook_size", "normalize")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    encode(corpus, cents, cb, p).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Assign + encode `newVectors` against the FROZEN stored model and
+    * append their codes. The model is never refit — append is a pure map
+    * over the new vectors (one assignment window + one encode
+    * aggregation), regardless of how large the existing index is. */
+  def append(dir: String, newVectors: DataFrame): Unit = {
+    val spark = newVectors.sparkSession
+    graft.functions.CosineSimilarity.register(spark)
+    val (p, cents, cb) = readModel(spark, dir)
+    encode(newVectors, cents, cb, p).write.mode("append")
+      .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
+  }
+
+  /** ADC top-k from the stored index — [[Ann.ivfPqTopK]]'s scoring join
+    * with the corpus-side state read from the store. */
+  def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+            nprobe: Int = 4): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val (p, cents, cb) = readModel(spark, dir)
+    val listCodes = spark.read.parquet(s"$dir/codes.parquet")
+    val probes = Ann.assignTo(queries, cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val qside = probes.join(
+      Ann.pqQueryTable(queries, cb, p.m, p.codebookSize, p.normalize),
+      "query_id")
+    val scored0 = listCodes.as("c").join(broadcast(qside.as("q")),
+        col("q.cent_id") === col("c.cent_id") &&
+          col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        Ann.adcDistance(col("q.dtab"), col("c.codes"), p.m, p.codebookSize)
+          .as("dist"))
+    val scored = if (p.multiAssign <= 1) scored0 else scored0.distinct()
+    Ann.pqRank(scored, k)
+  }
+
+  /** IVFADC+R from the store: ADC shortlist of `rerank`, exact cosine
+    * re-rank against `corpus` raw vectors (hash-pruned to the shortlist —
+    * the only raw-embedding read in the query path). */
+  def queryRerank(spark: SparkSession, dir: String, corpus: DataFrame,
+                  queries: DataFrame, k: Int, rerank: Int = 50,
+                  nprobe: Int = 4): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val shortlist = query(spark, dir, queries, rerank, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qemb"))
+    val sl = shortlist.join(qe, "query_id")
+    val scored = corpus.as("c").join(broadcast(sl.as("s")),
+        col("s.neighbor_id") === col("c.vec_id"))
+      .select(col("s.query_id").as("query_id"),
+        col("s.neighbor_id").as("neighbor_id"),
+        Ann.nativeScore(corpus, "s.qemb", "c.embedding").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
+  private def encode(vecs: DataFrame, cents: DataFrame, cb: DataFrame,
+                     p: Params): DataFrame =
+    Ann.assignTo(vecs, cents, p.multiAssign).select("vec_id", "cent_id")
+      .join(Ann.pqCodes(vecs, cb, p.m, p.normalize), "vec_id")
+      .select("vec_id", "codes", "cent_id")
+
+  private def readModel(spark: SparkSession,
+                        dir: String): (Params, DataFrame, DataFrame) = {
+    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    val p = Params(m.getAs[Int]("n_centroids"), m.getAs[Int]("multi_assign"),
+      m.getAs[Int]("m"), m.getAs[Int]("codebook_size"),
+      m.getAs[Boolean]("normalize"))
+    (p, spark.read.parquet(s"$dir/centroids.parquet"),
+      spark.read.parquet(s"$dir/codebook.parquet"))
+  }
+}

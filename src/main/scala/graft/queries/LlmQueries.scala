@@ -100,6 +100,26 @@ object LlmQueries {
       nCentroids = 16, nprobe = 2, multiAssign = 1, codebookIters = 0)
   }
 
+  /** Persistent-index lifecycle under the ann_ivfpq gate conventions:
+    * build on the low-vec_id half, append the rest against the FROZEN
+    * model, query from the store. First-N seeding draws the same seed
+    * vectors either way (they live in the build half), so the output is
+    * row-identical to the transient [[Ann.ivfPqTopK]] — the oracle is
+    * literally oracleAnnIvfPq, which is the point: persistence must not
+    * change a single ranked row. */
+  def annIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val half = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft-annidx")
+      .toString
+    val p = graft.llm.AnnIndex.Params(nCentroids = 16, multiAssign = 1,
+      codebookIters = 0)
+    graft.llm.AnnIndex.build(e.filter(col("vec_id") <= half), idx, p)
+    graft.llm.AnnIndex.append(idx, e.filter(col("vec_id") > half))
+    graft.llm.AnnIndex.query(spark, idx, e.filter(col("vec_id") < 5),
+      k = 5, nprobe = 2)
+  }
+
   /** Random projection of the 64-dim embeddings to 4 dims (JL transform;
     * plane offset 256 keeps the matrix independent of the LSH tables). */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -958,6 +978,7 @@ object LlmQueries {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_index" -> (annIndex _),
     "ann_ivfpq_rr" -> (annIvfPqRr _),
     "decontaminate_embed" -> (decontaminateEmbedQ _),
     "text_lang" -> (textLang _),
@@ -997,6 +1018,7 @@ object LlmQueries {
     "ann_ivf" -> oracleAnnIvf,
     "ann_pq" -> oracleAnnPq,
     "ann_ivfpq" -> oracleAnnIvfPq,
+    "ann_index" -> oracleAnnIvfPq,
     "ann_ivfpq_rr" -> oracleAnnIvfPqRr,
     "decontaminate_embed" -> oracleDecontaminateEmbed,
     "text_lang" -> oracleTextLang,

@@ -146,6 +146,38 @@ class LlmSpec extends SparkSpec {
       assert(bruteScore((qid, nid)) == s) } // scores are the true cosines
   }
 
+  test("AnnIndex: build → persist → append → query from the store equals the transient rebuild") {
+    import graft.llm.AnnIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val dir = java.nio.file.Files.createTempDirectory("annidx-spec").toString
+    // first-N seeds and first-K codebook live in the build half, so the
+    // frozen model == the model a full rebuild would fit (iters = 0 keeps
+    // the codebook off the corpus-dependent Lloyd path)
+    val p = AnnIndex.Params(nCentroids = 8, multiAssign = 1, codebookIters = 0)
+    AnnIndex.build(emb.filter(col("vec_id") <= half), dir, p)
+    AnnIndex.append(dir, emb.filter(col("vec_id") > half))
+    val stored = AnnIndex.query(spark, dir, q, 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val transient = Ann.ivfPqTopK(emb, q, 5, nCentroids = 8, nprobe = 2,
+        multiAssign = 1, codebookIters = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(stored == transient)
+    // exact re-rank from the store == transient IVFADC+R, row for row
+    val rrStored = AnnIndex.queryRerank(spark, dir, emb, q, 5, rerank = 10,
+        nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
+    val rrTransient = Ann.ivfPqRerankTopK(emb, q, 5, rerank = 10,
+        nCentroids = 8, nprobe = 2, multiAssign = 1, codebookIters = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rrStored == rrTransient)
+    // the store really is the only corpus state the query touches: codes
+    // are partitioned by cent_id for probe-pruned reads
+    val parts = new java.io.File(s"$dir/codes.parquet").listFiles()
+      .filter(_.getName.startsWith("cent_id=")).map(_.getName).toSet
+    assert(parts.nonEmpty && parts.forall(_.matches("cent_id=\\d+")))
+  }
+
   test("native LSH-bucket expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.functions.HyperplaneBucket.register(spark)
