@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -560,5 +560,55 @@ object Curation {
       .agg(sum("cnt").as("n_grams"),
         round(sum(col("cnt") * col("lam")), 6).as("w6"))
       .select(col("doc_id"), col("n_grams"), col("w6"))
+  }
+
+  /** Deterministic md5-derived weight fixture in [-0.5, 0.5): a stand-in
+    * with the exact shape of a trained fastText-format weight vector
+    * (one weight per hash bucket) so the scoring machinery is gate-able;
+    * production callers pass their trained table to [[classifierScore]]
+    * instead. Same dyadic-rational derivation as [[Ann.planeComponent]]. */
+  def hashWeightFixture(spark: SparkSession, buckets: Int = 4096): DataFrame =
+    spark.range(buckets).select(col("id").as("b"),
+      ((pmod(conv(substring(md5(concat(lit("w:"),
+          col("id").cast(StringType)).cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType), lit(65536L)) - 32768L).cast(DoubleType) / 65536.0)
+        .as("w"))
+
+  /** Model-based quality scoring (the DCLM / FineWeb-edu-shaped filter):
+    * a linear classifier over hashed n-gram features, fastText-style —
+    * logit = bias + Σ_g w[bucket(g)] / n_grams (mean-pooled counts), keep
+    * iff logit > 0. The feature bag is EXACTLY [[dsirWeights]]'s machinery
+    * (uni+bigrams, md5 → `buckets`), so a pipeline computing both shares
+    * the gram scan; `weights` is a (b, w) table — trained weights in
+    * production, [[hashWeightFixture]] by default for reproducibility.
+    *
+    * Plan shape: grams and buckets are in-row; one doc-keyed aggregation
+    * builds counts; the weight table is tiny and BROADCAST into the dot
+    * product — the corpus is scanned once, the only shuffle is the
+    * bounded (doc_id, b) count. Docs with zero grams emit nothing (same
+    * contract as [[dsirWeights]]). Logits round to 6 decimals so the
+    * keep threshold never sits on a float-sum ULP. */
+  def classifierScore(docs: DataFrame, weights: Option[DataFrame] = None,
+                      buckets: Int = 4096, bias: Double = 0.0): DataFrame = {
+    val w = weights.getOrElse(hashWeightFixture(docs.sparkSession, buckets))
+    val tk = filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
+      t => t =!= lit(""))
+    val base = docs.select(col("doc_id"), tk.as("tk"))
+    val bigrams = when(size(col("tk")) >= 2,
+      expr("transform(sequence(1, size(tk) - 1), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val grams = base.select(col("doc_id"),
+      explode(concat(col("tk"), bigrams)).as("g"))
+    val bucketed = grams.select(col("doc_id"),
+      pmod(conv(substring(md5(col("g").cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType), lit(buckets.toLong)).as("b"))
+    bucketed.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"), sum(col("cnt") * col("w")).as("dot"))
+      .select(col("doc_id"), col("n_grams"),
+        round(lit(bias) + col("dot") / col("n_grams"), 6).as("logit6"))
+      .withColumn("keep", col("logit6") > 0.0)
   }
 }

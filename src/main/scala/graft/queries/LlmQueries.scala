@@ -147,6 +147,11 @@ object LlmQueries {
       Curation.tokCount(col("text")).as("ws_tok"),
       graft.llm.Bpe.tokenCount(col("text")).as("bpe_tok"))
 
+  /** Hashed-n-gram linear quality classifier with the deterministic
+    * weight fixture (trained weights are a drop-in (b, w) table). */
+  def textClassifier(spark: SparkSession, dir: String): DataFrame =
+    Curation.classifierScore(docs(spark, dir))
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(spark, dir))
 
@@ -595,6 +600,24 @@ object LlmQueries {
        |  CAST(${graft.llm.Bpe.oracleCountSql("s")} AS BIGINT) AS bpe_tok
        |FROM bpe_s""".stripMargin
 
+  /** Classifier replica: the DSIR gram/bucket CTEs with the md5-derived
+    * weight fixture joined in place of the likelihood-ratio table. */
+  def oracleTextClassifier: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '') AS tk FROM documents),
+      |g AS (SELECT doc_id, unnest(tk) AS g FROM t
+      |  UNION ALL
+      |  SELECT doc_id, tk[CAST(u.i AS BIGINT)] || ' ' || tk[CAST(u.i AS BIGINT) + 1] AS g
+      |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+      |bkt AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b FROM g),
+      |bc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM bkt GROUP BY 1, 2),
+      |w AS (SELECT CAST(u.i AS BIGINT) AS b,
+      |    ((('0x' || substr(md5('w:' || CAST(u.i AS BIGINT)), 1, 8))::BIGINT % 65536) - 32768) / 65536.0 AS w
+      |  FROM UNNEST(range(0, 4096)) AS u(i)),
+      |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |    round(0.0 + sum(cnt * w) / sum(cnt), 6) AS logit6
+      |  FROM bc JOIN w USING (b) GROUP BY doc_id)
+      |SELECT doc_id, n_grams, logit6, logit6 > 0.0 AS keep FROM s""".stripMargin
+
   def oracleTextRepetition: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
       |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
@@ -985,6 +1008,7 @@ object LlmQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
+    "text_classifier" -> (textClassifier _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_entropy" -> (textEntropy _),
@@ -1025,6 +1049,7 @@ object LlmQueries {
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
     "text_tokens_bpe" -> oracleTextTokensBpe,
+    "text_classifier" -> oracleTextClassifier,
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,
     "text_entropy" -> oracleTextEntropy,

@@ -279,4 +279,31 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(again == w)
   }
+
+  test("classifierScore: mean-pooled logit, bias shift, trained-table drop-in") {
+    val docs = Seq(
+      (0L, "good text"),          // 2 unigrams + 1 bigram = 3 grams
+      (1L, "good text good text") // 4 + 3 = 7 grams, same gram SET
+    ).toDF("doc_id", "text")
+    // constant +1 weights: mean pooling makes the logit length-invariant
+    val ones = spark.range(64).select(col("id").as("b"), lit(1.0).as("w"))
+    val s1 = Curation.classifierScore(docs, Some(ones), buckets = 64)
+      .select("doc_id", "n_grams", "logit6", "keep")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(s1(0L)._2 == 3L && s1(1L)._2 == 7L)
+    assert(s1(0L)._3 == 1.0 && s1(1L)._3 == 1.0) // Σcnt·1/Σcnt
+    assert(s1(0L)._4 && s1(1L)._4)
+    // bias shifts the decision: logit = 1 + (-1.5) < 0 → drop
+    val s2 = Curation.classifierScore(docs, Some(ones), buckets = 64,
+        bias = -1.5)
+      .select("doc_id", "logit6", "keep")
+      .as[(Long, Double, Boolean)].collect()
+    assert(s2.forall(r => r._2 == -0.5 && !r._3))
+    // default fixture is deterministic across calls; empty docs emit nothing
+    val withEmpty = docs.union(Seq((2L, "   ")).toDF("doc_id", "text"))
+    val f1 = Curation.classifierScore(withEmpty).collect().sortBy(_.getLong(0))
+    val f2 = Curation.classifierScore(withEmpty).collect().sortBy(_.getLong(0))
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    assert(f1.map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
 }
