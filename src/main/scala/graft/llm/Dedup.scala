@@ -301,4 +301,67 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+    * to k-means clusters — embeddings are clustered, and pairwise cosine is
+    * computed only WITHIN a cluster, so the pair budget is Σ|cluster|²
+    * instead of N². A vector is dropped iff an earlier (lower `vec_id`)
+    * member of its cluster has cosine ≥ `tau` with it — the same
+    * deterministic first-occurrence-wins rule as every other dedup family
+    * here (the paper keeps one arbitrary member per duplicate group; lowest
+    * id is the reproducible choice of "arbitrary").
+    *
+    * Where [[graft.llm.Ann.lshNearDup]] finds near-dup PAIRS inside narrow
+    * LSH buckets (high-τ near-duplicates), SemDeDup's clusters are coarse
+    * semantic neighborhoods: lower τ catches paraphrase-level redundancy
+    * LSH bucketing never co-locates, and the output is a per-vector
+    * keep/drop verdict, not a pair list.
+    *
+    * Scale shape: centroid fit is first-K seeding (bounded collect, a
+    * model parameter — swap in [[Ann.lloydCentroids]]/[[Ann.spreadCentroids]]
+    * off the gate path); assignment is one broadcast crossJoin + per-vec
+    * argmax (map-only, the ann_ivf shape); pair generation is ONE
+    * groupBy(cent_id) + ordered-pair explode — the lshNearDup/simhashPairs
+    * convention, one pass over the assignment pipeline instead of a
+    * self-join that recomputes it per branch. `nCentroids` grows with the
+    * corpus (the paper: 50k clusters at 134M docs) keeping |cluster|
+    * bounded; `maxCluster` hard-caps degenerate-cluster fan-out like every
+    * other bucket guard in this file.
+    *
+    * Output: one row per vector — (vec_id, cent_id, keep, min_dup, n_dups)
+    * where min_dup is the lowest-id earlier in-cluster duplicate (NULL when
+    * kept) and n_dups the count of earlier duplicates. All-integer output:
+    * the cosine is rounded to 6 decimals ([[Ann.nativeScore]]) only for the
+    * ≥ τ comparison, so the gate hash never sees a float. */
+  def semDedup(corpus: DataFrame, tau: Double, nCentroids: Int = 16,
+               maxCluster: Int = 10000): DataFrame = {
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    val cents = Ann.seedCentroids(corpus, nCentroids)
+    // Materialize the assignment ONCE: the pair branch and the final
+    // keep/drop join both consume it, and Catalyst plans the broadcast
+    // crossJoin + argmax window twice without it (the dsirWeights /
+    // duplicateClusters shared-frame pattern).
+    val as0 = Ann.assignTo(corpus, cents, 1)
+    val sc = corpus.sparkSession.sparkContext
+    val assigned =
+      if (sc.getCheckpointDir.isDefined) as0.checkpoint()
+      else as0.localCheckpoint()
+    val dups = assigned.groupBy("cent_id")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxCluster))
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Ann.nativeScore(corpus, "a.embedding", "b.embedding").as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy("vec_b")
+      .agg(min(col("vec_a")).as("min_dup"),
+        count(lit(1)).cast(LongType).as("n_dups"))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(dups.withColumnRenamed("vec_b", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        col("min_dup").isNull.as("keep"), col("min_dup"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
 }

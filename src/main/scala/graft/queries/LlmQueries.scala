@@ -41,6 +41,9 @@ object LlmQueries {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     Ann.lshNearDup(emb(spark, dir), minCosine = 0.3)
 
+  def dedupSemdedupQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(emb(spark, dir), tau = 0.3, nCentroids = 16)
+
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Ann.bruteTopK(e, e.filter(col("vec_id") < 5), k = 5)
@@ -541,6 +544,42 @@ object LlmQueries {
        |  SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos FROM dots)
        |WHERE cos >= 0.3""".stripMargin
 
+  /** SemDeDup replica: same first-16 centroids / argmax assignment as
+    * oracleAnnIvf, cluster-scoped ordered pairs, round-6 cosine ≥ 0.3,
+    * first-occurrence-wins keep verdict. All-integer output. */
+  def oracleDedupSemdedup: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+       |gi0 AS (SELECT unnest(range(1, 65)) AS i),
+       |ac AS (SELECT e.vec_id, c.cent_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)) /
+       |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+       |       sqrt(sum(CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)))) AS csim
+       |  FROM embeddings e CROSS JOIN cents c CROSS JOIN gi0 GROUP BY 1, 2),
+       |asg AS (SELECT vec_id, cent_id FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk FROM ac) WHERE rk = 1),
+       |-- replicate semDedup's maxCluster guard (pairs only from clusters of 2..10000)
+       |csz AS (SELECT cent_id FROM asg GROUP BY cent_id HAVING count(*) BETWEEN 2 AND 10000),
+       |pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ae.embedding AS qe, be.embedding AS ce
+       |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  JOIN csz ON a.cent_id = csz.cent_id
+       |  JOIN embeddings ae ON ae.vec_id = a.vec_id
+       |  JOIN embeddings be ON be.vec_id = b.vec_id),
+       |gi AS (SELECT unnest(range(1, 65)) AS i),
+       |dots AS (SELECT query_id, neighbor_id,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+       |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+       |  FROM pairs CROSS JOIN gi GROUP BY 1, 2),
+       |dup AS (SELECT neighbor_id AS vec_id, min(query_id) AS min_dup,
+       |    CAST(count(*) AS BIGINT) AS n_dups
+       |  FROM (SELECT query_id, neighbor_id,
+       |      round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos FROM dots)
+       |  WHERE cos >= 0.3 GROUP BY 1)
+       |SELECT asg.vec_id, asg.cent_id, dup.min_dup IS NULL AS keep,
+       |  dup.min_dup, coalesce(dup.n_dups, CAST(0 AS BIGINT)) AS n_dups
+       |FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id""".stripMargin
+
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("[", ", ", "]")
 
   def oracleTextLang: String = {
@@ -996,6 +1035,7 @@ object LlmQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embed" -> (dedupEmbed _),
+    "dedup_semdedup" -> (dedupSemdedupQ _),
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1037,6 +1077,7 @@ object LlmQueries {
     "dedup_simhash" -> oracleDedupSimhash,
     "dedup_clusters" -> oracleDedupClusters,
     "dedup_embed" -> oracleDedupEmbed,
+    "dedup_semdedup" -> oracleDedupSemdedup,
     "ann_brute" -> oracleAnnBrute,
     "ann_lsh" -> oracleAnnLsh,
     "ann_ivf" -> oracleAnnIvf,

@@ -41,6 +41,29 @@ class LlmSpec extends SparkSpec {
     out.foreach(p => assert(p._3 > 0.5))
   }
 
+  test("semDedup: cluster-scoped drops, first occurrence wins, cross-cluster dups ignored") {
+    // seeds = first 2 vectors: v0 spans cluster 0, v1 cluster 1
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.98f, 0.199f, 0f, 0f)),   // cluster 0, dup of v0
+      (3L, Array(0.95f, 0f, 0.312f, 0f)),   // cluster 0, dup of v0 AND v2
+      (4L, Array(0f, 0.8f, 0.6f, 0f)),      // cluster 1, dup of v1
+      (5L, Array(0.1f, 0f, 0f, 0.995f))     // cluster 0, similar to nobody
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, tau = 0.5, nCentroids = 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean, Option[Long], Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_._2).toSeq == Seq(0L, 1L, 0L, 0L, 1L, 0L)) // assignment
+    assert(out.map(_._3).toSeq == Seq(true, true, false, false, false, true))
+    assert(out(2)._4.contains(0L) && out(2)._5 == 1L)
+    assert(out(3)._4.contains(0L) && out(3)._5 == 2L) // earlier dups: v0, v2
+    assert(out(4)._4.contains(1L) && out(4)._5 == 1L) // v1-dup found despite
+    // v4's cosine to v0-cluster members being < tau: cluster-scoped, not global
+    assert(out(5)._4.isEmpty && out(5)._5 == 0L)
+  }
+
   test("simhash: identical docs get identical fingerprints, near-dups are close") {
     val fps = Dedup.simhashFingerprints(docs).as[(Long, Long)].collect().toMap
     assert(fps(0L) == fps(3L)) // same token set
