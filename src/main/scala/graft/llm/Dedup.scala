@@ -148,14 +148,22 @@ object Dedup {
     * 2.4× on the signature stage, 1.8 s → 10.3 s on the sf0.1 query). The
     * guard references `sig` twice, so CollapseProject keeps the signature
     * projection separate and it is computed once. */
-  def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
-                 minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+  /** Per-doc LSH band keys from the minhash signature: `bands` keys per
+    * doc, each the md5 of its `k / bands`-row signature slice. Shared by
+    * [[minhashLsh]] (within-corpus pairs) and
+    * [[graft.llm.DedupIndex]] (stored postings + incremental probes). */
+  private[llm] def bandKeys(docs: DataFrame, n: Int, k: Int,
+                            bands: Int): DataFrame = {
     val r = k / bands
-    val perDoc = minhashSignatures(docs, n, k)
-    val banded = perDoc.select(col("doc_id"),
+    minhashSignatures(docs, n, k).select(col("doc_id"),
         explode(when(size(col("sig")) > 0, expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b as band, md5(array_join(transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), ',')) as bkey))"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 12, bands: Int = 4,
+                 minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val banded = bandKeys(docs, n, k, bands)
     // Candidates per LSH bucket via groupBy + ordered-pair explode. A bucket
     // with more than `maxBucket` members is degenerate (everything near-dups
     // everything); dropping it bounds the O(B²) fan-out — the skew guard a

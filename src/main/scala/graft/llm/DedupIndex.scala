@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persistent MinHash-LSH dedup index: build once, store, append new
+  * batches, dedup each incoming batch against everything already indexed —
+  * the missing lifecycle around [[Dedup.minhashLsh]], which recomputes
+  * signatures for the whole corpus on every call. This is the shape a
+  * rolling web-crawl pipeline needs (CCNet-style): each new crawl snapshot
+  * is deduplicated against all PRIOR snapshots without rescanning them.
+  *
+  * Layout under `dir` (all parquet — readable by any engine):
+  *   - `meta.parquet`     one row: (n, k, bands, max_bucket) — the frozen
+  *                        signature scheme. Like [[AnnIndex]]'s model, the
+  *                        scheme never changes after build, so stored and
+  *                        incoming signatures stay comparable forever.
+  *   - `postings.parquet` (doc_id, bkey) PARTITIONED BY band — the LSH
+  *                        postings (bands rows per doc).
+  *   - `grams.parquet`    (doc_id, gs) — exact n-gram sets for candidate
+  *                        verification (the minhashLsh convention: LSH
+  *                        proposes, exact Jaccard disposes).
+  *
+  * Scale shape of [[dedupAgainst]]: the incoming batch is the SMALL side —
+  * its band keys and gram sets broadcast into hash joins against one scan
+  * of the postings/grams stores; the index is never shuffled and no
+  * signature is ever recomputed. Candidate verification touches only the
+  * gram sets of candidate pairs (hash-pruned by the broadcast join).
+  *
+  * The `maxBucket` degenerate-bucket guard is applied at BUILD time (a
+  * bucket that already holds > maxBucket docs is boilerplate, and its
+  * postings are dropped exactly as [[Dedup.minhashLsh]] drops the bucket);
+  * [[append]] adds postings without re-checking — the guard is a property
+  * of the built index, re-applied on the periodic rebuild a production
+  * rolling index does anyway (same contract as AnnIndex's frozen
+  * centroids: drift is bounded by rebuild cadence, not per-batch work). */
+object DedupIndex {
+
+  /** Frozen signature scheme. */
+  case class Params(n: Int = 3, k: Int = 12, bands: Int = 4,
+                    maxBucket: Int = 10000)
+
+  /** Sign `docs` and write postings + gram sets + meta to `dir`. */
+  def build(docs: DataFrame, dir: String, p: Params = Params()): Unit = {
+    val spark = docs.sparkSession
+    spark.createDataFrame(Seq((p.n, p.k, p.bands, p.maxBucket)))
+      .toDF("n", "k", "bands", "max_bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    val banded = Dedup.bandKeys(docs, p.n, p.k, p.bands)
+    // build-time degenerate-bucket guard (see scaladoc above)
+    val keep = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("__c__")).filter(col("__c__") <= p.maxBucket)
+      .select("band", "bkey")
+    banded.join(keep, Seq("band", "bkey"))
+      .select("doc_id", "bkey", "band")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/postings.parquet")
+    Dedup.withGramSet(docs, p.n).select("doc_id", "gs")
+      .write.mode("overwrite").parquet(s"$dir/grams.parquet")
+  }
+
+  /** Sign `newDocs` with the FROZEN scheme and append their postings and
+    * gram sets — a pure map over the batch regardless of index size. */
+  def append(dir: String, newDocs: DataFrame): Unit = {
+    val p = readParams(newDocs.sparkSession, dir)
+    Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
+      .select("doc_id", "bkey", "band")
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$dir/postings.parquet")
+    Dedup.withGramSet(newDocs, p.n).select("doc_id", "gs")
+      .write.mode("append").parquet(s"$dir/grams.parquet")
+  }
+
+  /** Near-duplicates of `newDocs` among everything already in the store:
+    * (doc_id, dup_id, jaccard) with doc_id from the batch, dup_id from the
+    * index, round-6 exact Jaccard ≥ `minJaccard`. Within-batch pairs are
+    * out of scope — run [[Dedup.minhashLsh]] on the batch for those, then
+    * [[append]] the survivors. */
+  def dedupAgainst(spark: SparkSession, dir: String, newDocs: DataFrame,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val p = readParams(spark, dir)
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val storedGrams = spark.read.parquet(s"$dir/grams.parquet")
+    val probe = Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
+      .select(col("doc_id").as("doc_id"), col("band"), col("bkey"))
+    val cand = postings.as("s").join(broadcast(probe.as("q")),
+        col("s.band") === col("q.band") && col("s.bkey") === col("q.bkey") &&
+          col("s.doc_id") =!= col("q.doc_id"))
+      .select(col("q.doc_id").as("doc_id"), col("s.doc_id").as("dup_id"))
+      .distinct()
+    val newGrams = Dedup.withGramSet(newDocs, p.n)
+      .select(col("doc_id"), col("gs").as("__ga__"))
+    cand
+      .join(broadcast(newGrams), "doc_id")
+      .join(storedGrams.select(col("doc_id").as("dup_id"),
+        col("gs").as("__gb__")), "dup_id")
+      .withColumn("common",
+        size(array_intersect(col("__ga__"), col("__gb__"))).cast(LongType))
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+          (size(col("__ga__")) + size(col("__gb__")) - col("common"))
+            .cast(DoubleType), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_id", "dup_id", "jaccard")
+  }
+
+  private def readParams(spark: SparkSession, dir: String): Params = {
+    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    Params(m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"),
+      m.getAs[Int]("max_bucket"))
+  }
+}

@@ -41,6 +41,16 @@ object LlmQueries {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     Ann.lshNearDup(emb(spark, dir), minCosine = 0.3)
 
+  def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedupidx")
+      .toString
+    graft.llm.DedupIndex.build(d.filter(col("doc_id") <= half), idx)
+    graft.llm.DedupIndex.dedupAgainst(spark, idx,
+      d.filter(col("doc_id") > half))
+  }
+
   def dedupSemdedupQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.semDedup(emb(spark, dir), tau = 0.3, nCentroids = 16)
 
@@ -544,6 +554,38 @@ object LlmQueries {
        |  SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos FROM dots)
        |WHERE cos >= 0.3""".stripMargin
 
+  /** Incremental-dedup replica: the minhash pipeline with the corpus split
+    * at max(doc_id)/2 — stored side gets the build-time bucket guard, probe
+    * side joins against the stored postings only (cross pairs, never
+    * within-batch). */
+  def oracleDedupIncremental: String =
+    s"""WITH $gramsCte,
+       |half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+       |seeds AS (SELECT unnest(range(0, 12)) AS seed),
+       |mh AS (SELECT doc_id, seed, min(${md5Big.format("seed::VARCHAR || ':' || g")}) AS mh
+       |       FROM grams CROSS JOIN seeds GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, b.b AS band,
+       |    md5(array_to_string(list_transform(list_slice(sig, b.b * 3 + 1, b.b * 3 + 3), x -> x::VARCHAR), ',')) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |stored AS (SELECT banded.* FROM banded, half WHERE doc_id <= h),
+       |probe AS (SELECT banded.* FROM banded, half WHERE doc_id > h),
+       |-- build-time guard: degenerate buckets measured over the STORED side
+       |bsz AS (SELECT band, bkey FROM stored GROUP BY band, bkey HAVING count(*) <= 10000),
+       |sf AS (SELECT stored.* FROM stored JOIN bsz USING (band, bkey)),
+       |cand AS (SELECT DISTINCT q.doc_id AS doc_id, s.doc_id AS dup_id
+       |         FROM sf s JOIN probe q ON s.band = q.band AND s.bkey = q.bkey AND s.doc_id <> q.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |co AS (SELECT c.doc_id, c.dup_id, count(*) AS common
+       |       FROM cand c JOIN grams ga ON ga.doc_id = c.doc_id JOIN grams gb ON gb.doc_id = c.dup_id AND ga.g = gb.g
+       |       GROUP BY 1, 2)
+       |SELECT doc_id, dup_id, jaccard FROM (
+       |  SELECT co.doc_id, co.dup_id,
+       |    round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |  FROM co JOIN sizes sa ON co.doc_id = sa.doc_id JOIN sizes sb ON co.dup_id = sb.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+
   /** SemDeDup replica: same first-16 centroids / argmax assignment as
     * oracleAnnIvf, cluster-scoped ordered pairs, round-6 cosine ≥ 0.3,
     * first-occurrence-wins keep verdict. All-integer output. */
@@ -1036,6 +1078,7 @@ object LlmQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embed" -> (dedupEmbed _),
     "dedup_semdedup" -> (dedupSemdedupQ _),
+    "dedup_incremental" -> (dedupIncrementalQ _),
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1078,6 +1121,7 @@ object LlmQueries {
     "dedup_clusters" -> oracleDedupClusters,
     "dedup_embed" -> oracleDedupEmbed,
     "dedup_semdedup" -> oracleDedupSemdedup,
+    "dedup_incremental" -> oracleDedupIncremental,
     "ann_brute" -> oracleAnnBrute,
     "ann_lsh" -> oracleAnnLsh,
     "ann_ivf" -> oracleAnnIvf,

@@ -201,6 +201,38 @@ class LlmSpec extends SparkSpec {
     assert(parts.nonEmpty && parts.forall(_.matches("cent_id=\\d+")))
   }
 
+  test("DedupIndex: build → dedupAgainst equals cross-half minhashLsh; append extends the index") {
+    import graft.llm.DedupIndex
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val half = d.agg(max("doc_id")).head().getLong(0) / 2
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx-spec").toString
+    DedupIndex.build(d.filter(col("doc_id") <= half), dir)
+    val incremental = DedupIndex.dedupAgainst(spark, dir,
+        d.filter(col("doc_id") > half))
+      .as[(Long, Long, Double)].collect().toSet
+    // the whole-corpus operator restricted to cross-half pairs (doc_a <= half
+    // < doc_b by the id split) must agree pair for pair, jaccard for jaccard
+    val full = Dedup.minhashLsh(d)
+      .filter(col("doc_a") <= half && col("doc_b") > half)
+      .select(col("doc_b"), col("doc_a"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incremental == full && incremental.nonEmpty)
+
+    // append: planted docs prove appended postings are probed
+    val base = Seq((100000L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("dedupidx-spec2").toString
+    DedupIndex.build(base, dir2)
+    DedupIndex.append(dir2, Seq(
+      (100001L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text"))
+    val hits = DedupIndex.dedupAgainst(spark, dir2, Seq(
+        (100002L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+        minJaccard = 0.3)
+      .select("dup_id").as[Long].collect().toSet
+    assert(hits == Set(100000L, 100001L)) // built AND appended doc both found
+  }
+
   test("native LSH-bucket expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.functions.HyperplaneBucket.register(spark)
