@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -133,4 +133,78 @@ object Bpe {
   def oracleCountSql(sCol: String): String =
     s"(length($sCol) - length(replace($sCol, chr(31), '')) - 1) - " +
       s"(length($sCol) - length(replace($sCol, chr(2), '')))"
+
+  /** Learn a merge table from the corpus — the Sennrich et al. 2016 BPE
+    * trainer, Spark-shaped. Iteration i re-derives the encoded corpus as
+    * the raw text plus the i merges learned so far (a pure map — the same
+    * replace chain [[tokenized]] folds), counts adjacent token pairs
+    * within words, and takes the most frequent pair (ties broken by
+    * (left, right) ascending — reproducible in any engine).
+    *
+    * Distributed shape per iteration: ONE corpus scan (map-side encode +
+    * pair explode) feeding ONE bounded groupBy on the (left, right) pair
+    * key, then a single-row collect — the argmax pair is a model
+    * parameter, like a k-means centroid ([[Ann.lloydCentroids]]'s
+    * contract). Total for k merges: k scans + k bounded shuffles; nothing
+    * corpus-sized ever sits on the driver. Stops early if no adjacent
+    * pair remains.
+    *
+    * Returns (left, right, count) in learned order — feed the pairs
+    * straight back into [[tokenized]]/[[tokenCount]] as the merge
+    * table. */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  nMerges: Int): Seq[(String, String, Long)] = {
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (learned.size < nMerges && !done) {
+      val enc = tokenized(col(textCol), learned.toSeq.map(m => (m._1, m._2)))
+      val top = docs.select(explode(split(enc, Bnd, -1)).as("w"))
+        .select(filter(split(col("w"), Sep, -1), t => t =!= lit("")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) as lt, element_at(ts, i + 1) as rt))")).as("p"))
+        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("lt").asc, col("rt").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else learned += ((top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2)))
+    }
+    learned.toSeq
+  }
+
+  /** Self-contained DuckDB replica of [[learnMerges]] over
+    * `documents.text`: `k` unrolled iterations, each re-encoding from the
+    * previous iteration's argmax merge (the merge is DERIVED in SQL, not
+    * embedded — the oracle is static text that reproduces the training
+    * run). Output: (rank, lt, rt, cnt) for the k learned merges. */
+  def oracleTrainSql(k: Int): String = {
+    val sep = "chr(31)"
+    val bnd = "chr(2)"
+    def pairCount(encCte: String, i: Int): String =
+      s"""pc$i AS (
+         |  SELECT p.lt AS lt, p.rt AS rt, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(ts)),
+         |        j -> struct_pack(lt := ts[j], rt := ts[j + 1]))) AS p
+         |    FROM (SELECT list_filter(string_split(w, $sep), t -> t <> '') AS ts
+         |          FROM (SELECT unnest(string_split(e, $bnd)) AS w FROM $encCte))
+         |    WHERE len(ts) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lt, rt, cnt FROM pc$i ORDER BY cnt DESC, lt, rt LIMIT 1)""".stripMargin
+    val enc0 = s"enc0 AS (SELECT $sep || regexp_replace(regexp_replace(text, " +
+      s"'[ \\t\\n\\r]+', $bnd, 'g'), '(?s)(.)', '\\1' || $sep, 'g') AS e FROM documents)"
+    val steps = (0 until k).map { i =>
+      val next =
+        if (i == k - 1) ""
+        else s""",
+                |enc${i + 1} AS (SELECT replace(e, $sep || lt || $sep || rt || $sep,
+                |  $sep || lt || rt || $sep) AS e FROM enc$i CROSS JOIN m$i)""".stripMargin
+      pairCount(s"enc$i", i) + next
+    }
+    val union = (0 until k).map(i =>
+      s"SELECT CAST(${i + 1} AS INT) AS rank, lt, rt, cnt FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $enc0,\n${steps.mkString(",\n")}\n$union"
+  }
 }

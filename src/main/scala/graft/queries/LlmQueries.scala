@@ -41,6 +41,14 @@ object LlmQueries {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     Ann.lshNearDup(emb(spark, dir), minCosine = 0.3)
 
+  def bpeTrainQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.llm.Bpe.learnMerges(docs(spark, dir), "text", 8)
+      .zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toDF("rank", "lt", "rt", "cnt")
+  }
+
   def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -1091,6 +1099,7 @@ object LlmQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
+    "bpe_train" -> (bpeTrainQ _),
     "text_classifier" -> (textClassifier _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
@@ -1134,6 +1143,7 @@ object LlmQueries {
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
     "text_tokens_bpe" -> oracleTextTokensBpe,
+    "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "text_classifier" -> oracleTextClassifier,
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,

@@ -73,6 +73,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnMerges: hand-derived trainer run, overlap counting, early stop, round-trip into tokenCount") {
+    val docs = Seq((0L, "aa ab"), (1L, "aa aaa")).toDF("doc_id", "text")
+    // char pairs: (a,a) in aa, aa, aaa×2 (overlapping positions count) = 4;
+    // (a,b) = 1 → merge 1 = (a,a,4). Re-encode: aa→[aa], aaa→[aa,a] (replace
+    // is left-to-right non-overlapping), ab→[a,b]: pairs (aa,a)=1, (a,b)=1 →
+    // tie broken by (lt, rt) ascending → merge 2 = (a,b,1). Then (aa,a)=1 is
+    // merge 3; nothing adjacent remains → early stop before 5.
+    val learned = graft.llm.Bpe.learnMerges(docs, "text", 5)
+    assert(learned == Seq(("a", "a", 4L), ("a", "b", 1L), ("aa", "a", 1L)))
+    // the learned table drops straight into the encoder
+    val merges = learned.map(m => (m._1, m._2))
+    val counts = docs.select(col("doc_id"),
+        graft.llm.Bpe.tokenCount(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 2L, 1L -> 2L)) // [aa][ab] and [aa][aa,a→aaa]
+  }
+
   test("tokenizer option: chunkOverlap/'bpe' windows subword tokens") {
     val docs = Seq((0L, "the table and the fast part")).toDF("doc_id", "text")
     val chunks = Curation.chunkOverlap(docs, chunkSize = 4, stride = 3,
