@@ -404,6 +404,32 @@ object Curation {
       .select("source", "doc_id", "tok", "rate9")
   }
 
+  /** Temperature mixing over DISCOVERED semantic domains instead of source
+    * labels: each document's embedding is assigned to a k-means cluster
+    * (first-K centroids, argmax cosine — the ann_ivf convention; swap in
+    * [[Ann.lloydCentroids]] off the gate path) and [[mixByTemperature]]
+    * flattens token mass across the clusters. This is the unsupervised
+    * arm of domain balancing — when the corpus has no trustworthy source
+    * labels (a web crawl), the mixture is balanced over what the
+    * documents ARE, not where they came from.
+    *
+    * `embeddings` must carry (vec_id, embedding) with vec_id = doc_id.
+    * Plan shape = mixByTemperature's plus one broadcast-crossJoin argmax
+    * (map-only) and one doc_id join; the corpus text is still scanned
+    * once and never shuffled. Output: kept (source = "cluster_<id>",
+    * doc_id, tok, rate9). */
+  def mixByCluster(docs: DataFrame, embeddings: DataFrame, alpha: Double,
+                   budget: Long, nCentroids: Int = 16,
+                   tokenizer: String = "ws"): DataFrame = {
+    graft.functions.CosineSimilarity.register(docs.sparkSession)
+    val cents = Ann.seedCentroids(embeddings, nCentroids)
+    val asg = Ann.assignTo(embeddings, cents, 1)
+      .select(col("vec_id").as("doc_id"), col("cent_id"))
+    val clustered = docs.drop("source").join(asg, "doc_id")
+      .withColumn("source", concat(lit("cluster_"), col("cent_id")))
+    mixByTemperature(clustered, alpha, budget, tokenizer)
+  }
+
   /** T5-style span corruption, made deterministic: tokens are chunked
     * into `span`-sized pieces and chunk `c` of doc `d` is masked iff
     * `(c + d) % period == 0` (corruption rate span/(span·period) =

@@ -235,6 +235,10 @@ object LlmQueries {
   def mixTemperatureQ(spark: SparkSession, dir: String): DataFrame =
     Curation.mixByTemperature(docs(spark, dir), alpha = 0.5, budget = 20000L)
 
+  def mixClusterQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixByCluster(docs(spark, dir), emb(spark, dir), alpha = 0.5,
+      budget = 20000L, nCentroids = 16)
+
   /** Deterministic T5 span corruption at the paper-ish defaults (3-token
     * spans, 1/7 of chunks masked). */
   def spanCorruptQ(spark: SparkSession, dir: String): DataFrame =
@@ -593,6 +597,31 @@ object LlmQueries {
        |    round(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
        |  FROM co JOIN sizes sa ON co.doc_id = sa.doc_id JOIN sizes sb ON co.dup_id = sb.doc_id)
        |WHERE jaccard >= 0.5""".stripMargin
+
+  /** Cluster-mixing replica: the ann_ivf assignment CTEs (mc_-prefixed —
+    * unique names per composed layer) feeding the mix_temperature share
+    * arithmetic with source := 'cluster_' || cent_id. */
+  def oracleMixCluster: String =
+    s"""WITH mc_cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16),
+       |mc_gi AS (SELECT unnest(range(1, 65)) AS i),
+       |mc_ac AS (SELECT e.vec_id, c.cent_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)) /
+       |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+       |       sqrt(sum(CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)))) AS csim
+       |  FROM embeddings e CROSS JOIN mc_cents c CROSS JOIN mc_gi GROUP BY 1, 2),
+       |mc_asg AS (SELECT vec_id AS doc_id, cent_id FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk FROM mc_ac) WHERE rk = 1),
+       |mc_t AS (SELECT d.doc_id, 'cluster_' || a.cent_id AS source,
+       |    CAST(len(list_filter(string_split(replace(replace(replace(d.text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS tok,
+       |    (('0x' || substr(md5(d.text), 1, 8))::BIGINT % 16777216) / 16777216.0 AS draw
+       |  FROM documents d JOIN mc_asg a USING (doc_id)),
+       |mc_m AS (SELECT source, sum(tok) AS mass FROM mc_t GROUP BY 1),
+       |mc_q AS (SELECT source, mass, pow(CAST(mass AS DOUBLE), 0.5) AS p FROM mc_m),
+       |mc_r AS (SELECT source,
+       |    round(least(1.0, 20000.0 * (p / (SELECT sum(p) FROM mc_q)) / CAST(mass AS DOUBLE)), 9) AS rate9
+       |  FROM mc_q)
+       |SELECT mc_t.source, mc_t.doc_id, mc_t.tok, mc_r.rate9
+       |FROM mc_t JOIN mc_r USING (source) WHERE mc_t.draw < mc_r.rate9""".stripMargin
 
   /** SemDeDup replica: same first-16 centroids / argmax assignment as
     * oracleAnnIvf, cluster-scoped ordered pairs, round-6 cosine ≥ 0.3,
@@ -1111,6 +1140,7 @@ object LlmQueries {
     "sample_stratified" -> (sampleStratifiedQ _),
     "mix_budget" -> (mixBudgetQ _),
     "mix_temperature" -> (mixTemperatureQ _),
+    "mix_cluster" -> (mixClusterQ _),
     "span_corrupt" -> (spanCorruptQ _),
     "chunk_overlap" -> (chunkOverlapQ _),
     "dsir_weight" -> (dsirWeightQ _),
@@ -1155,6 +1185,7 @@ object LlmQueries {
     "sample_stratified" -> oracleSampleStratified,
     "mix_budget" -> oracleMixBudget,
     "mix_temperature" -> oracleMixTemperature,
+    "mix_cluster" -> oracleMixCluster,
     "span_corrupt" -> oracleSpanCorrupt,
     "chunk_overlap" -> oracleChunkOverlap,
     "dsir_weight" -> oracleDsirWeight,

@@ -210,6 +210,30 @@ class CurationSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("mixByCluster: discovered clusters replace source labels, mass flattens across them") {
+    // seeds = first 2 embeddings; docs 0,2,3,4 land in cluster 0 (heavy),
+    // docs 1,5 in cluster 1 (light)
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)),
+      (4L, Array(0.95f, 0.05f)), (5L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val docs = (0L to 5L).map(i =>
+        (i, (s"w$i " * 20).trim, "irrelevant")).toSeq
+      .toDF("doc_id", "text", "source")
+    val out = Curation.mixByCluster(docs, emb, alpha = 0.1, budget = 100L,
+        nCentroids = 2)
+      .select("source", "doc_id", "rate9")
+      .as[(String, Long, Double)].collect()
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc.keySet.subsetOf(Set("cluster_0", "cluster_1")))
+    // cluster membership drove the grouping, not the (constant) source col
+    assert(bySrc.values.flatten.toSet.subsetOf(Set(0L, 2L, 3L, 4L, 1L, 5L)))
+    val rates = out.map(r => r._1 -> r._3).toMap
+    // flattening: the light cluster keeps a higher rate than the heavy one
+    assert(rates("cluster_1") > rates("cluster_0"))
+  }
+
   test("span corruption: sentinels line up and inputs+targets reconstruct the doc") {
     // doc 0: chunk c masked iff c % 7 == 0 → chunks 0, 7 of 10 chunks
     val docs = Seq(doc(0L, "s", 30), doc(6L, "s", 10), doc(3L, "s", 0))
