@@ -76,11 +76,18 @@ object ScaleUp {
       .withColumn("l_orderkey", off("l_orderkey"))
       .withColumn("l_partkey", off("l_partkey"))
       .withColumn("l_suppkey", off("l_suppkey")), "lineitem", 16)
-    write(replicate("events")
+    val events0 = replicate("events")
       .withColumn("event_id", off("event_id"))
       .withColumn("user_id", off("user_id"))
       .withColumn("value", col("value") + col("__r__") * lit(1e-4))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "events", 16)
+    // legacy TIMESTAMP(NANOS) arrives as a nanos long → rewrite as µs-granular
+    // native TIMESTAMP; timestamp[us] (TIMESTAMP_NTZ) passes through verbatim
+    val events = events0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => events0
+    }
+    write(events, "events", 16)
     write(replicate("documents")
       .withColumn("doc_id", off("doc_id")), "documents", 8)
     write(replicate("embeddings")

@@ -23,21 +23,31 @@ object TsQueries {
   val Step = 3600.0
   def grid: Grid = Grid(GridStart, GridStart + GridSteps * Step, Step)
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read nanos as long, integer-divide to µs (exact — the data is
-    * µs-granular), then /1e6: bit-identical to DuckDB's `epoch(ts)`.
-    * (Nanos→double directly would lose precision: 1.7e18 > 2^53.) */
+  /** events.parquet has shipped as TIMESTAMP(NANOS) (Spark 4 reads it as a
+    * nanos long under the legacy flag) and as plain timestamp[us] (Spark
+    * reads TIMESTAMP_NTZ); handle every encoding. Nanos: integer-divide to
+    * µs (exact — the data is µs-granular), then /1e6: bit-identical to
+    * DuckDB's `epoch(ts)`. (Nanos→double directly would lose precision:
+    * 1.7e18 > 2^53.) NTZ: session timezone is UTC everywhere, so
+    * NTZ→timestamp→double is the same epoch arithmetic DuckDB applies. */
   def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    val tsSeconds = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as long
-        expr("ts div 1000").cast(DoubleType) / lit(1000000.0)
-      case _ => // native TIMESTAMP (µs/ms): epoch micros < 2^53, cast is exact
-        col("ts").cast(DoubleType)
-    }
-    df.withColumn("ts", tsSeconds)
+    df.withColumn("ts", epochSeconds(df.schema("ts").dataType))
   }
+
+  /** Column expression converting a time column of the given type to epoch
+    * seconds as double, matching DuckDB `epoch(ts)` bit-for-bit. */
+  def epochSeconds(dt: org.apache.spark.sql.types.DataType,
+                   name: String = "ts"): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as long
+        expr(s"`$name` div 1000").cast(DoubleType) / lit(1000000.0)
+      case org.apache.spark.sql.types.TimestampNTZType => // timestamp[us], UTC session tz
+        col(name).cast(org.apache.spark.sql.types.TimestampType).cast(DoubleType)
+      case _ => // native TIMESTAMP (µs/ms): epoch micros < 2^53, cast is exact
+        col(name).cast(DoubleType)
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame =
     TsIngest.fromDataFrame(rawEvents(spark, dir), "events")

@@ -65,9 +65,17 @@ object TsIngest {
   }
 
   /** Ingest an already-loaded DataFrame (also used for derived/streamed inputs). */
-  def fromDataFrame(df: DataFrame, baseName: String, opts: IngestOptions = IngestOptions()): DataFrame = {
-    val (timeCol, labelCols, valueCols) = classify(df.schema, opts)
+  def fromDataFrame(df0: DataFrame, baseName: String, opts: IngestOptions = IngestOptions()): DataFrame = {
+    val (timeCol, labelCols, valueCols) = classify(df0.schema, opts)
     val metrics = planMetrics(baseName, valueCols)
+
+    // TIMESTAMP_NTZ can't cast straight to double; route through TIMESTAMP
+    // (session timezone is UTC everywhere, so the epoch arithmetic matches
+    // DuckDB's epoch()).
+    val df = df0.schema(timeCol).dataType match {
+      case TimestampNTZType => df0.withColumn(timeCol, col(timeCol).cast(TimestampType))
+      case _ => df0
+    }
 
     val deduped =
       if (opts.dedup) {
@@ -81,7 +89,7 @@ object TsIngest {
 
   private def classify(schema: StructType, opts: IngestOptions): (String, Seq[String], Seq[String]) = {
     def isNumericOrTime(dt: DataType): Boolean = dt match {
-      case _: NumericType | _: TimestampType | DateType => true
+      case _: NumericType | _: TimestampType | TimestampNTZType | DateType => true
       case _ => false
     }
     schema.fields.foreach { f =>
@@ -105,7 +113,8 @@ object TsIngest {
     val valueCols = opts.valueColumns.getOrElse(
       schema.fields
         .filter(f => isNumericOrTime(f.dataType) && f.name != timeCol &&
-          !f.dataType.isInstanceOf[TimestampType] && f.dataType != DateType)
+          !f.dataType.isInstanceOf[TimestampType] &&
+          f.dataType != TimestampNTZType && f.dataType != DateType)
         .map(_.name).toSeq)
     if (valueCols.isEmpty) throw new IllegalArgumentException("No value columns")
     (timeCol, labelCols, valueCols)

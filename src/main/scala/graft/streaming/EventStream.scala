@@ -22,6 +22,9 @@ object EventStream {
       .parquet(inputDir)
       .withColumn("ets", schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // UTC session tz: NTZ wall time IS the epoch instant
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)
         case _ => col("ts")
       })
       .withWatermark("ets", "1 hour")

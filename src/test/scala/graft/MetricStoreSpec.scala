@@ -126,7 +126,7 @@ class MetricStoreSpec extends SparkSpec {
   test("dedup=false ingest is shuffle-free (trusted already-deduped source)") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("ts").cast("double").as("time"),
+      .select(col("ts").cast("timestamp").cast("double").as("time"),
         col("event_type"), col("value").cast("double").as("value"))
     val out = sources.TsIngest.fromDataFrame(raw, "events",
       sources.TsIngest.IngestOptions(dedup = false))

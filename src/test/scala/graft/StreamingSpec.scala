@@ -45,8 +45,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir.toString).schema
     val streamEvents = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000")
-        .cast("double") / org.apache.spark.sql.functions.lit(1000000.0))
+      .withColumn("ts", queries.TsQueries.epochSeconds(schema("ts").dataType))
     val q = streaming.StreamRate.streaming(streamEvents, 86400L)
       .writeStream.format("memory").queryName("srate")
       .outputMode("complete")
@@ -78,8 +77,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(streamDir.toString).schema
     def side(tpe: String) = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000")
-        .cast("double") / org.apache.spark.sql.functions.lit(1000000.0))
+      .withColumn("ts", queries.TsQueries.epochSeconds(schema("ts").dataType))
       .filter(org.apache.spark.sql.functions.col("event_type") === tpe)
     val q = streaming.Attribution.streaming(side("click"), side("purchase"), 86400L)
       .writeStream.format("memory").queryName("attrib")
@@ -110,8 +108,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir.toString).schema
     val streamEvents = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000")
-        .cast("double") / org.apache.spark.sql.functions.lit(1000000.0))
+      .withColumn("ts", queries.TsQueries.epochSeconds(schema("ts").dataType))
     val q = streaming.Sessionize.streaming(spark, streamEvents, 1800.0)
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append")
