@@ -105,6 +105,57 @@ object DedupIndex {
       .select("doc_id", "dup_id", "jaccard")
   }
 
+  /** Deduplicate one batch against the index AND within itself, append the
+    * survivors to the index, and return them — the single rolling-crawl
+    * step ([[streamingDedup]] runs it per micro-batch; a scheduled batch
+    * pipeline calls it directly per snapshot).
+    *
+    * Drop rule, deterministic: a doc is dropped iff it near-dups ANYTHING
+    * already indexed (the index is older by construction) or an
+    * earlier (lower doc_id) batch member — first-occurrence-wins, the
+    * [[Dedup.semDedup]] convention. */
+  def dedupStep(spark: SparkSession, dir: String, batch: DataFrame,
+                minJaccard: Double = 0.5): DataFrame = {
+    val p = readParams(spark, dir)
+    val vsIndex = dedupAgainst(spark, dir, batch, minJaccard)
+      .select("doc_id").distinct()
+    val inBatch = Dedup.minhashLsh(batch, p.n, p.k, p.bands, minJaccard,
+        p.maxBucket)
+      .select(col("doc_b").as("doc_id")).distinct() // later twin drops
+    val survivors = batch
+      .join(vsIndex.union(inBatch).distinct(), Seq("doc_id"), "left_anti")
+    append(dir, survivors)
+    survivors
+  }
+
+  /** Streaming rolling-crawl dedup: wire a stream of document batches
+    * through [[dedupStep]] via `foreachBatch` — each micro-batch is
+    * deduplicated against everything indexed before it (all prior
+    * batches + the initial build) and within itself, survivors are
+    * appended to the index and handed to `sink`.
+    *
+    * foreachBatch is the right Structured Streaming construct here: the
+    * operator's state IS the persistent parquet index — arbitrarily larger
+    * than any state store budget, shared with batch callers, and readable
+    * by any engine — so the stream holds ZERO state of its own; restarts
+    * resume against whatever the index already holds. (The in-engine
+    * alternative, flatMapGroupsWithState keyed by band, would pin every
+    * posting in the state store forever — the wrong shape for an
+    * unbounded crawl; [[graft.streaming.StreamDedup]] covers the
+    * exact-hash variant where one boolean per key suffices.)
+    *
+    * Caller starts the returned writer (`.start()` + await). */
+  def streamingDedup(stream: DataFrame, dir: String,
+                     minJaccard: Double = 0.5)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // the step reads the batch several times (band keys, gram sets,
+      // anti-join) — pin one snapshot instead of replaying the source
+      batch.persist()
+      try sink(dedupStep(batch.sparkSession, dir, batch, minJaccard))
+      finally { batch.unpersist(); () }
+    }
+
   private def readParams(spark: SparkSession, dir: String): Params = {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     Params(m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands"),

@@ -118,6 +118,52 @@ object TextAnalysis {
         round(coalesce(col("avg_ln_freq"), lit(0.0)), 6).as("avg_ln_freq"))
   }
 
+  /** Reference-LM perplexity (CCNet, Wenzek et al. 2020 — the quality/
+    * domain filter that scores every document against a language model
+    * trained on a TRUSTED reference corpus, keeping low-perplexity docs):
+    * an add-α-smoothed bigram LM whose counts come from the reference
+    * subset (`refFilter`), scoring ALL docs —
+    *
+    *   ln P(w_i | w_{i-1}) = ln((c2(w_{i-1}, w_i) + α) / (c1(w_{i-1}) + α·V))
+    *   ppl(doc) = exp(−avg_i ln P)
+    *
+    * Unlike [[typicality]] (joint bigram frequency over the whole corpus,
+    * model-free), this is a proper CONDITIONAL probability with smoothing
+    * and a reference-conditioned model — the cross-domain scoring shape:
+    * text unlike the reference (other languages, gibberish, boilerplate)
+    * scores high-perplexity even when it is typical of the raw corpus.
+    *
+    * Scale shape (same budget as typicality): reference counts are two
+    * bounded-key groupBys (vocab / vocab² keys); scoring joins shuffle on
+    * the same bounded keys — no broadcast assumption for the count tables
+    * (at 100 TB the reference LM is itself large); V rides a one-row
+    * broadcast crossJoin, so the plan has no driver-side collect. */
+  def perplexity(docs: DataFrame, refFilter: Column,
+                 alpha: Double = 1.0): DataFrame = {
+    val grams = Dedup.rawNgrams(docs, 2) // (doc_id, g = "w1 w2") occurrences
+    val ref = docs.filter(refFilter)
+    val c1 = Dedup.rawNgrams(ref, 1)
+      .groupBy(col("g").as("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = Dedup.rawNgrams(ref, 2)
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+    val vocab = c1.agg(count(lit(1)).cast(DoubleType).as("v")) // one row
+    val occ = grams
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", log(
+        (coalesce(col("c2"), lit(0L)).cast(DoubleType) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(alpha) * col("v"))))
+    val sc = occ.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        avg(col("lnp")).as("__alp__"))
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(exp(-col("__alp__")), lit(0.0)), 6).as("ppl"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
     * filters"): per document, the character-coverage of the single most
     * frequent word 2-gram and the fraction of word characters inside

@@ -185,6 +185,13 @@ object LlmQueries {
   def textTypicality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.typicality(docs(spark, dir))
 
+  /** CCNet-shaped reference-LM perplexity: the English subset is the
+    * trusted reference (the realistic cross-lingual filter — non-English
+    * docs score high against the en LM). */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexity(docs(spark, dir),
+      org.apache.spark.sql.functions.col("lang") === "en")
+
   /** The synthetic documents carry no PII, so the query injects
     * deterministic doc_id-derived PII (emails / IPv4 / phone / SSN shapes)
     * BEFORE detection — the identical SQL fragment runs in the oracle, so
@@ -820,6 +827,31 @@ object LlmQueries {
       |  round(coalesce(sc.alf, 0.0), 6) AS avg_ln_freq
       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
 
+  /** The same smoothed-conditional arithmetic tree as
+    * [[TextAnalysis.perplexity]]: c2+α over c1+α·V, ln, per-doc avg,
+    * exp(−·), round 6 — reference counts from the lang='en' subset. */
+  def oracleTextPerplexity: String =
+    """WITH toks AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |g2 AS (SELECT doc_id, lang, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> concat_ws(' ', tk[i], tk[i+1]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM (
+      |    SELECT unnest(tk) AS w1 FROM toks WHERE lang = 'en') GROUP BY 1),
+      |c2 AS (SELECT g, count(*) AS c2 FROM g2 WHERE lang = 'en' GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+      |occ AS (SELECT g2.doc_id,
+      |    ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) + 1.0) /
+      |       (CAST(coalesce(c1.c1, 0) AS DOUBLE) + 1.0 * v.v)) AS lnp
+      |  FROM g2
+      |  LEFT JOIN c2 ON g2.g = c2.g
+      |  LEFT JOIN c1 ON string_split(g2.g, ' ')[1] = c1.w1
+      |  CROSS JOIN v),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    avg(lnp) AS alp FROM occ GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  round(coalesce(exp(-sc.alp), 0.0), 6) AS ppl
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   def oracleDecontaminate: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
       |g5 AS (SELECT DISTINCT doc_id, g FROM (
@@ -1134,6 +1166,7 @@ object LlmQueries {
     "text_repetition" -> (textRepetition _),
     "text_entropy" -> (textEntropy _),
     "text_typicality" -> (textTypicality _),
+    "text_perplexity" -> (textPerplexity _),
     "text_pii" -> (textPii _),
     "embed_project" -> (embedProject _),
     "decontaminate" -> (decontaminateQ _),
@@ -1179,6 +1212,7 @@ object LlmQueries {
     "text_repetition" -> oracleTextRepetition,
     "text_entropy" -> oracleTextEntropy,
     "text_typicality" -> oracleTextTypicality,
+    "text_perplexity" -> oracleTextPerplexity,
     "text_pii" -> oracleTextPii,
     "embed_project" -> oracleEmbedProject,
     "decontaminate" -> oracleDecontaminate,

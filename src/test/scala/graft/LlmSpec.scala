@@ -233,6 +233,32 @@ class LlmSpec extends SparkSpec {
     assert(hits == Set(100000L, 100001L)) // built AND appended doc both found
   }
 
+  test("perplexity: smoothed conditional bigram LM, reference-conditioned, hand-checked") {
+    val docs = Seq(
+      (0L, "a b a b", "en"),
+      (1L, "a b", "fr"),
+      (2L, "z z z z", "fr"),
+      (3L, "a", "en")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexity(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference = docs 0,3 → c1: a=3, b=2; V=2; c2: "a b"=2, "b a"=1 (α=1)
+    // doc1 "a b": ln((2+1)/(3+2)) → ppl = 5/3
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - 5.0 / 3.0) < 1e-6)
+    // doc2 "z z z z": word unseen in ref → ln((0+1)/(0+2)) per bigram → ppl = 2
+    assert(out(2L) == ((3L, 2.0)))
+    // doc0: 2×ln(3/5) + 1×ln(2/4) averaged
+    val exp0 = math.exp(-(2 * math.log(3.0 / 5.0) + math.log(2.0 / 4.0)) / 3.0)
+    assert(out(0L)._1 == 3L && math.abs(out(0L)._2 - exp0) < 1e-6)
+    // doc3: no bigrams → sentinel zeros
+    assert(out(3L) == ((0L, 0.0)))
+    // reference conditioning: against an all-docs reference the z-doc's
+    // bigram is in-model and its perplexity drops
+    val all = TextAnalysis.perplexity(docs, lit(true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(all(2L) < out(2L)._2)
+  }
+
   test("native LSH-bucket expression is bit-identical to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     graft.functions.HyperplaneBucket.register(spark)

@@ -122,6 +122,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchSessions)
   }
 
+  test("streaming rolling-crawl near-dedup: micro-batches dedup against the persistent index") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniq1 = "one two three four five six seven eight"
+    val uniq2 = "red orange yellow green blue indigo violet ultra"
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    llm.DedupIndex.build(Seq((1L, base)).toDF("doc_id", "text"), idxDir)
+
+    // b1: a twin of the indexed doc (drop) + a unique doc (keep);
+    // b2: a twin of b1's SURVIVOR (drop — proves the cross-batch append is
+    // probed), a unique doc (keep), and its exact twin at a later id
+    // (drop — the within-batch first-occurrence rule). Twins are exact so
+    // LSH candidate generation is guaranteed; near-dup recall itself is
+    // pinned by the DedupIndex spec in LlmSpec.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    Seq((2L, base), (3L, uniq1))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    Seq((4L, uniq1), (5L, uniq2), (6L, uniq2))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_b1.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_b2.parquet"))
+    streamDir.resolve("a_b1.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_b2.parquet").toFile.setLastModified(2000000000000L)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // two micro-batches, oldest first
+      .parquet(streamDir.toString)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = llm.DedupIndex.streamingDedup(stream, idxDir) { survivors =>
+      got.synchronized { got ++= survivors.select("doc_id").as[Long].collect() }
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    assert(got.toSet == Set(3L, 5L))
+    // and the index now holds the survivors: a fresh probe of uniq2 finds 5
+    val probe = llm.DedupIndex.dedupAgainst(spark, idxDir,
+      Seq((99L, uniq2)).toDF("doc_id", "text"))
+    assert(probe.select("dup_id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("streaming exact dedup: first batch matches Dedup.exact, second batch of dups emits nothing") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
