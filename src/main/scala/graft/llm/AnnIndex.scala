@@ -55,7 +55,10 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook.parquet")
-    encode(corpus, cents, cb, p).write.mode("overwrite")
+    // one file per list (not tasks × lists): the repartition shuffles only
+    // (vec_id, codes, cent_id) rows — m bytes + two ids each
+    encode(corpus, cents, cb, p).repartition(col("cent_id"))
+      .write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
   }
 
@@ -67,7 +70,8 @@ object AnnIndex {
     val spark = newVectors.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     val (p, cents, cb) = readModel(spark, dir)
-    encode(newVectors, cents, cb, p).write.mode("append")
+    encode(newVectors, cents, cb, p).repartition(col("cent_id"))
+      .write.mode("append")
       .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
   }
 

@@ -135,19 +135,24 @@ object Bpe {
       s"(length($sCol) - length(replace($sCol, chr(2), '')))"
 
   /** Learn a merge table from the corpus — the Sennrich et al. 2016 BPE
-    * trainer, Spark-shaped. Iteration i re-derives the encoded corpus as
-    * the raw text plus the i merges learned so far (a pure map — the same
-    * replace chain [[tokenized]] folds), counts adjacent token pairs
-    * within words, and takes the most frequent pair (ties broken by
-    * (left, right) ascending — reproducible in any engine).
+    * trainer, Spark-shaped. Each iteration counts adjacent token pairs
+    * within words of the current encoding and takes the most frequent
+    * pair (ties broken by (left, right) ascending — reproducible in any
+    * engine).
     *
-    * Distributed shape per iteration: ONE corpus scan (map-side encode +
-    * pair explode) feeding ONE bounded groupBy on the (left, right) pair
-    * key, then a single-row collect — the argmax pair is a model
-    * parameter, like a k-means centroid ([[Ann.lloydCentroids]]'s
-    * contract). Total for k merges: k scans + k bounded shuffles; nothing
-    * corpus-sized ever sits on the driver. Stops early if no adjacent
-    * pair remains.
+    * The encoding is maintained INCREMENTALLY: applying merges m1..mi to
+    * raw text is, by the fold's sequentiality, the same string as applying
+    * mi alone to the m1..m(i−1)-encoded corpus — so iteration i applies
+    * ONE `replace` to the cached previous encoding instead of replaying
+    * the whole chain from raw text. Total work for k merges: one regexp
+    * wrap + k single-replace maps (not the O(k²) replay) + k bounded
+    * pair-count groupBys, each ending in a single-row collect — the
+    * argmax pair is a model parameter, like a k-means centroid
+    * ([[Ann.lloydCentroids]]'s contract). Nothing corpus-sized ever sits
+    * on the driver; each refreshed encoding is persisted and the previous
+    * one released (at real scale, checkpoint every few hundred merges to
+    * truncate the replace lineage). Stops early if no adjacent pair
+    * remains.
     *
     * Returns (left, right, count) in learned order — feed the pairs
     * straight back into [[tokenized]]/[[tokenCount]] as the merge
@@ -155,22 +160,37 @@ object Bpe {
   def learnMerges(docs: DataFrame, textCol: String,
                   nMerges: Int): Seq[(String, String, Long)] = {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var enc = docs.select(tokenized(col(textCol), Nil).as("__e__")).persist()
     var done = false
-    while (learned.size < nMerges && !done) {
-      val enc = tokenized(col(textCol), learned.toSeq.map(m => (m._1, m._2)))
-      val top = docs.select(explode(split(enc, Bnd, -1)).as("w"))
-        .select(filter(split(col("w"), Sep, -1), t => t =!= lit("")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(explode(expr("transform(sequence(1, size(ts) - 1), " +
-          "i -> struct(element_at(ts, i) as lt, element_at(ts, i + 1) as rt))")).as("p"))
-        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("lt").asc, col("rt").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else learned += ((top(0).getString(0), top(0).getString(1),
-        top(0).getLong(2)))
-    }
+    try {
+      while (learned.size < nMerges && !done) {
+        // ONE split + one filtered pair explode: the boundary sentinel is
+        // its own array entry, so word-crossing adjacencies are excluded by
+        // the filter — no per-word re-split/second explode needed
+        val top = enc.select(split(col("__e__"), Sep, -1).as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(expr("filter(transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) as lt, element_at(ts, i + 1) as rt)), " +
+            "p -> p.lt != '' AND p.rt != '' AND p.lt != chr(2) AND p.rt != chr(2))")).as("p"))
+          .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("lt").asc, col("rt").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (lt, rt) = (top(0).getString(0), top(0).getString(1))
+          learned += ((lt, rt, top(0).getLong(2)))
+          if (learned.size < nMerges) {
+            val next = enc.select(replace(col("__e__"),
+              lit(Sep + lt + Sep + rt + Sep), lit(Sep + lt + rt + Sep))
+              .as("__e__")).persist()
+            next.count() // materialize before releasing the parent
+            enc.unpersist()
+            enc = next
+          }
+        }
+      }
+    } finally { enc.unpersist(); () }
     learned.toSeq
   }
 

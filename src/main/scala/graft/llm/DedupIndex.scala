@@ -52,8 +52,10 @@ object DedupIndex {
     val keep = banded.groupBy("band", "bkey")
       .agg(count(lit(1)).as("__c__")).filter(col("__c__") <= p.maxBucket)
       .select("band", "bkey")
+    // one file per band partition (not tasks × bands)
     banded.join(keep, Seq("band", "bkey"))
       .select("doc_id", "bkey", "band")
+      .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/postings.parquet")
     Dedup.withGramSet(docs, p.n).select("doc_id", "gs")
@@ -66,6 +68,7 @@ object DedupIndex {
     val p = readParams(newDocs.sparkSession, dir)
     Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
       .select("doc_id", "bkey", "band")
+      .repartition(col("band"))
       .write.mode("append").partitionBy("band")
       .parquet(s"$dir/postings.parquet")
     Dedup.withGramSet(newDocs, p.n).select("doc_id", "gs")
