@@ -122,6 +122,73 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchSessions)
   }
 
+  test("streaming native-histogram build matches fromSamples batch twin, quantiles included") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = queries.TsQueries.rawEvents(spark, dir)
+    def key(r: org.apache.spark.sql.Row): (String, Double) =
+      (r.getMap[String, String](0).get("event_type").get, r.getDouble(1))
+    def flat(r: org.apache.spark.sql.Row) =
+      (key(r), r.getInt(2), r.getDouble(3),
+        math.rint(r.getDouble(4) * 1e6) / 1e6, // nh_sum: summation-order ULPs
+        r.getDouble(5),
+        r.getSeq[Int](6), r.getSeq[Double](7), r.getSeq[Int](8), r.getSeq[Double](9))
+    val batchRows = streaming.StreamHistogram.batch(raw, "event_type", 2, 86400L)
+      .collect().map(flat).toSet
+
+    // stage the events + a strictly-later sentinel file whose single
+    // far-future event advances the watermark past every real window, so
+    // append mode emits them all (the sentinel's own window stays open
+    // and is deliberately absent from both sides)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_shist")
+    val sentDir = java.nio.file.Files.createTempDirectory("graft_shist_sent")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("a_events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    // same parquet schema as the source file (interval arithmetic keeps the
+    // ts encoding); its event_type is distinct, so its own (label, window)
+    // group simply never closes and appears on neither side
+    spark.read.parquet(streamDir.resolve("a_events.parquet").toString)
+      .limit(1)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts + INTERVAL 60 DAYS"))
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("__sentinel__"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(sentDir.resolve("b_sentinel").toString)
+    val fs = java.nio.file.Files.list(sentDir.resolve("b_sentinel"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(fs, streamDir.resolve("z_sentinel.parquet"))
+    streamDir.resolve("a_events.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_sentinel.parquet").toFile.setLastModified(2000000000000L)
+
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(streamDir.resolve("a_events.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1) // events first, then the sentinel
+      .parquet(streamDir.toString)
+      .withColumn("ts", queries.TsQueries.epochSeconds(schema("ts").dataType))
+      .withColumn("ets", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts")))
+    val q = streaming.StreamHistogram
+      .streaming(streamEvents, "event_type", 2, "1 day")
+      .writeStream.format("memory").queryName("shist")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM shist").collect().map(flat).toSet
+    assert(streamed.nonEmpty && streamed == batchRows)
+
+    // and the native pipeline composes on the emitted frame: same p90s
+    val qb = operators.NativeHistogram.quantile(
+        streaming.StreamHistogram.batch(raw, "event_type", 2, 86400L), 0.9)
+      .collect().map(r => (key(r), r.getDouble(2))).toSet
+    val qs = operators.NativeHistogram.quantile(
+        spark.sql("SELECT * FROM shist"), 0.9)
+      .collect().map(r => (key(r), r.getDouble(2))).toSet
+    assert(qs == qb)
+  }
+
   test("streaming rolling-crawl near-dedup: micro-batches dedup against the persistent index") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"
