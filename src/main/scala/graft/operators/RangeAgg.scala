@@ -53,31 +53,55 @@ object RangeAgg {
         gridTs(grid).as(Model.TsCol), col(outName))
 
   /** Least-squares regression over the window's samples, shared by `deriv`
-    * and `predict_linear`. Time is centered on the window's grid instant
-    * before the sums — t² at epoch scale (~3e18) would eat all double
-    * precision; slope is shift-invariant and the intercept lands exactly at
-    * the grid instant (which is `predict_linear`'s evaluation origin).
+    * and `predict_linear`. BOTH axes are centered before the sums:
+    *  - time on the window's grid instant — t² at epoch scale (~3e18)
+    *    would eat all double precision; slope is shift-invariant and the
+    *    intercept lands exactly at the grid instant (which is
+    *    `predict_linear`'s evaluation origin);
+    *  - values on the SERIES MINIMUM (min is order-independent, so both
+    *    engines agree on it exactly) — monotone counters sit at ~1e6+, and
+    *    the uncentered cross terms `n·Σtv − Σt·Σv` cancel catastrophically
+    *    there: the sf1 gate measured summation-order noise amplified to
+    *    1e-4 absolute. Centering shrinks the magnitudes to the window's
+    *    value SPREAD; the slope is exactly invariant in algebra and the
+    *    intercept adds the constant back. One window over the skey
+    *    partitioning the groupBy reuses — no extra exchange.
     * Windows with fewer than two samples or zero time variance yield no
     * row. `horizon = None` → slope (deriv); `Some(d)` → intercept +
     * slope * d (predict_linear). */
   private def regressionOverTime(samples: DataFrame, grid: Grid, overRange: Double,
                                  horizon: Option[Double]): DataFrame = {
+    val bySeries = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Model.SkeyCol))
     val grouped = windowExplode(samples, grid, overRange)
       .withColumn("__tc__", col(Model.TsCol) - gridTs(grid))
+      .withColumn("__c0__", min(Model.ValueCol).over(bySeries))
+      .withColumn("__vc__", col(Model.ValueCol) - col("__c0__"))
       .groupBy(col(Model.SkeyCol), col("__k__"))
       .agg(first(Model.LabelsCol).as(Model.LabelsCol),
+        first("__c0__").as("__c0__"),
         count(lit(1)).cast(DoubleType).as("__n__"),
-        sum("__tc__").as("__st__"), sum(Model.ValueCol).as("__sv__"),
-        sum(col("__tc__") * col(Model.ValueCol)).as("__stv__"),
+        sum("__tc__").as("__st__"), sum("__vc__").as("__sv__"),
+        sum(col("__tc__") * col("__vc__")).as("__stv__"),
         sum(col("__tc__") * col("__tc__")).as("__stt__"))
       .withColumn("__den__", col("__n__") * col("__stt__") - col("__st__") * col("__st__"))
-      .filter(col("__n__") >= 2 && col("__den__") =!= 0.0)
+      // conditioning guard, not just non-zero: __den__ is the squared time
+      // SPREAD computed as a difference of ~tc²-magnitude terms, so a window
+      // whose samples cluster within milliseconds (sf1 measured one 8.6 ms
+      // apart) leaves den ~1e-5 against ~1e6 terms — leverage ~1e5 that
+      // amplifies last-ULP ingest differences into visible output noise,
+      // and the extrapolation itself is numerically meaningless. Same
+      // 1e-9-relative design as the counter-reset epsilon: degenerate
+      // geometry yields no row, identically in engine and oracle.
+      .filter(col("__n__") >= 2 &&
+        col("__den__") > lit(1e-9) * col("__n__") * col("__stt__"))
       .withColumn("__slope__",
         (col("__n__") * col("__stv__") - col("__st__") * col("__sv__")) / col("__den__"))
     val value = horizon match {
       case None => col("__slope__")
       case Some(d) => // intercept at the grid instant (tc = 0) + slope * d
-        (col("__sv__") - col("__slope__") * col("__st__")) / col("__n__") + col("__slope__") * lit(d)
+        (col("__sv__") - col("__slope__") * col("__st__")) / col("__n__") +
+          col("__slope__") * lit(d) + col("__c0__")
     }
     grouped.select(col(Model.SkeyCol), col(Model.LabelsCol),
       gridTs(grid).as(Model.TsCol), value.as(Model.ValueCol))

@@ -1158,16 +1158,18 @@ object TsQueries {
   def oraclePredictLinear1h: String =
     s"""WITH ${windowCte("WHERE event_type = 'purchase'")},
        |c AS (SELECT event_type, props, k,
-       |    t - (1704067200.0 + (CAST(k AS DOUBLE) * 3600.0)) AS tc, v FROM x),
-       |g AS (SELECT event_type, props, k,
-       |    CAST(count(*) AS DOUBLE) AS n, sum(tc) AS st, sum(v) AS sv,
-       |    sum(tc * v) AS stv, sum(tc * tc) AS stt
+       |    t - (1704067200.0 + (CAST(k AS DOUBLE) * 3600.0)) AS tc,
+       |    min(v) OVER (PARTITION BY event_type, props) AS c0,
+       |    v - min(v) OVER (PARTITION BY event_type, props) AS vc FROM x),
+       |g AS (SELECT event_type, props, k, min(c0) AS c0,
+       |    CAST(count(*) AS DOUBLE) AS n, sum(tc) AS st, sum(vc) AS sv,
+       |    sum(tc * vc) AS stv, sum(tc * tc) AS stt
        |  FROM c GROUP BY 1, 2, 3),
        |r AS (SELECT *, (n * stv - st * sv) / (n * stt - st * st) AS slope
-       |  FROM g WHERE n >= 2 AND (n * stt - st * st) != 0)
+       |  FROM g WHERE n >= 2 AND (n * stt - st * st) > 1e-9 * (n * stt))
        |SELECT event_type, props,
        |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
-       |  round((sv - slope * st) / n + slope * 600.0, 6) + 0.0 AS value
+       |  round((sv - slope * st) / n + slope * 600.0 + c0, 6) + 0.0 AS value
        |FROM r""".stripMargin
 
   def oracleStddevBy: String =
@@ -1305,15 +1307,16 @@ object TsQueries {
        |x AS (SELECT event_type, props, t, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
        |      FROM w WHERE greatest(klo, 0) <= khi),
        |c AS (SELECT event_type, props, k,
-       |    t - (1704067200.0 + (CAST(k AS DOUBLE) * 3600.0)) AS tc, v FROM x),
+       |    t - (1704067200.0 + (CAST(k AS DOUBLE) * 3600.0)) AS tc,
+       |    v - min(v) OVER (PARTITION BY event_type, props) AS vc FROM x),
        |g AS (SELECT event_type, props, k,
-       |    CAST(count(*) AS DOUBLE) AS n, sum(tc) AS st, sum(v) AS sv,
-       |    sum(tc * v) AS stv, sum(tc * tc) AS stt
+       |    CAST(count(*) AS DOUBLE) AS n, sum(tc) AS st, sum(vc) AS sv,
+       |    sum(tc * vc) AS stv, sum(tc * tc) AS stt
        |  FROM c GROUP BY 1, 2, 3)
        |SELECT event_type, props,
        |  round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
        |  round((n * stv - st * sv) / (n * stt - st * st), 6) + 0.0 AS value
-       |FROM g WHERE n >= 2 AND (n * stt - st * st) != 0""".stripMargin
+       |FROM g WHERE n >= 2 AND (n * stt - st * st) > 1e-9 * (n * stt)""".stripMargin
 
   def oracleBinopVs: String =
     s"""WITH ${sCte("WHERE event_type = 'purchase'")},
