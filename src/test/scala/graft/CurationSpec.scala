@@ -106,6 +106,23 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 1.0)))
   }
 
+  test("substring dedup: a hot gram shared by most of the corpus (de-skewed path)") {
+    // The r11 verdict's scale-killer scenario in miniature: ONE gram
+    // ("h1..h5", a boilerplate header) opens 50%+ of all docs. The
+    // de-skewed implementation resolves its first occurrence through a
+    // map-side-combinable groupBy min — no per-key window sort — and the
+    // result must be: the lowest (doc_id, p) occurrence keeps, every
+    // other doc pays exactly k tokens of coverage at p=0.
+    val hot = (1 to 5).map(i => s"h$i").mkString(" ")
+    val docs = (0L until 20L).map(i => (i, s"$hot x${i}a x${i}b")).toDF("doc_id", "text")
+    val out = Curation.dedupSubstr(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((7L, 0L, 1.0)))          // first occurrence keeps
+    (1L until 20L).foreach { i =>
+      assert(out(i) == ((7L, 5L, round4(1.0 - 5.0 / 7))), s"doc $i")
+    }
+  }
+
   private def round4(x: Double): Double = math.rint(x * 1e6) / 1e6
 
   test("sequence packing: bucketed prefix sum == global window; spans are contiguous") {
