@@ -113,12 +113,18 @@ object Bench {
       .map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")
     System.err.println(f"[bench] gc total $gcTotal%.2fs; top: $gcHot")
     // The stdout line is what the driver captures into BENCH_r{N}.json, and
-    // the capture proved lossy for long lines (r10's artifact kept only the
-    // tail, dropping the first 16 queries' medians). Keep stdout COMPACT —
-    // totals + per-query medians only — and put the full detail (min/max
-    // spread, which only matters for local stall forensics) in
-    // bench_out.json where file size is unconstrained.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
+    // the capture proved lossy for long lines TWICE (r10 lost the first 16
+    // queries, r11 — after a first "compact line" pass — still lost 30: the
+    // capture keeps only a ~4 KB tail). A full 115-query map cannot fit, so
+    // stdout now carries totals + calibration + the SLOWEST 15 medians only
+    // (~0.6 KB — always inside the tail window, always parseable), plus the
+    // query count so a truncated fleet is detectable. bench_out.json is the
+    // canonical full artifact: every median plus min/max spread.
+    val slow15 = jmap(results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map(r => r._1 -> r._2))
+    val nQueries = results.size
+    val nFailed = results.count(_._2 < 0)
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"queries":$slow15,"queries_note":"slowest 15 of $nQueries; full map in bench_out.json","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
