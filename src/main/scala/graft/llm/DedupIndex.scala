@@ -116,7 +116,17 @@ object DedupIndex {
     * Drop rule, deterministic: a doc is dropped iff it near-dups ANYTHING
     * already indexed (the index is older by construction) or an
     * earlier (lower doc_id) batch member — first-occurrence-wins, the
-    * [[Dedup.semDedup]] convention. */
+    * [[Dedup.semDedup]] convention.
+    *
+    * The returned frame is PERSISTED and materialized BEFORE the append:
+    * it has three consumers (the postings write and the gram-set write
+    * inside [[append]], plus the caller's sink), and the lazy plan probes
+    * the index — re-planning it after the append would dedup the
+    * survivors against their own just-appended postings and return
+    * nothing. Pinning the result first makes the step's ordering explicit
+    * rather than dependent on parquet file-listing snapshot timing
+    * (r11 ADVICE). Callers unpersist when done ([[streamingDedup]] does
+    * after its sink returns). */
   def dedupStep(spark: SparkSession, dir: String, batch: DataFrame,
                 minJaccard: Double = 0.5): DataFrame = {
     val p = readParams(spark, dir)
@@ -127,6 +137,8 @@ object DedupIndex {
       .select(col("doc_b").as("doc_id")).distinct() // later twin drops
     val survivors = batch
       .join(vsIndex.union(inBatch).distinct(), Seq("doc_id"), "left_anti")
+      .persist()
+    survivors.count() // materialize against the PRE-append index snapshot
     append(dir, survivors)
     survivors
   }
@@ -155,8 +167,10 @@ object DedupIndex {
       // the step reads the batch several times (band keys, gram sets,
       // anti-join) — pin one snapshot instead of replaying the source
       batch.persist()
-      try sink(dedupStep(batch.sparkSession, dir, batch, minJaccard))
-      finally { batch.unpersist(); () }
+      try {
+        val survivors = dedupStep(batch.sparkSession, dir, batch, minJaccard)
+        try sink(survivors) finally { survivors.unpersist(); () }
+      } finally { batch.unpersist(); () }
     }
 
   private def readParams(spark: SparkSession, dir: String): Params = {

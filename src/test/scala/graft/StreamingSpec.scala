@@ -149,9 +149,19 @@ class StreamingSpec extends SparkSpec {
     // same parquet schema as the source file (interval arithmetic keeps the
     // ts encoding); its event_type is distinct, so its own (label, window)
     // group simply never closes and appears on neither side
+    // +60 days, in whichever encoding the testdata shipped: legacy
+    // TIMESTAMP(NANOS) reads as a nanos long under nanosAsLong (interval
+    // arithmetic doesn't apply to it), native timestamp takes the INTERVAL
+    // — the test must run against BOTH encodings the production code
+    // supports (r11 ADVICE)
+    val bump = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("ts + 5184000000000000") // 60d in ns
+      case _ => org.apache.spark.sql.functions.expr("ts + INTERVAL 60 DAYS")
+    }
     spark.read.parquet(streamDir.resolve("a_events.parquet").toString)
       .limit(1)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts + INTERVAL 60 DAYS"))
+      .withColumn("ts", bump)
       .withColumn("event_type", org.apache.spark.sql.functions.lit("__sentinel__"))
       .coalesce(1).write.mode("overwrite")
       .parquet(sentDir.resolve("b_sentinel").toString)
