@@ -644,4 +644,98 @@ object Curation {
         round(lit(bias) + col("dot") / col("n_grams"), 6).as("logit6"))
       .withColumn("keep", col("logit6") > 0.0)
   }
+
+  /** Train the [[classifierScore]] weight table — full-batch logistic
+    * regression over the SAME mean-pooled hashed uni+bigram feature bag,
+    * the DCLM / FineWeb-edu workflow: a labeled seed set (`target` marks
+    * the positive class) fits a linear quality filter that then runs over
+    * the whole corpus through [[classifierScore]]. Until r12 the scorer
+    * shipped only an md5 weight FIXTURE; this closes the loop — the
+    * repo can now produce the weights it consumes.
+    *
+    * Deterministic by construction, so the training RUN itself gates
+    * against DuckDB ([[graft.queries.LlmQueries.oracleClassifierTrain]]
+    * replays it in unrolled CTEs — the [[Bpe.oracleTrainSql]] pattern):
+    * weights zero-initialized over the OBSERVED buckets (an unobserved
+    * bucket's gradient is identically zero, so the restriction loses
+    * nothing), then a FIXED count of full-batch gradient steps
+    *   `w ← round(w − lr · Σ_d (σ(⟨w, x_d⟩) − y_d) · x_{d,b} / N, 6)`
+    * with the bias riding as feature b = −1 (x = 1 for every doc). The
+    * round-6 after EVERY update is the cross-engine sync point: pre-round
+    * summation-order skew is ~1e-13 relative, both engines quantize to
+    * the same table, and iteration i+1 starts from identical state — the
+    * [[mixByTemperature]] pre-rounding rule applied to a training loop.
+    *
+    * Scale shape: the feature frame (doc_id, y, b, x) is built once and
+    * checkpointed (the [[dsirWeights]] rule — it has two consumers per
+    * iteration); each iteration is two bounded shuffles — a doc-keyed
+    * margin aggregation and a (≤ buckets+1)-group gradient aggregation —
+    * with the weight table always BROADCAST into the dot product.
+    * Nothing corpus-sized touches the driver (the per-round weight frame
+    * is persisted and its parent released — the [[Bpe.learnMerges]]
+    * lifecycle); cost is `iters` × (two bounded jobs), independent of
+    * corpus width. Docs with zero grams carry no features and are
+    * excluded from N, matching [[classifierScore]]'s emit-nothing
+    * contract.
+    *
+    * Returns (b, w) with bucket −1 holding the bias: feed
+    * `.filter(col("b") >= 0)` and the b = −1 value straight into
+    * [[classifierScore]] (CurationSpec pins the drop-in). */
+  def trainClassifier(docs: DataFrame, target: Column, buckets: Int = 4096,
+                      iters: Int = 4, lr: Double = 1.0): DataFrame = {
+    val tk = filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
+      t => t =!= lit(""))
+    val base = docs.select(col("doc_id"),
+      target.cast(DoubleType).as("y"), tk.as("tk"))
+    val bigrams = when(size(col("tk")) >= 2,
+      expr("transform(sequence(1, size(tk) - 1), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val cnts = base.select(col("doc_id"), col("y"),
+        explode(concat(col("tk"), bigrams)).as("g"))
+      .select(col("doc_id"), col("y"),
+        pmod(conv(substring(md5(col("g").cast(BinaryType)), 1, 8), 16, 10)
+          .cast(LongType), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt"))
+    val ngrams = cnts.groupBy("doc_id", "y").agg(sum("cnt").as("n"))
+    val feats0 = cnts.join(ngrams.select("doc_id", "n"), "doc_id")
+      .select(col("doc_id"), col("y"), col("b"),
+        (col("cnt").cast(DoubleType) / col("n").cast(DoubleType)).as("x"))
+      .union(ngrams.select(col("doc_id"), col("y"),
+        lit(-1L).as("b"), lit(1.0).as("x")))
+    val sc = docs.sparkSession.sparkContext
+    val feats =
+      if (sc.getCheckpointDir.isDefined) feats0.checkpoint()
+      else feats0.localCheckpoint()
+    // every iteration's plan references the previous weight frame THREE
+    // times (margin join, gradient's dependence on it, and the update
+    // join), so a merely-persisted lineage grows 3^iters — checkpoint
+    // each round's table to truncate the plan (it is ≤ buckets+1 rows;
+    // the blocks of superseded rounds are tiny and reclaimed with the
+    // session/cache clear)
+    def pin(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val nDocs = feats.filter(col("b") === -1L).count()
+    var w = pin(feats.select("b").distinct().withColumn("w", lit(0.0)))
+    for (_ <- 1 to iters) {
+      val resid = feats.join(broadcast(w), "b")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("x") * col("w")).as("m"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+      val grad = feats.join(resid, "doc_id")
+        .groupBy("b")
+        .agg((sum(col("x") * col("r")) / lit(nDocs.toDouble)).as("g"))
+      // + 0.0 normalizes a round()-produced -0.0 to +0.0 (IEEE: -0.0 +
+      // 0.0 = +0.0) — the driver's hash distinguishes signed zeros and a
+      // tiny negative gradient rounds to -0.0 in one engine, +0.0 in the
+      // other; the oracle applies the same normalization
+      w = pin(w.join(grad, Seq("b"), "left")
+        .select(col("b"),
+          (round(col("w") - lit(lr) * coalesce(col("g"), lit(0.0)), 6) +
+            lit(0.0)).as("w")))
+    }
+    w
+  }
 }

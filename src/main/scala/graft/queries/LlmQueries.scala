@@ -173,6 +173,13 @@ object LlmQueries {
   def textClassifier(spark: SparkSession, dir: String): DataFrame =
     Curation.classifierScore(docs(spark, dir))
 
+  /** Logistic-regression training run for the classifier: 4 full-batch
+    * gradient steps with lang='en' as the positive class — the oracle
+    * re-derives every step in SQL. */
+  def classifierTrainQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.trainClassifier(docs(spark, dir), col("lang") === "en",
+      buckets = 4096, iters = 4, lr = 1.0)
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(docs(spark, dir))
 
@@ -743,6 +750,37 @@ object LlmQueries {
       |  FROM bc JOIN w USING (b) GROUP BY doc_id)
       |SELECT doc_id, n_grams, logit6, logit6 > 0.0 AS keep FROM s""".stripMargin
 
+  /** Replays [[graft.llm.Curation.trainClassifier]]'s full training run
+    * in unrolled CTEs — the [[graft.llm.Bpe.oracleTrainSql]] pattern: the
+    * weights are DERIVED by the SQL, not embedded, so the oracle
+    * reproduces every gradient step (feature build, per-doc sigmoid
+    * margins, per-bucket gradients, round-6 weight update) rather than
+    * checking a frozen answer. Labels: lang = 'en' as the positive
+    * class, matching the gate query. */
+  def oracleClassifierTrain(iters: Int, lr: Double): String = {
+    val pre =
+      """WITH t AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '') AS tk FROM documents),
+        |g AS (SELECT doc_id, y, unnest(tk) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, y, tk[CAST(u.i AS BIGINT)] || ' ' || tk[CAST(u.i AS BIGINT) + 1] AS g
+        |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+        |bc AS (SELECT doc_id, y, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2, 3),
+        |ng AS (SELECT doc_id, y, CAST(sum(cnt) AS BIGINT) AS n FROM bc GROUP BY 1, 2),
+        |f AS (SELECT bc.doc_id, bc.y, bc.b, bc.cnt / CAST(ng.n AS DOUBLE) AS x FROM bc JOIN ng USING (doc_id)
+        |  UNION ALL SELECT doc_id, y, CAST(-1 AS BIGINT) AS b, 1.0 AS x FROM ng),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ng),
+        |w0 AS (SELECT DISTINCT b, 0.0 AS w FROM f)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""m$i AS (SELECT f.doc_id, f.y, 1.0 / (1.0 + exp(-sum(f.x * w.w))) AS p
+         |  FROM f JOIN w$i w USING (b) GROUP BY 1, 2),
+         |g$i AS (SELECT f.b, sum(f.x * (m.p - m.y)) / (SELECT n FROM nd) AS g
+         |  FROM f JOIN m$i m USING (doc_id) GROUP BY 1),
+         |w${i + 1} AS (SELECT w.b, round(w.w - $lr * coalesce(g.g, 0.0), 6) + 0.0 AS w
+         |  FROM w$i w LEFT JOIN g$i g USING (b))""".stripMargin
+    }
+    s"$pre,\n${steps.mkString(",\n")}\nSELECT b, w FROM w$iters"
+  }
+
   def oracleTextRepetition: String =
     """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
       |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
@@ -1162,6 +1200,7 @@ object LlmQueries {
     "text_tokens_bpe" -> (textTokensBpe _),
     "bpe_train" -> (bpeTrainQ _),
     "text_classifier" -> (textClassifier _),
+    "classifier_train" -> (classifierTrainQ _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_entropy" -> (textEntropy _),
@@ -1208,6 +1247,7 @@ object LlmQueries {
     "text_tokens_bpe" -> oracleTextTokensBpe,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "text_classifier" -> oracleTextClassifier,
+    "classifier_train" -> oracleClassifierTrain(4, 1.0),
     "text_fingerprint" -> oracleTextFingerprint,
     "text_repetition" -> oracleTextRepetition,
     "text_entropy" -> oracleTextEntropy,

@@ -347,4 +347,36 @@ class CurationSpec extends SparkSpec {
     assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
     assert(f1.map(_.getLong(0)).toSet == Set(0L, 1L))
   }
+
+  test("trainClassifier: learned weights separate the classes and drop into classifierScore") {
+    // two linearly separable vocabularies: positives speak "alpha beta",
+    // negatives speak "gamma delta" — a logistic regression over hashed
+    // unigram+bigram features must push their bucket weights apart
+    val docs = (0L until 8L).map { i =>
+      if (i < 4) (i, "alpha beta alpha beta alpha", true)
+      else (i, "gamma delta gamma delta gamma", false)
+    }.toDF("doc_id", "text", "y")
+    val learned = Curation.trainClassifier(docs, col("y"),
+      buckets = 64, iters = 20, lr = 2.0)
+    val wMap = learned.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wMap.contains(-1L)) // bias row rides as bucket -1
+    // drop the learned table into the scorer: classes separate at 0
+    val bias = wMap(-1L)
+    val scored = Curation.classifierScore(docs,
+        Some(learned.filter(col("b") >= 0)), buckets = 64, bias = bias)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    (0L until 4L).foreach(i => assert(scored(i), s"positive doc $i kept"))
+    (4L until 8L).foreach(i => assert(!scored(i), s"negative doc $i dropped"))
+    // deterministic: a re-run learns the bit-identical table
+    val again = Curation.trainClassifier(docs, col("y"),
+      buckets = 64, iters = 20, lr = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == wMap)
+    // zero-gram docs don't poison training (no NaN features, same result
+    // on the labeled subset that has grams)
+    val withEmpty = docs.union(Seq((8L, "   ", true)).toDF("doc_id", "text", "y"))
+    val w3 = Curation.trainClassifier(withEmpty, col("y"),
+      buckets = 64, iters = 5, lr = 2.0).collect()
+    assert(w3.forall(r => !r.getDouble(1).isNaN))
+  }
 }
