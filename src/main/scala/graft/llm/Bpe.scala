@@ -156,14 +156,52 @@ object Bpe {
     *
     * Returns (left, right, count) in learned order — feed the pairs
     * straight back into [[tokenized]]/[[tokenCount]] as the merge
-    * table. */
+    * table.
+    *
+    * `batch` (default 1 = one merge per scan, spec-pinned) is the
+    * production-vocab dial: per scan, select UP TO `batch` merges from
+    * one count table — but only while the selection is PROVABLY the
+    * sequence sequential training would produce, so batching changes
+    * cost, never output. Candidates are walked in (cnt desc, lt, rt)
+    * rank order; candidate (c, d) joins the batch iff, against every
+    * already-selected (a, b):
+    *
+    *  1. **count invariance**: `d != a && c != b` — applying (a, b)
+    *     only consumes b-tokens that FOLLOW an a and a-tokens FOLLOWED
+    *     by a b, so any pair not reading through one of those
+    *     adjacencies keeps its exact count — and neither of (c, d)
+    *     equals the concatenation `a+b` (a pre-existing token with that
+    *     spelling would absorb the newly created ones);
+    *  2. **compound safety**: `cnt(c, d)` strictly exceeds an upper
+    *     bound on every pair the selected merges can CREATE — (x, ab)
+    *     occurrences are a subset of (x, a)'s and (ab, y)'s of (b, y)'s,
+    *     so `max cnt over rows with rt = a or lt = b` (collected rows,
+    *     with the tail count bounding the uncollected rest) bounds any
+    *     compound's count. Below that bound a compound COULD out-rank
+    *     the candidate in the sequential run, so the batch stops.
+    *
+    * Under 1+2 the batch's counts are all simultaneously valid, the
+    * in-batch order is the sequential visit order, and the fold-order
+    * application equals sequential application (the patterns cannot
+    * overlap) — BpeSpec pins batched ≡ sequential on the gate corpus,
+    * where rank 6 is a compound (m, er) of merge 1 (e, r) and the bound
+    * correctly cuts the first batch at 5. Cost model: one scan + one
+    * bounded groupBy + one ≤(8·batch+64)-row collect per ROUND, rounds ≈
+    * nMerges / (effective batch). A 32k-merge production vocab at
+    * batch=256 runs ~10³ rounds instead of 32k scans when counts are
+    * flat (the large-vocab tail, exactly where plateau batches are wide
+    * and the compound bound rarely binds); the head of the vocab — where
+    * compounds interleave constantly — degrades gracefully toward
+    * sequential, which is the only correct behavior there. */
   def learnMerges(docs: DataFrame, textCol: String,
-                  nMerges: Int): Seq[(String, String, Long)] = {
+                  nMerges: Int, batch: Int = 1): Seq[(String, String, Long)] = {
+    require(batch >= 1, "batch must be >= 1")
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var enc = docs.select(tokenized(col(textCol), Nil).as("__e__")).persist()
     var done = false
     try {
       while (learned.size < nMerges && !done) {
+        val want = math.min(batch, nMerges - learned.size)
         // ONE split + one filtered pair explode: the boundary sentinel is
         // its own array entry, so word-crossing adjacencies are excluded by
         // the filter — no per-word re-split/second explode needed
@@ -175,15 +213,40 @@ object Bpe {
           .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("lt").asc, col("rt").asc)
-          .limit(1).collect()
+          // headroom: disjointness filtering skips candidates, so fetch
+          // more rows than merges wanted (still a bounded model-parameter
+          // collect — ≤ 8·batch+64 rows, the lloydCentroids contract)
+          .limit(want * 8 + 64).collect()
         if (top.isEmpty) done = true
         else {
-          val (lt, rt) = (top(0).getString(0), top(0).getString(1))
-          learned += ((lt, rt, top(0).getLong(2)))
+          // tail count bounds every row the collect truncated away
+          val kth = top.last.getLong(2)
+          // ≤ cnt of any compound (x, a+b) / (a+b, y) creatable by (a, b)
+          def compoundBound(a: String, b: String): Long =
+            top.iterator
+              .filter(r => r.getString(1) == a || r.getString(0) == b)
+              .map(_.getLong(2)).foldLeft(kth)(math.max)
+          val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          var bound = Long.MinValue
+          var stop = false
+          for (r <- top if !stop && sel.size < want) {
+            val (l, rr, c) = (r.getString(0), r.getString(1), r.getLong(2))
+            val invariant = sel.forall { case (a, b, _) =>
+              rr != a && l != b && l != a + b && rr != a + b
+            }
+            if (sel.isEmpty || (c > bound && invariant)) {
+              sel += ((l, rr, c))
+              bound = math.max(bound, compoundBound(l, rr))
+            } else stop = true // unprovable against the sequential run
+          }
+          learned ++= sel
           if (learned.size < nMerges) {
-            val next = enc.select(replace(col("__e__"),
-              lit(Sep + lt + Sep + rt + Sep), lit(Sep + lt + rt + Sep))
-              .as("__e__")).persist()
+            // in-selection-order fold = sequential application order;
+            // disjointness makes the replaces commute anyway
+            val next = enc.select(sel.foldLeft(col("__e__")) {
+              case (s, (l, rr, _)) =>
+                replace(s, lit(Sep + l + Sep + rr + Sep), lit(Sep + l + rr + Sep))
+            }.as("__e__")).persist()
             next.count() // materialize before releasing the parent
             enc.unpersist()
             enc = next

@@ -43,7 +43,11 @@ object LlmQueries {
 
   def bpeTrainQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.llm.Bpe.learnMerges(docs(spark, dir), "text", 8)
+    // batch = 8 is PROVABLY output-identical to sequential (the r12
+    // compound-safety rule; BpeSpec pins the equality on this corpus) —
+    // the sequential oracle stays valid while the run pays ~4 scan
+    // rounds instead of 8
+    graft.llm.Bpe.learnMerges(docs(spark, dir), "text", 8, batch = 8)
       .zipWithIndex
       .map { case ((l, r, c), i) => (i + 1, l, r, c) }
       .toDF("rank", "lt", "rt", "cnt")

@@ -90,6 +90,28 @@ class BpeSpec extends SparkSpec {
     assert(counts == Map(0L -> 2L, 1L -> 2L)) // [aa][ab] and [aa][aa,a→aaa]
   }
 
+  test("learnMerges batching: B=1 is the exact trainer; disjoint batches reproduce the sequential table") {
+    // batch = 1 must be byte-identical to the default path (it IS the
+    // default path — pinned so the option can't drift)
+    val tiny = Seq((0L, "aa ab"), (1L, "aa aaa")).toDF("doc_id", "text")
+    assert(graft.llm.Bpe.learnMerges(tiny, "text", 5, batch = 1) ==
+      graft.llm.Bpe.learnMerges(tiny, "text", 5))
+    // compound-safety guard: after selecting (a,a) the compound bound is
+    // cnt(a,a) itself (rows with rt=a), so (a,b) at cnt 1 can't join the
+    // batch — the batched run degrades to sequential and still converges
+    // to the identical table
+    assert(graft.llm.Bpe.learnMerges(tiny, "text", 5, batch = 8) ==
+      graft.llm.Bpe.learnMerges(tiny, "text", 5))
+    // the gate corpus: batched output is PROVABLY sequential-equal —
+    // here rank 6 of the sequential run is (m, er), a compound of merge
+    // 1 (e, r), and the compound bound cuts the first batch before it;
+    // the equality must hold bit-for-bit including recorded counts
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val seq8 = graft.llm.Bpe.learnMerges(docs, "text", 8)
+    val bat8 = graft.llm.Bpe.learnMerges(docs, "text", 8, batch = 8)
+    assert(bat8 == seq8)
+  }
+
   test("tokenizer option: chunkOverlap/'bpe' windows subword tokens") {
     val docs = Seq((0L, "the table and the fast part")).toDF("doc_id", "text")
     val chunks = Curation.chunkOverlap(docs, chunkSize = 4, stride = 3,
