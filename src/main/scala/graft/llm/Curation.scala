@@ -228,8 +228,24 @@ object Curation {
     * DuckDB oracle (same md5-prefix hash).
     */
   def dedupSubstr(docs: DataFrame, k: Int = 15): DataFrame = {
-    val toked = docs.withColumn("__tk__", Dedup.tokens(col("text")))
-    val grams = toked
+    val toked = substrToked(docs)
+    val grams = substrGrams(toked, k)
+    val firsts = grams.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("__first__"))
+    val hits = grams.join(firsts, Seq("h"))
+      .filter(struct(col("doc_id"), col("p")) =!= col("__first__"))
+      .select("doc_id", "p")
+    substrCoverage(toked, hits, k)
+  }
+
+  /** Tokenized frame shared by [[dedupSubstr]] and [[SubstrIndex]]. */
+  private[llm] def substrToked(docs: DataFrame): DataFrame =
+    docs.withColumn("__tk__", Dedup.tokens(col("text")))
+
+  /** The sliding k-gram position frame (doc_id, p, h) over a
+    * [[substrToked]] frame — h is the 60-bit md5 gram hash. */
+  private[llm] def substrGrams(toked: DataFrame, k: Int): DataFrame =
+    toked
       .select(col("doc_id"), posexplode(expr(
         s"""CASE WHEN size(__tk__) >= $k
            | THEN transform(sequence(0, size(__tk__) - $k),
@@ -237,11 +253,13 @@ object Curation {
            | ELSE array() END""".stripMargin)))
       .select(col("doc_id"), col("pos").cast(LongType).as("p"),
         Dedup.md5Hash60(col("col")).as("h"))
-    val firsts = grams.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("p"))).as("__first__"))
-    val hits = grams.join(firsts, Seq("h"))
-      .filter(struct(col("doc_id"), col("p")) =!= col("__first__"))
-      .select("doc_id", "p")
+
+  /** Run-length-merge duplicated-position hits into per-doc coverage:
+    * a hit at p covers `min(k, p − prev_hit_p)` new tokens; output is
+    * the (doc_id, n_tok, dup_tok, kept_frac) contract of
+    * [[dedupSubstr]]. The window shuffles ONLY the hit rows per doc. */
+  private[llm] def substrCoverage(toked: DataFrame, hits: DataFrame,
+                                  k: Int): DataFrame = {
     val runW = Window.partitionBy("doc_id").orderBy("p")
     val cover = hits
       .withColumn("__pp__", lag(col("p"), 1).over(runW))

@@ -63,6 +63,15 @@ object LlmQueries {
       d.filter(col("doc_id") > half))
   }
 
+  def dedupSubstrIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft-substridx")
+      .toString
+    graft.llm.SubstrIndex.build(d.filter(col("doc_id") <= half), idx, k = 15)
+    graft.llm.SubstrIndex.dedupAgainst(spark, idx, d.filter(col("doc_id") > half))
+  }
+
   def dedupSemdedupQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.semDedup(emb(spark, dir), tau = 0.3, nCentroids = 16)
 
@@ -953,6 +962,15 @@ object LlmQueries {
       |       ELSE round(1.0 - CAST(coalesce(c.dup_tok, 0) AS DOUBLE) / CAST(n.n_tok AS DOUBLE), 6) END AS kept_frac
       |FROM n LEFT JOIN cov c ON n.doc_id = c.doc_id""".stripMargin
 
+  /** The persistent-index run IS the whole-corpus run restricted to the
+    * probe half: a batch position is duplicated iff its gram occurs in
+    * the (older) index or earlier within the batch — exactly the
+    * whole-corpus first-occurrence rule, doc_id-split. So the oracle is
+    * [[oracleDedupSubstr]] with the output filtered to the probe docs. */
+  def oracleDedupSubstrIncremental: String =
+    oracleDedupSubstr +
+      "\nWHERE n.doc_id > (SELECT max(doc_id) // 2 FROM documents)"
+
   /** The shared tokenization CTE body of [[oraclePackBlocks]] — also the
     * whole oracle of the `pack_tok` isolation probe (VERDICT r9 item 1:
     * localize the driver-only pack_blocks hash skew to tokenization vs
@@ -1222,6 +1240,7 @@ object LlmQueries {
     "dsir_weight" -> (dsirWeightQ _),
     "dedup_spans" -> (dedupSpansQ _),
     "dedup_substr" -> (dedupSubstrQ _),
+    "dedup_substr_incremental" -> (dedupSubstrIncrementalQ _),
     "pack_blocks" -> (packBlocksQ _),
     "pack_tok" -> (packTokQ _),
     "corpus_curate" -> (corpusCurate _),
@@ -1269,6 +1288,7 @@ object LlmQueries {
     "dsir_weight" -> oracleDsirWeight,
     "dedup_spans" -> oracleDedupSpans,
     "dedup_substr" -> oracleDedupSubstr,
+    "dedup_substr_incremental" -> oracleDedupSubstrIncremental,
     "pack_blocks" -> oraclePackBlocks,
     "pack_tok" -> oraclePackTok,
     "corpus_curate" -> oracleCorpusCurate,

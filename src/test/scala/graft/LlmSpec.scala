@@ -233,6 +233,42 @@ class LlmSpec extends SparkSpec {
     assert(hits == Set(100000L, 100001L)) // built AND appended doc both found
   }
 
+  test("SubstrIndex: build → dedupAgainst equals whole-corpus dedupSubstr on the probe half; append extends the gram set") {
+    import graft.llm.{Curation, SubstrIndex}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val half = d.agg(max("doc_id")).head().getLong(0) / 2
+    val dir = java.nio.file.Files.createTempDirectory("substridx-spec").toString
+    SubstrIndex.build(d.filter(col("doc_id") <= half), dir, k = 15)
+    val incremental = SubstrIndex.dedupAgainst(spark, dir,
+        d.filter(col("doc_id") > half))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // index-or-earlier-in-batch IS the whole-corpus first-occurrence rule
+    // doc_id-split: rows must agree exactly, coverage included
+    val full = Curation.dedupSubstr(d, k = 15)
+      .filter(col("doc_id") > half)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(incremental == full && incremental.nonEmpty)
+    assert(incremental.exists(_._3 > 0L), "some probe doc shares a run with the index")
+
+    // append: a passage indexed only via append() must be found, and
+    // append() must not re-add grams the store already holds
+    val run = (1 to 15).map(i => s"w$i").mkString(" ")
+    val other = (1 to 15).map(i => s"v$i").mkString(" ")
+    val dir2 = java.nio.file.Files.createTempDirectory("substridx-spec2").toString
+    SubstrIndex.build(Seq((1L, run)).toDF("doc_id", "text"), dir2, k = 15)
+    SubstrIndex.append(dir2, Seq((2L, run), (3L, other)).toDF("doc_id", "text"))
+    // store stays duplicate-free: run's gram appended once at build only
+    val stored = spark.read.parquet(s"$dir2/postings.parquet").select("h")
+      .as[Long].collect()
+    assert(stored.length == stored.distinct.length && stored.length == 2)
+    val scored = SubstrIndex.dedupAgainst(spark, dir2,
+        Seq((4L, other), (5L, "w1 w2 unrelated")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored(4L) == 15L) // appended passage is probed
+    assert(scored(5L) == 0L)  // sub-k overlap is not a duplicate run
+  }
+
   test("perplexity: smoothed conditional bigram LM, reference-conditioned, hand-checked") {
     val docs = Seq(
       (0L, "a b a b", "en"),
