@@ -289,8 +289,15 @@ object Dedup {
 
   /** Near-dup pairs via 4 bands of 15 bits (any equal band → candidate)
     * verified by Hamming distance. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, maxBucket: Int = 10000): DataFrame = {
-    val fps = simhashFingerprints(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, maxBucket: Int = 10000): DataFrame =
+    simhashBandPairs(simhashFingerprints(docs), maxHamming, maxBucket)
+
+  /** Banded candidate generation + Hamming verification over ANY
+    * (doc_id, fp) 60-bit fingerprint frame — shared by the text
+    * ([[simhashPairs]]) and media-payload
+    * ([[Multimodal.mediaNearDup]]) SimHash families. */
+  private[llm] def simhashBandPairs(fps: DataFrame, maxHamming: Int,
+                                    maxBucket: Int): DataFrame = {
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(fp, b * 15) & 32767 as bkey))")).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))

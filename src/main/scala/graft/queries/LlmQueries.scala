@@ -308,6 +308,16 @@ object LlmQueries {
       .select("doc_id", "lang", "pred_lang", "lang_match", "n_words", "quality_score")
   }
 
+  /** Media near-dup over the documents corpus with injected synthetic
+    * images (exact-dup pairs at residues 11/31 per 50-block, a 16-bit
+    * re-encode at 41) — see [[mediaInjectSpark]]; the oracle injects the
+    * same hex. */
+  def dedupMediaQ(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir)
+      .select(col("doc_id"), expr(mediaInjectSpark).as("payload"))
+    Multimodal.mediaNearDup(media, maxHamming = 8)
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(docs(spark, dir))
 
@@ -1137,6 +1147,70 @@ object LlmQueries {
        |WHERE q.quality_score >= 0.5 AND q.n_words >= 20""".stripMargin
   }
 
+  /** Injected-image hex payloads for the dedup_media gate, generated for
+    * BOTH engines from one definition so they cannot drift. Per 50-doc
+    * block b: residues 11 and 31 carry the IDENTICAL synthetic PNG
+    * (valid signature + IHDR, 100×200×8-bit, aperiodic 480-byte body
+    * from 30 chained md5 segments) — an exact-duplicate pair; residue
+    * 41 carries the SAME image re-encoded at 16-bit depth (one IHDR
+    * byte differs) — a near-duplicate; everyone else keeps their
+    * text-derived payload. */
+  private val PngSig = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+    "00000064" + "000000C8"
+  private val PngTail = "02000000" + "DEADBEEF"
+  private def pngHdr(bitDepth: String): String = PngSig + bitDepth + PngTail
+  private def mediaBodySpark: String =
+    (0 until 30).map(j =>
+      s"upper(md5(concat('img:', cast(doc_id div 50 as string), ':$j')))")
+      .mkString("concat(", ", ", ")")
+  private def mediaBodyDuck: String =
+    (0 until 30).map(j =>
+      s"upper(md5('img:' || (doc_id // 50)::VARCHAR || ':$j'))")
+      .mkString(" || ")
+  private[queries] def mediaInjectSpark: String =
+    s"""unhex(CASE
+       | WHEN doc_id % 50 IN (11, 31) THEN concat('${pngHdr("08")}', $mediaBodySpark)
+       | WHEN doc_id % 50 = 41 THEN concat('${pngHdr("10")}', $mediaBodySpark)
+       | ELSE hex(cast(text as binary)) END)""".stripMargin
+  private def mediaInjectDuckHex: String =
+    s"""CASE
+       | WHEN doc_id % 50 IN (11, 31) THEN '${pngHdr("08")}' || $mediaBodyDuck
+       | WHEN doc_id % 50 = 41 THEN '${pngHdr("10")}' || $mediaBodyDuck
+       | ELSE hex(encode(text)) END""".stripMargin
+
+  def oracleDedupMedia: String =
+    s"""WITH pay AS (SELECT doc_id, $mediaInjectDuckHex AS hx FROM documents),
+       |shd AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, (length(hx) - 16) // 2 + 1),
+       |    k -> substr(hx, 1 + 2 * CAST(k AS INT), 16))) AS s
+       |  FROM pay WHERE length(hx) >= 16)),
+       |th AS (SELECT doc_id, ${md5Big.format("s")} AS h FROM shd),
+       |bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+       |         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY 1, 2),
+       |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+       |       FROM bits GROUP BY 1),
+       |banded AS (SELECT doc_id, fp, b.b AS band, (fp >> (b.b * 15)) & 32767 AS bkey
+       |           FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |bsz AS (SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= 10000),
+       |bf AS (SELECT banded.* FROM banded JOIN bsz USING (band, bkey)),
+       |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |  FROM bf a JOIN bf b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 8),
+       |ph AS (SELECT doc_id, hx, least(length(hx) // 2, 64) AS n FROM pay),
+       |dims AS (SELECT unnest(range(0, 8)) AS dim),
+       |hcnt AS (SELECT doc_id, ('0x' || substr(hx, CAST(i AS INT) * 2 + 1, 2))::INT % 8 AS dim, count(*) AS c
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM ph) GROUP BY 1, 2),
+       |hv AS (SELECT p.doc_id, d.dim, CAST(coalesce(c.c, 0) AS DOUBLE) / greatest(p.n, 1) AS f
+       |  FROM ph p CROSS JOIN dims d LEFT JOIN hcnt c ON c.doc_id = p.doc_id AND c.dim = d.dim),
+       |dots AS (SELECT pr.doc_a, pr.doc_b, pr.hamming,
+       |    sum(a.f * b.f) AS dot, sum(a.f * a.f) AS aa, sum(b.f * b.f) AS bb
+       |  FROM prs pr JOIN hv a ON a.doc_id = pr.doc_a
+       |  JOIN hv b ON b.doc_id = pr.doc_b AND b.dim = a.dim
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, hamming, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS feat_cos
+       |FROM dots""".stripMargin
+
   def oracleMultimodalMeta: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -1244,6 +1318,7 @@ object LlmQueries {
     "pack_blocks" -> (packBlocksQ _),
     "pack_tok" -> (packTokQ _),
     "corpus_curate" -> (corpusCurate _),
+    "dedup_media" -> (dedupMediaQ _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _))
 
@@ -1292,6 +1367,7 @@ object LlmQueries {
     "pack_blocks" -> oraclePackBlocks,
     "pack_tok" -> oraclePackTok,
     "corpus_curate" -> oracleCorpusCurate,
+    "dedup_media" -> oracleDedupMedia,
     "multimodal_meta" -> oracleMultimodalMeta,
     "multimodal_features" -> oracleMultimodalFeatures)
 }

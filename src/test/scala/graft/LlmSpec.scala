@@ -328,6 +328,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("mediaNearDup: exact copies at hamming 0, header re-encode found, unrelated images apart") {
+    import graft.llm.{MediaCodec, Multimodal}
+    def md5u(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02X".format(_)).mkString
+    def img(n: Int, bitDepth: String): Array[Byte] = {
+      val hdr = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000064" + "000000C8" + bitDepth + "02000000" + "DEADBEEF"
+      val hex = hdr + (0 until 30).map(j => md5u(s"img:$n:$j")).mkString
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    // the synthetic PNG is a real PNG as far as the codec is concerned
+    val sniffed = MediaCodec.sniff(img(0, "08"))
+    assert(sniffed.exists(m => m.format == "png" && m.width == 100 && m.height == 200))
+    val media = Seq(
+      (1L, img(0, "08")), // original
+      (2L, img(0, "08")), // exact copy
+      (3L, img(0, "10")), // re-encoded at 16-bit depth (one IHDR byte)
+      (4L, img(7, "08"))  // different image entirely
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.mediaNearDup(media, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(pairs((1L, 2L)) == ((0, 1.0))) // byte-identical: hamming 0, cos 1
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L))._1 > 0) // re-encode caught
+    assert(pairs((1L, 3L))._2 > 0.99) // feature histograms nearly identical
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L }) // unrelated apart
+  }
+
   test("media codec: real PNG/JPEG/GIF/BMP headers decode through the Spark path") {
     import spark.implicits._
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
