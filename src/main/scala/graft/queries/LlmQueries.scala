@@ -75,6 +75,21 @@ object LlmQueries {
   def dedupSemdedupQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.semDedup(emb(spark, dir), tau = 0.3, nCentroids = 16)
 
+  /** Persistent centroid model: fit on the lower-id half (which holds the
+    * first-16 seed vectors, so the stored model equals the whole-corpus
+    * fit), then SemDeDup the upper half against the store — the oracle is
+    * the whole-corpus semDedup replica restricted to probe-half rows. */
+  def dedupSemdedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val half = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft-centstore")
+      .toString
+    graft.llm.CentroidStore.build(e.filter(col("vec_id") <= half), idx,
+      nCentroids = 16)
+    graft.llm.CentroidStore.semDedupAgainst(spark, idx,
+      e.filter(col("vec_id") > half), tau = 0.3)
+  }
+
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Ann.bruteTopK(e, e.filter(col("vec_id") < 5), k = 5)
@@ -696,6 +711,20 @@ object LlmQueries {
        |  dup.min_dup, coalesce(dup.n_dups, CAST(0 AS BIGINT)) AS n_dups
        |FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id""".stripMargin
 
+  /** Incremental-SemDeDup replica: the store (lower half, seeds included)
+    * plus batch equals the whole corpus, and the frozen first-16 centroids
+    * equal the whole-corpus fit — so the oracle is [[oracleDedupSemdedup]]
+    * with the final select restricted to probe-half vectors. The guard and
+    * dup CTEs are shared verbatim: the maxCluster guard measures TOTAL
+    * cluster size in both runs, and a probe vector's earlier duplicates
+    * (store + earlier-in-batch) are exactly its whole-corpus earlier
+    * duplicates. */
+  def oracleDedupSemdedupIncremental: String =
+    oracleDedupSemdedup.replace(
+      "FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id",
+      "FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id\n" +
+        "WHERE asg.vec_id > (SELECT max(vec_id) // 2 FROM embeddings)")
+
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("[", ", ", "]")
 
   def oracleTextLang: String = {
@@ -1281,6 +1310,7 @@ object LlmQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_embed" -> (dedupEmbed _),
     "dedup_semdedup" -> (dedupSemdedupQ _),
+    "dedup_semdedup_incremental" -> (dedupSemdedupIncrementalQ _),
     "dedup_incremental" -> (dedupIncrementalQ _),
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
@@ -1330,6 +1360,7 @@ object LlmQueries {
     "dedup_clusters" -> oracleDedupClusters,
     "dedup_embed" -> oracleDedupEmbed,
     "dedup_semdedup" -> oracleDedupSemdedup,
+    "dedup_semdedup_incremental" -> oracleDedupSemdedupIncremental,
     "dedup_incremental" -> oracleDedupIncremental,
     "ann_brute" -> oracleAnnBrute,
     "ann_lsh" -> oracleAnnLsh,

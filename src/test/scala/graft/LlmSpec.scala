@@ -269,6 +269,54 @@ class LlmSpec extends SparkSpec {
     assert(scored(5L) == 0L)  // sub-k overlap is not a duplicate run
   }
 
+  test("CentroidStore: frozen-model semDedup equals whole-corpus semDedup; append extends members; stored mixByCluster matches transient") {
+    import graft.llm.{CentroidStore, Curation}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val mx = emb.agg(max("vec_id")).head().getLong(0)
+    val half = mx / 2
+    val q3 = mx * 3 / 4
+    val dir = java.nio.file.Files.createTempDirectory("centstore-spec").toString
+    CentroidStore.build(emb.filter(col("vec_id") <= half), dir, nCentroids = 16)
+    // build-half + probe-rest == whole-corpus semDedup restricted to the
+    // probe half, row for row (same frozen first-16 centroids, same TOTAL
+    // cluster-size guard, same lowest-id-earlier-duplicate verdict)
+    val whole = Dedup.semDedup(emb, tau = 0.3, nCentroids = 16)
+    val fullHalf = whole.filter(col("vec_id") > half)
+      .as[(Long, Long, Boolean, Option[Long], Long)].collect().toSet
+    val incHalf = CentroidStore.semDedupAgainst(spark, dir,
+        emb.filter(col("vec_id") > half), tau = 0.3)
+      .as[(Long, Long, Boolean, Option[Long], Long)].collect().toSet
+    assert(incHalf == fullHalf && incHalf.nonEmpty)
+    assert(incHalf.exists(!_._3), "some probe vector is dropped as a dup")
+    // append keeps the model frozen and only extends the member store:
+    // probing the last quarter after appending the third quarter still
+    // equals the whole-corpus run restricted to the last quarter
+    CentroidStore.append(dir,
+      emb.filter(col("vec_id") > half && col("vec_id") <= q3))
+    val incQ = CentroidStore.semDedupAgainst(spark, dir,
+        emb.filter(col("vec_id") > q3), tau = 0.3)
+      .as[(Long, Long, Boolean, Option[Long], Long)].collect().toSet
+    val fullQ = whole.filter(col("vec_id") > q3)
+      .as[(Long, Long, Boolean, Option[Long], Long)].collect().toSet
+    assert(incQ == fullQ && incQ.nonEmpty)
+    // members are laid out one directory per cluster for probe pruning
+    val parts = new java.io.File(s"$dir/members.parquet").listFiles()
+      .filter(_.getName.startsWith("cent_id=")).map(_.getName).toSet
+    assert(parts.nonEmpty && parts.forall(_.matches("cent_id=\\d+")))
+    // mixByClusterStored under a whole-corpus store == transient mixByCluster
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val dir2 = java.nio.file.Files.createTempDirectory("centstore-spec2").toString
+    CentroidStore.build(emb, dir2, nCentroids = 16)
+    val stored = CentroidStore.mixByClusterStored(spark, dir2, d, emb,
+        alpha = 0.5, budget = 20000L)
+      .as[(String, Long, Long, Double)].collect().toSet
+    val transient = Curation.mixByCluster(d, emb, alpha = 0.5, budget = 20000L)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(stored == transient && stored.nonEmpty)
+  }
+
   test("perplexity: smoothed conditional bigram LM, reference-conditioned, hand-checked") {
     val docs = Seq(
       (0L, "a b a b", "en"),
