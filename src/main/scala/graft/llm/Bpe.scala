@@ -110,6 +110,24 @@ object Bpe {
     filter(split(tokenized(text, merges), Sep, -1),
       t => t =!= lit("") && t =!= lit(Bnd))
 
+  /** Inverse of [[tokenized]]: strip the separators, turn each boundary
+    * sentinel back into one space. BPE merges only ever CONCATENATE
+    * characters that were adjacent in the source, so decode(encode(x))
+    * equals x up to the one lossy step the encoder takes on purpose —
+    * whitespace runs collapsing to a single boundary. That round-trip
+    * (`decode ∘ tokenized  ≡  regexp_replace(text, '[ \t\n\r]+', ' ')`)
+    * holds for EVERY merge table, trained or fixture, and is what the
+    * `bpe_roundtrip` gate pins corpus-wide: a merge rule that corrupted,
+    * dropped, or reordered a single character anywhere in the corpus
+    * breaks equality. A pure in-row expression like the encoder. */
+  def decode(toked: Column): Column =
+    replace(replace(toked, lit(Sep), lit("")), lit(Bnd), lit(" "))
+
+  /** decode ∘ tokenized — the whitespace-normalized reconstruction. */
+  def roundTrip(text: Column,
+                merges: Seq[(String, String)] = DefaultMerges): Column =
+    decode(tokenized(text, merges))
+
   /** DuckDB SQL expression for the merged token string over `textCol` —
     * the same replace chain [[tokenized]] folds, generated from the same
     * merge table. Sentinels are spelled chr(31)/chr(2) so the SQL carries

@@ -297,6 +297,37 @@ object Curation {
       .select(col("doc_id"), strataCol.as("stratum"), col("bucket"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the export step
+    * between curation and the training run: a corpus is never fed in
+    * crawl order (adjacent documents share a site/domain and correlate
+    * batches), so the last pipeline stage deals every document to one of
+    * `nShards` output shards by hash and orders it WITHIN its shard by a
+    * second hash. The result is a reproducible random permutation that
+    * any reader can verify — re-running the pipeline (or re-exporting a
+    * re-crawl) deals every unchanged doc_id to the same (shard, pos).
+    *
+    * Output: (doc_id, shard, pos) with pos 1-based in shard order.
+    *
+    * Scale shape: shard and order keys are pure per-row md5 arithmetic;
+    * the only wide stage is the per-shard row_number window, whose
+    * partition is one OUTPUT SHARD — and `nShards` is chosen at export
+    * time precisely so a shard is a file-sized unit (the 100 TB export
+    * picks ~100k shards of ~1 GB), so the window partitions are bounded
+    * by a knob, not by corpus skew. Writing the result
+    * `partitionBy("shard")` then streams each shard's rows into its own
+    * directory, already in training order. */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    val key = conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 12), 16, 10)
+      .cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__key__").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), key.as("__key__"))
+      .withColumn("shard", pmod(col("__key__"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** Sequence packing (GPT-style): documents are concatenated in doc_id
     * order and the token stream is cut into fixed `blockSize` blocks; each
     * doc reports the block span it lands in ([first_block, last_block]) and

@@ -266,4 +266,36 @@ object TextAnalysis {
       .withColumn("fp", explode(expr("graft_winnow(lower(text))")))
       .select("doc_id", "fp")
   }
+
+  /** Per-document top-`topK` terms by TF-IDF — the classic keyword /
+    * topic-signal extractor (and the salience score behind sparse
+    * retrieval indexes): `score = tf · ln(N / df)` with raw term
+    * frequency and unsmoothed inverse document frequency, rounded to 6
+    * decimals so the cross-engine `ln` sits nowhere near the hash.
+    *
+    * Scale shape: explode tokens → groupBy(doc_id, token) with map-side
+    * partial counts (fan-out bounded by document length); the df table is
+    * a second groupBy on the token key alone — vocabulary-sized, the
+    * [[perplexity]] c1 budget — and joins back on the SAME bounded token
+    * keys, no broadcast assumption; N rides a one-row broadcast
+    * crossJoin; final top-k is a per-doc window (frame = that doc's
+    * distinct terms). No collect, nothing keyed on corpus size.
+    *
+    * Determinism: ties inside a doc break by (score desc, token asc), so
+    * equal-score terms rank alphabetically in both engines. */
+  def tfidf(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(toks).as("token"))
+    val tf = occ.groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val df = tf.groupBy("token")
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs")) // one row
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("doc_id", "token", "tf", "score", "rk")
+  }
 }

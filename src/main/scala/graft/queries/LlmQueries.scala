@@ -41,6 +41,23 @@ object LlmQueries {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     Ann.lshNearDup(emb(spark, dir), minCosine = 0.3)
 
+  /** Corpus-wide lossless-encode proof: decode(encode(text)) must equal
+    * the whitespace-normalized text for every document — the oracle is
+    * the normalization alone, so any merge rule corrupting a character
+    * anywhere in the corpus hash-fails the gate. */
+  def bpeRoundtripQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      graft.llm.Bpe.roundTrip(col("text")).as("text_rt"))
+
+  def vocabBuildQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Vocab.buildVocab(docs(spark, dir), minCount = 5)
+
+  def textTfidfQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(docs(spark, dir), topK = 3)
+
+  def shardAssignQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardAssign(docs(spark, dir), nShards = 8)
+
   def bpeTrainQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // batch = 8 is PROVABLY output-identical to sequential (the r12
@@ -784,6 +801,47 @@ object LlmQueries {
        |  CAST(${graft.llm.Bpe.oracleCountSql("s")} AS BIGINT) AS bpe_tok
        |FROM bpe_s""".stripMargin
 
+  /** Round-trip replica: the oracle is ONLY the whitespace normalization —
+    * the Spark side must reconstruct it through the full encode→decode
+    * chain, so the proof burden (merge rules preserve characters) sits
+    * entirely on the library side. */
+  def oracleBpeRoundtrip: String =
+    """SELECT doc_id, regexp_replace(text, '[ \t\n\r]+', ' ', 'g') AS text_rt
+      |FROM documents""".stripMargin
+
+  /** Vocab replica: same [a-z0-9]+ tokenization, min-count 5, rank by
+    * (cnt desc, token asc). */
+  def oracleVocabBuild: String =
+    """WITH vt AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+      |vc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM vt GROUP BY 1 HAVING count(*) >= 5)
+      |SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+      |FROM vc""".stripMargin
+
+  /** TF-IDF replica: tf·ln(N/df) rounded to 6, per-doc top-3 by
+    * (score desc, token asc). */
+  def oracleTextTfidf: String =
+    """WITH ti0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+      |ti_tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ti0 GROUP BY 1, 2),
+      |ti_df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM ti_tf GROUP BY 1),
+      |ti_n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |ti_sc AS (SELECT ti_tf.doc_id, ti_tf.token, ti_tf.tf,
+      |    round(ti_tf.tf * ln(ti_n.n_docs / ti_df.df), 6) AS score
+      |  FROM ti_tf JOIN ti_df USING (token) CROSS JOIN ti_n)
+      |SELECT doc_id, token, tf, score, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+      |  FROM ti_sc)
+      |WHERE rk <= 3""".stripMargin
+
+  /** Shard-assignment replica: 48-bit md5 deal + per-shard order by
+    * (key, doc_id). */
+  def oracleShardAssign: String =
+    """WITH sk AS (SELECT doc_id,
+      |    ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 12))::BIGINT AS key
+      |  FROM documents)
+      |SELECT doc_id, key % 8 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS INT) AS pos
+      |FROM sk""".stripMargin
+
   /** Classifier replica: the DSIR gram/bucket CTEs with the md5-derived
     * weight fixture joined in place of the likelihood-ratio table. */
   def oracleTextClassifier: String =
@@ -1325,6 +1383,10 @@ object LlmQueries {
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "bpe_train" -> (bpeTrainQ _),
+    "bpe_roundtrip" -> (bpeRoundtripQ _),
+    "vocab_build" -> (vocabBuildQ _),
+    "text_tfidf" -> (textTfidfQ _),
+    "shard_assign" -> (shardAssignQ _),
     "text_classifier" -> (textClassifier _),
     "classifier_train" -> (classifierTrainQ _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1375,6 +1437,10 @@ object LlmQueries {
     "text_tokens" -> oracleTextTokens,
     "text_tokens_bpe" -> oracleTextTokensBpe,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
+    "bpe_roundtrip" -> oracleBpeRoundtrip,
+    "vocab_build" -> oracleVocabBuild,
+    "text_tfidf" -> oracleTextTfidf,
+    "shard_assign" -> oracleShardAssign,
     "text_classifier" -> oracleTextClassifier,
     "classifier_train" -> oracleClassifierTrain(4, 1.0),
     "text_fingerprint" -> oracleTextFingerprint,

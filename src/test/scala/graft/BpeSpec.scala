@@ -41,6 +41,26 @@ class BpeSpec extends SparkSpec {
     assert(tokensOf("\t the \n table ") == Seq("the", "table"))
   }
 
+  test("decode inverts the encoder: round-trip equals whitespace normalization") {
+    def rt(text: String): String =
+      Seq(text).toDF("text").select(Bpe.roundTrip(col("text")).as("r"))
+        .as[String].head()
+    // merges concatenate in place, so every character survives
+    assert(rt("the table and the fast part") == "the table and the fast part")
+    // the ONE lossy step is deliberate: whitespace runs → single space
+    assert(rt("\t the \n\n  table ") == " the table ")
+    assert(rt("") == "")
+    // characters no merge rule touches pass through untouched
+    assert(rt("x9!? planet") == "x9!? planet")
+    // corpus-wide: decode∘encode == normalized text on every document
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = d.select(
+        Bpe.roundTrip(col("text")).as("rt"),
+        regexp_replace(col("text"), "[ \\t\\n\\r]+", " ").as("norm"))
+      .filter(col("rt") =!= col("norm")).count()
+    assert(diff == 0L)
+  }
+
   test("BPE count is bounded by chars and compresses vs chars on real text") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), Bpe.tokenCount(col("text")).as("bpe"),

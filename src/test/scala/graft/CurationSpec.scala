@@ -379,4 +379,27 @@ class CurationSpec extends SparkSpec {
       buckets = 64, iters = 5, lr = 2.0).collect()
     assert(w3.forall(r => !r.getDouble(1).isNaN))
   }
+
+  test("shardAssign: exact permutation, dense per-shard positions, crawl-order broken, reproducible") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Curation.shardAssign(docs, nShards = 8)
+      .as[(Long, Long, Int)].collect()
+    // a permutation: every doc exactly once, shards in range
+    assert(out.map(_._1).sorted.toSeq == (0L until 200L).toSeq)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are dense 1..|shard| within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // the deal actually shuffles: some shard's order is not id order
+    // (adjacent crawl ids land apart — the anti-correlation the export
+    // step exists for)
+    val ordered = out.groupBy(_._2).values.map(rows =>
+      rows.sortBy(_._3).map(_._1).toSeq)
+    assert(ordered.exists(ids => ids != ids.sorted))
+    // reproducible: the same corpus deals identically on a re-run
+    val again = Curation.shardAssign(docs, nShards = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSet == again.toSet)
+  }
 }

@@ -317,6 +317,33 @@ class LlmSpec extends SparkSpec {
     assert(stored == transient && stored.nonEmpty)
   }
 
+  test("vocab builder: min-count floor, frequency-sorted dense ranks") {
+    import graft.llm.Vocab
+    val v = Vocab.buildVocab(docs, minCount = 4)
+      .as[(String, Long, Int)].collect()
+    // only "the" clears 4 occurrences (3 each in docs 0, 1, 3)
+    assert(v.toSeq == Seq(("the", 9L, 1)))
+    val v3 = Vocab.buildVocab(docs, minCount = 3)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(v3.head == (("the", 9L, 1)))
+    assert(v3.map(_._3).toSeq == (1 to v3.length).toSeq) // dense 1-based
+    // count ties rank alphabetically (the (cnt desc, token asc) order)
+    val ties = v3.filter(_._2 == 3L).map(_._1)
+    assert(ties.toSeq == ties.sorted.toSeq && ties.nonEmpty)
+  }
+
+  test("tfidf: hand-checked scores, corpus-wide terms score zero, per-doc top-k") {
+    val d2 = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(d2, topK = 2)
+      .as[(Long, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._5) -> ((r._2, r._3, r._4))).toMap
+    // df: a=2 b=1 c=1, N=2 → idf(a)=ln(1)=0, idf(b)=idf(c)=ln(2)
+    assert(out((0L, 1)) == (("b", 1L, 0.693147)))
+    assert(out((0L, 2)) == (("a", 2L, 0.0))) // everywhere-term scores 0
+    assert(out((1L, 1)) == (("c", 1L, 0.693147)))
+    assert(out((1L, 2)) == (("a", 1L, 0.0)))
+  }
+
   test("perplexity: smoothed conditional bigram LM, reference-conditioned, hand-checked") {
     val docs = Seq(
       (0L, "a b a b", "en"),
