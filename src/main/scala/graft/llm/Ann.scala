@@ -424,6 +424,70 @@ object Ann {
       .select("query_id", "neighbor_id", "dist", "rn")
   }
 
+  /** Scalar quantization (SQ8 — the FAISS ScalarQuantizer contract, the
+    * training-free end of the compression spectrum): every dimension i
+    * gets a [mn_i, mx_i] range from ONE corpus aggregate, each float32
+    * collapses to an 8-bit level `code = min(levels−1, ⌊(x−mn_i)/step_i⌋)`
+    * with `step_i = (mx_i−mn_i)/levels`, and search scores the RAW query
+    * against level-midpoint reconstructions `mn_i + (code+½)·step_i` —
+    * asymmetric distance (ADC), summed L2², rounded 6, ranked ascending
+    * with neighbor_id tie-break (the [[pqRank]] contract).
+    *
+    * vs PQ (26d): SQ keeps full per-dimension resolution at 1 byte/dim
+    * (4× smaller than float32) with NO codebook training — the "model"
+    * is two Dims-length extrema arrays, so index build is one scan and
+    * decode is pure arithmetic (no codebook broadcast into the scoring
+    * join). PQ compresses harder (m bytes/vector) but pays a trained
+    * codebook and loses within-subspace resolution. The family now
+    * spans brute (exact) / LSH+IVF (pruning) / SQ+PQ (compression) /
+    * IVF×PQ(+R) (composition).
+    *
+    * Determinism: mn/mx are exact float32 extrema (min/max reorder
+    * freely); the code arithmetic is a chain of single IEEE double ops
+    * (sub, div, floor — each correctly rounded, no sum to reorder), so
+    * codes are bit-identical across engines and only the final L2² sum
+    * needs the round-6 guard.
+    *
+    * Scale: stats = one map-side-combined groupBy on Dims keys; encode =
+    * pure map (the stored index is levels-ary codes, 1 byte/dim); the
+    * gate baseline then scores the whole corpus against the broadcast
+    * query set exactly like [[pqTopK]] — at scale compose with IVF list
+    * pruning (the [[ivfPqTopK]] shape) so only probed lists decode. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             levels: Int = 256): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("ps"))
+      .select(transform(col("ps"), p => p("mn")).as("mns"),
+        transform(col("ps"), p => p("mx")).as("mxs"))
+    def mn(i: Column) = element_at(col("mns"), i + 1)
+    def step(i: Column) =
+      (element_at(col("mxs"), i + 1) - mn(i)) / lit(levels.toDouble)
+    val codes = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), lit(Dims - 1)), (x, i) =>
+          when(step(i) === 0.0, lit(0L)).otherwise(
+            least(lit((levels - 1).toLong),
+              floor((x.cast(DoubleType) - mn(i)) / step(i)).cast(LongType))))
+          .as("codes"))
+    val scored = codes.as("c")
+      .join(broadcast(queries.select(col("vec_id"), col("embedding")).as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(aggregate(
+          zip_with(col("q.embedding"),
+            zip_with(col("c.codes"), sequence(lit(0), lit(Dims - 1)), (c, i) =>
+              mn(i) + (c.cast(DoubleType) + lit(0.5)) * step(i)),
+            (qx, r) => (qx.cast(DoubleType) - r) * (qx.cast(DoubleType) - r)),
+          lit(0.0), (acc, d) => acc + d), 6).as("dist"))
+    pqRank(scored, k)
+  }
+
   /** IVF×PQ — the composition that makes a billion-vector index real: IVF
     * list pruning picks WHICH vectors to score (candidates ≈
     * nprobe·multiAssign/nCentroids of the corpus), PQ ADC decides HOW each

@@ -486,6 +486,59 @@ object Curation {
     mixByTemperature(clustered, alpha, budget, tokenizer)
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020 §4.3): per
+    * language, documents split into head / middle / tail thirds by
+    * reference-LM perplexity ([[TextAnalysis.perplexity]] — low ppl =
+    * most reference-like), and only `keepBuckets` survive — CCNet trains
+    * on head+middle and drops the tail. The quality dial every
+    * CommonCrawl pipeline ships: stricter (head only) for small clean
+    * corpora, looser (all three, weighted) for scale.
+    *
+    * Thresholds come from a per-(lang, binned-ppl) HISTOGRAM, not a
+    * per-lang global sort: ppl is binned to 2 decimals (CCNet itself
+    * buckets integer percentiles from a sample), the histogram is a
+    * map-side-combinable groupBy on (lang, bin) — bounded by ppl range ×
+    * 100, not corpus size — and the tercile cutoffs t1/t2 are the
+    * smallest bins whose cumulative count reaches ⅓ and ⅔ of the
+    * language's docs (integer arithmetic: cum·3 ≥ n, cum·3 ≥ 2n — no
+    * float percentile semantics to disagree on). The only window runs
+    * over one language's BINS; thresholds broadcast back by lang. Docs
+    * whose bin sits exactly on a cutoff land in the lower bucket in both
+    * engines (≤ on exact round-2 doubles).
+    *
+    * Output: (doc_id, lang, ppl, bucket, keep). */
+  def mixByPerplexity(docs: DataFrame, refFilter: Column,
+                      alpha: Double = 1.0,
+                      keepBuckets: Seq[String] = Seq("head", "middle")): DataFrame = {
+    // ppl has two consumers (the threshold histogram and the final bucket
+    // join) and Catalyst does not CSE across them — without the lazy
+    // persist the whole perplexity subtree (its LM scans included) runs
+    // twice (observed as 12 scans / 23 exchanges in the first PLANS run;
+    // the duplicateClusters `hop` convention)
+    val ppl = TextAnalysis.perplexity(docs, refFilter, alpha)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("pb", round(col("ppl"), 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = ppl.groupBy("lang", "pb").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("pb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("n"), col("pb"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("pb"))).as("t2"))
+    val bucket = when(col("pb") <= col("t1"), lit("head"))
+      .when(col("pb") <= col("t2"), lit("middle"))
+      .otherwise(lit("tail"))
+    ppl.join(broadcast(thr), "lang")
+      .withColumn("bucket", bucket)
+      .withColumn("keep", col("bucket").isInCollection(keepBuckets))
+      .select("doc_id", "lang", "ppl", "bucket", "keep")
+  }
+
   /** T5-style span corruption, made deterministic: tokens are chunked
     * into `span`-sized pieces and chunk `c` of doc `d` is masked iff
     * `(c + d) % period == 0` (corruption rate span/(span·period) =

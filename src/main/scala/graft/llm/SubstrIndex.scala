@@ -101,6 +101,59 @@ object SubstrIndex {
       storeHits.union(batchHits).distinct(), k)
   }
 
+  /** Score one batch against the index and itself, drop the mostly-
+    * duplicated docs, append the SURVIVORS' grams, return the survivors
+    * with their coverage stats — the single rolling-crawl step
+    * ([[streamingDedup]] runs it per micro-batch). Drop rule,
+    * deterministic: a doc survives iff `kept_frac >= minKeep` under the
+    * [[dedupAgainst]] contract (within-batch positions are marked by the
+    * order-based first-occurrence rule whether or not the earlier doc
+    * itself survives — the whole-corpus [[Curation.dedupSubstr]]
+    * semantics); only surviving docs' grams enter the index, so the
+    * store holds exactly the retained text ([[DedupIndex.dedupStep]] is
+    * the MinHash sibling).
+    *
+    * The survivor frame is EAGERLY LOCAL-CHECKPOINTED, not persist()ed,
+    * before the append: the gram store carries no doc identity, so a
+    * post-append re-evaluation of the probe plan would find the
+    * survivors' own just-appended grams and return nothing — and Spark
+    * DOES re-resolve it: the append's InsertIntoHadoopFsRelation refresh
+    * invalidates any cached plan that reads the postings path
+    * (observed: a persist()+count() survivor frame came back empty).
+    * [[DedupIndex.dedupStep]] tolerates re-evaluation because its probe
+    * join is identity-self-excluding (`s.doc_id =!= q.doc_id`); this
+    * store has no identity to exclude, so the checkpoint severs the
+    * lineage instead — the returned plan is a LogicalRDD with no file
+    * dependency at all. */
+  def dedupStep(spark: SparkSession, dir: String, batch: DataFrame,
+                minKeep: Double = 0.5): DataFrame = {
+    // eager: materialized against the PRE-append index snapshot
+    val survivors = dedupAgainst(spark, dir, batch)
+      .filter(col("kept_frac") >= minKeep)
+      .localCheckpoint(true)
+    append(dir, batch.join(survivors.select("doc_id"), Seq("doc_id")))
+    survivors
+  }
+
+  /** Streaming rolling-crawl substring dedup: document micro-batches →
+    * [[dedupStep]] via `foreachBatch` — the [[DedupIndex.streamingDedup]]
+    * construct and rationale (the operator's state IS the parquet gram
+    * store: bigger than any state-store budget, shared with batch
+    * callers, restart-safe — resume probes whatever the index holds).
+    * Caller starts the returned writer (`.start()` + await). */
+  def streamingDedup(stream: DataFrame, dir: String,
+                     minKeep: Double = 0.5)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // the step reads the batch several times (grams, coverage, the
+      // append's re-derivation) — pin one snapshot
+      batch.persist()
+      try {
+        val survivors = dedupStep(batch.sparkSession, dir, batch, minKeep)
+        try sink(survivors) finally { survivors.unpersist(); () }
+      } finally { batch.unpersist(); () }
+    }
+
   private def readParams(spark: SparkSession, dir: String): (Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     (m.getAs[Int]("k"), m.getAs[Int]("parts"))

@@ -298,4 +298,56 @@ object TextAnalysis {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
       .select("doc_id", "token", "tf", "score", "rk")
   }
+
+  /** The Gopher rule battery (Rae et al. 2021 §A1.1) — the boolean
+    * quality FILTER the 28-style heuristic scores approximate: a doc
+    * passes iff it clears every rule. Rules implemented over whitespace
+    * words (the paper's convention; [[tokenCounts]]'s ws regex):
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [3, 10]
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ `minStop` distinct Gopher stop words
+    *    (the/be/to/of/and/that/have/with)
+    *  - symbol-to-word ratio (# and …) ≤ 0.1
+    * Paper defaults for the corpus knobs; every per-rule flag is emitted
+    * alongside the verdict so a pipeline can loosen one rule without
+    * re-deriving the rest. Pure per-row arithmetic — zero shuffle, the
+    * filter rides along with the scan at any scale. */
+  def gopherRules(docs: DataFrame, minWords: Long = 50,
+                  maxWords: Long = 100000, minStop: Int = 2): DataFrame = {
+    val stops = Array("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .withColumn("__w__", expr("regexp_extract_all(text, '[^ \\t\\n\\r]+', 0)"))
+      .withColumn("n_words", size(col("__w__")).cast(LongType))
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0, 0.0).otherwise(round(
+          aggregate(col("__w__"), lit(0L), (a, w) => a + length(w).cast(LongType))
+            .cast(DoubleType) / col("n_words").cast(DoubleType), 6)))
+      .withColumn("frac_alpha",
+        when(col("n_words") === 0, 0.0).otherwise(round(
+          size(filter(col("__w__"), w => w.rlike("[A-Za-z]")))
+            .cast(DoubleType) / col("n_words").cast(DoubleType), 6)))
+      .withColumn("n_stop", // distinct stop TYPES present, case-folded
+        size(filter(lit(stops), s =>
+          array_contains(transform(col("__w__"), w => lower(w)), s)))
+          .cast(LongType))
+      .withColumn("symbol_ratio",
+        when(col("n_words") === 0, 0.0).otherwise(round(
+          (size(expr("regexp_extract_all(text, '#', 0)")) +
+            size(expr("regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)")))
+            .cast(DoubleType) / col("n_words").cast(DoubleType), 6)))
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_alpha", col("frac_alpha") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= minStop)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("pass",
+        col("r_words") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol"))
+      .select("doc_id", "n_words", "mean_word_len", "frac_alpha", "n_stop",
+        "symbol_ratio", "r_words", "r_mean_len", "r_alpha", "r_stop",
+        "r_symbol", "pass")
+  }
 }

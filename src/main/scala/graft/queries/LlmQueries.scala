@@ -149,6 +149,14 @@ object LlmQueries {
     Ann.pqTopK(e, e.filter(col("vec_id") < 5), k = 5, codebookIters = 0)
   }
 
+  /** SQ8 scalar quantization: per-dim [min, max] levels over the whole
+    * corpus, raw-query-vs-midpoint-reconstruction ADC — the training-free
+    * 1-byte/dim compression pin. */
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.sqTopK(e, e.filter(col("vec_id") < 5), k = 5)
+  }
+
   /** IVF×PQ composed index: first-16 centroids / nprobe 2 / single
     * assignment (the ann_ivf list conventions) pruning candidates for
     * 8×16 ADC scoring (the ann_pq code conventions) — the gate pin of the
@@ -201,6 +209,12 @@ object LlmQueries {
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(docs(spark, dir))
+
+  /** Gopher rule battery with corpus-scaled knobs (docs run 10-99 words,
+    * so minWords=20 splits the corpus; minStop=1 splits on the articles
+    * the synthetic vocabulary happens to contain). */
+  def textGopher(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(spark, dir), minWords = 20, minStop = 1)
 
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(docs(spark, dir))
@@ -297,6 +311,12 @@ object LlmQueries {
   def mixClusterQ(spark: SparkSession, dir: String): DataFrame =
     Curation.mixByCluster(docs(spark, dir), emb(spark, dir), alpha = 0.5,
       budget = 20000L, nCentroids = 16)
+
+  /** CCNet head/middle/tail perplexity partition, en-reference LM (the
+    * text_perplexity conventions), keep = head+middle. */
+  def mixPerplexityQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixByPerplexity(docs(spark, dir),
+      org.apache.spark.sql.functions.col("lang") === "en")
 
   /** Deterministic T5 span corruption at the paper-ish defaults (3-token
     * spans, 1/7 of chunks masked). */
@@ -548,6 +568,28 @@ object LlmQueries {
        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
        |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** SQ8 replica: per-dim extrema, the same single-IEEE-op code chain
+    * (sub, div, floor — bit-identical, nothing to reorder), midpoint
+    * reconstruction, round-6 L2² rank. */
+  def oracleAnnSq: String =
+    s"""WITH gi AS (SELECT unnest(range(1, 65)) AS i),
+       |st AS (SELECT i, min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+       |    max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings e CROSS JOIN gi GROUP BY 1),
+       |codes AS (SELECT e.vec_id, s.i, s.mn, (s.mx - s.mn) / 256.0 AS step,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |         ELSE least(255, CAST(floor((CAST(e.embedding[s.i] AS DOUBLE) - s.mn)
+       |                                    / ((s.mx - s.mn) / 256.0)) AS BIGINT)) END AS code
+       |  FROM embeddings e CROSS JOIN st s),
+       |score AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(sum((CAST(q.embedding[c.i] AS DOUBLE) - (c.mn + (c.code + 0.5) * c.step))
+       |            * (CAST(q.embedding[c.i] AS DOUBLE) - (c.mn + (c.code + 0.5) * c.step))), 6) AS dist
+       |  FROM codes c JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
+       |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
+
   /** IVF×PQ replica: ann_ivf's lists/probes CTEs pick the candidate pairs,
     * ann_pq's codes/qd CTEs score them — the SQL statement of "PQ scoring
     * sees only probed-list candidates". */
@@ -760,6 +802,38 @@ object LlmQueries {
        |  en_hits, de_hits, fr_hits, es_hits
        |FROM h""".stripMargin
   }
+
+  /** Gopher battery replica: whitespace words, case-folded distinct stop
+    * types, single-division ratios round-6 — every flag re-derived. */
+  def oracleTextGopher: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w,
+      |    CAST(len(regexp_extract_all(text, '#')) +
+      |         len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_sym,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS len_sum,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      s -> list_contains(list_transform(w, x -> lower(x)), s))) AS BIGINT) AS n_stop
+      |  FROM t),
+      |r AS (SELECT doc_id, n_words, n_stop,
+      |    CASE WHEN n_words = 0 THEN 0.0
+      |         ELSE round(CAST(len_sum AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS mean_word_len,
+      |    CASE WHEN n_words = 0 THEN 0.0
+      |         ELSE round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS frac_alpha,
+      |    CASE WHEN n_words = 0 THEN 0.0
+      |         ELSE round(CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS symbol_ratio
+      |  FROM c)
+      |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop, symbol_ratio,
+      |  (n_words >= 20 AND n_words <= 100000) AS r_words,
+      |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+      |  (frac_alpha >= 0.8) AS r_alpha,
+      |  (n_stop >= 1) AS r_stop,
+      |  (symbol_ratio <= 0.1) AS r_symbol,
+      |  ((n_words >= 20 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |   AND (frac_alpha >= 0.8) AND (n_stop >= 1) AND (symbol_ratio <= 0.1)) AS pass
+      |FROM r""".stripMargin
 
   def oracleTextQuality: String = {
     val allStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
@@ -999,6 +1073,44 @@ object LlmQueries {
       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
       |  round(coalesce(exp(-sc.alp), 0.0), 6) AS ppl
       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
+  /** mix_perplexity replica: the text_perplexity CTE chain, then the same
+    * integer-arithmetic tercile cutoffs over the (lang, round-2 bin)
+    * histogram — cum·3 ≥ n / cum·3 ≥ 2n, ≤ on exact round-2 doubles. */
+  def oracleMixPerplexity: String =
+    """WITH toks AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |g2 AS (SELECT doc_id, lang, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> concat_ws(' ', tk[i], tk[i+1]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM (
+      |    SELECT unnest(tk) AS w1 FROM toks WHERE lang = 'en') GROUP BY 1),
+      |c2 AS (SELECT g, count(*) AS c2 FROM g2 WHERE lang = 'en' GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+      |occ AS (SELECT g2.doc_id,
+      |    ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) + 1.0) /
+      |       (CAST(coalesce(c1.c1, 0) AS DOUBLE) + 1.0 * v.v)) AS lnp
+      |  FROM g2
+      |  LEFT JOIN c2 ON g2.g = c2.g
+      |  LEFT JOIN c1 ON string_split(g2.g, ' ')[1] = c1.w1
+      |  CROSS JOIN v),
+      |sc AS (SELECT doc_id, avg(lnp) AS alp FROM occ GROUP BY 1),
+      |ppl AS (SELECT d.doc_id, d.lang,
+      |    round(coalesce(exp(-sc.alp), 0.0), 6) AS ppl
+      |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+      |binned AS (SELECT doc_id, lang, ppl, round(ppl, 2) AS pb FROM ppl),
+      |hist AS (SELECT lang, pb, count(*) AS cnt FROM binned GROUP BY 1, 2),
+      |cum AS (SELECT lang, pb,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY pb) AS cum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS n FROM hist),
+      |thr AS (SELECT lang,
+      |    min(CASE WHEN cum * 3 >= n THEN pb END) AS t1,
+      |    min(CASE WHEN cum * 3 >= n * 2 THEN pb END) AS t2
+      |  FROM cum GROUP BY 1)
+      |SELECT b.doc_id, b.lang, b.ppl,
+      |  CASE WHEN b.pb <= t.t1 THEN 'head'
+      |       WHEN b.pb <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  (b.pb <= t.t2) AS keep
+      |FROM binned b JOIN thr t ON b.lang = t.lang""".stripMargin
 
   def oracleDecontaminate: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
@@ -1374,6 +1486,7 @@ object LlmQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_sq" -> (annSq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_index" -> (annIndex _),
     "ann_ivfpq_rr" -> (annIvfPqRr _),
@@ -1390,6 +1503,7 @@ object LlmQueries {
     "text_classifier" -> (textClassifier _),
     "classifier_train" -> (classifierTrainQ _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_gopher" -> (textGopher _),
     "text_repetition" -> (textRepetition _),
     "text_entropy" -> (textEntropy _),
     "text_typicality" -> (textTypicality _),
@@ -1401,6 +1515,7 @@ object LlmQueries {
     "mix_budget" -> (mixBudgetQ _),
     "mix_temperature" -> (mixTemperatureQ _),
     "mix_cluster" -> (mixClusterQ _),
+    "mix_perplexity" -> (mixPerplexityQ _),
     "span_corrupt" -> (spanCorruptQ _),
     "chunk_overlap" -> (chunkOverlapQ _),
     "dsir_weight" -> (dsirWeightQ _),
@@ -1428,6 +1543,7 @@ object LlmQueries {
     "ann_lsh" -> oracleAnnLsh,
     "ann_ivf" -> oracleAnnIvf,
     "ann_pq" -> oracleAnnPq,
+    "ann_sq" -> oracleAnnSq,
     "ann_ivfpq" -> oracleAnnIvfPq,
     "ann_index" -> oracleAnnIvfPq,
     "ann_ivfpq_rr" -> oracleAnnIvfPqRr,
@@ -1444,6 +1560,7 @@ object LlmQueries {
     "text_classifier" -> oracleTextClassifier,
     "classifier_train" -> oracleClassifierTrain(4, 1.0),
     "text_fingerprint" -> oracleTextFingerprint,
+    "text_gopher" -> oracleTextGopher,
     "text_repetition" -> oracleTextRepetition,
     "text_entropy" -> oracleTextEntropy,
     "text_typicality" -> oracleTextTypicality,
@@ -1455,6 +1572,7 @@ object LlmQueries {
     "mix_budget" -> oracleMixBudget,
     "mix_temperature" -> oracleMixTemperature,
     "mix_cluster" -> oracleMixCluster,
+    "mix_perplexity" -> oracleMixPerplexity,
     "span_corrupt" -> oracleSpanCorrupt,
     "chunk_overlap" -> oracleChunkOverlap,
     "dsir_weight" -> oracleDsirWeight,

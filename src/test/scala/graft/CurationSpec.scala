@@ -402,4 +402,32 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(out.toSet == again.toSet)
   }
+
+  test("mixByPerplexity: per-lang terciles partition the corpus, head is most reference-like") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val out = Curation.mixByPerplexity(docs, col("lang") === "en")
+      .select("doc_id", "lang", "ppl", "bucket", "keep")
+      .as[(Long, String, Double, String, Boolean)].collect()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    assert(out.forall(r => r._5 == (r._4 != "tail"))) // keep ⇔ head|middle
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byB = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      def bucketPpls(b: String): Array[Double] = byB.getOrElse(b, Array.empty[Double])
+      // the head threshold is the first bin whose cumulative count reaches
+      // a third, so head holds at least a third of the language's docs
+      assert(bucketPpls("head").length * 3 >= rows.length)
+      // buckets are ordered by perplexity: every head doc bins at or below
+      // every middle doc, every middle at or below every tail
+      def maxB(b: String) = bucketPpls(b).map(p => math.round(p * 100)).maxOption
+      def minB(b: String) = bucketPpls(b).map(p => math.round(p * 100)).minOption
+      for (hi <- maxB("head"); lo <- minB("middle")) assert(hi < lo)
+      for (hi <- maxB("middle"); lo <- minB("tail")) assert(hi < lo)
+    }
+    // the en reference makes en docs most reference-like: en's median-ish
+    // head share is full, and en heads sit below non-en heads on average
+    val enPpl = out.filter(_._2 == "en").map(_._3)
+    val dePpl = out.filter(_._2 == "de").map(_._3)
+    assert(enPpl.sum / enPpl.length < dePpl.sum / dePpl.length)
+  }
 }

@@ -96,6 +96,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("SQ8: ranked ADC output, and high-resolution SQ converges to brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val sq = Ann.sqTopK(emb, q, 5)
+      .select("query_id", "neighbor_id", "dist", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(sq.length == 15) // 3 queries × k=5, self excluded
+    sq.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted) // ascending L2²
+      assert(rows.forall(r => r._2 != qid && r._3 >= 0.0))
+    }
+    // levels → ∞ drives the midpoint reconstruction to the raw vector, so
+    // ADC L2² → exact L2²; the corpus is L2-normalized (norms ∈ [1±1e-7]),
+    // where L2 and cosine rank identically — high-resolution SQ must
+    // reproduce the brute-force top-1 for every query
+    val brute = Ann.bruteTopK(emb, q, 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val fine = Ann.sqTopK(emb, q, 1, levels = 1 << 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(fine == brute)
+  }
+
   test("PQ ADC: codes quantize exactly, distances are additive, top-k ranked") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 3)
@@ -605,4 +628,29 @@ class LlmSpec extends SparkSpec {
     assert(doubled == BigDecimal(base).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("gopherRules: each rule trips on its planted violation, clean doc passes all") {
+    // injects two distinct stop types so the default minStop=2 clears
+    def stopped(n: Int, w: Int => String) =
+      (1 to n).map(i => if (i % 7 == 0) "the" else if (i % 11 == 0) "of" else w(i)).mkString(" ")
+    val planted = Seq(
+      (0L, stopped(50, i => s"word$i")),                   // clean: passes all
+      (1L, "too short the of"),                            // r_words (< 50)
+      (2L, (1 to 60).map(_ => "incomprehensibilities").mkString(" ")), // r_mean_len (> 10)
+      (3L, (stopped(45, i => s"w$i") + " " + (1 to 15).map(_ => "12345").mkString(" "))), // r_alpha (45/60 = 0.75)
+      (4L, (1 to 60).map(i => s"word$i").mkString(" ")),   // r_stop (no stop words)
+      (5L, (stopped(50, i => s"w$i") + " " + (1 to 10).map(_ => "#").mkString(" ")))  // r_symbol (10/60 > 0.1)
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.gopherRules(planted)
+      .select("doc_id", "r_words", "r_mean_len", "r_alpha", "r_stop", "r_symbol", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, true, true, true, true, true, true)))
+    assert(!out(1L)._2 && !out(1L)._7)   // word count trips
+    assert(!out(2L)._3 && !out(2L)._7)   // mean word length trips
+    assert(!out(3L)._4 && !out(3L)._7)   // alpha fraction trips
+    assert(out(3L)._2 && out(3L)._3)     // ...and ONLY that rule
+    assert(!out(4L)._5 && !out(4L)._7)   // stop words trip
+    assert(!out(5L)._6 && !out(5L)._7)   // symbol ratio trips
+    assert(out(5L)._5)                   // its stop words still found
+  }
 }

@@ -249,6 +249,58 @@ class StreamingSpec extends SparkSpec {
     assert(probe.select("dup_id").as[Long].collect().toSet == Set(5L))
   }
 
+  test("streaming rolling-crawl substring dedup: batches drop against the gram store") {
+    import spark.implicits._
+    def words(prefix: String) = (1 to 16).map(i => s"$prefix$i").mkString(" ")
+    val base = words("b"); val uniq1 = words("u"); val uniq2 = words("v")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ssubidx").toString
+    llm.SubstrIndex.build(Seq((1L, base)).toDF("doc_id", "text"), idxDir)
+
+    // the DedupIndex streaming scenario, substring-flavored: b1 = twin of
+    // the indexed doc (all grams stored → kept_frac 0 → drop) + unique
+    // (keep); b2 = twin of b1's survivor (cross-batch append probed →
+    // drop), unique (keep), its later-id twin (within-batch rule → drop)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssub")
+    Seq((2L, base), (3L, uniq1))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    Seq((4L, uniq1), (5L, uniq2), (6L, uniq2))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_b1.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_b2.parquet"))
+    streamDir.resolve("a_b1.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_b2.parquet").toFile.setLastModified(2000000000000L)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // two micro-batches, oldest first
+      .parquet(streamDir.toString)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = llm.SubstrIndex.streamingDedup(stream, idxDir) { survivors =>
+      got.synchronized {
+        got ++= survivors.select("doc_id", "kept_frac").as[(Long, Double)].collect()
+      }
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    assert(got.map(_._1).toSet == Set(3L, 5L))
+    assert(got.forall(_._2 == 1.0)) // survivors here are fully novel
+    // the store holds only survivors' grams: a fresh probe of uniq2 is
+    // fully covered, while the DROPPED b2 twin's id never entered anything
+    val probe = llm.SubstrIndex.dedupAgainst(spark, idxDir,
+      Seq((99L, uniq2)).toDF("doc_id", "text"))
+    val r = probe.select("doc_id", "kept_frac").as[(Long, Double)].collect()
+    assert(r.toSeq == Seq((99L, 0.0)))
+  }
+
   test("streaming exact dedup: first batch matches Dedup.exact, second batch of dups emits nothing") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
