@@ -11,6 +11,9 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   *
   * Stages (each one a library operator; every intermediate is a lazy
   * DataFrame, so Catalyst plans the whole DAG together):
+  *   0. Gopher rule battery    — optional boolean pre-filter (cheapest
+  *                               first: zero-shuffle map, shrinks all
+  *                               downstream stages)
   *   1. exact dedup            — keep-first on normalized content hash
   *   2. near-dup clustering    — MinHash+LSH pairs → connected components,
   *                               keep each cluster's smallest doc_id
@@ -24,6 +27,7 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   * Usage: runMain graft.Pipeline <docsDir> <outDir>
   *          [--budget <tokens-per-source>] [--min-quality <0..1>]
   *          [--benchmark <eval-set.jsonl>] [--chunks <size>,<stride>]
+  *          [--gopher <minWords>,<minStop>]  (rule-battery pre-filter)
   *
   * Writes `<outDir>/corpus` (doc_id, text_redacted, lang, quality_score,
   * source, first_block, last_block, block_offset) and prints one JSON
@@ -35,13 +39,16 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
     val benchmarkPath = flagValue("--benchmark")
     val chunkSpec = flagValue("--chunks").map { s =>
       val Array(a, b) = s.split(","); (a.toInt, b.toInt)
+    }
+    val gopherSpec = flagValue("--gopher").map { s =>
+      val Array(a, b) = s.split(","); (a.toLong, b.toInt)
     }
 
     val spark = SparkSession.builder()
@@ -56,7 +63,7 @@ object Pipeline {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     run(spark, docs, outDir, budget, minQuality,
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
-      chunks = chunkSpec)
+      chunks = chunkSpec, gopher = gopherSpec)
     spark.stop()
   }
 
@@ -65,17 +72,28 @@ object Pipeline {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
           budget: Long, minQuality: Double,
           benchmark: Option[DataFrame] = None,
-          chunks: Option[(Int, Int)] = None): DataFrame = {
+          chunks: Option[(Int, Int)] = None,
+          gopher: Option[(Long, Int)] = None): DataFrame = {
     def stat(stage: String, n: Long): Unit =
       println(s"""{"stage":"$stage","rows":$n}""")
     stat("input", docs.count())
 
+    // 0a (optional): the Gopher rule battery as a hard pre-filter — the
+    // boolean gate runs BEFORE the scored stages (cheapest first: it is a
+    // zero-shuffle map, and everything downstream shrinks with it)
+    val ruled = gopher.fold(docs) { case (minWords, minStop) =>
+      docs.join(TextAnalysis.gopherRules(docs, minWords = minWords,
+          minStop = minStop)
+        .filter(col("pass")).select("doc_id"), "doc_id")
+    }
+    if (gopher.isDefined) stat("after_gopher_rules", ruled.count())
+
     // 0: benchmark decontamination — docs sharing any word 5-gram with the
     // held-out eval set never enter the training corpus (GPT-3 appendix C).
-    val clean = benchmark.fold(docs) { bench =>
-      val keepers = Curation.decontaminateAgainst(docs, bench)
+    val clean = benchmark.fold(ruled) { bench =>
+      val keepers = Curation.decontaminateAgainst(ruled, bench)
         .filter(!col("contaminated")).select("doc_id")
-      docs.join(keepers, "doc_id")
+      ruled.join(keepers, "doc_id")
     }
     if (benchmark.isDefined) stat("after_decontamination", clean.count())
 

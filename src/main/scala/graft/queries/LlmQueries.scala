@@ -25,6 +25,17 @@ object LlmQueries {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(spark, dir), n = 3, minJaccard = 0.3, maxDf = 1000)
 
+  /** MOSS winnowed-fingerprint pairs at the Winnow defaults (8-char
+    * shingles, window 4 - any >= 11-char common substring is caught).
+    * maxDf 200, not the sibling operators' 1000: an 8-char shingle shared
+    * by hundreds of docs is vocabulary, not reuse (MOSS itself drops
+    * over-common fingerprints), and the df cap bounds the pair explode -
+    * measured at sf0.1: 145M exploded pair rows at cap 1000 vs 10.7M at
+    * 200, with the sf0.01 verdict set identical (26 pairs either way). */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(docs(spark, dir), minShared = 2, maxDf = 200,
+      minOverlap = 0.5)
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(spark, dir), n = 3, k = 12, bands = 4, minJaccard = 0.5)
 
@@ -1298,6 +1309,32 @@ object LlmQueries {
        |    FROM documents d JOIN ($oracleTextQuality) q ON d.doc_id = q.doc_id))
        |WHERE cum <= 800""".stripMargin
 
+  /** winnowPairs replica: the text_fingerprint winnowing chain feeds the
+    * dedup_ngram-style inverted-index pair join, df-capped, containment
+    * overlap round-6. */
+  def oracleDedupWinnow: String =
+    s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(length(t) - 7, 1) + 1), i -> substr(t, i, 8)) AS gs FROM t),
+       |h AS (SELECT doc_id, list_transform(gs, x -> ${md5Big.format("x")}) AS hs FROM g),
+       |w AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+       |    j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps FROM h),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       |dfc AS (SELECT fp, count(*) AS c FROM fp GROUP BY 1),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  JOIN dfc ON dfc.fp = a.fp AND dfc.c BETWEEN 2 AND 200
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2)
+       |SELECT p.doc_a, p.doc_b, p.shared,
+       |  round(CAST(p.shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS overlap
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.doc_a
+       |JOIN sizes sb ON sb.doc_id = p.doc_b
+       |WHERE round(CAST(p.shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.5""".stripMargin
+
   def oracleTextFingerprint: String =
     s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
        |g AS (SELECT doc_id,
@@ -1475,6 +1512,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_winnow" -> (dedupWinnow _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1532,6 +1570,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> oracleDedupExact,
     "dedup_ngram" -> oracleDedupNgram,
+    "dedup_winnow" -> oracleDedupWinnow,
     "dedup_minhash" -> oracleDedupMinhash,
     "dedup_simhash" -> oracleDedupSimhash,
     "dedup_clusters" -> oracleDedupClusters,

@@ -628,6 +628,27 @@ class LlmSpec extends SparkSpec {
     assert(doubled == BigDecimal(base).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("winnowPairs: shared long substring is caught, disjoint docs are not") {
+    val planted = Seq(
+      (0L, "completely unrelated opening with the shared boilerplate passage here and a tail"),
+      (1L, "different front matter but the shared boilerplate passage here survives rewriting"),
+      (2L, "nothing in common with either of them at all zzz qqq xxx yyy www vvv")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(planted, minShared = 2)
+      .select("doc_a", "doc_b", "shared", "overlap")
+      .as[(Long, Long, Long, Double)].collect()
+    // the >= 11-char guarantee: "the shared boilerplate passage here" is
+    // common to 0 and 1, so they MUST share fingerprints; 2 shares none
+    assert(out.map(r => (r._1, r._2)).toSet == Set((0L, 1L)))
+    val (_, _, shared, overlap) = out.head
+    assert(shared >= 2 && overlap > 0.0 && overlap <= 1.0)
+    // identical docs: full containment (overlap 1.0)
+    val twins = Seq((0L, "the exact same text appears twice in this corpus"),
+      (1L, "the exact same text appears twice in this corpus")).toDF("doc_id", "text")
+    val t = Dedup.winnowPairs(twins, minShared = 1).select("overlap").as[Double].collect()
+    assert(t.toSeq == Seq(1.0))
+  }
+
   test("gopherRules: each rule trips on its planted violation, clean doc passes all") {
     // injects two distinct stop types so the default minStop=2 clears
     def stopped(n: Int, w: Int => String) =

@@ -96,4 +96,19 @@ class PipelineSpec extends SparkSpec {
       minQuality = 0.0, benchmark = Some(bench))
     assert(!corpus.select("doc_id").as[Long].collect().contains(victim._1))
   }
+
+  test("pipeline --gopher pre-filter drops rule violators before the scored stages") {
+    import graft.llm.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_gopher").toString
+    // minWords=40 splits this corpus (docs run 10-99 words); minStop=0
+    // keeps the stop rule neutral on the synthetic vocabulary
+    val corpus = Pipeline.run(spark, docs, out, budget = 400L,
+      minQuality = 0.0, gopher = Some((40L, 0)))
+    val kept = corpus.select("doc_id").as[Long].collect().toSet
+    val violators = TextAnalysis.gopherRules(docs, minWords = 40, minStop = 0)
+      .filter(!col("pass")).select("doc_id").as[Long].collect().toSet
+    assert(violators.nonEmpty)            // the knob actually bites here
+    assert(kept.intersect(violators).isEmpty) // and no violator survives
+  }
 }
