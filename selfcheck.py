@@ -35,7 +35,7 @@ RUN_SBT = os.environ.get("SKIP_SBT", "") != "1"
 if RUN_SBT:
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
-        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        cwd="/root/repo", capture_output=True, text=True, timeout=5400)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
     if r.returncode != 0:
         print("VERIFY FAILED rc=", r.returncode, "\n", tail)
@@ -60,19 +60,23 @@ for name, sql in sorted(oracle.items()):
     try:
         spark_df = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
     except Exception as e:
-        bad.append((name, f"spark output missing: {e}")); continue
+        bad.append((name, f"spark output missing: {e}"))
+        print(f"FAIL {name}: spark output missing", flush=True); continue
     try:
         duck_df = con.sql(sql).df()
     except Exception as e:
-        bad.append((name, f"oracle sql error: {e}")); continue
+        bad.append((name, f"oracle sql error: {e}"))
+        print(f"FAIL {name}: oracle sql error: {e}", flush=True); continue
 
     sc = sorted(spark_df.columns); dc = sorted(duck_df.columns)
     if sc != dc:
-        bad.append((name, f"schema mismatch: spark={sc} duck={dc}")); continue
+        bad.append((name, f"schema mismatch: spark={sc} duck={dc}"))
+        print(f"FAIL {name}: schema mismatch", flush=True); continue
     a = spark_df[sc].sort_values(sc).reset_index(drop=True)
     b = duck_df[dc].sort_values(dc).reset_index(drop=True)
     if len(a) != len(b):
-        bad.append((name, f"row count: spark={len(a)} duck={len(b)}")); continue
+        bad.append((name, f"row count: spark={len(a)} duck={len(b)}"))
+        print(f"FAIL {name}: row count spark={len(a)} duck={len(b)}", flush=True); continue
     STRICT = os.environ.get("SELF_STRICT") == "1"
     ULP_MAX = 0 if STRICT else int(os.environ.get("SELF_ULP", "4"))
     FRAC_MAX = 0.0 if STRICT else float(os.environ.get("SELF_FRAC", "0.05"))
@@ -145,15 +149,19 @@ for name, sql in sorted(oracle.items()):
                     break
         except Exception as e:
             mismatch = f"col {c}: compare error {e}"; break
-    if mismatch: bad.append((name, mismatch))
-    elif ulp_note: ok.append((name, len(a), ulp_note))
-    else: ok.append((name, len(a), None))
+    # stream each verdict as it lands (flush: a long sf1 run redirected to a
+    # file is otherwise silent for its whole runtime - block buffering plus
+    # the old end-of-run print loop made progress invisible)
+    if mismatch:
+        bad.append((name, mismatch))
+        print(f"FAIL {name}: {mismatch}", flush=True)
+    elif ulp_note:
+        ok.append((name, len(a), ulp_note))
+        print(f"PASS_RND {name} ({len(a)} rows; {ulp_note})", flush=True)
+    else:
+        ok.append((name, len(a), None))
+        print(f"PASS {name} ({len(a)} rows)", flush=True)
 
-for entry in ok:
-    n, rows, note = entry
-    if note: print(f"PASS_RND {n} ({rows} rows; {note})")
-    else: print(f"PASS {n} ({rows} rows)")
-for n, msg in bad: print(f"FAIL {n}: {msg}")
 exact = sum(1 for e in ok if e[2] is None)
 print(f"\n{len(ok)} pass ({exact} exact, {len(ok) - exact} boundary-bounded) / {len(bad)} fail")
 sys.exit(1 if bad else 0)

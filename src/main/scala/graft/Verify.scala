@@ -22,7 +22,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the query's
+      // whole final stage into one task, so a heavy query single-threads
+      // end-to-end (observed at sf1: a dedup verification pinned ONE core
+      // for 40 min with 15 idle). The repartition shuffle keeps the
+      // computation parallel and only the file write runs single-task —
+      // same one-file-per-query output either way.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: $e")
