@@ -1,0 +1,208 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable fixed-size sketches — the bounded-memory summaries a 100 TB
+  * corpus pipeline runs on when exact state would be corpus-sized:
+  *
+  *  - Bloom-filter decontamination ([[decontaminateBloom]]): the benchmark
+  *    gram set compressed to an `mBits`-slot bit set (32 KB at the default
+  *    2^18 regardless of benchmark size) — the membership structure that
+  *    stays broadcastable when the eval suite grows past what a distinct
+  *    gram table can ship to every executor.
+  *  - HyperLogLog distinct-count ([[hllEstimate]]): per-language distinct
+  *    token estimates from 1024 one-byte registers per language; register
+  *    build is a map-side-combinable MAX — no distinct, no vocab shuffle —
+  *    and two shards' sketches merge by element-wise max ([[hllMerge]]),
+  *    so a fleet of ingest jobs can each summarize their shard and a
+  *    driver-side union-max yields the corpus cardinality.
+  *  - Count-min frequency sketch ([[cmsCounters]] / [[cmsTopK]]): token
+  *    frequencies folded into d×w counters (4×1024 by default) straight
+  *    off the token stream — the groupBy key space is the COUNTER GRID,
+  *    not the vocabulary, so the shuffle is 4096 rows at any corpus size
+  *    and two shards' grids merge by cell-wise sum.
+  *
+  * All hashing is md5-derived (the [[Dedup.md5Hash60]] / shardAssign
+  * convention) so every register, counter and bit position is bit-identical
+  * in the DuckDB oracle. Estimates use single-division float arithmetic on
+  * exactly-representable integer aggregates (register sums are kept as
+  * scaled BIGINTs), so cross-engine float drift cannot enter before the
+  * final rounded division.
+  *
+  * The reference server has no sketch surface (its whole function set is
+  * rate/irate/sum/histogram_quantile, `query.rs:247-250`); these follow the
+  * published constructions: Bloom (1970), Flajolet et al. 2007 (HLL),
+  * Cormode & Muthukrishnan 2005 (CMS).
+  */
+object Sketches {
+
+  /** 48-bit salted md5 hash — small enough that BIGINT↔DOUBLE casts can
+    * never round it, large enough that salt families don't collide. */
+  private def hash48(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(salt), c).cast(BinaryType)), 1, 12), 16, 10)
+      .cast(LongType)
+
+  // ------------------------------------------------------------- Bloom
+
+  /** Distinct bit positions set by `bench`'s n-grams: k salted hashes per
+    * distinct gram, each mod `mBits`. At most min(k·|grams|, mBits) rows —
+    * the broadcastable form of the benchmark membership set. */
+  def bloomBits(bench: DataFrame, n: Int = 5, k: Int = 4,
+                mBits: Int = 1 << 18): DataFrame = {
+    val grams = Dedup.rawNgrams(bench, n).select("g").distinct()
+    grams
+      .select(col("g"), explode(array((0 until k).map(lit): _*)).as("j"))
+      .select((hash48("bloom:", concat(col("j").cast(StringType), lit(":"),
+        col("g"))) % mBits).as("pos"))
+      .distinct()
+  }
+
+  /** Bloom-filter decontamination: a corpus gram is flagged iff ALL k of
+    * its bit positions are set in the benchmark's bloom bit set — no false
+    * negatives (every true bench gram is flagged; exact-hit ⊆ bloom-hit),
+    * false positives at the classic (1−e^{−kn/m})^k rate. Output is one
+    * row per corpus doc: distinct-gram count, bloom-flagged gram count,
+    * and the contamination verdict — the [[Curation.decontaminateAgainst]]
+    * shape with the membership test swapped for the sketch.
+    *
+    * Scale: the bit set is bounded by mBits rows (a real deployment packs
+    * it to mBits/8 bytes) and always broadcast; the corpus is scanned once
+    * and every join key is gram- or doc-keyed. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, n: Int = 5,
+                         k: Int = 4, mBits: Int = 1 << 18): DataFrame = {
+    val bits = bloomBits(bench, n, k, mBits).withColumn("__hit__", lit(1))
+    val probeGrams = Dedup.rawNgrams(corpus, n)
+      .select("doc_id", "g").distinct()
+    val perGram = probeGrams
+      .select(col("doc_id"), col("g"),
+        explode(array((0 until k).map(lit): _*)).as("j"))
+      .select(col("doc_id"), col("g"),
+        (hash48("bloom:", concat(col("j").cast(StringType), lit(":"),
+          col("g"))) % mBits).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("doc_id", "g")
+      .agg((count(col("__hit__")) === k).as("bloom_hit"))
+    val agg = perGram.groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      count(when(col("bloom_hit"), 1)).as("n_hits"))
+    corpus.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ------------------------------------------------------------- HLL
+
+  /** HLL parameters: m = 1024 registers (p = 10), relative error
+    * 1.04/√m ≈ 3.3%. The 60-bit gram hash splits into a 10-bit register
+    * index and a 50-bit geometric draw. */
+  val HllM = 1024
+  private val HllMaxRank = 51 // 50-bit remainder all-zero → rank 51
+  private val HllScale = 1L << HllMaxRank
+  private val HllAlpha = 0.7213 / (1.0 + 1.079 / HllM)
+  /** αm² · 2^51 — the estimate numerator, one double literal so the whole
+    * estimate is a single cross-engine-deterministic division. */
+  val HllNumerator: Double = HllAlpha * (HllM.toDouble * HllM) * HllScale
+
+  /** Per-(group, register) max geometric rank over the token stream.
+    * ρ = trailing-zero count of the 50-bit hash remainder + 1 — the same
+    * geometric(1/2) law as Flajolet's leading-zero rank but computable
+    * with exact integer ops in any engine (`bit_count((w & -w) - 1)`).
+    * Duplicate tokens hash identically, so NO pre-distinct is needed: the
+    * register build is one max-aggregate over ≤ m·|groups| keys, fully
+    * map-side combined. */
+  def hllRegisters(docs: DataFrame, groupCol: String = "lang"): DataFrame =
+    docs
+      .select(col(groupCol), explode(Dedup.tokens(col("text"))).as("token"))
+      .withColumn("__h__", Dedup.md5Hash60(concat(lit("hll:"), col("token"))))
+      .select(col(groupCol), (col("__h__") % HllM).as("idx"),
+        expr(s"__h__ div ${HllM}").as("__w__"))
+      .withColumn("rho", expr(
+        s"CASE WHEN __w__ = 0 THEN $HllMaxRank " +
+          "ELSE CAST(bit_count((__w__ & -__w__) - 1) + 1 AS INT) END"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rho")).as("mreg"))
+
+  /** Merge two register frames (different shards of the same corpus) by
+    * element-wise max — HLL's defining property: sketch(A ∪ B) =
+    * merge(sketch(A), sketch(B)) exactly, regardless of overlap. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCol: String = "lang"): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("idx"))
+      .agg(max(col("mreg")).as("mreg"))
+
+  /** Cardinality estimate from a register frame, with the audit column an
+    * exact distinct count. The register sum Σ2^(−M[j]) is carried as an
+    * exact scaled BIGINT (Σ2^(51−M[j]), empty registers at 2^51), so the
+    * only float op is the final single division + the small-range
+    * `m·ln(m/V)` correction — both rounded to 6. */
+  def hllEstimate(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
+    val perGroup = hllRegisters(docs, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__used__"),
+        expr(s"sum(shiftleft(CAST(1 AS BIGINT), $HllMaxRank - mreg))")
+          .as("__s_used__"))
+      .withColumn("v_zero", (lit(HllM.toLong) - col("__used__")).cast(IntegerType))
+      .withColumn("s_scaled",
+        col("__s_used__") + col("v_zero").cast(LongType) * lit(HllScale))
+      .withColumn("__e_raw__",
+        lit(HllNumerator) / col("s_scaled").cast(DoubleType))
+      .withColumn("est", round(
+        when(col("__e_raw__") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero").cast(DoubleType)))
+          .otherwise(col("__e_raw__")), 6))
+    val exact = docs
+      .select(col(groupCol), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    perGroup.join(exact, Seq(groupCol))
+      .select(col(groupCol), col("v_zero"), col("s_scaled"), col("est"),
+        col("exact_distinct"))
+  }
+
+  // ------------------------------------------------------------- CMS
+
+  /** Count-min counter grid over the raw token stream: d salted rows ×
+    * w columns. The aggregation key is the (row, column) CELL — d·w keys
+    * total (4096 default) with map-side combine, so corpus size never
+    * touches the shuffle. Two shards' grids merge by cell-wise sum. */
+  def cmsCounters(docs: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
+    docs
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .select(explode(array((0 until d).map(lit): _*)).as("j"), col("token"))
+      .select(col("j"),
+        (hash48("cms:", concat(col("j").cast(StringType), lit(":"),
+          col("token"))) % w).as("c"))
+      .groupBy("j", "c")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy-hitter audit: the true top-`topK` tokens (count desc, token asc
+    * — the [[Vocab]] rank rule) with their count-min estimates alongside.
+    * CMS guarantees est ≥ true (hash collisions only ever ADD); the gap is
+    * the collision mass in the token's minimum cell. The counter grid is
+    * d·w rows and broadcast; only the model-sized top-K frame pays a sort. */
+  def cmsTopK(docs: DataFrame, topK: Int = 20, d: Int = 4,
+              w: Int = 1024): DataFrame = {
+    val counters = cmsCounters(docs, d, w)
+    val truth = docs
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val top = truth
+      .withColumn("__rk__", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("true_cnt").desc, col("token").asc)))
+      .filter(col("__rk__") <= topK)
+    top
+      .select(col("token"), col("true_cnt"),
+        explode(array((0 until d).map(lit): _*)).as("j"))
+      .select(col("token"), col("true_cnt"), col("j"),
+        (hash48("cms:", concat(col("j").cast(StringType), lit(":"),
+          col("token"))) % w).as("c"))
+      .join(broadcast(counters), Seq("j", "c"))
+      .groupBy("token")
+      .agg(max(col("true_cnt")).as("true_cnt"), min(col("cnt")).as("est_cnt"))
+  }
+}

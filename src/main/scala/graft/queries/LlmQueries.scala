@@ -66,6 +66,21 @@ object LlmQueries {
   def textTfidfQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidf(docs(spark, dir), topK = 3)
 
+  /** Bloom-sketch decontamination over the same bench split as
+    * `decontaminate` (doc_id % 20 == 7) — the bit-set membership form of
+    * the exact gram join. */
+  def decontaminateBloomQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.llm.Sketches.decontaminateBloom(
+      d.filter(col("doc_id") % 20 =!= 7), d.filter(col("doc_id") % 20 === 7))
+  }
+
+  def sketchHllQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.hllEstimate(docs(spark, dir))
+
+  def sketchCmsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.cmsTopK(docs(spark, dir), topK = 20)
+
   def shardAssignQ(spark: SparkSession, dir: String): DataFrame =
     Curation.shardAssign(docs(spark, dir), nShards = 8)
 
@@ -1140,6 +1155,70 @@ object LlmQueries {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |WHERE d.doc_id % 20 <> 7""".stripMargin
 
+  /** Bloom decontamination replica: the oracleDecontaminate gram CTEs with
+    * the membership join swapped for the 4-hash / 2^18-slot bit set —
+    * identical md5 bit positions, all-k-hit verdict per gram. */
+  def oracleDecontaminateBloom: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |g5 AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_transform(range(1, len(tk) - 3),
+      |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks)),
+      |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 20 = 7),
+      |bits AS (SELECT DISTINCT ('0x' || substr(md5('bloom:' || u.j::VARCHAR || ':' || g), 1, 12))::BIGINT % 262144 AS pos
+      |  FROM bench, UNNEST(range(0, 4)) AS u(j)),
+      |probe AS (SELECT doc_id, g,
+      |    ('0x' || substr(md5('bloom:' || u.j::VARCHAR || ':' || g), 1, 12))::BIGINT % 262144 AS pos
+      |  FROM (SELECT doc_id, g FROM g5 WHERE doc_id % 20 <> 7), UNNEST(range(0, 4)) AS u(j)),
+      |pg AS (SELECT doc_id, g, (count(b.pos) = 4) AS bloom_hit
+      |  FROM probe p LEFT JOIN bits b ON p.pos = b.pos GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(CASE WHEN bloom_hit THEN 1 END) AS BIGINT) AS n_hits FROM pg GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, coalesce(a.n_hits, 0) AS n_hits,
+      |  coalesce(a.n_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |WHERE d.doc_id % 20 <> 7""".stripMargin
+
+  /** HLL replica: same 60-bit md5 hash split 10/50, trailing-zero rank via
+    * bit_count, register max, exact scaled-BIGINT register sum, one final
+    * division (numerator literal shared with the library). */
+  def oracleSketchHll: String = {
+    val num = graft.llm.Sketches.HllNumerator.toString
+    s"""WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+       |h AS (SELECT lang, ('0x' || substr(md5('hll:' || token), 1, 15))::BIGINT AS h FROM tok),
+       |r AS (SELECT lang, h % 1024 AS idx, h // 1024 AS w FROM h),
+       |rr AS (SELECT lang, idx, CASE WHEN w = 0 THEN 51 ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM r),
+       |regs AS (SELECT lang, idx, max(rho) AS mreg FROM rr GROUP BY 1, 2),
+       |pg AS (SELECT lang, count(*) AS used,
+       |    CAST(sum((1::BIGINT) << (51 - mreg)) AS BIGINT) AS s_used FROM regs GROUP BY 1),
+       |est0 AS (SELECT lang, CAST(1024 - used AS INT) AS v_zero,
+       |    s_used + (1024 - used) * 2251799813685248 AS s_scaled FROM pg),
+       |est1 AS (SELECT lang, v_zero, s_scaled, $num / CAST(s_scaled AS DOUBLE) AS e_raw FROM est0),
+       |est AS (SELECT lang, v_zero, s_scaled,
+       |    round(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+       |      THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE)) ELSE e_raw END, 6) AS est FROM est1),
+       |ex AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM tok GROUP BY 1)
+       |SELECT est.lang, est.v_zero, est.s_scaled, est.est, ex.exact_distinct
+       |FROM est JOIN ex USING (lang)""".stripMargin
+  }
+
+  /** CMS replica: 4×1024 counter grid straight off the token stream, true
+    * top-20 by (cnt desc, token), estimate = min over the 4 salted cells. */
+  def oracleSketchCms: String =
+    """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+      |grid AS (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT u.j AS j, ('0x' || substr(md5('cms:' || u.j::VARCHAR || ':' || token), 1, 12))::BIGINT % 1024 AS c
+      |  FROM tok, UNNEST(range(0, 4)) AS u(j)) GROUP BY 1, 2),
+      |truth AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt FROM tok GROUP BY 1),
+      |top AS (SELECT token, true_cnt FROM (
+      |  SELECT *, row_number() OVER (ORDER BY true_cnt DESC, token ASC) AS rk FROM truth) WHERE rk <= 20),
+      |probe AS (SELECT t.token, t.true_cnt, u.j AS j,
+      |    ('0x' || substr(md5('cms:' || u.j::VARCHAR || ':' || t.token), 1, 12))::BIGINT % 1024 AS c
+      |  FROM top t, UNNEST(range(0, 4)) AS u(j))
+      |SELECT p.token, max(p.true_cnt) AS true_cnt, min(g.cnt) AS est_cnt
+      |FROM probe p JOIN grid g ON p.j = g.j AND p.c = g.c GROUP BY 1""".stripMargin
+
   def oracleDedupSpans: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
       |ch AS (
@@ -1537,6 +1616,9 @@ object LlmQueries {
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
     "text_tfidf" -> (textTfidfQ _),
+    "decontaminate_bloom" -> (decontaminateBloomQ _),
+    "sketch_hll" -> (sketchHllQ _),
+    "sketch_cms" -> (sketchCmsQ _),
     "shard_assign" -> (shardAssignQ _),
     "text_classifier" -> (textClassifier _),
     "classifier_train" -> (classifierTrainQ _),
@@ -1595,6 +1677,9 @@ object LlmQueries {
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,
     "text_tfidf" -> oracleTextTfidf,
+    "decontaminate_bloom" -> oracleDecontaminateBloom,
+    "sketch_hll" -> oracleSketchHll,
+    "sketch_cms" -> oracleSketchCms,
     "shard_assign" -> oracleShardAssign,
     "text_classifier" -> oracleTextClassifier,
     "classifier_train" -> oracleClassifierTrain(4, 1.0),

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Sketches}
+
+/** Mergeable-sketch operators: Bloom decontamination, HLL distinct
+  * estimates, count-min frequencies — including the merge laws that make
+  * them shardable at scale. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta eta theta")
+  ).toDF("doc_id", "text")
+
+  private val corpus = Seq(
+    // contains bench 5-gram "alpha beta gamma delta epsilon"
+    (0L, "prefix words alpha beta gamma delta epsilon suffix words here"),
+    (1L, "totally unrelated text about distributed query engines and shuffles"),
+    (2L, "short") // < 5 tokens: no grams at all
+  ).toDF("doc_id", "text")
+
+  test("bloom decontamination flags every exact hit (no false negatives)") {
+    val bloom = Sketches.decontaminateBloom(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val exact = Curation.decontaminateAgainst(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(bloom.keySet == Set(0L, 1L, 2L))
+    // every exact-contaminated doc must be bloom-contaminated
+    exact.foreach { case (id, c) => if (c) assert(bloom(id)) }
+    assert(bloom(0L) && !bloom(2L))
+    // at the default 2^18 bits this corpus has no false positives either
+    assert(bloom == exact)
+  }
+
+  test("tiny bloom filter produces false positives but still no false negatives") {
+    val tiny = Sketches.decontaminateBloom(corpus, bench, mBits = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // 4 slots saturate: everything with grams collides into "contaminated"
+    assert(tiny(0L), "true hit must survive any filter size")
+    assert(tiny(1L), "saturated filter must over-flag, never under-flag")
+    assert(!tiny(2L), "gram-less docs can never be flagged")
+  }
+
+  test("HLL estimate is within the published error band of the true cardinality") {
+    val n = 3000
+    // 100 docs x 30 unique tokens each, all distinct corpus-wide
+    val docs = (0 until 100).map { d =>
+      (d.toLong, (0 until 30).map(i => s"tok${d * 30 + i}").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val row = Sketches.hllEstimate(docs).collect().head
+    val est = row.getAs[Double]("est")
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact == n)
+    // 1.04/sqrt(1024) ~ 3.3% std error; 15% is ~4.5 sigma
+    assert(math.abs(est - n) / n < 0.15, s"est $est vs $n")
+  }
+
+  test("HLL registers merge by element-wise max: sketch(A union B) == merge(sketch(A), sketch(B))") {
+    val a = Seq((0L, "apple banana cherry date", "en")).toDF("doc_id", "text", "lang")
+    val b = Seq((1L, "cherry date elderberry fig grape", "en")).toDF("doc_id", "text", "lang")
+    val whole = Sketches.hllRegisters(a.unionByName(b))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val merged = Sketches.hllMerge(Sketches.hllRegisters(a), Sketches.hllRegisters(b))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(whole == merged)
+  }
+
+  test("CMS estimates dominate true counts, and a wide grid is collision-free on a small vocab") {
+    val docs = Seq(
+      (0L, "a a a b b c word word word word"),
+      (1L, "a b c d e word")
+    ).toDF("doc_id", "text")
+    val out = Sketches.cmsTopK(docs, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (tok, t, e) => assert(e >= t, s"$tok: est $e < true $t") }
+    // 4x8192 cells vs 6 tokens: no collisions, estimates exact
+    val wide = Sketches.cmsTopK(docs, topK = 10, w = 8192).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    wide.foreach { case (tok, t, e) => assert(e == t, s"$tok: est $e != true $t") }
+    assert(wide.map { case (tok, t, _) => tok -> t }.toMap.apply("word") == 5L)
+  }
+
+  test("CMS grids merge by cell-wise sum") {
+    val a = Seq((0L, "x y z x")).toDF("doc_id", "text")
+    val b = Seq((1L, "y z w")).toDF("doc_id", "text")
+    val whole = Sketches.cmsCounters(a.unionByName(b))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.cmsCounters(a).unionByName(Sketches.cmsCounters(b))
+      .groupBy("j", "c").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == merged)
+  }
+}
