@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` gets a tiny deterministic per-(replica,dim)
   *    perturbation so cosine top-k has no cross-replica ties.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [factor]
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [factor] [tables]
+  * `tables` (comma-separated, default all) restricts the derivation — the
+  * sf10 lifecycle ledger only needs documents+embeddings, and a factor-100
+  * run of the time-series fact tables would dwarf the queries under test.
   */
 object ScaleUp {
   /** One stride for every surrogate-key domain; far above any sf0.1 max key
@@ -40,6 +43,10 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val tables: Set[String] = args.lift(3)
+      .map(_.split(",").toSet)
+      .getOrElse(Set("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -59,10 +66,11 @@ object ScaleUp {
     def off(c: String) = (col(c) + col("__r__") * Stride).as(c)
 
     def write(df: DataFrame, table: String, files: Int): Unit =
-      df.drop("__r__").repartition(files)
-        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      if (tables(table))
+        df.drop("__r__").repartition(files)
+          .write.mode("overwrite").parquet(s"$dst/$table.parquet")
 
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if tables(t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
@@ -76,18 +84,20 @@ object ScaleUp {
       .withColumn("l_orderkey", off("l_orderkey"))
       .withColumn("l_partkey", off("l_partkey"))
       .withColumn("l_suppkey", off("l_suppkey")), "lineitem", 16)
-    val events0 = replicate("events")
-      .withColumn("event_id", off("event_id"))
-      .withColumn("user_id", off("user_id"))
-      .withColumn("value", col("value") + col("__r__") * lit(1e-4))
-    // legacy TIMESTAMP(NANOS) arrives as a nanos long → rewrite as µs-granular
-    // native TIMESTAMP; timestamp[us] (TIMESTAMP_NTZ) passes through verbatim
-    val events = events0.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        events0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => events0
+    if (tables("events")) {
+      val events0 = replicate("events")
+        .withColumn("event_id", off("event_id"))
+        .withColumn("user_id", off("user_id"))
+        .withColumn("value", col("value") + col("__r__") * lit(1e-4))
+      // legacy TIMESTAMP(NANOS) arrives as a nanos long → rewrite as µs-granular
+      // native TIMESTAMP; timestamp[us] (TIMESTAMP_NTZ) passes through verbatim
+      val events = events0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          events0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => events0
+      }
+      write(events, "events", 16)
     }
-    write(events, "events", 16)
     write(replicate("documents")
       .withColumn("doc_id", off("doc_id")), "documents", 8)
     write(replicate("embeddings")
@@ -97,7 +107,8 @@ object ScaleUp {
       "embeddings", 4)
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings")) {
+                  "orders", "lineitem", "events", "documents", "embeddings")
+         if tables(t)) {
       val n = spark.read.parquet(s"$dst/$t.parquet").count()
       println(s"$t: $n rows")
     }

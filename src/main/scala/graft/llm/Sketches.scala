@@ -163,6 +163,56 @@ object Sketches {
         col("exact_distinct"))
   }
 
+  // ------------------------------------------------------- quantile bins
+
+  /** HDR-histogram-style quantile sketch over a non-negative integer
+    * column: each value collapses to its 2-significant-decimal-digit
+    * lower bound (1234 → 1200) — computed with PURE STRING ops (digit
+    * count + prefix + zero-pad), so the binning is bit-identical in any
+    * engine, no float log in sight. Relative bin width ≤ 10%, and the
+    * bin space is ≤ 90 bins per decimal order of magnitude, so the
+    * per-group frame stays a few hundred rows no matter the corpus.
+    * Bins merge by count sum (same law as [[cmsCounters]]). */
+  def quantileBins(df: DataFrame, valueCol: String,
+                   groupCol: String): DataFrame = {
+    df
+      .select(col(groupCol), col(valueCol).cast(LongType).as("__v__"))
+      .withColumn("__s__", col("__v__").cast(StringType))
+      .withColumn("bin", expr(
+        "CAST(concat(substring(__s__, 1, 2), " +
+          "repeat('0', greatest(length(__s__) - 2, 0))) AS BIGINT)"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Discrete quantile estimates from the bin frame: for q ∈ qs (percent),
+    * the smallest bin whose cumulative count reaches ceil(q·n/100) — the
+    * integer-arithmetic cutoff rule (`cum·100 ≥ q·n`), no float percentile
+    * semantics to disagree on. The only window runs over ONE GROUP'S BINS
+    * (≤ ~hundreds of rows — the [[Curation.mixByPerplexity]] threshold
+    * shape), never over corpus rows; estimates are bin lower bounds, so
+    * est ≤ true < est·1.1 for values ≥ 10. */
+  def quantileEstimates(bins: DataFrame, groupCol: String,
+                        qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bin")
+    val cum = bins
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    val ests = qs.map { q =>
+      min(when(col("cum") * 100 >= lit(q) * col("n"), col("bin")))
+        .as(s"p$q")
+    }
+    val aggCols = max(col("n")).as("n") +: ests
+    cum.groupBy(col(groupCol)).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** One-call form over a document frame. */
+  def quantileSketch(df: DataFrame, valueCol: String, groupCol: String,
+                     qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantileEstimates(quantileBins(df, valueCol, groupCol), groupCol, qs)
+
   // ------------------------------------------------------------- CMS
 
   /** Count-min counter grid over the raw token stream: d salted rows ×

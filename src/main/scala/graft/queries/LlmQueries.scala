@@ -81,6 +81,11 @@ object LlmQueries {
   def sketchCmsQ(spark: SparkSession, dir: String): DataFrame =
     graft.llm.Sketches.cmsTopK(docs(spark, dir), topK = 20)
 
+  /** Per-source document-length quantiles from the mergeable 2-digit
+    * decimal bin sketch. */
+  def sketchQuantileQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.quantileSketch(docs(spark, dir), "n_chars", "source")
+
   def shardAssignQ(spark: SparkSession, dir: String): DataFrame =
     Curation.shardAssign(docs(spark, dir), nShards = 8)
 
@@ -974,9 +979,9 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT doc_id, y, tk[CAST(u.i AS BIGINT)] || ' ' || tk[CAST(u.i AS BIGINT) + 1] AS g
         |  FROM t, UNNEST(range(1, len(tk))) AS u(i)),
-        |bc AS (SELECT doc_id, y, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2, 3),
+        |bc AS MATERIALIZED (SELECT doc_id, y, ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2, 3),
         |ng AS (SELECT doc_id, y, CAST(sum(cnt) AS BIGINT) AS n FROM bc GROUP BY 1, 2),
-        |f AS (SELECT bc.doc_id, bc.y, bc.b, bc.cnt / CAST(ng.n AS DOUBLE) AS x FROM bc JOIN ng USING (doc_id)
+        |f AS MATERIALIZED (SELECT bc.doc_id, bc.y, bc.b, bc.cnt / CAST(ng.n AS DOUBLE) AS x FROM bc JOIN ng USING (doc_id)
         |  UNION ALL SELECT doc_id, y, CAST(-1 AS BIGINT) AS b, 1.0 AS x FROM ng),
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ng),
         |w0 AS (SELECT DISTINCT b, 0.0 AS w FROM f)""".stripMargin
@@ -1218,6 +1223,23 @@ object LlmQueries {
       |  FROM top t, UNNEST(range(0, 4)) AS u(j))
       |SELECT p.token, max(p.true_cnt) AS true_cnt, min(g.cnt) AS est_cnt
       |FROM probe p JOIN grid g ON p.j = g.j AND p.c = g.c GROUP BY 1""".stripMargin
+
+  /** Quantile-sketch replica: identical string-arithmetic 2-digit binning,
+    * integer cumulative cutoffs (cum·100 ≥ q·n). */
+  def oracleSketchQuantile: String =
+    """WITH b AS (SELECT source,
+      |    CAST(concat(substring(CAST(n_chars AS VARCHAR), 1, 2),
+      |      repeat('0', greatest(length(CAST(n_chars AS VARCHAR)) - 2, 0))) AS BIGINT) AS bin
+      |  FROM documents),
+      |bins AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+      |cum AS (SELECT source, bin,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS n FROM bins)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n,
+      |  min(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS p50,
+      |  min(CASE WHEN cum * 100 >= 90 * n THEN bin END) AS p90,
+      |  min(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS p99
+      |FROM cum GROUP BY 1""".stripMargin
 
   def oracleDedupSpans: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
@@ -1619,6 +1641,7 @@ object LlmQueries {
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "sketch_hll" -> (sketchHllQ _),
     "sketch_cms" -> (sketchCmsQ _),
+    "sketch_quantile" -> (sketchQuantileQ _),
     "shard_assign" -> (shardAssignQ _),
     "text_classifier" -> (textClassifier _),
     "classifier_train" -> (classifierTrainQ _),
@@ -1680,6 +1703,7 @@ object LlmQueries {
     "decontaminate_bloom" -> oracleDecontaminateBloom,
     "sketch_hll" -> oracleSketchHll,
     "sketch_cms" -> oracleSketchCms,
+    "sketch_quantile" -> oracleSketchQuantile,
     "shard_assign" -> oracleShardAssign,
     "text_classifier" -> oracleTextClassifier,
     "classifier_train" -> oracleClassifierTrain(4, 1.0),

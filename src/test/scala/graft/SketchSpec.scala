@@ -83,6 +83,73 @@ class SketchSpec extends SparkSpec {
     assert(wide.map { case (tok, t, _) => tok -> t }.toMap.apply("word") == 5L)
   }
 
+  test("quantile sketch: 2-digit binning, est <= exact < est * 1.1, bins merge by sum") {
+    // 1000 values 1..1000 in one group: exact p50=500, p90=900, p99=990
+    val vals = (1 to 1000).map(v => ("s", v.toLong)).toDF("source", "n_chars")
+    val row = Sketches.quantileSketch(vals, "n_chars", "source").collect().head
+    assert(row.getAs[Long]("n") == 1000L)
+    val exact = Map("p50" -> 500L, "p90" -> 900L, "p99" -> 990L)
+    exact.foreach { case (c, e) =>
+      val est = row.getAs[Long](c)
+      assert(est <= e && e < est + est / 10 + 10, s"$c: est $est exact $e")
+    }
+    // merge law: bins(A union B) == sum-merge(bins(A), bins(B))
+    val a = vals.filter(col("n_chars") <= 400)
+    val b = vals.filter(col("n_chars") > 400)
+    val whole = Sketches.quantileBins(vals, "n_chars", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.quantileBins(a, "n_chars", "source")
+      .unionByName(Sketches.quantileBins(b, "n_chars", "source"))
+      .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == merged)
+    // and estimates off the merged bins equal the whole-corpus estimates
+    val fromMerged = Sketches.quantileEstimates(
+      Sketches.quantileBins(a, "n_chars", "source")
+        .unionByName(Sketches.quantileBins(b, "n_chars", "source"))
+        .groupBy("source", "bin").agg(sum("cnt").as("cnt")),
+      "source").collect().head
+    Seq("n", "p50", "p90", "p99").foreach { c =>
+      assert(fromMerged.getAs[Long](c) == row.getAs[Long](c))
+    }
+  }
+
+  test("sketch builders are streaming-transparent: same code, complete mode, batch-identical state") {
+    // The sketch IS the streaming state: register/cell/bin key spaces are
+    // bounded, so hllRegisters and cmsCounters run UNCHANGED on a stream.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_stream")
+    val half1 = Seq((0L, "apple banana cherry", "en"), (1L, "banana date", "en"))
+      .toDF("doc_id", "text", "lang")
+    val half2 = Seq((2L, "cherry elderberry fig apple", "en"), (3L, "grape", "de"))
+      .toDF("doc_id", "text", "lang")
+    half1.coalesce(1).write.parquet(s"$dir/b1")
+    half2.coalesce(1).write.parquet(s"$dir/b2")
+    val all = half1.unionByName(half2)
+    val schema = all.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force >= 2 micro-batches
+      .parquet(s"$dir/*")
+    val q1 = Sketches.hllRegisters(stream)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q2 = Sketches.cmsCounters(stream)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000); q2.awaitTermination(120000)
+    val hllStreamed = spark.sql("SELECT * FROM hll_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val hllBatch = Sketches.hllRegisters(all)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(hllStreamed == hllBatch && hllBatch.nonEmpty)
+    val cmsStreamed = spark.sql("SELECT * FROM cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cmsBatch = Sketches.cmsCounters(all)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cmsStreamed == cmsBatch && cmsBatch.nonEmpty)
+  }
+
   test("CMS grids merge by cell-wise sum") {
     val a = Seq((0L, "x y z x")).toDF("doc_id", "text")
     val b = Seq((1L, "y z w")).toDF("doc_id", "text")
