@@ -139,8 +139,10 @@ object Sketches {
     * exact scaled BIGINT (Σ2^(51−M[j]), empty registers at 2^51), so the
     * only float op is the final single division + the small-range
     * `m·ln(m/V)` correction — both rounded to 6. */
-  def hllEstimate(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
-    val perGroup = hllRegisters(docs, groupCol)
+  /** Cardinality estimates from a register frame alone — the store-side
+    * form ([[SketchStore]]): no raw corpus needed. */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCol: String = "lang"): DataFrame =
+    regs
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__used__"),
         expr(s"sum(shiftleft(CAST(1 AS BIGINT), $HllMaxRank - mreg))")
@@ -154,6 +156,10 @@ object Sketches {
         when(col("__e_raw__") <= lit(2.5 * HllM) && col("v_zero") > 0,
           lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero").cast(DoubleType)))
           .otherwise(col("__e_raw__")), 6))
+      .select(col(groupCol), col("v_zero"), col("s_scaled"), col("est"))
+
+  def hllEstimate(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
+    val perGroup = hllEstimateFromRegisters(hllRegisters(docs, groupCol), groupCol)
     val exact = docs
       .select(col(groupCol), explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy(col(groupCol))
@@ -219,13 +225,15 @@ object Sketches {
     * w columns. The aggregation key is the (row, column) CELL — d·w keys
     * total (4096 default) with map-side combine, so corpus size never
     * touches the shuffle. Two shards' grids merge by cell-wise sum. */
+  /** The (row j, token) → column hash shared by grid build and lookups. */
+  def cmsCell(j: Column, token: Column, w: Int): Column =
+    hash48("cms:", concat(j.cast(StringType), lit(":"), token)) % w
+
   def cmsCounters(docs: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
     docs
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .select(explode(array((0 until d).map(lit): _*)).as("j"), col("token"))
-      .select(col("j"),
-        (hash48("cms:", concat(col("j").cast(StringType), lit(":"),
-          col("token"))) % w).as("c"))
+      .select(col("j"), cmsCell(col("j"), col("token"), w).as("c"))
       .groupBy("j", "c")
       .agg(count(lit(1)).as("cnt"))
 
@@ -249,8 +257,7 @@ object Sketches {
       .select(col("token"), col("true_cnt"),
         explode(array((0 until d).map(lit): _*)).as("j"))
       .select(col("token"), col("true_cnt"), col("j"),
-        (hash48("cms:", concat(col("j").cast(StringType), lit(":"),
-          col("token"))) % w).as("c"))
+        cmsCell(col("j"), col("token"), w).as("c"))
       .join(broadcast(counters), Seq("j", "c"))
       .groupBy("token")
       .agg(max(col("true_cnt")).as("true_cnt"), min(col("cnt")).as("est_cnt"))

@@ -86,6 +86,21 @@ object LlmQueries {
   def sketchQuantileQ(spark: SparkSession, dir: String): DataFrame =
     graft.llm.Sketches.quantileSketch(docs(spark, dir), "n_chars", "source")
 
+  /** Persistent sketch-store lifecycle: build on the lower-id half, fold
+    * the upper half in with append, read estimates from the STORE. The
+    * merges are exact, so the oracle is the whole-corpus HLL replica — the
+    * gate hash-fails if the incremental path drifts from one-pass by a
+    * single register. */
+  def sketchStoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val store = java.nio.file.Files.createTempDirectory("graft-sketchstore")
+      .toString
+    graft.llm.SketchStore.build(d.filter(col("doc_id") <= half), store)
+    graft.llm.SketchStore.append(d.filter(col("doc_id") > half), store)
+    graft.llm.SketchStore.hllEstimates(spark, store)
+  }
+
   def shardAssignQ(spark: SparkSession, dir: String): DataFrame =
     Curation.shardAssign(docs(spark, dir), nShards = 8)
 
@@ -1208,6 +1223,26 @@ object LlmQueries {
        |FROM est JOIN ex USING (lang)""".stripMargin
   }
 
+  /** Store-lifecycle replica: the incremental merge is exact, so the
+    * whole-corpus HLL estimate (minus the raw-corpus audit column the
+    * store cannot produce) IS the oracle. */
+  def oracleSketchStore: String = {
+    val num = graft.llm.Sketches.HllNumerator.toString
+    s"""WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+       |h AS (SELECT lang, ('0x' || substr(md5('hll:' || token), 1, 15))::BIGINT AS h FROM tok),
+       |r AS (SELECT lang, h % 1024 AS idx, h // 1024 AS w FROM h),
+       |rr AS (SELECT lang, idx, CASE WHEN w = 0 THEN 51 ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM r),
+       |regs AS (SELECT lang, idx, max(rho) AS mreg FROM rr GROUP BY 1, 2),
+       |pg AS (SELECT lang, count(*) AS used,
+       |    CAST(sum((1::BIGINT) << (51 - mreg)) AS BIGINT) AS s_used FROM regs GROUP BY 1),
+       |est0 AS (SELECT lang, CAST(1024 - used AS INT) AS v_zero,
+       |    s_used + (1024 - used) * 2251799813685248 AS s_scaled FROM pg),
+       |est1 AS (SELECT lang, v_zero, s_scaled, $num / CAST(s_scaled AS DOUBLE) AS e_raw FROM est0)
+       |SELECT lang, v_zero, s_scaled,
+       |  round(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+       |    THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE)) ELSE e_raw END, 6) AS est FROM est1""".stripMargin
+  }
+
   /** CMS replica: 4×1024 counter grid straight off the token stream, true
     * top-20 by (cnt desc, token), estimate = min over the 4 salted cells. */
   def oracleSketchCms: String =
@@ -1642,6 +1677,7 @@ object LlmQueries {
     "sketch_hll" -> (sketchHllQ _),
     "sketch_cms" -> (sketchCmsQ _),
     "sketch_quantile" -> (sketchQuantileQ _),
+    "sketch_store" -> (sketchStoreQ _),
     "shard_assign" -> (shardAssignQ _),
     "text_classifier" -> (textClassifier _),
     "classifier_train" -> (classifierTrainQ _),
@@ -1704,6 +1740,7 @@ object LlmQueries {
     "sketch_hll" -> oracleSketchHll,
     "sketch_cms" -> oracleSketchCms,
     "sketch_quantile" -> oracleSketchQuantile,
+    "sketch_store" -> oracleSketchStore,
     "shard_assign" -> oracleShardAssign,
     "text_classifier" -> oracleTextClassifier,
     "classifier_train" -> oracleClassifierTrain(4, 1.0),

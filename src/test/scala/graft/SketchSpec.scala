@@ -150,6 +150,39 @@ class SketchSpec extends SparkSpec {
     assert(cmsStreamed == cmsBatch && cmsBatch.nonEmpty)
   }
 
+  test("sketch store: build-half + append-rest equals one-pass build, and freq lookup dominates truth") {
+    val docsAll = Seq(
+      (0L, "alpha beta gamma alpha", "en", 22L),
+      (1L, "beta delta epsilon", "en", 18L),
+      (2L, "zeta eta theta iota kappa", "de", 25L),
+      (3L, "alpha zeta mu nu", "de", 16L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val storeInc = java.nio.file.Files.createTempDirectory("sk_inc").toString
+    val storeOne = java.nio.file.Files.createTempDirectory("sk_one").toString
+    graft.llm.SketchStore.build(docsAll.filter(col("doc_id") <= 1), storeInc)
+    graft.llm.SketchStore.append(docsAll.filter(col("doc_id") > 1), storeInc)
+    graft.llm.SketchStore.build(docsAll, storeOne)
+    for (t <- Seq("hll", "cms", "qbins")) {
+      val inc = spark.read.parquet(s"$storeInc/$t.parquet").collect()
+        .map(_.toSeq).toSet
+      val one = spark.read.parquet(s"$storeOne/$t.parquet").collect()
+        .map(_.toSeq).toSet
+      assert(inc == one, s"store table $t diverged between incremental and one-pass")
+      assert(inc.nonEmpty)
+    }
+    // estimates read back from the incremental store
+    val est = graft.llm.SketchStore.hllEstimates(spark, storeInc)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(est.keySet == Set("en", "de"))
+    // small-range correction regime: estimates should be near the true 5/7
+    assert(math.abs(est("en") - 5.0) < 2.0 && math.abs(est("de") - 7.0) < 2.5)
+    val probe = Seq("alpha", "beta", "nosuchtoken").toDF("token")
+    val freq = graft.llm.SketchStore.freqLookup(spark, storeInc, probe)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq("alpha") >= 3L && freq("beta") >= 2L)
+    assert(freq.contains("nosuchtoken")) // absent tokens still answer (possibly > 0: FP mass)
+  }
+
   test("CMS grids merge by cell-wise sum") {
     val a = Seq((0L, "x y z x")).toDF("doc_id", "text")
     val b = Seq((1L, "y z w")).toDF("doc_id", "text")
