@@ -1,0 +1,191 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lexical retrieval over the document corpus: BM25 scoring plus the
+  * persistent inverted-index lifecycle ([[SearchIndex]]). This is the
+  * sparse half of the retrieval stack — [[Ann]] covers the dense half —
+  * and the workhorse behind retrieval-based data selection (select
+  * pretraining docs relevant to a target task), RAG corpus serving, and
+  * contamination forensics ("which corpus docs does this eval question
+  * retrieve?").
+  *
+  * Scoring is Okapi BM25 (Robertson et al., TREC-3) with the Lucene
+  * non-negative IDF: for query term t and document d,
+  *
+  *   idf(t)     = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  *   w(t, d)    = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   score(q,d) = Σ_{t ∈ distinct(q)} w(t, d)
+  *
+  * with the Robertson defaults k1=1.2, b=0.75. Query-side term frequency
+  * is ignored (distinct query terms — the Lucene practice; repeated query
+  * words are vanishingly rare and keeping the query side a SET keeps the
+  * probe broadcast minimal).
+  *
+  * Scale shape: ONE corpus scan → token explode → (doc, token) partial
+  * counts (map-side combinable, fan-out bounded by doc length); df is a
+  * vocabulary-keyed aggregate over QUERY TERMS ONLY (the broadcast query
+  * join prunes first, so the df shuffle is bounded by |query terms| ·
+  * matching docs, not corpus vocabulary); corpus stats (N, Σdl) ride a
+  * one-row broadcast crossJoin; the final top-k is a per-query window
+  * whose frame is that query's candidate set. Nothing is keyed on corpus
+  * size; the query table is always the broadcast side.
+  *
+  * Determinism: per-term weights are IEEE double chains evaluated with
+  * the SAME expression tree in the DuckDB oracle; the per-(query, doc)
+  * sum is rounded to 6 decimals (the [[Curation.dsirWeights]] rule) and
+  * ties rank by (score desc, doc_id asc) in both engines.
+  */
+object Search {
+
+  /** The corpus tokenization convention ([[Vocab]]/[[TextAnalysis.tfidf]]):
+    * maximal `[a-z0-9]+` runs over the lowercased text. */
+  private def toks(c: String = "text") =
+    expr(s"regexp_extract_all(lower($c), '[a-z0-9]+', 0)")
+
+  /** (doc_id, token, tf, dl): term frequencies with the doc's token length
+    * carried inline — the posting-list row. dl rides the groupBy key (it
+    * is functionally dependent on doc_id), saving a corpus-sized join. */
+  private[llm] def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks().as("__tk__"))
+      .select(col("doc_id"), size(col("__tk__")).cast(LongType).as("dl"),
+        explode(col("__tk__")).as("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .select("token", "doc_id", "tf", "dl")
+
+  /** One-row (n_docs, sum_dl) corpus stats — N counts EVERY doc including
+    * token-less ones (they contribute 0 to sum_dl), matching the oracle's
+    * `count(*)` over the corpus split. */
+  private[llm] def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(size(toks()).cast(LongType).as("__dl__"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        coalesce(sum("__dl__"), lit(0L)).as("sum_dl"))
+
+  /** (query_id, token): distinct query terms, the broadcast probe side. */
+  private[llm] def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"),
+      explode(array_distinct(toks("qtext"))).as("token"))
+
+  /** Score `postings` (token, doc_id, tf, dl) against `qterms`
+    * (query_id, token) given one-row `stats` — the shared scoring tail of
+    * [[bm25TopK]] and [[SearchIndex.search]]. `df` must cover every
+    * posting of each probed token (true for both callers: the batch path
+    * computes it below, the store path's partition-pruned scan retains
+    * whole token groups). */
+  private[llm] def scoreBm25(post: DataFrame, qterms: DataFrame,
+                             stats: DataFrame, topK: Int,
+                             k1: Double, b: Double): DataFrame = {
+    val probed = post.join(broadcast(qterms), "token")
+    // df over probed rows only — exact: the probe keeps whole token groups
+    val dfT = probed.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).cast(DoubleType).as("df"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val tfD = col("tf").cast(DoubleType)
+    val norm = tfD + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl").cast(DoubleType) / avgdl)
+    val contrib = idf * (tfD * (lit(k1) + lit(1.0))) / norm
+    val agg = probed
+      .join(dfT, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__w__", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_hit"),
+        round(sum("__w__"), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    agg.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("query_id", "doc_id", "n_hit", "score", "rk")
+  }
+
+  /** BM25 top-`topK` corpus docs per query. `queries` is a small
+    * (query_id, qtext) table — always broadcast. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreBm25(postings(docs), queryTerms(queries),
+      broadcast(corpusStats(docs)), topK, k1, b)
+}
+
+/** Persistent inverted index for [[Search]] — the rolling-crawl lifecycle
+  * ([[DedupIndex]]/[[AnnIndex]]/[[SketchStore]] pattern) for lexical
+  * retrieval: build once, append new crawl batches as a pure map, answer
+  * queries from the store without rescanning or re-tokenizing the corpus.
+  *
+  * Layout under `dir` (plain parquet, readable by any engine):
+  *   - `postings.parquet` (token, doc_id, tf, dl) PARTITIONED BY `pfx`
+  *     (= crc32(token) mod 64): a query's terms touch at most
+  *     |distinct terms| of the 64 prefix directories, so the probe reads
+  *     ~terms/64 of the store via partition pruning — the [[AnnIndex]]
+  *     cent_id contract, applied to the token axis.
+  *   - `stats.parquet` one row (n_docs, sum_dl): exact LONG sums, merged
+  *     exactly on every append — so N/avgdl/df after any append sequence
+  *     are IDENTICAL to a from-scratch build, and [[search]] is bit-equal
+  *     to [[Search.bm25TopK]] on the same accumulated corpus (the gate
+  *     pins exactly that, via the batch oracle SQL).
+  *
+  * df is NOT stored: it is derived per query from the pruned postings
+  * scan (whole token groups survive pruning, so the count is exact).
+  * Storing it would turn append into a read-merge-overwrite of a
+  * vocabulary-sized table; deriving it keeps append a pure map over the
+  * batch plus a one-row stats merge.
+  */
+object SearchIndex {
+
+  private val NPfx = 64
+
+  private def withPfx(post: DataFrame): DataFrame =
+    post.withColumn("pfx", pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType))
+
+  /** Tokenize `docs` and write postings + corpus stats to `dir`. */
+  def build(docs: DataFrame, dir: String): Unit = {
+    withPfx(Search.postings(docs))
+      .repartition(col("pfx")) // one file per prefix, not tasks × prefixes
+      .write.mode("overwrite").partitionBy("pfx")
+      .parquet(s"$dir/postings.parquet")
+    Search.corpusStats(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+  }
+
+  /** Append a new batch: postings are a pure map over the batch; stats
+    * merge exactly (LONG sums). The merged stats frame is eagerly
+    * local-checkpointed before the overwrite (the [[SketchStore]] lineage
+    * rule: the plan reads the file it is about to replace). */
+  def append(dir: String, newDocs: DataFrame): Unit = {
+    val spark = newDocs.sparkSession
+    withPfx(Search.postings(newDocs))
+      .repartition(col("pfx"))
+      .write.mode("append").partitionBy("pfx")
+      .parquet(s"$dir/postings.parquet")
+    val merged = spark.read.parquet(s"$dir/stats.parquet")
+      .unionByName(Search.corpusStats(newDocs))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .localCheckpoint()
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+  }
+
+  /** BM25 top-`topK` over everything indexed, answered FROM THE STORE:
+    * the query's distinct terms pick their prefix partitions (static
+    * pruning via an `isin` on the ≤|terms| prefix values — a model-sized
+    * driver-side list, the [[Ann.lloydCentroids]] bounded-parameter
+    * rule), the pruned scan joins the broadcast terms, and the shared
+    * [[Search.scoreBm25]] tail does the rest. The index is never
+    * reshuffled and nothing is re-tokenized. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = Search.queryTerms(queries).localCheckpoint() // tiny; read 2×
+    val pfxs = qterms
+      .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post = spark.read.parquet(s"$dir/postings.parquet")
+      .filter(col("pfx").isin(pfxs: _*))
+      .select("token", "doc_id", "tf", "dl")
+    val stats = spark.read.parquet(s"$dir/stats.parquet")
+    Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b)
+  }
+}

@@ -63,6 +63,41 @@ object LlmQueries {
   def vocabBuildQ(spark: SparkSession, dir: String): DataFrame =
     graft.llm.Vocab.buildVocab(docs(spark, dir), minCount = 5)
 
+  /** BM25 retrieval split: every doc_id % 101 == 5 doc poses a query (its
+    * first five tokens), scored against the REST of the corpus — the
+    * `decontaminate` held-out-split convention. */
+  private def bm25Split(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") % 101 =!= 5)
+    val qs = d.filter(col("doc_id") % 101 === 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"), 1, 5), " ")
+          .as("qtext"))
+    (corpus, qs)
+  }
+
+  def searchBm25Q(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    graft.llm.Search.bm25TopK(corpus, qs, topK = 5)
+  }
+
+  /** Persistent inverted-index lifecycle: build on the lower-id half of
+    * the corpus split, append the rest, answer the SAME queries from the
+    * store — exact stats/df merges make the store path bit-equal to the
+    * whole-corpus batch path, so the oracle is [[oracleSearchBm25]]
+    * verbatim. */
+  def searchIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    val half = corpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val store = java.nio.file.Files.createTempDirectory("graft-searchindex")
+      .toString
+    graft.llm.SearchIndex.build(corpus.filter(col("doc_id") <= half), store)
+    graft.llm.SearchIndex.append(store, corpus.filter(col("doc_id") > half))
+    graft.llm.SearchIndex.search(spark, store, qs, topK = 5)
+  }
+
   def textTfidfQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidf(docs(spark, dir), topK = 3)
 
@@ -952,6 +987,43 @@ object LlmQueries {
       |  FROM ti_sc)
       |WHERE rk <= 3""".stripMargin
 
+  /** BM25 replica — the SAME IEEE expression tree as
+    * [[graft.llm.Search.scoreBm25]] (Lucene idf, Robertson k1=1.2 b=0.75
+    * written as the literal arithmetic, round-6 per-(query, doc) sum,
+    * (score desc, doc_id asc) ranks). Shared verbatim by `search_bm25`
+    * and `search_index`: the store path's stats/df merges are exact, so
+    * both must hash-match the one whole-corpus replay. */
+  def oracleSearchBm25: String =
+    """WITH bmq AS (SELECT doc_id AS query_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5) AS qt
+      |  FROM documents WHERE doc_id % 101 = 5),
+      |bmqt AS (SELECT DISTINCT query_id, unnest(qt) AS token FROM bmq),
+      |bmc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents WHERE doc_id % 101 <> 5),
+      |bmdl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM bmc),
+      |bmst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM bmdl),
+      |bmocc AS (SELECT doc_id, unnest(tk) AS token FROM bmc),
+      |bmtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bmocc GROUP BY 1, 2),
+      |bmdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM bmtf GROUP BY 1),
+      |bmsc AS (SELECT q.query_id, t.doc_id,
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(l.dl AS DOUBLE) /
+      |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS w
+      |  FROM bmtf t JOIN bmqt q USING (token) JOIN bmdf d USING (token)
+      |  JOIN bmdl l ON t.doc_id = l.doc_id CROSS JOIN bmst s),
+      |bmag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+      |    round(sum(w), 6) AS score
+      |  FROM bmsc GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_hit, score, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM bmag)
+      |WHERE rk <= 5""".stripMargin
+
   /** Shard-assignment replica: 48-bit md5 deal + per-shard order by
     * (key, doc_id). */
   def oracleShardAssign: String =
@@ -1672,6 +1744,8 @@ object LlmQueries {
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
+    "search_bm25" -> (searchBm25Q _),
+    "search_index" -> (searchIndexQ _),
     "text_tfidf" -> (textTfidfQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "sketch_hll" -> (sketchHllQ _),
@@ -1735,6 +1809,8 @@ object LlmQueries {
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,
+    "search_bm25" -> oracleSearchBm25,
+    "search_index" -> oracleSearchBm25,
     "text_tfidf" -> oracleTextTfidf,
     "decontaminate_bloom" -> oracleDecontaminateBloom,
     "sketch_hll" -> oracleSketchHll,

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Search, SearchIndex}
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "a quick brown cat sleeps all day long today",
+    3L -> "stock market prices rose sharply in early trading",
+    4L -> "the fox and the hound ran through the forest",
+    5L -> "completely unrelated text about gardening and tulips")
+
+  private def queries(rows: (Long, String)*): DataFrame =
+    rows.toDF("query_id", "qtext")
+
+  test("bm25TopK ranks term-matching docs first, ties break by doc_id") {
+    val out = Search.bm25TopK(corpus, queries(10L -> "quick brown fox"), topK = 3)
+      .orderBy("rk").collect()
+    assert(out.length == 3)
+    // doc 1 matches all three terms (fox twice-weighted by idf), doc 2 two,
+    // doc 4 one — the ranking every hand computation of BM25 gives here
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 4L))
+    assert(out.map(_.getInt(4)).toSeq == Seq(1, 2, 3))
+    // n_hit counts matched DISTINCT query terms
+    assert(out(0).getLong(2) == 3L && out(1).getLong(2) == 2L)
+    // scores strictly ordered (round-6)
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("repeated query terms score once (distinct-term query set)") {
+    val once = Search.bm25TopK(corpus, queries(1L -> "fox"), topK = 5).collect()
+    val thrice = Search.bm25TopK(corpus, queries(1L -> "fox fox fox"), topK = 5)
+      .collect()
+    assert(once.map(r => (r.getLong(1), r.getDouble(3))).toSet ==
+      thrice.map(r => (r.getLong(1), r.getDouble(3))).toSet)
+  }
+
+  test("longer docs are length-normalized below shorter ones at equal tf") {
+    val d = docs(
+      1L -> "fox den",
+      2L -> ("fox " + Seq.fill(40)("filler").mkString(" ")))
+    val out = Search.bm25TopK(d, queries(1L -> "fox"), topK = 2)
+      .orderBy("rk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // short doc wins
+  }
+
+  test("store lifecycle: build + append ≡ whole-corpus batch, bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchspec").toString
+    SearchIndex.build(corpus.filter($"doc_id" <= 2), dir)
+    SearchIndex.append(dir, corpus.filter($"doc_id" > 2))
+    val qs = queries(10L -> "quick brown fox", 11L -> "stock market",
+      12L -> "forest hound")
+    val fromStore = SearchIndex.search(spark, dir, qs, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val batch = Search.bm25TopK(corpus, qs, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(fromStore == batch)
+  }
+
+  test("store stats merge exactly across appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchstat").toString
+    SearchIndex.build(corpus.filter($"doc_id" === 1), dir)
+    SearchIndex.append(dir, corpus.filter($"doc_id" === 2))
+    SearchIndex.append(dir, corpus.filter($"doc_id" > 2))
+    val st = spark.read.parquet(s"$dir/stats.parquet").head()
+    assert(st.getAs[Long]("n_docs") == 5L)
+    val dl = corpus.select(sum(size(expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))).head().getLong(0)
+    assert(st.getAs[Long]("sum_dl") == dl)
+  }
+
+  test("store search prunes to the query terms' prefix partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchprune").toString
+    SearchIndex.build(corpus, dir)
+    val plan = SearchIndex.search(spark, dir, queries(1L -> "fox"), topK = 3)
+      .queryExecution.executedPlan.toString
+    // static isin pruning on the pfx partition column reaches the scan
+    assert(plan.contains("pfx"))
+    val pruned = SearchIndex.search(spark, dir, queries(1L -> "fox"), topK = 3)
+    assert(pruned.count() >= 1)
+  }
+
+  test("queries with no indexed terms return no rows; empty query drops out") {
+    val out = Search.bm25TopK(corpus,
+      queries(1L -> "zzzqqq xyzzy", 2L -> ""), topK = 3)
+    assert(out.count() == 0)
+  }
+}
