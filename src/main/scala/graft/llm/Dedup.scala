@@ -312,6 +312,37 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware cluster resolution — "fuzzy dedup, keep the BEST copy":
+    * instead of first-occurrence-wins (the [[semDedup]]/[[DedupIndex]]
+    * convention, right for rolling crawls where older == canonical), each
+    * near-dup cluster keeps its highest-quality member — the curation
+    * policy when duplicates differ in extraction quality (boilerplate
+    * stripped vs not, truncated vs whole).
+    *
+    * `clusters` is [[duplicateClusters]] output (doc_id, cluster);
+    * `quality` any per-doc score table (doc_id, quality_score) —
+    * [[TextAnalysis.quality]] in the gate. Winner per cluster = argmax by
+    * (quality_score desc, doc_id asc).
+    *
+    * Scale shape: the argmax is a `groupBy(cluster).agg(max(struct(...)))`
+    * — map-side combinable, NO per-cluster window sort, so a degenerate
+    * mega-cluster (10⁷ copies of a boilerplate page: exactly what dedup
+    * finds at 100 TB) costs a combiner-reduced max, not a single-task
+    * sort (the dedup_substr r11 lesson applied from the start). Winners
+    * then broadcast back over a cluster-keyed join. */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val joined = clusters
+      .join(quality.select("doc_id", "quality_score"), "doc_id")
+    // argmax by (quality desc, doc_id asc) == max of (quality, -doc_id)
+    val best = joined.groupBy("cluster")
+      .agg(max(struct(col("quality_score"),
+        (-col("doc_id")).as("__nid__"))).as("__m__"))
+      .select(col("cluster"), (-col("__m__.__nid__")).as("kept_id"))
+    joined.join(best, Seq("cluster"))
+      .withColumn("keep", col("doc_id") === col("kept_id"))
+      .select("doc_id", "cluster", "quality_score", "kept_id", "keep")
+  }
+
   /** 60-bit SimHash over distinct word tokens — map-only: in-row token
     * hashing ([[graft.functions.Hash60Array]]) feeding ONE codegen'd pass
     * maintaining all 60 bit counters ([[graft.functions.SimHash60]]).

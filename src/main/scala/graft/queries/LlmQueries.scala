@@ -46,6 +46,15 @@ object LlmQueries {
     Dedup.duplicateClusters(
       Dedup.minhashLsh(docs(spark, dir), n = 3, k = 12, bands = 4, minJaccard = 0.5))
 
+  /** Keep-best fuzzy dedup: minhash clusters (dedup_clusters parameters)
+    * resolved to their highest-quality member. */
+  def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLsh(d, n = 3, k = 12, bands = 4, minJaccard = 0.5))
+    Dedup.keepBest(clusters, TextAnalysis.quality(d))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), maxHamming = 6)
 
@@ -1682,8 +1691,11 @@ object LlmQueries {
 
 
   /** Recursive min-reachable-doc_id over the same minhash pair graph. */
-  def oracleDedupClusters: String =
-    s"""WITH RECURSIVE $gramsCte,
+  /** Shared minhash→LSH→verified-pairs→connected-components CTE chain
+    * (the dedup_minhash parameters); terminal relation `clu` =
+    * (doc_id, cluster). Used by dedup_clusters and dedup_keep_best. */
+  private def clusterCtes: String =
+    s"""$gramsCte,
        |seeds AS (SELECT unnest(range(0, 12)) AS seed),
        |mh AS (SELECT doc_id, seed, min(${md5Big.format("seed::VARCHAR || ':' || g")}) AS mh
        |       FROM grams CROSS JOIN seeds GROUP BY 1, 2),
@@ -1714,8 +1726,43 @@ object LlmQueries {
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc_id
-       |)
-       |SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin
+       |),
+       |clu AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
+
+  def oracleDedupClusters: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster FROM clu""".stripMargin
+
+  /** Keep-best replica: the cluster chain + the text_quality score CTEs +
+    * a per-cluster argmax by (quality_score desc, doc_id asc). */
+  def oracleDedupKeepBest: String = {
+    val allStops = TextAnalysis.Stopwords.values.flatten.toSeq.distinct.sorted
+    s"""WITH RECURSIVE $clusterCtes,
+       |kbc AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(tk, x -> list_contains(${sqlList(allStops)}, x))) AS BIGINT) AS n_stop
+       |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents)),
+       |kbq AS (SELECT doc_id,
+       |    round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 +
+       |          (CASE WHEN n_words = 0 THEN 0.0
+       |                ELSE round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END) * 0.3 +
+       |          (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+       |                      ELSE round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) END) * 0.2, 6)
+       |      AS quality_score
+       |  FROM kbc),
+       |kbj AS (SELECT clu.doc_id, clu.cluster, kbq.quality_score
+       |  FROM clu JOIN kbq USING (doc_id)),
+       |kbw AS (SELECT cluster, doc_id AS kept_id FROM (
+       |    SELECT cluster, doc_id, row_number() OVER (
+       |        PARTITION BY cluster ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |    FROM kbj)
+       |  WHERE rn = 1)
+       |SELECT kbj.doc_id, kbj.cluster, kbj.quality_score, kbw.kept_id,
+       |  (kbj.doc_id = kbw.kept_id) AS keep
+       |FROM kbj JOIN kbw USING (cluster)""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
@@ -1724,6 +1771,7 @@ object LlmQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_best" -> (dedupKeepBestQ _),
     "dedup_embed" -> (dedupEmbed _),
     "dedup_semdedup" -> (dedupSemdedupQ _),
     "dedup_semdedup_incremental" -> (dedupSemdedupIncrementalQ _),
@@ -1789,6 +1837,7 @@ object LlmQueries {
     "dedup_minhash" -> oracleDedupMinhash,
     "dedup_simhash" -> oracleDedupSimhash,
     "dedup_clusters" -> oracleDedupClusters,
+    "dedup_keep_best" -> oracleDedupKeepBest,
     "dedup_embed" -> oracleDedupEmbed,
     "dedup_semdedup" -> oracleDedupSemdedup,
     "dedup_semdedup_incremental" -> oracleDedupSemdedupIncremental,

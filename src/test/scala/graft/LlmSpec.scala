@@ -592,6 +592,22 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 12)
   }
 
+  test("keepBest: each cluster keeps its highest-quality member, ties by doc_id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    val quality = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("doc_id", "quality_score")
+    val out = Dedup.keepBest(clusters, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    // cluster 1: docs 2 and 3 tie at 0.9 — lower doc_id 2 wins over doc 3
+    assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true)) &&
+      out(3L) == ((2L, false)))
+    // cluster 10: tie at 0.5 — doc 10 wins
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    assert(out.size == 5)
+  }
+
   test("char entropy: 0 for single-char spam, ln(k) for uniform k-char text") {
     import spark.implicits._
     val docs = Seq(
