@@ -114,6 +114,39 @@ object TsQueries {
         noNegZero(round(col(Model.ValueCol), 6)).as("value"))
   }
 
+  /** Rollup-store lifecycle ([[graft.sources.RollupStore]]): 5m rollups
+    * built on the first 15 days, second half APPENDED as partial rows,
+    * hourly 1h-window queries answered from the store — the
+    * recording-rule/downsampling path a 100 TB metrics deployment serves
+    * dashboards from. The 1h windows are exact unions of 5m buckets
+    * (left-open bucketing), so the oracle is the RAW-sample window
+    * replica: any drift in bucketing, partial-merge, or window mapping
+    * hash-fails. */
+  private def rollupStore(spark: SparkSession, dir: String): String = {
+    val s = Model.withSkey(events(spark, dir))
+    val mid = GridStart + 15 * 86400.0
+    val store = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    graft.sources.RollupStore.build(
+      s.filter(col(Model.TsCol) <= mid), store, 300.0)
+    graft.sources.RollupStore.append(store, s.filter(col(Model.TsCol) > mid))
+    store
+  }
+
+  private def rollupOut(df: DataFrame): DataFrame =
+    df.select(
+      col(Model.LabelsCol).getItem("event_type").as("event_type"),
+      col(Model.LabelsCol).getItem("props").as("props"),
+      round(col(Model.TsCol), 6).as("ts"),
+      noNegZero(round(col(Model.ValueCol), 6)).as("value"))
+
+  def rollupAvg1h(spark: SparkSession, dir: String): DataFrame =
+    rollupOut(graft.sources.RollupStore.avgOverTime(
+      spark, rollupStore(spark, dir), "events", grid, 3600.0))
+
+  def rollupLast1h(spark: SparkSession, dir: String): DataFrame =
+    rollupOut(graft.sources.RollupStore.lastOverTime(
+      spark, rollupStore(spark, dir), "events", grid, 3600.0))
+
   /** Subquery: inner instant vector on a 30m step-aligned grid, outer
     * max_over_time over 3h of those gridded samples. */
   def subqueryMax(spark: SparkSession, dir: String): DataFrame =
@@ -729,6 +762,40 @@ object TsQueries {
        |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
        |  round(avg(v), 6) + 0.0 AS value
        |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  /** Rollup oracles replay the windows from RAW samples (the store is an
+    * internal layout; exact bucket-union semantics mean raw-window math is
+    * the contract). Same klo/khi half-open window mapping as
+    * [[oracleAvgOverTime1h]], no series filter. */
+  def oracleRollupAvg1h: String =
+    s"""WITH ${sCte("")},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi)
+       |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(avg(v), 6) + 0.0 AS value
+       |FROM x GROUP BY event_type, props, k""".stripMargin
+
+  /** last_over_time from raw samples: the window's latest sample —
+    * float-free, so the store path must match bit-for-bit. */
+  def oracleRollupLast1h: String =
+    s"""WITH ${sCte("")},
+       |w AS (SELECT event_type, props, t, v,
+       |    CAST(ceil((t - 1704067200.0) / 3600.0) AS INT) AS klo,
+       |    LEAST(CAST(floor((t - 1704067200.0 + 3600.0) / 3600.0 -
+       |      CASE WHEN (t - 1704067200.0 + 3600.0) % 3600.0 = 0 THEN 1 ELSE 0 END) AS INT), $GridSteps) AS khi
+       |  FROM s),
+       |x AS (SELECT event_type, props, t, v, unnest(range(greatest(klo, 0), khi + 1)) AS k
+       |      FROM w WHERE greatest(klo, 0) <= khi)
+       |SELECT event_type, props, round(1704067200.0 + (CAST(k AS DOUBLE) * 3600.0), 6) AS ts,
+       |  round(v, 6) + 0.0 AS value
+       |FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY event_type, props, k ORDER BY t DESC) AS rn FROM x)
+       |WHERE rn = 1""".stripMargin
 
   /** Subquery oracle: inner 30m-aligned grid (first instant = smallest
     * multiple of 1800 > start - 3h = 1704058200; 1398 instants through the
@@ -1531,6 +1598,8 @@ object TsQueries {
     "rate_1h" -> (rate1h _),
     "increase_1h" -> (increase1h _),
     "avg_over_time_1h" -> (avgOverTime1h _),
+    "rollup_avg_1h" -> (rollupAvg1h _),
+    "rollup_last_1h" -> (rollupLast1h _),
     "quantile_over_time_1h" -> (quantileOverTime1h _),
     "mad_over_time_1h" -> (madOverTime1h _),
     "idelta_1h" -> (idelta1h _),
@@ -1593,6 +1662,8 @@ object TsQueries {
     "rate_1h" -> oracleRate1h,
     "increase_1h" -> oracleIncrease1h,
     "avg_over_time_1h" -> oracleAvgOverTime1h,
+    "rollup_avg_1h" -> oracleRollupAvg1h,
+    "rollup_last_1h" -> oracleRollupLast1h,
     "quantile_over_time_1h" -> oracleQuantileOverTime1h,
     "mad_over_time_1h" -> oracleMadOverTime1h,
     "idelta_1h" -> oracleIdelta1h,
