@@ -169,6 +169,22 @@ object SearchIndex {
     merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
   }
 
+  /** Streaming index maintenance: [[append]] each micro-batch of documents
+    * to an already-[[build]]t index — state lives in the parquet store, not
+    * the state store (the [[DedupIndex.streamingDedup]] construct), so
+    * [[search]] sees every completed trigger and batch/stream ingestion
+    * compose freely. Postings appends are pure batch maps; the one-row
+    * stats merge is exact, so stream-then-search ≡ whole-corpus
+    * [[Search.bm25TopK]] bit-for-bit (StreamingSpec pins it). foreachBatch
+    * replays give at-least-once appends on failure recovery — a production
+    * ingest keys postings files and the stats row by batchId (the standard
+    * idempotent-sink recipe). Caller starts the writer. */
+  def streamingBuild(stream: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      append(dir, batch)
+    }
+
   /** BM25 top-`topK` over everything indexed, answered FROM THE STORE:
     * the query's distinct terms pick their prefix partitions (static
     * pruning via an `isin` on the ≤|terms| prefix values — a model-sized

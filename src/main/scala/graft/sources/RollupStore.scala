@@ -87,6 +87,23 @@ object RollupStore {
   def readRes(spark: SparkSession, dir: String): Double =
     spark.read.parquet(s"$dir/meta.parquet").head().getDouble(0)
 
+  /** Streaming rollup maintenance: [[append]] each micro-batch's partial
+    * rows to an already-[[build]]t store — the state IS the parquet store
+    * (the [[graft.llm.DedupIndex.streamingDedup]] construct), so the
+    * stream holds nothing in the state store and batch readers see every
+    * completed trigger. Because the store is merge-on-read partials, a
+    * micro-batch append is exactly a batch append: stream-then-read ≡
+    * one-pass rollup over the concatenation, bit-for-bit (RollupSpec +
+    * StreamingSpec pin both laws). foreachBatch replays give at-least-once
+    * appends on failure recovery; a production ingest keys written files
+    * by batchId and skips completed ones (the standard idempotent-sink
+    * recipe) — out of scope here. Caller starts the writer. */
+  def streamingBuild(stream: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      append(dir, batch)
+    }
+
   /** One metric's buckets with partials merged — the read-side contract.
     * The metric filter lands on the PARTITION column (TsSink's pruning
     * rule), and every merge below is exact (see object doc). */

@@ -301,6 +301,81 @@ class StreamingSpec extends SparkSpec {
     assert(r.toSeq == Seq((99L, 0.0)))
   }
 
+  /** Stage rows as two single-file parquet micro-batches (oldest first). */
+  private def stageBatches(prefix: String,
+                           b1: org.apache.spark.sql.DataFrame,
+                           b2: org.apache.spark.sql.DataFrame): String = {
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    b1.coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_b1.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_b2.parquet"))
+    streamDir.resolve("a_b1.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_b2.parquet").toFile.setLastModified(2000000000000L)
+    streamDir.toString
+  }
+
+  test("streaming rollup maintenance: micro-batch appends equal the one-pass rollup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def shaped(df: org.apache.spark.sql.DataFrame) = Model.withSkey(
+      df.withColumn("labels", map(lit(Model.NameLabel), lit("m"), lit("et"), col("et")))
+        .select("labels", "ts", "value"))
+    val a = Seq((100.0, 1.0, "x"), (350.0, 2.0, "y")).toDF("ts", "value", "et")
+    val b1 = Seq((600.0, 3.0, "x"), (950.0, 4.0, "x")).toDF("ts", "value", "et")
+    val b2 = Seq((1200.0, 5.0, "y"), (1201.0, 6.0, "x")).toDF("ts", "value", "et")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sroll_store").toString
+    sources.RollupStore.build(shaped(a), dir, 300.0)
+
+    val streamDir = stageBatches("graft_sroll", b1, b2)
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = sources.RollupStore.streamingBuild(shaped(stream), dir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val onePass = java.nio.file.Files.createTempDirectory("graft_sroll_once").toString
+    sources.RollupStore.build(shaped(a.union(b1).union(b2)), onePass, 300.0)
+    def rows(d: String) = sources.RollupStore.mergedBuckets(spark, d, "m")
+      .drop("labels").collect().map(_.toSeq).toSet
+    assert(rows(dir).nonEmpty && rows(dir) == rows(onePass))
+    val g = operators.Grid(300.0, 1500.0, 300.0)
+    def avg(d: String) = sources.RollupStore.avgOverTime(spark, d, "m", g, 300.0)
+      .select("skey", "ts", "value").collect().map(_.toSeq).toSet
+    assert(avg(dir) == avg(onePass))
+  }
+
+  test("streaming search-index maintenance: stream-then-search equals whole-corpus BM25") {
+    import spark.implicits._
+    val a = Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep daily"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "quick silver fox hunts")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "brown bears eat fish"), (5L, "fox and hound"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssearch_store").toString
+    llm.SearchIndex.build(a, dir)
+
+    val streamDir = stageBatches("graft_ssearch", b1, b2)
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = llm.SearchIndex.streamingBuild(stream, dir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val qs = Seq((10L, "quick fox"), (11L, "brown")).toDF("query_id", "qtext")
+    val fromStore = llm.SearchIndex.search(spark, dir, qs, topK = 5)
+      .collect().map(_.toSeq).toSet
+    val batch = llm.Search.bm25TopK(a.union(b1).union(b2), qs, topK = 5)
+      .collect().map(_.toSeq).toSet
+    assert(fromStore.nonEmpty && fromStore == batch)
+  }
+
   test("streaming exact dedup: first batch matches Dedup.exact, second batch of dups emits nothing") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
