@@ -1,0 +1,140 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic PCA over the embedding column — the whitening /
+  * decorrelation step ahead of clustering, SemDeDup, and compressed ANN
+  * (OPQ-style preprocessing): fit the top-k principal components of the
+  * corpus embedding distribution, project every vector onto them.
+  *
+  * The fit is the classic two-stage shape every distributed PCA uses
+  * (compute the d×d covariance in one pass, then solve the TINY
+  * eigenproblem on the driver — `d² = 4096` doubles is a model parameter,
+  * the [[Ann.lloydCentroids]] rule):
+  *
+  *  1. per-dimension means — one bounded groupBy (64 keys), round-6;
+  *  2. covariance — the centered outer product exploded IN-ROW
+  *     (`flatten(transform × transform)`: one corpus scan, no self-join)
+  *     into a groupBy on the (i, j) dim-pair key — 4096 keys, map-side
+  *     combined, so the shuffle is 4096 × partitions rows at any corpus
+  *     size; entries round-6 (the cross-engine sync point for the only
+  *     order-dependent sums in the whole fit);
+  *  3. power iteration with deflation on the driver: `iters` matvec +
+  *     normalize rounds per component, every inner sum a LEFT-ASSOCIATED
+  *     chain starting from its first term (mirrored token-for-token by
+  *     the DuckDB oracle's generated expressions, so the model is
+  *     bit-identical across engines — the [[Bpe.oracleTrainSql]] /
+  *     trainClassifier unrolled-replay pattern); per-iteration round-6 on
+  *     the normalized vector; sign fixed so the largest-|entry| dimension
+  *     (ties → lowest index) is positive; eigenvalue = round-6 Rayleigh
+  *     product; deflation `C − λvvᵀ` in the same literal tree.
+  *
+  * Init vectors are md5-derived dyadic rationals ((md5_16 − 32768)/65536,
+  * the [[Ann.planeComponent]] convention, "pca:" salt) — exact in binary,
+  * reproducible anywhere, and never orthogonal-by-construction to a data
+  * direction. Convergence quality is a function of `iters` and is pinned
+  * by PcaSpec on a known-spectrum corpus; the GATE pins the deterministic
+  * replay, whatever the spectrum.
+  *
+  * Projection is a pure map (centered dot with literal components,
+  * left-associated), round-6.
+  */
+object Pca {
+
+  val Dims: Int = Ann.Dims
+
+  /** Fitted model: per-dim means, k unit components, k eigenvalues. */
+  final case class Model(means: Array[Double], components: Array[Array[Double]],
+                         eigenvalues: Array[Double])
+
+  /** md5-derived init component in [-0.5, 0.5): exact dyadic. */
+  def initComponent(c: Int, d: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pca:$c:$d".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 4), 16) - 32768).toDouble / 65536.0
+  }
+
+  /** round(x, 6) with the SQL rule (half away from zero). */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Left-associated dot starting from the FIRST product (not 0.0 + …, so
+    * the tree matches the oracle's `a*b + c*d + …` chain bit-for-bit). */
+  private def dotL(a: Array[Double], b: Array[Double]): Double = {
+    var s = a(0) * b(0)
+    var j = 1
+    while (j < a.length) { s += a(j) * b(j); j += 1 }
+    s
+  }
+
+  def fit(emb: DataFrame, k: Int = 2, iters: Int = 4,
+          vecCol: String = "embedding"): Model = {
+    require(k >= 1 && iters >= 1)
+    val n = emb.count().toDouble
+    val x = col("__x__").cast(DoubleType)
+    val means = emb
+      .select(posexplode(col(vecCol)).as(Seq("__d__", "__x__")))
+      .groupBy("__d__").agg(round(avg(x), 6).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mArr = Array.tabulate(Dims)(means)
+
+    // centered outer products exploded in-row: one scan, 4096-key groupBy
+    val centered = transform(col(vecCol),
+      (v, d) => v.cast(DoubleType) - element_at(lit(mArr), d + 1))
+    val pairs = emb
+      .withColumn("__c__", centered)
+      .select(explode(flatten(transform(col("__c__"),
+        (xi, i) => transform(col("__c__"),
+          (xj, j) => struct(i.as("i"), j.as("j"), (xi * xj).as("p"))))))
+        .as("__t__"))
+      .select(col("__t__.i"), col("__t__.j"), col("__t__.p"))
+      .groupBy("i", "j").agg(round(sum("p") / lit(n), 6).as("c"))
+      .collect()
+    val c = Array.ofDim[Double](Dims, Dims)
+    pairs.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+
+    val comps = Array.ofDim[Double](k, Dims)
+    val eigs = Array.ofDim[Double](k)
+    for (comp <- 0 until k) {
+      var v = Array.tabulate(Dims)(d => initComponent(comp, d))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(Dims)(i => dotL(c(i), v))
+        val nm = math.sqrt(dotL(w, w))
+        v = w.map(wi => r6(wi / nm))
+      }
+      // sign convention: largest-|entry| dim (ties → lowest d) positive
+      val lead = (0 until Dims).maxBy(d => (math.abs(v(d)), -d))
+      if (v(lead) < 0) v = v.map(x => x * -1.0)
+      val w2 = Array.tabulate(Dims)(i => dotL(c(i), v))
+      val lam = r6(dotL(v, w2))
+      comps(comp) = v
+      eigs(comp) = lam
+      for (i <- 0 until Dims; j <- 0 until Dims)
+        c(i)(j) = c(i)(j) - lam * v(i) * v(j)
+    }
+    Model(mArr, comps, eigs)
+  }
+
+  /** Project onto the fitted components: (vec_id, p0 … p{k-1}), each a
+    * round-6 centered dot — pure map, left-associated like the fit. */
+  def project(emb: DataFrame, model: Model, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cols = model.components.zipWithIndex.map { case (v, ci) =>
+      val terms: Seq[Column] = (0 until Dims).map { d =>
+        (element_at(col(vecCol), d + 1).cast(DoubleType) -
+          lit(model.means(d))) * lit(v(d))
+      }
+      round(terms.reduce(_ + _), 6).as(s"p$ci")
+    }
+    emb.select(col(idCol) +: cols.toSeq: _*)
+  }
+
+  def fitProject(emb: DataFrame, k: Int = 2, iters: Int = 4): DataFrame =
+    project(emb, fit(emb, k, iters))
+}

@@ -87,6 +87,11 @@ object LlmQueries {
     (corpus, qs)
   }
 
+  /** Deterministic PCA over the embedding corpus: top-2 components,
+    * 4 power iterations — the oracle re-derives the full fit. */
+  def embedPcaQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Pca.fitProject(emb(spark, dir), k = 2, iters = 4)
+
   def searchBm25Q(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, qs) = bm25Split(spark, dir)
     graft.llm.Search.bm25TopK(corpus, qs, topK = 5)
@@ -996,6 +1001,84 @@ object LlmQueries {
       |  FROM ti_sc)
       |WHERE rk <= 3""".stripMargin
 
+  /** PCA replica — DERIVES the whole fit in generated SQL (the
+    * bpe_train / classifier_train unrolled-replay rule): round-6 means and
+    * covariance (the only order-dependent sums), then every power-iteration
+    * matvec / norm / Rayleigh dot as LEFT-ASSOCIATED explicit 64-term
+    * chains over pivoted single-row vectors — token-matched to
+    * [[graft.llm.Pca]]'s driver arithmetic, so the model and projections
+    * are bit-identical. `+ 0.0` after every round is the signed-zero
+    * normalization (Spark/BigDecimal rounds −tiny to +0.0, DuckDB keeps
+    * −0.0). */
+  def oracleEmbedPca(k: Int, iters: Int): String = {
+    val D = graft.llm.Pca.Dims
+    val sb = new StringBuilder
+    def pivot(name: String, src: String, keyCol: String, valCol: String,
+              outPrefix: String, rowKey: String = ""): Unit = {
+      val cols = (0 until D).map(d =>
+        s"max(CASE WHEN $keyCol = $d THEN $valCol END) AS $outPrefix$d")
+        .mkString(", ")
+      val (sel, grp) =
+        if (rowKey.isEmpty) ("", "") else (s"$rowKey, ", s" GROUP BY $rowKey")
+      sb.append(s"$name AS MATERIALIZED (SELECT $sel$cols FROM $src$grp),\n")
+    }
+    sb.append("WITH pe AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),\n")
+    sb.append("pn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pe),\n")
+    sb.append(s"pd AS MATERIALIZED (SELECT unnest(range(0, $D)) AS d),\n")
+    sb.append("px AS MATERIALIZED (SELECT vec_id, pd.d, CAST(embedding[pd.d + 1] AS DOUBLE) AS x FROM pe CROSS JOIN pd),\n")
+    sb.append("pm AS MATERIALIZED (SELECT d, round(avg(x), 6) + 0.0 AS m FROM px GROUP BY d),\n")
+    sb.append("pxc AS MATERIALIZED (SELECT px.vec_id, px.d, px.x - pm.m AS x FROM px JOIN pm USING (d)),\n")
+    sb.append("pcv AS MATERIALIZED (SELECT a.d AS i, b.d AS j, round(sum(a.x * b.x) / pn.n, 6) + 0.0 AS c\n" +
+      "  FROM pxc a JOIN pxc b USING (vec_id) CROSS JOIN pn GROUP BY a.d, b.d, pn.n),\n")
+    pivot("pC0", "pcv", "j", "c", "c", rowKey = "i")
+    for (c <- 0 until k) {
+      val inits = (0 until D).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"pca:$c:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 4), 16)
+        s"($d, ($h - 32768) / 65536.0)"
+      }.mkString(", ")
+      sb.append(s"pv${c}_0(d, v) AS MATERIALIZED (VALUES $inits),\n")
+      for (t <- 1 to iters) {
+        pivot(s"pvp${c}_${t - 1}", s"pv${c}_${t - 1}", "d", "v", "v")
+        val mv = (0 until D).map(d => s"c$d * p.v$d").mkString(" + ")
+        sb.append(s"pw${c}_$t AS MATERIALIZED (SELECT i, ($mv) AS w FROM pC$c CROSS JOIN pvp${c}_${t - 1} p),\n")
+        pivot(s"pwp${c}_$t", s"pw${c}_$t", "i", "w", "w")
+        val nrm = (0 until D).map(d => s"w$d * w$d").mkString(" + ")
+        sb.append(s"pnm${c}_$t AS MATERIALIZED (SELECT sqrt($nrm) AS nm FROM pwp${c}_$t),\n")
+        sb.append(s"pv${c}_$t AS MATERIALIZED (SELECT i AS d, round(w / pnm.nm, 6) + 0.0 AS v " +
+          s"FROM pw${c}_$t CROSS JOIN pnm${c}_$t pnm),\n")
+      }
+      sb.append(s"psg$c AS MATERIALIZED (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s " +
+        s"FROM pv${c}_$iters ORDER BY abs(v) DESC, d ASC LIMIT 1),\n")
+      sb.append(s"pvf$c AS MATERIALIZED (SELECT d, v * psg$c.s AS v FROM pv${c}_$iters CROSS JOIN psg$c),\n")
+      pivot(s"pvfp$c", s"pvf$c", "d", "v", "v")
+      val mv2 = (0 until D).map(d => s"c$d * p.v$d").mkString(" + ")
+      sb.append(s"pw2$c AS MATERIALIZED (SELECT i, ($mv2) AS w FROM pC$c CROSS JOIN pvfp$c p),\n")
+      pivot(s"pw2p$c", s"pw2$c", "i", "w", "w")
+      val ray = (0 until D).map(d => s"p.v$d * w.w$d").mkString(" + ")
+      sb.append(s"plam$c AS MATERIALIZED (SELECT round($ray, 6) + 0.0 AS l FROM pvfp$c p CROSS JOIN pw2p$c w),\n")
+      if (c < k - 1) {
+        val defl = (0 until D).map(d =>
+          s"pC.c$d - pl.l * vi.v * p.v$d AS c$d").mkString(", ")
+        sb.append(s"pC${c + 1} AS MATERIALIZED (SELECT pC.i, $defl FROM pC$c pC " +
+          s"JOIN pvf$c vi ON vi.d = pC.i CROSS JOIN pvfp$c p CROSS JOIN plam$c pl),\n")
+      }
+    }
+    pivot("pmp", "pm", "d", "m", "m")
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb.append("\n")
+    val projCols = (0 until k).map { c =>
+      val terms = (0 until D).map(d =>
+        s"(CAST(embedding[${d + 1}] AS DOUBLE) - pmp.m$d) * pvfp$c.v$d").mkString(" + ")
+      s"round($terms, 6) + 0.0 AS p$c"
+    }.mkString(",\n  ")
+    sb.append(s"SELECT pe.vec_id, $projCols\nFROM pe CROSS JOIN pmp " +
+      (0 until k).map(c => s"CROSS JOIN pvfp$c").mkString(" "))
+    sb.toString
+  }
+
   /** BM25 replica — the SAME IEEE expression tree as
     * [[graft.llm.Search.scoreBm25]] (Lucene idf, Robertson k1=1.2 b=0.75
     * written as the literal arithmetic, round-6 per-(query, doc) sum,
@@ -1811,6 +1894,7 @@ object LlmQueries {
     "text_perplexity" -> (textPerplexity _),
     "text_pii" -> (textPii _),
     "embed_project" -> (embedProject _),
+    "embed_pca" -> (embedPcaQ _),
     "decontaminate" -> (decontaminateQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "mix_budget" -> (mixBudgetQ _),
@@ -1877,6 +1961,7 @@ object LlmQueries {
     "text_perplexity" -> oracleTextPerplexity,
     "text_pii" -> oracleTextPii,
     "embed_project" -> oracleEmbedProject,
+    "embed_pca" -> oracleEmbedPca(2, 4),
     "decontaminate" -> oracleDecontaminate,
     "sample_stratified" -> oracleSampleStratified,
     "mix_budget" -> oracleMixBudget,
