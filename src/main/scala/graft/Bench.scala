@@ -60,7 +60,24 @@ object Bench {
         .selectExpr("sum(`sum(v)`)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibPre = calibrate()
+    // Clean-machine historical band for the probe is ~0.48-0.66 s
+    // (r8-r12 quiet runs). A calib_pre beyond 2× that ceiling means the
+    // whole fleet is about to be timed under external load (r12 published
+    // three ×7-8 phantom "regressions" exactly this way). Back off and
+    // re-probe up to 3×; if the machine never calms, publish anyway but
+    // SELF-FLAG the artifact with load_warning so no reader compares the
+    // totals round-over-round.
+    val CalibClean = 0.66
+    var calibPre = calibrate()
+    var calibTries = 0
+    while (calibPre > CalibClean * 2 && calibTries < 3) {
+      System.err.println(f"[bench] calib_pre $calibPre%.3f s exceeds 2x the " +
+        f"clean band (${CalibClean}%.2f s) - machine under load; waiting 30 s " +
+        s"(retry ${calibTries + 1}/3)")
+      Thread.sleep(30000)
+      calibTries += 1
+      calibPre = math.min(calibPre, calibrate())
+    }
 
     val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -124,8 +141,12 @@ object Bench {
       .map(r => r._1 -> r._2))
     val nQueries = results.size
     val nFailed = results.count(_._2 < 0)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"queries":$slow15,"queries_note":"slowest 15 of $nQueries; full map in bench_out.json","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"sf":"$sfDir"}"""
+    val loadWarn = calibPre > CalibClean * 2 || calibPost > CalibClean * 2
+    if (loadWarn) System.err.println(f"[bench] LOAD WARNING: calibration " +
+      f"$calibPre%.3f/$calibPost%.3f s vs clean band ≤${CalibClean}%.2f s - " +
+      "totals are not comparable round-over-round")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"queries":$slow15,"queries_note":"slowest 15 of $nQueries; full map in bench_out.json","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"load_warning":$loadWarn,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"load_warning":$loadWarn,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()

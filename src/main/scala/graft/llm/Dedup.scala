@@ -81,26 +81,30 @@ object Dedup {
     * in-row set sizes. Output: (doc_a, doc_b, jaccard), jaccard >= minJaccard. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.3,
                    maxDf: Long = 1000): DataFrame = {
-    // Inverted index as ONE groupBy-per-gram posting list; `collect_set`
-    // dedups each doc's repeated grams inside the (map-side partial)
-    // aggregation, replacing the r3 cross-row distinct shuffle.
-    val postings = rawNgrams(docs, n)
+    // Distinct (gram, doc) pairs via a groupBy on BOTH columns — the
+    // aggregation buffer is constant-size per key (no per-gram list), and
+    // the map-side partial dedups each doc's repeated grams before the
+    // shuffle. Hot grams spread across (g, doc) hash partitions instead
+    // of accumulating in one buffer.
+    val gd = rawNgrams(docs, n).select("g", "doc_id").distinct()
+    // Per-doc distinct gram counts — map-side-combinable counts over the
+    // deduped pairs; every (gram, doc) pair appears exactly once.
+    val sizes = gd.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
+    // Pre-count df per gram and keep only grams inside the cap BEFORE any
+    // posting list is built (the [[DedupIndex.build]] / dedupSubstr
+    // two-pass shape): a boilerplate gram shared by 10⁸ docs is counted —
+    // map-side combinable, constant buffer — and dropped without ever
+    // materializing its member list. df=1 singleton grams (the Zipf-tail
+    // majority) are dropped here too, before the posting shuffle.
+    val kept = gd.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("g")
+    // Posting lists only for in-cap grams: collect_set buffers are now
+    // bounded by maxDf by construction. `maxDf` also bounds the per-row
+    // pair fan-out (a df-capped list explodes to at most maxDf² pairs).
+    val common = gd.join(kept, "g")
       .groupBy("g")
       .agg(collect_set("doc_id").as("ds"))
-    // Per-doc distinct gram counts fall out of the SAME posting aggregation
-    // (each (gram, doc) pair appears exactly once across posting lists) —
-    // no second corpus scan / tokenize pass and no per-row array_distinct
-    // materialization; ReuseExchange shares the groupBy(g) shuffle between
-    // the two consumers, and the count's map-side combine collapses the
-    // extra shuffle to ~one row per doc per partition.
-    val sizes = postings
-      .select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
-    // Ordered pairs explode from each posting list; `maxDf` both caps skew
-    // AND bounds the per-row pair fan-out (a df-capped list explodes to at
-    // most maxDf² pairs).
-    val common = postings
-      .filter(size(col("ds")).between(2, maxDf))
       .select(col("ds"), explode(col("ds")).as("da"))
       .select(col("da"), explode(col("ds")).as("db"))
       .filter(col("da") < col("db"))
@@ -143,12 +147,15 @@ object Dedup {
   def winnowPairs(docs: DataFrame, minShared: Long = 2,
                   maxDf: Long = 1000, minOverlap: Double = 0.0): DataFrame = {
     val fps = TextAnalysis.fingerprints(docs) // (doc_id, fp), distinct per doc
-    val postings = fps.groupBy("fp").agg(collect_set("doc_id").as("ds"))
-    val sizes = postings
-      .select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
-    val shared = postings
-      .filter(size(col("ds")).between(2, maxDf))
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
+    // df pre-count before any posting list exists (see [[ngramJaccard]]):
+    // hot fingerprints are counted map-side-combinably and dropped without
+    // materializing their member list.
+    val kept = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("fp")
+    val shared = fps.join(kept, "fp")
+      .groupBy("fp").agg(collect_set("doc_id").as("ds"))
       .select(col("ds"), explode(col("ds")).as("da"))
       .select(col("da"), explode(col("ds")).as("db"))
       .filter(col("da") < col("db"))
@@ -216,10 +223,17 @@ object Dedup {
     // Candidates per LSH bucket via groupBy + ordered-pair explode. A bucket
     // with more than `maxBucket` members is degenerate (everything near-dups
     // everything); dropping it bounds the O(B²) fan-out — the skew guard a
-    // 100 TB corpus needs against adversarial/boilerplate buckets.
-    val cand = banded.groupBy("band", "bkey")
+    // 100 TB corpus needs against adversarial/boilerplate buckets. The
+    // bucket is counted FIRST (map-side combinable, constant buffer) and
+    // joined back, so a degenerate bucket's member list is never built —
+    // the [[DedupIndex.build]] pre-count shape.
+    val okBuckets = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket))
+      .select("band", "bkey")
+    val cand = banded.join(okBuckets, Seq("band", "bkey"))
+      .groupBy("band", "bkey")
       .agg(collect_list("doc_id").as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(expr(
         "flatten(transform(ds, a -> transform(filter(ds, b -> a < b), b -> struct(a as doc_a, b as doc_b))))")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -381,13 +395,20 @@ object Dedup {
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(fp, b * 15) & 32767 as bkey))")).as("bk"))
       .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // bucket-groupBy pair generation (one fingerprint-pipeline pass;
-    // maxBucket bounds degenerate-bucket fan-out). Pairs stream out of TWO
-    // codegen'd explodes — an interpreted HOF pair-filter measured 1.7×
-    // slower here (hot buckets: near-dup clusters make B² big for simhash).
-    banded.groupBy("band", "bkey")
+    // bucket-groupBy pair generation (maxBucket bounds degenerate-bucket
+    // fan-out). Pairs stream out of TWO codegen'd explodes — an
+    // interpreted HOF pair-filter measured 1.7× slower here (hot buckets:
+    // near-dup clusters make B² big for simhash). Buckets are counted
+    // BEFORE the member list is collected (the [[DedupIndex.build]]
+    // pre-count shape), so a boilerplate band key shared by 10⁸ docs is
+    // dropped by a constant-size counter, never a multi-GB list buffer.
+    val okBuckets = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket))
+      .select("band", "bkey")
+    banded.join(okBuckets, Seq("band", "bkey"))
+      .groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -441,9 +462,17 @@ object Dedup {
     val assigned =
       if (sc.getCheckpointDir.isDefined) as0.checkpoint()
       else as0.localCheckpoint()
-    val dups = assigned.groupBy("cent_id")
+    // Pre-count cluster sizes (constant-size buffers over the checkpointed
+    // assignment — free second pass) and join back, so a degenerate
+    // cluster's member+embedding list is never collected: at 100 TB a
+    // boilerplate cluster's struct list is multi-GB in one buffer.
+    val okClusters = assigned.groupBy("cent_id")
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn").between(2, maxCluster))
+      .select("cent_id")
+    val dups = assigned.join(okClusters, Seq("cent_id"))
+      .groupBy("cent_id")
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxCluster))
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"), explode(col("ds")).as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))

@@ -106,6 +106,13 @@ object Pca {
       for (_ <- 1 to iters) {
         val w = Array.tabulate(Dims)(i => dotL(c(i), v))
         val nm = math.sqrt(dotL(w, w))
+        // rank-deficient / constant corpus (or k beyond the covariance
+        // rank after deflation): fail fast instead of silently filling
+        // components and eigenvalues with NaN
+        require(nm > 0,
+          s"power iteration collapsed at component $comp: the deflated " +
+            "covariance annihilated the iterate — corpus rank < k; " +
+            "request fewer components")
         v = w.map(wi => r6(wi / nm))
       }
       // sign convention: largest-|entry| dim (ties → lowest d) positive

@@ -75,14 +75,33 @@ object Search {
     * [[bm25TopK]] and [[SearchIndex.search]]. `df` must cover every
     * posting of each probed token (true for both callers: the batch path
     * computes it below, the store path's partition-pruned scan retains
-    * whole token groups). */
+    * whole token groups).
+    *
+    * `maxDfFrac` is the stopword guard: a query term whose df exceeds
+    * `maxDfFrac · N` is dropped from scoring entirely (the Lucene
+    * stopword / common-terms practice — its idf ≈ ln(1 + ~0) contributes
+    * noise, while its posting list is corpus-sized). Without the cap, a
+    * query containing "the" drags that term's ENTIRE posting list through
+    * the (query, doc) aggregate and into ONE top-k window partition; with
+    * it, the high-df term is eliminated by the broadcast df join before
+    * the candidate set forms, bounding both the aggregate and the window
+    * partition by the rarest-term posting sizes. The df COUNT itself
+    * still scans the hot posting list, but as a map-side-combinable
+    * constant-size counter — never a candidate-set buffer. Default 1.0
+    * (off): scoring is then bit-identical to the capless definition. */
   private[llm] def scoreBm25(post: DataFrame, qterms: DataFrame,
                              stats: DataFrame, topK: Int,
-                             k1: Double, b: Double): DataFrame = {
+                             k1: Double, b: Double,
+                             maxDfFrac: Double = 1.0): DataFrame = {
     val probed = post.join(broadcast(qterms), "token")
     // df over probed rows only — exact: the probe keeps whole token groups
-    val dfT = probed.select("token", "doc_id").distinct()
+    val dfAll = probed.select("token", "doc_id").distinct()
       .groupBy("token").agg(count(lit(1)).cast(DoubleType).as("df"))
+    val dfT =
+      if (maxDfFrac >= 1.0) dfAll
+      else dfAll.crossJoin(broadcast(stats.select("n_docs")))
+        .filter(col("df") <= lit(maxDfFrac) * col("n_docs").cast(DoubleType))
+        .select("token", "df")
     val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
     val idf = log(lit(1.0) +
       (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
@@ -91,8 +110,10 @@ object Search {
     val norm = tfD + lit(k1) * (lit(1.0) - lit(b) +
       lit(b) * col("dl").cast(DoubleType) / avgdl)
     val contrib = idf * (tfD * (lit(k1) + lit(1.0))) / norm
+    // dfT is ≤ |query terms| rows — broadcast, so out-of-cap terms'
+    // postings are discarded map-side, never shuffled into the aggregate
     val agg = probed
-      .join(dfT, Seq("token"))
+      .join(broadcast(dfT), Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("__w__", contrib)
       .groupBy("query_id", "doc_id")
@@ -105,11 +126,14 @@ object Search {
   }
 
   /** BM25 top-`topK` corpus docs per query. `queries` is a small
-    * (query_id, qtext) table — always broadcast. */
+    * (query_id, qtext) table — always broadcast. `maxDfFrac < 1` drops
+    * stopword-grade query terms (df > frac·N) from scoring — see
+    * [[scoreBm25]]. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 1.0): DataFrame =
     scoreBm25(postings(docs), queryTerms(queries),
-      broadcast(corpusStats(docs)), topK, k1, b)
+      broadcast(corpusStats(docs)), topK, k1, b, maxDfFrac)
 }
 
 /** Persistent inverted index for [[Search]] — the rolling-crawl lifecycle
@@ -155,7 +179,18 @@ object SearchIndex {
   /** Append a new batch: postings are a pure map over the batch; stats
     * merge exactly (LONG sums). The merged stats frame is eagerly
     * local-checkpointed before the overwrite (the [[SketchStore]] lineage
-    * rule: the plan reads the file it is about to replace). */
+    * rule: the plan reads the file it is about to replace).
+    *
+    * PRECONDITION: the batch's doc_ids must not already be in the store —
+    * appending a doc twice writes duplicate postings rows (inflating its
+    * per-term tf contribution and double-counting it in df/n_docs/sum_dl).
+    * The caller owns that invariant on the batch AND the streaming paths
+    * (run the store's dedup step, or key batches by crawl snapshot).
+    * Ordering hazard: postings are written BEFORE the stats merge, so a
+    * crash between the two writes leaves postings without their stats row
+    * — scores over-normalize until re-append/rebuild. A production ingest
+    * keys both writes by batch id (the idempotent-sink recipe noted on
+    * [[streamingBuild]]) to make the pair atomic-on-replay. */
   def append(dir: String, newDocs: DataFrame): Unit = {
     val spark = newDocs.sparkSession
     withPfx(Search.postings(newDocs))
@@ -193,7 +228,8 @@ object SearchIndex {
     * [[Search.scoreBm25]] tail does the rest. The index is never
     * reshuffled and nothing is re-tokenized. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-             topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+             maxDfFrac: Double = 1.0): DataFrame = {
     val qterms = Search.queryTerms(queries).localCheckpoint() // tiny; read 2×
     val pfxs = qterms
       .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
@@ -202,6 +238,6 @@ object SearchIndex {
       .filter(col("pfx").isin(pfxs: _*))
       .select("token", "doc_id", "tf", "dl")
     val stats = spark.read.parquet(s"$dir/stats.parquet")
-    Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b)
+    Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b, maxDfFrac)
   }
 }

@@ -45,6 +45,9 @@ object RollupStore {
 
   /** Partial rollup rows for one batch of samples (the write-side shape). */
   def rollup(samples: DataFrame, res: Double): DataFrame = {
+    // res == 0 would divide to null/infinite wend and silently corrupt the
+    // store, surfacing only later as a bucketExplode alignment failure
+    require(res > 0, s"rollup resolution must be positive, got $res")
     val s = Model.withSkey(samples)
       .withColumn(MetricCol, col(Model.LabelsCol).getItem(Model.NameLabel))
       .withColumn("wend",

@@ -355,6 +355,25 @@ class LlmSpec extends SparkSpec {
     assert(ties.toSeq == ties.sorted.toSeq && ties.nonEmpty)
   }
 
+  test("vocab builder: banded rank equals a global (cnt desc, token) rank on a large synthetic vocab") {
+    import graft.llm.Vocab
+    // 5000 distinct tokens, Zipf-ish counts with a hot cnt=2 band sharing
+    // prefixes — the shape whose rank was a single-task global sort
+    // before the banded rewrite.
+    val toks = (0 until 5000).flatMap { i =>
+      Seq.fill(2 + (i % 9))(s"tk${i % 37}x$i")
+    }
+    val d = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Vocab.buildVocab(d, minCount = 2, prefixLen = 2)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((t, c), i) => (t, c, i + 1) }
+    assert(got.length == 5000)
+    assert(got.toSeq == expect)
+  }
+
   test("tfidf: hand-checked scores, corpus-wide terms score zero, per-doc top-k") {
     val d2 = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidf(d2, topK = 2)

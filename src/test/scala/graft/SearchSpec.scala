@@ -85,10 +85,43 @@ class SearchSpec extends SparkSpec {
     SearchIndex.build(corpus, dir)
     val plan = SearchIndex.search(spark, dir, queries(1L -> "fox"), topK = 3)
       .queryExecution.executedPlan.toString
-    // static isin pruning on the pfx partition column reaches the scan
-    assert(plan.contains("pfx"))
+    // static isin pruning on the pfx partition column reaches the scan as
+    // a non-empty PartitionFilters entry (the MetricStoreSpec assertion —
+    // a mere mention of `pfx` in the plan would not prove pruning)
+    val pf = plan.split("\\n").map(_.trim).find(_.startsWith("PartitionFilters"))
+      .orElse(plan.split(", ").find(_.contains("PartitionFilters"))).getOrElse("")
+    assert(pf.contains("pfx") && !pf.contains("PartitionFilters: []"), pf)
     val pruned = SearchIndex.search(spark, dir, queries(1L -> "fox"), topK = 3)
     assert(pruned.count() >= 1)
+  }
+
+  test("maxDfFrac drops stopword-grade terms; rare-term ranking survives") {
+    // "the" is in 4 of 5 docs (df/N = 0.8), "fox" in 1 (0.2) — a 0.5 cap
+    // must remove "the"'s contribution entirely, so a the-laden query
+    // scores exactly like the rare-term-only query; cap off keeps it.
+    val c2 = docs(
+      1L -> "the fox den",
+      2L -> "the cat sat",
+      3L -> "the dog ran",
+      4L -> "the bird flew",
+      5L -> "owl hooted")
+    val qCapped = Search.bm25TopK(c2,
+      queries(1L -> "the the the fox"), topK = 5, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val qRare = Search.bm25TopK(c2, queries(1L -> "fox"), topK = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(qCapped == qRare && qRare.nonEmpty)
+    val qOff = Search.bm25TopK(c2, queries(1L -> "the fox"), topK = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // cap off: "the"-only docs (no fox) enter the candidate set
+    assert(qOff.size > qRare.size)
+    // store path takes the same cap
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchcap").toString
+    SearchIndex.build(c2, dir)
+    val sCapped = SearchIndex.search(spark, dir,
+      queries(1L -> "the the the fox"), topK = 5, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sCapped == qRare)
   }
 
   test("queries with no indexed terms return no rows; empty query drops out") {
