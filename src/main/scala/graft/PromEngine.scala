@@ -17,16 +17,24 @@ import graft.promql.Eval
   *        evaluation and shifted forward again in the output.
   */
 final class PromEngine(val collection: DataFrame, val queryStartTime: Option[Double] = None,
-                       val nativeHistograms: Map[String, DataFrame] = Map.empty) {
+                       val nativeHistograms: Map[String, DataFrame] = Map.empty,
+                       val rollupStores: Map[String, graft.sources.RollupStore.Registered] = Map.empty) {
 
   private lazy val keyed = Model.withSkey(collection)
-  private lazy val ctx = Eval.Ctx(keyed, nativeHistograms)
+  private lazy val ctx = Eval.Ctx(keyed, nativeHistograms, rollupStores)
 
   /** Register native-histogram frames ([[graft.operators.NativeHistogram]]
     * layout) by metric name; `histogram_quantile` over a registered name
     * dispatches to the map-only native walk. */
   def withNativeHistograms(m: Map[String, DataFrame]): PromEngine =
-    new PromEngine(collection, queryStartTime, m)
+    new PromEngine(collection, queryStartTime, m, rollupStores)
+
+  /** Register [[graft.sources.RollupStore]] handles by metric name:
+    * aligned avg/min/max/sum/count/last_over_time range queries are then
+    * served from the downsampled store instead of raw samples (identical
+    * results — see [[Eval.Ctx]]); everything else falls back to raw. */
+  def withRollups(m: Map[String, graft.sources.RollupStore.Registered]): PromEngine =
+    new PromEngine(collection, queryStartTime, nativeHistograms, m)
 
   lazy val (minTime, maxTime): (Double, Double) = {
     val r: Row = collection.agg(min(Model.TsCol), max(Model.TsCol)).head()
@@ -36,7 +44,8 @@ final class PromEngine(val collection: DataFrame, val queryStartTime: Option[Dou
   /** `set_query_start_time` (timeseries.rs:414-417). */
   def queryTimeOffset: Option[Double] = queryStartTime.map(_ - minTime)
 
-  def withStartTime(t: Double): PromEngine = new PromEngine(collection, Some(t), nativeHistograms)
+  def withStartTime(t: Double): PromEngine =
+    new PromEngine(collection, Some(t), nativeHistograms, rollupStores)
 
   /** Run a PromQL range query; start/end/step in the *query* time frame.
     * Output (labels, ts, value) with ts back in the query time frame. */

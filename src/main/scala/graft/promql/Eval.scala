@@ -32,9 +32,19 @@ object Eval {
     * ([[graft.operators.NativeHistogram]] layout). `histogram_quantile`
     * dispatches on the selector's metric name: registered native metrics
     * take the map-only sparse-bucket walk; everything else takes the
-    * classic Le-label path. All other functions see only the sample
-    * collection. */
-  final case class Ctx(df: DataFrame, native: Map[String, DataFrame] = Map.empty)
+    * classic Le-label path.
+    *
+    * `rollups` registers [[graft.sources.RollupStore]] handles by metric
+    * name (the recording-rule contract): an
+    * avg/min/max/sum/count/last_over_time over a registered metric whose
+    * range AND grid align to the store's frozen resolution is answered
+    * FROM THE STORE — reading ~range/res pre-aggregated buckets instead
+    * of every raw sample — and is bit-identical to the raw-sample path
+    * (the store's left-open buckets union exactly to the PromQL window;
+    * EngineSpec pins equality). Misaligned queries, offsets, and every
+    * other function fall back to raw samples transparently. */
+  final case class Ctx(df: DataFrame, native: Map[String, DataFrame] = Map.empty,
+                       rollups: Map[String, graft.sources.RollupStore.Registered] = Map.empty)
 
   /** Evaluate `query` against the collection and resample onto `grid`.
     * Output columns: (skey, labels, ts, value). */
@@ -147,12 +157,24 @@ object Eval {
 
     case FuncCall("deriv", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.derivOverTime)
 
-    case FuncCall("avg_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.avgOverTime)
-    case FuncCall("min_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.minOverTime)
-    case FuncCall("max_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.maxOverTime)
-    case FuncCall("sum_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.sumOverTime)
-    case FuncCall("count_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.countOverTime)
-    case FuncCall("last_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.lastOverTime)
+    case FuncCall("avg_over_time", args, agg) =>
+      rollupServed("avg_over_time", args, agg, collection, grid)
+        .getOrElse(evalOverTime(args, agg, collection, grid, RangeAgg.avgOverTime))
+    case FuncCall("min_over_time", args, agg) =>
+      rollupServed("min_over_time", args, agg, collection, grid)
+        .getOrElse(evalOverTime(args, agg, collection, grid, RangeAgg.minOverTime))
+    case FuncCall("max_over_time", args, agg) =>
+      rollupServed("max_over_time", args, agg, collection, grid)
+        .getOrElse(evalOverTime(args, agg, collection, grid, RangeAgg.maxOverTime))
+    case FuncCall("sum_over_time", args, agg) =>
+      rollupServed("sum_over_time", args, agg, collection, grid)
+        .getOrElse(evalOverTime(args, agg, collection, grid, RangeAgg.sumOverTime))
+    case FuncCall("count_over_time", args, agg) =>
+      rollupServed("count_over_time", args, agg, collection, grid)
+        .getOrElse(evalOverTime(args, agg, collection, grid, RangeAgg.countOverTime))
+    case FuncCall("last_over_time", args, agg) =>
+      rollupServed("last_over_time", args, agg, collection, grid)
+        .getOrElse(evalOverTime(args, agg, collection, grid, RangeAgg.lastOverTime))
     case FuncCall("present_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.presentOverTime)
     case FuncCall("stddev_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.stddevOverTime)
     case FuncCall("stdvar_over_time", args, agg) => evalOverTime(args, agg, collection, grid, RangeAgg.stdvarOverTime)
@@ -582,6 +604,54 @@ object Eval {
       case Unprocessed(_, _) => throw EvalException("'rate' requires a vectorized time series")
       case Processed(_) => throw EvalException("'rate' cannot process the processed yet")
       case ScalarQ(_) | StepScalar(_) => throw EvalException("The rate over a scalar is not meaningful")
+    }
+  }
+
+  /** The `*_over_time` functions the rollup store can answer (its partial
+    * rows carry exactly cnt/sum/min/max/first/last). */
+  private val RollupFns: Map[String, (org.apache.spark.sql.SparkSession,
+      String, String, Grid, Double, DataFrame => DataFrame) => DataFrame] = {
+    import graft.sources.RollupStore
+    Map(
+      "avg_over_time" -> (RollupStore.avgOverTime _),
+      "min_over_time" -> (RollupStore.minOverTime _),
+      "max_over_time" -> (RollupStore.maxOverTime _),
+      "sum_over_time" -> (RollupStore.sumOverTime _),
+      "count_over_time" -> (RollupStore.countOverTime _),
+      "last_over_time" -> (RollupStore.lastOverTime _))
+  }
+
+  /** Rollup-store dispatch (the recording-rule serving path): Some(result)
+    * when the call is a supported `*_over_time` over a PLAIN range selector
+    * whose metric has a registered [[graft.sources.RollupStore]] and whose
+    * range, grid start and grid step are all multiples of the store's
+    * frozen resolution — then the PromQL window `(t − range, t]` is an
+    * exact union of store buckets and the store answer is bit-identical to
+    * the raw-sample answer, at ~res/range of the read. None on ANY other
+    * shape (offset, subquery argument, misaligned range/grid, unregistered
+    * metric, aggregation modifier): the caller falls back to the raw path,
+    * so registration is purely an optimization, never a semantics change.
+    * Non-name matchers are pushed into the store scan as a series-level
+    * bucket filter (bucket labels ARE the series labels). */
+  private def rollupServed(name: String, args: Seq[Node], agg: Option[AggMod],
+                           collection: Ctx, grid: Grid): Option[QR] = {
+    if (agg.isDefined || collection.rollups.isEmpty) return None
+    args match {
+      case Seq(VectorSel(ms, Some(range), None)) =>
+        ms.filter(_.label == Model.NameLabel) match {
+          case Seq(Selector.Eq(_, metric)) =>
+            collection.rollups.get(metric)
+              .filter(reg => range > 0 && range % reg.res == 0 &&
+                grid.start % reg.res == 0 && grid.step % reg.res == 0)
+              .map { reg =>
+                val others = ms.filterNot(_.label == Model.NameLabel)
+                Processed(RollupFns(name)(
+                  collection.df.sparkSession, reg.dir, metric, grid, range,
+                  df => Selector.select(df, others)))
+              }
+          case _ => None
+        }
+      case _ => None
     }
   }
 

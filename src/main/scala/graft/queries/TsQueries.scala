@@ -147,6 +147,20 @@ object TsQueries {
     rollupOut(graft.sources.RollupStore.lastOverTime(
       spark, rollupStore(spark, dir), "events", grid, 3600.0))
 
+  /** The recording-rule SERVING path end-to-end: the PromQL string goes
+    * through [[graft.promql.Eval]] with the rollup store REGISTERED, so
+    * the aligned avg_over_time dispatches to the bucket store (matcher
+    * pushed into the store scan) instead of raw samples — and must match
+    * the raw-sample oracle ([[oracleAvgOverTime1h]]) bit-for-bit.
+    * RollupSpec separately proves the plan really reads the store. */
+  def rollupEval1h(spark: SparkSession, dir: String): DataFrame = {
+    val store = rollupStore(spark, dir)
+    val eng = engine(spark, dir).withRollups(
+      Map("events" -> graft.sources.RollupStore.register(spark, store)))
+    flat(eng.queryRangeRaw(
+      """avg_over_time(events{event_type="purchase"}[1h])""", grid))
+  }
+
   /** Subquery: inner instant vector on a 30m step-aligned grid, outer
     * max_over_time over 3h of those gridded samples. */
   def subqueryMax(spark: SparkSession, dir: String): DataFrame =
@@ -1600,6 +1614,7 @@ object TsQueries {
     "avg_over_time_1h" -> (avgOverTime1h _),
     "rollup_avg_1h" -> (rollupAvg1h _),
     "rollup_last_1h" -> (rollupLast1h _),
+    "rollup_eval_1h" -> (rollupEval1h _),
     "quantile_over_time_1h" -> (quantileOverTime1h _),
     "mad_over_time_1h" -> (madOverTime1h _),
     "idelta_1h" -> (idelta1h _),
@@ -1664,6 +1679,7 @@ object TsQueries {
     "avg_over_time_1h" -> oracleAvgOverTime1h,
     "rollup_avg_1h" -> oracleRollupAvg1h,
     "rollup_last_1h" -> oracleRollupLast1h,
+    "rollup_eval_1h" -> oracleAvgOverTime1h,
     "quantile_over_time_1h" -> oracleQuantileOverTime1h,
     "mad_over_time_1h" -> oracleMadOverTime1h,
     "idelta_1h" -> oracleIdelta1h,

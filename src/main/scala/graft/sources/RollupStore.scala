@@ -43,6 +43,14 @@ object RollupStore {
 
   private val MetricCol = "__metric__"
 
+  /** A store handle with its frozen resolution pre-read — what
+    * [[graft.promql.Eval]] keys its dispatch table on (reading res per
+    * query would add a parquet round-trip to every eval). */
+  final case class Registered(dir: String, res: Double)
+
+  def register(spark: SparkSession, dir: String): Registered =
+    Registered(dir, readRes(spark, dir))
+
   /** Partial rollup rows for one batch of samples (the write-side shape). */
   def rollup(samples: DataFrame, res: Double): DataFrame = {
     // res == 0 would divide to null/infinite wend and silently corrupt the
@@ -109,10 +117,15 @@ object RollupStore {
 
   /** One metric's buckets with partials merged — the read-side contract.
     * The metric filter lands on the PARTITION column (TsSink's pruning
-    * rule), and every merge below is exact (see object doc). */
-  def mergedBuckets(spark: SparkSession, dir: String, metric: String): DataFrame =
-    spark.read.parquet(s"$dir/rollup.parquet")
-      .filter(col(MetricCol) === metric)
+    * rule), and every merge below is exact (see object doc). `where` is a
+    * SERIES-level filter (label matchers) applied to the raw partial rows
+    * BEFORE the merge groupBy — every partial row carries the series
+    * labels, so filtering partials ≡ filtering merged buckets, and the
+    * predicate sits directly on the scan instead of above the aggregate. */
+  def mergedBuckets(spark: SparkSession, dir: String, metric: String,
+                    where: DataFrame => DataFrame = identity): DataFrame =
+    where(spark.read.parquet(s"$dir/rollup.parquet")
+      .filter(col(MetricCol) === metric))
       .groupBy(col(Model.SkeyCol), col("wend"))
       .agg(
         first(Model.LabelsCol).as(Model.LabelsCol),
@@ -155,9 +168,10 @@ object RollupStore {
 
   private def overWindows(spark: SparkSession, dir: String, metric: String,
                           grid: Grid, range: Double,
-                          aggs: Seq[Column], value: Column): DataFrame = {
+                          aggs: Seq[Column], value: Column,
+                          where: DataFrame => DataFrame): DataFrame = {
     val res = readRes(spark, dir)
-    bucketExplode(mergedBuckets(spark, dir, metric), grid, range, res)
+    bucketExplode(mergedBuckets(spark, dir, metric, where), grid, range, res)
       .groupBy(col(Model.SkeyCol), col("__k__"))
       .agg(first(Model.LabelsCol).as(Model.LabelsCol), aggs: _*)
       .select(col(Model.SkeyCol), col(Model.LabelsCol),
@@ -168,36 +182,42 @@ object RollupStore {
     * counts per window — the exact sample mean (weighting falls out of the
     * sums; never an average of bucket averages). */
   def avgOverTime(spark: SparkSession, dir: String, metric: String,
-                  grid: Grid, range: Double): DataFrame =
+                  grid: Grid, range: Double,
+                  where: DataFrame => DataFrame = identity): DataFrame =
     overWindows(spark, dir, metric, grid, range,
       Seq(sum("sum").as("__s__"), sum("cnt").as("__c__")),
-      col("__s__") / col("__c__").cast(DoubleType))
+      col("__s__") / col("__c__").cast(DoubleType), where)
 
   def sumOverTime(spark: SparkSession, dir: String, metric: String,
-                  grid: Grid, range: Double): DataFrame =
+                  grid: Grid, range: Double,
+                  where: DataFrame => DataFrame = identity): DataFrame =
     overWindows(spark, dir, metric, grid, range,
-      Seq(sum("sum").as("__s__")), col("__s__"))
+      Seq(sum("sum").as("__s__")), col("__s__"), where)
 
   def countOverTime(spark: SparkSession, dir: String, metric: String,
-                    grid: Grid, range: Double): DataFrame =
+                    grid: Grid, range: Double,
+                    where: DataFrame => DataFrame = identity): DataFrame =
     overWindows(spark, dir, metric, grid, range,
-      Seq(sum("cnt").as("__c__")), col("__c__").cast(DoubleType))
+      Seq(sum("cnt").as("__c__")), col("__c__").cast(DoubleType), where)
 
   def minOverTime(spark: SparkSession, dir: String, metric: String,
-                  grid: Grid, range: Double): DataFrame =
+                  grid: Grid, range: Double,
+                  where: DataFrame => DataFrame = identity): DataFrame =
     overWindows(spark, dir, metric, grid, range,
-      Seq(min("min").as("__m__")), col("__m__"))
+      Seq(min("min").as("__m__")), col("__m__"), where)
 
   def maxOverTime(spark: SparkSession, dir: String, metric: String,
-                  grid: Grid, range: Double): DataFrame =
+                  grid: Grid, range: Double,
+                  where: DataFrame => DataFrame = identity): DataFrame =
     overWindows(spark, dir, metric, grid, range,
-      Seq(max("max").as("__m__")), col("__m__"))
+      Seq(max("max").as("__m__")), col("__m__"), where)
 
   /** `last_over_time` from the store: the window's latest bucket's last
     * sample — float-arithmetic-free, so the gate is bit-exact. */
   def lastOverTime(spark: SparkSession, dir: String, metric: String,
-                   grid: Grid, range: Double): DataFrame =
+                   grid: Grid, range: Double,
+                   where: DataFrame => DataFrame = identity): DataFrame =
     overWindows(spark, dir, metric, grid, range,
       Seq(max(struct(col("last_ts").as("t"), col("last_v").as("v"))).as("__l__")),
-      col("__l__.v"))
+      col("__l__.v"), where)
 }

@@ -80,6 +80,51 @@ class RollupSpec extends SparkSpec {
     assert(out == Map(300.0 -> 7.0, 600.0 -> 3.0))
   }
 
+  test("Eval serves aligned *_over_time from a registered rollup; identical to raw") {
+    // two series so the non-name matcher path (bucket-level filter) is hit
+    val coll = (1 to 60).flatMap(i =>
+        Seq(("x", i * 97.0, math.sin(i) * 5), ("y", i * 103.0, math.cos(i) * 3)))
+      .toDF("a", "ts", "value")
+      .withColumn("labels", map(lit(Model.NameLabel), lit("m"), lit("a"), col("a")))
+      .select("labels", "ts", "value")
+    val dir = tmp("graft-ru-eval")
+    RollupStore.build(Model.withSkey(coll), dir, 300.0)
+    val eng = new PromEngine(coll)
+    val engR = eng.withRollups(Map("m" -> RollupStore.register(spark, dir)))
+    val g = Grid(600.0, 6000.0, 600.0)
+    def rows(df: DataFrame): Map[(String, Double), Double] =
+      df.collect().map(r => (r.getAs[String](Model.SkeyCol),
+        r.getAs[Double](Model.TsCol)) -> (r.get(3) match {
+          case d: Double => d; case l: Long => l.toDouble })).toMap
+    for (fn <- Seq("avg_over_time", "min_over_time", "max_over_time",
+                   "sum_over_time", "count_over_time", "last_over_time");
+         q <- Seq(s"$fn(m[10m])", s"""$fn(m{a="x"}[10m])""")) {
+      val served = engR.queryRangeRaw(q, g)
+      // the served plan reads the bucket store, never the raw collection
+      assert(served.queryExecution.executedPlan.toString.contains(dir),
+        s"$q not store-served")
+      val raw = rows(eng.queryRangeRaw(q, g))
+      val got = rows(served)
+      assert(got.keySet == raw.keySet, s"$q instants")
+      // min/max/count/last are copied values — exact; avg/sum are float
+      // sums whose partial order differs between the paths (ULP-level)
+      val tol = if (fn.startsWith("avg") || fn.startsWith("sum")) 1e-9 else 0.0
+      got.keys.foreach(k => assert(math.abs(got(k) - raw(k)) <= tol, s"$q @ $k"))
+    }
+    // misaligned range, offsets, unsupported functions: transparent fallback
+    for (q <- Seq("avg_over_time(m[7m])", "avg_over_time(m[10m] offset 5m)",
+                  "stddev_over_time(m[10m])")) {
+      val fell = engR.queryRangeRaw(q, g)
+      assert(!fell.queryExecution.executedPlan.toString.contains(dir),
+        s"$q unexpectedly store-served")
+      assert(rows(fell) == rows(eng.queryRangeRaw(q, g)), s"$q fallback drifted")
+    }
+    // misaligned grid: dispatch declines (raw path serves)
+    val gOdd = Grid(450.0, 4050.0, 600.0)
+    assert(!engR.queryRangeRaw("avg_over_time(m[10m])", gOdd)
+      .queryExecution.executedPlan.toString.contains(dir))
+  }
+
   test("misaligned range or grid is rejected") {
     val dir = tmp("graft-ru-align")
     RollupStore.build(Model.withSkey(samples(100.0 -> 1.0)), dir, 300.0)
