@@ -82,6 +82,16 @@ object AnnSweep {
       println(f"| PQ | m=$m subspaces, $cbk codes, lloyd=$it (${Ann.Dims * 4 / m}x compression) " +
         f"| $r%.3f | $m bytes/vec | $s%.1f |")
     }
+    // OPQ: the same PQ budgets with the eigenvalue-allocated PCA rotation
+    // ahead of quantization — the recall delta at FIXED bytes/vector is
+    // the whole point of the rotation.
+    for ((m, cbk, it) <- Seq((8, 16, 0), (8, 64, 0), (8, 256, 0),
+        (8, 64, 3), (16, 256, 3))) {
+      val (r, s, _) = recallAndTime(
+        Ann.opqPqTopK(emb, queries, 5, m, cbk, codebookIters = it))
+      println(f"| OPQ×PQ | m=$m subspaces, $cbk codes, lloyd=$it " +
+        f"| $r%.3f | $m bytes/vec | $s%.1f |")
+    }
     // IVF×PQ: list pruning AND compressed scoring — recall vs the candidate
     // fraction an ADC lookup actually sees (the production shape).
     for ((c, np, ma, m, cbk, it) <- Seq(

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, TextAnalysis}
+import graft.llm.{CentroidStore, Curation, Dedup, DedupIndex, SketchStore,
+  SubstrIndex, TextAnalysis}
 
 /** End-to-end training-data curation runner: the spark-submit-able
   * composition of the library's LLM operators over a documents table —
@@ -28,6 +29,23 @@ import graft.llm.{Curation, Dedup, TextAnalysis}
   *          [--budget <tokens-per-source>] [--min-quality <0..1>]
   *          [--benchmark <eval-set.jsonl>] [--chunks <size>,<stride>]
   *          [--gopher <minWords>,<minStop>]  (rule-battery pre-filter)
+  *          [--state-dir <dir>]  (incremental mode — see below)
+  *          [--embeddings]       (with --state-dir: also semantic-dedup
+  *                                against the stored centroid model, using
+  *                                `<docsDir>/embeddings.parquet`)
+  *
+  * INCREMENTAL MODE (`--state-dir`): the rolling-crawl composition of the
+  * persistent stores. The first run seeds `<state>/minhash`
+  * ([[graft.llm.DedupIndex]]), `<state>/substr` ([[graft.llm.SubstrIndex]]),
+  * `<state>/sketches` ([[graft.llm.SketchStore]]) and — with
+  * `--embeddings` — `<state>/centroids` ([[graft.llm.CentroidStore]]) from
+  * the batch's dedup survivors. Every later run dedups its batch against
+  * everything those stores already hold (near-dup, substring and semantic,
+  * each store probed with the batch broadcast — no prior crawl is ever
+  * rescanned), appends the new survivors, and folds the kept docs into the
+  * sketch store so corpus-wide stats stay one bounded read away. Batches
+  * must arrive with monotonically increasing doc_ids (the store
+  * first-occurrence convention: earlier id = earlier crawl).
   *
   * Writes `<outDir>/corpus` (doc_id, text_redacted, lang, quality_score,
   * source, first_block, last_block, block_offset) and prints one JSON
@@ -50,6 +68,8 @@ object Pipeline {
     val gopherSpec = flagValue("--gopher").map { s =>
       val Array(a, b) = s.split(","); (a.toLong, b.toInt)
     }
+    val stateDir = flagValue("--state-dir")
+    val withEmb = args.contains("--embeddings")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -63,7 +83,9 @@ object Pipeline {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     run(spark, docs, outDir, budget, minQuality,
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
-      chunks = chunkSpec, gopher = gopherSpec)
+      chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
+      embeddings = if (withEmb)
+        Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
     spark.stop()
   }
 
@@ -73,7 +95,11 @@ object Pipeline {
           budget: Long, minQuality: Double,
           benchmark: Option[DataFrame] = None,
           chunks: Option[(Int, Int)] = None,
-          gopher: Option[(Long, Int)] = None): DataFrame = {
+          gopher: Option[(Long, Int)] = None,
+          stateDir: Option[String] = None,
+          embeddings: Option[DataFrame] = None,
+          minJaccard: Double = 0.8, minKeep: Double = 0.5,
+          semTau: Double = 0.95): DataFrame = {
     def stat(stage: String, n: Long): Unit =
       println(s"""{"stage":"$stage","rows":$n}""")
     stat("input", docs.count())
@@ -97,15 +123,16 @@ object Pipeline {
     }
     if (benchmark.isDefined) stat("after_decontamination", clean.count())
 
-    // 1-2: exact dedup, then near-dup cluster resolution on the survivors
+    // 1-2: exact dedup, then near-dup resolution on the survivors —
+    // batch-local (one-shot mode) or against the persistent crawl state
+    // (incremental mode: the batch probes the stores, never the reverse)
     val exactKeepers = Dedup.exact(clean).select("doc_id")
     val afterExact = clean.join(exactKeepers, "doc_id")
-    val pairs = Dedup.minhashLsh(afterExact, minJaccard = 0.8)
-      .select(col("doc_a"), col("doc_b"))
-    val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)
-    val nearDupLosers = clusters.filter(col("doc_id") =!= col("cluster"))
-      .select("doc_id")
-    val deduped = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val deduped = stateDir match {
+      case None => dedupLocal(afterExact, minJaccard)
+      case Some(sd) => dedupIncremental(spark, sd, afterExact,
+        embeddings, minJaccard, minKeep, semTau, stat)
+    }
     stat("after_dedup", deduped.count())
 
     // 3: passage-removal accounting rides along as columns
@@ -142,6 +169,20 @@ object Pipeline {
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
     stat("corpus", spark.read.parquet(s"$outDir/corpus").count())
 
+    // incremental mode: fold the RELEASED docs into the sketch store
+    // (lang-keyed HLL/quantiles + token count-min), so corpus-wide stats
+    // accumulate across crawls without ever rescanning a prior batch
+    stateDir.foreach { sd =>
+      val released = docs.join(
+        spark.read.parquet(s"$outDir/corpus").select("doc_id"), "doc_id")
+      val sk = s"$sd/sketches"
+      if (storeExists(spark, s"$sk/qbins.parquet"))
+        SketchStore.append(released, sk)
+      else SketchStore.build(released, sk)
+      stat("sketch_store_groups",
+        SketchStore.hllEstimates(spark, sk).count())
+    }
+
     // 8 (optional): a RAG-ready chunked view of the curated corpus —
     // sliding windows over the REDACTED text, so chunks never resurface
     // PII the corpus itself scrubbed. Map-only over the emitted parquet.
@@ -159,6 +200,94 @@ object Pipeline {
     // the right tool at corpus scale, exactness buys nothing in a summary)
     writeDataCard(spark, outDir, docs.count())
     corpus
+  }
+
+  /** One-shot near-dup stage: MinHash-LSH pairs → connected components,
+    * keep each cluster's smallest doc_id (first-occurrence-wins). */
+  private def dedupLocal(afterExact: DataFrame, minJaccard: Double): DataFrame = {
+    val pairs = Dedup.minhashLsh(afterExact, minJaccard = minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)
+    val nearDupLosers = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Incremental near-dup stage against the persistent crawl state.
+    *
+    * First run (no `<state>/minhash` yet): runs the one-shot stage
+    * batch-locally (plus substring and — with embeddings — semantic
+    * dedup, so every store starts from the same survivor set), then
+    * SEEDS each store from the survivors.
+    *
+    * Later runs: each store's `dedupStep`/`semDedupAgainst` probe — the
+    * batch dedups against everything indexed before it AND within itself
+    * under that store's own first-occurrence rule, and only survivors'
+    * postings/grams/vectors are appended. Store order is cheapest-
+    * strongest first (MinHash drops whole near-dup docs before the
+    * substring probe prices partial overlap; the semantic probe sees only
+    * what survived both). Every probe broadcasts the batch side — prior
+    * crawls are never rescanned or reshuffled ([[graft.llm.DedupIndex]]
+    * scaladoc has the full scale argument).
+    *
+    * Returns the surviving batch docs (all columns). The semantic stage
+    * keys `embeddings.vec_id` to `doc_id`. */
+  private def dedupIncremental(spark: SparkSession, sd: String,
+      afterExact: DataFrame, embeddings: Option[DataFrame],
+      minJaccard: Double, minKeep: Double, semTau: Double,
+      stat: (String, Long) => Unit): DataFrame = {
+    val mh = s"$sd/minhash"; val sub = s"$sd/substr"; val cen = s"$sd/centroids"
+    if (!storeExists(spark, s"$mh/meta.parquet")) {
+      // first crawl: batch-local dedup, then seed the stores
+      val d1 = dedupLocal(afterExact, minJaccard)
+      val cov = Curation.dedupSubstr(d1).filter(col("kept_frac") >= minKeep)
+      val d2 = d1.join(cov.select("doc_id"), "doc_id")
+      val d3 = embeddings.fold(d2) { emb =>
+        val vecs = emb.select("vec_id", "embedding")
+          .join(d2.select(col("doc_id").as("vec_id")), "vec_id")
+        val keep = Dedup.semDedup(vecs, semTau).filter(col("keep"))
+          .select(col("vec_id").as("doc_id"))
+        CentroidStore.build(
+          vecs.join(keep.select(col("doc_id").as("vec_id")), "vec_id"), cen)
+        d2.join(keep, "doc_id")
+      }
+      // the stores hold exactly the retained text/vectors; localCheckpoint
+      // pins the survivor set (the SubstrIndex lineage rule) before the
+      // seed writes it three ways
+      val seed = d3.localCheckpoint(true)
+      DedupIndex.build(seed, mh)
+      SubstrIndex.build(seed, sub)
+      stat("state_seeded", seed.count())
+      seed
+    } else {
+      val s1 = DedupIndex.dedupStep(spark, mh, afterExact, minJaccard)
+      stat("after_minhash_state", s1.count())
+      val s2 = s1.join(
+        SubstrIndex.dedupStep(spark, sub, s1, minKeep).select("doc_id"),
+        "doc_id")
+      stat("after_substr_state", s2.count())
+      val out = embeddings.fold(s2) { emb =>
+        val vecs = emb.select("vec_id", "embedding")
+          .join(s2.select(col("doc_id").as("vec_id")), "vec_id")
+        // eager: the verdicts must pin against the PRE-append member store
+        val sem = CentroidStore.semDedupAgainst(spark, cen, vecs, semTau)
+          .localCheckpoint(true)
+        val keep = sem.filter(col("keep")).select(col("vec_id"))
+        CentroidStore.append(cen, vecs.join(keep, "vec_id"))
+        s2.join(keep.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      }
+      // pin the survivors BEFORE releasing s1: out's lazy plan reads both
+      // the persisted s1 and the just-appended stores, so only a severed
+      // lineage is safe to hand downstream
+      val pinned = out.localCheckpoint(true)
+      s1.unpersist() // dedupStep's contract: caller unpersists when done
+      pinned
+    }
+  }
+
+  private def storeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Aggregate release metadata over `<outDir>/corpus`: language/source

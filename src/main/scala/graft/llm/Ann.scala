@@ -533,6 +533,37 @@ object Ann {
     pqRank(scored, k)
   }
 
+  /** PQ / IVF×PQ over OPQ-rotated vectors — [[Pca.fitOpq]]'s full-rank
+    * PCA + eigenvalue-allocation rotation applied to corpus and queries
+    * BEFORE quantization (Ge et al.'s parametric OPQ). An orthogonal
+    * rotation preserves every pairwise L2 distance, so the ranking metric
+    * is unchanged; what moves is where the quantizer's error lands —
+    * decorrelated, variance-balanced subspaces quantize tighter at the
+    * SAME m·log2(codebookSize) bits/vector, which is the whole lever
+    * (the §6 sweep showed PQ quantization error is the recall ceiling).
+    * The rotation is fit on the corpus only (queries are rotated with the
+    * frozen model — the [[AnnIndex]] frozen-model rule), and both paths
+    * downstream are byte-for-byte the unrotated operators. */
+  def opqPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 8, codebookSize: Int = 16,
+                pcaIters: Int = 4, codebookIters: Int = 3): DataFrame = {
+    val model = Pca.fitOpq(corpus, m, pcaIters)
+    pqTopK(Pca.rotate(corpus, model), Pca.rotate(queries, model), k,
+      m, codebookSize, normalize = false, codebookIters = codebookIters)
+  }
+
+  /** [[ivfPqTopK]] with the OPQ rotation ahead of BOTH the coarse
+    * quantizer and the codebook — the composed production shape. */
+  def opqIvfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nCentroids: Int = 128, nprobe: Int = 4,
+                   multiAssign: Int = 2, m: Int = 8, codebookSize: Int = 16,
+                   pcaIters: Int = 4, codebookIters: Int = 3): DataFrame = {
+    val model = Pca.fitOpq(corpus, m, pcaIters)
+    ivfPqTopK(Pca.rotate(corpus, model), Pca.rotate(queries, model), k,
+      nCentroids, nprobe, multiAssign, m, codebookSize,
+      normalize = false, codebookIters = codebookIters)
+  }
+
   /** IVF×PQ with exact re-ranking — the standard production recall
     * recovery (Jégou et al.'s IVFADC+R): the compressed index picks a
     * `rerank`-sized shortlist per query (cheap, m-byte codes), then the
@@ -578,9 +609,18 @@ object Ann {
                  nTables: Int = 8, planesPerTable: Int = 4,
                  maxBucket: Int = 10000): DataFrame = {
     val bucketed = bucketTables(corpus, nTables, planesPerTable)
-    val cand = bucketed.groupBy("tbl", "bucket")
+    // Pre-count bucket sizes and keep only in-cap buckets BEFORE any
+    // member list is built (the dedupNgram/semDedup two-pass shape): a
+    // degenerate bucket shared by 10⁸ boilerplate vectors is dropped by a
+    // map-side-combinable counter, never accumulated as a multi-GB
+    // aggregation buffer.
+    val ok = bucketed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("__c__"))
+      .filter(col("__c__").between(2, maxBucket))
+      .select("tbl", "bucket")
+    val cand = bucketed.join(ok, Seq("tbl", "bucket"))
+      .groupBy("tbl", "bucket")
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(expr(
         "flatten(transform(ds, a -> transform(filter(ds, b -> a.vec_id < b.vec_id), " +
           "b -> struct(a.vec_id as vec_a, a.embedding as aemb, b.vec_id as vec_b, b.embedding as bemb))))")).as("p"))
@@ -590,5 +630,42 @@ object Ann {
     cand.select(col("vec_a"), col("vec_b"),
         nativeScore(corpus, "aemb", "bemb").as("cos"))
       .filter(col("cos") >= minCosine)
+  }
+
+  /** Contrastive hard-negative mining (the DPR / SimCSE / E5 training-pair
+    * builder — for each anchor, the most-similar corpus vectors that are
+    * NOT near-duplicates): candidate pairs come from the [[lshNearDup]]
+    * multi-table buckets (so candidates are already the LSH-nearest slice
+    * of the corpus — exactly where hard negatives live — and the pair
+    * budget is the bucketed one, never all-pairs), each pair symmetrized
+    * so both endpoints serve as anchors; candidates at round-6 cosine ≥
+    * `posTau` are POSITIVES (near-dup territory — training on them as
+    * negatives would teach the encoder to separate paraphrases) and are
+    * excluded; the rest rank per anchor by (cos desc, cand_id asc), top
+    * `kNeg` kept.
+    *
+    * Scale shape: one bucketing pass + the in-cap pair explode
+    * ([[lshNearDup]]'s, with the pre-counted bucket guard); symmetrize is
+    * an in-row 2-element explode over the pair list (NOT a self-union,
+    * which would re-evaluate the whole bucketing+cosine subtree twice);
+    * the per-anchor window partition is the anchor's bucket-candidate
+    * set — bounded by tables × maxBucket. Output: (anchor_id, cand_id,
+    * cos, rk). */
+  def hardNegatives(corpus: DataFrame, kNeg: Int = 5, posTau: Double = 0.9,
+                    nTables: Int = 8, planesPerTable: Int = 4,
+                    maxBucket: Int = 10000): DataFrame = {
+    val pairs = lshNearDup(corpus, -1.0, nTables, planesPerTable, maxBucket)
+    val sym = pairs.select(explode(array(
+        struct(col("vec_a").as("anchor_id"), col("vec_b").as("cand_id"),
+          col("cos")),
+        struct(col("vec_b").as("anchor_id"), col("vec_a").as("cand_id"),
+          col("cos")))).as("p"))
+      .select(col("p.anchor_id").as("anchor_id"),
+        col("p.cand_id").as("cand_id"), col("p.cos").as("cos"))
+    val negs = sym.filter(col("cos") < posTau)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy(col("cos").desc, col("cand_id").asc)
+    negs.withColumn("rk", row_number().over(w)).filter(col("rk") <= kNeg)
+      .select("anchor_id", "cand_id", "cos", "rk")
   }
 }

@@ -144,4 +144,94 @@ object Pca {
 
   def fitProject(emb: DataFrame, k: Int = 2, iters: Int = 4): DataFrame =
     project(emb, fit(emb, k, iters))
+
+  /** OPQ-style parametric rotation (Ge et al., CVPR 2013, the "OPQ-P"
+    * variant): a FULL-rank PCA fit whose components are then permuted by
+    * greedy eigenvalue allocation — components sorted by variance
+    * descending, each assigned to the product-quantizer subspace with the
+    * smallest running log-variance product (subspaces hold Dims/m
+    * components each) — so every subspace quantizes a comparable share of
+    * the corpus variance instead of the raw layout's lopsided split. The
+    * returned Model's component order IS the allocation: [[rotate]] lays
+    * subspace b's components at rows [b·Dims/m, (b+1)·Dims/m).
+    *
+    * An orthogonal rotation preserves pairwise L2 distances, so PQ over
+    * rotated vectors ranks the SAME metric as PQ over raw vectors — the
+    * rotation only moves quantization error, which is exactly the recall
+    * ceiling the SURVEY §6 sweep measured (deflated power iteration keeps
+    * the fit deterministic; the round-6 component quantization bounds
+    * orthogonality error at ~1e-6 per entry, noise next to PQ's own
+    * quantization error). */
+  def fitOpq(emb: DataFrame, m: Int, iters: Int = 4): Model = {
+    require(Dims % m == 0, s"m=$m must divide Dims=$Dims")
+    val w = Dims / m
+    val raw = fit(emb, Dims, iters)
+    // Distance preservation needs an EXACTLY orthogonal matrix, which
+    // deflated power iteration at full rank cannot deliver (the noise
+    // spectrum's clustered eigenvalues converge slowly, and the round-6
+    // per-iteration quantization compounds through 64 deflations —
+    // measured ~1% pairwise-distance drift). Re-orthonormalize in fit
+    // order: eigen-direction accuracy only shapes WHERE quantization
+    // error lands (any near-PCA basis balances fine); orthogonality is
+    // what PQ's L2 ranking rides on, so it is restored to machine
+    // precision here. Deterministic: plain driver-side double math over
+    // a deterministic fit.
+    val full = Model(raw.means, gramSchmidt(raw.components), raw.eigenvalues)
+    val order = (0 until Dims).sortBy(c => (-full.eigenvalues(c), c))
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    val logProd = Array.fill(m)(0.0)
+    for (c <- order) {
+      val b = (0 until m).filter(buckets(_).size < w)
+        .minBy(b => (logProd(b), b))
+      buckets(b) :+= c
+      logProd(b) += math.log(math.max(full.eigenvalues(c), 1e-12))
+    }
+    val perm = buckets.flatMap(identity)
+    Model(full.means,
+      perm.map(full.components).toArray,
+      perm.map(full.eigenvalues).toArray)
+  }
+
+  /** Modified Gram-Schmidt with one re-orthogonalization pass (the
+    * "twice is enough" rule): returns an orthonormal basis spanning the
+    * same flags as the input, in input order. */
+  private def gramSchmidt(vs: Array[Array[Double]]): Array[Array[Double]] = {
+    val out = Array.ofDim[Double](vs.length, Dims)
+    for (i <- vs.indices) {
+      val v = vs(i).clone()
+      for (_ <- 0 until 2; j <- 0 until i) {
+        val d = dotL(v, out(j))
+        var t = 0
+        while (t < Dims) { v(t) -= d * out(j)(t); t += 1 }
+      }
+      val nm = math.sqrt(dotL(v, v))
+      require(nm > 1e-8,
+        s"component $i collapsed under orthogonalization - rank-deficient fit")
+      out(i) = v.map(_ / nm)
+    }
+    out
+  }
+
+  /** Apply a full-rank model as a rotation: (idCol, vecCol) with the
+    * embedding replaced by its centered projection onto ALL components,
+    * back in float (the PQ input type). One typedLit matrix + higher-order
+    * array ops per row — a pure map whatever the corpus size; each output
+    * coordinate is a fixed-order left fold, so the rotation is
+    * deterministic across runs and partitionings. */
+  def rotate(emb: DataFrame, model: Model, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(model.components.length == Dims,
+      s"rotation needs a full-rank model: ${model.components.length} != $Dims")
+    val comps = typedLit(model.components.map(_.toSeq).toSeq)
+    val meansL = typedLit(model.means.toSeq)
+    val centered = transform(col(vecCol),
+      (x, j) => x.cast(DoubleType) - element_at(meansL, j + 1))
+    emb
+      .withColumn("__c__", centered)
+      .select(col(idCol),
+        transform(sequence(lit(1), lit(Dims)), i =>
+          aggregate(
+            zip_with(element_at(comps, i), col("__c__"), (a, b) => a * b),
+            lit(0.0), (acc, p) => acc + p).cast(FloatType)).as(vecCol))
+  }
 }

@@ -134,6 +134,58 @@ object Search {
                maxDfFrac: Double = 1.0): DataFrame =
     scoreBm25(postings(docs), queryTerms(queries),
       broadcast(corpusStats(docs)), topK, k1, b, maxDfFrac)
+
+  /** Hybrid retrieval: the sparse (BM25) and dense (embedding-cosine)
+    * stacks fused by reciprocal-rank fusion (Cormack, Clarke & Büttcher,
+    * SIGIR 2009) — the standard zero-training way to combine
+    * incomparable scores:
+    *
+    *   rrf(q, d) = Σ_systems 1 / (kRrf + rank_sys(q, d))
+    *
+    * over each system's top-`kRetrieve` (absent docs contribute 0), with
+    * the Cormack kRrf = 60 default. Rank fusion beats score fusion here
+    * because BM25 sums and cosines live on unrelated scales; ranks are
+    * also exactly reproducible across engines (integers), so the fused
+    * ordering is deterministic wherever the two constituent rankings are.
+    *
+    * `queries` is (query_id, qtext); `qvecs` is (query_id, embedding) in
+    * the same id space. Scale shape: each constituent ranking is its
+    * operator's own shape (one corpus scan each — [[bm25TopK]]'s
+    * broadcast-probe aggregate, [[Ann.bruteTopK]]'s broadcast crossJoin,
+    * swappable for [[Ann.ivfPqTopK]] at corpus scale); the fusion itself
+    * joins two ≤ queries·kRetrieve-row frames — model-sized, never
+    * corpus-sized. The per-query window partitions hold ≤ 2·kRetrieve
+    * rows by construction. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+                queries: DataFrame, qvecs: DataFrame,
+                topK: Int = 5, kRetrieve: Int = 10, kRrf: Int = 60,
+                k1: Double = 1.2, b: Double = 0.75,
+                maxDfFrac: Double = 1.0): DataFrame = {
+    val lex = bm25TopK(docs, queries, kRetrieve, k1, b, maxDfFrac)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val sem = Ann.bruteTopK(emb,
+        qvecs.select(col("query_id").as("vec_id"), col("embedding")),
+        kRetrieve)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("rk_sem"))
+    fuseRrf(lex, sem, topK, kRrf)
+  }
+
+  /** The RRF fusion tail shared by [[hybridRrf]] and
+    * [[SearchIndex.hybridFromStores]]: full-outer join of the two rank
+    * lists (model-sized frames), lex-first coalesce sum, round-6,
+    * (rrf desc, doc_id asc) final ranks. */
+  private[llm] def fuseRrf(lex: DataFrame, sem: DataFrame, topK: Int,
+                           kRrf: Int): DataFrame = {
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rk_sem")), lit(0.0)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("query_id", "doc_id", "rk_lex", "rk_sem", "rrf", "rk")
+  }
 }
 
 /** Persistent inverted index for [[Search]] — the rolling-crawl lifecycle
@@ -239,5 +291,32 @@ object SearchIndex {
       .select("token", "doc_id", "tf", "dl")
     val stats = spark.read.parquet(s"$dir/stats.parquet")
     Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b, maxDfFrac)
+  }
+
+  /** [[Search.hybridRrf]] served entirely FROM the persistent stores —
+    * the production retrieval endpoint shape: the sparse ranking comes
+    * from this inverted index ([[search]]: prefix-pruned postings scan,
+    * bit-equal to whole-corpus BM25 after any append sequence) and the
+    * dense ranking from a [[AnnIndex]] IVF×PQ store ([[AnnIndex.query]]:
+    * cent_id-pruned m-bytes-per-vector codes, frozen model), fused by the
+    * same RRF tail. NOTHING rescans or re-tokenizes the corpus at query
+    * time: both probes read partition-pruned slices of their stores, and
+    * the fusion joins two model-sized rank lists. The dense ranks are the
+    * compressed index's (ADC) ranks — at corpus scale that is the point;
+    * swap in [[AnnIndex.queryRerank]] upstream when exact top ranks are
+    * worth the shortlist re-read. */
+  def hybridFromStores(spark: SparkSession, searchDir: String,
+                       annDir: String, queries: DataFrame, qvecs: DataFrame,
+                       topK: Int = 5, kRetrieve: Int = 10, kRrf: Int = 60,
+                       nprobe: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+                       maxDfFrac: Double = 1.0): DataFrame = {
+    val lex = search(spark, searchDir, queries, kRetrieve, k1, b, maxDfFrac)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val sem = AnnIndex.query(spark, annDir,
+        qvecs.select(col("query_id").as("vec_id"), col("embedding")),
+        kRetrieve, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("rk_sem"))
+    Search.fuseRrf(lex, sem, topK, kRrf)
   }
 }

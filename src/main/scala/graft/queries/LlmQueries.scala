@@ -112,6 +112,51 @@ object LlmQueries {
     graft.llm.SearchIndex.search(spark, store, qs, topK = 5)
   }
 
+  /** Hybrid sparse+dense retrieval: the bm25 corpus/query split mirrored
+    * onto the embeddings table (vec_id and doc_id share an id space), both
+    * constituent top-10 rankings fused by RRF (kRrf = 60), top-5 kept. */
+  def searchHybridQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    val e = emb(spark, dir)
+    graft.llm.Search.hybridRrf(
+      corpus, e.filter(col("vec_id") % 101 =!= 5), qs,
+      e.filter(col("vec_id") % 101 === 5)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      topK = 5, kRetrieve = 10)
+  }
+
+  /** Hybrid retrieval served entirely FROM the persistent stores: build
+    * the inverted index in two batches (lifecycle exercised), build the
+    * IVF×PQ index once, fuse both store-served rankings. Query split is
+    * `% 101 == 97` (not the bm25 gates' 5) so the ANN corpus keeps
+    * vec_ids 0..15 — the PQ ADC table indexes positionally into a DENSE
+    * code range, so seed/codebook vectors must all be present. Store
+    * params pin the ann_index oracle conventions (16 cents, assign=1,
+    * nprobe=2, first-16 codebook, iters=0). */
+  def searchHybridIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpus = d.filter(col("doc_id") % 101 =!= 97)
+    val qs = d.filter(col("doc_id") % 101 === 97)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"), 1, 5), " ")
+          .as("qtext"))
+    val e = emb(spark, dir)
+    val eCorpus = e.filter(col("vec_id") % 101 =!= 97)
+    val qv = e.filter(col("vec_id") % 101 === 97)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val sDir = java.nio.file.Files.createTempDirectory("graft-hybsearch").toString
+    val half = corpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+    graft.llm.SearchIndex.build(corpus.filter(col("doc_id") <= half), sDir)
+    graft.llm.SearchIndex.append(sDir, corpus.filter(col("doc_id") > half))
+    val aDir = java.nio.file.Files.createTempDirectory("graft-hybann").toString
+    graft.llm.AnnIndex.build(eCorpus, aDir, graft.llm.AnnIndex.Params(
+      nCentroids = 16, multiAssign = 1, m = 8, codebookSize = 16,
+      codebookIters = 0))
+    graft.llm.SearchIndex.hybridFromStores(spark, sDir, aDir, qs, qv,
+      topK = 5, kRetrieve = 10, nprobe = 2)
+  }
+
   def textTfidfQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidf(docs(spark, dir), topK = 3)
 
@@ -221,6 +266,13 @@ object LlmQueries {
     Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 5, nCentroids = 16, nprobe = 2,
       lloydIters = 0, spreadSeed = false, multiAssign = 1)
   }
+
+  /** Contrastive hard-negative mining over the embedding corpus: LSH
+    * bucket candidates, positives excluded at round-6 cosine >= 0.4 (the
+    * decontaminate_embed threshold — the synthetic corpus' near-dup bar),
+    * top-5 negatives per anchor. */
+  def mineNegativesQ(spark: SparkSession, dir: String): DataFrame =
+    Ann.hardNegatives(emb(spark, dir), kNeg = 5, posTau = 0.4)
 
   /** Semantic decontamination: corpus = vectors 50+, bench = vectors <50,
     * cosine threshold 0.4 — the synthetic embeddings are near-orthogonal
@@ -772,6 +824,34 @@ object LlmQueries {
        |  SELECT query_id, neighbor_id, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos FROM dots)
        |WHERE cos >= 0.3""".stripMargin
 
+  /** Hard-negative replica: the [[oracleDedupEmbed]] bucket/pair/cosine
+    * chain (full cosine range), symmetrized, positives cut at 0.4, per-
+    * anchor (cos desc, cand_id asc) top-5. */
+  def oracleMineNegatives: String =
+    s"""WITH ${bucketCte(8, 4)},
+       |eb AS (SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
+       |ebsz AS (SELECT tbl, bucket FROM eb GROUP BY tbl, bucket HAVING count(*) <= 10000),
+       |ebf AS (SELECT eb.* FROM eb JOIN ebsz USING (tbl, bucket)),
+       |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    a.embedding AS qe, b.embedding AS ce
+       |  FROM ebf a JOIN ebf b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |gi AS (SELECT unnest(range(1, 65)) AS i),
+       |dots AS (SELECT vec_a, vec_b,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+       |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+       |  FROM pairs CROSS JOIN gi GROUP BY 1, 2),
+       |scored AS (SELECT vec_a, vec_b,
+       |    round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos FROM dots),
+       |sym AS (SELECT vec_a AS anchor_id, vec_b AS cand_id, cos FROM scored
+       |  UNION ALL SELECT vec_b AS anchor_id, vec_a AS cand_id, cos FROM scored),
+       |neg AS (SELECT * FROM sym WHERE cos < 0.4)
+       |SELECT anchor_id, cand_id, cos, CAST(rk AS INT) AS rk FROM (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY anchor_id ORDER BY cos DESC, cand_id ASC) AS rk
+       |  FROM neg)
+       |WHERE rk <= 5""".stripMargin
+
   /** Incremental-dedup replica: the minhash pipeline with the corpus split
     * at max(doc_id)/2 — stored side gets the build-time bucket guard, probe
     * side joins against the stored postings only (cross pairs, never
@@ -1114,6 +1194,161 @@ object LlmQueries {
       |  SELECT *, row_number() OVER (
       |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
       |  FROM bmag)
+      |WHERE rk <= 5""".stripMargin
+
+  /** Hybrid-RRF replica: the [[oracleSearchBm25]] CTE chain at rk ≤ 10,
+    * the [[oracleAnnBrute]] cosine chain at rn ≤ 10 over the mirrored
+    * embedding split, and the fusion — 1/(60+rank) terms summed lex-first
+    * (the operator's coalesce order), round-6, (rrf desc, doc_id asc)
+    * final ranks. */
+  def oracleSearchHybrid: String =
+    """WITH bmq AS (SELECT doc_id AS query_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5) AS qt
+      |  FROM documents WHERE doc_id % 101 = 5),
+      |bmqt AS (SELECT DISTINCT query_id, unnest(qt) AS token FROM bmq),
+      |bmc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents WHERE doc_id % 101 <> 5),
+      |bmdl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM bmc),
+      |bmst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM bmdl),
+      |bmocc AS (SELECT doc_id, unnest(tk) AS token FROM bmc),
+      |bmtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bmocc GROUP BY 1, 2),
+      |bmdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM bmtf GROUP BY 1),
+      |bmsc AS (SELECT q.query_id, t.doc_id,
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(l.dl AS DOUBLE) /
+      |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS w
+      |  FROM bmtf t JOIN bmqt q USING (token) JOIN bmdf d USING (token)
+      |  JOIN bmdl l ON t.doc_id = l.doc_id CROSS JOIN bmst s),
+      |bmag AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+      |  FROM bmsc GROUP BY 1, 2),
+      |lex AS (SELECT query_id, doc_id, CAST(rk AS INT) AS rk_lex FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM bmag) WHERE rk <= 10),
+      |aq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 5),
+      |ac AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 <> 5),
+      |pairs AS (SELECT aq.vec_id AS query_id, ac.vec_id AS neighbor_id,
+      |    aq.embedding AS qe, ac.embedding AS ce
+      |  FROM ac CROSS JOIN aq WHERE aq.vec_id <> ac.vec_id),
+      |gi AS (SELECT unnest(range(1, 65)) AS i),
+      |dots AS (SELECT query_id, neighbor_id,
+      |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+      |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+      |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+      |  FROM pairs CROSS JOIN gi GROUP BY 1, 2),
+      |ascored AS (SELECT query_id, neighbor_id,
+      |    round(dot / (sqrt(qq) * sqrt(cc)), 6) AS score FROM dots),
+      |sem AS (SELECT query_id, neighbor_id AS doc_id, CAST(rn AS INT) AS rk_sem FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      |  FROM ascored) WHERE rn <= 10),
+      |fused AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+      |    coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem,
+      |    round(coalesce(1.0 / (60 + l.rk_lex), 0.0) +
+      |          coalesce(1.0 / (60 + s.rk_sem), 0.0), 6) AS rrf
+      |  FROM lex l FULL JOIN sem s
+      |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+      |SELECT query_id, doc_id, rk_lex, rk_sem, rrf, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rk
+      |  FROM fused)
+      |WHERE rk <= 5""".stripMargin
+
+  /** Store-served hybrid replica: the bm25 chain on the % 101 == 97 split
+    * (the store path is bit-equal to whole-corpus BM25, so the batch
+    * replay stands in for the index), the IVF×PQ chain over the mirrored
+    * embedding split with queries assigned SEPARATELY (they are not
+    * corpus members here, unlike ann_index), both at rank ≤ 10, fused. */
+  def oracleSearchHybridIndex: String =
+    """WITH hq AS (SELECT doc_id AS query_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5) AS qt
+      |  FROM documents WHERE doc_id % 101 = 97),
+      |hqt AS (SELECT DISTINCT query_id, unnest(qt) AS token FROM hq),
+      |hc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents WHERE doc_id % 101 <> 97),
+      |hdl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM hc),
+      |hst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM hdl),
+      |hocc AS (SELECT doc_id, unnest(tk) AS token FROM hc),
+      |htf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM hocc GROUP BY 1, 2),
+      |hdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM htf GROUP BY 1),
+      |hsc AS (SELECT q.query_id, t.doc_id,
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(l.dl AS DOUBLE) /
+      |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS w
+      |  FROM htf t JOIN hqt q USING (token) JOIN hdf d USING (token)
+      |  JOIN hdl l ON t.doc_id = l.doc_id CROSS JOIN hst s),
+      |hag AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+      |  FROM hsc GROUP BY 1, 2),
+      |hlex AS (SELECT query_id, doc_id, CAST(rk AS INT) AS rk_lex FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM hag) WHERE rk <= 10),
+      |hcorp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 <> 97),
+      |hqv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 97),
+      |hcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM hcorp WHERE vec_id < 16),
+      |hgi AS (SELECT unnest(range(1, 65)) AS i),
+      |hacl AS (SELECT e.vec_id, c.cent_id,
+      |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+      |       sqrt(sum(CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)))) AS csim
+      |  FROM hcorp e CROSS JOIN hcents c CROSS JOIN hgi GROUP BY 1, 2),
+      |hlists AS (SELECT vec_id, cent_id FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk FROM hacl)
+      |  WHERE rk = 1),
+      |hacq AS (SELECT q.vec_id, c.cent_id,
+      |    sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)) /
+      |      (sqrt(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) *
+      |       sqrt(sum(CAST(c.cent_emb[i] AS DOUBLE) * CAST(c.cent_emb[i] AS DOUBLE)))) AS csim
+      |  FROM hqv q CROSS JOIN hcents c CROSS JOIN hgi GROUP BY 1, 2),
+      |hprobes AS (SELECT vec_id, cent_id FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk FROM hacq)
+      |  WHERE rk <= 2),
+      |hsubs AS (SELECT unnest(range(0, 8)) AS sub),
+      |hji AS (SELECT unnest(range(1, 9)) AS j),
+      |hcbk AS (SELECT CAST(vec_id AS INT) AS code, embedding AS ce FROM hcorp WHERE vec_id < 16),
+      |hcd AS (SELECT vec_id, sub, code, sum(df * df) AS d FROM (
+      |    SELECT e.vec_id, s.sub, c.code,
+      |      CAST(e.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
+      |    FROM hcorp e CROSS JOIN hsubs s CROSS JOIN hcbk c CROSS JOIN hji j)
+      |  GROUP BY 1, 2, 3),
+      |hcodes AS (SELECT vec_id, sub,
+      |    (min(struct_pack(d := d, code := code))).code AS code
+      |  FROM hcd GROUP BY 1, 2),
+      |hqd AS (SELECT query_id, sub, code, sum(df * df) AS qdist FROM (
+      |    SELECT q.vec_id AS query_id, s.sub, c.code,
+      |      CAST(q.embedding[s.sub * 8 + j.j] AS DOUBLE) - CAST(c.ce[s.sub * 8 + j.j] AS DOUBLE) AS df
+      |    FROM hqv q CROSS JOIN hsubs s CROSS JOIN hcbk c CROSS JOIN hji j)
+      |  GROUP BY 1, 2, 3),
+      |hscore AS (SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+      |    round(sum(qd.qdist), 6) AS dist
+      |  FROM hlists l JOIN hprobes p ON p.cent_id = l.cent_id AND p.vec_id <> l.vec_id
+      |  JOIN hcodes ON hcodes.vec_id = l.vec_id
+      |  JOIN hqd qd ON qd.query_id = p.vec_id AND qd.sub = hcodes.sub AND qd.code = hcodes.code
+      |  GROUP BY 1, 2),
+      |hsem AS (SELECT query_id, neighbor_id AS doc_id, CAST(rn AS INT) AS rk_sem FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM hscore)
+      |  WHERE rn <= 10),
+      |hfused AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+      |    coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem,
+      |    round(coalesce(1.0 / (60 + l.rk_lex), 0.0) +
+      |          coalesce(1.0 / (60 + s.rk_sem), 0.0), 6) AS rrf
+      |  FROM hlex l FULL JOIN hsem s
+      |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+      |SELECT query_id, doc_id, rk_lex, rk_sem, rrf, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rk
+      |  FROM hfused)
       |WHERE rk <= 5""".stripMargin
 
   /** Shard-assignment replica: 48-bit md5 deal + per-shard order by
@@ -1876,6 +2111,9 @@ object LlmQueries {
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
     "search_bm25" -> (searchBm25Q _),
+    "search_hybrid" -> (searchHybridQ _),
+    "mine_negatives" -> (mineNegativesQ _),
+    "search_hybrid_index" -> (searchHybridIndexQ _),
     "search_index" -> (searchIndexQ _),
     "text_tfidf" -> (textTfidfQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
@@ -1943,6 +2181,9 @@ object LlmQueries {
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,
     "search_bm25" -> oracleSearchBm25,
+    "search_hybrid" -> oracleSearchHybrid,
+    "mine_negatives" -> oracleMineNegatives,
+    "search_hybrid_index" -> oracleSearchHybridIndex,
     "search_index" -> oracleSearchBm25,
     "text_tfidf" -> oracleTextTfidf,
     "decontaminate_bloom" -> oracleDecontaminateBloom,

@@ -709,4 +709,35 @@ class LlmSpec extends SparkSpec {
     assert(!out(5L)._6 && !out(5L)._7)   // symbol ratio trips
     assert(out(5L)._5)                   // its stop words still found
   }
+
+  test("hardNegatives: near-dup positives excluded, near-but-not-dup candidates ranked") {
+    import graft.llm.Ann
+    // v0 = axis 0; v1 = v0 wiggled (cos ~0.99995 -> POSITIVE at tau 0.99,
+    // must never surface as a negative); v2 = axis0 + 0.25*axis1
+    // (cos ~0.970 -> the hard negative, and near enough that the md5
+    // hyperplanes co-bucket it with v0 in some table); v3 orthogonal.
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); parts.foreach { case (d, x) => a(d) = x }; a
+    }
+    val emb = Seq(
+      0L -> v(0 -> 1.0f),
+      1L -> v(0 -> 1.0f, 1 -> 0.01f),
+      2L -> v(0 -> 1.0f, 1 -> 0.25f),
+      3L -> v(7 -> 1.0f)).toDF("vec_id", "embedding")
+    val out = Ann.hardNegatives(emb, kNeg = 5, posTau = 0.99).cache()
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.forall(_._3 < 0.99)) // no positive leaks into the negatives
+    val anchor0 = rows.filter(_._1 == 0L)
+    assert(!anchor0.exists(_._2 == 1L)) // the near-dup twin is excluded
+    assert(anchor0.exists(_._2 == 2L))  // the hard negative is found
+    // per-anchor ranks are 1..n ordered by cos desc
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length))
+      assert(sorted.map(_._3).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+    }
+    out.unpersist()
+  }
 }

@@ -67,4 +67,84 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(nrm - 1.0) < 1e-4, nrm)
     }
   }
+
+  /** Full-rank corpus for the OPQ fit: two dominant directions + noise in
+    * every dimension (a rank-deficient corpus fails fit's collapse guard
+    * by design). */
+  private def fullRankCorpus(n: Int = 300): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val v = Array.tabulate(Pca.Dims) { d =>
+        val scale = if (d == 0) 5.0 else if (d == 1) 2.0 else 0.3
+        (rnd.nextGaussian() * scale).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("OPQ: rotation-then-encode is deterministic and preserves pairwise distance") {
+    val emb = fullRankCorpus().cache()
+    val m1 = Pca.fitOpq(emb, m = 8, iters = 3)
+    val m2 = Pca.fitOpq(emb, m = 8, iters = 3)
+    assert(m1.components.flatten.toSeq == m2.components.flatten.toSeq)
+
+    val r1 = Pca.rotate(emb, m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val r2 = Pca.rotate(emb, m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(r1 == r2) // same model, same input -> bit-identical floats
+
+    // orthogonal rotation: ||r(x)-r(y)|| == ||x-y|| up to the round-6
+    // component quantization (~1e-4 over 64 dims)
+    val raw = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    for (i <- 0L until 20L; j <- (i + 1) to 20L) {
+      val dr = math.sqrt(d2(raw(i), raw(j)))
+      val dp = math.sqrt(d2(r1(i), r1(j)))
+      assert(math.abs(dr - dp) < 1e-3 * math.max(dr, 1.0), s"($i,$j): $dr vs $dp")
+    }
+    emb.unpersist()
+  }
+
+  test("OPQ: eigenvalue allocation balances subspace variance products") {
+    val emb = fullRankCorpus()
+    val mm = 8
+    val full = Pca.fit(emb, k = Pca.Dims, iters = 3)
+    val opq = Pca.fitOpq(emb, m = mm, iters = 3)
+    val w = Pca.Dims / mm
+    def spread(eigsBySub: Seq[Seq[Double]]): Double = {
+      val lp = eigsBySub.map(_.map(e => math.log(math.max(e, 1e-12))).sum)
+      lp.max - lp.min
+    }
+    // allocated order (the model's own layout) vs the naive contiguous
+    // split of the PCA order: allocation must be at least as balanced
+    val allocated = opq.eigenvalues.grouped(w).map(_.toSeq).toSeq
+    val contiguous = full.eigenvalues.grouped(w).map(_.toSeq).toSeq
+    assert(spread(allocated) <= spread(contiguous) + 1e-9,
+      s"allocated ${spread(allocated)} vs contiguous ${spread(contiguous)}")
+    // and every subspace got exactly w components
+    assert(allocated.forall(_.length == w))
+  }
+
+  test("OPQ: opqPqTopK is well-formed and self-consistent") {
+    import graft.llm.Ann
+    val emb = fullRankCorpus().cache()
+    val queries = emb.filter($"vec_id" < 5)
+    val got = Ann.opqPqTopK(emb, queries, k = 3, m = 8, codebookSize = 16,
+      pcaIters = 3, codebookIters = 0).cache()
+    assert(got.count() == 15) // k rows per query
+    val perQ = got.groupBy("query_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 3))
+    // ranks are 1..k and distances non-decreasing within a query
+    val rows = got.orderBy($"query_id", $"rn")
+      .select("query_id", "dist", "rn").collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to 3))
+      assert(sorted.map(_.getDouble(1)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a <= b; case _ => true })
+    }
+    got.unpersist(); emb.unpersist()
+  }
 }

@@ -97,6 +97,93 @@ class PipelineSpec extends SparkSpec {
     assert(!corpus.select("doc_id").as[Long].collect().contains(victim._1))
   }
 
+  test("pipeline --state-dir: second run dedups against the first run's stores") {
+    import graft.llm.SketchStore
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch1 = docs.cache()
+    val n1Ids = batch1.select("doc_id").as[Long].collect().toSet
+
+    // near-orthogonal deterministic embeddings: doc d points along axis
+    // d % 64 (+ tiny id-keyed noise), so distinct docs never cross tau
+    // while an exact embedding copy is cosine 1
+    def embFor(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        (id, Array.tabulate(64)(d =>
+          (if (d == (id % 64).toInt) 1.0f else 0.0f) +
+            (id * 64 + d) % 97 * 1e-4f))
+      }.toDF("vec_id", "embedding")
+
+    val state = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft_inc1").toString
+    val corpus1 = Pipeline.run(spark, batch1, out1, budget = 1000000000L,
+      minQuality = 0.0, stateDir = Some(state),
+      embeddings = Some(embFor(n1Ids.toSeq.sorted)))
+    val kept1 = corpus1.select("doc_id").as[Long].collect().toSet
+    assert(kept1.size >= 8)
+    for (store <- Seq("minhash/meta.parquet", "substr/meta.parquet",
+        "centroids/centroids.parquet", "sketches/qbins.parquet"))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(state, store)), s"missing $store")
+
+    // batch 2 (ids strictly above batch 1, the store convention):
+    //  - copies: exact text twins of kept batch-1 docs -> minhash store drop
+    //  - semdups: unique text but a kept batch-1 doc's EXACT embedding
+    //             -> centroid store drop
+    //  - novel: unique text + own axis embedding -> survives everything
+    val survivors1 = batch1.filter(col("doc_id").isin(kept1.toSeq.sorted.take(8): _*))
+      .orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect()
+    val base = 100000L
+    def uniqueText(tag: Long): String =
+      (0 until 24).map(w => s"zq${tag}w$w").mkString(" ")
+    val copies = survivors1.take(4).zipWithIndex.map { case ((_, t), i) =>
+      (base + i, t, "en", "web", t.length.toLong) }
+    val semdups = survivors1.slice(4, 8).zipWithIndex.map { case ((src, _), i) =>
+      (base + 10 + i, uniqueText(10 + i), "en", "web", 100L, src) }
+    val novel = (0 until 4).map { i =>
+      (base + 20 + i, uniqueText(20 + i), "en", "web", 100L) }
+    val batch2 = (copies ++ semdups.map(s => (s._1, s._2, s._3, s._4, s._5)) ++
+      novel).toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // novel embeddings span TWO axes: cosine vs any single-axis stored
+    // vector is <= ~1/sqrt(2), and novel pairs use disjoint axis pairs —
+    // safely under tau whatever axes batch 1 occupied
+    def twoAxis(i: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == 40 + 2 * i || d == 41 + 2 * i) 1.0f else 0.0f)
+    val emb2 = (semdups.map { s => // twin embedding of its batch-1 source
+        (s._1, embFor(Seq(s._6)).select("embedding")
+          .as[Array[Float]].head())
+      } ++ copies.map(_._1).zipWithIndex.map { case (id, i) =>
+        (id, twoAxis(8 + i))
+      } ++ novel.map(_._1).zipWithIndex.map { case (id, i) =>
+        (id, twoAxis(i))
+      }).toSeq.toDF("vec_id", "embedding")
+
+    val out2 = java.nio.file.Files.createTempDirectory("graft_inc2").toString
+    val corpus2 = Pipeline.run(spark, batch2, out2, budget = 1000000000L,
+      minQuality = 0.0, stateDir = Some(state), embeddings = Some(emb2))
+    val kept2 = corpus2.select("doc_id").as[Long].collect().toSet
+
+    // cross-batch near-dup: every exact twin of an already-released doc is
+    // gone; every semantic twin is gone; the genuinely novel docs survive
+    assert(copies.map(_._1).forall(id => !kept2.contains(id)),
+      s"text twin of a released doc survived: $kept2")
+    assert(semdups.map(_._1).forall(id => !kept2.contains(id)),
+      s"embedding twin of a released doc survived: $kept2")
+    assert(novel.map(_._1).forall(kept2.contains),
+      s"novel doc dropped: $kept2")
+
+    // sketch-store continuity: the length-distribution bins hold exactly
+    // the released docs of BOTH runs (merge law: bin counts sum)
+    val binTotal = spark.read.parquet(s"$state/sketches/qbins.parquet")
+      .agg(sum("cnt")).as[Long].head()
+    assert(binTotal == kept1.size + kept2.size,
+      s"qbins holds $binTotal docs, released ${kept1.size + kept2.size}")
+    // and the stores grew: batch-2 survivors were appended
+    val memberCount = spark.read.parquet(s"$state/centroids/members.parquet")
+      .count()
+    assert(memberCount >= kept1.size + novel.size)
+    batch1.unpersist()
+  }
+
   test("pipeline --gopher pre-filter drops rule violators before the scored stages") {
     import graft.llm.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -129,4 +129,80 @@ class SearchSpec extends SparkSpec {
       queries(1L -> "zzzqqq xyzzy", 2L -> ""), topK = 3)
     assert(out.count() == 0)
   }
+
+  test("hybridRrf: doc ranked by both systems beats single-system docs; rrf math exact") {
+    // embeddings: doc 1 is the dense twin of the query; doc 3 is dense-only
+    // relevant; docs 2/4/5 dense-orthogonal. Sparse side ranks 1, 2, 4
+    // (the bm25 case above). So doc 1 is in BOTH top lists -> must fuse
+    // to rank 1; its rrf must be exactly 1/(60+rk_lex) + 1/(60+rk_sem).
+    def axis(a: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == a) 1.0f else 0.0f)
+    val emb = Seq(
+      1L -> axis(0), 2L -> axis(7), 3L -> axis(1), 4L -> axis(9),
+      5L -> axis(11)).toDF("vec_id", "embedding")
+    // query vector leans on axis 0 (doc 1) with a touch of axis 1 (doc 3)
+    val qv = Seq(10L -> Array.tabulate(64)(d =>
+      if (d == 0) 1.0f else if (d == 1) 0.5f else 0.0f))
+      .toDF("query_id", "embedding")
+    val out = Search.hybridRrf(corpus, emb,
+      queries(10L -> "quick brown fox"), qv, topK = 5, kRetrieve = 3)
+      .orderBy("rk").collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getLong(1) == 1L) // both-system doc wins the fusion
+    val rkLex = top.getInt(2); val rkSem = top.getInt(3)
+    val expect = BigDecimal(1.0 / (60 + rkLex) + 1.0 / (60 + rkSem))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(top.getDouble(4) - expect) < 1e-9, s"rrf ${top.getDouble(4)} vs $expect")
+    // single-system docs carry exactly one rank (the other is null)
+    val single = out.filter(r => r.isNullAt(2) || r.isNullAt(3))
+    assert(single.nonEmpty)
+    assert(single.forall(r => !(r.isNullAt(2) && r.isNullAt(3))))
+    // ranks are 1..n with no gaps
+    assert(out.map(_.getInt(5)).toSeq == (1 to out.length))
+  }
+
+  test("hybridFromStores: fusion of the two store probes, recomputed exactly") {
+    import graft.llm.AnnIndex
+    def axis(a: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == a) 1.0f else 0.0f)
+    // doc 1 is the dense twin of the query axis; docs 2-5 orthogonal-ish;
+    // vec 0 is filler so the first-K codebook covers a DENSE 0..3 code
+    // range (the ADC table indexes positionally — the gate's % 101 == 97
+    // split exists for the same reason)
+    val emb = Seq(0L -> axis(20), 1L -> axis(0), 2L -> axis(3),
+      3L -> axis(5), 4L -> axis(9), 5L -> axis(11)).toDF("vec_id", "embedding")
+    val qv = Seq(10L -> axis(0)).toDF("query_id", "embedding")
+    val qs = queries(10L -> "quick brown fox")
+
+    val sDir = java.nio.file.Files.createTempDirectory("graft_hfs_s").toString
+    SearchIndex.build(corpus.filter($"doc_id" <= 3), sDir)
+    SearchIndex.append(sDir, corpus.filter($"doc_id" > 3))
+    val aDir = java.nio.file.Files.createTempDirectory("graft_hfs_a").toString
+    AnnIndex.build(emb, aDir, AnnIndex.Params(nCentroids = 4, multiAssign = 1,
+      m = 8, codebookSize = 4, codebookIters = 0))
+
+    val got = SearchIndex.hybridFromStores(spark, sDir, aDir, qs, qv,
+      topK = 10, kRetrieve = 10, nprobe = 2).collect()
+      .map(r => (r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        r.getDouble(4), r.getInt(5)))
+
+    // recompute the fusion from the two constituent store probes
+    val lex = SearchIndex.search(spark, sDir, qs, topK = 10).collect()
+      .map(r => r.getLong(1) -> r.getInt(4)).toMap
+    val sem = AnnIndex.query(spark, aDir, qv.select($"query_id".as("vec_id"),
+        $"embedding"), k = 10, nprobe = 2).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (lex.keySet ++ sem.keySet).toSeq.map { d =>
+      val rrf = r6(lex.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      (d, lex.get(d), sem.get(d), rrf)
+    }.sortBy { case (d, _, _, rrf) => (-rrf, d) }
+      .zipWithIndex.map { case ((d, l, s, rrf), i) => (d, l, s, rrf, i + 1) }
+    assert(got.sortBy(_._5).toSeq == expect)
+    // and the dense twin is in the fused list via the sem side
+    assert(got.exists(g => g._1 == 1L && g._3.nonEmpty))
+  }
 }
