@@ -38,26 +38,41 @@ object AnnIndex {
 
   /** Frozen index configuration. `codebookIters` only matters at [[build]]
     * time (the trained codebook is stored); gate callers pin 0 for oracle
-    * reproducibility, the library default refines (see [[Ann.pqTopK]]). */
+    * reproducibility, the library default refines (see [[Ann.pqTopK]]).
+    * `opq = true` fits an OPQ rotation ([[Pca.fitOpq]]) on the build
+    * corpus and stores it WITH the model: every stored code and every
+    * probe is computed in the rotated basis, so the recall gain of
+    * variance-balanced subspaces persists across months of appends —
+    * the rotation is as frozen as the centroids (re-fitting it would
+    * silently invalidate every stored code). */
   case class Params(nCentroids: Int = 128, multiAssign: Int = 2, m: Int = 8,
                     codebookSize: Int = 16, normalize: Boolean = false,
-                    codebookIters: Int = 3)
+                    codebookIters: Int = 3, opq: Boolean = false,
+                    pcaIters: Int = 4)
 
   /** Fit the model on `corpus` and write model + codes to `dir`. */
   def build(corpus: DataFrame, dir: String, p: Params = Params()): Unit = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
-    val cents = Ann.seedCentroids(corpus, p.nCentroids)
-    val cb = Ann.pqCodebook(corpus, p.m, p.codebookSize, p.normalize,
+    val corpusR =
+      if (!p.opq) corpus
+      else {
+        val rot = Pca.fitOpq(corpus, p.m, p.pcaIters)
+        writeRotation(corpus.sparkSession, dir, rot)
+        Pca.rotate(corpus, rot)
+      }
+    val cents = Ann.seedCentroids(corpusR, p.nCentroids)
+    val cb = Ann.pqCodebook(corpusR, p.m, p.codebookSize, p.normalize,
       p.codebookIters)
     corpus.sparkSession.createDataFrame(Seq(
-      (p.nCentroids, p.multiAssign, p.m, p.codebookSize, p.normalize)))
-      .toDF("n_centroids", "multi_assign", "m", "codebook_size", "normalize")
+      (p.nCentroids, p.multiAssign, p.m, p.codebookSize, p.normalize, p.opq)))
+      .toDF("n_centroids", "multi_assign", "m", "codebook_size", "normalize",
+        "opq")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook.parquet")
     // one file per list (not tasks × lists): the repartition shuffles only
     // (vec_id, codes, cent_id) rows — m bytes + two ids each
-    encode(corpus, cents, cb, p).repartition(col("cent_id"))
+    encode(corpusR, cents, cb, p).repartition(col("cent_id"))
       .write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
   }
@@ -70,10 +85,26 @@ object AnnIndex {
     val spark = newVectors.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     val (p, cents, cb) = readModel(spark, dir)
-    encode(newVectors, cents, cb, p).repartition(col("cent_id"))
+    encode(rotated(spark, dir, p, newVectors), cents, cb, p)
+      .repartition(col("cent_id"))
       .write.mode("append")
       .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
   }
+
+  /** Streaming index maintenance: [[append]] each micro-batch of vectors
+    * to an already-[[build]]t index — the [[SearchIndex.streamingBuild]]
+    * construct: state lives in the parquet store, every completed trigger
+    * is visible to [[query]], and batch/stream ingestion compose freely
+    * (append is a pure map against the frozen model either way, so
+    * stream-then-query ≡ the same appends in batch, bit-for-bit —
+    * StreamingSpec pins it). foreachBatch replays are at-least-once on
+    * failure recovery; a production ingest keys code files by batchId
+    * (the idempotent-sink recipe). Caller starts the writer. */
+  def streamingAppend(stream: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      append(dir, batch)
+    }
 
   /** ADC top-k from the stored index — [[Ann.ivfPqTopK]]'s scoring join
     * with the corpus-side state read from the store. */
@@ -81,11 +112,12 @@ object AnnIndex {
             nprobe: Int = 4): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val (p, cents, cb) = readModel(spark, dir)
+    val queriesR = rotated(spark, dir, p, queries)
     val listCodes = spark.read.parquet(s"$dir/codes.parquet")
-    val probes = Ann.assignTo(queries, cents, nprobe)
+    val probes = Ann.assignTo(queriesR, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
     val qside = probes.join(
-      Ann.pqQueryTable(queries, cb, p.m, p.codebookSize, p.normalize),
+      Ann.pqQueryTable(queriesR, cb, p.m, p.codebookSize, p.normalize),
       "query_id")
     val scored0 = listCodes.as("c").join(broadcast(qside.as("q")),
         col("q.cent_id") === col("c.cent_id") &&
@@ -131,8 +163,34 @@ object AnnIndex {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()
     val p = Params(m.getAs[Int]("n_centroids"), m.getAs[Int]("multi_assign"),
       m.getAs[Int]("m"), m.getAs[Int]("codebook_size"),
-      m.getAs[Boolean]("normalize"))
+      m.getAs[Boolean]("normalize"),
+      opq = m.schema.fieldNames.contains("opq") && m.getAs[Boolean]("opq"))
     (p, spark.read.parquet(s"$dir/centroids.parquet"),
       spark.read.parquet(s"$dir/codebook.parquet"))
   }
+
+  /** Rotation persistence: one row per component (ci, v) plus the means
+    * row at ci = -1. Parquet doubles are lossless, so the read-back model
+    * rotates bit-identically to the freshly fitted one. */
+  private def writeRotation(spark: SparkSession, dir: String,
+                            rot: Pca.Model): Unit = {
+    val rows = (-1, rot.means.toSeq) +:
+      rot.components.zipWithIndex.map { case (v, ci) => (ci, v.toSeq) }.toSeq
+    spark.createDataFrame(rows).toDF("ci", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation.parquet")
+  }
+
+  /** Apply the stored rotation when the index was built with one; no-op
+    * otherwise. The eigenvalues are not needed to rotate (the stored
+    * component ORDER already encodes the allocation). */
+  private def rotated(spark: SparkSession, dir: String, p: Params,
+                      vecs: DataFrame): DataFrame =
+    if (!p.opq) vecs
+    else {
+      val rows = spark.read.parquet(s"$dir/rotation.parquet")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val model = Pca.Model(rows(-1),
+        Array.tabulate(Pca.Dims)(rows(_)), Array.fill(Pca.Dims)(0.0))
+      Pca.rotate(vecs, model)
+    }
 }

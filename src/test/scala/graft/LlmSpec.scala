@@ -224,6 +224,41 @@ class LlmSpec extends SparkSpec {
     assert(parts.nonEmpty && parts.forall(_.matches("cent_id=\\d+")))
   }
 
+  test("AnnIndex opq: stored rotation reproduces the transient OPQ pipeline; append encodes in the frozen basis") {
+    import graft.llm.AnnIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val q = emb.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("annidx-opq").toString
+    // rotation is fit on the BUILD corpus (frozen thereafter), so the
+    // store ≡ transient law holds for a full-corpus build
+    val p = AnnIndex.Params(nCentroids = 8, multiAssign = 1,
+      codebookIters = 0, opq = true, pcaIters = 3)
+    AnnIndex.build(emb, dir, p)
+    val stored = AnnIndex.query(spark, dir, q, 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val transient = Ann.opqIvfPqTopK(emb, q, 5, nCentroids = 8, nprobe = 2,
+        multiAssign = 1, m = 8, codebookSize = 16, pcaIters = 3,
+        codebookIters = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(stored.nonEmpty && stored == transient)
+    // the rotation shipped with the model...
+    assert(new java.io.File(s"$dir/rotation.parquet").exists())
+    // ...and appends encode in the SAME frozen basis: an appended exact
+    // copy of vector 3 lands at the same ADC distance as vector 3 itself
+    val twin = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") * 0 + 9999L).as("vec_id"), col("embedding"))
+    AnnIndex.append(dir, twin)
+    val q3 = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") * 0 + 10000L).as("vec_id"), col("embedding"))
+    val after = AnnIndex.query(spark, dir, q3, 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val d3 = after.find(_._2 == 3L).map(_._3)
+    val dTwin = after.find(_._2 == 9999L).map(_._3)
+    assert(d3.nonEmpty && d3 == dTwin, s"vec3 $d3 vs twin $dTwin")
+    emb.unpersist()
+  }
+
   test("DedupIndex: build → dedupAgainst equals cross-half minhashLsh; append extends the index") {
     import graft.llm.DedupIndex
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

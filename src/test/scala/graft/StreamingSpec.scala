@@ -376,6 +376,34 @@ class StreamingSpec extends SparkSpec {
     assert(fromStore.nonEmpty && fromStore == batch)
   }
 
+  test("streaming ANN-index maintenance: stream appends equal the transient rebuild") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_sann_store").toString
+    // seeds + codebook in the build half → frozen model == full-rebuild model
+    llm.AnnIndex.build(emb.filter(col("vec_id") <= half), dir,
+      llm.AnnIndex.Params(nCentroids = 8, multiAssign = 1, codebookIters = 0))
+
+    val third = half + (emb.count() - half) / 2
+    val streamDir = stageBatches("graft_sann",
+      emb.filter(col("vec_id") > half && col("vec_id") <= third),
+      emb.filter(col("vec_id") > third))
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = llm.AnnIndex.streamingAppend(stream, dir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val qs = emb.filter(col("vec_id") < 3)
+    val fromStore = llm.AnnIndex.query(spark, dir, qs, 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val batch = llm.Ann.ivfPqTopK(emb, qs, 5, nCentroids = 8, nprobe = 2,
+      multiAssign = 1, codebookIters = 0).collect().map(_.toSeq).toSet
+    assert(fromStore.nonEmpty && fromStore == batch)
+  }
+
   test("streaming exact dedup: first batch matches Dedup.exact, second batch of dups emits nothing") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
