@@ -75,6 +75,58 @@ object AnnIndex {
     encode(corpusR, cents, cb, p).repartition(col("cent_id"))
       .write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
+    emptyTombstones(corpus.sparkSession).write.mode("overwrite")
+      .parquet(s"$dir/tombstones.parquet")
+  }
+
+  private def emptyTombstones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Long].toDF("vec_id")
+  }
+
+  /** Logically remove `vecIds` (a (vec_id) frame) from the index —
+    * retention / right-to-be-forgotten for the vector store. A vector's
+    * code lives in one cent_id directory, but WHICH one requires scoring
+    * it against the quantizer, so eager deletion would re-assign every
+    * removal batch and rewrite touched partitions per request; the
+    * tombstone append is instead a model-sized pure write, [[query]]
+    * anti-joins the list (broadcast — bounded by vacuum cadence), and
+    * [[vacuum]] amortizes the physical rewrite. The frozen model keeps
+    * every surviving code valid: remove-then-vacuum leaves codes.parquet
+    * row-identical to an index whose appends never contained the removed
+    * ids (the spec pins exactly that). */
+  def remove(dir: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id").cast(LongType)).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones.parquet")
+
+  private def readTombstones(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/tombstones.parquet").distinct()
+
+  /** Physically drop tombstoned codes and clear the tombstone list —
+    * nothing observable changes ([[query]] already excluded them); the
+    * per-list repartition doubles as small-file compaction of the append
+    * history. Write-aside-and-swap ([[graft.sources.StoreOps.swapWrite]]):
+    * the rewrite reads the files it replaces, and the codes table is
+    * corpus-sized — never materialized driver- or executor-side. */
+  def vacuum(dir: String): Unit = {
+    val spark = SparkSession.active
+    val tomb = readTombstones(spark, dir).localCheckpoint() // model-sized
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/codes.parquet")
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .repartition(col("cent_id")),
+      s"$dir/codes.parquet", Seq("cent_id"))
+    emptyTombstones(spark).write.mode("overwrite")
+      .parquet(s"$dir/tombstones.parquet")
+  }
+
+  /** Small-file compaction only: one file per inverted list, no logical
+    * change — run it when append cadence outpaces removal cadence. */
+  def compact(dir: String): Unit = {
+    val spark = SparkSession.active
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/codes.parquet").repartition(col("cent_id")),
+      s"$dir/codes.parquet", Seq("cent_id"))
   }
 
   /** Assign + encode `newVectors` against the FROZEN stored model and
@@ -107,13 +159,28 @@ object AnnIndex {
     }
 
   /** ADC top-k from the stored index — [[Ann.ivfPqTopK]]'s scoring join
-    * with the corpus-side state read from the store. */
+    * with the corpus-side state read from the store.
+    *
+    * `allowed` is the metadata-filtered-search hook (the "top-k among
+    * docs WHERE lang = 'en'" shape every retrieval deployment needs): a
+    * (vec_id) frame of candidates the ranking is restricted to, applied
+    * as a semi-join on the probed code slices BEFORE ranking — post-filter
+    * pre-rank, so the top-k is exact over the filtered set rather than
+    * "top-k then filter" (which under-fills k). The filter composes with
+    * partition pruning: only probed lists are scanned either way. Spark
+    * broadcasts a selective filter frame on its own; corpus-scale allow
+    * lists shuffle-join, which is still bounded by the probed lists. */
   def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
-            nprobe: Int = 4): DataFrame = {
+            nprobe: Int = 4, allowed: Option[DataFrame] = None): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val (p, cents, cb) = readModel(spark, dir)
     val queriesR = rotated(spark, dir, p, queries)
-    val listCodes = spark.read.parquet(s"$dir/codes.parquet")
+    val tomb = readTombstones(spark, dir)
+    val live0 = spark.read.parquet(s"$dir/codes.parquet")
+    val live = if (tomb.isEmpty) live0
+      else live0.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val listCodes = allowed.fold(live)(a =>
+      live.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     val probes = Ann.assignTo(queriesR, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
     val qside = probes.join(

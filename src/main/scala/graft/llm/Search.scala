@@ -43,7 +43,7 @@ object Search {
 
   /** The corpus tokenization convention ([[Vocab]]/[[TextAnalysis.tfidf]]):
     * maximal `[a-z0-9]+` runs over the lowercased text. */
-  private def toks(c: String = "text") =
+  private[llm] def toks(c: String = "text") =
     expr(s"regexp_extract_all(lower($c), '[a-z0-9]+', 0)")
 
   /** (doc_id, token, tf, dl): term frequencies with the doc's token length
@@ -204,13 +204,29 @@ object Search {
   *     are IDENTICAL to a from-scratch build, and [[search]] is bit-equal
   *     to [[Search.bm25TopK]] on the same accumulated corpus (the gate
   *     pins exactly that, via the batch oracle SQL).
+  *   - `doclens.parquet` (doc_id, dl): one row per indexed doc — what
+  *     makes REMOVAL exact. Postings alone cannot un-count a doc: a
+  *     token-less doc has no postings rows yet is counted in n_docs, so
+  *     stats could not be decremented from postings. Two longs per doc.
+  *   - `tombstones.parquet` (doc_id): docs logically removed but not yet
+  *     physically rewritten out ([[remove]] / [[vacuum]]).
   *
   * df is NOT stored: it is derived per query from the pruned postings
   * scan (whole token groups survive pruning, so the count is exact).
   * Storing it would turn append into a read-merge-overwrite of a
   * vocabulary-sized table; deriving it keeps append a pure map over the
   * batch plus a one-row stats merge.
-  */
+  *
+  * Removal (retention / right-to-be-forgotten) is tombstone-first: a doc's
+  * tokens hash into ALL 64 prefix partitions, so deleting its postings
+  * eagerly would rewrite the whole store per request. [[remove]] instead
+  * appends the ids to a tombstone list (a pure map, independent of store
+  * size); [[search]] subtracts tombstoned docs exactly (anti-join on the
+  * query-pruned postings slice, stats decremented from their doclens
+  * rows), so a removed doc stops influencing scores — including df and
+  * avgdl — the moment remove returns. A periodic [[vacuum]] rewrites the
+  * store without the tombstoned rows (one full-store pass, amortized over
+  * many removals) and provably changes nothing observable. */
 object SearchIndex {
 
   private val NPfx = 64
@@ -218,14 +234,28 @@ object SearchIndex {
   private def withPfx(post: DataFrame): DataFrame =
     post.withColumn("pfx", pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType))
 
+  /** (doc_id, dl) for a batch — the removal ledger rows ([[remove]]). */
+  private def doclens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(Search.toks()).cast(LongType).as("dl"))
+
   /** Tokenize `docs` and write postings + corpus stats to `dir`. */
   def build(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
     withPfx(Search.postings(docs))
       .repartition(col("pfx")) // one file per prefix, not tasks × prefixes
       .write.mode("overwrite").partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
     Search.corpusStats(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+    doclens(docs).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
+    emptyTombstones(spark).write.mode("overwrite")
+      .parquet(s"$dir/tombstones.parquet")
+  }
+
+  private def emptyTombstones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Long].toDF("doc_id")
   }
 
   /** Append a new batch: postings are a pure map over the batch; stats
@@ -249,11 +279,86 @@ object SearchIndex {
       .repartition(col("pfx"))
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
+    doclens(newDocs).write.mode("append").parquet(s"$dir/doclens.parquet")
     val merged = spark.read.parquet(s"$dir/stats.parquet")
       .unionByName(Search.corpusStats(newDocs))
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
       .localCheckpoint()
     merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+  }
+
+  /** Logically remove `docIds` (a (doc_id) frame) from the index: appends
+    * them to the tombstone list — a model-sized write, independent of
+    * store size. [[search]] excludes tombstoned docs EXACTLY (scores, df,
+    * N and avgdl all behave as if the docs were never indexed — the spec
+    * pins remove ≡ build-without); [[vacuum]] later reclaims the space.
+    * Removing an id that was never indexed (or removing twice) is a
+    * no-op: the read paths intersect tombstones with doclens first. */
+  def remove(dir: String, docIds: DataFrame): Unit =
+    docIds.select(col("doc_id").cast(LongType)).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones.parquet")
+
+  private def readTombstones(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/tombstones.parquet").distinct()
+
+  /** The one-row stats frame with tombstoned docs subtracted — exact LONG
+    * arithmetic against their doclens rows (intersected first, so stray or
+    * duplicate tombstones cannot over-subtract). */
+  private def liveStats(spark: SparkSession, dir: String,
+                        tomb: DataFrame): DataFrame = {
+    val removed = spark.read.parquet(s"$dir/doclens.parquet")
+      .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).cast(LongType).as("__rc__"),
+        coalesce(sum("dl"), lit(0L)).as("__rdl__"))
+    spark.read.parquet(s"$dir/stats.parquet").crossJoin(removed)
+      .select((col("n_docs") - col("__rc__")).as("n_docs"),
+        (col("sum_dl") - col("__rdl__")).as("sum_dl"))
+  }
+
+  /** Physically rewrite the store without the tombstoned rows and clear
+    * the tombstone list. Observable behaviour is UNCHANGED (tombstones
+    * were already subtracted at read time — the spec pins
+    * vacuum ≡ identity on [[search]]); what changes is cost: the
+    * tombstone anti-join and stats adjustment disappear from every later
+    * query, and the per-prefix `repartition` makes this double as a
+    * small-file compaction of the append history. One full-store pass,
+    * written aside and swapped in ([[graft.sources.StoreOps.swapWrite]] —
+    * the rewrite plan reads the files it replaces). */
+  def vacuum(dir: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tomb = readTombstones(spark, dir).localCheckpoint() // model-sized
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/postings.parquet")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("pfx")),
+      s"$dir/postings.parquet", Seq("pfx"))
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/doclens.parquet")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      s"$dir/doclens.parquet")
+    // re-derive stats from the vacuumed ledger: LONG sums, so identical
+    // to subtracting the removed rows from the stored stats
+    val stats = spark.read.parquet(s"$dir/doclens.parquet")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+      .localCheckpoint()
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+    emptyTombstones(spark).write.mode("overwrite")
+      .parquet(s"$dir/tombstones.parquet")
+  }
+
+  /** Small-file compaction: rewrite postings (and doclens) so each prefix
+    * directory holds ONE file instead of one per append — months of
+    * micro-batch appends otherwise leave the probe reading thousands of
+    * footer-dominated files. Pure rewrite, nothing observable changes. */
+  def compact(dir: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/postings.parquet").repartition(col("pfx")),
+      s"$dir/postings.parquet", Seq("pfx"))
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/doclens.parquet").coalesce(1),
+      s"$dir/doclens.parquet")
   }
 
   /** Streaming index maintenance: [[append]] each micro-batch of documents
@@ -286,10 +391,18 @@ object SearchIndex {
     val pfxs = qterms
       .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val post = spark.read.parquet(s"$dir/postings.parquet")
+    // tombstoned docs drop out of the QUERY-PRUNED postings slice (their
+    // full posting lists are never touched), and out of N/avgdl via the
+    // exact doclens subtraction — scores as if they were never indexed
+    val tomb = readTombstones(spark, dir)
+    val hasTomb = !tomb.isEmpty // tombstones are model-sized (vacuum cadence)
+    val post0 = spark.read.parquet(s"$dir/postings.parquet")
       .filter(col("pfx").isin(pfxs: _*))
       .select("token", "doc_id", "tf", "dl")
-    val stats = spark.read.parquet(s"$dir/stats.parquet")
+    val post = if (hasTomb)
+      post0.join(broadcast(tomb), Seq("doc_id"), "left_anti") else post0
+    val stats = if (hasTomb) liveStats(spark, dir, tomb)
+      else spark.read.parquet(s"$dir/stats.parquet")
     Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b, maxDfFrac)
   }
 

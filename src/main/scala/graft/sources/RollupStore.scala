@@ -98,6 +98,54 @@ object RollupStore {
   def readRes(spark: SparkSession, dir: String): Double =
     spark.read.parquet(s"$dir/meta.parquet").head().getDouble(0)
 
+  /** Compaction: rewrite the accumulated per-batch PARTIAL rows as fully
+    * merged buckets — the Thanos/TSDB compaction job. Append never reads
+    * the store, so after months of micro-batches each (series, bucket)
+    * holds one partial row PER BATCH and [[mergedBuckets]] re-merges them
+    * on every query; compaction pays that merge once and collapses each
+    * metric directory to one file. The merge is the EXACT read-side merge
+    * (count/sum add, min/max idempotent, first/last struct extrema), so
+    * nothing observable changes — same rows, one partial each — and the
+    * store stays append-compatible (compacted rows ARE partial rows).
+    * Write-aside-and-swap: the rewrite reads the files it replaces. */
+  def compact(dir: String): Unit = {
+    val spark = SparkSession.active
+    val merged = spark.read.parquet(s"$dir/rollup.parquet")
+      .groupBy(col(MetricCol), col(Model.SkeyCol), col("wend"))
+      .agg(
+        first(Model.LabelsCol).as(Model.LabelsCol),
+        sum("cnt").as("cnt"),
+        sum("sum").as("sum"),
+        min("min").as("min"),
+        max("max").as("max"),
+        min(struct(col("first_ts").as("t"), col("first_v").as("v"))).as("__f__"),
+        max(struct(col("last_ts").as("t"), col("last_v").as("v"))).as("__l__"))
+      .select(col(MetricCol), col(Model.SkeyCol), col(Model.LabelsCol),
+        col("wend"), col("cnt"), col("sum"), col("min"), col("max"),
+        col("__f__.t").as("first_ts"), col("__f__.v").as("first_v"),
+        col("__l__.t").as("last_ts"), col("__l__.v").as("last_v"))
+      .repartition(col(MetricCol))
+    StoreOps.swapWrite(merged, s"$dir/rollup.parquet", Seq(MetricCol))
+  }
+
+  /** Retention: drop every bucket with `wend` ≤ `cutoff` — the TSDB TTL
+    * job. `cutoff` must be a multiple of the store resolution so the cut
+    * falls on a bucket boundary; then (left-open bucketing) retention is
+    * EXACTLY equivalent to having built the store from samples with
+    * `ts > cutoff` — no bucket ever straddles the cut (the spec pins the
+    * equivalence). Write-aside-and-swap, same as [[compact]]. */
+  def retention(dir: String, cutoff: Double): Unit = {
+    val spark = SparkSession.active
+    val res = readRes(spark, dir)
+    require(cutoff % res == 0,
+      s"retention cutoff $cutoff not aligned to rollup resolution $res")
+    StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/rollup.parquet")
+        .filter(col("wend") > cutoff)
+        .repartition(col(MetricCol)),
+      s"$dir/rollup.parquet", Seq(MetricCol))
+  }
+
   /** Streaming rollup maintenance: [[append]] each micro-batch's partial
     * rows to an already-[[build]]t store — the state IS the parquet store
     * (the [[graft.llm.DedupIndex.streamingDedup]] construct), so the

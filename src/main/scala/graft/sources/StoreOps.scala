@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Shared maintenance primitives for the persistent parquet stores
+  * (SearchIndex / AnnIndex / DedupIndex / CentroidStore / RollupStore).
+  *
+  * The one primitive everything rests on is [[swapWrite]]: rewrite a store
+  * table that the rewrite plan itself READS. A plain
+  * `mode("overwrite")` would delete the input files mid-scan, and the
+  * in-memory alternative (`localCheckpoint` before the overwrite — the
+  * rule the model-sized stats/sketch tables use) materializes the whole
+  * frame in executor storage, which is exactly wrong for the corpus-sized
+  * tables (postings, codes, members, rollup partials) these maintenance
+  * jobs rewrite. Instead the new table is written NEXT TO the old one
+  * (`<path>.tmp`), then swapped in with two filesystem metadata ops —
+  * the compaction recipe every table format uses under the hood, kept
+  * explicit here because the stores are plain parquet directories readable
+  * by any engine. The swap is not atomic for concurrent readers (a reader
+  * between delete and rename sees a missing table); maintenance runs in
+  * the ingest job's write slot, which already owns exclusive write access.
+  */
+object StoreOps {
+
+  /** Rewrite `path` with `df` via write-aside-and-swap. `partitionCols`
+    * must repeat the table's layout (partition pruning contracts survive
+    * the rewrite); the caller is responsible for `repartition`ing so each
+    * partition directory lands as one file — that is the point of calling
+    * this for compaction. */
+  def swapWrite(df: DataFrame, path: String,
+                partitionCols: Seq[String] = Nil): Unit = {
+    val tmp = s"$path.tmp"
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    fs.delete(new Path(path), true)
+    require(fs.rename(new Path(tmp), new Path(path)),
+      s"swapWrite: rename $tmp -> $path failed")
+  }
+
+  /** Parquet files under `path` (recursively; excludes _SUCCESS etc.) —
+    * the observable a compaction spec pins: results identical, file count
+    * collapsed to one per partition directory. */
+  def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+}
