@@ -650,10 +650,19 @@ object Ann {
     * which would re-evaluate the whole bucketing+cosine subtree twice);
     * the per-anchor window partition is the anchor's bucket-candidate
     * set — bounded by tables × maxBucket. Output: (anchor_id, cand_id,
-    * cos, rk). */
+    * cos, rk).
+    *
+    * `maxBucket` defaults to the dedup family's 1000 — TIGHTER than
+    * [[lshNearDup]]'s own default, because mining scores EVERY co-bucketed
+    * pair (minCosine = −1, no early cosine cut): the worst-case pair
+    * budget is nTables × C(maxBucket, 2) ≈ 4·10⁶ at 1000 vs ~4·10⁸ at
+    * 10000. A bucket that big is boilerplate/degenerate territory anyway —
+    * its members are no one's informative hard negatives; raise the cap
+    * explicitly if a coarse LSH (few planes) over a huge corpus makes
+    * large buckets legitimate, and budget nTables·maxBucket²/2 pairs. */
   def hardNegatives(corpus: DataFrame, kNeg: Int = 5, posTau: Double = 0.9,
                     nTables: Int = 8, planesPerTable: Int = 4,
-                    maxBucket: Int = 10000): DataFrame = {
+                    maxBucket: Int = 1000): DataFrame = {
     val pairs = lshNearDup(corpus, -1.0, nTables, planesPerTable, maxBucket)
     val sym = pairs.select(explode(array(
         struct(col("vec_a").as("anchor_id"), col("vec_b").as("cand_id"),

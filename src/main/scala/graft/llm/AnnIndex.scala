@@ -77,6 +77,7 @@ object AnnIndex {
       .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
     emptyTombstones(corpus.sparkSession).write.mode("overwrite")
       .parquet(s"$dir/tombstones.parquet")
+    graft.sources.StoreOps.clearMarker(corpus.sparkSession, s"$dir/$TombMarker")
   }
 
   private def emptyTombstones(spark: SparkSession): DataFrame = {
@@ -95,12 +96,29 @@ object AnnIndex {
     * every surviving code valid: remove-then-vacuum leaves codes.parquet
     * row-identical to an index whose appends never contained the removed
     * ids (the spec pins exactly that). */
-  def remove(dir: String, vecIds: DataFrame): Unit =
+  def remove(dir: String, vecIds: DataFrame): Unit = {
     vecIds.select(col("vec_id").cast(LongType)).distinct()
       .write.mode("append").parquet(s"$dir/tombstones.parquet")
+    graft.sources.StoreOps.setMarker(vecIds.sparkSession,
+      s"$dir/$TombMarker")
+  }
 
+  /** `_has_tombstones` marker file: lets [[query]] decide whether to add
+    * the anti-join with ONE filesystem metadata op instead of a Spark
+    * `isEmpty` job per query. Created by [[remove]], cleared by
+    * [[vacuum]]. */
+  private val TombMarker = "_has_tombstones"
+
+  private def hasTombstones(spark: SparkSession, dir: String): Boolean =
+    graft.sources.StoreOps.markerExists(spark, s"$dir/$TombMarker")
+
+  /** Tombstone list, tolerating stores built before tombstones existed
+    * (absent file → empty frame, the same migration shape the `opq` meta
+    * field uses). */
   private def readTombstones(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/tombstones.parquet").distinct()
+    if (graft.sources.StoreOps.markerExists(spark, s"$dir/tombstones.parquet"))
+      spark.read.parquet(s"$dir/tombstones.parquet").distinct()
+    else emptyTombstones(spark)
 
   /** Physically drop tombstoned codes and clear the tombstone list —
     * nothing observable changes ([[query]] already excluded them); the
@@ -118,6 +136,7 @@ object AnnIndex {
       s"$dir/codes.parquet", Seq("cent_id"))
     emptyTombstones(spark).write.mode("overwrite")
       .parquet(s"$dir/tombstones.parquet")
+    graft.sources.StoreOps.clearMarker(spark, s"$dir/$TombMarker")
   }
 
   /** Small-file compaction only: one file per inverted list, no logical
@@ -175,24 +194,36 @@ object AnnIndex {
     graft.functions.CosineSimilarity.register(spark)
     val (p, cents, cb) = readModel(spark, dir)
     val queriesR = rotated(spark, dir, p, queries)
-    val tomb = readTombstones(spark, dir)
-    val live0 = spark.read.parquet(s"$dir/codes.parquet")
-    val live = if (tomb.isEmpty) live0
-      else live0.join(broadcast(tomb), Seq("vec_id"), "left_anti")
-    val listCodes = allowed.fold(live)(a =>
-      live.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
     val probes = Ann.assignTo(queriesR, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
     val qside = probes.join(
       Ann.pqQueryTable(queriesR, cb, p.m, p.codebookSize, p.normalize),
       "query_id")
-    val scored0 = listCodes.as("c").join(broadcast(qside.as("q")),
+    val scored0 = codes.as("c").join(broadcast(qside.as("q")),
         col("q.cent_id") === col("c.cent_id") &&
           col("q.query_id") =!= col("c.vec_id"))
       .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
         Ann.adcDistance(col("q.dtab"), col("c.codes"), p.m, p.codebookSize)
           .as("dist"))
-    val scored = if (p.multiAssign <= 1) scored0 else scored0.distinct()
+    // tombstone / allow-list filters apply AFTER the cent_id scoring join:
+    // both filter on the neighbor's vec_id, so the result is identical to
+    // filtering the codes first — but an intervening join between the
+    // codes scan and the cent_id broadcast would block dynamic partition
+    // pruning and re-open EVERY list instead of the nprobe probed ones.
+    // Post-join, the frames are probed-slice-sized, and the top-k over the
+    // filtered set is still exact (filter-then-rank, not rank-then-filter).
+    // Whether tombstones exist is a marker-file metadata check, not a
+    // per-query Spark job.
+    val tombFree = if (!hasTombstones(spark, dir)) scored0
+      else scored0.join(
+        broadcast(readTombstones(spark, dir)
+          .select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+    val inList = allowed.fold(tombFree)(a =>
+      tombFree.join(a.select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi"))
+    val scored = if (p.multiAssign <= 1) inList else inList.distinct()
     Ann.pqRank(scored, k)
   }
 

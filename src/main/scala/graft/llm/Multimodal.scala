@@ -89,9 +89,21 @@ object Multimodal {
     * identical fingerprints; a re-encode that rewrites a few header
     * bytes disturbs only the shingles covering them — a small Hamming
     * distance. Payloads shorter than one shingle (incl. empty) are
-    * excluded, like zero-token docs in the text family. Map-only. */
+    * excluded, like zero-token docs in the text family. Map-only.
+    *
+    * `stride` samples shingle START OFFSETS every `stride` bytes instead
+    * of every byte: the exploded row stream shrinks from payload-bytes to
+    * payload-bytes/stride — the knob that keeps a 100 TB image corpus'
+    * shingle fan-out sub-corpus-sized. Identical payloads still get
+    * identical fingerprints at any stride; the trade is sensitivity, not
+    * recall of the banding (a changed byte is covered by ⌈w/stride⌉
+    * shingles instead of w, so light re-encodes perturb FEWER fingerprint
+    * bits — if anything near-dups land closer in Hamming space, while the
+    * fingerprint distinguishes unrelated payloads slightly less). */
   def byteShingleFingerprints(media: DataFrame,
-                              shingleBytes: Int = 8): DataFrame = {
+                              shingleBytes: Int = 8,
+                              stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     graft.functions.SimHash60.register(media.sparkSession)
     graft.functions.Hash60Array.register(media.sparkSession)
     val w = 2 * shingleBytes
@@ -100,7 +112,7 @@ object Multimodal {
         explode(when(length(col("__hx__")) >= w,
           array(expr(s"${graft.functions.SimHash60.FunctionName}(" +
             s"${graft.functions.Hash60Array.FunctionName}(array_distinct(" +
-            s"transform(sequence(1, length(__hx__) - ${w - 1}, 2), " +
+            s"transform(sequence(1, length(__hx__) - ${w - 1}, ${2 * stride}), " +
             s"i -> substring(__hx__, i, $w)))))")))).as("fp"))
   }
 
@@ -134,12 +146,16 @@ object Multimodal {
     * Scale shape: fingerprints and histograms are map-only over one
     * payload scan each; pair generation is the bucket-groupBy explode
     * ([[Dedup.simhashBandPairs]] — never all-pairs); the histogram
-    * joins touch only the surviving pair list. Output: (doc_a, doc_b,
-    * hamming, feat_cos). */
+    * joins touch only the surviving pair list. `stride` (default 4)
+    * divides the shingle fan-out — the ONE corpus-bytes-sized row stream
+    * in the pipeline — by its value; see [[byteShingleFingerprints]] for
+    * the (mild, sensitivity-side) trade. stride = 1 restores the
+    * every-offset definition. Output: (doc_a, doc_b, hamming,
+    * feat_cos). */
   def mediaNearDup(media: DataFrame, maxHamming: Int = 8,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000, stride: Int = 4): DataFrame = {
     val pairs = Dedup.simhashBandPairs(
-      byteShingleFingerprints(media), maxHamming, maxBucket)
+      byteShingleFingerprints(media, stride = stride), maxHamming, maxBucket)
     val hists = media.withColumn("__hx__", hex(col("payload")))
       .select(col("doc_id"), histExpr.as("__hist__"))
     val cos = round(

@@ -251,6 +251,7 @@ object SearchIndex {
     doclens(docs).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
     emptyTombstones(spark).write.mode("overwrite")
       .parquet(s"$dir/tombstones.parquet")
+    graft.sources.StoreOps.clearMarker(spark, s"$dir/$TombMarker")
   }
 
   private def emptyTombstones(spark: SparkSession): DataFrame = {
@@ -294,25 +295,44 @@ object SearchIndex {
     * pins remove ≡ build-without); [[vacuum]] later reclaims the space.
     * Removing an id that was never indexed (or removing twice) is a
     * no-op: the read paths intersect tombstones with doclens first. */
-  def remove(dir: String, docIds: DataFrame): Unit =
+  def remove(dir: String, docIds: DataFrame): Unit = {
     docIds.select(col("doc_id").cast(LongType)).distinct()
       .write.mode("append").parquet(s"$dir/tombstones.parquet")
+    graft.sources.StoreOps.setMarker(docIds.sparkSession, s"$dir/$TombMarker")
+  }
 
+  /** `_has_tombstones` marker: [[search]] tests it with one filesystem
+    * metadata op instead of a per-query Spark `isEmpty` job. Created by
+    * [[remove]], cleared by [[build]]/[[vacuum]]. */
+  private val TombMarker = "_has_tombstones"
+
+  private def hasTombstones(spark: SparkSession, dir: String): Boolean =
+    graft.sources.StoreOps.markerExists(spark, s"$dir/$TombMarker")
+
+  /** Tombstone list, tolerating stores built before tombstones existed
+    * (absent file → empty frame — the store-migration fallback). */
   private def readTombstones(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/tombstones.parquet").distinct()
+    if (graft.sources.StoreOps.markerExists(spark, s"$dir/tombstones.parquet"))
+      spark.read.parquet(s"$dir/tombstones.parquet").distinct()
+    else emptyTombstones(spark)
 
-  /** The one-row stats frame with tombstoned docs subtracted — exact LONG
-    * arithmetic against their doclens rows (intersected first, so stray or
-    * duplicate tombstones cannot over-subtract). */
-  private def liveStats(spark: SparkSession, dir: String,
-                        tomb: DataFrame): DataFrame = {
-    val removed = spark.read.parquet(s"$dir/doclens.parquet")
-      .join(broadcast(tomb), Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).cast(LongType).as("__rc__"),
-        coalesce(sum("dl"), lit(0L)).as("__rdl__"))
-    spark.read.parquet(s"$dir/stats.parquet").crossJoin(removed)
-      .select((col("n_docs") - col("__rc__")).as("n_docs"),
-        (col("sum_dl") - col("__rdl__")).as("sum_dl"))
+  /** The one-row stats frame for the docs that actually participate in
+    * scoring: the doclens ledger minus tombstones, restricted to the allow
+    * list when one is given — exact LONG sums, so the result is identical
+    * to the stats of a store built from exactly that sub-corpus. doclens
+    * is two longs per doc; scanning it is the honest price of EXACT
+    * filtered/tombstone-aware BM25 (df, N and avgdl all must reflect the
+    * effective corpus, or scores drift from the sub-corpus definition). */
+  private def effectiveStats(spark: SparkSession, dir: String,
+                             tomb: Option[DataFrame],
+                             allowed: Option[DataFrame]): DataFrame = {
+    val dl0 = spark.read.parquet(s"$dir/doclens.parquet")
+    val dl1 = tomb.fold(dl0)(t =>
+      dl0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val dl = allowed.fold(dl1)(a =>
+      dl1.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    dl.agg(count(lit(1)).cast(LongType).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("sum_dl"))
   }
 
   /** Physically rewrite the store without the tombstoned rows and clear
@@ -345,6 +365,7 @@ object SearchIndex {
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
     emptyTombstones(spark).write.mode("overwrite")
       .parquet(s"$dir/tombstones.parquet")
+    graft.sources.StoreOps.clearMarker(spark, s"$dir/$TombMarker")
   }
 
   /** Small-file compaction: rewrite postings (and doclens) so each prefix
@@ -383,26 +404,39 @@ object SearchIndex {
     * driver-side list, the [[Ann.lloydCentroids]] bounded-parameter
     * rule), the pruned scan joins the broadcast terms, and the shared
     * [[Search.scoreBm25]] tail does the rest. The index is never
-    * reshuffled and nothing is re-tokenized. */
+    * reshuffled and nothing is re-tokenized.
+    *
+    * `allowed` is the metadata-filtered-search hook ([[AnnIndex.query]]'s
+    * contract, lexical leg): a (doc_id) frame the ranking is restricted
+    * to. Semantics are EXACT sub-corpus BM25 — the semi-join prunes the
+    * candidate postings AND the stats derive from the filtered doclens
+    * ledger, so `search(allowed = A)` ≡ [[Search.bm25TopK]] over a corpus
+    * containing only A's docs (df, N, avgdl included; the spec pins the
+    * equivalence). Whether tombstones exist is a marker-file metadata
+    * check, not a per-query Spark job. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
-             maxDfFrac: Double = 1.0): DataFrame = {
+             maxDfFrac: Double = 1.0,
+             allowed: Option[DataFrame] = None): DataFrame = {
     val qterms = Search.queryTerms(queries).localCheckpoint() // tiny; read 2×
     val pfxs = qterms
       .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
       .distinct().collect().map(_.getInt(0)).toSeq
     // tombstoned docs drop out of the QUERY-PRUNED postings slice (their
     // full posting lists are never touched), and out of N/avgdl via the
-    // exact doclens subtraction — scores as if they were never indexed
-    val tomb = readTombstones(spark, dir)
-    val hasTomb = !tomb.isEmpty // tombstones are model-sized (vacuum cadence)
+    // exact doclens-ledger stats — scores as if they were never indexed
+    val tomb = if (hasTombstones(spark, dir))
+      Some(readTombstones(spark, dir)) else None
     val post0 = spark.read.parquet(s"$dir/postings.parquet")
       .filter(col("pfx").isin(pfxs: _*))
       .select("token", "doc_id", "tf", "dl")
-    val post = if (hasTomb)
-      post0.join(broadcast(tomb), Seq("doc_id"), "left_anti") else post0
-    val stats = if (hasTomb) liveStats(spark, dir, tomb)
-      else spark.read.parquet(s"$dir/stats.parquet")
+    val post1 = tomb.fold(post0)(t =>
+      post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val post = allowed.fold(post1)(a =>
+      post1.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val stats = if (tomb.isEmpty && allowed.isEmpty)
+      spark.read.parquet(s"$dir/stats.parquet")
+    else effectiveStats(spark, dir, tomb, allowed)
     Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b, maxDfFrac)
   }
 
@@ -417,17 +451,28 @@ object SearchIndex {
     * the fusion joins two model-sized rank lists. The dense ranks are the
     * compressed index's (ADC) ranks — at corpus scale that is the point;
     * swap in [[AnnIndex.queryRerank]] upstream when exact top ranks are
-    * worth the shortlist re-read. */
+    * worth the shortlist re-read.
+    *
+    * `allowed` (a (doc_id) frame; doc ids and vector ids share the id
+    * space) makes the FILTERED hybrid exact on both legs: the lexical
+    * ranking is sub-corpus BM25 over the allow list and the dense ranking
+    * restricts the probed code slices to it — so fused ranks are the ranks
+    * a store built from only the allowed docs would produce (modulo the
+    * dense model being trained on the full corpus, which is the frozen-
+    * model contract, not an approximation of the filter). */
   def hybridFromStores(spark: SparkSession, searchDir: String,
                        annDir: String, queries: DataFrame, qvecs: DataFrame,
                        topK: Int = 5, kRetrieve: Int = 10, kRrf: Int = 60,
                        nprobe: Int = 4, k1: Double = 1.2, b: Double = 0.75,
-                       maxDfFrac: Double = 1.0): DataFrame = {
-    val lex = search(spark, searchDir, queries, kRetrieve, k1, b, maxDfFrac)
+                       maxDfFrac: Double = 1.0,
+                       allowed: Option[DataFrame] = None): DataFrame = {
+    val lex = search(spark, searchDir, queries, kRetrieve, k1, b, maxDfFrac,
+        allowed)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
     val sem = AnnIndex.query(spark, annDir,
         qvecs.select(col("query_id").as("vec_id"), col("embedding")),
-        kRetrieve, nprobe)
+        kRetrieve, nprobe,
+        allowed = allowed.map(_.select(col("doc_id").as("vec_id"))))
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rn").as("rk_sem"))
     Search.fuseRrf(lex, sem, topK, kRrf)

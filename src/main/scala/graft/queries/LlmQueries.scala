@@ -272,7 +272,8 @@ object LlmQueries {
     * decontaminate_embed threshold — the synthetic corpus' near-dup bar),
     * top-5 negatives per anchor. */
   def mineNegativesQ(spark: SparkSession, dir: String): DataFrame =
-    Ann.hardNegatives(emb(spark, dir), kNeg = 5, posTau = 0.4)
+    Ann.hardNegatives(emb(spark, dir), kNeg = 5, posTau = 0.4,
+      maxBucket = 1000) // explicit pin — the oracle's HAVING mirrors it
 
   /** Semantic decontamination: corpus = vectors 50+, bench = vectors <50,
     * cosine threshold 0.4 — the synthetic embeddings are near-orthogonal
@@ -514,7 +515,9 @@ object LlmQueries {
   def dedupMediaQ(spark: SparkSession, dir: String): DataFrame = {
     val media = docs(spark, dir)
       .select(col("doc_id"), expr(mediaInjectSpark).as("payload"))
-    Multimodal.mediaNearDup(media, maxHamming = 8)
+    // stride = 4 pinned (the library default) — the oracle's shingle
+    // range steps by the same 4 bytes
+    Multimodal.mediaNearDup(media, maxHamming = 8, stride = 4)
   }
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -830,7 +833,7 @@ object LlmQueries {
   def oracleMineNegatives: String =
     s"""WITH ${bucketCte(8, 4)},
        |eb AS (SELECT e.vec_id, e.embedding, b.tbl, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
-       |ebsz AS (SELECT tbl, bucket FROM eb GROUP BY tbl, bucket HAVING count(*) <= 10000),
+       |ebsz AS (SELECT tbl, bucket FROM eb GROUP BY tbl, bucket HAVING count(*) BETWEEN 2 AND 1000),
        |ebf AS (SELECT eb.* FROM eb JOIN ebsz USING (tbl, bucket)),
        |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    a.embedding AS qe, b.embedding AS ce
@@ -1952,7 +1955,7 @@ object LlmQueries {
   def oracleDedupMedia: String =
     s"""WITH pay AS (SELECT doc_id, $mediaInjectDuckHex AS hx FROM documents),
        |shd AS (SELECT DISTINCT doc_id, s FROM (
-       |  SELECT doc_id, unnest(list_transform(range(0, (length(hx) - 16) // 2 + 1),
+       |  SELECT doc_id, unnest(list_transform(range(0, (length(hx) - 16) // 2 + 1, 4),
        |    k -> substr(hx, 1 + 2 * CAST(k AS INT), 16))) AS s
        |  FROM pay WHERE length(hx) >= 16)),
        |th AS (SELECT doc_id, ${md5Big.format("s")} AS h FROM shd),

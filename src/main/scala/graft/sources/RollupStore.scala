@@ -137,7 +137,10 @@ object RollupStore {
   def retention(dir: String, cutoff: Double): Unit = {
     val spark = SparkSession.active
     val res = readRes(spark, dir)
-    require(cutoff % res == 0,
+    // integral-multiplicity with tolerance, not IEEE `%` (which is exact
+    // only for integral operands — res = 0.1, cutoff = 0.3 is aligned but
+    // 0.3 % 0.1 != 0 in doubles); same FP slack the bucket math uses
+    require(math.abs(cutoff / res - math.round(cutoff / res)) < 1e-9,
       s"retention cutoff $cutoff not aligned to rollup resolution $res")
     StoreOps.swapWrite(
       spark.read.parquet(s"$dir/rollup.parquet")

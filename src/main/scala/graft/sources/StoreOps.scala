@@ -27,18 +27,55 @@ object StoreOps {
     * must repeat the table's layout (partition pruning contracts survive
     * the rewrite); the caller is responsible for `repartition`ing so each
     * partition directory lands as one file — that is the point of calling
-    * this for compaction. */
+    * this for compaction.
+    *
+    * Swap order is rename-aside, not delete-then-rename: the old table is
+    * renamed to `<path>.bak`, the replacement renamed in, THEN the backup
+    * deleted — so the live path is absent only between two metadata
+    * renames (never across a recursive delete, which on object-store
+    * filesystems is a slow per-file walk), and a crash mid-swap leaves
+    * either the old table live or a recoverable `.bak` beside the new
+    * one instead of a missing store. A stale `.bak` from a previous
+    * failed swap is cleared first. */
   def swapWrite(df: DataFrame, path: String,
                 partitionCols: Seq[String] = Nil): Unit = {
     val tmp = s"$path.tmp"
+    val bak = s"$path.bak"
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = new Path(tmp).getFileSystem(conf)
-    fs.delete(new Path(path), true)
+    fs.delete(new Path(bak), true)
+    if (fs.exists(new Path(path)))
+      require(fs.rename(new Path(path), new Path(bak)),
+        s"swapWrite: rename-aside $path -> $bak failed")
     require(fs.rename(new Path(tmp), new Path(path)),
-      s"swapWrite: rename $tmp -> $path failed")
+      s"swapWrite: rename $tmp -> $path failed (old table at $bak)")
+    fs.delete(new Path(bak), true)
+  }
+
+  /** Marker files: a zero-byte flag the read paths can test with one
+    * filesystem metadata op instead of a Spark job (e.g. "does this store
+    * have tombstones?"). `markerExists` doubles as a plain path-existence
+    * probe for store-layout migration fallbacks. */
+  def setMarker(spark: org.apache.spark.sql.SparkSession,
+                path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
+
+  def clearMarker(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  def markerExists(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Parquet files under `path` (recursively; excludes _SUCCESS etc.) —

@@ -775,4 +775,24 @@ class LlmSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("hardNegatives: a degenerate bucket over maxBucket is dropped before any pair forms") {
+    import graft.llm.Ann
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); parts.foreach { case (d, x) => a(d) = x }; a
+    }
+    // 40 identical vectors co-bucket in EVERY table (identical hash input
+    // -> identical bucket); two distinct near vectors mine normally
+    val boiler = (100L until 140L).map(_ -> v(0 -> 1.0f))
+    val emb = (boiler ++ Seq(
+      200L -> v(5 -> 1.0f, 6 -> 0.3f),
+      201L -> v(5 -> 1.0f, 6 -> 0.5f))).toDF("vec_id", "embedding")
+    val out = Ann.hardNegatives(emb, kNeg = 5, posTau = 0.999, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no anchor from the degenerate cluster survives the bucket cap —
+    // the O(B²) explode never materializes its ~40²/2 pairs
+    assert(!out.exists(p => p._1 >= 100L && p._1 < 140L))
+    // the legitimate pair still mines (both directions via symmetrize)
+    assert(out.contains((200L, 201L)) && out.contains((201L, 200L)))
+  }
 }

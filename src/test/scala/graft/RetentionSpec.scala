@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Ann, AnnIndex, Search, SearchIndex}
+import graft.sources.StoreOps
+
+/** Pins the retention / maintenance contracts the store Scaladoc claims:
+  * remove ≡ build-without-the-docs (scores, df, N, avgdl all as if never
+  * indexed), vacuum ≡ observational identity (+ physical reclaim),
+  * compact ≡ identity with the file count collapsed, filtered search ≡
+  * filtered-corpus rebuild, and the pre-tombstone store-layout migration
+  * fallback. */
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "a quick brown cat sleeps all day long today",
+    3L -> "stock market prices rose sharply in early trading",
+    4L -> "the fox and the hound ran through the forest",
+    5L -> "completely unrelated text about gardening and tulips")
+    .toDF("doc_id", "text")
+
+  private val qs = Seq(10L -> "quick brown fox", 11L -> "stock market",
+    12L -> "forest hound").toDF("query_id", "qtext")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Double, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getInt(4))).toSet
+
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  test("SearchIndex.remove ≡ build-without: search equals BM25 over the surviving corpus") {
+    val dir = tmp("ret-remove")
+    SearchIndex.build(corpus, dir)
+    SearchIndex.remove(dir, Seq(1L, 4L).toDF("doc_id"))
+    val got = rows(SearchIndex.search(spark, dir, qs, topK = 5))
+    val want = rows(Search.bm25TopK(
+      corpus.filter(!$"doc_id".isin(1L, 4L)), qs, topK = 5))
+    assert(got == want && got.nonEmpty)
+    // df/N/avgdl really shifted: doc 2's "quick brown" score differs from
+    // the full-corpus one (doc 1 left the df counts)
+    val full = rows(Search.bm25TopK(corpus, qs, topK = 5))
+    assert(got != full)
+    // removing an id twice / a never-indexed id is a no-op
+    SearchIndex.remove(dir, Seq(1L, 999L).toDF("doc_id"))
+    assert(rows(SearchIndex.search(spark, dir, qs, topK = 5)) == got)
+  }
+
+  test("SearchIndex.vacuum is observationally identity and reclaims tombstones") {
+    val dir = tmp("ret-vac")
+    SearchIndex.build(corpus, dir)
+    // vacuum with NO tombstones: pure no-op on results
+    val before = rows(SearchIndex.search(spark, dir, qs, topK = 5))
+    SearchIndex.vacuum(dir)
+    assert(rows(SearchIndex.search(spark, dir, qs, topK = 5)) == before)
+    SearchIndex.remove(dir, Seq(4L).toDF("doc_id"))
+    val removed = rows(SearchIndex.search(spark, dir, qs, topK = 5))
+    SearchIndex.vacuum(dir)
+    assert(rows(SearchIndex.search(spark, dir, qs, topK = 5)) == removed)
+    // physically gone: tombstones empty, postings/doclens lack doc 4
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0)
+    assert(spark.read.parquet(s"$dir/doclens.parquet")
+      .filter($"doc_id" === 4L).count() == 0)
+    assert(spark.read.parquet(s"$dir/postings.parquet")
+      .filter($"doc_id" === 4L).count() == 0)
+    // stats re-derived exactly
+    assert(spark.read.parquet(s"$dir/stats.parquet").head()
+      .getAs[Long]("n_docs") == 4L)
+  }
+
+  test("SearchIndex.compact: results identical, per-prefix file count collapses") {
+    val dir = tmp("ret-compact")
+    SearchIndex.build(corpus.filter($"doc_id" <= 2), dir)
+    SearchIndex.append(dir, corpus.filter($"doc_id" === 3))
+    SearchIndex.append(dir, corpus.filter($"doc_id" === 4))
+    SearchIndex.append(dir, corpus.filter($"doc_id" === 5))
+    val before = rows(SearchIndex.search(spark, dir, qs, topK = 5))
+    val filesBefore = StoreOps.parquetFileCount(spark, s"$dir/postings.parquet")
+    SearchIndex.compact(dir)
+    assert(rows(SearchIndex.search(spark, dir, qs, topK = 5)) == before)
+    val filesAfter = StoreOps.parquetFileCount(spark, s"$dir/postings.parquet")
+    val nPfx = spark.read.parquet(s"$dir/postings.parquet")
+      .select("pfx").distinct().count()
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    assert(filesAfter == nPfx) // exactly one file per live prefix dir
+  }
+
+  test("SearchIndex.search(allowed) ≡ BM25 over the allowed sub-corpus (df/N/avgdl included)") {
+    val dir = tmp("ret-allowed")
+    SearchIndex.build(corpus, dir)
+    val allow = Seq(2L, 3L, 4L, 5L).toDF("doc_id")
+    val got = rows(SearchIndex.search(spark, dir, qs, topK = 5,
+      allowed = Some(allow)))
+    val want = rows(Search.bm25TopK(
+      corpus.filter($"doc_id" =!= 1L), qs, topK = 5))
+    assert(got == want && got.nonEmpty)
+    // allowed composes with tombstones: remove 4, allow {2,3,4,5} ≡
+    // rebuild on {2,3,5}
+    SearchIndex.remove(dir, Seq(4L).toDF("doc_id"))
+    val got2 = rows(SearchIndex.search(spark, dir, qs, topK = 5,
+      allowed = Some(allow)))
+    val want2 = rows(Search.bm25TopK(
+      corpus.filter($"doc_id".isin(2L, 3L, 5L)), qs, topK = 5))
+    assert(got2 == want2)
+  }
+
+  test("stores from before the tombstone layout still serve queries (migration fallback)") {
+    val sDir = tmp("ret-migrate-s")
+    SearchIndex.build(corpus, sDir)
+    fs.delete(new Path(s"$sDir/tombstones.parquet"), true)
+    assert(rows(SearchIndex.search(spark, sDir, qs, topK = 5)) ==
+      rows(Search.bm25TopK(corpus, qs, topK = 5)))
+    // vacuum on such a store is a compaction no-op, and heals the layout
+    SearchIndex.vacuum(sDir)
+    assert(fs.exists(new Path(s"$sDir/tombstones.parquet")))
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val aDir = tmp("ret-migrate-a")
+    AnnIndex.build(emb, aDir,
+      AnnIndex.Params(nCentroids = 8, multiAssign = 1, codebookIters = 0))
+    val full = AnnIndex.query(spark, aDir, q, 5, nprobe = 2).count()
+    fs.delete(new Path(s"$aDir/tombstones.parquet"), true)
+    assert(AnnIndex.query(spark, aDir, q, 5, nprobe = 2).count() == full)
+  }
+
+  test("AnnIndex remove ≡ appends-never-contained; vacuum identity + row-identical codes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val q = emb.filter($"vec_id" < 3)
+    val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val doomed = Seq(half + 1, half + 2)
+    val p = AnnIndex.Params(nCentroids = 8, multiAssign = 1, codebookIters = 0)
+
+    val dir = tmp("ret-ann")
+    AnnIndex.build(emb.filter($"vec_id" <= half), dir, p)
+    AnnIndex.append(dir, emb.filter($"vec_id" > half))
+    AnnIndex.remove(dir, doomed.toDF("vec_id"))
+
+    // reference: same build, appends never contained the removed ids
+    val ref = tmp("ret-ann-ref")
+    AnnIndex.build(emb.filter($"vec_id" <= half), ref, p)
+    AnnIndex.append(ref,
+      emb.filter($"vec_id" > half && !$"vec_id".isin(doomed: _*)))
+
+    def res(d: String) = AnnIndex.query(spark, d, q, 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = res(ref)
+    assert(res(dir) == want && want.nonEmpty)
+    assert(!want.exists(r => doomed.contains(r._2)))
+
+    AnnIndex.vacuum(dir)
+    assert(res(dir) == want) // nothing observable changed
+    def codeRows(d: String) = spark.read.parquet(s"$d/codes.parquet")
+      .select($"vec_id", $"codes".cast("string"), $"cent_id")
+      .as[(Long, String, Int)].collect().toSet
+    assert(codeRows(dir) == codeRows(ref)) // the Scaladoc's row-identity claim
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0)
+
+    // compact: one file per list, results unchanged
+    AnnIndex.append(dir, emb.filter($"vec_id" > half && $"vec_id" <= half + 5
+      && !$"vec_id".isin(doomed: _*))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val preCompact = AnnIndex.query(spark, dir, q, 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val filesBefore = StoreOps.parquetFileCount(spark, s"$dir/codes.parquet")
+    AnnIndex.compact(dir)
+    val filesAfter = StoreOps.parquetFileCount(spark, s"$dir/codes.parquet")
+    val nLists = spark.read.parquet(s"$dir/codes.parquet")
+      .select("cent_id").distinct().count()
+    assert(AnnIndex.query(spark, dir, q, 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet == preCompact)
+    assert(filesAfter < filesBefore && filesAfter == nLists)
+    emb.unpersist()
+  }
+
+  test("AnnIndex tombstone/allow filters keep dynamic partition pruning on the codes scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 2)
+    val dir = tmp("ret-dpp")
+    AnnIndex.build(emb,
+      dir, AnnIndex.Params(nCentroids = 8, multiAssign = 1, codebookIters = 0))
+    AnnIndex.remove(dir, Seq(7L).toDF("vec_id"))
+    val allow = emb.select($"vec_id").filter($"vec_id" % 2 === 0)
+    val plan = AnnIndex.query(spark, dir, q, 5, nprobe = 2,
+      allowed = Some(allow)).queryExecution.executedPlan.toString
+    // the codes scan must still carry the dynamic-pruning subquery on its
+    // cent_id PartitionFilters — the anti/semi joins sit ABOVE the scoring
+    // join, so they cannot block it (the r13 regression this pins against)
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+  }
+}
