@@ -54,6 +54,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    derive(spark, src, dst, factor, tables)
+    spark.stop()
+  }
+
+  /** The replication body, callable from other mains ([[StoreScale]] runs
+    * it at factor 10 and 100 inside one session). */
+  def derive(spark: SparkSession, src: String, dst: String, factor: Int,
+             tables: Set[String]): Unit = {
     // events.parquet is TIMESTAMP(NANOS): read as long nanos, write back as
     // µs-granular native TIMESTAMP (readers are type-adaptive; DuckDB's
     // epoch() agrees on both encodings)
@@ -112,6 +120,5 @@ object ScaleUp {
       val n = spark.read.parquet(s"$dst/$t.parquet").count()
       println(s"$t: $n rows")
     }
-    spark.stop()
   }
 }

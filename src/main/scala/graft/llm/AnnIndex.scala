@@ -75,14 +75,8 @@ object AnnIndex {
     encode(corpusR, cents, cb, p).repartition(col("cent_id"))
       .write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
-    emptyTombstones(corpus.sparkSession).write.mode("overwrite")
-      .parquet(s"$dir/tombstones.parquet")
-    graft.sources.StoreOps.clearMarker(corpus.sparkSession, s"$dir/$TombMarker")
-  }
-
-  private def emptyTombstones(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.emptyDataset[Long].toDF("vec_id")
+    graft.sources.StoreOps.Tombstones.writeEmpty(corpus.sparkSession, dir,
+      "vec_id")
   }
 
   /** Logically remove `vecIds` (a (vec_id) frame) from the index —
@@ -96,29 +90,8 @@ object AnnIndex {
     * every surviving code valid: remove-then-vacuum leaves codes.parquet
     * row-identical to an index whose appends never contained the removed
     * ids (the spec pins exactly that). */
-  def remove(dir: String, vecIds: DataFrame): Unit = {
-    vecIds.select(col("vec_id").cast(LongType)).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones.parquet")
-    graft.sources.StoreOps.setMarker(vecIds.sparkSession,
-      s"$dir/$TombMarker")
-  }
-
-  /** `_has_tombstones` marker file: lets [[query]] decide whether to add
-    * the anti-join with ONE filesystem metadata op instead of a Spark
-    * `isEmpty` job per query. Created by [[remove]], cleared by
-    * [[vacuum]]. */
-  private val TombMarker = "_has_tombstones"
-
-  private def hasTombstones(spark: SparkSession, dir: String): Boolean =
-    graft.sources.StoreOps.markerExists(spark, s"$dir/$TombMarker")
-
-  /** Tombstone list, tolerating stores built before tombstones existed
-    * (absent file → empty frame, the same migration shape the `opq` meta
-    * field uses). */
-  private def readTombstones(spark: SparkSession, dir: String): DataFrame =
-    if (graft.sources.StoreOps.markerExists(spark, s"$dir/tombstones.parquet"))
-      spark.read.parquet(s"$dir/tombstones.parquet").distinct()
-    else emptyTombstones(spark)
+  def remove(dir: String, vecIds: DataFrame): Unit =
+    graft.sources.StoreOps.Tombstones.add(dir, vecIds, "vec_id")
 
   /** Physically drop tombstoned codes and clear the tombstone list —
     * nothing observable changes ([[query]] already excluded them); the
@@ -128,15 +101,14 @@ object AnnIndex {
     * corpus-sized — never materialized driver- or executor-side. */
   def vacuum(dir: String): Unit = {
     val spark = SparkSession.active
-    val tomb = readTombstones(spark, dir).localCheckpoint() // model-sized
+    val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "vec_id")
+      .localCheckpoint() // model-sized
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/codes.parquet")
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .repartition(col("cent_id")),
       s"$dir/codes.parquet", Seq("cent_id"))
-    emptyTombstones(spark).write.mode("overwrite")
-      .parquet(s"$dir/tombstones.parquet")
-    graft.sources.StoreOps.clearMarker(spark, s"$dir/$TombMarker")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "vec_id")
   }
 
   /** Small-file compaction only: one file per inverted list, no logical
@@ -215,9 +187,10 @@ object AnnIndex {
     // filtered set is still exact (filter-then-rank, not rank-then-filter).
     // Whether tombstones exist is a marker-file metadata check, not a
     // per-query Spark job.
-    val tombFree = if (!hasTombstones(spark, dir)) scored0
-      else scored0.join(
-        broadcast(readTombstones(spark, dir)
+    val tombFree = if (!graft.sources.StoreOps.Tombstones.any(spark, dir))
+      scored0
+    else scored0.join(
+        broadcast(graft.sources.StoreOps.Tombstones.read(spark, dir, "vec_id")
           .select(col("vec_id").as("neighbor_id"))),
         Seq("neighbor_id"), "left_anti")
     val inList = allowed.fold(tombFree)(a =>

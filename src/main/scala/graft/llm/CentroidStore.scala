@@ -57,6 +57,41 @@ object CentroidStore {
     Ann.assignTo(vecs, cents, 1).repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$dir/members.parquet")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "vec_id")
+  }
+
+  /** Logically remove `vecIds` (a (vec_id) frame) from the member store:
+    * the vectors stop influencing [[semDedupAgainst]] (pair candidates AND
+    * the maxCluster size guard) the moment remove returns; [[vacuum]]
+    * reclaims the rows. Model-sized tombstone append — eager deletion
+    * would re-assign the batch against the quantizer and rewrite touched
+    * cluster partitions per request. The centroids stay FROZEN, so
+    * remove-then-vacuum ≡ a store whose appends never contained the ids
+    * (the [[AnnIndex.remove]] contract; RetentionSpec pins it). */
+  def remove(dir: String, vecIds: DataFrame): Unit =
+    graft.sources.StoreOps.Tombstones.add(dir, vecIds, "vec_id")
+
+  /** Physically drop tombstoned members and clear the list — observable
+    * behaviour unchanged; per-cluster repartition doubles as small-file
+    * compaction. Write-aside-and-swap. */
+  def vacuum(dir: String): Unit = {
+    val spark = SparkSession.active
+    val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "vec_id")
+      .localCheckpoint() // model-sized
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/members.parquet")
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .repartition(col("cent_id")),
+      s"$dir/members.parquet", Seq("cent_id"))
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "vec_id")
+  }
+
+  /** Small-file compaction only: one file per cluster directory. */
+  def compact(dir: String): Unit = {
+    val spark = SparkSession.active
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/members.parquet").repartition(col("cent_id")),
+      s"$dir/members.parquet", Seq("cent_id"))
   }
 
   /** Assign `newVecs` against the FROZEN centroids and add them to the
@@ -107,8 +142,17 @@ object CentroidStore {
 
     val members = spark.read.parquet(s"$dir/members.parquet")
     val touched = asg.select("cent_id").distinct()
-    // partition pruning: only the batch's cluster directories are read
-    val storeM = members.join(broadcast(touched), Seq("cent_id"))
+    // partition pruning: only the batch's cluster directories are read.
+    // The tombstone anti-join sits AFTER the pruning join (so dynamic
+    // pruning on the members scan survives) and is marker-gated —
+    // removed vectors drop out of both the pair candidates and the
+    // maxCluster size guard below, exactly as if never appended.
+    val storeM0 = members.join(broadcast(touched), Seq("cent_id"))
+    val storeM = if (!graft.sources.StoreOps.Tombstones.any(spark, dir))
+      storeM0
+    else storeM0.join(
+      broadcast(graft.sources.StoreOps.Tombstones.read(spark, dir, "vec_id")),
+      Seq("vec_id"), "left_anti")
 
     // the semDedup guard on TOTAL cluster size (store + batch members)
     val sizes = storeM.groupBy("cent_id").agg(count(lit(1)).as("store_n"))

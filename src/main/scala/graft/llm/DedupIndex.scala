@@ -60,7 +60,63 @@ object DedupIndex {
       .parquet(s"$dir/postings.parquet")
     Dedup.withGramSet(docs, p.n).select("doc_id", "gs")
       .write.mode("overwrite").parquet(s"$dir/grams.parquet")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
+
+  /** Logically remove `docIds` (a (doc_id) frame) from the index —
+    * retention / right-to-be-forgotten for the dedup store: a removed
+    * doc stops being reported as anyone's duplicate the moment remove
+    * returns ([[dedupAgainst]] anti-joins candidates on the tombstone
+    * list), and [[vacuum]] later reclaims its postings and gram set.
+    * The tombstone append is model-sized (bounded by vacuum cadence) —
+    * eager deletion would rewrite every band partition per request.
+    * remove-then-vacuum ≡ an index whose builds/appends never contained
+    * the doc, EXCEPT for the build-time `maxBucket` guard, which was
+    * measured with the doc present (same frozen-at-build contract as
+    * append, which doesn't re-check the guard either; RetentionSpec pins
+    * the equivalence on non-degenerate data). */
+  def remove(dir: String, docIds: DataFrame): Unit =
+    graft.sources.StoreOps.Tombstones.add(dir, docIds, "doc_id")
+
+  /** Physically drop tombstoned postings + gram sets and clear the list —
+    * nothing observable changes ([[dedupAgainst]] already excluded them);
+    * the per-band repartition doubles as small-file compaction.
+    * Write-aside-and-swap: the rewrite reads the files it replaces. */
+  def vacuum(dir: String): Unit = {
+    val spark = SparkSession.active
+    val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")
+      .localCheckpoint() // model-sized
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/postings.parquet")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("band")),
+      s"$dir/postings.parquet", Seq("band"))
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/grams.parquet")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .coalesce(grams1FileBudget(spark)),
+      s"$dir/grams.parquet")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
+  }
+
+  /** Small-file compaction only (one file per band, gram files merged
+    * without a shuffle) — run when append cadence outpaces removals. */
+  def compact(dir: String): Unit = {
+    val spark = SparkSession.active
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/postings.parquet").repartition(col("band")),
+      s"$dir/postings.parquet", Seq("band"))
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/grams.parquet")
+        .coalesce(grams1FileBudget(spark)),
+      s"$dir/grams.parquet")
+  }
+
+  /** Gram-set rewrites coalesce (no shuffle — gram sets are the store's
+    * heavy column) to the session's shuffle-partition count: enough
+    * parallel writers at scale, collapses micro-batch append litter. */
+  private def grams1FileBudget(spark: SparkSession): Int =
+    math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** Sign `newDocs` with the FROZEN scheme and append their postings and
     * gram sets — a pure map over the batch regardless of index size. */
@@ -87,11 +143,20 @@ object DedupIndex {
     val storedGrams = spark.read.parquet(s"$dir/grams.parquet")
     val probe = Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
       .select(col("doc_id").as("doc_id"), col("band"), col("bkey"))
-    val cand = postings.as("s").join(broadcast(probe.as("q")),
+    val cand0 = postings.as("s").join(broadcast(probe.as("q")),
         col("s.band") === col("q.band") && col("s.bkey") === col("q.bkey") &&
           col("s.doc_id") =!= col("q.doc_id"))
       .select(col("q.doc_id").as("doc_id"), col("s.doc_id").as("dup_id"))
       .distinct()
+    // tombstoned docs stop being anyone's duplicate: the anti-join sits
+    // AFTER the broadcast probe join (candidate-sized, and the postings
+    // scan keeps its pruning), marker-gated so unremoved-from stores add
+    // neither a plan node nor a Spark job
+    val cand = if (!graft.sources.StoreOps.Tombstones.any(spark, dir)) cand0
+      else cand0.join(
+        broadcast(graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")
+          .select(col("doc_id").as("dup_id"))),
+        Seq("dup_id"), "left_anti")
     val newGrams = Dedup.withGramSet(newDocs, p.n)
       .select(col("doc_id"), col("gs").as("__ga__"))
     cand

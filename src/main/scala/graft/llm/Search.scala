@@ -249,14 +249,7 @@ object SearchIndex {
     Search.corpusStats(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
     doclens(docs).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
-    emptyTombstones(spark).write.mode("overwrite")
-      .parquet(s"$dir/tombstones.parquet")
-    graft.sources.StoreOps.clearMarker(spark, s"$dir/$TombMarker")
-  }
-
-  private def emptyTombstones(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.emptyDataset[Long].toDF("doc_id")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
 
   /** Append a new batch: postings are a pure map over the batch; stats
@@ -295,26 +288,8 @@ object SearchIndex {
     * pins remove ≡ build-without); [[vacuum]] later reclaims the space.
     * Removing an id that was never indexed (or removing twice) is a
     * no-op: the read paths intersect tombstones with doclens first. */
-  def remove(dir: String, docIds: DataFrame): Unit = {
-    docIds.select(col("doc_id").cast(LongType)).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones.parquet")
-    graft.sources.StoreOps.setMarker(docIds.sparkSession, s"$dir/$TombMarker")
-  }
-
-  /** `_has_tombstones` marker: [[search]] tests it with one filesystem
-    * metadata op instead of a per-query Spark `isEmpty` job. Created by
-    * [[remove]], cleared by [[build]]/[[vacuum]]. */
-  private val TombMarker = "_has_tombstones"
-
-  private def hasTombstones(spark: SparkSession, dir: String): Boolean =
-    graft.sources.StoreOps.markerExists(spark, s"$dir/$TombMarker")
-
-  /** Tombstone list, tolerating stores built before tombstones existed
-    * (absent file → empty frame — the store-migration fallback). */
-  private def readTombstones(spark: SparkSession, dir: String): DataFrame =
-    if (graft.sources.StoreOps.markerExists(spark, s"$dir/tombstones.parquet"))
-      spark.read.parquet(s"$dir/tombstones.parquet").distinct()
-    else emptyTombstones(spark)
+  def remove(dir: String, docIds: DataFrame): Unit =
+    graft.sources.StoreOps.Tombstones.add(dir, docIds, "doc_id")
 
   /** The one-row stats frame for the docs that actually participate in
     * scoring: the doclens ledger minus tombstones, restricted to the allow
@@ -346,7 +321,8 @@ object SearchIndex {
     * the rewrite plan reads the files it replaces). */
   def vacuum(dir: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val tomb = readTombstones(spark, dir).localCheckpoint() // model-sized
+    val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")
+      .localCheckpoint() // model-sized
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/postings.parquet")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
@@ -363,9 +339,7 @@ object SearchIndex {
         coalesce(sum("dl"), lit(0L)).as("sum_dl"))
       .localCheckpoint()
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
-    emptyTombstones(spark).write.mode("overwrite")
-      .parquet(s"$dir/tombstones.parquet")
-    graft.sources.StoreOps.clearMarker(spark, s"$dir/$TombMarker")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
 
   /** Small-file compaction: rewrite postings (and doclens) so each prefix
@@ -425,8 +399,9 @@ object SearchIndex {
     // tombstoned docs drop out of the QUERY-PRUNED postings slice (their
     // full posting lists are never touched), and out of N/avgdl via the
     // exact doclens-ledger stats — scores as if they were never indexed
-    val tomb = if (hasTombstones(spark, dir))
-      Some(readTombstones(spark, dir)) else None
+    val tomb = if (graft.sources.StoreOps.Tombstones.any(spark, dir))
+      Some(graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id"))
+    else None
     val post0 = spark.read.parquet(s"$dir/postings.parquet")
       .filter(col("pfx").isin(pfxs: _*))
       .select("token", "doc_id", "tf", "dl")

@@ -24,7 +24,19 @@ import org.apache.spark.sql.functions._
   * local-checkpointed BEFORE the overwrite so the write never depends on
   * the files it replaces (the [[SubstrIndex]] lineage lesson) — legitimate
   * here precisely because the frames are bounded; the corpus-sized side of
-  * the merge (the batch) is only ever scanned, never stored. */
+  * the merge (the batch) is only ever scanned, never stored.
+  *
+  * NO removal API, by design — unlike its tombstoning siblings
+  * ([[DedupIndex.remove]], [[SubstrIndex.remove]],
+  * [[CentroidStore.remove]], [[SearchIndex.remove]], [[AnnIndex.remove]]):
+  * HLL registers are a MAX over hashed ranks and max is not invertible —
+  * a departed doc's contribution to a register cannot be subtracted
+  * because the register does not know whether a surviving doc produced
+  * the same rank (CMS cell sums could be subtracted, quantile bins too,
+  * but serving a mixed store where one sketch forgets and the others
+  * cannot would misreport). Retention for sketches is therefore REBUILD:
+  * re-run [[build]] over the surviving corpus — a single pass producing
+  * the same bounded frames, scheduled at vacuum cadence. */
 object SketchStore {
 
   /** Sketch `docs` and write a fresh store. `groupCol` keys the HLL and

@@ -14,14 +14,30 @@ import org.apache.spark.sql.functions._
   *                        hash-prefix partition count. Like the MinHash
   *                        scheme, k never changes after build, so stored
   *                        and incoming gram hashes stay comparable.
-  *   - `postings.parquet` DISTINCT 60-bit gram hashes `h`, PARTITIONED BY
-  *                        `hp = h mod parts`. The index is a gram SET, not
-  *                        an occurrence list: the store is older than any
-  *                        probe by construction, so "this gram exists in
-  *                        the index" already decides first-occurrence — no
-  *                        (doc_id, pos) payload needed, which keeps the
-  *                        store at 8 bytes per DISTINCT gram (duplicated
-  *                        boilerplate collapses at build).
+  *   - `postings.parquet` (h, cnt) rows over 60-bit gram hashes,
+  *                        PARTITIONED BY `hp = h mod parts`. The index is
+  *                        a COUNTED gram set, not an occurrence list:
+  *                        `cnt` is the number of live indexed docs whose
+  *                        distinct-gram set contains `h`, stored as
+  *                        merge-on-read partials (the RollupStore rule —
+  *                        build writes one row per gram, each append adds
+  *                        its batch's per-gram doc counts, [[remove]] adds
+  *                        NEGATIVE partials, [[vacuum]]/[[compact]] fold
+  *                        them back to one row per gram). A gram is live
+  *                        iff Σcnt > 0. The count is what makes removal
+  *                        EXACT: a gram shared by a removed doc and a
+  *                        surviving doc must stay probe-able, and a set
+  *                        could never know. The store is still ~12 bytes
+  *                        per distinct gram at steady state (compaction
+  *                        cadence), and the probe stays "h present" —
+  *                        the Σ>0 check is marker-gated to stores that
+  *                        actually removed something.
+  *   - `docids.parquet`   (doc_id) — one row per indexed doc: the removal
+  *                        ledger ([[remove]] intersects with it so double
+  *                        removes and never-indexed ids are no-ops).
+  *   - `tombstones.parquet` (doc_id) removed ids (idempotence guard only —
+  *                        the postings math lives in the negative
+  *                        partials).
   *
   * Exactness contract (LlmSpec pins it, the gate oracle replays it): for
   * a corpus split into index + batch by doc_id, [[dedupAgainst]] equals
@@ -41,38 +57,96 @@ import org.apache.spark.sql.functions._
   * of small append files — documented cadence, not per-batch work. */
 object SubstrIndex {
 
-  /** Build the gram-set store from `docs` and write meta to `dir`. */
+  /** Per-gram doc counts for a batch: (h, cnt) with cnt = number of batch
+    * docs whose distinct-gram set contains h — one groupBy over the
+    * (doc_id, h)-distinct grams, map-side combinable. */
+  private def gramDocCounts(docs: DataFrame, k: Int): DataFrame =
+    Curation.substrGrams(Curation.substrToked(docs), k)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+
+  private def writeParts(cnts: DataFrame, dir: String, parts: Int,
+                         mode: String): Unit =
+    cnts.withColumn("hp", pmod(col("h"), lit(parts.toLong)))
+      .repartition(col("hp")) // one file per prefix partition
+      .write.mode(mode).partitionBy("hp")
+      .parquet(s"$dir/postings.parquet")
+
+  /** Build the counted gram store from `docs` and write meta to `dir`. */
   def build(docs: DataFrame, dir: String, k: Int = 15,
             parts: Int = 64): Unit = {
     val spark = docs.sparkSession
     spark.createDataFrame(Seq((k, parts))).toDF("k", "parts")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
-    Curation.substrGrams(Curation.substrToked(docs), k)
-      .select(col("h")).distinct()
-      .withColumn("hp", pmod(col("h"), lit(parts.toLong)))
-      .repartition(col("hp")) // one file per prefix partition
-      .write.mode("overwrite").partitionBy("hp")
-      .parquet(s"$dir/postings.parquet")
+    writeParts(gramDocCounts(docs, k), dir, parts, "overwrite")
+    docs.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$dir/docids.parquet")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
 
-  /** Add `newDocs`' grams to the store under the FROZEN k: the batch's
-    * distinct hashes probe the store once (broadcast side), and only the
-    * genuinely novel ones are appended — the store stays duplicate-free
-    * without ever reshuffling itself. */
+  /** Add `newDocs`' grams to the store under the FROZEN k — a pure map
+    * over the batch (per-gram doc-count partials appended merge-on-read;
+    * the store itself is never read, let alone reshuffled). Shared grams
+    * accumulate one partial row per batch until [[compact]]/[[vacuum]]
+    * folds them — the price of counts being exact enough to subtract on
+    * [[remove]]. PRECONDITION ([[SearchIndex.append]]'s): batch doc_ids
+    * must not already be indexed. */
   def append(dir: String, newDocs: DataFrame): Unit = {
     val spark = newDocs.sparkSession
     val (k, parts) = readParams(spark, dir)
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-    val newH = Curation.substrGrams(Curation.substrToked(newDocs), k)
-      .select(col("h")).distinct()
-    val present = postings.join(broadcast(newH), Seq("h"))
-      .select("h").distinct()
-    newH.join(broadcast(present), Seq("h"), "left_anti")
-      .withColumn("hp", pmod(col("h"), lit(parts.toLong)))
-      .repartition(col("hp"))
-      .write.mode("append").partitionBy("hp")
-      .parquet(s"$dir/postings.parquet")
+    writeParts(gramDocCounts(newDocs, k), dir, parts, "append")
+    newDocs.select(col("doc_id")).write.mode("append")
+      .parquet(s"$dir/docids.parquet")
   }
+
+  /** Logically remove docs (full (doc_id, text) rows — the gram store
+    * has no doc identity, so the removal must RECOMPUTE the doc's grams;
+    * pass the text as indexed): appends NEGATIVE per-gram partials, so a
+    * gram survives iff some live doc still contains it — removal is
+    * exact, not approximate ([[dedupAgainst]] ≡ an index that never held
+    * the doc; RetentionSpec pins it). Ids not in the docids ledger (or
+    * already removed) are ignored, making remove idempotent. */
+  def remove(dir: String, docs: DataFrame): Unit = {
+    val spark = docs.sparkSession
+    val (k, parts) = readParams(spark, dir)
+    val eligible = docs
+      .join(spark.read.parquet(s"$dir/docids.parquet"), Seq("doc_id"),
+        "left_semi")
+      .join(broadcast(
+        graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // read twice (grams + tombstone ids), and the
+                         // tombstone write below must not re-plan it
+    writeParts(gramDocCounts(eligible, k)
+      .select(col("h"), (-col("cnt")).as("cnt")), dir, parts, "append")
+    graft.sources.StoreOps.Tombstones.add(dir, eligible.select("doc_id"),
+      "doc_id")
+  }
+
+  /** Fold the partial rows to one (h, cnt) row per LIVE gram (Σcnt > 0),
+    * drop tombstoned ids from the ledger, clear the tombstone list —
+    * nothing observable changes; the rewrite doubles as small-file
+    * compaction. Write-aside-and-swap. */
+  def vacuum(dir: String): Unit = {
+    val spark = SparkSession.active
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/postings.parquet")
+        .groupBy("h", "hp").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") > 0)
+        .repartition(col("hp")),
+      s"$dir/postings.parquet", Seq("hp"))
+    val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")
+      .localCheckpoint()
+    graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/docids.parquet")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      s"$dir/docids.parquet")
+    graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
+  }
+
+  /** Compaction alias: with counted partials, folding the append/remove
+    * history IS the compaction — [[vacuum]] already does both. */
+  def compact(dir: String): Unit = vacuum(dir)
 
   /** Score `newDocs` against everything indexed plus the batch itself:
     * the (doc_id, n_tok, dup_tok, kept_frac) contract of
@@ -85,9 +159,17 @@ object SubstrIndex {
     val toked = Curation.substrToked(newDocs)
     val grams = Curation.substrGrams(toked, k)
     val batchH = grams.select(col("h")).distinct()
-    // which batch grams the index already holds — result is batch-sized
-    val inStore = postings.join(broadcast(batchH), Seq("h"))
-      .select("h").distinct()
+    // which batch grams the index holds LIVE — result is batch-sized.
+    // Only stores that actually removed something pay the Σcnt > 0 fold
+    // (marker-gated; negative partials exist only after a remove) — the
+    // usual store answers with the cheap presence check. Either way the
+    // postings scan is the broadcast-pruned slice, never the store.
+    val hit = postings.join(broadcast(batchH), Seq("h"))
+    val inStore =
+      if (graft.sources.StoreOps.Tombstones.any(spark, dir))
+        hit.groupBy("h").agg(sum("cnt").as("__c__"))
+          .filter(col("__c__") > 0).select("h")
+      else hit.select("h").distinct()
     val storeHits = grams.join(broadcast(inStore), Seq("h"))
       .select("doc_id", "p")
     // within-batch first-occurrence rule, batch-scoped (the dedupSubstr

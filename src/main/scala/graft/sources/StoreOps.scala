@@ -78,6 +78,48 @@ object StoreOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Tombstone-list plumbing shared by the persistent stores
+    * (SearchIndex/AnnIndex/DedupIndex/CentroidStore): a (id) parquet list
+    * of logically-removed rows plus a `_has_tombstones` marker so read
+    * paths can decide whether to add the anti-join with ONE filesystem
+    * metadata op instead of a per-query Spark `isEmpty` job. Reads fall
+    * back to an empty frame when the list file predates the layout (the
+    * store-migration rule). */
+  object Tombstones {
+    private def marker(dir: String) = s"$dir/_has_tombstones"
+    private def path(dir: String) = s"$dir/tombstones.parquet"
+
+    /** Reset to "no tombstones" — build/vacuum call this. */
+    def writeEmpty(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String): Unit = {
+      spark.range(0).select(org.apache.spark.sql.functions.col("id").as(idCol))
+        .write.mode("overwrite").parquet(path(dir))
+      clearMarker(spark, marker(dir))
+    }
+
+    /** Append ids (deduplicated, cast to long) — a model-sized pure write
+      * bounded by vacuum cadence, independent of store size. */
+    def add(dir: String, ids: DataFrame, idCol: String): Unit = {
+      ids.select(org.apache.spark.sql.functions.col(idCol)
+          .cast(org.apache.spark.sql.types.LongType).as(idCol))
+        .distinct().write.mode("append").parquet(path(dir))
+      setMarker(ids.sparkSession, marker(dir))
+    }
+
+    /** One metadata op, no Spark job. */
+    def any(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+      markerExists(spark, marker(dir))
+
+    /** The distinct tombstone list; empty frame when the store predates
+      * the tombstone layout. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+             idCol: String): DataFrame =
+      if (markerExists(spark, path(dir)))
+        spark.read.parquet(path(dir)).distinct()
+      else spark.range(0)
+        .select(org.apache.spark.sql.functions.col("id").as(idCol))
+  }
+
   /** Parquet files under `path` (recursively; excludes _SUCCESS etc.) —
     * the observable a compaction spec pins: results identical, file count
     * collapsed to one per partition directory. */

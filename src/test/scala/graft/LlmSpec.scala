@@ -316,10 +316,13 @@ class LlmSpec extends SparkSpec {
     val dir2 = java.nio.file.Files.createTempDirectory("substridx-spec2").toString
     SubstrIndex.build(Seq((1L, run)).toDF("doc_id", "text"), dir2, k = 15)
     SubstrIndex.append(dir2, Seq((2L, run), (3L, other)).toDF("doc_id", "text"))
-    // store stays duplicate-free: run's gram appended once at build only
-    val stored = spark.read.parquet(s"$dir2/postings.parquet").select("h")
-      .as[Long].collect()
-    assert(stored.length == stored.distinct.length && stored.length == 2)
+    // counted merge-on-read partials: build wrote (run,1); append added
+    // (run,1) and (other,1) — compact folds them to one row per gram with
+    // the live-doc counts intact
+    SubstrIndex.compact(dir2)
+    val stored = spark.read.parquet(s"$dir2/postings.parquet")
+      .select("h", "cnt").as[(Long, Long)].collect()
+    assert(stored.length == 2 && stored.map(_._2).sorted.toSeq == Seq(1L, 2L))
     val scored = SubstrIndex.dedupAgainst(spark, dir2,
         Seq((4L, other), (5L, "w1 w2 unrelated")).toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap

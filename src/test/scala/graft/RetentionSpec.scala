@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Ann, AnnIndex, Search, SearchIndex}
+import graft.llm.{Ann, AnnIndex, CentroidStore, DedupIndex, Search,
+  SearchIndex, SubstrIndex}
 import graft.sources.StoreOps
 
 /** Pins the retention / maintenance contracts the store Scaladoc claims:
@@ -179,6 +180,125 @@ class RetentionSpec extends SparkSpec {
     assert(AnnIndex.query(spark, dir, q, 5, nprobe = 2)
       .as[(Long, Long, Double, Int)].collect().toSet == preCompact)
     assert(filesAfter < filesBefore && filesAfter == nLists)
+    emb.unpersist()
+  }
+
+  test("DedupIndex remove ≡ appends-never-contained; vacuum identity + physical reclaim") {
+    // near-dup texts so LSH collides: docs 1/2/3 mutual near-dups, 4 unique
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val idx = Seq(1L -> base, 2L -> (base + " phi"),
+      4L -> ("totally different words about sailing ships and ocean tides " +
+        "under crimson evening skies far away from everything else entirely"))
+      .toDF("doc_id", "text")
+    val probe = Seq(10L -> (base + " chi")).toDF("doc_id", "text")
+
+    val dir = tmp("ret-dedupidx")
+    DedupIndex.build(idx, dir)
+    DedupIndex.append(dir, Seq(3L -> (base + " psi")).toDF("doc_id", "text"))
+    DedupIndex.remove(dir, Seq(2L).toDF("doc_id"))
+    def hits(d: String) = DedupIndex.dedupAgainst(spark, d, probe)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: the appends/build never contained doc 2
+    val ref = tmp("ret-dedupidx-ref")
+    DedupIndex.build(idx.filter($"doc_id" =!= 2L), ref)
+    DedupIndex.append(ref, Seq(3L -> (base + " psi")).toDF("doc_id", "text"))
+    val want = hits(ref)
+    assert(hits(dir) == want && want.map(_._2) == Set(1L, 3L))
+    // removing twice / a never-indexed id is a no-op
+    DedupIndex.remove(dir, Seq(2L, 999L).toDF("doc_id"))
+    assert(hits(dir) == want)
+    DedupIndex.vacuum(dir)
+    assert(hits(dir) == want) // nothing observable changed
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0)
+    assert(spark.read.parquet(s"$dir/postings.parquet")
+      .filter($"doc_id" === 2L).count() == 0)
+    assert(spark.read.parquet(s"$dir/grams.parquet")
+      .filter($"doc_id" === 2L).count() == 0)
+    // compact: identity, file count collapses to one per band dir
+    val filesBefore = StoreOps.parquetFileCount(spark, s"$dir/postings.parquet")
+    DedupIndex.compact(dir)
+    assert(hits(dir) == want)
+    val filesAfter = StoreOps.parquetFileCount(spark, s"$dir/postings.parquet")
+    val nBands = spark.read.parquet(s"$dir/postings.parquet")
+      .select("band").distinct().count()
+    assert(filesAfter <= filesBefore && filesAfter == nBands)
+  }
+
+  test("SubstrIndex counted removal is exact: shared grams survive partial removal") {
+    val run = (1 to 15).map(i => s"w$i").mkString(" ")   // shared by 1 and 2
+    val solo = (1 to 15).map(i => s"v$i").mkString(" ")  // only doc 3
+    val dir = tmp("ret-substr")
+    SubstrIndex.build(Seq(1L -> run, 2L -> (run + " extra"), 3L -> solo)
+      .toDF("doc_id", "text"), dir, k = 15)
+    def dupTok(d: String, text: String): Long =
+      SubstrIndex.dedupAgainst(spark, d,
+        Seq(9L -> text).toDF("doc_id", "text"))
+        .select("dup_tok").as[Long].head()
+    assert(dupTok(dir, run) == 15L && dupTok(dir, solo) == 15L)
+    // remove doc 2: run's gram still live via doc 1 — a SET would not know
+    SubstrIndex.remove(dir, Seq(2L -> (run + " extra")).toDF("doc_id", "text"))
+    assert(dupTok(dir, run) == 15L)
+    // remove doc 1 too: now the gram is dead
+    SubstrIndex.remove(dir, Seq(1L -> run).toDF("doc_id", "text"))
+    assert(dupTok(dir, run) == 0L && dupTok(dir, solo) == 15L)
+    // idempotent: re-removing and never-indexed ids change nothing
+    SubstrIndex.remove(dir, Seq(1L -> run, 99L -> run).toDF("doc_id", "text"))
+    assert(dupTok(dir, run) == 0L)
+    // vacuum: identity + negative partials folded away + ledger shrunk
+    SubstrIndex.vacuum(dir)
+    assert(dupTok(dir, run) == 0L && dupTok(dir, solo) == 15L)
+    assert(spark.read.parquet(s"$dir/postings.parquet")
+      .filter($"cnt" <= 0).count() == 0)
+    assert(spark.read.parquet(s"$dir/docids.parquet")
+      .as[Long].collect().toSet == Set(3L))
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0)
+    // remove-then-vacuum ≡ an index that never held docs 1 and 2
+    val ref = tmp("ret-substr-ref")
+    SubstrIndex.build(Seq(3L -> solo).toDF("doc_id", "text"), ref, k = 15)
+    def posting(d: String) = spark.read.parquet(s"$d/postings.parquet")
+      .select("h", "cnt").as[(Long, Long)].collect().toSet
+    assert(posting(dir) == posting(ref))
+  }
+
+  test("CentroidStore remove ≡ appends-never-contained; vacuum identity + reclaim") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val doomed = Seq(half + 1, half + 2)
+    // probe with copies of the doomed vectors: before removal they are
+    // exact dups (cos 1.0); after removal the store must score them as if
+    // the doomed ids were never appended
+    val probe = emb.filter($"vec_id".isin(doomed.map(Long.box): _*))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+
+    val dir = tmp("ret-cent")
+    CentroidStore.build(emb.filter($"vec_id" <= half), dir, nCentroids = 8)
+    CentroidStore.append(dir, emb.filter($"vec_id" > half))
+    def res(d: String) = CentroidStore.semDedupAgainst(spark, d, probe, 0.99)
+      .as[(Long, Long, Boolean, Option[Long], Long)].collect().toSet
+    assert(res(dir).exists(r => !r._3)) // doomed copies flagged pre-removal
+    CentroidStore.remove(dir, doomed.toDF("vec_id"))
+
+    val ref = tmp("ret-cent-ref")
+    CentroidStore.build(emb.filter($"vec_id" <= half), ref, nCentroids = 8)
+    CentroidStore.append(ref,
+      emb.filter($"vec_id" > half && !$"vec_id".isin(doomed.map(Long.box): _*)))
+    val want = res(ref)
+    assert(res(dir) == want && want.nonEmpty)
+
+    CentroidStore.vacuum(dir)
+    assert(res(dir) == want)
+    assert(spark.read.parquet(s"$dir/tombstones.parquet").count() == 0)
+    assert(spark.read.parquet(s"$dir/members.parquet")
+      .filter($"vec_id".isin(doomed.map(Long.box): _*)).count() == 0)
+    // compact: identity + one file per cluster dir
+    CentroidStore.compact(dir)
+    assert(res(dir) == want)
+    val files = StoreOps.parquetFileCount(spark, s"$dir/members.parquet")
+    val nClusters = spark.read.parquet(s"$dir/members.parquet")
+      .select("cent_id").distinct().count()
+    assert(files == nClusters)
     emb.unpersist()
   }
 
