@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{CentroidStore, Curation, Dedup, DedupIndex, SketchStore,
-  SubstrIndex, TextAnalysis}
+import graft.llm.{AnnIndex, CentroidStore, Curation, Dedup, DedupIndex,
+  SearchIndex, SketchStore, SubstrIndex, TextAnalysis}
 
 /** End-to-end training-data curation runner: the spark-submit-able
   * composition of the library's LLM operators over a documents table —
@@ -33,6 +33,7 @@ import graft.llm.{CentroidStore, Curation, Dedup, DedupIndex, SketchStore,
   *          [--embeddings]       (with --state-dir: also semantic-dedup
   *                                against the stored centroid model, using
   *                                `<docsDir>/embeddings.parquet`)
+  *          [--serve-dir <dir>]  (retrieval serving — see below)
   *
   * INCREMENTAL MODE (`--state-dir`): the rolling-crawl composition of the
   * persistent stores. The first run seeds `<state>/minhash`
@@ -47,9 +48,25 @@ import graft.llm.{CentroidStore, Curation, Dedup, DedupIndex, SketchStore,
   * must arrive with monotonically increasing doc_ids (the store
   * first-occurrence convention: earlier id = earlier crawl).
   *
+  * RETRIEVAL SERVING (`--serve-dir`): closes the loop from crawl to
+  * QUERYABLE corpus. After each run, the released docs' REDACTED text
+  * builds/extends `<serve>/search` ([[graft.llm.SearchIndex]] — BM25
+  * inverted index) and, with `--embeddings`, their vectors build/extend
+  * `<serve>/ann` ([[graft.llm.AnnIndex]] — IVF×PQ), so
+  * [[graft.llm.Search.hybridFromStores]] answers hybrid queries over
+  * every batch ever released without touching the raw crawls. Serving
+  * from the redacted text keeps scrubbed PII out of retrieval results,
+  * the same rule the chunked view follows. Both appends are pure maps
+  * over the batch (frozen model / frozen tokenization) — serve-store
+  * maintenance costs O(batch) regardless of corpus age.
+  *
   * Writes `<outDir>/corpus` (doc_id, text_redacted, lang, quality_score,
   * source, first_block, last_block, block_offset) and prints one JSON
-  * stats line per stage.
+  * stats line per stage. Stage frames are localCheckpoint-pinned at each
+  * stat boundary, so every stage runs its upstream exactly ONCE — the
+  * stats are block-counts over the pinned partitions, not re-executions
+  * of the DAG (and multiply-consumed stages like the dedup survivor set
+  * are computed once instead of once per downstream branch).
   */
 object Pipeline {
   def main(args: Array[String]): Unit = {
@@ -69,6 +86,7 @@ object Pipeline {
       val Array(a, b) = s.split(","); (a.toLong, b.toInt)
     }
     val stateDir = flagValue("--state-dir")
+    val serveDir = flagValue("--serve-dir")
     val withEmb = args.contains("--embeddings")
 
     val spark = SparkSession.builder()
@@ -84,6 +102,7 @@ object Pipeline {
     run(spark, docs, outDir, budget, minQuality,
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
+      serveDir = serveDir,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
     spark.stop()
@@ -97,31 +116,42 @@ object Pipeline {
           chunks: Option[(Int, Int)] = None,
           gopher: Option[(Long, Int)] = None,
           stateDir: Option[String] = None,
+          serveDir: Option[String] = None,
           embeddings: Option[DataFrame] = None,
           minJaccard: Double = 0.8, minKeep: Double = 0.5,
-          semTau: Double = 0.95): DataFrame = {
+          semTau: Double = 0.95,
+          annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     def stat(stage: String, n: Long): Unit =
       println(s"""{"stage":"$stage","rows":$n}""")
-    stat("input", docs.count())
+    // one scan per stage: pin the survivors, then count the pinned blocks
+    // (an un-pinned stat would re-execute every upstream stage, and the
+    // multiply-consumed frames below would re-execute once per branch)
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(stage: String, df: DataFrame): DataFrame = {
+      val p = df.localCheckpoint(true)
+      pins += p
+      stat(stage, p.count())
+      p
+    }
+    stat("input", docs.count()) // parquet metadata count — nothing upstream
 
     // 0a (optional): the Gopher rule battery as a hard pre-filter — the
     // boolean gate runs BEFORE the scored stages (cheapest first: it is a
     // zero-shuffle map, and everything downstream shrinks with it)
     val ruled = gopher.fold(docs) { case (minWords, minStop) =>
-      docs.join(TextAnalysis.gopherRules(docs, minWords = minWords,
-          minStop = minStop)
-        .filter(col("pass")).select("doc_id"), "doc_id")
+      pin("after_gopher_rules",
+        docs.join(TextAnalysis.gopherRules(docs, minWords = minWords,
+            minStop = minStop)
+          .filter(col("pass")).select("doc_id"), "doc_id"))
     }
-    if (gopher.isDefined) stat("after_gopher_rules", ruled.count())
 
     // 0: benchmark decontamination — docs sharing any word 5-gram with the
     // held-out eval set never enter the training corpus (GPT-3 appendix C).
     val clean = benchmark.fold(ruled) { bench =>
       val keepers = Curation.decontaminateAgainst(ruled, bench)
         .filter(!col("contaminated")).select("doc_id")
-      ruled.join(keepers, "doc_id")
+      pin("after_decontamination", ruled.join(keepers, "doc_id"))
     }
-    if (benchmark.isDefined) stat("after_decontamination", clean.count())
 
     // 1-2: exact dedup, then near-dup resolution on the survivors —
     // batch-local (one-shot mode) or against the persistent crawl state
@@ -129,11 +159,17 @@ object Pipeline {
     val exactKeepers = Dedup.exact(clean).select("doc_id")
     val afterExact = clean.join(exactKeepers, "doc_id")
     val deduped = stateDir match {
-      case None => dedupLocal(afterExact, minJaccard)
-      case Some(sd) => dedupIncremental(spark, sd, afterExact,
-        embeddings, minJaccard, minKeep, semTau, stat)
+      case None => pin("after_dedup", dedupLocal(afterExact, minJaccard))
+      case Some(sd) =>
+        // dedupIncremental returns an already-pinned frame (its lineage
+        // must be severed from the stores it appended to) — counting it
+        // is a block count, no second checkpoint needed
+        val d = dedupIncremental(spark, sd, afterExact,
+          embeddings, minJaccard, minKeep, semTau, stat)
+        pins += d
+        stat("after_dedup", d.count())
+        d
     }
-    stat("after_dedup", deduped.count())
 
     // 3: passage-removal accounting rides along as columns
     val spanStats = Curation.dedupSpans(deduped)

@@ -397,7 +397,19 @@ object Ann {
       .select(col("vec_id"), transform(col("cs"), c => c("code")).as("codes"))
 
   /** Per-query ADC distance table to every (sub, code), flattened
-    * sub-major: (query_id, dtab array<double>[m·codebookSize]). */
+    * sub-major: (query_id, dtab array<double>[m·codebookSize]).
+    *
+    * The table is SLOT-DENSE by construction (scatter through a slot-keyed
+    * map into a fixed m·codebookSize array), not a positional collect: a
+    * trained codebook may hold FEWER than codebookSize codes for a sub —
+    * k-means drops empty cells on duplicate-heavy corpora, the exact shape
+    * a replicated crawl has — and a positional table would shift every
+    * lookup after the first gap ([[adcDistance]] indexes by slot
+    * arithmetic; the factor-10 StoreScale lifecycle crashed on this).
+    * Gap slots carry a NaN sentinel: no stored code ever references them
+    * ([[pqCodes]] assigns from the same codebook), so a NaN in a distance
+    * sum means a code/codebook mismatch and poisons that rank visibly
+    * instead of silently scoring with a shifted table. */
   private[llm] def pqQueryTable(queries: DataFrame, cb: DataFrame, m: Int,
                            codebookSize: Int, normalize: Boolean): DataFrame =
     pqSubs(queries, "query_id", m, normalize).join(broadcast(cb), "sub")
@@ -405,8 +417,12 @@ object Ann {
         (col("sub") * codebookSize + col("code")).as("slot"),
         subDist(col("sv"), col("cv")).as("qd"))
       .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("slot"), col("qd")))).as("ds"))
-      .select(col("query_id"), transform(col("ds"), x => x("qd")).as("dtab"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("slot"), col("qd"))))).as("dm"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m * codebookSize - 1)),
+          s => coalesce(element_at(col("dm"), s), lit(Double.NaN)))
+          .as("dtab"))
 
   /** ADC: m table lookups per (query, candidate), rounded so the rank is
     * reproducible across engines. */
