@@ -92,6 +92,50 @@ object AnnSweep {
       println(f"| OPQ×PQ | m=$m subspaces, $cbk codes, lloyd=$it " +
         f"| $r%.3f | $m bytes/vec | $s%.1f |")
     }
+    // PQ vs OPQ on a CORRELATED corpus. The synthetic embeddings above are
+    // near-isotropic by construction (variance already balanced across
+    // axes), which pins OPQ at parity with PQ — the regime the rotation
+    // exists for is ANISOTROPIC, correlated data (real text/image
+    // embeddings; Ge et al., CVPR 2013). Derive a deterministic correlated
+    // twin of the corpus: mix every vector through a fixed full-rank
+    // linear map whose components carry a decaying spectrum (0.82^i), so
+    // variance concentrates in ~15 effective directions that are NOT
+    // axis-aligned and every PQ subspace chunk is cross-correlated.
+    val mix = {
+      var seed = 0x5DEECE66DL
+      def nxt(): Double = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+      val comps = Array.tabulate(Ann.Dims) { i =>
+        val v = Array.fill(Ann.Dims)(nxt())
+        val s = math.pow(0.82, i) / math.sqrt(v.map(x => x * x).sum)
+        v.map(_ * s)
+      }
+      graft.llm.Pca.Model(Array.fill(Ann.Dims)(0.0), comps,
+        Array.fill(Ann.Dims)(0.0))
+    }
+    val aniso = graft.llm.Pca.rotate(emb, mix).cache()
+    val anisoQ = aniso.filter(col("vec_id") < nQ).cache()
+    val anisoTruth = Ann.bruteTopK(aniso, anisoQ, 5)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    anisoTruth.count()
+    def recallAniso(approx: => DataFrame): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val hits = anisoTruth.join(
+        approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+      (hits.toDouble / (nQ * 5.0), (System.nanoTime() - t0) / 1e9)
+    }
+    for ((m, cbk, it) <- Seq((8, 16, 0), (8, 64, 0), (8, 256, 0),
+        (8, 64, 3), (8, 256, 3))) {
+      val (rp, tp) = recallAniso(
+        Ann.pqTopK(aniso, anisoQ, 5, m, cbk, codebookIters = it))
+      val (ro, to) = recallAniso(
+        Ann.opqPqTopK(aniso, anisoQ, 5, m, cbk, codebookIters = it))
+      println(f"| PQ vs OPQ, ANISO corpus | m=$m, $cbk codes, lloyd=$it " +
+        f"| PQ $rp%.3f → OPQ $ro%.3f | $m bytes/vec | ${tp + to}%.1f |")
+    }
     // IVF×PQ: list pruning AND compressed scoring — recall vs the candidate
     // fraction an ADC lookup actually sees (the production shape).
     for ((c, np, ma, m, cbk, it) <- Seq(

@@ -34,6 +34,9 @@ import graft.llm.{AnnIndex, CentroidStore, Curation, Dedup, DedupIndex,
   *                                against the stored centroid model, using
   *                                `<docsDir>/embeddings.parquet`)
   *          [--serve-dir <dir>]  (retrieval serving — see below)
+  *          [--no-stats]         (skip per-stage stats AND their
+  *                                full-corpus localCheckpoint pins —
+  *                                the at-scale setting)
   *
   * INCREMENTAL MODE (`--state-dir`): the rolling-crawl composition of the
   * persistent stores. The first run seeds `<state>/minhash`
@@ -66,7 +69,17 @@ import graft.llm.{AnnIndex, CentroidStore, Curation, Dedup, DedupIndex,
   * stat boundary, so every stage runs its upstream exactly ONCE — the
   * stats are block-counts over the pinned partitions, not re-executions
   * of the DAG (and multiply-consumed stages like the dedup survivor set
-  * are computed once instead of once per downstream branch).
+  * are computed once instead of once per downstream branch). At corpus
+  * scale those pins ARE a cost (N stage-copies of the survivors in
+  * executor storage as a side effect of printing stats lines), so
+  * `--no-stats` turns both off: no stage counts, and the only pin left in
+  * one-shot mode is the near-dup LOSER ID SET (one long column — the
+  * multiply-consumed dedup stage then re-reads parquet per branch but
+  * never re-runs the LSH). Incremental mode keeps its pins either way:
+  * there they sever lineage from stores the run appends to — a
+  * correctness requirement, not a stats convenience. All pins are
+  * unpersisted before run() returns (the returned frame re-reads the
+  * written corpus, so it outlives them).
   */
 object Pipeline {
   def main(args: Array[String]): Unit = {
@@ -88,6 +101,7 @@ object Pipeline {
     val stateDir = flagValue("--state-dir")
     val serveDir = flagValue("--serve-dir")
     val withEmb = args.contains("--embeddings")
+    val noStats = args.contains("--no-stats")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -102,14 +116,16 @@ object Pipeline {
     run(spark, docs, outDir, budget, minQuality,
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
-      serveDir = serveDir,
+      serveDir = serveDir, stats = !noStats,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
     spark.stop()
   }
 
   /** The composition itself, separated from arg parsing so specs can drive
-    * it on an in-memory frame. Returns the final curated corpus. */
+    * it on an in-memory frame. Returns the final curated corpus, re-read
+    * from `<outDir>/corpus` — lineage-free, so it stays valid after the
+    * run's pinned frames are unpersisted on return. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
           budget: Long, minQuality: Double,
           benchmark: Option[DataFrame] = None,
@@ -119,18 +135,49 @@ object Pipeline {
           serveDir: Option[String] = None,
           embeddings: Option[DataFrame] = None,
           minJaccard: Double = 0.8, minKeep: Double = 0.5,
-          semTau: Double = 0.95,
+          semTau: Double = 0.95, stats: Boolean = true,
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
-    def stat(stage: String, n: Long): Unit =
-      println(s"""{"stage":"$stage","rows":$n}""")
+    // pinned frames are freed in the finally below — run() is a library
+    // entry point called repeatedly (specs, drivers); without the
+    // unpersist every call would leak its stage copies into executor
+    // storage for the life of the session
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
+        gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
+        stats, annParams, pins)
+    } finally pins.foreach { p => p.unpersist(); () }
+  }
+
+  private def runPinned(spark: SparkSession, docs: DataFrame, outDir: String,
+          budget: Long, minQuality: Double, benchmark: Option[DataFrame],
+          chunks: Option[(Int, Int)], gopher: Option[(Long, Int)],
+          stateDir: Option[String], serveDir: Option[String],
+          embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
+          semTau: Double, stats: Boolean, annParams: AnnIndex.Params,
+          pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    // n is by-name: with stats off the counts are never computed at all
+    def stat(stage: String, n: => Long): Unit =
+      if (stats) println(s"""{"stage":"$stage","rows":$n}""")
     // one scan per stage: pin the survivors, then count the pinned blocks
     // (an un-pinned stat would re-execute every upstream stage, and the
-    // multiply-consumed frames below would re-execute once per branch)
-    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(stage: String, df: DataFrame): DataFrame = {
+    // multiply-consumed frames below would re-execute once per branch).
+    // With stats off, pin() is identity — no full-corpus frame is ever
+    // materialized for bookkeeping (the 100 TB rule); only idPin below
+    // and incremental mode's lineage pins remain.
+    def pin(stage: String, df: DataFrame): DataFrame =
+      if (!stats) df
+      else {
+        val p = df.localCheckpoint(true)
+        pins += p
+        stat(stage, p.count())
+        p
+      }
+    // a doc_id-only pin (one long column — model-sized next to the docs):
+    // bounds re-execution of the expensive dedup stage in no-stats mode
+    def idPin(df: DataFrame): DataFrame = {
       val p = df.localCheckpoint(true)
       pins += p
-      stat(stage, p.count())
       p
     }
     stat("input", docs.count()) // parquet metadata count — nothing upstream
@@ -159,13 +206,15 @@ object Pipeline {
     val exactKeepers = Dedup.exact(clean).select("doc_id")
     val afterExact = clean.join(exactKeepers, "doc_id")
     val deduped = stateDir match {
-      case None => pin("after_dedup", dedupLocal(afterExact, minJaccard))
+      case None =>
+        if (stats) pin("after_dedup", dedupLocal(afterExact, minJaccard))
+        else dedupLocal(afterExact, minJaccard, pinIds = idPin)
       case Some(sd) =>
         // dedupIncremental returns an already-pinned frame (its lineage
         // must be severed from the stores it appended to) — counting it
         // is a block count, no second checkpoint needed
         val d = dedupIncremental(spark, sd, afterExact,
-          embeddings, minJaccard, minKeep, semTau, stat)
+          embeddings, minJaccard, minKeep, semTau, stats, pins)
         pins += d
         stat("after_dedup", d.count())
         d
@@ -219,6 +268,35 @@ object Pipeline {
         SketchStore.hllEstimates(spark, sk).count())
     }
 
+    // 7.5 (optional): RETRIEVAL SERVING — build-or-extend the queryable
+    // stores from the docs this run RELEASED, so hybridFromStores answers
+    // over every batch ever released without touching raw crawls. Lexical
+    // from the REDACTED text (scrubbed PII never enters retrieval), dense
+    // from the released docs' vectors against the frozen serve model.
+    // Both appends are pure maps over the batch (frozen model / frozen
+    // tokenization) — serve-store maintenance costs O(batch) regardless
+    // of corpus age.
+    serveDir.foreach { srv =>
+      val released = spark.read.parquet(s"$outDir/corpus")
+      val searchDocs = released
+        .select(col("doc_id"), col("text_redacted").as("text"))
+      val sp = s"$srv/search"
+      if (storeExists(spark, s"$sp/stats.parquet"))
+        SearchIndex.append(sp, searchDocs)
+      else SearchIndex.build(searchDocs, sp)
+      stat("serve_search_docs",
+        spark.read.parquet(s"$sp/doclens.parquet").count())
+      embeddings.foreach { emb =>
+        val vecs = emb.select("vec_id", "embedding")
+          .join(released.select(col("doc_id").as("vec_id")), "vec_id")
+        val ap = s"$srv/ann"
+        if (storeExists(spark, s"$ap/meta.parquet")) AnnIndex.append(ap, vecs)
+        else AnnIndex.build(vecs, ap, annParams)
+        stat("serve_ann_vecs", spark.read.parquet(s"$ap/codes.parquet")
+          .select("vec_id").distinct().count())
+      }
+    }
+
     // 8 (optional): a RAG-ready chunked view of the curated corpus —
     // sliding windows over the REDACTED text, so chunks never resurface
     // PII the corpus itself scrubbed. Map-only over the emitted parquet.
@@ -235,17 +313,21 @@ object Pipeline {
     // (one aggregation job over the emitted corpus; approx percentiles are
     // the right tool at corpus scale, exactness buys nothing in a summary)
     writeDataCard(spark, outDir, docs.count())
-    corpus
+    spark.read.parquet(s"$outDir/corpus")
   }
 
   /** One-shot near-dup stage: MinHash-LSH pairs → connected components,
-    * keep each cluster's smallest doc_id (first-occurrence-wins). */
-  private def dedupLocal(afterExact: DataFrame, minJaccard: Double): DataFrame = {
+    * keep each cluster's smallest doc_id (first-occurrence-wins).
+    * `pinIds` (no-stats mode) pins the loser ID SET — the only part worth
+    * materializing: downstream branches then re-read parquet + anti-join
+    * instead of re-running the LSH pair generation per branch. */
+  private def dedupLocal(afterExact: DataFrame, minJaccard: Double,
+      pinIds: DataFrame => DataFrame = identity): DataFrame = {
     val pairs = Dedup.minhashLsh(afterExact, minJaccard = minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val clusters = Dedup.duplicateClusters(pairs) // (doc_id, cluster)
-    val nearDupLosers = clusters.filter(col("doc_id") =!= col("cluster"))
-      .select("doc_id")
+    val nearDupLosers = pinIds(clusters.filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id"))
     afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
@@ -271,7 +353,10 @@ object Pipeline {
   private def dedupIncremental(spark: SparkSession, sd: String,
       afterExact: DataFrame, embeddings: Option[DataFrame],
       minJaccard: Double, minKeep: Double, semTau: Double,
-      stat: (String, Long) => Unit): DataFrame = {
+      stats: Boolean,
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    def stat(stage: String, n: => Long): Unit =
+      if (stats) println(s"""{"stage":"$stage","rows":$n}""")
     val mh = s"$sd/minhash"; val sub = s"$sd/substr"; val cen = s"$sd/centroids"
     if (!storeExists(spark, s"$mh/meta.parquet")) {
       // first crawl: batch-local dedup, then seed the stores
@@ -291,6 +376,7 @@ object Pipeline {
       // pins the survivor set (the SubstrIndex lineage rule) before the
       // seed writes it three ways
       val seed = d3.localCheckpoint(true)
+      pins += seed
       DedupIndex.build(seed, mh)
       SubstrIndex.build(seed, sub)
       stat("state_seeded", seed.count())
@@ -308,6 +394,7 @@ object Pipeline {
         // eager: the verdicts must pin against the PRE-append member store
         val sem = CentroidStore.semDedupAgainst(spark, cen, vecs, semTau)
           .localCheckpoint(true)
+        pins += sem
         val keep = sem.filter(col("keep")).select(col("vec_id"))
         CentroidStore.append(cen, vecs.join(keep, "vec_id"))
         s2.join(keep.withColumnRenamed("vec_id", "doc_id"), "doc_id")

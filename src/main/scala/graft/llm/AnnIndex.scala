@@ -123,15 +123,26 @@ object AnnIndex {
   /** Assign + encode `newVectors` against the FROZEN stored model and
     * append their codes. The model is never refit — append is a pure map
     * over the new vectors (one assignment window + one encode
-    * aggregation), regardless of how large the existing index is. */
-  def append(dir: String, newVectors: DataFrame): Unit = {
+    * aggregation), regardless of how large the existing index is.
+    *
+    * `batchId` commits the code files under batch-keyed names
+    * ([[graft.sources.StoreOps.appendKeyed]]), making the append
+    * idempotent on replay — the streaming path always passes the
+    * foreachBatch id, so failure-recovery replays never double-index a
+    * vector. */
+  def append(dir: String, newVectors: DataFrame,
+             batchId: Option[Long] = None): Unit = {
     val spark = newVectors.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     val (p, cents, cb) = readModel(spark, dir)
-    encode(rotated(spark, dir, p, newVectors), cents, cb, p)
+    val codes = encode(rotated(spark, dir, p, newVectors), cents, cb, p)
       .repartition(col("cent_id"))
-      .write.mode("append")
-      .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
+    batchId match {
+      case Some(id) => graft.sources.StoreOps.appendKeyed(codes,
+        s"$dir/codes.parquet", id, Seq("cent_id"))
+      case None => codes.write.mode("append")
+        .partitionBy("cent_id").parquet(s"$dir/codes.parquet")
+    }
   }
 
   /** Streaming index maintenance: [[append]] each micro-batch of vectors
@@ -140,13 +151,14 @@ object AnnIndex {
     * is visible to [[query]], and batch/stream ingestion compose freely
     * (append is a pure map against the frozen model either way, so
     * stream-then-query ≡ the same appends in batch, bit-for-bit —
-    * StreamingSpec pins it). foreachBatch replays are at-least-once on
-    * failure recovery; a production ingest keys code files by batchId
-    * (the idempotent-sink recipe). Caller starts the writer. */
+    * StreamingSpec pins it). Each micro-batch commits its code files
+    * under the foreachBatch id ([[append]]'s `batchId`), so the
+    * at-least-once replays of failure recovery are exactly-once at the
+    * store. Caller starts the writer. */
   def streamingAppend(stream: DataFrame, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      append(dir, batch)
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      append(dir, batch, Some(bid))
     }
 
   /** ADC top-k from the stored index — [[Ann.ivfPqTopK]]'s scoring join

@@ -199,11 +199,17 @@ object Search {
   *     |distinct terms| of the 64 prefix directories, so the probe reads
   *     ~terms/64 of the store via partition pruning — the [[AnnIndex]]
   *     cent_id contract, applied to the token axis.
-  *   - `stats.parquet` one row (n_docs, sum_dl): exact LONG sums, merged
-  *     exactly on every append — so N/avgdl/df after any append sequence
-  *     are IDENTICAL to a from-scratch build, and [[search]] is bit-equal
-  *     to [[Search.bm25TopK]] on the same accumulated corpus (the gate
-  *     pins exactly that, via the batch oracle SQL).
+  *   - `stats.parquet` (n_docs, sum_dl) PARTIAL rows, one per
+  *     build/append, summed on read (the [[graft.sources.RollupStore]]
+  *     merge-on-read rule): exact LONG sums, so N/avgdl/df after any
+  *     append sequence are IDENTICAL to a from-scratch build, and
+  *     [[search]] is bit-equal to [[Search.bm25TopK]] on the same
+  *     accumulated corpus (the gate pins exactly that, via the batch
+  *     oracle SQL). Partials make append PURE WRITES — no table in the
+  *     store is ever read-merge-overwritten, which is what lets the
+  *     batch-keyed append commit ([[graft.sources.StoreOps.appendKeyed]])
+  *     make the whole postings+doclens+stats triple idempotent on
+  *     streaming replay.
   *   - `doclens.parquet` (doc_id, dl): one row per indexed doc — what
   *     makes REMOVAL exact. Postings alone cannot un-count a doc: a
   *     token-less doc has no postings rows yet is counted in n_docs, so
@@ -252,33 +258,43 @@ object SearchIndex {
     graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
 
-  /** Append a new batch: postings are a pure map over the batch; stats
-    * merge exactly (LONG sums). The merged stats frame is eagerly
-    * local-checkpointed before the overwrite (the [[SketchStore]] lineage
-    * rule: the plan reads the file it is about to replace).
+  /** Append a new batch: three PURE WRITES — postings and doclens rows
+    * plus one stats PARTIAL row (summed on read; the store is never read,
+    * let alone read-merge-overwritten).
     *
     * PRECONDITION: the batch's doc_ids must not already be in the store —
     * appending a doc twice writes duplicate postings rows (inflating its
     * per-term tf contribution and double-counting it in df/n_docs/sum_dl).
     * The caller owns that invariant on the batch AND the streaming paths
     * (run the store's dedup step, or key batches by crawl snapshot).
-    * Ordering hazard: postings are written BEFORE the stats merge, so a
-    * crash between the two writes leaves postings without their stats row
-    * — scores over-normalize until re-append/rebuild. A production ingest
-    * keys both writes by batch id (the idempotent-sink recipe noted on
-    * [[streamingBuild]]) to make the pair atomic-on-replay. */
-  def append(dir: String, newDocs: DataFrame): Unit = {
-    val spark = newDocs.sparkSession
-    withPfx(Search.postings(newDocs))
-      .repartition(col("pfx"))
-      .write.mode("append").partitionBy("pfx")
-      .parquet(s"$dir/postings.parquet")
-    doclens(newDocs).write.mode("append").parquet(s"$dir/doclens.parquet")
-    val merged = spark.read.parquet(s"$dir/stats.parquet")
-      .unionByName(Search.corpusStats(newDocs))
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-      .localCheckpoint()
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
+    *
+    * `batchId` makes the triple IDEMPOTENT: each table's files commit
+    * under batch-keyed names via [[graft.sources.StoreOps.appendKeyed]],
+    * so a replay (the Structured Streaming at-least-once recovery, or any
+    * caller re-running a crawl snapshot) first undoes whatever the crashed
+    * attempt committed and then re-commits — append twice ≡ append once,
+    * whichever write the first attempt died between (StreamingSpec pins
+    * it). Without `batchId` the writes are plain appends: a crash between
+    * them leaves the store internally inconsistent until the batch is
+    * re-driven, so streaming paths always pass the foreachBatch id. */
+  def append(dir: String, newDocs: DataFrame,
+             batchId: Option[Long] = None): Unit = {
+    val post = withPfx(Search.postings(newDocs)).repartition(col("pfx"))
+    val dl = doclens(newDocs)
+    val stats = Search.corpusStats(newDocs)
+    batchId match {
+      case Some(id) =>
+        graft.sources.StoreOps.appendKeyed(post, s"$dir/postings.parquet",
+          id, Seq("pfx"))
+        graft.sources.StoreOps.appendKeyed(dl, s"$dir/doclens.parquet", id)
+        graft.sources.StoreOps.appendKeyed(stats.coalesce(1),
+          s"$dir/stats.parquet", id)
+      case None =>
+        post.write.mode("append").partitionBy("pfx")
+          .parquet(s"$dir/postings.parquet")
+        dl.write.mode("append").parquet(s"$dir/doclens.parquet")
+        stats.coalesce(1).write.mode("append").parquet(s"$dir/stats.parquet")
+    }
   }
 
   /** Logically remove `docIds` (a (doc_id) frame) from the index: appends
@@ -290,6 +306,14 @@ object SearchIndex {
     * no-op: the read paths intersect tombstones with doclens first. */
   def remove(dir: String, docIds: DataFrame): Unit =
     graft.sources.StoreOps.Tombstones.add(dir, docIds, "doc_id")
+
+  /** Fold the stored per-append stats partials to the one-row total —
+    * exact LONG sums, a bounded read (one row per build/append until
+    * vacuum re-collapses them). */
+  private def storedStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stats.parquet")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
 
   /** The one-row stats frame for the docs that actually participate in
     * scoring: the doclens ledger minus tombstones, restricted to the allow
@@ -345,7 +369,8 @@ object SearchIndex {
   /** Small-file compaction: rewrite postings (and doclens) so each prefix
     * directory holds ONE file instead of one per append — months of
     * micro-batch appends otherwise leave the probe reading thousands of
-    * footer-dominated files. Pure rewrite, nothing observable changes. */
+    * footer-dominated files — and fold the per-append stats partials back
+    * to one row. Pure rewrite, nothing observable changes. */
   def compact(dir: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     graft.sources.StoreOps.swapWrite(
@@ -354,6 +379,8 @@ object SearchIndex {
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/doclens.parquet").coalesce(1),
       s"$dir/doclens.parquet")
+    graft.sources.StoreOps.swapWrite(
+      storedStats(spark, dir).coalesce(1), s"$dir/stats.parquet")
   }
 
   /** Streaming index maintenance: [[append]] each micro-batch of documents
@@ -362,14 +389,17 @@ object SearchIndex {
     * [[search]] sees every completed trigger and batch/stream ingestion
     * compose freely. Postings appends are pure batch maps; the one-row
     * stats merge is exact, so stream-then-search ≡ whole-corpus
-    * [[Search.bm25TopK]] bit-for-bit (StreamingSpec pins it). foreachBatch
-    * replays give at-least-once appends on failure recovery — a production
-    * ingest keys postings files and the stats row by batchId (the standard
-    * idempotent-sink recipe). Caller starts the writer. */
+    * [[Search.bm25TopK]] bit-for-bit (StreamingSpec pins it). Every
+    * micro-batch commits under its foreachBatch id
+    * ([[append]]'s `batchId` → [[graft.sources.StoreOps.appendKeyed]]),
+    * so the at-least-once replays of failure recovery are EXACTLY-ONCE at
+    * the store: a replayed batch undoes its own partial commit and
+    * re-commits, leaving the store identical to a single run. Caller
+    * starts the writer. */
   def streamingBuild(stream: DataFrame, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      append(dir, batch)
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      append(dir, batch, Some(bid))
     }
 
   /** BM25 top-`topK` over everything indexed, answered FROM THE STORE:
@@ -410,7 +440,7 @@ object SearchIndex {
     val post = allowed.fold(post1)(a =>
       post1.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val stats = if (tomb.isEmpty && allowed.isEmpty)
-      spark.read.parquet(s"$dir/stats.parquet")
+      storedStats(spark, dir)
     else effectiveStats(spark, dir, tomb, allowed)
     Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b, maxDfFrac)
   }

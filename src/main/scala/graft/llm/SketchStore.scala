@@ -13,18 +13,23 @@ import org.apache.spark.sql.functions._
   * BIT-IDENTICAL to one built from the whole corpus in one pass: the gate
   * key runs build(half)+append(rest) against the whole-corpus SQL replica.
   *
-  * Layout under `dir` (all parquet, one small file each — these are
-  * model-sized frames, bounded by register/cell/bin counts, not corpus
-  * size):
-  *   - `hll.parquet`   (group, idx, mreg)  ≤ 1024·|groups| rows
-  *   - `cms.parquet`   (j, c, cnt)         ≤ d·w rows
-  *   - `qbins.parquet` (group, bin, cnt)   ≤ ~90·digits·|groups| rows
+  * Layout under `dir` (all parquet, model-sized — bounded by
+  * register/cell/bin counts × batches-since-compact, never corpus size).
+  * Each table holds MERGE-ON-READ PARTIALS, one batch's sketch per
+  * build/append (the [[graft.sources.RollupStore]] rule):
+  *   - `hll.parquet`   (group, idx, mreg)  folded by max(mreg)
+  *   - `cms.parquet`   (j, c, cnt)         folded by sum(cnt)
+  *   - `qbins.parquet` (group, bin, cnt)   folded by sum(cnt)
   *
-  * Append is read-merge-overwrite: the merged frame is eagerly
-  * local-checkpointed BEFORE the overwrite so the write never depends on
-  * the files it replaces (the [[SubstrIndex]] lineage lesson) — legitimate
-  * here precisely because the frames are bounded; the corpus-sized side of
-  * the merge (the batch) is only ever scanned, never stored.
+  * Partials are what make [[append]] a PURE WRITE — the store is never
+  * read-merge-overwritten, so a batch-keyed commit
+  * ([[graft.sources.StoreOps.appendKeyed]]) makes appends idempotent on
+  * streaming replay (the read-merge-overwrite alternative can never be:
+  * replaying a fold after a crash between overwrite and checkpoint
+  * double-counts the sum-merged sketches). Every fold is commutative,
+  * associative and exact (max / long-sum), so fold order never matters
+  * and [[compact]] can collapse the history back to one partial per key
+  * with nothing observable changing.
   *
   * NO removal API, by design — unlike its tombstoning siblings
   * ([[DedupIndex.remove]], [[SubstrIndex.remove]],
@@ -39,9 +44,9 @@ import org.apache.spark.sql.functions._
   * the same bounded frames, scheduled at vacuum cadence. */
 object SketchStore {
 
-  /** Sketch `docs` and write a fresh store. `groupCol` keys the HLL and
-    * quantile sketches; `valueCol` (non-negative integer) feeds the
-    * quantile bins. */
+  /** Sketch `docs` and write a fresh store (one partial per table).
+    * `groupCol` keys the HLL and quantile sketches; `valueCol`
+    * (non-negative integer) feeds the quantile bins. */
   def build(docs: DataFrame, dir: String, groupCol: String = "lang",
             valueCol: String = "n_chars", d: Int = 4, w: Int = 1024): Unit = {
     write(Sketches.hllRegisters(docs, groupCol), s"$dir/hll.parquet")
@@ -49,44 +54,84 @@ object SketchStore {
     write(Sketches.quantileBins(docs, valueCol, groupCol), s"$dir/qbins.parquet")
   }
 
-  /** Fold a new batch into the store: register max / cell sum / bin sum.
-    * Cost is one batch scan per sketch plus three bounded merges — the
-    * store is tiny and the batch is never stored. */
+  /** Fold a new batch into the store: appends the batch's OWN sketch as
+    * partial rows — one batch scan per sketch, three bounded pure writes;
+    * neither the store nor the batch is ever re-read. `batchId` commits
+    * the partials under batch-keyed names so a replayed batch (streaming
+    * failure recovery) never double-counts. */
   def append(docs: DataFrame, dir: String, groupCol: String = "lang",
-             valueCol: String = "n_chars", d: Int = 4, w: Int = 1024): Unit = {
-    val spark = docs.sparkSession
-    val hllMerged = Sketches.hllMerge(
-      spark.read.parquet(s"$dir/hll.parquet"),
-      Sketches.hllRegisters(docs, groupCol), groupCol)
-    val cmsMerged = spark.read.parquet(s"$dir/cms.parquet")
-      .unionByName(Sketches.cmsCounters(docs, d, w))
-      .groupBy("j", "c").agg(sum("cnt").as("cnt"))
-    val qbinsMerged = spark.read.parquet(s"$dir/qbins.parquet")
-      .unionByName(Sketches.quantileBins(docs, valueCol, groupCol))
-      .groupBy(col(groupCol), col("bin")).agg(sum("cnt").as("cnt"))
-    // sever lineage from the store files before overwriting them
-    write(hllMerged.localCheckpoint(true), s"$dir/hll.parquet")
-    write(cmsMerged.localCheckpoint(true), s"$dir/cms.parquet")
-    write(qbinsMerged.localCheckpoint(true), s"$dir/qbins.parquet")
+             valueCol: String = "n_chars", d: Int = 4, w: Int = 1024,
+             batchId: Option[Long] = None): Unit = {
+    val tables = Seq(
+      Sketches.hllRegisters(docs, groupCol) -> s"$dir/hll.parquet",
+      Sketches.cmsCounters(docs, d, w) -> s"$dir/cms.parquet",
+      Sketches.quantileBins(docs, valueCol, groupCol) -> s"$dir/qbins.parquet")
+    tables.foreach { case (df, path) =>
+      batchId match {
+        case Some(id) =>
+          graft.sources.StoreOps.appendKeyed(df.coalesce(1), path, id)
+        case None => df.coalesce(1).write.mode("append").parquet(path)
+      }
+    }
   }
+
+  /** Streaming sketch maintenance: fold each micro-batch into an already-
+    * [[build]]t store — state lives in the parquet store (the
+    * [[SearchIndex.streamingBuild]] construct), every completed trigger is
+    * visible to the read paths, and the batch-keyed commit makes
+    * failure-recovery replays exactly-once. Caller starts the writer. */
+  def streamingBuild(stream: DataFrame, dir: String,
+                     groupCol: String = "lang", valueCol: String = "n_chars",
+                     d: Int = 4, w: Int = 1024)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      append(batch, dir, groupCol, valueCol, d, w, Some(bid))
+    }
+
+  /** Collapse the per-batch partials back to one row per key (register
+    * max / cell sum / bin sum — the exact merges, so nothing observable
+    * changes) and one file per table. Write-aside-and-swap: the rewrite
+    * reads the files it replaces. */
+  def compact(dir: String, groupCol: String = "lang"): Unit = {
+    val spark = SparkSession.active
+    graft.sources.StoreOps.swapWrite(
+      foldHll(spark, dir, groupCol).coalesce(1), s"$dir/hll.parquet")
+    graft.sources.StoreOps.swapWrite(
+      foldCms(spark, dir).coalesce(1), s"$dir/cms.parquet")
+    graft.sources.StoreOps.swapWrite(
+      foldQbins(spark, dir, groupCol).coalesce(1), s"$dir/qbins.parquet")
+  }
+
+  // ---- the read-side folds (bounded: keys × batches-since-compact) ----
+  private def foldHll(spark: SparkSession, dir: String,
+                      groupCol: String): DataFrame =
+    spark.read.parquet(s"$dir/hll.parquet")
+      .groupBy(col(groupCol), col("idx")).agg(max("mreg").as("mreg"))
+
+  private def foldCms(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cms.parquet")
+      .groupBy("j", "c").agg(sum("cnt").as("cnt"))
+
+  private def foldQbins(spark: SparkSession, dir: String,
+                        groupCol: String): DataFrame =
+    spark.read.parquet(s"$dir/qbins.parquet")
+      .groupBy(col(groupCol), col("bin")).agg(sum("cnt").as("cnt"))
 
   /** Per-group distinct-count estimates from the stored registers. */
   def hllEstimates(spark: SparkSession, dir: String,
                    groupCol: String = "lang"): DataFrame =
-    Sketches.hllEstimateFromRegisters(
-      spark.read.parquet(s"$dir/hll.parquet"), groupCol)
+    Sketches.hllEstimateFromRegisters(foldHll(spark, dir, groupCol), groupCol)
 
   /** Per-group quantile estimates from the stored bins. */
   def quantiles(spark: SparkSession, dir: String, groupCol: String = "lang",
                 qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
-    Sketches.quantileEstimates(
-      spark.read.parquet(s"$dir/qbins.parquet"), groupCol, qs)
+    Sketches.quantileEstimates(foldQbins(spark, dir, groupCol), groupCol, qs)
 
   /** Count-min estimates for a probe frame with a `token` column: min over
     * the d salted cells — counters broadcast, probe streams. */
   def freqLookup(spark: SparkSession, dir: String, probe: DataFrame,
                  d: Int = 4, w: Int = 1024): DataFrame = {
-    val counters = spark.read.parquet(s"$dir/cms.parquet")
+    val counters = foldCms(spark, dir)
     probe.select(col("token")).distinct()
       .select(col("token"), explode(array((0 until d).map(lit): _*)).as("j"))
       .select(col("token"), col("j"),

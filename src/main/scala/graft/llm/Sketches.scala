@@ -248,11 +248,13 @@ object Sketches {
     val truth = docs
       .select(explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("true_cnt"))
-    val top = truth
-      .withColumn("__rk__", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("true_cnt").desc, col("token").asc)))
-      .filter(col("__rk__") <= topK)
+    // top-K via orderBy+limit, NOT a global row_number window: Spark plans
+    // this as TakeOrderedAndProject — each partition keeps its local top-K
+    // and the driver merges K-sized heaps — where the window form sorts
+    // the ENTIRE vocabulary in one task (the frame here grows with corpus
+    // vocabulary, not a knob; same (cnt desc, token asc) total order)
+    val top = truth.orderBy(col("true_cnt").desc, col("token").asc)
+      .limit(topK)
     top
       .select(col("token"), col("true_cnt"),
         explode(array((0 until d).map(lit): _*)).as("j"))

@@ -93,6 +93,7 @@ object SubstrIndex {
     * must not already be indexed. */
   def append(dir: String, newDocs: DataFrame): Unit = {
     val spark = newDocs.sparkSession
+    requireCountedLayout(spark, dir, "append")
     val (k, parts) = readParams(spark, dir)
     writeParts(gramDocCounts(newDocs, k), dir, parts, "append")
     newDocs.select(col("doc_id")).write.mode("append")
@@ -108,6 +109,7 @@ object SubstrIndex {
     * already removed) are ignored, making remove idempotent. */
   def remove(dir: String, docs: DataFrame): Unit = {
     val spark = docs.sparkSession
+    requireCountedLayout(spark, dir, "remove")
     val (k, parts) = readParams(spark, dir)
     val eligible = docs
       .join(spark.read.parquet(s"$dir/docids.parquet"), Seq("doc_id"),
@@ -129,6 +131,7 @@ object SubstrIndex {
     * compaction. Write-aside-and-swap. */
   def vacuum(dir: String): Unit = {
     val spark = SparkSession.active
+    requireCountedLayout(spark, dir, "vacuum")
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/postings.parquet")
         .groupBy("h", "hp").agg(sum("cnt").as("cnt"))
@@ -235,6 +238,25 @@ object SubstrIndex {
         try sink(survivors) finally { survivors.unpersist(); () }
       } finally { batch.unpersist(); () }
     }
+
+  /** Layout migration guard: a store built before the counted-partial
+    * layout holds h-only postings and no `docids.parquet`. Its READ path
+    * ([[dedupAgainst]]) still works — presence probes never touch `cnt`,
+    * and no tombstones can exist on such a store — but every maintenance
+    * op would silently corrupt it: append would mix (h) and (h, cnt)
+    * schemas (vacuum's Σcnt then nulls out — and drops — every
+    * pre-migration gram), and remove/vacuum need the docids ledger, which
+    * cannot be reconstructed (the gram store carries no doc identity).
+    * So maintenance FAILS FAST with the only exact migration: rebuild
+    * from the retained corpus. Detection is one filesystem metadata op. */
+  private def requireCountedLayout(spark: SparkSession, dir: String,
+                                   op: String): Unit =
+    require(
+      graft.sources.StoreOps.markerExists(spark, s"$dir/docids.parquet"),
+      s"SubstrIndex.$op($dir): store predates the counted-partial layout " +
+        "(no docids.parquet ledger). Reads still work, but maintenance on " +
+        "the old layout would silently drop grams. Migrate by rebuilding: " +
+        "SubstrIndex.build(<retained corpus>, dir) — exact, one corpus pass.")
 
   private def readParams(spark: SparkSession, dir: String): (Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta.parquet").head()

@@ -112,6 +112,21 @@ object LlmQueries {
     graft.llm.SearchIndex.search(spark, store, qs, topK = 5)
   }
 
+  /** Retention gate: build the full store, tombstone the `% 17 == 3`
+    * docs, answer from the TOMBSTONE-AWARE read path (no vacuum — the
+    * anti-join + doclens-ledger stats are what this key pins). remove ≡
+    * build-without, so the oracle is the BM25 chain over the surviving
+    * corpus. */
+  def searchRetentionQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("graft-searchret")
+      .toString
+    graft.llm.SearchIndex.build(corpus, store)
+    graft.llm.SearchIndex.remove(store,
+      corpus.filter(col("doc_id") % 17 === 3).select("doc_id"))
+    graft.llm.SearchIndex.search(spark, store, qs, topK = 5)
+  }
+
   /** Hybrid sparse+dense retrieval: the bm25 corpus/query split mirrored
     * onto the embeddings table (vec_id and doc_id share an id space), both
     * constituent top-10 rankings fused by RRF (kRrf = 60), top-5 kept. */
@@ -340,6 +355,24 @@ object LlmQueries {
     graft.llm.AnnIndex.append(idx, e.filter(col("vec_id") > half))
     graft.llm.AnnIndex.query(spark, idx, e.filter(col("vec_id") < 5),
       k = 5, nprobe = 2)
+  }
+
+  /** Metadata-filtered ANN gate: the [[annIndex]] lifecycle queried with
+    * an `allowed` list (`vec_id % 3 == 1`) — filter-then-rank, so the
+    * top-k is exact over the filtered candidate set and the oracle is the
+    * IVF×PQ chain with the score rows restricted before ranking. */
+  def annFilteredQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val half = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft-annfilt")
+      .toString
+    val p = graft.llm.AnnIndex.Params(nCentroids = 16, multiAssign = 1,
+      codebookIters = 0)
+    graft.llm.AnnIndex.build(e.filter(col("vec_id") <= half), idx, p)
+    graft.llm.AnnIndex.append(idx, e.filter(col("vec_id") > half))
+    graft.llm.AnnIndex.query(spark, idx, e.filter(col("vec_id") < 5),
+      k = 5, nprobe = 2,
+      allowed = Some(e.filter(col("vec_id") % 3 === 1).select("vec_id")))
   }
 
   /** Random projection of the 64-dim embeddings to 4 dims (JL transform;
@@ -1198,6 +1231,29 @@ object LlmQueries {
       |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
       |  FROM bmag)
       |WHERE rk <= 5""".stripMargin
+
+  /** Retention replica: [[oracleSearchBm25]] with the corpus restricted
+    * to the docs surviving the `% 17 == 3` removal — remove ≡
+    * build-without means df, N and avgdl all derive from the survivors,
+    * which is exactly what recomputing the chain over the filtered corpus
+    * does. */
+  def oracleSearchRetention: String = {
+    val out = oracleSearchBm25.replace(
+      "FROM documents WHERE doc_id % 101 <> 5),",
+      "FROM documents WHERE doc_id % 101 <> 5 AND doc_id % 17 <> 3),")
+    require(out != oracleSearchBm25, "retention corpus filter not spliced")
+    out
+  }
+
+  /** Filtered-ANN replica: the IVF×PQ chain with the scored candidate
+    * rows restricted to the allow list BEFORE ranking (filter-then-rank —
+    * the [[graft.llm.AnnIndex.query]] `allowed` contract). */
+  def oracleAnnFiltered: String =
+    s"""$ivfPqCtes,
+       |fsc AS (SELECT * FROM score WHERE neighbor_id % 3 = 1),
+       |franked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM fsc)
+       |SELECT query_id, neighbor_id, dist, rn FROM franked WHERE rn <= 5""".stripMargin
 
   /** Hybrid-RRF replica: the [[oracleSearchBm25]] CTE chain at rk ≤ 10,
     * the [[oracleAnnBrute]] cosine chain at rn ≤ 10 over the mirrored
@@ -2118,6 +2174,8 @@ object LlmQueries {
     "mine_negatives" -> (mineNegativesQ _),
     "search_hybrid_index" -> (searchHybridIndexQ _),
     "search_index" -> (searchIndexQ _),
+    "search_retention" -> (searchRetentionQ _),
+    "ann_filtered" -> (annFilteredQ _),
     "text_tfidf" -> (textTfidfQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "sketch_hll" -> (sketchHllQ _),
@@ -2188,6 +2246,8 @@ object LlmQueries {
     "mine_negatives" -> oracleMineNegatives,
     "search_hybrid_index" -> oracleSearchHybridIndex,
     "search_index" -> oracleSearchBm25,
+    "search_retention" -> oracleSearchRetention,
+    "ann_filtered" -> oracleAnnFiltered,
     "text_tfidf" -> oracleTextTfidf,
     "decontaminate_bloom" -> oracleDecontaminateBloom,
     "sketch_hll" -> oracleSketchHll,

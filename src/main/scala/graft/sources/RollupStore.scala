@@ -88,12 +88,21 @@ object RollupStore {
 
   /** Roll a new batch up with the FROZEN resolution and append its partial
     * rows — a bounded aggregation over the batch; the store is never read
-    * or reshuffled. */
-  def append(dir: String, samples: DataFrame): Unit =
-    rollup(samples, readRes(samples.sparkSession, dir))
+    * or reshuffled. `batchId` commits the partial files under batch-keyed
+    * names ([[StoreOps.appendKeyed]]) so a replayed batch never
+    * double-counts its partials (the streaming path always passes the
+    * foreachBatch id). */
+  def append(dir: String, samples: DataFrame,
+             batchId: Option[Long] = None): Unit = {
+    val rows = rollup(samples, readRes(samples.sparkSession, dir))
       .repartition(col(MetricCol))
-      .write.mode("append").partitionBy(MetricCol)
-      .parquet(s"$dir/rollup.parquet")
+    batchId match {
+      case Some(id) => StoreOps.appendKeyed(rows, s"$dir/rollup.parquet",
+        id, Seq(MetricCol))
+      case None => rows.write.mode("append").partitionBy(MetricCol)
+        .parquet(s"$dir/rollup.parquet")
+    }
+  }
 
   def readRes(spark: SparkSession, dir: String): Double =
     spark.read.parquet(s"$dir/meta.parquet").head().getDouble(0)
@@ -137,10 +146,14 @@ object RollupStore {
   def retention(dir: String, cutoff: Double): Unit = {
     val spark = SparkSession.active
     val res = readRes(spark, dir)
-    // integral-multiplicity with tolerance, not IEEE `%` (which is exact
-    // only for integral operands — res = 0.1, cutoff = 0.3 is aligned but
-    // 0.3 % 0.1 != 0 in doubles); same FP slack the bucket math uses
-    require(math.abs(cutoff / res - math.round(cutoff / res)) < 1e-9,
+    // integral-multiplicity with RELATIVE tolerance, not IEEE `%` (which is
+    // exact only for integral operands — res = 0.1, cutoff = 0.3 is aligned
+    // but 0.3 % 0.1 != 0 in doubles). Relative, because for large quotients
+    // (epoch-second cutoffs over sub-second resolution, q ≳ 1e9) the
+    // division's rounding error alone exceeds an absolute 1e-9 and would
+    // reject legitimately aligned cutoffs.
+    val q = cutoff / res
+    require(math.abs(q - math.round(q)) < 1e-9 * math.max(1.0, math.abs(q)),
       s"retention cutoff $cutoff not aligned to rollup resolution $res")
     StoreOps.swapWrite(
       spark.read.parquet(s"$dir/rollup.parquet")
@@ -156,14 +169,14 @@ object RollupStore {
     * completed trigger. Because the store is merge-on-read partials, a
     * micro-batch append is exactly a batch append: stream-then-read ≡
     * one-pass rollup over the concatenation, bit-for-bit (RollupSpec +
-    * StreamingSpec pin both laws). foreachBatch replays give at-least-once
-    * appends on failure recovery; a production ingest keys written files
-    * by batchId and skips completed ones (the standard idempotent-sink
-    * recipe) — out of scope here. Caller starts the writer. */
+    * StreamingSpec pin both laws). Each micro-batch commits its partial
+    * files under the foreachBatch id ([[append]]'s `batchId` →
+    * [[StoreOps.appendKeyed]]), so failure-recovery replays are
+    * exactly-once at the store. Caller starts the writer. */
   def streamingBuild(stream: DataFrame, dir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      append(dir, batch)
+    stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      append(dir, batch, Some(bid))
     }
 
   /** One metric's buckets with partials merged — the read-side contract.

@@ -89,21 +89,31 @@ object StoreOps {
     private def marker(dir: String) = s"$dir/_has_tombstones"
     private def path(dir: String) = s"$dir/tombstones.parquet"
 
-    /** Reset to "no tombstones" — build/vacuum call this. */
+    /** Reset to "no tombstones" — build/vacuum call this. coalesce(1):
+      * a 0-row frame otherwise writes one empty part file PER PARALLELISM
+      * partition (32 task launches and 32 footer files per store build —
+      * pure lifecycle overhead the bench gates pay). */
     def writeEmpty(spark: org.apache.spark.sql.SparkSession, dir: String,
                    idCol: String): Unit = {
       spark.range(0).select(org.apache.spark.sql.functions.col("id").as(idCol))
-        .write.mode("overwrite").parquet(path(dir))
+        .coalesce(1).write.mode("overwrite").parquet(path(dir))
       clearMarker(spark, marker(dir))
     }
 
     /** Append ids (deduplicated, cast to long) — a model-sized pure write
-      * bounded by vacuum cadence, independent of store size. */
+      * bounded by vacuum cadence, independent of store size.
+      *
+      * Marker is set BEFORE the parquet append: a crash between the two
+      * then leaves a spurious marker over an unchanged list (harmless —
+      * reads just pay the anti-join against the old tombstones), whereas
+      * the reverse order would leave tombstone rows on disk that every
+      * marker-gated read path ignores — removed docs silently served
+      * until the next remove/vacuum. */
     def add(dir: String, ids: DataFrame, idCol: String): Unit = {
+      setMarker(ids.sparkSession, marker(dir))
       ids.select(org.apache.spark.sql.functions.col(idCol)
           .cast(org.apache.spark.sql.types.LongType).as(idCol))
         .distinct().write.mode("append").parquet(path(dir))
-      setMarker(ids.sparkSession, marker(dir))
     }
 
     /** One metadata op, no Spark job. */
@@ -118,6 +128,67 @@ object StoreOps {
         spark.read.parquet(path(dir)).distinct()
       else spark.range(0)
         .select(org.apache.spark.sql.functions.col("id").as(idCol))
+  }
+
+  /** Exactly-once batch append — the idempotent-sink recipe every
+    * `foreachBatch` store path uses (SearchIndex / AnnIndex / SketchStore /
+    * RollupStore streaming maintenance). Structured Streaming replays the
+    * last uncommitted micro-batch on failure recovery, so a plain
+    * `mode("append")` double-appends; here every file a batch commits is
+    * keyed by the batch id, making the commit REPLAYABLE:
+    *
+    *   1. stage: write `df` to `<path>.staging/b<id>` with overwrite —
+    *      a replay of a crashed attempt restarts the staging clean;
+    *   2. undo: delete every `b<id>_*` file already under `<path>` —
+    *      exactly the files a crashed attempt's partial commit moved in;
+    *   3. commit: rename each staged parquet file into its partition
+    *      directory under `<path>` as `b<id>_<name>` (metadata ops only —
+    *      staging and store share a filesystem by construction).
+    *
+    * Run twice with the same (path, batchId, data), the end state is
+    * identical to running once — whatever step the first attempt died at.
+    * Partition directories are preserved (the staged layout IS the store
+    * layout), so pruning contracts survive. The batch-id key space is the
+    * caller's: streaming passes the foreachBatch id, batch callers that
+    * want replayable appends pick their own (crawl snapshot id). */
+  def appendKeyed(df: DataFrame, path: String, batchId: Long,
+                  partitionCols: Seq[String] = Nil): Unit = {
+    val staging = new Path(s"$path.staging/b$batchId")
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = staging.getFileSystem(conf)
+    val dest = new Path(path)
+    val prefix = s"b${batchId}_"
+    if (fs.exists(dest)) {
+      val it = fs.listFiles(dest, true)
+      val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.startsWith(prefix)) stale += p
+      }
+      stale.foreach(fs.delete(_, false))
+    }
+    val staged = {
+      val it = fs.listFiles(staging, true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) b += p
+      }
+      b.toSeq
+    }
+    staged.foreach { f =>
+      // partition subpath relative to the staging root (e.g. "pfx=3")
+      val rel = f.getParent.toUri.getPath
+        .stripPrefix(staging.toUri.getPath).stripPrefix("/")
+      val targetDir = if (rel.isEmpty) dest else new Path(dest, rel)
+      fs.mkdirs(targetDir)
+      require(fs.rename(f, new Path(targetDir, prefix + f.getName)),
+        s"appendKeyed: commit rename of $f into $targetDir failed")
+    }
+    fs.delete(staging, true)
   }
 
   /** Parquet files under `path` (recursively; excludes _SUCCESS etc.) —

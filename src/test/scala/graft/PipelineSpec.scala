@@ -184,6 +184,60 @@ class PipelineSpec extends SparkSpec {
     batch1.unpersist()
   }
 
+  test("pipeline --serve-dir: two runs build retrieval stores answering hybridFromStores over both batches") {
+    import graft.llm.{AnnIndex, SearchIndex}
+    // two crawls of distinct docs, each with a unique token and its own
+    // embedding axis — the serve stores must accumulate BOTH releases
+    def mkDocs(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def axisEmb(ids: Seq[Long]) =
+      ids.map(id => (id, Array.tabulate(64)(d =>
+        if (d == (id % 64).toInt) 1.0f else 0.0f))).toDF("vec_id", "embedding")
+    val batch1 = mkDocs(Seq(
+      1L -> "alphaword falcon river stone market garden tree house",
+      2L -> "bravoword copper kettle winter storm cloud rain snow",
+      3L -> "charlieword paper letter stamp envelope post office desk"))
+    val batch2 = mkDocs(Seq(
+      11L -> "zetaword anchor harbor vessel sail wind tide wave",
+      12L -> "etaword circuit diode resistor voltage current wire board"))
+    val srv = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    val annP = AnnIndex.Params(nCentroids = 3, multiAssign = 1, m = 8,
+      codebookSize = 4, codebookIters = 0)
+    val out1 = java.nio.file.Files.createTempDirectory("graft_srv1").toString
+    Pipeline.run(spark, batch1, out1, budget = 1000000000L, minQuality = 0.0,
+      serveDir = Some(srv), embeddings = Some(axisEmb(Seq(1L, 2L, 3L))),
+      annParams = annP)
+    // run 2 drives the APPEND paths of both stores, with stats off (the
+    // at-scale mode must exercise the same serve code path)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_srv2").toString
+    Pipeline.run(spark, batch2, out2, budget = 1000000000L, minQuality = 0.0,
+      serveDir = Some(srv), embeddings = Some(axisEmb(Seq(11L, 12L))),
+      annParams = annP, stats = false)
+
+    // both releases are in the lexical store's ledger
+    assert(spark.read.parquet(s"$srv/search/doclens.parquet").count() == 5L)
+    // and in the dense store's codes
+    assert(spark.read.parquet(s"$srv/ann/codes.parquet")
+      .select("vec_id").distinct().count() == 5L)
+
+    // hybrid retrieval over the stores: each query pairs a batch's unique
+    // token with that same doc's embedding — the doc wins both legs, so
+    // it must come back fused rank 1, one doc per batch
+    val queries = Seq(100L -> "alphaword falcon", 200L -> "zetaword anchor")
+      .toDF("query_id", "qtext")
+    val qvecs = axisEmb(Seq(1L, 11L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .withColumn("query_id",
+        when(col("query_id") === 1L, 100L).otherwise(200L))
+    val fused = SearchIndex.hybridFromStores(spark, s"$srv/search",
+      s"$srv/ann", queries, qvecs, topK = 3, kRetrieve = 5, nprobe = 3)
+    val top = fused.filter(col("rk") === 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(top(100L) == 1L, s"batch-1 doc not served: $top")
+    assert(top(200L) == 11L, s"batch-2 doc not served: $top")
+  }
+
   test("pipeline --gopher pre-filter drops rule violators before the scored stages") {
     import graft.llm.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

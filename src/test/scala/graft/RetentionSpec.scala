@@ -317,4 +317,46 @@ class RetentionSpec extends SparkSpec {
     // join, so they cannot block it (the r13 regression this pins against)
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
   }
+
+  test("SubstrIndex legacy (pre-counted) layout: reads work, maintenance fails fast") {
+    val run = (1 to 30).map(i => s"legacy$i").mkString(" ")
+    val docs = Seq(1L -> run).toDF("doc_id", "text")
+    // reproduce the OLD layout (h-only gram-set postings, no docids
+    // ledger, no tombstones) by stripping a fresh build down to it —
+    // what a pre-counted-layout build left on disk
+    val dir = tmp("ret-legacy")
+    SubstrIndex.build(docs, dir, k = 15, parts = 4)
+    StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/postings.parquet")
+        .select("h", "hp").distinct().repartition(col("hp")),
+      s"$dir/postings.parquet", Seq("hp"))
+    fs.delete(new Path(s"$dir/docids.parquet"), true)
+    fs.delete(new Path(s"$dir/tombstones.parquet"), true)
+
+    // the READ path still serves the old store: a twin of the indexed doc
+    // is fully duplicated, a novel doc is untouched
+    val probe = SubstrIndex.dedupAgainst(spark, dir,
+      Seq(2L -> run, 3L -> "completely novel words only here forever")
+        .toDF("doc_id", "text"))
+      .select("doc_id", "kept_frac").as[(Long, Double)].collect().toMap
+    assert(probe(2L) == 0.0 && probe(3L) == 1.0, probe.toString)
+
+    // every maintenance op refuses rather than silently corrupting:
+    // append would mix schemas, vacuum's Σcnt would null-drop every gram,
+    // remove needs the unreconstructable docids ledger
+    for ((name, op) <- Seq[(String, () => Unit)](
+        "append" -> (() => SubstrIndex.append(dir,
+          Seq(9L -> "new doc").toDF("doc_id", "text"))),
+        "remove" -> (() => SubstrIndex.remove(dir,
+          Seq(1L -> run).toDF("doc_id", "text"))),
+        "vacuum" -> (() => SubstrIndex.vacuum(dir)))) {
+      val e = intercept[IllegalArgumentException] { op() }
+      assert(e.getMessage.contains("counted-partial layout"), s"$name: $e")
+    }
+    // and the store is untouched by the refusals: same probe answer
+    val again = SubstrIndex.dedupAgainst(spark, dir,
+      Seq(2L -> run).toDF("doc_id", "text"))
+      .select("kept_frac").as[Double].head()
+    assert(again == 0.0)
+  }
 }

@@ -73,7 +73,10 @@ class SearchSpec extends SparkSpec {
     SearchIndex.build(corpus.filter($"doc_id" === 1), dir)
     SearchIndex.append(dir, corpus.filter($"doc_id" === 2))
     SearchIndex.append(dir, corpus.filter($"doc_id" > 2))
-    val st = spark.read.parquet(s"$dir/stats.parquet").head()
+    // stats are merge-on-read partials (one row per build/append): the
+    // folded totals must equal the whole-corpus stats exactly
+    val st = spark.read.parquet(s"$dir/stats.parquet")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
     assert(st.getAs[Long]("n_docs") == 5L)
     val dl = corpus.select(sum(size(expr(
       "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))).head().getLong(0)

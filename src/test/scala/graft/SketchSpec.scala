@@ -162,14 +162,31 @@ class SketchSpec extends SparkSpec {
     graft.llm.SketchStore.build(docsAll.filter(col("doc_id") <= 1), storeInc)
     graft.llm.SketchStore.append(docsAll.filter(col("doc_id") > 1), storeInc)
     graft.llm.SketchStore.build(docsAll, storeOne)
+    // tables hold merge-on-read PARTIALS (one per build/append) — the
+    // invariant is the FOLDED tables being identical, and compact()
+    // collapsing the incremental store back to the one-pass bytes
+    def folded(store: String, t: String) = {
+      val df = spark.read.parquet(s"$store/$t.parquet")
+      val f = t match {
+        case "hll" => df.groupBy("lang", "idx").agg(max("mreg").as("mreg"))
+        case "cms" => df.groupBy("j", "c").agg(sum("cnt").as("cnt"))
+        case _ => df.groupBy("lang", "bin").agg(sum("cnt").as("cnt"))
+      }
+      f.collect().map(_.toSeq).toSet
+    }
     for (t <- Seq("hll", "cms", "qbins")) {
-      val inc = spark.read.parquet(s"$storeInc/$t.parquet").collect()
-        .map(_.toSeq).toSet
-      val one = spark.read.parquet(s"$storeOne/$t.parquet").collect()
-        .map(_.toSeq).toSet
-      assert(inc == one, s"store table $t diverged between incremental and one-pass")
+      val inc = folded(storeInc, t)
+      assert(inc == folded(storeOne, t),
+        s"store table $t diverged between incremental and one-pass")
       assert(inc.nonEmpty)
     }
+    graft.llm.SketchStore.compact(storeInc)
+    for (t <- Seq("hll", "cms", "qbins"))
+      assert(spark.read.parquet(s"$storeInc/$t.parquet").collect()
+        .map(_.toSeq).toSet ==
+        spark.read.parquet(s"$storeOne/$t.parquet").collect()
+          .map(_.toSeq).toSet,
+        s"compacted table $t != one-pass build")
     // estimates read back from the incremental store
     val est = graft.llm.SketchStore.hllEstimates(spark, storeInc)
       .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap

@@ -444,4 +444,79 @@ class StreamingSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.forall(_ < 1000000L))
     assert(kept == batchKeepers)
   }
+
+  test("batch-keyed store appends are exactly-once: replaying a batch leaves every store bit-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.StoreOps
+    def snap(path: String): (Int, Set[Seq[Any]]) =
+      (StoreOps.parquetFileCount(spark, path),
+        spark.read.parquet(path).collect().map(_.toSeq).toSet)
+
+    // --- SearchIndex: crashed-attempt partial commit, then full replay ---
+    val a = Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep daily"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "quick silver fox hunts"), (4L, "brown bears eat fish"))
+      .toDF("doc_id", "text")
+    val sDir = java.nio.file.Files.createTempDirectory("graft_replay_s").toString
+    llm.SearchIndex.build(a, sDir)
+    // simulate an attempt of batch 7 that died after committing only part
+    // of the batch's files: commit doc 3 alone under the same batch id
+    llm.SearchIndex.append(sDir, b.filter($"doc_id" === 3L), Some(7L))
+    // the recovery replay re-runs the WHOLE batch under the same id — the
+    // partial commit must be undone, not added to
+    llm.SearchIndex.append(sDir, b, Some(7L))
+    val after1 = Seq(s"$sDir/postings.parquet", s"$sDir/doclens.parquet",
+      s"$sDir/stats.parquet").map(snap)
+    // a second replay (at-least-once delivery) changes nothing at all
+    llm.SearchIndex.append(sDir, b, Some(7L))
+    val after2 = Seq(s"$sDir/postings.parquet", s"$sDir/doclens.parquet",
+      s"$sDir/stats.parquet").map(snap)
+    assert(after1 == after2)
+    // and the store equals whole-corpus BM25 — no double-counted doc
+    val qs = Seq((10L, "quick fox"), (11L, "brown")).toDF("query_id", "qtext")
+    assert(llm.SearchIndex.search(spark, sDir, qs, topK = 5)
+      .collect().map(_.toSeq).toSet ==
+      llm.Search.bm25TopK(a.union(b), qs, topK = 5)
+        .collect().map(_.toSeq).toSet)
+
+    // --- AnnIndex ---
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+    val aDir = java.nio.file.Files.createTempDirectory("graft_replay_a").toString
+    llm.AnnIndex.build(emb.filter(col("vec_id") <= half), aDir,
+      llm.AnnIndex.Params(nCentroids = 8, multiAssign = 1, codebookIters = 0))
+    llm.AnnIndex.append(aDir, emb.filter(col("vec_id") > half), Some(2L))
+    val annAfter1 = snap(s"$aDir/codes.parquet")
+    llm.AnnIndex.append(aDir, emb.filter(col("vec_id") > half), Some(2L))
+    assert(snap(s"$aDir/codes.parquet") == annAfter1)
+
+    // --- RollupStore ---
+    val rDir = java.nio.file.Files.createTempDirectory("graft_replay_r").toString
+    val samples = Seq((1.0, 10.0, "m"), (2.0, 20.0, "m"), (700.0, 5.0, "m"))
+      .toDF("ts", "value", "name")
+      .select(col("ts"), col("value"), map(lit("__name__"), col("name")).as("labels"))
+    sources.RollupStore.build(samples.filter($"ts" < 100), rDir, 300.0)
+    sources.RollupStore.append(rDir, samples.filter($"ts" >= 100), Some(5L))
+    val rollAfter1 = snap(s"$rDir/rollup.parquet")
+    sources.RollupStore.append(rDir, samples.filter($"ts" >= 100), Some(5L))
+    assert(snap(s"$rDir/rollup.parquet") == rollAfter1)
+
+    // --- SketchStore (sum-merged sketches are where replays would have
+    //     silently double-counted under read-merge-overwrite) ---
+    val docs = Seq((1L, "en", 100L), (2L, "en", 200L), (3L, "de", 50L))
+      .toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", lit("some text"))
+    val kDir = java.nio.file.Files.createTempDirectory("graft_replay_k").toString
+    llm.SketchStore.build(docs.filter($"doc_id" === 1L), kDir)
+    llm.SketchStore.append(docs.filter($"doc_id" > 1L), kDir, batchId = Some(9L))
+    val skAfter1 = Seq(s"$kDir/hll.parquet", s"$kDir/cms.parquet",
+      s"$kDir/qbins.parquet").map(snap)
+    llm.SketchStore.append(docs.filter($"doc_id" > 1L), kDir, batchId = Some(9L))
+    assert(Seq(s"$kDir/hll.parquet", s"$kDir/cms.parquet",
+      s"$kDir/qbins.parquet").map(snap) == skAfter1)
+    // folded totals: qbins hold exactly the 3 docs, not 5
+    assert(spark.read.parquet(s"$kDir/qbins.parquet")
+      .agg(sum("cnt")).head().getLong(0) == 3L)
+  }
 }
