@@ -260,16 +260,21 @@ object StoreScale {
         timed(f, "RollupStore", s"append$i")(RollupStore.append(dir,
           s.filter(col(Model.TsCol) > mid + (i - 1) * day &&
             col(Model.TsCol) <= mid + i * day))) }
+      // probe grids must land on bucket boundaries (the store's documented
+      // alignment contract — grid_t and range multiples of res): t0 is a
+      // raw sample timestamp, so ceil it onto the 300 s lattice; the
+      // 3600 s step keeps every later point aligned
+      val g0 = math.ceil((t0 + 3600) / 300.0) * 300.0
       timed(f, "RollupStore", "probe")(
         RollupStore.avgOverTime(spark, dir, "events",
-          Grid(t0 + 3600, t0 + 3600 * 24, 3600.0), 3600.0))
+          Grid(g0, g0 + 3600 * 23, 3600.0), 3600.0))
       timed(f, "RollupStore", "retention")(
         RollupStore.retention(dir, math.ceil((t0 + day) / 300.0) * 300.0))
       timed(f, "RollupStore", "compact")(RollupStore.compact(dir))
+      val g1 = math.ceil((t0 + day + 3600) / 300.0) * 300.0
       timed(f, "RollupStore", "probe_compacted")(
         RollupStore.avgOverTime(spark, dir, "events",
-          Grid(t0 + day + 3600, t0 + 3600 * 24 + day, 3600.0),
-          3600.0))
+          Grid(g1, g1 + 3600 * 23, 3600.0), 3600.0))
       physicals(spark, f, "RollupStore", s"$dir/rollup.parquet",
         Some("__metric__"))
     }
