@@ -194,19 +194,47 @@ object Pca {
 
   /** Modified Gram-Schmidt with one re-orthogonalization pass (the
     * "twice is enough" rule): returns an orthonormal basis spanning the
-    * same flags as the input, in input order. */
+    * same flags as the input, in input order. A component that collapses
+    * under orthogonalization (rank-deficient corpus — e.g. a spectrum
+    * decaying below the fit's round-6 noise floor leaves the trailing
+    * power-iteration directions linearly dependent on the leading ones)
+    * is replaced by a deterministic completion: the canonical basis
+    * vector with the largest residual against the span built so far
+    * (ties → lowest axis), orthonormalized. Any orthonormal completion
+    * preserves the rotation's distance-preservation contract; the
+    * replaced direction carries ~zero corpus variance, so WHERE it
+    * points is immaterial to PQ error allocation. */
   private def gramSchmidt(vs: Array[Array[Double]]): Array[Array[Double]] = {
     val out = Array.ofDim[Double](vs.length, Dims)
-    for (i <- vs.indices) {
-      val v = vs(i).clone()
-      for (_ <- 0 until 2; j <- 0 until i) {
+    def orth(src: Array[Double], upto: Int): Array[Double] = {
+      val v = src.clone()
+      for (_ <- 0 until 2; j <- 0 until upto) {
         val d = dotL(v, out(j))
         var t = 0
         while (t < Dims) { v(t) -= d * out(j)(t); t += 1 }
       }
-      val nm = math.sqrt(dotL(v, v))
-      require(nm > 1e-8,
-        s"component $i collapsed under orthogonalization - rank-deficient fit")
+      v
+    }
+    for (i <- vs.indices) {
+      var v = orth(vs(i), i)
+      var nm = math.sqrt(dotL(v, v))
+      if (nm <= 1e-8) {
+        // deterministic completion: argmax residual over e_0..e_{Dims-1};
+        // trace argument guarantees some axis has residual^2 >= (Dims-i)/Dims
+        var best: Array[Double] = null
+        var bestNm = -1.0
+        var ax = 0
+        while (ax < Dims) {
+          val e = Array.ofDim[Double](Dims); e(ax) = 1.0
+          val r = orth(e, i)
+          val rn = math.sqrt(dotL(r, r))
+          if (rn > bestNm + 1e-12) { bestNm = rn; best = r }
+          ax += 1
+        }
+        v = best; nm = bestNm
+        require(nm > 1e-8,
+          s"component $i: no completion axis found - basis inconsistent")
+      }
       out(i) = v.map(_ / nm)
     }
     out

@@ -69,8 +69,7 @@ class PcaSpec extends SparkSpec {
   }
 
   /** Full-rank corpus for the OPQ fit: two dominant directions + noise in
-    * every dimension (a rank-deficient corpus fails fit's collapse guard
-    * by design). */
+    * every dimension. */
   private def fullRankCorpus(n: Int = 300): DataFrame = {
     val rnd = new scala.util.Random(7)
     (0 until n).map { i =>
@@ -125,6 +124,44 @@ class PcaSpec extends SparkSpec {
       s"allocated ${spread(allocated)} vs contiguous ${spread(contiguous)}")
     // and every subspace got exactly w components
     assert(allocated.forall(_.length == w))
+  }
+
+  test("OPQ: rank-deficient corpus still yields an orthonormal rotation") {
+    // only 3 axes carry variance — the full-rank power-iteration fit
+    // collapses past component ~3, exercising the deterministic basis
+    // completion in gramSchmidt (a decayed-spectrum real corpus does the
+    // same past the round-6 noise floor)
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 200).map { i =>
+      val v = Array.fill(Pca.Dims)(0.0f)
+      v(0) = (rnd.nextGaussian() * 5).toFloat
+      v(1) = (rnd.nextGaussian() * 2).toFloat
+      v(2) = (rnd.nextGaussian() * 1).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val m1 = Pca.fitOpq(emb, m = 8, iters = 2)
+    val m2 = Pca.fitOpq(emb, m = 8, iters = 2)
+    assert(m1.components.flatten.toSeq == m2.components.flatten.toSeq,
+      "completion must be deterministic")
+    // orthonormality to round-6 quantization
+    val c = m1.components
+    for (i <- c.indices; j <- i until c.length) {
+      val d = c(i).zip(c(j)).map { case (x, y) => x * y }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-4, s"<c$i,c$j> = $d")
+    }
+    // and the rotation still preserves pairwise distance
+    val rot = Pca.rotate(emb, m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val raw = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    for (i <- 0L until 10L; j <- (i + 1) to 10L) {
+      val dr = math.sqrt(d2(raw(i), raw(j)))
+      val dp = math.sqrt(d2(rot(i), rot(j)))
+      assert(math.abs(dr - dp) < 1e-3 * math.max(dr, 1.0), s"($i,$j): $dr vs $dp")
+    }
+    emb.unpersist()
   }
 
   test("OPQ: opqPqTopK is well-formed and self-consistent") {
