@@ -328,6 +328,38 @@ object Curation {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Leakage-safe train/val/test split: every resolved duplicate CLUSTER
+    * (from [[Dedup.duplicateClusters]]) is dealt to ONE split by a 48-bit
+    * md5 of its cluster label, so near-duplicates can never straddle a
+    * split boundary — the train/test contamination channel a per-document
+    * split leaves open (a paraphrase twin of a test doc lands in train
+    * and the eval leaks). u = key/2^48 ∈ [0,1) is cut by the cumulative
+    * `fractions` (normalized); hashing the CLUSTER id — not the doc id —
+    * is the entire point: cluster members share the key, hence the split.
+    *
+    * Scale shape: a pure map over the cluster frame (the hash and the
+    * when-chain fuse into the upstream projection); no shuffle beyond
+    * what cluster resolution already paid. Deterministic across runs,
+    * partitionings and cluster counts (md5 on the label, not a seed). */
+  def leakageSafeSplit(clusters: DataFrame,
+                       fractions: Seq[(String, Double)] =
+                         Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+                      ): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0.0),
+      s"fractions must be positive: $fractions")
+    val tot = fractions.map(_._2).sum
+    val key = conv(substring(md5(concat(lit("split:"),
+      col("cluster").cast(StringType)).cast(BinaryType)), 1, 12), 16, 10)
+      .cast(LongType)
+    val u = key.cast(DoubleType) / lit(math.pow(2.0, 48))
+    val cuts = fractions.map(_._2 / tot).scanLeft(0.0)(_ + _).tail
+    val lbl = fractions.init.zip(cuts.init)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), cut), rest) =>
+        when(u < lit(cut), lit(name)).otherwise(rest)
+      }
+    clusters.select(col("doc_id"), col("cluster"), lbl.as("split"))
+  }
+
   /** Sequence packing (GPT-style): documents are concatenated in doc_id
     * order and the token stream is cut into fixed `blockSize` blocks; each
     * doc reports the block span it lands in ([first_block, last_block]) and

@@ -46,6 +46,11 @@ object LlmQueries {
     Dedup.duplicateClusters(
       Dedup.minhashLsh(docs(spark, dir), n = 3, k = 12, bands = 4, minJaccard = 0.5))
 
+  /** Leakage-safe split: the dedup_clusters chain dealt to train/val/test
+    * by cluster-id hash — near-dup twins can never straddle a split. */
+  def splitLeakageQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.leakageSafeSplit(dedupClusters(spark, dir))
+
   /** Keep-best fuzzy dedup: minhash clusters (dedup_clusters parameters)
     * resolved to their highest-quality member. */
   def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame = {
@@ -2110,6 +2115,28 @@ object LlmQueries {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster FROM clu""".stripMargin
 
+  /** Leakage-safe split replica: the cluster CTE chain + the 48-bit md5
+    * cluster deal. Cut points are computed by the SAME Scala arithmetic
+    * as the operator (normalized cumulative sums) and embedded at full
+    * precision, so the two engines compare u against bit-identical
+    * thresholds. */
+  def oracleSplitLeakage: String = {
+    val fr = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+    val tot = fr.map(_._2).sum
+    val cuts = fr.map(_._2 / tot).scanLeft(0.0)(_ + _).tail
+    val cases = fr.init.zip(cuts.init).map { case ((n, _), c) =>
+      s"WHEN u < ${java.lang.Double.toString(c)} THEN '$n'"
+    }.mkString(" ")
+    s"""WITH RECURSIVE $clusterCtes,
+       |spk AS (SELECT doc_id, cluster,
+       |    ('0x' || substr(md5('split:' || cluster::VARCHAR), 1, 12))::BIGINT
+       |      / 281474976710656.0 AS u
+       |  FROM clu)
+       |SELECT doc_id, cluster,
+       |  CASE $cases ELSE '${fr.last._1}' END AS split
+       |FROM spk""".stripMargin
+  }
+
   /** Keep-best replica: the cluster chain + the text_quality score CTEs +
     * a per-cluster argmax by (quality_score desc, doc_id asc). */
   def oracleDedupKeepBest: String = {
@@ -2148,6 +2175,7 @@ object LlmQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_clusters" -> (dedupClusters _),
+    "split_leakage" -> (splitLeakageQ _),
     "dedup_keep_best" -> (dedupKeepBestQ _),
     "dedup_embed" -> (dedupEmbed _),
     "dedup_semdedup" -> (dedupSemdedupQ _),
@@ -2220,6 +2248,7 @@ object LlmQueries {
     "dedup_minhash" -> oracleDedupMinhash,
     "dedup_simhash" -> oracleDedupSimhash,
     "dedup_clusters" -> oracleDedupClusters,
+    "split_leakage" -> oracleSplitLeakage,
     "dedup_keep_best" -> oracleDedupKeepBest,
     "dedup_embed" -> oracleDedupEmbed,
     "dedup_semdedup" -> oracleDedupSemdedup,

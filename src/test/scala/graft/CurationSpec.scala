@@ -430,4 +430,32 @@ class CurationSpec extends SparkSpec {
     val dePpl = out.filter(_._2 == "de").map(_._3)
     assert(enPpl.sum / enPpl.length < dePpl.sum / dePpl.length)
   }
+
+  test("leakageSafeSplit: cluster members share a split, fractions honored, deterministic") {
+    // 300 clusters of 1-3 members each
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).flatMap { c =>
+      (0 to rnd.nextInt(3)).map(i => (c * 10L + i, c.toLong * 7L))
+    }
+    val clusters = rows.toDF("doc_id", "cluster")
+    val out = Curation.leakageSafeSplit(clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == rows.length)
+    // invariant THE OPERATOR EXISTS FOR: one split per cluster
+    out.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // fractions hold at cluster granularity, loosely (hash deal, 300 draws)
+    val byCluster = out.groupBy(_._2).map(_._2.head._3).toSeq
+    val trainFrac = byCluster.count(_ == "train").toDouble / byCluster.length
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train frac $trainFrac")
+    assert(byCluster.contains("val") || byCluster.contains("test"))
+    // deterministic across runs and partitionings
+    val again = Curation.leakageSafeSplit(clusters.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+    // custom fractions: all-in-one bucket degenerates sanely
+    val one = Curation.leakageSafeSplit(clusters, Seq(("all", 1.0))).collect()
+    assert(one.forall(_.getString(2) == "all"))
+  }
 }
