@@ -51,7 +51,8 @@ object AnnIndex {
                     pcaIters: Int = 4)
 
   /** Fit the model on `corpus` and write model + codes to `dir`. */
-  def build(corpus: DataFrame, dir: String, p: Params = Params()): Unit = {
+  def build(corpus: DataFrame, dir: String, p: Params = Params()): Unit =
+    graft.sources.StoreOps.Lease.withLease(corpus.sparkSession, dir) {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val corpusR =
       if (!p.opq) corpus
@@ -91,7 +92,9 @@ object AnnIndex {
     * row-identical to an index whose appends never contained the removed
     * ids (the spec pins exactly that). */
   def remove(dir: String, vecIds: DataFrame): Unit =
-    graft.sources.StoreOps.Tombstones.add(dir, vecIds, "vec_id")
+    graft.sources.StoreOps.Lease.withLease(vecIds.sparkSession, dir) {
+      graft.sources.StoreOps.Tombstones.add(dir, vecIds, "vec_id")
+    }
 
   /** Physically drop tombstoned codes and clear the tombstone list —
     * nothing observable changes ([[query]] already excluded them); the
@@ -99,7 +102,8 @@ object AnnIndex {
     * history. Write-aside-and-swap ([[graft.sources.StoreOps.swapWrite]]):
     * the rewrite reads the files it replaces, and the codes table is
     * corpus-sized — never materialized driver- or executor-side. */
-  def vacuum(dir: String): Unit = {
+  def vacuum(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "vec_id")
       .localCheckpoint() // model-sized
@@ -113,7 +117,8 @@ object AnnIndex {
 
   /** Small-file compaction only: one file per inverted list, no logical
     * change — run it when append cadence outpaces removal cadence. */
-  def compact(dir: String): Unit = {
+  def compact(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/codes.parquet").repartition(col("cent_id")),
@@ -131,7 +136,8 @@ object AnnIndex {
     * foreachBatch id, so failure-recovery replays never double-index a
     * vector. */
   def append(dir: String, newVectors: DataFrame,
-             batchId: Option[Long] = None): Unit = {
+             batchId: Option[Long] = None): Unit =
+    graft.sources.StoreOps.Lease.withLease(newVectors.sparkSession, dir) {
     val spark = newVectors.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     val (p, cents, cb) = readModel(spark, dir)

@@ -42,7 +42,8 @@ object CentroidStore {
     * [[Ann.lloydCentroids]] (off the gate path — the oracle replays the
     * deterministic seed, the refined fit is measured by AnnSweep). */
   def build(vecs: DataFrame, dir: String, nCentroids: Int = 16,
-            lloydIters: Int = 0): Unit = {
+            lloydIters: Int = 0): Unit =
+    graft.sources.StoreOps.Lease.withLease(vecs.sparkSession, dir) {
     val spark = vecs.sparkSession
     graft.functions.CosineSimilarity.register(spark)
     val seed = Ann.seedCentroids(vecs, nCentroids)
@@ -69,12 +70,15 @@ object CentroidStore {
     * remove-then-vacuum ≡ a store whose appends never contained the ids
     * (the [[AnnIndex.remove]] contract; RetentionSpec pins it). */
   def remove(dir: String, vecIds: DataFrame): Unit =
-    graft.sources.StoreOps.Tombstones.add(dir, vecIds, "vec_id")
+    graft.sources.StoreOps.Lease.withLease(vecIds.sparkSession, dir) {
+      graft.sources.StoreOps.Tombstones.add(dir, vecIds, "vec_id")
+    }
 
   /** Physically drop tombstoned members and clear the list — observable
     * behaviour unchanged; per-cluster repartition doubles as small-file
     * compaction. Write-aside-and-swap. */
-  def vacuum(dir: String): Unit = {
+  def vacuum(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "vec_id")
       .localCheckpoint() // model-sized
@@ -87,7 +91,8 @@ object CentroidStore {
   }
 
   /** Small-file compaction only: one file per cluster directory. */
-  def compact(dir: String): Unit = {
+  def compact(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/members.parquet").repartition(col("cent_id")),
@@ -98,7 +103,8 @@ object CentroidStore {
     * member store — a pure map over the batch regardless of store size
     * (centroids broadcast; the store is never read, let alone
     * reshuffled). */
-  def append(dir: String, newVecs: DataFrame): Unit = {
+  def append(dir: String, newVecs: DataFrame): Unit =
+    graft.sources.StoreOps.Lease.withLease(newVecs.sparkSession, dir) {
     val spark = newVecs.sparkSession
     Ann.assignTo(newVecs, centroids(spark, dir), 1)
       .repartition(col("cent_id"))

@@ -41,8 +41,12 @@ object DedupIndex {
   case class Params(n: Int = 3, k: Int = 12, bands: Int = 4,
                     maxBucket: Int = 10000)
 
-  /** Sign `docs` and write postings + gram sets + meta to `dir`. */
-  def build(docs: DataFrame, dir: String, p: Params = Params()): Unit = {
+  /** Sign `docs` and write postings + gram sets + meta to `dir`.
+    * All mutators (build/append/remove/vacuum/compact) run under the
+    * store's single-maintainer lease ([[graft.sources.StoreOps.Lease]]);
+    * probes never take it. */
+  def build(docs: DataFrame, dir: String, p: Params = Params()): Unit =
+    graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
     spark.createDataFrame(Seq((p.n, p.k, p.bands, p.maxBucket)))
       .toDF("n", "k", "bands", "max_bucket")
@@ -76,13 +80,16 @@ object DedupIndex {
     * append, which doesn't re-check the guard either; RetentionSpec pins
     * the equivalence on non-degenerate data). */
   def remove(dir: String, docIds: DataFrame): Unit =
-    graft.sources.StoreOps.Tombstones.add(dir, docIds, "doc_id")
+    graft.sources.StoreOps.Lease.withLease(docIds.sparkSession, dir) {
+      graft.sources.StoreOps.Tombstones.add(dir, docIds, "doc_id")
+    }
 
   /** Physically drop tombstoned postings + gram sets and clear the list —
     * nothing observable changes ([[dedupAgainst]] already excluded them);
     * the per-band repartition doubles as small-file compaction.
     * Write-aside-and-swap: the rewrite reads the files it replaces. */
-  def vacuum(dir: String): Unit = {
+  def vacuum(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")
       .localCheckpoint() // model-sized
@@ -101,7 +108,8 @@ object DedupIndex {
 
   /** Small-file compaction only (one file per band, gram files merged
     * without a shuffle) — run when append cadence outpaces removals. */
-  def compact(dir: String): Unit = {
+  def compact(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/postings.parquet").repartition(col("band")),
@@ -120,7 +128,8 @@ object DedupIndex {
 
   /** Sign `newDocs` with the FROZEN scheme and append their postings and
     * gram sets — a pure map over the batch regardless of index size. */
-  def append(dir: String, newDocs: DataFrame): Unit = {
+  def append(dir: String, newDocs: DataFrame): Unit =
+    graft.sources.StoreOps.Lease.withLease(newDocs.sparkSession, dir) {
     val p = readParams(newDocs.sparkSession, dir)
     Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
       .select("doc_id", "bkey", "band")

@@ -246,7 +246,8 @@ object SearchIndex {
       size(Search.toks()).cast(LongType).as("dl"))
 
   /** Tokenize `docs` and write postings + corpus stats to `dir`. */
-  def build(docs: DataFrame, dir: String): Unit = {
+  def build(docs: DataFrame, dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
     withPfx(Search.postings(docs))
       .repartition(col("pfx")) // one file per prefix, not tasks × prefixes
@@ -278,7 +279,8 @@ object SearchIndex {
     * them leaves the store internally inconsistent until the batch is
     * re-driven, so streaming paths always pass the foreachBatch id. */
   def append(dir: String, newDocs: DataFrame,
-             batchId: Option[Long] = None): Unit = {
+             batchId: Option[Long] = None): Unit =
+    graft.sources.StoreOps.Lease.withLease(newDocs.sparkSession, dir) {
     val post = withPfx(Search.postings(newDocs)).repartition(col("pfx"))
     val dl = doclens(newDocs)
     val stats = Search.corpusStats(newDocs)
@@ -305,7 +307,9 @@ object SearchIndex {
     * Removing an id that was never indexed (or removing twice) is a
     * no-op: the read paths intersect tombstones with doclens first. */
   def remove(dir: String, docIds: DataFrame): Unit =
-    graft.sources.StoreOps.Tombstones.add(dir, docIds, "doc_id")
+    graft.sources.StoreOps.Lease.withLease(docIds.sparkSession, dir) {
+      graft.sources.StoreOps.Tombstones.add(dir, docIds, "doc_id")
+    }
 
   /** Fold the stored per-append stats partials to the one-row total —
     * exact LONG sums, a bounded read (one row per build/append until
@@ -343,7 +347,9 @@ object SearchIndex {
     * small-file compaction of the append history. One full-store pass,
     * written aside and swapped in ([[graft.sources.StoreOps.swapWrite]] —
     * the rewrite plan reads the files it replaces). */
-  def vacuum(dir: String): Unit = {
+  def vacuum(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(
+        org.apache.spark.sql.SparkSession.active, dir) {
     val spark = org.apache.spark.sql.SparkSession.active
     val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")
       .localCheckpoint() // model-sized
@@ -371,7 +377,9 @@ object SearchIndex {
     * micro-batch appends otherwise leave the probe reading thousands of
     * footer-dominated files — and fold the per-append stats partials back
     * to one row. Pure rewrite, nothing observable changes. */
-  def compact(dir: String): Unit = {
+  def compact(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(
+        org.apache.spark.sql.SparkSession.active, dir) {
     val spark = org.apache.spark.sql.SparkSession.active
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/postings.parquet").repartition(col("pfx")),

@@ -48,7 +48,8 @@ object SketchStore {
     * `groupCol` keys the HLL and quantile sketches; `valueCol`
     * (non-negative integer) feeds the quantile bins. */
   def build(docs: DataFrame, dir: String, groupCol: String = "lang",
-            valueCol: String = "n_chars", d: Int = 4, w: Int = 1024): Unit = {
+            valueCol: String = "n_chars", d: Int = 4, w: Int = 1024): Unit =
+    graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     write(Sketches.hllRegisters(docs, groupCol), s"$dir/hll.parquet")
     write(Sketches.cmsCounters(docs, d, w), s"$dir/cms.parquet")
     write(Sketches.quantileBins(docs, valueCol, groupCol), s"$dir/qbins.parquet")
@@ -61,7 +62,8 @@ object SketchStore {
     * failure recovery) never double-counts. */
   def append(docs: DataFrame, dir: String, groupCol: String = "lang",
              valueCol: String = "n_chars", d: Int = 4, w: Int = 1024,
-             batchId: Option[Long] = None): Unit = {
+             batchId: Option[Long] = None): Unit =
+    graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val tables = Seq(
       Sketches.hllRegisters(docs, groupCol) -> s"$dir/hll.parquet",
       Sketches.cmsCounters(docs, d, w) -> s"$dir/cms.parquet",
@@ -92,7 +94,8 @@ object SketchStore {
     * max / cell sum / bin sum — the exact merges, so nothing observable
     * changes) and one file per table. Write-aside-and-swap: the rewrite
     * reads the files it replaces. */
-  def compact(dir: String, groupCol: String = "lang"): Unit = {
+  def compact(dir: String, groupCol: String = "lang"): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     graft.sources.StoreOps.swapWrite(
       foldHll(spark, dir, groupCol).coalesce(1), s"$dir/hll.parquet")

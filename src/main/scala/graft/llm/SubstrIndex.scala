@@ -74,7 +74,8 @@ object SubstrIndex {
 
   /** Build the counted gram store from `docs` and write meta to `dir`. */
   def build(docs: DataFrame, dir: String, k: Int = 15,
-            parts: Int = 64): Unit = {
+            parts: Int = 64): Unit =
+    graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
     spark.createDataFrame(Seq((k, parts))).toDF("k", "parts")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
@@ -91,7 +92,8 @@ object SubstrIndex {
     * folds them — the price of counts being exact enough to subtract on
     * [[remove]]. PRECONDITION ([[SearchIndex.append]]'s): batch doc_ids
     * must not already be indexed. */
-  def append(dir: String, newDocs: DataFrame): Unit = {
+  def append(dir: String, newDocs: DataFrame): Unit =
+    graft.sources.StoreOps.Lease.withLease(newDocs.sparkSession, dir) {
     val spark = newDocs.sparkSession
     requireCountedLayout(spark, dir, "append")
     val (k, parts) = readParams(spark, dir)
@@ -107,7 +109,8 @@ object SubstrIndex {
     * exact, not approximate ([[dedupAgainst]] ≡ an index that never held
     * the doc; RetentionSpec pins it). Ids not in the docids ledger (or
     * already removed) are ignored, making remove idempotent. */
-  def remove(dir: String, docs: DataFrame): Unit = {
+  def remove(dir: String, docs: DataFrame): Unit =
+    graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
     requireCountedLayout(spark, dir, "remove")
     val (k, parts) = readParams(spark, dir)
@@ -129,7 +132,8 @@ object SubstrIndex {
     * drop tombstoned ids from the ledger, clear the tombstone list —
     * nothing observable changes; the rewrite doubles as small-file
     * compaction. Write-aside-and-swap. */
-  def vacuum(dir: String): Unit = {
+  def vacuum(dir: String): Unit =
+    graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     requireCountedLayout(spark, dir, "vacuum")
     graft.sources.StoreOps.swapWrite(

@@ -76,7 +76,8 @@ object RollupStore {
   }
 
   /** Roll `samples` up at `res` seconds and write the store. */
-  def build(samples: DataFrame, dir: String, res: Double): Unit = {
+  def build(samples: DataFrame, dir: String, res: Double): Unit =
+    StoreOps.Lease.withLease(samples.sparkSession, dir) {
     val spark = samples.sparkSession
     spark.createDataFrame(Seq(Tuple1(res))).toDF("res")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
@@ -93,7 +94,8 @@ object RollupStore {
     * double-counts its partials (the streaming path always passes the
     * foreachBatch id). */
   def append(dir: String, samples: DataFrame,
-             batchId: Option[Long] = None): Unit = {
+             batchId: Option[Long] = None): Unit =
+    StoreOps.Lease.withLease(samples.sparkSession, dir) {
     val rows = rollup(samples, readRes(samples.sparkSession, dir))
       .repartition(col(MetricCol))
     batchId match {
@@ -117,7 +119,8 @@ object RollupStore {
     * nothing observable changes — same rows, one partial each — and the
     * store stays append-compatible (compacted rows ARE partial rows).
     * Write-aside-and-swap: the rewrite reads the files it replaces. */
-  def compact(dir: String): Unit = {
+  def compact(dir: String): Unit =
+    StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     val merged = spark.read.parquet(s"$dir/rollup.parquet")
       .groupBy(col(MetricCol), col(Model.SkeyCol), col("wend"))
@@ -143,7 +146,8 @@ object RollupStore {
     * EXACTLY equivalent to having built the store from samples with
     * `ts > cutoff` — no bucket ever straddles the cut (the spec pins the
     * equivalence). Write-aside-and-swap, same as [[compact]]. */
-  def retention(dir: String, cutoff: Double): Unit = {
+  def retention(dir: String, cutoff: Double): Unit =
+    StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
     val res = readRes(spark, dir)
     // integral-multiplicity with RELATIVE tolerance, not IEEE `%` (which is

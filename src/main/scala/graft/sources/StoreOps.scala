@@ -191,6 +191,131 @@ object StoreOps {
     fs.delete(staging, true)
   }
 
+  /** Thrown when a maintenance op finds another maintainer's live lease
+    * on the store — the op refused to run rather than corrupt. */
+  final class StoreBusyException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Single-maintainer lease over a store directory.
+    *
+    * The persistent stores are single-writer BY CONTRACT (the scaladoc at
+    * the top of this file: "maintenance runs in the ingest job's write
+    * slot"); the lease makes the contract ENFORCED instead of assumed.
+    * The hazard is not append-vs-append (batch-keyed appends commit
+    * distinct files) but maintenance-vs-anything: a vacuum/compact swap
+    * rebuilds a table from a snapshot read, so a concurrent append lands
+    * files the swap never saw and silently DROPS them; two concurrent
+    * vacuums double-swap. Every mutator therefore runs under
+    * [[withLease]]; probes never take it (reads stay lock-free — the
+    * rename-aside swap keeps the store readable throughout).
+    *
+    * Mechanics: `_lease` is created with create-no-overwrite (atomic on
+    * HDFS and posix; object stores map it to a conditional PUT) holding
+    * `<token> <epoch-ms>`. A second maintainer's create fails → it reads
+    * the holder and throws [[StoreBusyException]] — fail-fast, no
+    * blocking, the caller's scheduler owns retry policy. A holder that
+    * CRASHED leaves a lease behind; once it is older than `ttlMs` the
+    * next acquirer deletes it and re-creates — of two racing takeovers,
+    * the loser's create-no-overwrite fails and it re-evaluates. Release
+    * deletes the file only if it still holds OUR token, so a stale
+    * holder resuming after an expiry takeover cannot delete its
+    * successor's lease (it gets a warning-free no-op; its own mutation
+    * already won or lost at the filesystem rename level).
+    *
+    * The ttl must exceed the longest maintenance op (default 15 min —
+    * generous against the measured storescale.json lifecycle times);
+    * like every expiry-based lease, a holder paused PAST the ttl can
+    * overlap its successor — the standard trade, documented not hidden.
+    * Reentrant per thread (vacuum may call compact on the same dir). */
+  object Lease {
+    val DefaultTtlMs: Long = 15 * 60 * 1000L
+    private def leasePath(dir: String) = new Path(s"$dir/_lease")
+    private val held = new ThreadLocal[Set[String]] {
+      override def initialValue(): Set[String] = Set.empty
+    }
+
+    def withLease[T](spark: org.apache.spark.sql.SparkSession, dir: String,
+                     ttlMs: Long = DefaultTtlMs)(body: => T): T =
+      if (held.get.contains(dir)) body
+      else {
+        val token = acquire(spark, dir, ttlMs)
+        held.set(held.get + dir)
+        try body
+        finally { held.set(held.get - dir); release(spark, dir, token) }
+      }
+
+    /** Holder + age of the current lease, if any — for operators
+      * deciding whether a takeover is safe. */
+    def holder(spark: org.apache.spark.sql.SparkSession,
+               dir: String): Option[(String, Long)] = {
+      val p = leasePath(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readLease(fs, p).map { case (t, ts) =>
+        (t, System.currentTimeMillis() - ts)
+      }
+    }
+
+    private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Option[(String, Long)] =
+      try {
+        val in = fs.open(p)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toByteArray
+        } finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .trim.split(' ') match {
+          case Array(tok, ts) => Some((tok, ts.toLong))
+          case _ => None // garbage lease: treat as expired-unknown
+        }
+      } catch { case _: java.io.IOException => None } // vanished mid-read
+
+    private def acquire(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, ttlMs: Long): String = {
+      val p = leasePath(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(dir))
+      val token = java.util.UUID.randomUUID().toString
+      var attempt = 0
+      while (attempt < 3) {
+        attempt += 1
+        try {
+          val out = fs.create(p, false) // atomic create-no-overwrite
+          out.write(s"$token ${System.currentTimeMillis()}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+          return token
+        } catch {
+          case _: java.io.IOException =>
+            readLease(fs, p) match {
+              case Some((holderTok, ts))
+                  if System.currentTimeMillis() - ts <= ttlMs =>
+                throw new StoreBusyException(
+                  s"store $dir is under maintenance by $holderTok " +
+                    s"(lease age ${System.currentTimeMillis() - ts} ms, " +
+                    s"ttl $ttlMs ms)")
+              case _ =>
+                // expired or unreadable: take over; a racing winner's
+                // create makes OUR next create fail and re-evaluate
+                fs.delete(p, false)
+            }
+        }
+      }
+      throw new StoreBusyException(
+        s"store $dir: lease churn — lost $attempt takeover races")
+    }
+
+    private def release(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, token: String): Unit = {
+      val p = leasePath(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (readLease(fs, p).exists(_._1 == token)) fs.delete(p, false)
+    }
+  }
+
   /** Parquet files under `path` (recursively; excludes _SUCCESS etc.) —
     * the observable a compaction spec pins: results identical, file count
     * collapsed to one per partition directory. */
