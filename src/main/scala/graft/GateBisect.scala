@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Phase-level bisect for the two store gates the r14 bench flagged
+  * (`ann_index` +28%, `search_index` +31%): times build / append / query
+  * SEPARATELY, median of N, so a gate-total regression can be pinned to
+  * the lifecycle phase that actually moved — the gate itself only reports
+  * the sum. Prints one markdown table per store.
+  *
+  * Usage: runMain graft.GateBisect [sfDir] [runs]
+  */
+object GateBisect {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup as Bench — phase 1 must not absorb the fleet's JIT cost
+    spark.range(1000000).selectExpr("id % 97 as k", "id as v")
+      .groupBy("k").agg(expr("sum(v)"), expr("avg(v)"), expr("max(v)"))
+      .selectExpr("sum(`sum(v)`)").collect()
+
+    def time[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def fresh(): String =
+      java.nio.file.Files.createTempDirectory("graft-bisect").toString
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("doc_id").as("vec_id"), col("embedding")).cache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    emb.count(); docs.count()
+    val half = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val dhalf = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+
+    // ann_index gate phases (LlmQueries.annIndex, exact params)
+    val annP = graft.llm.AnnIndex.Params(nCentroids = 16, multiAssign = 1,
+      codebookIters = 0)
+    val ann = (0 until runs).map { _ =>
+      val idx = fresh()
+      val (tb, _) = time(graft.llm.AnnIndex.build(
+        emb.filter(col("vec_id") <= half), idx, annP))
+      val (ta, _) = time(graft.llm.AnnIndex.append(
+        idx, emb.filter(col("vec_id") > half)))
+      val (tq, _) = time(graft.llm.AnnIndex.query(spark, idx,
+        emb.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+        .write.format("noop").mode("overwrite").save())
+      (tb, ta, tq)
+    }
+    println(f"| ann_index | build ${median(ann.map(_._1))}%.2f " +
+      f"| append ${median(ann.map(_._2))}%.2f " +
+      f"| query ${median(ann.map(_._3))}%.2f |")
+
+    // search_index gate phases (LlmQueries.searchIndexQ, exact shape)
+    val corpus = docs.filter(col("doc_id") % 101 =!= 5)
+    val qs = docs.filter(col("doc_id") % 101 === 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"), 1, 5), " ")
+          .as("qtext")).cache()
+    qs.count()
+    val chalf = corpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val search = (0 until runs).map { _ =>
+      val idx = fresh()
+      val (tb, _) = time(graft.llm.SearchIndex.build(
+        corpus.filter(col("doc_id") <= chalf), idx))
+      val (ta, _) = time(graft.llm.SearchIndex.append(
+        idx, corpus.filter(col("doc_id") > chalf)))
+      val (tq, _) = time(graft.llm.SearchIndex.search(spark, idx, qs, topK = 5)
+        .write.format("noop").mode("overwrite").save())
+      (tb, ta, tq)
+    }
+    println(f"| search_index | build ${median(search.map(_._1))}%.2f " +
+      f"| append ${median(search.map(_._2))}%.2f " +
+      f"| query ${median(search.map(_._3))}%.2f |")
+
+    spark.stop()
+  }
+}

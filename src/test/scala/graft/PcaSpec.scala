@@ -126,6 +126,40 @@ class PcaSpec extends SparkSpec {
     assert(allocated.forall(_.length == w))
   }
 
+  test("OPQ: allocation balances a SUB-UNITY decaying spectrum (the normalized-embedding regime)") {
+    // Every L2-normalized embedding corpus has Σλ = E‖x−μ‖² ≤ 1, i.e. a
+    // spectrum entirely below 1 — the regime where a greedy on RAW
+    // log-eigenvalues degenerates to the contiguous split (the first
+    // bucket's log-product goes negative and swallows the whole top).
+    // 0.8-decay stds, all variances < 1, like a real text-embedding
+    // spectrum in miniature.
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 300).map { i =>
+      val v = Array.tabulate(Pca.Dims) { d =>
+        (rnd.nextGaussian() * 0.5 * math.pow(0.8, d)).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val mm = 8
+    val w = Pca.Dims / mm
+    val full = Pca.fit(emb, k = Pca.Dims, iters = 8)
+    val opq = Pca.fitOpq(emb, m = mm, iters = 8)
+    def spread(eigsBySub: Seq[Seq[Double]]): Double = {
+      val lp = eigsBySub.map(_.map(e => math.log(math.max(e, 1e-12))).sum)
+      lp.max - lp.min
+    }
+    val allocated = opq.eigenvalues.grouped(w).map(_.toSeq).toSeq
+    val contiguous = full.eigenvalues.grouped(w).map(_.toSeq).toSeq
+    // STRICTLY better, by a wide margin — equality is the degeneration
+    assert(spread(allocated) < 0.5 * spread(contiguous),
+      s"allocated ${spread(allocated)} vs contiguous ${spread(contiguous)}")
+    // the top-m components must spread ONE PER SUBSPACE: each bucket's
+    // largest eigenvalue is one of the global top m
+    val topM = full.eigenvalues.sorted.reverse.take(mm).min
+    assert(allocated.forall(_.max >= topM - 1e-12),
+      s"a bucket is missing a top-$mm leader: ${allocated.map(_.max).toList}")
+  }
+
   test("OPQ: rank-deficient corpus still yields an orthonormal rotation") {
     // only 3 axes carry variance — the full-rank power-iteration fit
     // collapses past component ~3, exercising the deterministic basis
