@@ -37,7 +37,7 @@ object GateBisect {
       java.nio.file.Files.createTempDirectory("graft-bisect").toString
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("doc_id").as("vec_id"), col("embedding")).cache()
+      .select(col("vec_id"), col("embedding")).cache()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text")).cache()
     emb.count(); docs.count()
