@@ -693,4 +693,118 @@ object Ann {
     negs.withColumn("rk", row_number().over(w)).filter(col("rk") <= kNeg)
       .select("anchor_id", "cand_id", "cos", "rk")
   }
+
+  /** 1-bit sign quantization: bit d is set iff `x_d > μ_d`, the per-dim
+    * corpus mean (mean-centering keeps the bits ~balanced; FAISS's
+    * `IndexBinaryFlat`-over-`ITQ/sign` contract without the rotation).
+    * 64 dims pack into TWO 32-bit halves carried in longs — never one
+    * 64-bit long, because the top bit would force signed-overflow
+    * arithmetic that engines disagree on (Java wraps, DuckDB throws);
+    * two half-codes keep every pack/chunk step in exact small-integer
+    * range in BOTH engines. Packing is a Horner fold over the reversed
+    * bit slice (acc·2 + bit — pure integer ops, bit-identical anywhere);
+    * the mean is round-6 (the repo's order-dependent-sum rule) so the
+    * threshold compare agrees across engines.
+    *
+    * This is the 32× compression point of the family: 8 bytes/vector
+    * (vs 256 raw, m=8 PQ's 8 — but with NO training and a 2-instruction
+    * distance), and Hamming distance `bit_count(a XOR b)` is the cheapest
+    * similarity in the catalog — the standard first-pass filter in front
+    * of exact re-rank at web scale.
+    *
+    * Returns (vec_id, code_lo, code_hi), each half in [0, 2^32). */
+  private[graft] def signCodes(corpus: DataFrame): DataFrame = {
+    val model = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg(col("x").cast(DoubleType)), 6).as("mu"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("ps"))
+      .select(transform(col("ps"), p => p("mu")).as("mus"))
+    def horner(bits: Column): Column =
+      aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
+    corpus.crossJoin(broadcast(model))
+      .withColumn("bits", zip_with(col("embedding"), col("mus"),
+        (x, m) => when(x.cast(DoubleType) > m, lit(1L)).otherwise(lit(0L))))
+      .select(col("vec_id"),
+        horner(slice(col("bits"), 1, Dims / 2)).as("code_lo"),
+        horner(slice(col("bits"), Dims / 2 + 1, Dims / 2)).as("code_hi"))
+  }
+
+  private def hamming(aLo: Column, aHi: Column,
+                      bLo: Column, bHi: Column): Column =
+    (bit_count(aLo.bitwiseXOR(bLo)) + bit_count(aHi.bitwiseXOR(bHi)))
+      .cast(LongType)
+
+  /** Brute Hamming top-k over [[signCodes]] — the exact ranking in code
+    * space (the quantization is the only approximation). Queries are
+    * broadcast (model-sized set), the corpus codes stream: one scan of
+    * 8-byte codes, no shuffle beyond the final per-query top-k. Rank is
+    * (dist asc, neighbor_id asc), the [[pqRank]] contract. */
+  def signTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val codes = signCodes(corpus)
+    val q = codes.join(
+      broadcast(queries.select(col("vec_id"))), Seq("vec_id"))
+    val scored = codes.as("c")
+      .join(broadcast(q).as("q"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        hamming(col("q.code_lo"), col("q.code_hi"),
+          col("c.code_lo"), col("c.code_hi")).as("dist"))
+    pqRank(scored, k)
+  }
+
+  /** Multi-index hashing (Norouzi, Punjani & Fleet, CVPR 2012 "Fast Search
+    * in Hamming Space with Multi-Index Hashing"): the 64-bit code splits
+    * into `nChunks` disjoint substrings (default 8 × 8 bits — Norouzi's
+    * rule m ≈ b/log₂ n wants substrings short enough that a chunk match
+    * is likely for true neighbors; 16-bit chunks at small n retrieve
+    * nothing), each indexed exactly.
+    * PIGEONHOLE GUARANTEE: a neighbor at Hamming distance < nChunks has
+    * too few differing bits to touch every chunk, so it matches the query
+    * EXACTLY in at least one — chunk-equality retrieval finds EVERY code
+    * within radius nChunks−1 (= 7 here); beyond that radius the result is
+    * top-k among candidates only (the documented MIH contract; larger
+    * radii take substitution probes, not implemented). Candidates from
+    * the 4 equality joins are deduped, then ranked by exact Hamming.
+    *
+    * 100 TB shape: each chunk join is a plain hash join keyed by a small
+    * chunk value — postings per key ≈ corpus/2^w per chunk table, queries
+    * broadcast, so the probe reads 4 posting lists per query instead of
+    * the corpus. Mean-centered bits keep the 2^16 buckets near-uniform;
+    * a skewed corpus (many identical codes) degrades toward brute within
+    * the hot bucket and is capped the same way LSH buckets are. */
+  def signMihTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nChunks: Int = 8): DataFrame = {
+    require(Dims % nChunks == 0 && nChunks % 2 == 0,
+      s"nChunks=$nChunks must be even and divide Dims=$Dims")
+    val w = Dims / nChunks // bits per chunk
+    val base = lit(1L << w) // 2^w, exact
+    val codes = signCodes(corpus)
+    // chunk c of a half-code h (w-bit substrings, low chunks first):
+    // floor-div/mod arithmetic only — exact and engine-portable.
+    def chunks(df: DataFrame): DataFrame = df.select(col("*"), explode(
+      flatten(array(
+        transform(sequence(lit(0), lit(nChunks / 2 - 1)), c =>
+          struct(c.as("chunk"),
+            pmod(floor(col("code_lo") / pow(base, c)).cast(LongType), base)
+              .cast(LongType).as("cval"))),
+        transform(sequence(lit(0), lit(nChunks / 2 - 1)), c =>
+          struct((c + nChunks / 2).as("chunk"),
+            pmod(floor(col("code_hi") / pow(base, c)).cast(LongType), base)
+              .cast(LongType).as("cval")))))).as("ch"))
+      .select(col("vec_id"), col("code_lo"), col("code_hi"),
+        col("ch.chunk").as("chunk"), col("ch.cval").as("cval"))
+    val qCodes = codes.join(
+      broadcast(queries.select(col("vec_id"))), Seq("vec_id"))
+    val cand = chunks(codes).as("c")
+      .join(broadcast(chunks(qCodes)).as("q"),
+        col("q.chunk") === col("c.chunk") && col("q.cval") === col("c.cval") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("q.code_lo").as("qlo"), col("q.code_hi").as("qhi"),
+        col("c.code_lo").as("clo"), col("c.code_hi").as("chi"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      hamming(col("qlo"), col("qhi"), col("clo"), col("chi")).as("dist"))
+    pqRank(scored, k)
+  }
 }

@@ -325,6 +325,25 @@ object LlmQueries {
     Ann.sqTopK(e, e.filter(col("vec_id") < 5), k = 5)
   }
 
+  /** 1-bit sign quantization + brute Hamming ranking: 8 bytes/vector
+    * (32× compression, no training), distance = two XOR+popcounts. The
+    * quantization is the ONLY approximation — the ranking over codes is
+    * exact, which is what the oracle replays bit-for-bit. */
+  def annSign(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.signTopK(e, e.filter(col("vec_id") < 5), k = 5)
+  }
+
+  /** Multi-index hashing over the sign codes (Norouzi et al. CVPR 2012):
+    * 4 exact-match chunk joins retrieve every code within Hamming radius
+    * 3 (pigeonhole), exact Hamming ranks the candidates. The oracle
+    * replays the same candidate rule, so the gate pins the CONTRACT
+    * (top-k among chunk-equality candidates), not a recall estimate. */
+  def annSignMih(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.signMihTopK(e, e.filter(col("vec_id") < 5), k = 5)
+  }
+
   /** IVF×PQ composed index: first-16 centroids / nprobe 2 / single
     * assignment (the ann_ivf list conventions) pruning candidates for
     * 8×16 ADC scoring (the ann_pq code conventions) — the gate pin of the
@@ -774,6 +793,56 @@ object LlmQueries {
        |            * (CAST(q.embedding[c.i] AS DOUBLE) - (c.mn + (c.code + 0.5) * c.step))), 6) AS dist
        |  FROM codes c JOIN embeddings q ON q.vec_id < 5 AND q.vec_id <> c.vec_id
        |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
+       |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
+
+  /** Sign-quantization CTE chain shared by the two Hamming oracles:
+    * round-6 per-dim means (the order-dependent-sum rule), threshold
+    * bits, Horner-equivalent packing into two 32-bit halves via BIGINT
+    * shifts — every step exact small-integer arithmetic, so the codes
+    * are bit-identical to Spark's. */
+  private val signCtes: String =
+    s"""WITH gi AS (SELECT unnest(range(1, 65)) AS i),
+       |mu AS (SELECT i, round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS mu
+       |  FROM embeddings e CROSS JOIN gi GROUP BY 1),
+       |bits AS (SELECT e.vec_id, m.i,
+       |    CASE WHEN CAST(e.embedding[m.i] AS DOUBLE) > m.mu
+       |         THEN 1::BIGINT ELSE 0::BIGINT END AS b
+       |  FROM embeddings e CROSS JOIN mu m),
+       |codes AS (SELECT vec_id,
+       |    sum(CASE WHEN i <= 32 THEN b << (i - 1) ELSE 0 END)::BIGINT AS code_lo,
+       |    sum(CASE WHEN i > 32 THEN b << (i - 33) ELSE 0 END)::BIGINT AS code_hi
+       |  FROM bits GROUP BY 1)""".stripMargin
+
+  def oracleAnnSign: String =
+    s"""$signCtes,
+       |score AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    (bit_count(xor(q.code_lo, c.code_lo)) +
+       |     bit_count(xor(q.code_hi, c.code_hi)))::BIGINT AS dist
+       |  FROM codes c JOIN codes q ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
+       |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
+
+  /** MIH replica: the same codes split into 8 exact 8-bit chunks
+    * (floor-div/mod), chunk-equality join for candidates, exact Hamming
+    * rank — the pigeonhole contract stated in SQL. */
+  def oracleAnnSignMih: String =
+    s"""$signCtes,
+       |ck AS (SELECT unnest(range(0, 8)) AS chunk),
+       |chunks AS (SELECT vec_id, code_lo, code_hi, ck.chunk,
+       |    (CASE WHEN ck.chunk < 4 THEN code_lo ELSE code_hi END //
+       |     CAST(256.0 ^ (ck.chunk % 4) AS BIGINT)) % 256 AS cval
+       |  FROM codes CROSS JOIN ck),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.code_lo AS qlo, q.code_hi AS qhi, c.code_lo AS clo, c.code_hi AS chi
+       |  FROM chunks c JOIN chunks q
+       |    ON q.vec_id < 5 AND q.chunk = c.chunk AND q.cval = c.cval
+       |       AND q.vec_id <> c.vec_id),
+       |score AS (SELECT query_id, neighbor_id,
+       |    (bit_count(xor(qlo, clo)) + bit_count(xor(qhi, chi)))::BIGINT AS dist
+       |  FROM cand),
        |ranked AS (SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS INT) AS rn FROM score)
        |SELECT query_id, neighbor_id, dist, rn FROM ranked WHERE rn <= 5""".stripMargin
@@ -2186,6 +2255,8 @@ object LlmQueries {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_sq" -> (annSq _),
+    "ann_sign" -> (annSign _),
+    "ann_sign_mih" -> (annSignMih _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_index" -> (annIndex _),
     "ann_ivfpq_rr" -> (annIvfPqRr _),
@@ -2259,6 +2330,8 @@ object LlmQueries {
     "ann_ivf" -> oracleAnnIvf,
     "ann_pq" -> oracleAnnPq,
     "ann_sq" -> oracleAnnSq,
+    "ann_sign" -> oracleAnnSign,
+    "ann_sign_mih" -> oracleAnnSignMih,
     "ann_ivfpq" -> oracleAnnIvfPq,
     "ann_index" -> oracleAnnIvfPq,
     "ann_ivfpq_rr" -> oracleAnnIvfPqRr,

@@ -798,4 +798,66 @@ class LlmSpec extends SparkSpec {
     // the legitimate pair still mines (both directions via symmetrize)
     assert(out.contains((200L, 201L)) && out.contains((201L, 200L)))
   }
+
+  test("signCodes: known bit pattern packs into the exact half-codes") {
+    // corpus of two mirrored vectors: per-dim mean is 0, so vec 0's
+    // positive dims are exactly its set bits. Dims 0, 5, 31 (lo half)
+    // and 32, 63 (hi half) positive -> lo = 1 + 32 + 2^31, hi = 1 + 2^31.
+    val setBits = Set(0, 5, 31, 32, 63)
+    val v = Array.tabulate(Ann.Dims)(d => if (setBits(d)) 1.0f else -1.0f)
+    val corpus = Seq(
+      (0L, v.toSeq), (1L, v.map(-_).toSeq)).toDF("vec_id", "embedding")
+    val out = Ann.signCodes(corpus).orderBy("vec_id").collect()
+    val lo0 = 1L + 32L + (1L << 31)
+    val hi0 = 1L + (1L << 31)
+    assert((out(0).getLong(1), out(0).getLong(2)) == (lo0, hi0))
+    // the mirror vector is the complement within each 32-bit half
+    assert(out(1).getLong(1) == (~lo0 & 0xffffffffL))
+    assert(out(1).getLong(2) == (~hi0 & 0xffffffffL))
+  }
+
+  test("signTopK: Hamming ranking matches hand-computed popcounts") {
+    // base vector + planted flips: distance in code space = #flipped dims
+    // (mean-centering noise avoided by a symmetric corpus: for every
+    // vector its mirror is present, so per-dim mean = 0)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(Ann.Dims)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    def flip(n: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => if (d < n) -x else x }
+    val vecs = Seq(0 -> base, 1 -> flip(3), 2 -> flip(10), 3 -> flip(40))
+    val corpus = (vecs.map { case (id, v) => (id.toLong, v.toSeq) } ++
+      vecs.map { case (id, v) => (id + 100L, v.map(-_).toSeq) })
+      .toDF("vec_id", "embedding")
+    val out = Ann.signTopK(corpus, corpus.filter(col("vec_id") === 0L), k = 7)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // neighbors by true Hamming: 1@3, 2@10, 3@40, 103@24 (=64-40),
+    // 102@54, 101@61, 100@64
+    assert(out.toSeq == Seq((1L, 3L), (2L, 10L), (103L, 24L), (3L, 40L),
+      (102L, 54L), (101L, 61L), (100L, 64L)))
+  }
+
+  test("signMihTopK: pigeonhole — every neighbor within radius nChunks-1 is found") {
+    // 8 chunks of 8 bits: any code within Hamming 7 shares a chunk.
+    // Plant neighbors at distances 1..7 scattered ACROSS chunks (worst
+    // case for chunk equality) and verify MIH ranks them identically to
+    // brute Hamming.
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(Ann.Dims)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    def flipAt(ds: Seq[Int]): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => if (ds.contains(d)) -x else x }
+    // distance-d neighbor flips one bit in each of d DIFFERENT chunks
+    val planted = (1 to 7).map { d =>
+      (d.toLong, flipAt((0 until d).map(c => c * 8 + (c + d) % 8)).toSeq)
+    }
+    val corpus = ((0L, base.toSeq) +: planted)
+    val sym = corpus ++ corpus.map { case (id, v) =>
+      (id + 100L, v.map(x => -x)) }
+    val df = sym.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+    val mih = Ann.signMihTopK(df, q, k = 7).orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(mih.toSeq == (1 to 7).map(d => (d.toLong, d.toLong)),
+      s"got ${mih.toSeq}")
+  }
 }
