@@ -164,6 +164,71 @@ object TextAnalysis {
         round(coalesce(exp(-col("__alp__")), lit(0.0)), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form — the KenLM estimator CCNet actually
+    * ships, where [[perplexity]] is its add-α stand-in): per bigram,
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) · Pc(w2)
+    *   Pc(w2)   = (N1+(·w2) + 1) / (T + V + 1)
+    *
+    * with D = `discount` (0.75, the textbook fixed discount), c(w1·) the
+    * context count, N1+(w1·)/N1+(·w2) the distinct-successor/-predecessor
+    * TYPE counts, T = Σ N1+(·w2) = distinct bigram types. The +1/(T+V+1)
+    * on the continuation distribution is an add-one floor over
+    * vocab ∪ {unk} — it keeps P total (sums to 1) and strictly positive,
+    * so OOV bigrams score finite instead of −∞ (KenLM's <unk> role),
+    * and the convention is exactly replayable in SQL. An unseen CONTEXT
+    * backs off to Pc(w2) with weight 1 (the c(w1·)=0 limit of the
+    * interpolation). Continuation counts are what separate KN from add-α:
+    * "francisco" is frequent but follows only "san", so its unigram
+    * weight is high yet its CONTINUATION weight is 1 — KN scores novel
+    * bigrams by how promiscuous w2 is, not how common.
+    *
+    * Same output contract as [[perplexity]]: (doc_id, n_bigrams, ppl),
+    * ppl = round-6 exp(−avg ln P), 0.0 for bigram-less docs. Same 100 TB
+    * shape too: every count table is vocab/bigram-TYPE-bounded with
+    * map-side combine, the model tables broadcast into the scoring join,
+    * the per-doc aggregate keys on doc_id — no corpus-sized shuffle. */
+  def perplexityKn(docs: DataFrame, refFilter: Column,
+                   discount: Double = 0.75): DataFrame = {
+    def w1of(g: Column) = element_at(split(g, " "), 1)
+    def w2of(g: Column) = element_at(split(g, " "), 2)
+    val ref = docs.filter(refFilter)
+    val big = Dedup.rawNgrams(ref, 2)
+      .select(w1of(col("g")).as("w1"), w2of(col("g")).as("w2"), col("g"))
+    val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy("w1").agg(count(lit(1)).as("c1"),
+      countDistinct("w2").as("nfw"))
+    val contw = big.groupBy("w2").agg(countDistinct("w1").as("nprec"))
+    val totals = contw.agg(sum("nprec").cast(DoubleType).as("t"))
+    val vocab = Dedup.rawNgrams(ref, 1)
+      .agg(countDistinct("g").cast(DoubleType).as("v"))
+    val d = lit(discount)
+    val occ = Dedup.rawNgrams(docs, 2)
+      .withColumn("w1", w1of(col("g")))
+      .withColumn("w2", w2of(col("g")))
+      .join(broadcast(c2), Seq("g"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(contw), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab))
+      .withColumn("pcont",
+        (coalesce(col("nprec"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+          (col("t") + col("v") + lit(1.0)))
+      .withColumn("lnp", log(when(col("c1").isNull, col("pcont")).otherwise(
+        greatest(coalesce(col("c2"), lit(0L)).cast(DoubleType) - d, lit(0.0))
+          / col("c1").cast(DoubleType) +
+          d * col("nfw").cast(DoubleType) / col("c1").cast(DoubleType)
+            * col("pcont"))))
+    val sc = occ.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        avg(col("lnp")).as("__alp__"))
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(exp(-col("__alp__")), lit(0.0)), 6).as("ppl"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
     * filters"): per document, the character-coverage of the single most
     * frequent word 2-gram and the fraction of word characters inside

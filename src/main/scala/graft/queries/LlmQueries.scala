@@ -463,6 +463,13 @@ object LlmQueries {
     TextAnalysis.perplexity(docs(spark, dir),
       org.apache.spark.sql.functions.col("lang") === "en")
 
+  /** Interpolated Kneser–Ney bigram perplexity against the same English
+    * reference — the KenLM estimator (continuation counts + absolute
+    * discount) where text_perplexity is the add-α stand-in. */
+  def textPerplexityKn(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityKn(docs(spark, dir),
+      org.apache.spark.sql.functions.col("lang") === "en")
+
   /** The synthetic documents carry no PII, so the query injects
     * deterministic doc_id-derived PII (emails / IPv4 / phone / SSN shapes)
     * BEFORE detection — the identical SQL fragment runs in the oracle, so
@@ -1652,6 +1659,43 @@ object LlmQueries {
       |  round(coalesce(exp(-sc.alp), 0.0), 6) AS ppl
       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
 
+  /** Kneser–Ney replica: the same count tables (bigram tokens, context
+    * count + distinct-successor types per w1, distinct-predecessor types
+    * per w2, T = Σ continuation counts, V = unigram vocab), the same
+    * interpolation with the identical association order — every count is
+    * an exact integer, so only the final avg-of-logs needs round-6. */
+  def oracleTextPerplexityKn: String =
+    """WITH toks AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |g2 AS (SELECT doc_id, lang, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> concat_ws(' ', tk[i], tk[i+1]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+      |big AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2, g
+      |  FROM g2 WHERE lang = 'en'),
+      |c2 AS (SELECT g, count(*) AS c2 FROM big GROUP BY 1),
+      |ctx AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS nfw FROM big GROUP BY 1),
+      |contw AS (SELECT w2, count(DISTINCT w1) AS nprec FROM big GROUP BY 1),
+      |tt AS (SELECT CAST(sum(nprec) AS DOUBLE) AS t FROM contw),
+      |vv AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM (
+      |    SELECT unnest(tk) AS w1 FROM toks WHERE lang = 'en')),
+      |occ AS (SELECT g2.doc_id,
+      |    ln(CASE WHEN ctx.c1 IS NULL
+      |        THEN (CAST(coalesce(contw.nprec, 0) AS DOUBLE) + 1.0) / ((tt.t + vv.v) + 1.0)
+      |        ELSE greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+      |               / CAST(ctx.c1 AS DOUBLE)
+      |             + ((0.75 * CAST(ctx.nfw AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE))
+      |               * ((CAST(coalesce(contw.nprec, 0) AS DOUBLE) + 1.0) / ((tt.t + vv.v) + 1.0))
+      |        END) AS lnp
+      |  FROM g2
+      |  LEFT JOIN c2 ON g2.g = c2.g
+      |  LEFT JOIN ctx ON string_split(g2.g, ' ')[1] = ctx.w1
+      |  LEFT JOIN contw ON string_split(g2.g, ' ')[2] = contw.w2
+      |  CROSS JOIN tt CROSS JOIN vv),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    avg(lnp) AS alp FROM occ GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  round(coalesce(exp(-sc.alp), 0.0), 6) AS ppl
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   /** mix_perplexity replica: the text_perplexity CTE chain, then the same
     * integer-arithmetic tercile cutoffs over the (lang, round-2 bin)
     * histogram — cum·3 ≥ n / cum·3 ≥ 2n, ≤ on exact round-2 doubles. */
@@ -2290,6 +2334,7 @@ object LlmQueries {
     "text_entropy" -> (textEntropy _),
     "text_typicality" -> (textTypicality _),
     "text_perplexity" -> (textPerplexity _),
+    "text_perplexity_kn" -> (textPerplexityKn _),
     "text_pii" -> (textPii _),
     "embed_project" -> (embedProject _),
     "embed_pca" -> (embedPcaQ _),
@@ -2365,6 +2410,7 @@ object LlmQueries {
     "text_entropy" -> oracleTextEntropy,
     "text_typicality" -> oracleTextTypicality,
     "text_perplexity" -> oracleTextPerplexity,
+    "text_perplexity_kn" -> oracleTextPerplexityKn,
     "text_pii" -> oracleTextPii,
     "embed_project" -> oracleEmbedProject,
     "embed_pca" -> oracleEmbedPca(2, 4),

@@ -799,6 +799,33 @@ class LlmSpec extends SparkSpec {
     assert(out.contains((200L, 201L)) && out.contains((201L, 200L)))
   }
 
+  test("perplexityKn: continuation counts score promiscuity, not frequency") {
+    // "francisco" occurs 6 times in the reference but ALWAYS after "san"
+    // (continuation count 1); "common" occurs 6 times after 6 DIFFERENT
+    // words (continuation count 6). A NOVEL bigram "nine francisco" must
+    // score worse than "nine common" under KN — under pure frequency
+    // (add-α) they'd tie. Docs 10/11 differ only in that bigram.
+    val ref = Seq(
+      (0L, "san francisco san francisco san francisco"),
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "one common two common three common"),
+      (3L, "four common five common six common"))
+    val probes = Seq(
+      (10L, "nine francisco"),
+      (11L, "nine common"),
+      (12L, "zzz"), // no bigrams -> ppl 0 by convention
+      (13L, "qqq xyzzy")) // fully OOV bigram -> finite ppl
+    val docs = (ref ++ probes).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityKn(docs, col("doc_id") <= 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(10L)._2 > out(11L)._2,
+      s"novel 'x francisco' ${out(10L)._2} must be more perplexing than 'x common' ${out(11L)._2}")
+    assert(out(12L) == (0L, 0.0))
+    assert(out(13L)._1 == 1L && out(13L)._2 > 0.0 && !out(13L)._2.isInfinite)
+    // seen-context discounting: a reference doc scores better than any probe
+    assert(out(0L)._2 < out(11L)._2)
+  }
+
   test("signCodes: known bit pattern packs into the exact half-codes") {
     // corpus of two mirrored vectors: per-dim mean is 0, so vec 0's
     // positive dims are exactly its set bits. Dims 0, 5, 31 (lo half)
