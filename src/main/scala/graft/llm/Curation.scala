@@ -328,6 +328,46 @@ object Curation {
       .select("doc_id", "shard", "pos")
   }
 
+  /** TOKEN-balanced shard assignment — sorted round-robin (the
+    * longest-processing-time family): docs ranked by token count
+    * descending (ties by doc_id), rank r dealt to shard (r−1) mod
+    * nShards. [[shardAssign]] balances COUNTS in expectation (hash deal);
+    * this balances token MASS deterministically — consecutive ranks have
+    * near-equal sizes, so the deal keeps every shard's token sum within
+    * ~one max-document of the mean (the classic bound), which is what a
+    * training run reading one shard per worker actually needs: equal
+    * WORK per shard, not equal row counts.
+    *
+    * The global rank is NOT a global window (a single task sorting the
+    * corpus): it decomposes into the bounded two-phase shape the repo's
+    * prefix sums use — (a) group by n_tokens: per-distinct-count group
+    * sizes, prefix-summed over the SORTED DISTINCT COUNTS (a frame
+    * bounded by the doc-length value range, never by corpus size — the
+    * one partition-less window, allowlisted), (b) row_number within each
+    * n_tokens partition + the group's offset = the exact global rank.
+    *
+    * Output: (doc_id, n_tokens, shard, pos), pos 1-based within shard in
+    * descending-size order. */
+  def shardBalanced(docs: DataFrame, nShards: Int): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      tokCount(col("text")).as("n_tokens"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = toked.groupBy("n_tokens").agg(count(lit(1)).as("__n__"))
+      .withColumn("__off__", coalesce(sum(col("__n__")).over(wOff), lit(0L)))
+      .select("n_tokens", "__off__")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_tokens").orderBy(col("doc_id").asc)
+    toked.join(broadcast(offsets), Seq("n_tokens"))
+      .withColumn("__rank__",
+        col("__off__") + row_number().over(wIn).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"),
+        pmod(col("__rank__") - 1, lit(nShards.toLong)).as("shard"),
+        ((col("__rank__") - 1) / lit(nShards.toLong)).cast(LongType)
+          .plus(1L).as("pos"))
+  }
+
   /** Leakage-safe train/val/test split: every resolved duplicate CLUSTER
     * (from [[Dedup.duplicateClusters]]) is dealt to ONE split by a 48-bit
     * md5 of its cluster label, so near-duplicates can never straddle a

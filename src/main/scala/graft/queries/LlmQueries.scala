@@ -218,6 +218,11 @@ object LlmQueries {
   def shardAssignQ(spark: SparkSession, dir: String): DataFrame =
     Curation.shardAssign(docs(spark, dir), nShards = 8)
 
+  /** Token-balanced shards: sorted round-robin deal over the global
+    * descending-size rank (the two-phase rank, not a global sort). */
+  def shardBalancedQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardBalanced(docs(spark, dir), nShards = 8)
+
   def bpeTrainQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // batch = 8 is PROVABLY output-identical to sequential (the r12
@@ -1501,6 +1506,18 @@ object LlmQueries {
       |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS INT) AS pos
       |FROM sk""".stripMargin
 
+  /** Balanced-shard replica: DuckDB states the SPEC (one global
+    * row_number over (n_tokens DESC, doc_id)); the Spark side implements
+    * it as the decomposed two-phase rank — the gate proves they agree. */
+  def oracleShardBalanced: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(replace(replace(replace(text, chr(9), ' '), chr(10), ' '), chr(13), ' '), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens, CAST(row_number() OVER (
+      |    ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk FROM t)
+      |SELECT doc_id, n_tokens, (rk - 1) % 8 AS shard, ((rk - 1) // 8) + 1 AS pos
+      |FROM r""".stripMargin
+
   /** Classifier replica: the DSIR gram/bucket CTEs with the md5-derived
     * weight fixture joined in place of the likelihood-ratio table. */
   def oracleTextClassifier: String =
@@ -2326,6 +2343,7 @@ object LlmQueries {
     "sketch_quantile" -> (sketchQuantileQ _),
     "sketch_store" -> (sketchStoreQ _),
     "shard_assign" -> (shardAssignQ _),
+    "shard_balanced" -> (shardBalancedQ _),
     "text_classifier" -> (textClassifier _),
     "classifier_train" -> (classifierTrainQ _),
     "text_fingerprint" -> (textFingerprint _),
@@ -2402,6 +2420,7 @@ object LlmQueries {
     "sketch_quantile" -> oracleSketchQuantile,
     "sketch_store" -> oracleSketchStore,
     "shard_assign" -> oracleShardAssign,
+    "shard_balanced" -> oracleShardBalanced,
     "text_classifier" -> oracleTextClassifier,
     "classifier_train" -> oracleClassifierTrain(4, 1.0),
     "text_fingerprint" -> oracleTextFingerprint,

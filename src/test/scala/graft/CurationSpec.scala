@@ -458,4 +458,34 @@ class CurationSpec extends SparkSpec {
     val one = Curation.leakageSafeSplit(clusters, Seq(("all", 1.0))).collect()
     assert(one.forall(_.getString(2) == "all"))
   }
+
+  test("shardBalanced: token mass within one max-doc of the mean; rank is the exact global sort") {
+    // heavily skewed sizes (Zipf-ish): doc i has ~1000/(i+1) tokens, many
+    // ties at the small end — the regime where a hash deal's token
+    // imbalance is worst and the two-phase rank must handle BIG tie groups
+    val docs = (0L until 200L).map { i =>
+      val n = math.max(1, (1000 / (i + 1)).toInt)
+      (i, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val nShards = 8
+    val out = Curation.shardBalanced(docs, nShards)
+      .as[(Long, Long, Long, Long)].collect()
+    // a permutation with dense per-shard positions
+    assert(out.map(_._1).sorted.toSeq == (0L until 200L).toSeq)
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the decomposed rank equals the single global sort
+    val expected = out.map(r => (r._1, r._2)).sortBy(r => (-r._2, r._1))
+      .zipWithIndex.map { case ((id, _), rk) =>
+        id -> (rk.toLong % nShards, rk.toLong / nShards + 1) }.toMap
+    out.foreach { case (id, _, shard, pos) =>
+      assert((shard, pos) == expected(id), s"doc $id") }
+    // balance law: every shard's token sum within one max-doc of the mean
+    val sums = out.groupBy(_._3).values.map(_.map(_._2).sum).toSeq
+    val maxDoc = out.map(_._2).max
+    val mean = sums.sum.toDouble / nShards
+    assert(sums.forall(s => math.abs(s - mean) <= maxDoc),
+      s"sums $sums mean $mean maxDoc $maxDoc")
+  }
 }
