@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram-LM (SentencePiece-style) subword tokenizer: Viterbi encoding
+  * against a piece table, and a hard-EM trainer (Kudo 2018,
+  * arXiv:1804.10959 — the unigram counterpart of [[Bpe]]'s merge-rule
+  * tokenizer; reference has no tokenizer at all, this is LLM-pipeline
+  * surface).
+  *
+  * ENCODING is per-word dynamic programming: the best segmentation of
+  * `w[0..n)` minimizes the summed piece costs, `best(i) = min over j of
+  * best(j) + cost(w[j..i))`. The whole DP is ONE column expression — an
+  * `aggregate` fold over positions carrying the growing `best` array, a
+  * map-literal lookup per candidate piece — so encoding is a pure map
+  * over rows: zero shuffle, zero driver involvement, embarrassingly
+  * parallel at any corpus size (the same contract as [[Bpe.encode]]).
+  * Ties break on the (cost, n_pieces, path) struct order, so equal-cost
+  * segmentations resolve deterministically in any engine that compares
+  * structs lexicographically.
+  *
+  * TRAINING is the hard-EM (Viterbi-EM) variant: the E-step counts
+  * pieces along each word's single BEST segmentation (full EM uses
+  * forward–backward marginals; hard EM is the standard deterministic
+  * simplification and converges to the same fixed points on peaked
+  * distributions). Each iteration segments the DISTINCT-WORD frame (not
+  * the corpus — word frequency weights the counts), re-estimates piece
+  * costs, and prunes to the vocab budget keeping all single characters
+  * (so every word stays segmentable — the <unk>-free invariant). The
+  * piece table is a MODEL (bounded by `seedSize`/`vocabSize` knobs, like
+  * [[Ann.lloydCentroids]]'s centroids), so the driver-side collect per
+  * iteration is bounded by a knob, never by corpus size.
+  */
+object Unigram {
+
+  /** All 36 single characters the token alphabet can produce — always in
+    * the vocab, so segmentation is total (no <unk> needed for [[tokens]]
+    * output). */
+  val Chars: Seq[String] = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+
+  /** Best-segmentation struct for one word under a piece→cost map:
+    * struct(cost, np, path) or null if unreachable. `maxPieceLen` bounds
+    * the DP's backward window (candidates per position), and therefore
+    * the oracle's generated CTE width. */
+  private[llm] def segmentStruct(word: Column, pieces: Map[String, Double],
+                                 maxPieceLen: Int): Column = {
+    val pmap = typedLit(pieces)
+    val best = aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0.0).as("cost"), lit(0).as("np"), lit("").as("path"))),
+      (acc, i) => {
+        val cands = filter(
+          transform(sequence(greatest(lit(0), i - maxPieceLen), i - 1), j => {
+            val piece = word.substr(j + 1, i - j)
+            val c = element_at(pmap, piece)
+            val prev = element_at(acc, j + 1)
+            when(c.isNotNull && prev.isNotNull,
+              struct((prev("cost") + c).as("cost"),
+                (prev("np") + 1).as("np"),
+                concat(prev("path"),
+                  when(prev("np") === 0, lit("")).otherwise(lit(" ")),
+                  piece).as("path")))
+              .otherwise(lit(null).cast(
+                "struct<cost:double,np:int,path:string>"))
+          }), x => x.isNotNull)
+        concat(acc, array(array_min(cands)))
+      })
+    element_at(best, length(word) + 1)
+  }
+
+  /** Viterbi-encode every document: (doc_id, n_pieces, segmented) where
+    * `segmented` is the space-joined piece stream in word order (words
+    * are [[Dedup.tokens]] output; pieces never cross word boundaries —
+    * the whitespace-pretokenized SentencePiece mode). A word the piece
+    * table cannot cover contributes the `<unk>` piece (impossible when
+    * the table holds [[Chars]]). */
+  def encode(docs: DataFrame, pieces: Map[String, Double],
+             maxPieceLen: Int = 24): DataFrame = {
+    val segs = transform(Dedup.tokens(col("text")),
+      w => segmentStruct(w, pieces, maxPieceLen))
+    docs
+      .withColumn("__segs__", segs)
+      .select(col("doc_id"),
+        aggregate(col("__segs__"), lit(0L),
+          (a, s) => a + coalesce(s("np"), lit(1)).cast(LongType))
+          .as("n_pieces"),
+        array_join(transform(col("__segs__"),
+          s => coalesce(s("path"), lit("<unk>"))), " ").as("segmented"))
+  }
+
+  /** Hard-EM unigram trainer. Returns (piece, count, logp) — `count` the
+    * corpus frequency along best segmentations at the final iteration,
+    * `logp` the round-6 log-probability. Deterministic: seeds and prunes
+    * break ties by (count desc, piece asc); costs are exact driver
+    * doubles fed back through the same DP expression each round. */
+  def train(docs: DataFrame, vocabSize: Int = 64, iters: Int = 3,
+            maxPieceLen: Int = 8, seedSize: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.cache()
+    // seed: every substring of length 1..maxPieceLen, frequency-weighted;
+    // the explode fan-out is |word|·maxPieceLen per DISTINCT word — a
+    // vocabulary-shaped frame, not the corpus
+    val subs = words.select(col("freq"), explode(flatten(
+      transform(sequence(lit(1), length(col("w"))), i =>
+        transform(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - i + 1)), l =>
+          col("w").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val multiSeeds = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+      .as[(String, Long)].collect()
+    val charCnt = subs.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toMap
+    var table: Seq[(String, Long)] =
+      Chars.map(c => c -> charCnt.getOrElse(c, 1L)) ++ multiSeeds
+    var counts: Map[String, Long] = Map.empty
+    for (_ <- 0 until iters) {
+      val total = table.map(_._2).sum.toDouble
+      val costs = table.map { case (p, c) => p -> -math.log(c / total) }.toMap
+      val segged = words.select(col("freq"),
+        segmentStruct(col("w"), costs, maxPieceLen)("path").as("path"))
+      counts = segged
+        .select(col("freq"), explode(split(col("path"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // prune to budget: all chars survive (totality), best multis by
+      // observed count (pieces the Viterbi never uses drop out)
+      val keepMulti = counts.toSeq.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - Chars.size))
+      table = Chars.map(c => c -> counts.getOrElse(c, 0L).max(1L)) ++ keepMulti
+    }
+    val total = table.map(_._2).sum.toDouble
+    table.map { case (p, c) => (p, c, math.floor(math.log(c / total) * 1e6) / 1e6) }
+      .toDF("piece", "count", "logp")
+      .orderBy(col("count").desc, col("piece").asc)
+  }
+}

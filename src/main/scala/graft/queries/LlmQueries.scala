@@ -437,6 +437,25 @@ object LlmQueries {
       Curation.tokCount(col("text")).as("ws_tok"),
       graft.llm.Bpe.tokenCount(col("text")).as("bpe_tok"))
 
+  /** Unigram-LM Viterbi encoding under a deterministic piece fixture:
+    * all 36 single chars at cost 4.0 plus the top-20 corpus words (count
+    * desc, word asc — a 20-row model collect) at cost len·4−2, so whole-
+    * word pieces beat char streams by exactly 2.0. Costs are EXACT
+    * DYADIC doubles on purpose (the md5-dyadic-hyperplane trick): the DP
+    * COMPARES costs, and a last-ULP `ln` disagreement between engines
+    * could flip a segmentation — dyadic sums cannot. */
+  def tokenizeUnigramQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val top = d.select(explode(graft.llm.Dedup.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(20)
+      .select("w").as[String].collect()
+    val pieces = graft.llm.Unigram.Chars.map(_ -> 4.0).toMap ++
+      top.map(w => w -> (w.length * 4.0 - 2.0)).toMap
+    graft.llm.Unigram.encode(d, pieces)
+  }
+
   /** Hashed-n-gram linear quality classifier with the deterministic
     * weight fixture (trained weights are a drop-in (b, w) table). */
   def textClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -1506,6 +1525,57 @@ object LlmQueries {
       |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS INT) AS pos
       |FROM sk""".stripMargin
 
+  /** Unigram-tokenizer replica: the per-word Viterbi DP UNROLLED as one
+    * generated chained-CTE program — b_i holds the best (cost, np, path)
+    * for every distinct word's prefix of length i, computed as the
+    * struct-min over i UNION ALL branches (one per split point j), each
+    * a join of b_j against the piece table on the exact substring. The
+    * piece fixture re-derives the same top-20 words + dyadic costs, so
+    * every cost sum is exact and the struct-min tie order (cost, np,
+    * path) matches Spark's array_min field-for-field. */
+  def oracleTokenizeUnigram: String = {
+    val L = 24
+    val charRows = graft.llm.Unigram.Chars
+      .map(c => s"('$c')").mkString(", ")
+    val bs = (1 to L).map { i =>
+      val branches = (0 until i).map { j =>
+        s"""    SELECT b.w AS w, b.cost + p.cost AS cost, b.np + 1 AS np,
+           |      CASE WHEN b.np = 0 THEN p.piece
+           |           ELSE b.path || ' ' || p.piece END AS path
+           |    FROM b$j b JOIN pieces p ON p.piece = substr(b.w, ${j + 1}, ${i - j})
+           |    WHERE len(b.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""b$i AS MATERIALIZED (SELECT w,
+         |  (min(struct_pack(cost := cost, np := np, path := path))).cost AS cost,
+         |  (min(struct_pack(cost := cost, np := np, path := path))).np AS np,
+         |  (min(struct_pack(cost := cost, np := np, path := path))).path AS path
+         | FROM (
+         |$branches
+         | ) GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val segUnion = (1 to L)
+      .map(i => s"SELECT $i AS i, * FROM b$i").mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+       |wox AS MATERIALIZED (SELECT doc_id, o['ord'] AS ord, o['w'] AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |      i -> struct_pack(ord := i, w := tk[i]))) AS o FROM toks)),
+       |top20 AS (SELECT w FROM (SELECT w, count(*) AS c FROM wox GROUP BY 1)
+       |  ORDER BY c DESC, w ASC LIMIT 20),
+       |rawp AS (SELECT piece, 4.0 AS cost FROM (VALUES $charRows) ch(piece)
+       |  UNION ALL SELECT w AS piece, len(w) * 4.0 - 2.0 AS cost FROM top20),
+       |pieces AS MATERIALIZED (SELECT piece, min(cost) AS cost FROM rawp GROUP BY 1),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM wox),
+       |b0 AS MATERIALIZED (SELECT w, 0.0 AS cost, 0 AS np, '' AS path FROM words),
+       |$bs,
+       |seg AS (SELECT w, np, path FROM ($segUnion) WHERE i = len(w)),
+       |agg AS (SELECT wox.doc_id, CAST(sum(seg.np) AS BIGINT) AS n_pieces,
+       |    string_agg(seg.path, ' ' ORDER BY wox.ord) AS segmented
+       |  FROM wox JOIN seg ON wox.w = seg.w GROUP BY 1)
+       |SELECT d.doc_id, coalesce(agg.n_pieces, 0) AS n_pieces,
+       |  coalesce(agg.segmented, '') AS segmented
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+  }
+
   /** Balanced-shard replica: DuckDB states the SPEC (one global
     * row_number over (n_tokens DESC, doc_id)); the Spark side implements
     * it as the decomposed two-phase rank — the gate proves they agree. */
@@ -2326,6 +2396,7 @@ object LlmQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
+    "tokenize_unigram" -> (tokenizeUnigramQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
@@ -2403,6 +2474,7 @@ object LlmQueries {
     "text_quality" -> oracleTextQuality,
     "text_tokens" -> oracleTextTokens,
     "text_tokens_bpe" -> oracleTextTokensBpe,
+    "tokenize_unigram" -> oracleTokenizeUnigram,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Unigram
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode: Viterbi picks the min-cost segmentation") {
+    val docs = Seq((0L, "abab"), (1L, "aba")).toDF("doc_id", "text")
+    val pieces = Map("a" -> 1.0, "b" -> 1.0, "ab" -> 1.5)
+    val out = Unigram.encode(docs, pieces).orderBy("doc_id").collect()
+    // "ab ab" costs 3.0; chars cost 4.0; mixed 3.5
+    assert((out(0).getLong(1), out(0).getString(2)) == (2L, "ab ab"))
+    // "ab a" = 2.5 beats "a b a" = 3.0
+    assert((out(1).getLong(1), out(1).getString(2)) == (2L, "ab a"))
+  }
+
+  test("encode: equal-cost tie breaks on fewer pieces, then path") {
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    // "ab" as one piece costs 2.0; "a b" also 2.0 — np breaks the tie
+    val pieces = Map("a" -> 1.0, "b" -> 1.0, "ab" -> 2.0)
+    val out = Unigram.encode(docs, pieces).collect()
+    assert(out(0).getString(2) == "ab" && out(0).getLong(1) == 1L)
+  }
+
+  test("encode: uncoverable word yields <unk>, one piece") {
+    val docs = Seq((0L, "az")).toDF("doc_id", "text")
+    val pieces = Map("a" -> 1.0) // no 'z'
+    val out = Unigram.encode(docs, pieces).collect()
+    assert(out(0).getString(2) == "<unk>" && out(0).getLong(1) == 1L)
+  }
+
+  test("encode: multi-word doc concatenates word segmentations in order") {
+    val docs = Seq((0L, "ab ba")).toDF("doc_id", "text")
+    val pieces = Map("a" -> 1.0, "b" -> 1.0, "ab" -> 1.5)
+    val out = Unigram.encode(docs, pieces).collect()
+    assert(out(0).getString(2) == "ab b a")
+    assert(out(0).getLong(1) == 3L)
+  }
+
+  test("train: a repeated substring becomes a piece and compresses encoding") {
+    val docs = (0L until 30L).map(i => (i, "zqzq zqzq wxwx"))
+      .toDF("doc_id", "text")
+    val table = Unigram.train(docs, vocabSize = 40, iters = 3,
+      maxPieceLen = 4)
+    val pieces = table.as[(String, Long, Double)].collect()
+    val multis = pieces.filter(_._1.length > 1).map(_._1).toSet
+    assert(multis.exists(p => p == "zqzq" || p == "zq"),
+      s"expected a zq piece in $multis")
+    // encode with the trained costs: 'zqzq' compresses below char level
+    val costs = pieces.map { case (p, _, lp) => p -> -lp }.toMap
+    val enc = Unigram.encode(docs.limit(1), costs).collect()(0)
+    assert(enc.getLong(1) < 12L, s"expected compression, got ${enc.getLong(1)} pieces: ${enc.getString(2)}")
+    // round-trip: stripping spaces reproduces the text's words
+    assert(enc.getString(2).replace(" ", "") == "zqzqzqzqwxwx")
+    // deterministic across runs
+    val again = Unigram.train(docs, vocabSize = 40, iters = 3,
+      maxPieceLen = 4).as[(String, Long, Double)].collect()
+    assert(pieces.toSeq == again.toSeq)
+  }
+
+  test("train: every single character survives pruning (totality)") {
+    val docs = Seq((0L, "abc")).toDF("doc_id", "text")
+    val table = Unigram.train(docs, vocabSize = 36, iters = 2)
+    val ps = table.select("piece").as[String].collect().toSet
+    assert(Unigram.Chars.forall(ps.contains))
+  }
+}
