@@ -263,7 +263,29 @@ object AnalyticsQueries {
       |  count(*) AS cnt, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Morton key over (user_id, floor(value)) — the layout artifact the
+    * z-ordered write sorts by ([[graft.sources.Layout]]); pure shift/
+    * mask/or integer arithmetic, exact in any engine. floor() before the
+    * long cast on BOTH sides: Spark's double→long cast truncates where
+    * DuckDB's rounds, so the cast itself is never trusted with a
+    * fractional value. */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        graft.sources.Layout.zValue(col("user_id"),
+          floor(col("value")).cast(LongType), bits = 16).as("zkey"))
+
+  def oracleZorderKey: String = {
+    val terms = (0 until 16).map { b =>
+      s"(((user_id >> $b) & 1) << ${2 * b}) + (((CAST(floor(value) AS BIGINT) >> $b) & 1) << ${2 * b + 1})"
+    }.mkString("\n  + ")
+    s"""SELECT event_id,
+       |  $terms AS zkey
+       |FROM events""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_key" -> (zorderKey _),
     "q1_agg" -> (q1 _),
     "q3_join" -> (q3 _),
     "q18_topn" -> (q18 _),
@@ -277,6 +299,7 @@ object AnalyticsQueries {
     "events_sessionize" -> (eventsSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "zorder_key" -> oracleZorderKey,
     "q1_agg" -> oracleQ1,
     "q3_join" -> oracleQ3,
     "q18_topn" -> oracleQ18,
