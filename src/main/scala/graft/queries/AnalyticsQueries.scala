@@ -263,6 +263,31 @@ object AnalyticsQueries {
       |  count(*) AS cnt, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** First-touch conversion funnel view → click → purchase within 6 h:
+    * one bounded per-user min-aggregate per step, no per-user event-log
+    * windows. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.firstTouch(TsQueries.rawEvents(spark, dir),
+      Seq("view", "click", "purchase"), window = 21600.0)
+
+  def oracleEventsFunnel: String =
+    """WITH e AS (SELECT user_id, epoch(ts) AS ts, event_type FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT s1.user_id, s1.t1, min(x.ts) AS t2 FROM s1 LEFT JOIN e x
+      |  ON x.user_id = s1.user_id AND x.event_type = 'click'
+      |     AND x.ts > s1.t1 AND x.ts <= s1.t1 + 21600.0
+      |  GROUP BY 1, 2),
+      |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(x.ts) AS t3 FROM s2 LEFT JOIN e x
+      |  ON x.user_id = s2.user_id AND x.event_type = 'purchase'
+      |     AND x.ts > s2.t2 AND x.ts <= s2.t1 + 21600.0
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, t1, t2, t3,
+      |  CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_reached,
+      |  t3 IS NOT NULL AS converted,
+      |  CASE WHEN t3 IS NOT NULL THEN round(t3 - t1, 6) END AS duration
+      |FROM s3""".stripMargin
+
   /** Morton key over (user_id, floor(value)) — the layout artifact the
     * z-ordered write sorts by ([[graft.sources.Layout]]); pure shift/
     * mask/or integer arithmetic, exact in any engine. floor() before the
@@ -296,7 +321,8 @@ object AnalyticsQueries {
     "events_asof_tol" -> (eventsAsofTol _),
     "events_asof_fwd" -> (eventsAsofFwd _),
     "events_asof_near" -> (eventsAsofNear _),
-    "events_sessionize" -> (eventsSessionize _))
+    "events_sessionize" -> (eventsSessionize _),
+    "events_funnel" -> (eventsFunnel _))
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
@@ -310,5 +336,6 @@ object AnalyticsQueries {
     "events_asof_tol" -> oracleEventsAsofTol,
     "events_asof_fwd" -> oracleEventsAsofFwd,
     "events_asof_near" -> oracleEventsAsofNear,
-    "events_sessionize" -> oracleEventsSessionize)
+    "events_sessionize" -> oracleEventsSessionize,
+    "events_funnel" -> oracleEventsFunnel)
 }
