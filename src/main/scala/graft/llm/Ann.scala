@@ -119,6 +119,80 @@ object Ann {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` of the `nCand` most-relevant candidates,
+    * each pick maximizing
+    *
+    *   mmr(d) = λ·rel(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * (the empty-set penalty is 0, so pick 1 is the plain relevance argmax).
+    * The standard redundancy filter over retrieval results — near-duplicate
+    * neighbors of an already-picked doc are demoted so the k slots cover
+    * the query's neighborhood instead of repeating its densest cluster.
+    *
+    * Scale shape: stage 1 is [[bruteTopK]]'s one corpus scan (swappable for
+    * any ANN shortlist at corpus scale); everything after operates on
+    * queries·nCand-row model frames — candidate vectors are fetched with
+    * ONE broadcast semi-join against the corpus, the nCand² candidate-pair
+    * cosines are computed ONCE, and the k−1 greedy steps are pure
+    * relational ops (anti-join, max-aggregate, per-query argmax window)
+    * over those bounded frames. Nothing downstream of stage 1 grows with
+    * the corpus. Relevance and pair similarities are round-6; the
+    * mmr objective itself is rounded at 7 decimals — λ·rel − (1−λ)·msim
+    * over round-6 inputs lands EXACTLY on the 1e-7 grid, so rounding at 6
+    * would sit on the half-up boundary every ~10th value and flip with
+    * engine fp noise, while round-7 recovers the grid point
+    * deterministically. Ranks break ties by (mmr desc, id asc), so any
+    * engine replaying the same arithmetic reproduces the selection
+    * exactly. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              nCand: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val rel = bruteTopK(corpus, queries, nCand)
+      .select(col("query_id"), col("neighbor_id"), col("score").as("rel"))
+    // attach candidate vectors: broadcast the (queries·nCand)-row shortlist
+    // against the corpus — one scan, never corpus×corpus
+    val cand = corpus.as("c")
+      .join(broadcast(rel.as("r")), col("r.neighbor_id") === col("c.vec_id"))
+      .select(col("r.query_id"), col("r.neighbor_id"), col("r.rel"),
+        col("c.embedding").as("cemb"))
+    // all candidate-pair cosines, once (≤ queries·nCand² rows, model-sized)
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id"), col("a.neighbor_id").as("i"),
+        col("b.neighbor_id").as("j"),
+        nativeScore(cand, "a.cemb", "b.cemb").as("sim"))
+    val slim = cand.select("query_id", "neighbor_id", "rel")
+    val byMmr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("mmr").desc, col("neighbor_id").asc)
+    // pick 1: relevance argmax (empty selected set ⇒ penalty 0)
+    var sel = slim
+      .withColumn("mmr", round(lit(lambda) * col("rel"), 7))
+      .withColumn("__rk__", row_number().over(byMmr)).filter(col("__rk__") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("mmr"),
+        lit(1).as("pick"))
+    for (step <- 2 to k) {
+      val remaining = slim.join(sel.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val penalized = remaining.as("r")
+        .join(sims.as("p"), col("p.query_id") === col("r.query_id") &&
+          col("p.i") === col("r.neighbor_id"))
+        .join(sel.select(col("query_id").as("sq"), col("neighbor_id").as("sn")),
+          col("sq") === col("r.query_id") && col("p.j") === col("sn"))
+        .groupBy(col("r.query_id").as("query_id"),
+          col("r.neighbor_id").as("neighbor_id"), col("r.rel").as("rel"))
+        .agg(max(col("p.sim")).as("msim"))
+      val next = penalized
+        .withColumn("mmr",
+          round(lit(lambda) * col("rel") - (lit(1.0) - lit(lambda)) * col("msim"), 7))
+        .withColumn("__rk__", row_number().over(byMmr)).filter(col("__rk__") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("mmr"),
+          lit(step).as("pick"))
+      sel = sel.unionByName(next)
+    }
+    sel
+  }
+
   /** LSH-bucketed top-k: candidates restricted to vectors sharing any of the
     * query's per-table buckets (shuffle key = (table, bucket)). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -109,7 +109,12 @@ object Search {
     val tfD = col("tf").cast(DoubleType)
     val norm = tfD + lit(k1) * (lit(1.0) - lit(b) +
       lit(b) * col("dl").cast(DoubleType) / avgdl)
-    val contrib = idf * (tfD * (lit(k1) + lit(1.0))) / norm
+    val contrib0 = idf * (tfD * (lit(k1) + lit(1.0))) / norm
+    // weighted-query extension ([[rm3TopK]]): a `w` column on qterms
+    // scales each term's contribution; absent (every other caller) the
+    // expression tree is unchanged
+    val contrib =
+      if (qterms.columns.contains("w")) contrib0 * col("w") else contrib0
     // dfT is ≤ |query terms| rows — broadcast, so out-of-cap terms'
     // postings are discarded map-side, never shuffled into the aggregate
     val agg = probed
@@ -134,6 +139,64 @@ object Search {
                maxDfFrac: Double = 1.0): DataFrame =
     scoreBm25(postings(docs), queryTerms(queries),
       broadcast(corpusStats(docs)), topK, k1, b, maxDfFrac)
+
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft, SIGIR 2001; the
+    * Anserini/Indri default expansion): run BM25, treat the top-`fbDocs`
+    * docs as relevant, estimate a relevance model over their terms,
+    *
+    *   P(t|RM1) ∝ Σ_{d ∈ F} (tf_td / |d|) · w_d,   w_d = score_d / Σ score
+    *
+    * keep the `fbTerms` heaviest terms (renormalized), interpolate with
+    * the original query's term distribution at `alpha`,
+    *
+    *   w(t) = α · P(t|q) + (1−α) · P(t|RM1)
+    *
+    * and re-score the corpus with the weighted query. Expansion recovers
+    * relevant docs that share the feedback set's vocabulary but none of
+    * the original query's exact terms — the classic lexical-gap fix that
+    * needs no training data.
+    *
+    * Scale shape: two [[scoreBm25]] passes (each one corpus scan with
+    * broadcast query terms) plus one broadcast join of the
+    * queries·fbDocs-row feedback set against the postings to collect
+    * feedback-doc terms; the relevance-model arithmetic happens on
+    * queries·fbTerms-row model frames (per-query window partitions are
+    * fbDocs/fbTerms-bounded). Term weights and RM1 masses rank on round-6
+    * doubles (ties: token asc), so the expansion set is engine-exact. */
+  def rm3TopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
+              fbDocs: Int = 5, fbTerms: Int = 10, alpha: Double = 0.5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs)
+    val stats = broadcast(corpusStats(docs))
+    val wq = Window.partitionBy("query_id")
+    // 1. feedback set: plain BM25 top-fbDocs, doc weights = normalized scores
+    val fbw = scoreBm25(post, queryTerms(queries), stats, fbDocs, k1, b)
+      .withColumn("wd", col("score") / sum("score").over(wq))
+      .select("query_id", "doc_id", "wd")
+    // 2. RM1 over the feedback docs' terms (broadcast fbw: queries·fbDocs rows)
+    val rm1 = post.join(broadcast(fbw), "doc_id")
+      .groupBy("query_id", "token")
+      .agg(round(sum(col("tf").cast(DoubleType) / col("dl").cast(DoubleType) *
+        col("wd")), 6).as("wt"))
+    val byWt = Window.partitionBy("query_id")
+      .orderBy(col("wt").desc, col("token").asc)
+    val prm = rm1.withColumn("rk", row_number().over(byWt))
+      .filter(col("rk") <= fbTerms)
+      .withColumn("prm", col("wt") / sum("wt").over(wq))
+      .select("query_id", "token", "prm")
+    // 3. original query term distribution P(t|q) = qtf / |q|
+    val pq = queries.select(col("query_id"), explode(toks("qtext")).as("token"))
+      .groupBy("query_id", "token").agg(count(lit(1)).cast(DoubleType).as("qtf"))
+      .withColumn("pq", col("qtf") / sum("qtf").over(wq))
+      .select("query_id", "token", "pq")
+    // 4. interpolated weighted query (model-sized full outer join)
+    val wterms = pq.join(prm, Seq("query_id", "token"), "full_outer")
+      .select(col("query_id"), col("token"),
+        round(lit(alpha) * coalesce(col("pq"), lit(0.0)) +
+          (lit(1.0) - lit(alpha)) * coalesce(col("prm"), lit(0.0)), 6).as("w"))
+    // 5. weighted re-scoring against the SAME corpus stats
+    scoreBm25(post, wterms, stats, topK, k1, b)
+  }
 
   /** Hybrid retrieval: the sparse (BM25) and dense (embedding-cosine)
     * stacks fused by reciprocal-rank fusion (Cormack, Clarke & Büttcher,

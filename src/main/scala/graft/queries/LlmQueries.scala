@@ -102,6 +102,14 @@ object LlmQueries {
     graft.llm.Search.bm25TopK(corpus, qs, topK = 5)
   }
 
+  /** RM3 query expansion over the BM25 split: 5 feedback docs, 10
+    * expansion terms, α = 0.5 interpolation, top-5 answers. */
+  def searchRm3Q(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    graft.llm.Search.rm3TopK(corpus, qs, topK = 5,
+      fbDocs = 5, fbTerms = 10, alpha = 0.5)
+  }
+
   /** Persistent inverted-index lifecycle: build on the lower-id half of
     * the corpus split, append the rest, answer the SAME queries from the
     * store — exact stats/df merges make the store path bit-equal to the
@@ -275,6 +283,13 @@ object LlmQueries {
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Ann.bruteTopK(e, e.filter(col("vec_id") < 5), k = 5)
+  }
+
+  /** MMR-diversified retrieval: the [[annBrute]] query split, top-20
+    * relevance shortlist, 5 greedy picks at λ = 0.7. */
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Ann.mmrTopK(e, e.filter(col("vec_id") < 5), k = 5, nCand = 20, lambda = 0.7)
   }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -714,6 +729,68 @@ object LlmQueries {
        |    q.embedding AS qe, c.embedding AS ce
        |  FROM embeddings c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
        |$cosineRankSql""".stripMargin
+
+  /** MMR replica: the brute-cosine chain truncated at rn ≤ 20, all
+    * candidate-pair cosines via the same unnest-sum idiom, then the greedy
+    * unrolled as one CTE pair (penalty max-aggregate + argmax) per pick —
+    * round-6 inputs, the round-7 mmr objective (the exact 1e-7 grid) and (mmr desc, neighbor_id) ties, so the
+    * selection path is reproduced step for step. */
+  def oracleAnnMmr: String = {
+    val base =
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    q.embedding AS qe, c.embedding AS ce
+        |  FROM embeddings c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+        |gi AS (SELECT unnest(range(1, 65)) AS i),
+        |dots AS (SELECT query_id, neighbor_id,
+        |    sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+        |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+        |  FROM pairs CROSS JOIN gi GROUP BY 1, 2),
+        |relsc AS (SELECT query_id, neighbor_id,
+        |    round(dot / (sqrt(qq) * sqrt(cc)), 6) AS rel FROM dots),
+        |cand AS (SELECT query_id, neighbor_id, rel FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        |    FROM relsc) WHERE rn <= 20),
+        |cemb AS (SELECT c.query_id, c.neighbor_id, e.embedding AS ce
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+        |sdots AS (SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+        |    sum(CAST(a.ce[gi.i] AS DOUBLE) * CAST(b.ce[gi.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(a.ce[gi.i] AS DOUBLE) * CAST(a.ce[gi.i] AS DOUBLE)) AS aa,
+        |    sum(CAST(b.ce[gi.i] AS DOUBLE) * CAST(b.ce[gi.i] AS DOUBLE)) AS bb
+        |  FROM cemb a JOIN cemb b
+        |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        |  CROSS JOIN gi GROUP BY 1, 2, 3),
+        |csim AS (SELECT query_id, i, j,
+        |    round(dot / (sqrt(aa) * sqrt(bb)), 6) AS sim FROM sdots),
+        |sel1 AS (SELECT query_id, neighbor_id, rel, mmr, 1 AS pick FROM (
+        |    SELECT query_id, neighbor_id, rel, round(0.7 * rel, 7) AS mmr,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY round(0.7 * rel, 7) DESC, neighbor_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |selu1 AS (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to 5).map { s =>
+      val p = s - 1
+      s"""rem$s AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+         |    SELECT 1 FROM selu$p u
+         |    WHERE u.query_id = c.query_id AND u.neighbor_id = c.neighbor_id)),
+         |pen$s AS (SELECT r.query_id, r.neighbor_id, r.rel, max(p.sim) AS msim
+         |  FROM rem$s r
+         |  JOIN csim p ON p.query_id = r.query_id AND p.i = r.neighbor_id
+         |  JOIN selu$p u ON u.query_id = r.query_id AND p.j = u.neighbor_id
+         |  GROUP BY 1, 2, 3),
+         |sel$s AS (SELECT query_id, neighbor_id, rel, mmr, $s AS pick FROM (
+         |    SELECT query_id, neighbor_id, rel,
+         |      round(0.7 * rel - (1.0 - 0.7) * msim, 7) AS mmr,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(0.7 * rel - (1.0 - 0.7) * msim, 7) DESC,
+         |          neighbor_id) AS rn
+         |    FROM pen$s) WHERE rn = 1),
+         |selu$s AS (SELECT * FROM selu$p UNION ALL SELECT * FROM sel$s)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT query_id, neighbor_id, rel, mmr, pick FROM selu5"
+  }
 
   /** VALUES list of md5-derived hyperplane numerators (m / 65536 =
     * component); global plane index = tbl * planesPerTable + p. */
@@ -1336,6 +1413,63 @@ object LlmQueries {
       |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
       |  FROM bmag)
       |WHERE rk <= 5""".stripMargin
+
+  /** RM3 replica: the [[oracleSearchBm25]] chain reused for the feedback
+    * ranking, then the relevance model (doc weights = normalized feedback
+    * scores, RM1 masses round-6-ranked top-10, renormalized), the α = 0.5
+    * interpolation with the query's own term distribution, and a second
+    * weighted scoring pass against the same whole-corpus df/stats —
+    * multiplication order mirrors [[graft.llm.Search.rm3TopK]]'s
+    * expression tree term for term. */
+  def oracleSearchRm3: String = {
+    val base = oracleSearchBm25
+    val cut = base.indexOf("SELECT query_id, doc_id, n_hit, score,")
+    require(cut > 0, "bm25 oracle tail not found")
+    base.substring(0, cut).stripSuffix("\n") +
+      """,
+        |fb AS (SELECT query_id, doc_id, score FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |    FROM bmag) WHERE rk <= 5),
+        |fbw AS (SELECT query_id, doc_id,
+        |    score / sum(score) OVER (PARTITION BY query_id) AS wd FROM fb),
+        |rm1 AS (SELECT f.query_id, t.token,
+        |    round(sum(CAST(t.tf AS DOUBLE) / CAST(l.dl AS DOUBLE) * f.wd), 6)
+        |      AS wt
+        |  FROM bmtf t JOIN fbw f ON t.doc_id = f.doc_id
+        |  JOIN bmdl l ON t.doc_id = l.doc_id GROUP BY 1, 2),
+        |prm AS (SELECT query_id, token,
+        |    wt / sum(wt) OVER (PARTITION BY query_id) AS prm
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY wt DESC, token) AS rk FROM rm1)
+        |  WHERE rk <= 10),
+        |pqn AS (SELECT query_id, token, CAST(count(*) AS DOUBLE) AS qtf
+        |  FROM (SELECT query_id, unnest(qt) AS token FROM bmq) GROUP BY 1, 2),
+        |pqm AS (SELECT query_id, token,
+        |    qtf / sum(qtf) OVER (PARTITION BY query_id) AS pq FROM pqn),
+        |wterms AS (SELECT coalesce(p.query_id, r.query_id) AS query_id,
+        |    coalesce(p.token, r.token) AS token,
+        |    round(0.5 * coalesce(p.pq, 0.0) +
+        |      (1.0 - 0.5) * coalesce(r.prm, 0.0), 6) AS w
+        |  FROM pqm p FULL OUTER JOIN prm r
+        |    ON p.query_id = r.query_id AND p.token = r.token),
+        |wsc AS (SELECT q.query_id, t.doc_id,
+        |    (ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+        |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+        |        0.75 * CAST(l.dl AS DOUBLE) /
+        |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) * q.w
+        |      AS w2
+        |  FROM bmtf t JOIN wterms q USING (token) JOIN bmdf d USING (token)
+        |  JOIN bmdl l ON t.doc_id = l.doc_id CROSS JOIN bmst s),
+        |wag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |    round(sum(w2), 6) AS score FROM wsc GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_hit, score, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM wag)
+        |WHERE rk <= 5""".stripMargin
+  }
 
   /** Retention replica: [[oracleSearchBm25]] with the corpus restricted
     * to the docs surviving the `% 17 == 3` removal — remove ≡
@@ -2382,6 +2516,7 @@ object LlmQueries {
     "dedup_semdedup_incremental" -> (dedupSemdedupIncrementalQ _),
     "dedup_incremental" -> (dedupIncrementalQ _),
     "ann_brute" -> (annBrute _),
+    "ann_mmr" -> (annMmr _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -2401,6 +2536,7 @@ object LlmQueries {
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
     "search_bm25" -> (searchBm25Q _),
+    "search_rm3" -> (searchRm3Q _),
     "search_hybrid" -> (searchHybridQ _),
     "mine_negatives" -> (mineNegativesQ _),
     "search_hybrid_index" -> (searchHybridIndexQ _),
@@ -2460,6 +2596,7 @@ object LlmQueries {
     "dedup_semdedup_incremental" -> oracleDedupSemdedupIncremental,
     "dedup_incremental" -> oracleDedupIncremental,
     "ann_brute" -> oracleAnnBrute,
+    "ann_mmr" -> oracleAnnMmr,
     "ann_lsh" -> oracleAnnLsh,
     "ann_ivf" -> oracleAnnIvf,
     "ann_pq" -> oracleAnnPq,
@@ -2479,6 +2616,7 @@ object LlmQueries {
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,
     "search_bm25" -> oracleSearchBm25,
+    "search_rm3" -> oracleSearchRm3,
     "search_hybrid" -> oracleSearchHybrid,
     "mine_negatives" -> oracleMineNegatives,
     "search_hybrid_index" -> oracleSearchHybridIndex,

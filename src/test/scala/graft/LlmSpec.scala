@@ -96,6 +96,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("MMR: pick 1 is the relevance argmax; a near-duplicate runner-up is deferred behind a diverse pick") {
+    // q = (e1+e2)/√2 as the query; corpus: b nearly parallel to a (the
+    // near-dup pair leads on relevance), c orthogonal to both
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (10L, v(1, 0, 0)),        // a: rel .707
+      (11L, v(0.995, 0.1, 0)),  // b: rel .774 (top-1), sim(a,b) ≈ .995
+      (12L, v(0, 0, 1))         // c: rel 0, orthogonal to a and b
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, v(1, 1, 0))).toDF("vec_id", "embedding")
+    val brute = Ann.bruteTopK(corpus, q, 3).orderBy("rn")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(brute == Seq(11L, 10L, 12L)) // relevance order: b, a, c
+    val mmr = Ann.mmrTopK(corpus, q, k = 3, nCand = 20, lambda = 0.5)
+      .orderBy("pick")
+      .as[(Long, Long, Double, Double, Int)].collect()
+    // pick 1 = brute top-1; pick 2 skips the near-dup a (penalty .995)
+    // for orthogonal c (penalty 0); a arrives last
+    assert(mmr.map(_._2).toSeq == Seq(11L, 12L, 10L))
+    assert(mmr.map(_._5).toSeq == Seq(1, 2, 3))
+    // picks are distinct and drawn from the relevance shortlist
+    assert(mmr.map(_._2).distinct.length == 3)
+    // λ = 1 disables the penalty: MMR degenerates to the relevance order
+    val pure = Ann.mmrTopK(corpus, q, k = 3, nCand = 20, lambda = 1.0)
+      .orderBy("pick").select("neighbor_id").as[Long].collect().toSeq
+    assert(pure == brute)
+  }
+
   test("SQ8: ranked ADC output, and high-resolution SQ converges to brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 3)

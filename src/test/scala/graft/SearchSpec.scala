@@ -53,6 +53,36 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // short doc wins
   }
 
+  test("RM3 expansion recovers a doc sharing only feedback vocabulary") {
+    val d = docs(
+      1L -> "fox and hound hunting",   // the only "fox" match → feedback doc
+      2L -> "hound kennel training",   // no "fox", reachable via expansion
+      3L -> "gardening tulips soil")
+    val plain = Search.bm25TopK(d, queries(10L -> "fox"), topK = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L)) // lexical-gap: doc 2 unreachable without RM3
+    val rm3 = Search.rm3TopK(d, queries(10L -> "fox"), topK = 3,
+      fbDocs = 1, fbTerms = 10, alpha = 0.5).orderBy("rk")
+      .select("doc_id").as[Long].collect().toSeq
+    // the original term dominates (α·P(fox|q) = .5 vs expansion masses
+    // ≤ .125), so doc 1 stays first; doc 2 arrives through "hound"
+    assert(rm3.take(2) == Seq(1L, 2L))
+    assert(!rm3.contains(3L)) // no shared vocabulary, still unreachable
+  }
+
+  test("RM3 at α = 1 preserves the BM25 ranking (uniform query weights)") {
+    val qs = queries(10L -> "quick brown fox")
+    val plain = Search.bm25TopK(corpus, qs, topK = 3).orderBy("rk")
+      .select("doc_id").as[Long].collect().toSeq
+    val rm3 = Search.rm3TopK(corpus, qs, topK = 5, fbDocs = 2, alpha = 1.0)
+      .filter($"score" > 0).orderBy("rk")
+      .select("doc_id").as[Long].collect().toSeq
+    // every original term carries the same weight 1/|q|, scaling all
+    // scores by a constant; expansion terms weigh exactly 0 and can only
+    // add score-0 tail rows, filtered above
+    assert(rm3 == plain)
+  }
+
   test("store lifecycle: build + append ≡ whole-corpus batch, bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-searchspec").toString
     SearchIndex.build(corpus.filter($"doc_id" <= 2), dir)
