@@ -150,11 +150,16 @@ object Ann {
     val rel = bruteTopK(corpus, queries, nCand)
       .select(col("query_id"), col("neighbor_id"), col("score").as("rel"))
     // attach candidate vectors: broadcast the (queries·nCand)-row shortlist
-    // against the corpus — one scan, never corpus×corpus
+    // against the corpus — one scan, never corpus×corpus. PINNED (eager
+    // localCheckpoint): the greedy loop below references its descendants
+    // 2× per step, which on raw lineage re-executes the corpus scans
+    // 2^k times (measured: 16 s for the sf0.1 gate; 1-2 s pinned) — the
+    // frame is queries·nCand rows, the knob-bounded model-frame class.
     val cand = corpus.as("c")
       .join(broadcast(rel.as("r")), col("r.neighbor_id") === col("c.vec_id"))
       .select(col("r.query_id"), col("r.neighbor_id"), col("r.rel"),
         col("c.embedding").as("cemb"))
+      .localCheckpoint(true)
     // all candidate-pair cosines, once (≤ queries·nCand² rows, model-sized)
     val sims = cand.as("a").join(cand.as("b"),
         col("a.query_id") === col("b.query_id") &&
@@ -162,6 +167,7 @@ object Ann {
       .select(col("a.query_id"), col("a.neighbor_id").as("i"),
         col("b.neighbor_id").as("j"),
         nativeScore(cand, "a.cemb", "b.cemb").as("sim"))
+      .localCheckpoint(true)
     val slim = cand.select("query_id", "neighbor_id", "rel")
     val byMmr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("mmr").desc, col("neighbor_id").asc)
@@ -188,7 +194,9 @@ object Ann {
         .withColumn("__rk__", row_number().over(byMmr)).filter(col("__rk__") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"), col("mmr"),
           lit(step).as("pick"))
-      sel = sel.unionByName(next)
+      // pin each step's ≤ queries·step-row selection — sel feeds two joins
+      // in the next step, and unpinned lineage doubles per level
+      sel = sel.unionByName(next).localCheckpoint(true)
     }
     sel
   }

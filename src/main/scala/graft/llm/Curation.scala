@@ -297,6 +297,38 @@ object Curation {
       .select(col("doc_id"), strataCol.as("stratum"), col("bucket"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): every doc draws key = u^(1/w) from a
+    * doc_id-seeded uniform u and its weight w, and the n largest keys ARE
+    * a weight-proportional sample without replacement — the one-pass,
+    * coordination-free way to take "n docs, quality-weighted" out of a
+    * corpus (weights from a quality score, token count, source priority).
+    *
+    * Determinism across engines: u = (h + 0.5) / 2^48 over the first 48
+    * md5 bits of "wsamp:<doc_id>" — a dyadic rational, exact in binary in
+    * any engine; pow/division are the only continuum ops and the key is
+    * rounded at 9 decimals before ranking (libm pow differs by ≤ ~1 ulp
+    * ≈ 1e-16 between engines — against a 5e-10 half-up window that is a
+    * ~1e-7 per-row flip risk, vs ~1e-4 at round-12), ties by doc_id.
+    *
+    * Scale shape: key derivation is pure per-row arithmetic riding the
+    * scan; the global top-n is orderBy+limit — Spark's TakeOrderedAndProject
+    * (per-partition heaps + one n-row merge on the driver), NOT a global
+    * sort or a partition-less window. Weight 0 docs draw key 0 (u^∞) and
+    * are naturally excluded. */
+  def sampleWeighted(docs: DataFrame, weightCol: Column, n: Int): DataFrame = {
+    val h = conv(substring(md5(concat(lit("wsamp:"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 12), 16, 10)
+      .cast(DoubleType)
+    val u = (h + lit(0.5)) / lit(281474976710656.0) // 2^48, exact dyadic
+    docs.select(col("doc_id"), weightCol.cast(DoubleType).as("weight"))
+      // explicit 0-weight guard (ANSI division): key 0, never sampled
+      .withColumn("skey", when(col("weight") > 0,
+        round(pow(u, lit(1.0) / col("weight")), 9)).otherwise(lit(0.0)))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** Deterministic global shuffle + shard assignment — the export step
     * between curation and the training run: a corpus is never fed in
     * crawl order (adjacent documents share a site/domain and correlate

@@ -93,6 +93,20 @@ object Search {
                              stats: DataFrame, topK: Int,
                              k1: Double, b: Double,
                              maxDfFrac: Double = 1.0): DataFrame = {
+    val agg = scoreBm25Agg(post, qterms, stats, k1, b, maxDfFrac)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    agg.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("query_id", "doc_id", "n_hit", "score", "rk")
+  }
+
+  /** [[scoreBm25]]'s per-(query, doc) aggregate WITHOUT the top-k window —
+    * for callers ([[sdmTopK]]) that fuse several feature scores before
+    * ranking. Bounded by the probed posting sizes, never the corpus. */
+  private[llm] def scoreBm25Agg(post: DataFrame, qterms: DataFrame,
+                                stats: DataFrame,
+                                k1: Double, b: Double,
+                                maxDfFrac: Double = 1.0): DataFrame = {
     val probed = post.join(broadcast(qterms), "token")
     // df over probed rows only — exact: the probe keeps whole token groups
     val dfAll = probed.select("token", "doc_id").distinct()
@@ -117,17 +131,13 @@ object Search {
       if (qterms.columns.contains("w")) contrib0 * col("w") else contrib0
     // dfT is ≤ |query terms| rows — broadcast, so out-of-cap terms'
     // postings are discarded map-side, never shuffled into the aggregate
-    val agg = probed
+    probed
       .join(broadcast(dfT), Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("__w__", contrib)
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_hit"),
         round(sum("__w__"), 6).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    agg.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
-      .select("query_id", "doc_id", "n_hit", "score", "rk")
   }
 
   /** BM25 top-`topK` corpus docs per query. `queries` is a small
@@ -139,6 +149,130 @@ object Search {
                maxDfFrac: Double = 1.0): DataFrame =
     scoreBm25(postings(docs), queryTerms(queries),
       broadcast(corpusStats(docs)), topK, k1, b, maxDfFrac)
+
+  /** (doc_id, token, tf, dl) postings over adjacent-token BIGRAMS, each
+    * bigram encoded as the composite token "lt rt" (tokens are [a-z0-9]+
+    * runs, so the space never collides with a unigram). dl = bigram count
+    * = tokens − 1 — [[postings]]'s shape exactly, so the BM25 scoring
+    * tail applies verbatim. */
+  private[llm] def postings2(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks().as("__tk__"))
+      .select(col("doc_id"),
+        expr("""transform(slice(__tk__, 1, greatest(size(__tk__) - 1, 0)),
+               |  (x, i) -> concat(x, ' ', __tk__[i + 1]))""".stripMargin)
+          .as("__bg__"))
+      .select(col("doc_id"), size(col("__bg__")).cast(LongType).as("dl"),
+        explode(col("__bg__")).as("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .select("token", "doc_id", "tf", "dl")
+
+  /** One-row (n_docs, sum_dl) bigram-corpus stats ([[corpusStats]] over
+    * the bigram stream: sum_dl = Σ max(tokens − 1, 0)). */
+  private[llm] def corpusStats2(docs: DataFrame): DataFrame =
+    docs.select(greatest(size(toks()) - lit(1), lit(0)).cast(LongType)
+        .as("__dl__"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        coalesce(sum("__dl__"), lit(0L)).as("sum_dl"))
+
+  /** Sequential-dependence proximity ranking (Metzler & Croft, SIGIR
+    * 2005, the two-feature variant): the query's unigrams and its
+    * adjacent ORDERED bigrams each score through the standard BM25
+    * machinery over their own posting stream, fused linearly,
+    *
+    *   score(q, d) = λT · bm25_uni(q, d) + λO · bm25_bi(q, d)
+    *
+    * (λT = 0.85, λO = 0.15 — the paper's defaults with the unordered-
+    * window mass folded into the ordered feature). Phrase-aware ranking
+    * without positional postings: a doc containing "new york" as a phrase
+    * outranks one containing "new" and "york" apart, because only the
+    * former carries the bigram row.
+    *
+    * Scale shape: two broadcast-probe corpus scans ([[scoreBm25Agg]]
+    * shape each — the bigram stream is just a second postings derivation,
+    * same partitioning); fusion is a full-outer join of the two
+    * per-(query, doc) aggregates BEFORE the single top-k window, both
+    * sides bounded by the probed posting sizes (the rarest-term rule),
+    * never the corpus. Feature scores are round-6; the fused score rounds
+    * at 8 decimals — λT·s1 + λO·s2 over round-6 inputs lands exactly on
+    * the 5e-8 grid (the [[graft.llm.Ann.mmrTopK]] lesson), so rounding at
+    * 6 would sit on the half-up boundary every ~20th value and flip with
+    * engine fp noise, while round-8 recovers the grid point
+    * deterministically. Ties (score desc, doc_id asc). */
+  def sdmTopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
+              lambdaT: Double = 0.85, lambdaO: Double = 0.15,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val uni = scoreBm25Agg(postings(docs), queryTerms(queries),
+      broadcast(corpusStats(docs)), k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("s_uni"))
+    val qbg = queries.select(col("query_id"), toks("qtext").as("__tk__"))
+      .select(col("query_id"),
+        explode(array_distinct(expr(
+          """transform(slice(__tk__, 1, greatest(size(__tk__) - 1, 0)),
+            |  (x, i) -> concat(x, ' ', __tk__[i + 1]))""".stripMargin)))
+          .as("token"))
+    val bi = scoreBm25Agg(postings2(docs), qbg,
+      broadcast(corpusStats2(docs)), k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("s_bi"))
+    val fused = uni.join(bi, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("s_uni"), lit(0.0)).as("s_uni"),
+        coalesce(col("s_bi"), lit(0.0)).as("s_bi"))
+      .withColumn("score", round(lit(lambdaT) * col("s_uni") +
+        lit(lambdaO) * col("s_bi"), 8))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("query_id", "doc_id", "s_uni", "s_bi", "score", "rk")
+  }
+
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty,
+    * SIGIR 2001; Lucene's LMDirichletSimilarity) — the language-model
+    * counterpart to [[bm25TopK]]. Scored in the rank-equivalent
+    * matched-term decomposition,
+    *
+    *   score(q, d) = Σ_{t ∈ q∩d} qtf_t · ln(1 + tf_td / (μ·P(t|C)))
+    *                 + |q| · ln(μ / (dl_d + μ))
+    *
+    * with P(t|C) = ctf_t / Σ dl (collection term frequency over total
+    * tokens): the Σ term needs only matching postings, and the length
+    * penalty only the candidate's dl — no per-(doc, absent-term) work, so
+    * the plan is exactly the BM25 probe shape (broadcast query terms into
+    * one postings scan; ctf per probed token is exact because the probe
+    * keeps whole token groups). Candidates are docs matching ≥ 1 query
+    * term — the standard top-k practice (zero-match docs differ only in
+    * the dl-monotone penalty). Scores round-6 before ranking, ties
+    * (score desc, doc_id asc). */
+  def qlTopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
+             mu: Double = 2000.0): DataFrame = {
+    val post = postings(docs)
+    val stats = broadcast(corpusStats(docs))
+    val qn = queries.select(col("query_id"), explode(toks("qtext")).as("token"))
+      .groupBy("query_id", "token")
+      .agg(count(lit(1)).cast(DoubleType).as("qtf"))
+    val qlen = qn.groupBy("query_id").agg(sum("qtf").as("qlen"))
+    val probed = post.join(broadcast(qn), "token")
+    // collection term frequency over DISTINCT probe tokens — probing with
+    // qn directly would duplicate a token's postings once per query that
+    // shares it, inflating ctf; a map-side-combinable counter either way
+    val ctfT = post
+      .join(broadcast(qn.select("token").distinct()), "token")
+      .groupBy("token").agg(sum("tf").cast(DoubleType).as("ctf"))
+    val matched = probed.join(broadcast(ctfT), Seq("token"))
+      .crossJoin(stats)
+      .withColumn("__w__", col("qtf") * log(lit(1.0) +
+        col("tf").cast(DoubleType) /
+          (lit(mu) * (col("ctf") / col("sum_dl").cast(DoubleType)))))
+      .groupBy("query_id", "doc_id", "dl")
+      .agg(count(lit(1)).cast(LongType).as("n_hit"), sum("__w__").as("__s__"))
+    val scored = matched.join(broadcast(qlen), "query_id")
+      .withColumn("score", round(col("__s__") +
+        col("qlen") * log(lit(mu) / (col("dl").cast(DoubleType) + lit(mu))), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("query_id", "doc_id", "n_hit", "score", "rk")
+  }
 
   /** RM3 pseudo-relevance feedback (Lavrenko & Croft, SIGIR 2001; the
     * Anserini/Indri default expansion): run BM25, treat the top-`fbDocs`

@@ -102,6 +102,19 @@ object LlmQueries {
     graft.llm.Search.bm25TopK(corpus, qs, topK = 5)
   }
 
+  /** Sequential-dependence proximity ranking over the BM25 split:
+    * unigram + ordered-bigram BM25 features at λT = 0.85, λO = 0.15. */
+  def searchSdmQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    graft.llm.Search.sdmTopK(corpus, qs, topK = 5)
+  }
+
+  /** Dirichlet query-likelihood ranking over the BM25 split (μ = 2000). */
+  def searchQlQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    graft.llm.Search.qlTopK(corpus, qs, topK = 5, mu = 2000.0)
+  }
+
   /** RM3 query expansion over the BM25 split: 5 feedback docs, 10
     * expansion terms, α = 0.5 interpolation, top-5 answers. */
   def searchRm3Q(spark: SparkSession, dir: String): DataFrame = {
@@ -539,6 +552,11 @@ object LlmQueries {
   def sampleStratifiedQ(spark: SparkSession, dir: String): DataFrame =
     Curation.sampleStratified(docs(spark, dir), col("lang"),
       Map("en" -> 80, "de" -> 50, "es" -> 40, "zh" -> 20), defaultRate = 30)
+
+  /** Length-weighted sample without replacement: 100 docs, weight =
+    * n_chars — longer docs proportionally likelier, decided by A-ES keys. */
+  def sampleWeightedQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.sampleWeighted(docs(spark, dir), col("n_chars"), n = 100)
 
   /** Token-budget domain mixing: per source, keep the highest-quality docs
     * until 800 whitespace tokens are spent. */
@@ -1414,6 +1432,107 @@ object LlmQueries {
       |  FROM bmag)
       |WHERE rk <= 5""".stripMargin
 
+  /** SDM replica: the [[oracleSearchBm25]] unigram chain plus a parallel
+    * bigram chain (adjacent tokens joined by one space via the 1-based
+    * `range`/`list_transform` idiom), fused full-outer at 0.85/0.15 and
+    * rounded at 8 decimals (the exact 5e-8 grid of a λ mix over round-6
+    * inputs — round-6 would flip on the half-up boundary). */
+  def oracleSearchSdm: String =
+    """WITH bmq AS (SELECT doc_id AS query_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5) AS qt
+      |  FROM documents WHERE doc_id % 101 = 5),
+      |bmqt AS (SELECT DISTINCT query_id, unnest(qt) AS token FROM bmq),
+      |qbg AS (SELECT DISTINCT query_id, unnest(list_transform(
+      |    range(1, len(qt)), j -> qt[j] || ' ' || qt[j + 1])) AS token
+      |  FROM bmq),
+      |bmc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents WHERE doc_id % 101 <> 5),
+      |bmdl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM bmc),
+      |bmst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM bmdl),
+      |bmocc AS (SELECT doc_id, unnest(tk) AS token FROM bmc),
+      |bmtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bmocc GROUP BY 1, 2),
+      |bmdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM bmtf GROUP BY 1),
+      |bmsc AS (SELECT q.query_id, t.doc_id,
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(l.dl AS DOUBLE) /
+      |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS w
+      |  FROM bmtf t JOIN bmqt q USING (token) JOIN bmdf d USING (token)
+      |  JOIN bmdl l ON t.doc_id = l.doc_id CROSS JOIN bmst s),
+      |bmag AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+      |  FROM bmsc GROUP BY 1, 2),
+      |bgc AS (SELECT doc_id, list_transform(range(1, len(tk)),
+      |    j -> tk[j] || ' ' || tk[j + 1]) AS bg FROM bmc),
+      |bgdl AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS dl FROM bgc),
+      |bgst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM bgdl),
+      |bgocc AS (SELECT doc_id, unnest(bg) AS token FROM bgc),
+      |bgtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bgocc GROUP BY 1, 2),
+      |bgdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM bgtf GROUP BY 1),
+      |bgsc AS (SELECT q.query_id, t.doc_id,
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |      (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(l.dl AS DOUBLE) /
+      |          (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS w
+      |  FROM bgtf t JOIN qbg q USING (token) JOIN bgdf d USING (token)
+      |  JOIN bgdl l ON t.doc_id = l.doc_id CROSS JOIN bgst s),
+      |bgag AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+      |  FROM bgsc GROUP BY 1, 2),
+      |fused AS (SELECT coalesce(u.query_id, g.query_id) AS query_id,
+      |    coalesce(u.doc_id, g.doc_id) AS doc_id,
+      |    coalesce(u.score, 0.0) AS s_uni, coalesce(g.score, 0.0) AS s_bi
+      |  FROM bmag u FULL OUTER JOIN bgag g
+      |    ON u.query_id = g.query_id AND u.doc_id = g.doc_id),
+      |fsc AS (SELECT query_id, doc_id, s_uni, s_bi,
+      |    round(0.85 * s_uni + 0.15 * s_bi, 8) AS score FROM fused)
+      |SELECT query_id, doc_id, s_uni, s_bi, score, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM fsc)
+      |WHERE rk <= 5""".stripMargin
+
+  /** Dirichlet QL replica: the matched-term decomposition re-derived in
+    * SQL — integer ctf sums cast after aggregation, the same ln/division
+    * parenthesization, round-6 scores before ranks. */
+  def oracleSearchQl: String =
+    """WITH bmq AS (SELECT doc_id AS query_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5) AS qt
+      |  FROM documents WHERE doc_id % 101 = 5),
+      |qn AS (SELECT query_id, token, CAST(count(*) AS DOUBLE) AS qtf
+      |  FROM (SELECT query_id, unnest(qt) AS token FROM bmq) GROUP BY 1, 2),
+      |qlen AS (SELECT query_id, sum(qtf) AS qlen FROM qn GROUP BY 1),
+      |bmc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents WHERE doc_id % 101 <> 5),
+      |bmdl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM bmc),
+      |bmst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM bmdl),
+      |bmocc AS (SELECT doc_id, unnest(tk) AS token FROM bmc),
+      |bmtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bmocc GROUP BY 1, 2),
+      |ctf AS (SELECT token, CAST(sum(tf) AS DOUBLE) AS ctf
+      |  FROM bmtf GROUP BY 1),
+      |msc AS (SELECT q.query_id, t.doc_id, l.dl,
+      |    q.qtf * ln(1.0 + CAST(t.tf AS DOUBLE) /
+      |      (2000.0 * (c.ctf / CAST(s.sum_dl AS DOUBLE)))) AS w
+      |  FROM bmtf t JOIN qn q USING (token) JOIN ctf c USING (token)
+      |  JOIN bmdl l ON t.doc_id = l.doc_id CROSS JOIN bmst s),
+      |mag AS (SELECT query_id, doc_id, dl, CAST(count(*) AS BIGINT) AS n_hit,
+      |    sum(w) AS s1 FROM msc GROUP BY 1, 2, 3),
+      |qsc AS (SELECT m.query_id, m.doc_id, m.n_hit,
+      |    round(m.s1 + ql.qlen * ln(2000.0 /
+      |      (CAST(m.dl AS DOUBLE) + 2000.0)), 6) AS score
+      |  FROM mag m JOIN qlen ql ON m.query_id = ql.query_id)
+      |SELECT query_id, doc_id, n_hit, score, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM qsc)
+      |WHERE rk <= 5""".stripMargin
+
   /** RM3 replica: the [[oracleSearchBm25]] chain reused for the feedback
     * ranking, then the relevance model (doc weights = normalized feedback
     * scores, RM1 masses round-6-ranked top-10, renormalized), the α = 0.5
@@ -2227,6 +2346,19 @@ object LlmQueries {
       |WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
       |  WHEN 'es' THEN 40 WHEN 'zh' THEN 20 ELSE 30 END""".stripMargin
 
+  /** A-ES replica: the same dyadic uniform (48 md5 bits + 0.5, over 2^48),
+    * the same pow/rounding, top-100 by (skey desc, doc_id). */
+  def oracleSampleWeighted: String =
+    """SELECT doc_id, weight, skey FROM (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+      |    CASE WHEN n_chars > 0 THEN
+      |      round(pow((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+      |          1, 12))::BIGINT + 0.5) / 281474976710656.0,
+      |        1.0 / CAST(n_chars AS DOUBLE)), 9)
+      |    ELSE 0.0 END AS skey
+      |  FROM documents)
+      |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+
   /** The oracle states the mixing semantics as the ONE window the Spark
     * side deliberately avoids (see [[graft.llm.Curation.mixByBudget]]):
     * per-source running token sum in (quality DESC, doc_id) order, keep
@@ -2536,6 +2668,8 @@ object LlmQueries {
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
     "search_bm25" -> (searchBm25Q _),
+    "search_ql" -> (searchQlQ _),
+    "search_sdm" -> (searchSdmQ _),
     "search_rm3" -> (searchRm3Q _),
     "search_hybrid" -> (searchHybridQ _),
     "mine_negatives" -> (mineNegativesQ _),
@@ -2565,6 +2699,7 @@ object LlmQueries {
     "embed_pca" -> (embedPcaQ _),
     "decontaminate" -> (decontaminateQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
+    "sample_weighted" -> (sampleWeightedQ _),
     "mix_budget" -> (mixBudgetQ _),
     "mix_temperature" -> (mixTemperatureQ _),
     "mix_cluster" -> (mixClusterQ _),
@@ -2616,6 +2751,8 @@ object LlmQueries {
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,
     "search_bm25" -> oracleSearchBm25,
+    "search_ql" -> oracleSearchQl,
+    "search_sdm" -> oracleSearchSdm,
     "search_rm3" -> oracleSearchRm3,
     "search_hybrid" -> oracleSearchHybrid,
     "mine_negatives" -> oracleMineNegatives,
@@ -2645,6 +2782,7 @@ object LlmQueries {
     "embed_pca" -> oracleEmbedPca(2, 4),
     "decontaminate" -> oracleDecontaminate,
     "sample_stratified" -> oracleSampleStratified,
+    "sample_weighted" -> oracleSampleWeighted,
     "mix_budget" -> oracleMixBudget,
     "mix_temperature" -> oracleMixTemperature,
     "mix_cluster" -> oracleMixCluster,

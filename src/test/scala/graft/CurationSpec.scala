@@ -488,4 +488,23 @@ class CurationSpec extends SparkSpec {
     assert(sums.forall(s => math.abs(s - mean) <= maxDoc),
       s"sums $sums mean $mean maxDoc $maxDoc")
   }
+
+  test("sampleWeighted: exact top-n of the A-ES keys; heavy weights dominate; zero weight excluded") {
+    // 200 weight-1 docs, 5 weight-1000 docs, 1 weight-0 doc
+    val docs = ((1L to 200L).map(i => (i, 1L)) ++
+      (201L to 205L).map(i => (i, 1000L)) ++ Seq((206L, 0L)))
+      .toDF("doc_id", "w")
+    val out = Curation.sampleWeighted(docs, col("w"), n = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 50)
+    // output is EXACTLY the 50 largest keys (ties by doc_id) of the full frame
+    val all = Curation.sampleWeighted(docs, col("w"), n = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val expected = all.sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSeq
+    assert(out.map(_._1).toSeq.sorted == expected.sorted)
+    // key = u^(1/1000) ≥ u^(1/30) for any u: all five heavy docs sampled
+    (201L to 205L).foreach(id => assert(out.exists(_._1 == id), s"heavy $id missing"))
+    // weight 0 draws key u^∞ = 0 — never beats a positive key
+    assert(!out.exists(_._1 == 206L))
+  }
 }

@@ -53,6 +53,43 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // short doc wins
   }
 
+  test("Dirichlet QL: more matched terms win; equal tf prefers the shorter doc") {
+    val out = Search.qlTopK(corpus, queries(10L -> "quick brown fox"), topK = 3)
+      .orderBy("rk").collect()
+    // same qualitative order as BM25 on this fixture: doc 1 matches all
+    // three terms, doc 2 two, doc 4 one
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 4L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L)) // n_hit
+    // dl penalty: equal tf, the 40-filler doc scores strictly below
+    val d = docs(
+      1L -> "fox den",
+      2L -> ("fox " + Seq.fill(40)("filler").mkString(" ")))
+    val pen = Search.qlTopK(d, queries(1L -> "fox"), topK = 2)
+      .orderBy("rk").collect()
+    assert(pen.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(pen(0).getDouble(3) > pen(1).getDouble(3))
+  }
+
+  test("SDM: the phrase doc outranks equal unigram stats; single-term query degenerates to BM25") {
+    val d = docs(
+      1L -> "new york subway map",  // the phrase
+      2L -> "new maps of york",     // both words, apart
+      3L -> "gardening tulips soil")
+    val out = Search.sdmTopK(d, queries(10L -> "new york"), topK = 3)
+      .orderBy("rk").collect()
+    // identical unigram tf/dl, so only the bigram feature separates them
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(2) == out(1).getDouble(2)) // s_uni equal
+    assert(out(0).getDouble(3) > 0.0 && out(1).getDouble(3) == 0.0) // s_bi
+    // a one-token query has no bigrams: pure BM25 ranking, s_bi = 0
+    val solo = Search.sdmTopK(corpus, queries(1L -> "fox"), topK = 5)
+      .orderBy("rk").collect()
+    val bm = Search.bm25TopK(corpus, queries(1L -> "fox"), topK = 5)
+      .orderBy("rk").collect()
+    assert(solo.map(_.getLong(1)).toSeq == bm.map(_.getLong(1)).toSeq)
+    assert(solo.forall(_.getDouble(3) == 0.0))
+  }
+
   test("RM3 expansion recovers a doc sharing only feedback vocabulary") {
     val d = docs(
       1L -> "fox and hound hunting",   // the only "fox" match → feedback doc

@@ -445,6 +445,84 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKeepers)
   }
 
+  test("streaming heavy hitters: Misra-Gries bound holds against exact counts across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Zipf corpus with known skew (the testdata vocab is 31 tokens — too
+    // small to ever trim a sketch): tok i appears max(1, 600/i) times,
+    // packed into 50-token docs. ~3500 tokens, 200-token vocabulary;
+    // ranks 1..7 exceed the per-shard N/(k+1) threshold.
+    val occurrences = (1 to 200).flatMap(i =>
+      Seq.fill(math.max(1, 600 / i))(f"tok$i%03d"))
+    val docs = occurrences.grouped(50).zipWithIndex
+      .map { case (chunk, i) => (i.toLong, chunk.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val k = 20 // well under the per-shard vocabulary so trimming happens
+    val nShards = 2
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_hh")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_even.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_odd.parquet"))
+    streamDir.resolve("a_even.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_odd.parquet").toFile.setLastModified(2000000000000L)
+
+    val schema = docs.select("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = streaming.StreamHeavyHitters.streaming(spark, stream, k, nShards)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // current state = each shard's max-seq emission
+    val summary = spark.sql(
+      """SELECT shard, token, cnt FROM hh_stream h
+        |WHERE seq = (SELECT max(seq) FROM hh_stream WHERE shard = h.shard)
+        |""".stripMargin)
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+
+    // exact whole-stream counts with the operator's own shard hash
+    val exact = docs
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(nShards)).cast("int")
+        .as("shard"), col("token"))
+      .groupBy("shard", "token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val nShard = exact.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val exactMap = exact.toMap
+
+    // the sketch had to trim (otherwise the bound is vacuous) but stays ≤ k
+    val perShard = summary.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perShard.values.forall(_ <= k))
+    assert(exact.groupBy(_._1._1).exists(_._2.size > k),
+      "test corpus must exceed k per shard to exercise trimming")
+    // MG guarantee, survives the cross-batch merge: never overcounts, and
+    // undercounts by at most N_shard/(k+1)
+    summary.foreach { case ((shard, token), est) =>
+      val truth = exactMap((shard, token))
+      assert(est <= truth, s"overcount: $token $est > $truth")
+      assert(truth - est <= nShard(shard) / (k + 1),
+        s"bound broken: $token $est vs $truth (N=${nShard(shard)})")
+    }
+    // completeness: every true heavy hitter is present
+    exactMap.foreach { case ((shard, token), truth) =>
+      if (truth > nShard(shard) / (k + 1))
+        assert(summary.contains((shard, token)), s"missing heavy hitter $token")
+    }
+  }
+
   test("batch-keyed store appends are exactly-once: replaying a batch leaves every store bit-identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
