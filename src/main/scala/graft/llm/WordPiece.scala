@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WordPiece tokenizer: greedy longest-match-first encoding against a
+  * `##`-marked piece vocabulary, and the likelihood-scored merge trainer
+  * (Schuster & Nakajima 2012; Wu et al. 2016 §4.1 — BERT's tokenizer).
+  * Completes the subword trio: [[Bpe]] replays merge RULES, [[Unigram]]
+  * Viterbi-minimizes piece COSTS, WordPiece greedily takes the LONGEST
+  * vocab match at each position (no backtracking — a greedy segmentation
+  * can use more pieces than the optimal one, which is the documented
+  * BERT behavior, pinned by WordPieceSpec).
+  *
+  * ENCODING is a pure map over rows — one `aggregate` fold per word
+  * carrying (pos, np, path, failed); each step probes the piece map for
+  * the longest match at `pos` (word-initial pieces bare, continuations
+  * `##`-prefixed). A word with any unmatched position becomes the single
+  * `[UNK]` piece (the whole-word-UNK contract). Zero shuffle, zero
+  * driver involvement, embarrassingly parallel at any corpus size — the
+  * [[Bpe.encode]]/[[Unigram.encode]] contract. No floating point
+  * anywhere in the encoder, so it is exact in any engine.
+  *
+  * TRAINING differs from BPE in the argmax alone: instead of the most
+  * FREQUENT adjacent pair, WordPiece merges the pair maximizing the
+  * likelihood gain `count(ab) / (count(a)·count(b))` — a frequent pair
+  * of even-more-frequent parts loses to a rarer pair of rare parts (the
+  * "francisco" effect, spec-pinned). The corpus encoding is maintained
+  * incrementally exactly like [[Bpe.learnMerges]] (one `replace` map per
+  * merge); token counts and pair counts are vocab- and vocab²-bounded
+  * model frames with map-side combine, and the argmax runs on the driver
+  * with EXACT BigInt cross-multiplication (no double division can flip a
+  * tie). Continuation marks survive merging: `t + ##h → th`,
+  * `##t + ##h → ##th`.
+  */
+object WordPiece {
+
+  private val Sep = "\u001f"
+  private val Bnd = "\u0002"
+
+  /** Greedy longest-match segmentation state for one word:
+    * struct(pos, np, path, failed). `vocab` maps piece strings (bare =
+    * word-initial, `##`-prefixed = continuation) to any value; only key
+    * presence matters. */
+  private[llm] def segmentGreedy(word: Column, vocab: Map[String, Int],
+                                 maxPieceLen: Int): Column = {
+    val vmap = typedLit(vocab)
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(0).as("pos"), lit(0).as("np"), lit("").as("path"),
+        lit(false).as("failed")),
+      (acc, _) => {
+        val lens = filter(
+          sequence(lit(1), least(lit(maxPieceLen), length(word) - acc("pos"))),
+          l => element_at(vmap,
+            when(acc("pos") === 0, word.substr(acc("pos") + 1, l))
+              .otherwise(concat(lit("##"), word.substr(acc("pos") + 1, l))))
+            .isNotNull)
+        val ml = array_max(lens)
+        val sub = word.substr(acc("pos") + 1, ml)
+        val piece = when(acc("pos") === 0, sub)
+          .otherwise(concat(lit("##"), sub))
+        when(acc("failed") || acc("pos") >= length(word), acc)
+          .when(ml.isNull,
+            struct(length(word).as("pos"), lit(1).as("np"),
+              lit("[UNK]").as("path"), lit(true).as("failed")))
+          .otherwise(
+            struct((acc("pos") + ml).as("pos"), (acc("np") + 1).as("np"),
+              concat(acc("path"),
+                when(acc("np") === 0, lit("")).otherwise(lit(" ")),
+                piece).as("path"),
+              lit(false).as("failed")))
+      })
+  }
+
+  /** Encode every document: (doc_id, n_pieces, segmented) — `segmented`
+    * the space-joined piece stream in word order (`##` marks kept, the
+    * BERT display form), words from [[Dedup.tokens]]. */
+  def encode(docs: DataFrame, vocab: Map[String, Int],
+             maxPieceLen: Int = 16): DataFrame = {
+    val segs = transform(Dedup.tokens(col("text")),
+      w => segmentGreedy(w, vocab, maxPieceLen))
+    docs.select(col("doc_id"),
+      aggregate(segs, lit(0L), (a, s) => a + s("np").cast(LongType))
+        .as("n_pieces"),
+      array_join(transform(segs, s => s("path")), " ").as("segmented"))
+  }
+
+  /** Char-level seed encoding of one word column: first char bare, the
+    * rest `##`-prefixed, Sep-joined. */
+  private def seedWord(w: Column): Column =
+    when(length(w) === 1, w) // sequence(2,1) would DESCEND — guard 1-char words
+      .otherwise(aggregate(sequence(lit(2), length(w)), w.substr(1, 1),
+        (acc, i) => concat(acc, lit(Sep + "##"), w.substr(i, lit(1)))))
+
+  /** Learn `nMerges` likelihood-scored merges; returns the final VOCAB as
+    * (piece, count) rows — observed tokens of the final encoding, with
+    * all 36 single chars and their `##` twins force-included at their
+    * observed count (0 if unused) so [[encode]] stays total on the token
+    * alphabet. Ordered (count desc, piece asc). Sequential only — the
+    * likelihood score has no cheap batch-validity certificate (unlike
+    * [[Bpe.learnMerges]]'s count-invariance proof), and vocab training
+    * is a bounded number of scans by construction. */
+  def train(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = transform(Dedup.tokens(col("text")), w => seedWord(w))
+    var enc = docs.select(
+      concat(lit(Sep),
+        array_join(words, Sep + Bnd + Sep),
+        lit(Sep)).as("__e__")).persist()
+    enc.count()
+    def tokenCounts(): Map[String, Long] =
+      enc.select(explode(split(col("__e__"), Sep, -1)).as("t"))
+        .filter(col("t") =!= "" && col("t") =!= Bnd)
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val toks = tokenCounts()
+      // observed adjacent pairs: bounded by |vocab|² (both sides are
+      // vocab tokens), a model frame — never corpus-sized
+      val pairs = enc.select(split(col("__e__"), Sep, -1).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "filter(transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) as lt, element_at(ts, i + 1) as rt)), " +
+            "p -> p.lt != '' AND p.rt != '' AND p.lt != chr(2) AND p.rt != chr(2))"))
+          .as("p"))
+        .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+        .agg(count(lit(1)).as("cnt"))
+        .as[(String, String, Long)].collect()
+      if (pairs.isEmpty) done = true
+      else {
+        // exact rational argmax of cnt/(c(lt)·c(rt)): BigInt
+        // cross-multiplication, ties by (lt, rt) ascending
+        val best = pairs.reduceLeft { (a, b) =>
+          val la = BigInt(a._3) * BigInt(toks(b._1)) * BigInt(toks(b._2))
+          val lb = BigInt(b._3) * BigInt(toks(a._1)) * BigInt(toks(a._2))
+          if (la > lb) a
+          else if (lb > la) b
+          else if (Ordering[(String, String)].lteq((a._1, a._2), (b._1, b._2))) a
+          else b
+        }
+        val merged = best._1 + best._2.stripPrefix("##")
+        val next = enc.select(
+          replace(col("__e__"),
+            lit(Sep + best._1 + Sep + best._2 + Sep),
+            lit(Sep + merged + Sep)).as("__e__")).persist()
+        next.count()
+        enc.unpersist()
+        enc = next
+      }
+    }
+    val fin = tokenCounts()
+    enc.unpersist()
+    val alphabet = Unigram.Chars ++ Unigram.Chars.map("##" + _)
+    val rows = (fin.keySet ++ alphabet).toSeq
+      .map(p => (p, fin.getOrElse(p, 0L)))
+      .sortBy { case (p, c) => (-c, p) }
+    rows.toDF("piece", "count")
+  }
+}

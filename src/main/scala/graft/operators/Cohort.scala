@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cohort RETENTION MATRIX and next-event TRANSITION MATRIX — the two
+  * product-analytics primitives next to [[Funnel]] (Amplitude/Mixpanel
+  * "retention" and "pathfinder" views; no reference counterpart —
+  * events-table analytics surface).
+  *
+  * Both are built so a hot user costs one combiner, not a partition:
+  * retention is two user-keyed aggregates (first-touch week, then
+  * distinct active weeks) with map-side combine; transitions do sort
+  * WITHIN a user's partition-local slice only via a window keyed by
+  * user_id — the one per-user-ordered primitive here — and then collapse
+  * immediately to a (from, to) frame bounded by |event_type|², a model
+  * frame at any corpus size.
+  */
+object Cohort {
+
+  /** Weekly retention matrix. A user's cohort is the week (epoch-week,
+    * floor(ts/604800)) of their FIRST event of `entryType` (first-touch,
+    * the [[Funnel]] contract); they count as retained at offset k if they
+    * performed ANY event in cohort_week + k. Offset 0 is the cohort size
+    * by construction (the entry event itself is activity). Output one row
+    * per (cohort_week, week_offset) with cohort_size, active_users and a
+    * round-6 retention rate.
+    *
+    * Shape: first-touch = one groupBy(user).min over the entry slice;
+    * activity = one DISTINCT over (user, week) — both map-side combined,
+    * keyed by user, never a per-user event sort; the final matrix groupBy
+    * is (weeks × offsets)-bounded. At 100 TB the only corpus-sized
+    * shuffles are the two user-keyed aggregates, each reduced before the
+    * exchange. */
+  def retention(events: DataFrame, entryType: String,
+                maxOffset: Int = 8): DataFrame = {
+    val e = events.select(col("user_id"),
+      floor(col("ts") / 604800.0).cast(LongType).as("week"),
+      col("event_type"))
+    val cohorts = e.filter(col("event_type") === entryType)
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = e.select("user_id", "week").distinct()
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    cohorts
+      .join(active, "user_id")
+      .withColumn("week_offset",
+        (col("week") - col("cohort_week")).cast(IntegerType))
+      .filter(col("week_offset").between(0, maxOffset))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("active_users"),
+        round(col("active_users").cast(DoubleType) / col("cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /** First-order next-event transition matrix (the Markov "pathfinder"
+    * view): for each user's event stream ordered by ts, count
+    * (event_type → next event_type) adjacencies, plus an `__end__` sink
+    * for each user's last event so rows sum to the user's event count
+    * and outgoing probabilities are a true distribution. Output
+    * (from_type, to_type, cnt, round-6 prob) with prob normalized over
+    * each from_type's outgoing count.
+    *
+    * Determinism: (user_id, ts) is unique in the events table, so the
+    * lead() order is total. The per-user window is the only
+    * corpus-sized shuffle (keyed by user_id — high cardinality, no hot
+    * partition); everything after is |event_type|²-bounded. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_type").as("from_type"))
+      .withColumn("to_type",
+        coalesce(lead(col("from_type"), 1).over(w), lit("__end__")))
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+    val outs = counts.groupBy("from_type").agg(sum("cnt").as("__out__"))
+    counts.join(broadcast(outs), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("__out__"), 6).as("prob"))
+  }
+}

@@ -288,6 +288,43 @@ object AnalyticsQueries {
       |  CASE WHEN t3 IS NOT NULL THEN round(t3 - t1, 6) END AS duration
       |FROM s3""".stripMargin
 
+  /** Weekly signup-cohort retention matrix (offset ≤ 8 weeks): two
+    * user-keyed map-side-combined aggregates, then a weeks×offsets model
+    * frame — no per-user event sort anywhere. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohort.retention(TsQueries.rawEvents(spark, dir),
+      entryType = "signup", maxOffset = 8)
+
+  def oracleEventsRetention: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS week,
+      |             event_type FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM e
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, week FROM e),
+      |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1)
+      |SELECT c.cohort_week, CAST(a.week - c.cohort_week AS INT) AS week_offset,
+      |  s.cohort_size, count(*) AS active_users,
+      |  round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+      |FROM cohorts c JOIN active a USING (user_id)
+      |JOIN sizes s USING (cohort_week)
+      |WHERE a.week - c.cohort_week BETWEEN 0 AND 8
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** First-order next-event transition matrix with an `__end__` sink —
+    * one user-keyed window, then |event_type|²-bounded frames. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohort.transitions(TsQueries.rawEvents(spark, dir))
+
+  def oracleEventsTransitions: String =
+    """WITH pairs AS (SELECT event_type AS from_type,
+      |    coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts),
+      |             '__end__') AS to_type
+      |  FROM events),
+      |counts AS (SELECT from_type, to_type, count(*) AS cnt FROM pairs GROUP BY 1, 2)
+      |SELECT from_type, to_type, cnt,
+      |  round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+      |FROM counts""".stripMargin
+
   /** Morton key over (user_id, floor(value)) — the layout artifact the
     * z-ordered write sorts by ([[graft.sources.Layout]]); pure shift/
     * mask/or integer arithmetic, exact in any engine. floor() before the
@@ -322,7 +359,9 @@ object AnalyticsQueries {
     "events_asof_fwd" -> (eventsAsofFwd _),
     "events_asof_near" -> (eventsAsofNear _),
     "events_sessionize" -> (eventsSessionize _),
-    "events_funnel" -> (eventsFunnel _))
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
+    "events_transitions" -> (eventsTransitions _))
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
@@ -337,5 +376,7 @@ object AnalyticsQueries {
     "events_asof_fwd" -> oracleEventsAsofFwd,
     "events_asof_near" -> oracleEventsAsofNear,
     "events_sessionize" -> oracleEventsSessionize,
-    "events_funnel" -> oracleEventsFunnel)
+    "events_funnel" -> oracleEventsFunnel,
+    "events_retention" -> oracleEventsRetention,
+    "events_transitions" -> oracleEventsTransitions)
 }

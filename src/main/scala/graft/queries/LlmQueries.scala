@@ -484,6 +484,30 @@ object LlmQueries {
     graft.llm.Unigram.encode(d, pieces)
   }
 
+  /** WordPiece greedy longest-match encoding under a deterministic piece
+    * fixture: all 36 chars bare AND ##-prefixed (totality), the top-20
+    * corpus words whole, and each top-20 word of length ≥ 4 split at
+    * ceil(len/2) into a bare prefix + ## suffix — so non-top words
+    * sharing a frequent prefix take multi-piece paths and the greedy
+    * walk is non-trivial. No costs, no floats: greedy longest-match is
+    * pure string/integer logic, exact in any engine. */
+  def tokenizeWordPieceQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val top = d.select(explode(graft.llm.Dedup.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(20)
+      .select("w").as[String].collect()
+    val halves = top.toSeq.filter(_.length >= 4).flatMap { w =>
+      val mid = (w.length + 1) / 2
+      Seq(w.substring(0, mid), "##" + w.substring(mid))
+    }
+    val vocab = (graft.llm.Unigram.Chars ++
+      graft.llm.Unigram.Chars.map("##" + _) ++ top ++ halves)
+      .map(_ -> 1).toMap
+    graft.llm.WordPiece.encode(d, vocab, maxPieceLen = 24)
+  }
+
   /** Hashed-n-gram linear quality classifier with the deterministic
     * weight fixture (trained weights are a drop-in (b, w) table). */
   def textClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -1829,6 +1853,67 @@ object LlmQueries {
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
   }
 
+  /** Greedy WordPiece replica: the same fixture derivation (top-20 +
+    * halves + char alphabet) and 24 unrolled greedy steps — each step one
+    * LEFT JOIN against the piece table taking the LONGEST match at the
+    * current position (vs [[oracleTokenizeUnigram]]'s struct-min DP:
+    * greedy keeps only ONE state per word, so the unroll is a walk, not a
+    * frontier). A word with an unmatched position collapses to [UNK]. */
+  def oracleTokenizeWordPiece: String = {
+    val K = 24
+    val charRows = graft.llm.Unigram.Chars
+      .map(c => s"('$c')").mkString(", ")
+    val steps = (1 to K).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT a.w, a.pos, a.np, a.path, max(p.plen) AS ml
+         |  FROM (SELECT * FROM s${k - 1} WHERE pos < len(w) AND NOT failed) a
+         |  LEFT JOIN pieces p
+         |    ON p.cont = (a.pos > 0)
+         |   AND p.plen <= len(a.w) - a.pos
+         |   AND substr(a.w, a.pos + 1, p.plen) = p.raw
+         |  GROUP BY 1, 2, 3, 4),
+         |s$k AS MATERIALIZED (
+         |  SELECT w, pos, np, path, failed FROM s${k - 1}
+         |  WHERE pos >= len(w) OR failed
+         |  UNION ALL
+         |  SELECT w,
+         |    CASE WHEN ml IS NULL THEN len(w) ELSE pos + ml END AS pos,
+         |    CASE WHEN ml IS NULL THEN 1 ELSE np + 1 END AS np,
+         |    CASE WHEN ml IS NULL THEN '[UNK]'
+         |         ELSE path || (CASE WHEN np = 0 THEN '' ELSE ' ' END) ||
+         |              (CASE WHEN pos = 0 THEN '' ELSE '##' END) ||
+         |              substr(w, pos + 1, ml) END AS path,
+         |    ml IS NULL AS failed
+         |  FROM m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+       |wox AS MATERIALIZED (SELECT doc_id, o['ord'] AS ord, o['w'] AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |      i -> struct_pack(ord := i, w := tk[i]))) AS o FROM toks)),
+       |top20 AS (SELECT w FROM (SELECT w, count(*) AS c FROM wox GROUP BY 1)
+       |  ORDER BY c DESC, w ASC LIMIT 20),
+       |rawp AS (
+       |  SELECT piece AS raw, 1 AS plen, false AS cont FROM (VALUES $charRows) ch(piece)
+       |  UNION ALL SELECT piece, 1, true FROM (VALUES $charRows) ch2(piece)
+       |  UNION ALL SELECT w, len(w), false FROM top20
+       |  UNION ALL SELECT substr(w, 1, (len(w) + 1) // 2),
+       |    (len(w) + 1) // 2, false FROM top20 WHERE len(w) >= 4
+       |  UNION ALL SELECT substr(w, (len(w) + 1) // 2 + 1),
+       |    len(w) - (len(w) + 1) // 2, true FROM top20 WHERE len(w) >= 4),
+       |pieces AS MATERIALIZED (SELECT DISTINCT raw, plen, cont FROM rawp),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM wox),
+       |s0 AS MATERIALIZED (SELECT w, 0 AS pos, 0 AS np, '' AS path,
+       |  false AS failed FROM words),
+       |$steps,
+       |seg AS (SELECT w, np, path FROM s$K),
+       |agg AS (SELECT wox.doc_id, CAST(sum(seg.np) AS BIGINT) AS n_pieces,
+       |    string_agg(seg.path, ' ' ORDER BY wox.ord) AS segmented
+       |  FROM wox JOIN seg ON wox.w = seg.w GROUP BY 1)
+       |SELECT d.doc_id, coalesce(agg.n_pieces, 0) AS n_pieces,
+       |  coalesce(agg.segmented, '') AS segmented
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+  }
+
   /** Balanced-shard replica: DuckDB states the SPEC (one global
     * row_number over (n_tokens DESC, doc_id)); the Spark side implements
     * it as the decomposed two-phase rank — the gate proves they agree. */
@@ -2664,6 +2749,7 @@ object LlmQueries {
     "text_tokens" -> (textTokens _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "tokenize_unigram" -> (tokenizeUnigramQ _),
+    "tokenize_wordpiece" -> (tokenizeWordPieceQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
@@ -2747,6 +2833,7 @@ object LlmQueries {
     "text_tokens" -> oracleTextTokens,
     "text_tokens_bpe" -> oracleTextTokensBpe,
     "tokenize_unigram" -> oracleTokenizeUnigram,
+    "tokenize_wordpiece" -> oracleTokenizeWordPiece,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,
