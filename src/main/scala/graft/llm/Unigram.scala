@@ -47,16 +47,27 @@ object Unigram {
   private[llm] def segmentStruct(word: Column, pieces: Map[String, Double],
                                  maxPieceLen: Int): Column = {
     val pmap = typedLit(pieces)
+    // probe only piece LENGTHS the table contains: the 1..maxPieceLen
+    // backward window is mostly misses, and each miss still pays an
+    // O(|pieces|) literal-map probe — the distinct-length list cuts the
+    // per-position candidate loop to a handful of entries (same trick as
+    // [[WordPiece.segmentGreedy]]; candidate SET unchanged, so the
+    // struct-min tie law is untouched)
+    val lens = typedLit(pieces.keys.map(_.length)
+      .filter(l => l >= 1 && l <= maxPieceLen).toSeq.distinct.sorted)
     val best = aggregate(
       sequence(lit(1), length(word)),
       array(struct(lit(0.0).as("cost"), lit(0).as("np"), lit("").as("path"))),
       (acc, i) => {
         val cands = filter(
-          transform(sequence(greatest(lit(0), i - maxPieceLen), i - 1), j => {
-            val piece = word.substr(j + 1, i - j)
+          transform(lens, l => {
+            val j = i - l
+            val piece = word.substr(j + 1, l)
             val c = element_at(pmap, piece)
-            val prev = element_at(acc, j + 1)
-            when(c.isNotNull && prev.isNotNull,
+            // greatest(): j < 0 rows are discarded by the when() below,
+            // but element_at must still see a legal (≥1) index
+            val prev = element_at(acc, greatest(j + 1, lit(1)))
+            when(j >= 0 && c.isNotNull && prev.isNotNull,
               struct((prev("cost") + c).as("cost"),
                 (prev("np") + 1).as("np"),
                 concat(prev("path"),
@@ -77,18 +88,24 @@ object Unigram {
     * table cannot cover contributes the `<unk>` piece (impossible when
     * the table holds [[Chars]]). */
   def encode(docs: DataFrame, pieces: Map[String, Double],
-             maxPieceLen: Int = 24): DataFrame = {
-    val segs = transform(Dedup.tokens(col("text")),
-      w => segmentStruct(w, pieces, maxPieceLen))
+             maxPieceLen: Int = 24): DataFrame =
+    // per-ROW memoization: segment each DISTINCT word of the doc once
+    // into an in-row map, look the token stream up — work bounded by a
+    // doc's distinct words, not its length, still a zero-shuffle pure
+    // map (see [[WordPiece.encode]]; the memo gets its own projection so
+    // CollapseProject cannot recompute it per use)
     docs
-      .withColumn("__segs__", segs)
+      .withColumn("__toks__", Dedup.tokens(col("text")))
+      .withColumn("__memo__",
+        map_from_entries(transform(array_distinct(col("__toks__")),
+          w => struct(w, segmentStruct(w, pieces, maxPieceLen)))))
       .select(col("doc_id"),
-        aggregate(col("__segs__"), lit(0L),
-          (a, s) => a + coalesce(s("np"), lit(1)).cast(LongType))
-          .as("n_pieces"),
-        array_join(transform(col("__segs__"),
-          s => coalesce(s("path"), lit("<unk>"))), " ").as("segmented"))
-  }
+        aggregate(col("__toks__"), lit(0L),
+          (a, w) => a + coalesce(element_at(col("__memo__"), w)("np"), lit(1))
+            .cast(LongType)).as("n_pieces"),
+        array_join(transform(col("__toks__"),
+          w => coalesce(element_at(col("__memo__"), w)("path"), lit("<unk>"))),
+          " ").as("segmented"))
 
   /** Hard-EM unigram trainer. Returns (piece, count, logp) — `count` the
     * corpus frequency along best segmentations at the final iteration,

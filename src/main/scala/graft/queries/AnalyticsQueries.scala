@@ -22,6 +22,33 @@ object AnalyticsQueries {
         round(avg("l_extendedprice"), 2).as("avg_price"),
         count(lit(1)).as("count_order"))
 
+  /** OLAP CUBE over Q1's grouping — all four grouping sets in ONE pass:
+    * Spark's Expand operator replicates each post-filter row once per
+    * grouping set BEFORE the single hash aggregate, so subtotals and the
+    * grand total cost one shuffle, not four scans (the same plan a
+    * reporting layer wants at 100 TB: |sets|× map-side rows, partial agg
+    * before the exchange). `gid` is the standard grouping bitmask
+    * (leftmost column = most significant bit) distinguishing a subtotal
+    * NULL from a data NULL. */
+  def q1Cube(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"))
+
+  def oracleQ1Cube: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   def q3(spark: SparkSession, dir: String): DataFrame = {
     val customer = spark.read.parquet(s"$dir/customer.parquet")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -349,6 +376,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_key" -> (zorderKey _),
     "q1_agg" -> (q1 _),
+    "q1_cube" -> (q1Cube _),
     "q3_join" -> (q3 _),
     "q18_topn" -> (q18 _),
     "events_window" -> (eventsWindow _),
@@ -366,6 +394,7 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
     "q1_agg" -> oracleQ1,
+    "q1_cube" -> oracleQ1Cube,
     "q3_join" -> oracleQ3,
     "q18_topn" -> oracleQ18,
     "events_window" -> oracleEventsWindow,
