@@ -508,6 +508,59 @@ object LlmQueries {
     graft.llm.WordPiece.encode(d, vocab, maxPieceLen = 24)
   }
 
+  /** Tokenizer FERTILITY / compression eval — the metric a tokenizer is
+    * chosen by (pieces per word, chars per piece) — over the SAME
+    * fixtures as the three tokenizer gates, one row per tokenizer. All
+    * inputs are corpus-total 1-row aggregates cross-joined (trivially
+    * broadcast); no collect, no corpus-sized frame past the encoders. */
+  def tokenizeFertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tot = d.select(explode(graft.llm.Dedup.tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast(LongType).as("n_chars"))
+    def row(name: String, pieces: DataFrame): DataFrame =
+      pieces.crossJoin(tot).select(
+        lit(name).as("tokenizer"), col("n_words"), col("n_chars"),
+        col("np").as("n_pieces"),
+        round(col("np").cast(DoubleType) / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast(DoubleType) / col("np"), 6)
+          .as("chars_per_piece"))
+    val bpe = d.select(graft.llm.Bpe.tokenCount(col("text")).as("t"))
+      .agg(sum("t").cast(LongType).as("np"))
+    val uni = tokenizeUnigramQ(spark, dir).agg(sum("n_pieces").as("np"))
+    val wp = tokenizeWordPieceQ(spark, dir).agg(sum("n_pieces").as("np"))
+    row("bpe", bpe).unionAll(row("unigram", uni)).unionAll(row("wordpiece", wp))
+  }
+
+  def oracleTokenizeFertility: String = {
+    val bpeCount = graft.llm.Bpe.oracleCountSql("s")
+    val bpeTok = graft.llm.Bpe.oracleTokenizedSql("text")
+    s"""WITH uni AS (${oracleTokenizeUnigram}),
+       |wp AS (${oracleTokenizeWordPiece}),
+       |bpe AS (SELECT CAST(sum($bpeCount) AS BIGINT) AS np FROM
+       |  (SELECT $bpeTok AS s FROM documents)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(len(w)) AS BIGINT) AS n_chars
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |        FROM documents)),
+       |unis AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS np FROM uni),
+       |wps AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS np FROM wp)
+       |SELECT 'bpe' AS tokenizer, tot.n_words, tot.n_chars, bpe.np AS n_pieces,
+       |  round(bpe.np / CAST(tot.n_words AS DOUBLE), 6) AS fertility,
+       |  round(tot.n_chars / CAST(bpe.np AS DOUBLE), 6) AS chars_per_piece
+       |FROM bpe, tot
+       |UNION ALL
+       |SELECT 'unigram', tot.n_words, tot.n_chars, unis.np,
+       |  round(unis.np / CAST(tot.n_words AS DOUBLE), 6),
+       |  round(tot.n_chars / CAST(unis.np AS DOUBLE), 6)
+       |FROM unis, tot
+       |UNION ALL
+       |SELECT 'wordpiece', tot.n_words, tot.n_chars, wps.np,
+       |  round(wps.np / CAST(tot.n_words AS DOUBLE), 6),
+       |  round(tot.n_chars / CAST(wps.np AS DOUBLE), 6)
+       |FROM wps, tot""".stripMargin
+  }
+
   /** Hashed-n-gram linear quality classifier with the deterministic
     * weight fixture (trained weights are a drop-in (b, w) table). */
   def textClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -2750,6 +2803,7 @@ object LlmQueries {
     "text_tokens_bpe" -> (textTokensBpe _),
     "tokenize_unigram" -> (tokenizeUnigramQ _),
     "tokenize_wordpiece" -> (tokenizeWordPieceQ _),
+    "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
     "vocab_build" -> (vocabBuildQ _),
@@ -2834,6 +2888,7 @@ object LlmQueries {
     "text_tokens_bpe" -> oracleTextTokensBpe,
     "tokenize_unigram" -> oracleTokenizeUnigram,
     "tokenize_wordpiece" -> oracleTokenizeWordPiece,
+    "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
     "vocab_build" -> oracleVocabBuild,
