@@ -315,6 +315,56 @@ object AnalyticsQueries {
       |  CASE WHEN t3 IS NOT NULL THEN round(t3 - t1, 6) END AS duration
       |FROM s3""".stripMargin
 
+  /** Q22-style ANTI JOIN: lapsed customers — no orders since 1997-07-01 —
+    * listed with their segment and balance (the "missing the other side"
+    * reporting shape; every sf has a non-empty answer, unlike the
+    * no-orders-ever variant, which is empty on TPC-H-shaped data). The
+    * date filter pushes to the orders scan and the side reduces to
+    * DISTINCT custkeys BEFORE the join, so the anti probe carries keys,
+    * not the fact table, and AQE is free to broadcast it. */
+  def q22AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val recent = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(expr("o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    spark.read.parquet(s"$dir/customer.parquet")
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+  }
+
+  def oracleQ22AntiJoin: String =
+    """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00')""".stripMargin
+
+  /** Per-event 24 h ROLLING window over the user's own stream — a RANGE
+    * frame on event time (`RANGE BETWEEN 86400 PRECEDING AND CURRENT
+    * ROW`), the standard "activity in the last N hours" feature. The
+    * aggregates are count and max on purpose: both are ASSOCIATION-FREE
+    * (exact in any engine), where a rolling double SUM would expose the
+    * engines' different sliding-frame association (segment tree vs
+    * sequential re-scan) to round-6 boundary flips. One shuffle on
+    * user_id + one sort — the same cost class as any per-user window;
+    * high-cardinality key, no hot partition. */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts").rangeBetween(-86400L, 0L)
+    TsQueries.rawEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("max_24h", round(max("value").over(w), 6))
+      .drop("value")
+  }
+
+  def oracleEventsRolling: String =
+    """SELECT event_id, user_id, epoch(ts) AS ts,
+      |  count(*) OVER w AS n_24h,
+      |  round(max(value) OVER w, 6) AS max_24h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+      |             RANGE BETWEEN 86400.0 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Weekly signup-cohort retention matrix (offset ≤ 8 weeks): two
     * user-keyed map-side-combined aggregates, then a weeks×offsets model
     * frame — no per-user event sort anywhere. */
@@ -389,7 +439,9 @@ object AnalyticsQueries {
     "events_sessionize" -> (eventsSessionize _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
-    "events_transitions" -> (eventsTransitions _))
+    "events_transitions" -> (eventsTransitions _),
+    "q22_antijoin" -> (q22AntiJoin _),
+    "events_rolling" -> (eventsRolling _))
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
@@ -407,5 +459,7 @@ object AnalyticsQueries {
     "events_sessionize" -> oracleEventsSessionize,
     "events_funnel" -> oracleEventsFunnel,
     "events_retention" -> oracleEventsRetention,
-    "events_transitions" -> oracleEventsTransitions)
+    "events_transitions" -> oracleEventsTransitions,
+    "q22_antijoin" -> oracleQ22AntiJoin,
+    "events_rolling" -> oracleEventsRolling)
 }
