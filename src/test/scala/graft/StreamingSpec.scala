@@ -597,4 +597,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$kDir/qbins.parquet")
       .agg(sum("cnt")).head().getLong(0) == 3L)
   }
+
+  test("streaming next-event transitions: pair counts match the batch matrix minus __end__") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = queries.TsQueries.rawEvents(spark, dir)
+
+    val batchCounts = graft.operators.Cohort.transitions(raw)
+      .filter(org.apache.spark.sql.functions.col("to_type") =!= "__end__")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_trans")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val streamEvents = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", queries.TsQueries.epochSeconds(schema("ts").dataType))
+    val q = graft.streaming.StreamTransitions.pairs(spark, streamEvents)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+        "SELECT from_type, to_type, count(*) AS cnt FROM transitions GROUP BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batchCounts)
+  }
 }
