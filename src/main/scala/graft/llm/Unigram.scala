@@ -88,12 +88,28 @@ object Unigram {
     * table cannot cover contributes the `<unk>` piece (impossible when
     * the table holds [[Chars]]). */
   def encode(docs: DataFrame, pieces: Map[String, Double],
-             maxPieceLen: Int = 24): DataFrame =
-    // per-ROW memoization: segment each DISTINCT word of the doc once
-    // into an in-row map, look the token stream up — work bounded by a
-    // doc's distinct words, not its length, still a zero-shuffle pure
-    // map (see [[WordPiece.encode]]; the memo gets its own projection so
-    // CollapseProject cannot recompute it per use)
+             maxPieceLen: Int = 24): DataFrame = {
+    // native expression ([[graft.functions.UnigramSeg]]): one compiled
+    // Viterbi pass per document with a per-doc distinct-word memo — a
+    // zero-shuffle pure map with no interpreted higher-order-function
+    // dispatch; identical candidate set and struct-min tie law, pinned
+    // by UnigramSpec's native == HOF A/B and the DuckDB gate
+    val toks = Dedup.tokens(col("text"))
+    val enc = org.apache.spark.sql.GraftExpr.column(
+      graft.functions.UnigramSeg(
+        org.apache.spark.sql.GraftExpr.expression(toks),
+        pieces, maxPieceLen))
+    docs
+      .withColumn("__enc__", enc)
+      .select(col("doc_id"), col("__enc__.n_pieces").as("n_pieces"),
+        col("__enc__.segmented").as("segmented"))
+  }
+
+  /** The pre-native expression-tree encoder (per-row memoized HOF fold) —
+    * kept as the independent formulation the spec A/Bs the native
+    * expression against. */
+  private[graft] def encodeHof(docs: DataFrame, pieces: Map[String, Double],
+                             maxPieceLen: Int = 24): DataFrame =
     docs
       .withColumn("__toks__", Dedup.tokens(col("text")))
       .withColumn("__memo__",

@@ -88,15 +88,31 @@ object WordPiece {
     * the space-joined piece stream in word order (`##` marks kept, the
     * BERT display form), words from [[Dedup.tokens]].
     *
-    * Per-ROW memoization: each DISTINCT word of a document is segmented
-    * once into an in-row map, then the token stream is a cheap lookup —
-    * still a pure map over rows (zero shuffle), but the fold work is
-    * bounded by a doc's distinct words, not its length (Zipf makes that
-    * ≥2× on natural text; repetitive docs approach the word-vocab bound).
-    * The memo sits in its OWN projection so CollapseProject cannot inline
-    * (= recompute) it into the two downstream uses. */
+    * Runs through the NATIVE expression
+    * ([[graft.functions.WordPieceSeg]]): one compiled pass per document
+    * with a per-doc distinct-word memo — a zero-shuffle pure map whose
+    * per-row cost no longer pays interpreted higher-order-function
+    * dispatch per probe (sf0.1 gate: 16.7 s HOF → 3.6 s memoized HOF →
+    * ~1 s native). [[segmentGreedy]] remains the expression-tree
+    * formulation; WordPieceSpec pins native == HOF on the gate fixture. */
   def encode(docs: DataFrame, vocab: Map[String, Int],
-             maxPieceLen: Int = 16): DataFrame =
+             maxPieceLen: Int = 16): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val enc = org.apache.spark.sql.GraftExpr.column(
+      graft.functions.WordPieceSeg(
+        org.apache.spark.sql.GraftExpr.expression(toks),
+        vocab.keySet, maxPieceLen))
+    docs
+      .withColumn("__enc__", enc)
+      .select(col("doc_id"), col("__enc__.n_pieces").as("n_pieces"),
+        col("__enc__.segmented").as("segmented"))
+  }
+
+  /** The pre-native expression-tree encoder (per-row memoized HOF fold) —
+    * kept as the independent formulation the spec A/Bs the native
+    * expression against. */
+  private[graft] def encodeHof(docs: DataFrame, vocab: Map[String, Int],
+                             maxPieceLen: Int = 16): DataFrame =
     docs
       .withColumn("__toks__", Dedup.tokens(col("text")))
       .withColumn("__memo__",

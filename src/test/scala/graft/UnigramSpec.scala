@@ -40,6 +40,22 @@ class UnigramSpec extends SparkSpec {
     assert(out(0).getLong(1) == 3L)
   }
 
+  test("native expression == HOF fold, ties and <unk> included") {
+    val docs = Seq(
+      (0L, "abab aba ab ba"), (1L, "xyz abq"), (2L, ""), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    // equal-cost ambiguity ("ab"=2.0 == "a"+"b") so the tie law is
+    // exercised, plus uncoverable words (q/x/y/z missing)
+    val pieces = Map("a" -> 1.0, "b" -> 1.0, "ab" -> 2.0, "ba" -> 1.5,
+      "aa" -> 1.75)
+    val native = Unigram.encode(docs, pieces).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val hof = Unigram.encodeHof(docs, pieces).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(native == hof)
+    assert(native.exists(_._3.contains("<unk>")))
+  }
+
   test("train: a repeated substring becomes a piece and compresses encoding") {
     val docs = (0L until 30L).map(i => (i, "zqzq zqzq wxwx"))
       .toDF("doc_id", "text")

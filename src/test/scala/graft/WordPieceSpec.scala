@@ -5,7 +5,7 @@ import graft.llm.WordPiece
 class WordPieceSpec extends SparkSpec {
   import spark.implicits._
 
-  private def doc(texts: String*) =
+  private[graft] def doc(texts: String*) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
 
@@ -40,6 +40,24 @@ class WordPieceSpec extends SparkSpec {
   test("encode: word-initial pieces never match mid-word and vice versa") {
     val v = Map("aa" -> 1, "a" -> 1) // no continuation pieces at all
     assert(seg("aaa", v) == ((1L, "[UNK]"))) // 'aa' matches pos 0, then stuck
+  }
+
+  test("native expression == HOF fold on a mixed corpus (incl. UNK and empty)") {
+    val corpus = doc(
+      "the fast key order sort table scan merge part window",
+      "batch batch batch stream spark window window dup",
+      "unseenword the spark", "", "a")
+    // a vocab with partial coverage so UNK paths and multi-piece greedy
+    // walks both occur
+    val v = (('a' to 'z').map(_.toString) ++
+      Seq("##a", "##t", "##h", "##e", "the", "spark", "bat", "##ch", "wind",
+        "##ow", "##ast", "##ey")).map(_ -> 1).toMap
+    val native = WordPiece.encode(corpus, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val hof = WordPiece.encodeHof(corpus, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(native == hof)
+    assert(native.exists(_._3.contains("[UNK]"))) // the UNK path really ran
   }
 
   test("train: likelihood argmax beats raw frequency (the francisco effect)") {
