@@ -365,6 +365,27 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
       |             RANGE BETWEEN 86400.0 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Daily event-type PIVOT — the wide reporting matrix (one column per
+    * event type). Spark's `pivot` with an EXPLICIT value list compiles to
+    * one hash aggregate of conditional counts (no extra distinct-values
+    * job, no second shuffle); at 100 TB the map-side partials are
+    * |days|×|types| cells regardless of row count. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    TsQueries.rawEvents(spark, dir)
+      .groupBy((floor(col("ts") / 86400.0).cast(LongType) * 86400L).as("day"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+
+  def oracleEventsPivot: String =
+    """SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) * 86400 AS day,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Weekly signup-cohort retention matrix (offset ≤ 8 weeks): two
     * user-keyed map-side-combined aggregates, then a weeks×offsets model
     * frame — no per-user event sort anywhere. */
@@ -441,7 +462,8 @@ object AnalyticsQueries {
     "events_retention" -> (eventsRetention _),
     "events_transitions" -> (eventsTransitions _),
     "q22_antijoin" -> (q22AntiJoin _),
-    "events_rolling" -> (eventsRolling _))
+    "events_rolling" -> (eventsRolling _),
+    "events_pivot" -> (eventsPivot _))
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
@@ -461,5 +483,6 @@ object AnalyticsQueries {
     "events_retention" -> oracleEventsRetention,
     "events_transitions" -> oracleEventsTransitions,
     "q22_antijoin" -> oracleQ22AntiJoin,
-    "events_rolling" -> oracleEventsRolling)
+    "events_rolling" -> oracleEventsRolling,
+    "events_pivot" -> oracleEventsPivot)
 }
