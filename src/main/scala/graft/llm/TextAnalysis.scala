@@ -295,6 +295,33 @@ object TextAnalysis {
     * engine and the DuckDB oracle. Redaction order is fixed (email, SSN,
     * phone, IP) so category placeholders never overlap.
     */
+  /** BLOCKLIST phrase tagging — the banned-phrase filter every curation
+    * pipeline runs (profanity lists, boilerplate markers, spam phrases).
+    * Phrases are word BIGRAMS matched at word level — the doc's token
+    * stream is turned into adjacent-pair strings once, then each phrase
+    * counts its exact matches — so "he key" never fires inside
+    * "the key" (raw substring matching would), and overlapping repeats
+    * ("x x x" vs phrase "x x") count per ADJACENCY (2), a fixed,
+    * engine-exact integer semantics. Pure map over rows; per-doc work is
+    * |tokens|·|phrases| string equalities on a bounded phrase list —
+    * zero shuffle at any corpus size. Output: per-phrase counts summed
+    * to n_hits + a flagged bool. */
+  def blocklist(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist needs at least one phrase")
+    val tk = Dedup.tokens(col("text"))
+    // <2 tokens → no adjacencies; unguarded, sequence(1, size-1) would
+    // DESCEND through index 0 and element_at would throw
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val hits = phrases.map(p =>
+      size(filter(bigrams, b => b === lit(p))).cast(LongType))
+    docs.select(col("doc_id"),
+      hits.reduce(_ + _).as("n_hits"),
+      hits.map(_ > 0L).reduce(_ || _).as("flagged"))
+  }
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"

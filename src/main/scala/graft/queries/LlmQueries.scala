@@ -561,6 +561,39 @@ object LlmQueries {
        |FROM wps, tot""".stripMargin
   }
 
+  /** Blocklist phrase tagging under a deterministic fixture: the top-5
+    * corpus word bigrams (count desc, phrase asc — a 5-row model
+    * collect), standing in for a real profanity/spam list. Word-level
+    * adjacency matching, exact integer counts. */
+  def textBlocklistQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val top = d
+      .withColumn("__tk__", graft.llm.Dedup.tokens(col("text")))
+      .filter(size(col("__tk__")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__tk__) - 1), " +
+          "i -> concat(element_at(__tk__, i), ' ', element_at(__tk__, i + 1)))"))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg").asc).limit(5)
+      .select("bg").as[String].collect()
+    graft.llm.TextAnalysis.blocklist(d, top.toSeq)
+  }
+
+  def oracleTextBlocklist: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |bgs AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN
+      |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+      |  ELSE [] END AS bg FROM toks),
+      |top5 AS (SELECT bg AS p FROM (
+      |    SELECT unnest(bg) AS bg FROM bgs) t
+      |  GROUP BY 1 ORDER BY count(*) DESC, bg ASC LIMIT 5),
+      |hits AS (SELECT b.doc_id,
+      |    CAST(sum(len(list_filter(b.bg, x -> x = t.p))) AS BIGINT) AS n_hits
+      |  FROM bgs b CROSS JOIN top5 t GROUP BY 1)
+      |SELECT doc_id, n_hits, n_hits > 0 AS flagged FROM hits""".stripMargin
+
   /** Hashed-n-gram linear quality classifier with the deterministic
     * weight fixture (trained weights are a drop-in (b, w) table). */
   def textClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -2835,6 +2868,7 @@ object LlmQueries {
     "text_perplexity" -> (textPerplexity _),
     "text_perplexity_kn" -> (textPerplexityKn _),
     "text_pii" -> (textPii _),
+    "text_blocklist" -> (textBlocklistQ _),
     "embed_project" -> (embedProject _),
     "embed_pca" -> (embedPcaQ _),
     "decontaminate" -> (decontaminateQ _),
@@ -2920,6 +2954,7 @@ object LlmQueries {
     "text_perplexity" -> oracleTextPerplexity,
     "text_perplexity_kn" -> oracleTextPerplexityKn,
     "text_pii" -> oracleTextPii,
+    "text_blocklist" -> oracleTextBlocklist,
     "embed_project" -> oracleEmbedProject,
     "embed_pca" -> oracleEmbedPca(2, 4),
     "decontaminate" -> oracleDecontaminate,

@@ -915,4 +915,20 @@ class LlmSpec extends SparkSpec {
     assert(mih.toSeq == (1 to 7).map(d => (d.toLong, d.toLong)),
       s"got ${mih.toSeq}")
   }
+
+  test("blocklist: word-boundary matching, adjacency overlap, empty docs") {
+    val docs = Seq(
+      (0L, "the key opens the key store"), // "the key" twice
+      (1L, "soothe keyboard"),             // substring 'he key' must NOT fire
+      (2L, "x x x"),                       // "x x" counts per adjacency: 2
+      (3L, ""), (4L, "single"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklist(docs, Seq("the key", "x x"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == ((2L, true)))
+    assert(out(1L) == ((0L, false)))
+    assert(out(2L) == ((2L, true)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false)))
+  }
 }
