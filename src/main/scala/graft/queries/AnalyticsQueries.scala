@@ -315,6 +315,87 @@ object AnalyticsQueries {
       |  CASE WHEN t3 IS NOT NULL THEN round(t3 - t1, 6) END AS duration
       |FROM s3""".stripMargin
 
+  /** Per-lineitem revenue in EXACT DECIMAL: prices/discounts are 2-decimal
+    * money, so casting to DECIMAL(12,2) before the multiply makes every
+    * partial sum exact and the aggregate independent of summation order —
+    * the property a DOUBLE revenue sum loses at scale, where a last-ULP
+    * association difference between engines lands on the round(…,2)
+    * half-way boundary and flips the published cent (observed: q5_region
+    * at sf1, 1 nation in 5 off by exactly 0.01 before this). Division
+    * back to double only AFTER the exact sums (the sums fit a double's
+    * 53-bit mantissa with room to spare). */
+  private def decRevenue: org.apache.spark.sql.Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(BigDecimal(1)).cast("decimal(3,2)") -
+        col("l_discount").cast("decimal(3,2)"))
+  private val DecRevSql: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  /** Q14-style PROMO revenue share: lineitem ⋈ broadcast(part) over one
+    * ship month, conditional revenue ratio — the classic "small dimension
+    * drives a conditional aggregate over the fact table" shape. The month
+    * filter pushes to the lineitem scan; part broadcasts (it is always
+    * dimension-sized); ONE fact scan, zero fact shuffles (the aggregate
+    * is global, map-side combined to a single row). */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_type"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' AND " +
+        "l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO", decRevenue)
+            .otherwise(lit(BigDecimal(0)))).cast(DoubleType) /
+          sum(decRevenue).cast(DoubleType), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  def oracleQ14Promo: String =
+    s"""SELECT round(100.0 *
+      |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $DecRevSql
+      |             ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+      |    CAST(sum($DecRevSql) AS DOUBLE), 4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** Q5-style SNOWFLAKE revenue rollup: lineitem ⋈ supplier ⋈ nation ⋈
+    * region, one region selected, revenue per nation — the two-hop
+    * dimension chain every star schema grows. All three dimensions
+    * broadcast (Catalyst collapses them into successive broadcast hash
+    * joins on the single fact scan); the region filter prunes through
+    * the chain BEFORE the fact join, so non-ASIA suppliers never match.
+    * One fact scan, one |nations|-bounded aggregate exchange. */
+  def q5Region(spark: SparkSession, dir: String): DataFrame = {
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .filter(col("r_name") === "ASIA")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name")
+      .agg(round(sum(decRevenue).cast(DoubleType), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def oracleQ5Region: String =
+    s"""SELECT n_name,
+      |  round(CAST(sum($DecRevSql) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1""".stripMargin
+
   /** Q22-style ANTI JOIN: lapsed customers — no orders since 1997-07-01 —
     * listed with their segment and balance (the "missing the other side"
     * reporting shape; every sf has a non-empty answer, unlike the
@@ -463,7 +544,9 @@ object AnalyticsQueries {
     "events_transitions" -> (eventsTransitions _),
     "q22_antijoin" -> (q22AntiJoin _),
     "events_rolling" -> (eventsRolling _),
-    "events_pivot" -> (eventsPivot _))
+    "events_pivot" -> (eventsPivot _),
+    "q14_promo" -> (q14Promo _),
+    "q5_region" -> (q5Region _))
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
@@ -484,5 +567,7 @@ object AnalyticsQueries {
     "events_transitions" -> oracleEventsTransitions,
     "q22_antijoin" -> oracleQ22AntiJoin,
     "events_rolling" -> oracleEventsRolling,
-    "events_pivot" -> oracleEventsPivot)
+    "events_pivot" -> oracleEventsPivot,
+    "q14_promo" -> oracleQ14Promo,
+    "q5_region" -> oracleQ5Region)
 }
