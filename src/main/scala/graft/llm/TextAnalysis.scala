@@ -297,29 +297,57 @@ object TextAnalysis {
     */
   /** BLOCKLIST phrase tagging — the banned-phrase filter every curation
     * pipeline runs (profanity lists, boilerplate markers, spam phrases).
-    * Phrases are word BIGRAMS matched at word level — the doc's token
-    * stream is turned into adjacent-pair strings once, then each phrase
-    * counts its exact matches — so "he key" never fires inside
+    * Phrases are MIXED-LENGTH word sequences (1..n words) matched at word
+    * level: each phrase is normalized through the SAME tokenizer as the
+    * document text (lowercase `[a-z0-9]+` words), so "Hello, World!" and
+    * "hello world" are the same phrase, "he key" never fires inside
     * "the key" (raw substring matching would), and overlapping repeats
-    * ("x x x" vs phrase "x x") count per ADJACENCY (2), a fixed,
-    * engine-exact integer semantics. Pure map over rows; per-doc work is
-    * |tokens|·|phrases| string equalities on a bounded phrase list —
-    * zero shuffle at any corpus size. Output: per-phrase counts summed
-    * to n_hits + a flagged bool. */
+    * ("x x x" vs phrase "x x") count per ADJACENCY (2) — a fixed,
+    * engine-exact integer semantics. A phrase with no alphanumeric words
+    * after normalization is rejected loudly (it could never match).
+    *
+    * Cost shape: the token array is derived ONCE per row (its own
+    * projection, so CollapseProject cannot inline the regex walk into
+    * every consumer — the row-30b2 no-CSE law), then for each DISTINCT
+    * phrase length L present, one L-gram sliding pass + ONE membership
+    * filter against the length-L phrase set (a gram equals at most one
+    * phrase, so `size(filter(grams, in set))` IS the total match count
+    * for that length — no per-phrase expression duplication). Pure map
+    * over rows, zero shuffle at any corpus size. Output: doc_id, n_hits
+    * (total matches across all phrases), flagged = n_hits > 0. */
   def blocklist(docs: DataFrame, phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "blocklist needs at least one phrase")
-    val tk = Dedup.tokens(col("text"))
-    // <2 tokens → no adjacencies; unguarded, sequence(1, size-1) would
-    // DESCEND through index 0 and element_at would throw
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val hits = phrases.map(p =>
-      size(filter(bigrams, b => b === lit(p))).cast(LongType))
-    docs.select(col("doc_id"),
-      hits.reduce(_ + _).as("n_hits"),
-      hits.map(_ > 0L).reduce(_ || _).as("flagged"))
+    val wordRe = "[a-z0-9]+".r
+    val normed: Seq[Seq[String]] = phrases.map { p =>
+      val ws = wordRe.findAllIn(p.toLowerCase(java.util.Locale.ROOT)).toSeq
+      require(ws.nonEmpty,
+        s"blocklist phrase '$p' has no [a-z0-9]+ words after normalization — it can never match")
+      ws
+    }
+    val byLen: Seq[(Int, Seq[String])] = normed
+      .map(ws => (ws.length, ws.mkString(" "))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val tk = col("__tk__")
+    var out = docs.withColumn("__tk__", Dedup.tokens(col("text")))
+    val hitCols = byLen.map { case (len, ps) =>
+      // <len tokens → no L-grams; unguarded, sequence(1, size-(len-1))
+      // would DESCEND through index 0 and element_at would throw
+      val grams =
+        if (len == 1) tk
+        else when(size(tk) >= len,
+          transform(sequence(lit(1), size(tk) - (len - 1)),
+            i => concat_ws(" ", (0 until len).map(j => element_at(tk, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))
+      val hname = s"__hits_${len}__"
+      out = out.withColumn(hname,
+        size(filter(grams, g => g.isin(ps: _*))).cast(LongType))
+      col(hname)
+    }
+    out
+      .withColumn("__nh__", hitCols.reduce(_ + _))
+      .select(col("doc_id"),
+        col("__nh__").as("n_hits"),
+        (col("__nh__") > 0L).as("flagged"))
   }
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -561,37 +561,53 @@ object LlmQueries {
        |FROM wps, tot""".stripMargin
   }
 
-  /** Blocklist phrase tagging under a deterministic fixture: the top-5
-    * corpus word bigrams (count desc, phrase asc — a 5-row model
-    * collect), standing in for a real profanity/spam list. Word-level
-    * adjacency matching, exact integer counts. */
+  /** Blocklist phrase tagging under a deterministic MIXED-LENGTH fixture:
+    * the top-2 corpus word unigrams, bigrams AND trigrams (count desc,
+    * phrase asc — a 6-row model collect), standing in for a real
+    * profanity/spam list where single terms and multi-word phrases
+    * coexist. Word-level adjacency matching, exact integer counts. */
   def textBlocklistQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = docs(spark, dir)
-    val top = d
-      .withColumn("__tk__", graft.llm.Dedup.tokens(col("text")))
-      .filter(size(col("__tk__")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(__tk__) - 1), " +
-          "i -> concat(element_at(__tk__, i), ' ', element_at(__tk__, i + 1)))"))
-        .as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("bg").asc).limit(5)
-      .select("bg").as[String].collect()
-    graft.llm.TextAnalysis.blocklist(d, top.toSeq)
+    val d = docs(spark, dir).withColumn("__tk__", graft.llm.Dedup.tokens(col("text")))
+    def topN(len: Int, n: Int): Seq[String] = {
+      val gram =
+        if (len == 1) "__tk__"
+        else "transform(sequence(1, size(__tk__) - " + (len - 1) + "), " +
+          "i -> concat_ws(' ', " +
+          (0 until len).map(j => s"element_at(__tk__, i + $j)").mkString(", ") + "))"
+      d.filter(size(col("__tk__")) >= len)
+        .select(explode(expr(gram)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g").asc).limit(n)
+        .select("g").as[String].collect().toSeq
+    }
+    val phrases = topN(1, 2) ++ topN(2, 2) ++ topN(3, 2)
+    graft.llm.TextAnalysis.blocklist(d.drop("__tk__"), phrases)
   }
 
   def oracleTextBlocklist: String =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
-      |bgs AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN
+      |g2s AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN
       |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
-      |  ELSE [] END AS bg FROM toks),
-      |top5 AS (SELECT bg AS p FROM (
-      |    SELECT unnest(bg) AS bg FROM bgs) t
-      |  GROUP BY 1 ORDER BY count(*) DESC, bg ASC LIMIT 5),
-      |hits AS (SELECT b.doc_id,
-      |    CAST(sum(len(list_filter(b.bg, x -> x = t.p))) AS BIGINT) AS n_hits
-      |  FROM bgs b CROSS JOIN top5 t GROUP BY 1)
+      |  ELSE [] END AS g FROM toks),
+      |g3s AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+      |  ELSE [] END AS g FROM toks),
+      |top1 AS (SELECT g AS p FROM (SELECT unnest(tk) AS g FROM toks) t
+      |  GROUP BY 1 ORDER BY count(*) DESC, g ASC LIMIT 2),
+      |top2 AS (SELECT g AS p FROM (SELECT unnest(g) AS g FROM g2s) t
+      |  GROUP BY 1 ORDER BY count(*) DESC, g ASC LIMIT 2),
+      |top3 AS (SELECT g AS p FROM (SELECT unnest(g) AS g FROM g3s) t
+      |  GROUP BY 1 ORDER BY count(*) DESC, g ASC LIMIT 2),
+      |tops AS (SELECT (SELECT list(p) FROM top1) AS p1,
+      |    (SELECT list(p) FROM top2) AS p2, (SELECT list(p) FROM top3) AS p3),
+      |hits AS (SELECT t.doc_id,
+      |    CAST(len(list_filter(t.tk, x -> list_contains(tops.p1, x)))
+      |       + len(list_filter(g2.g, x -> list_contains(tops.p2, x)))
+      |       + len(list_filter(g3.g, x -> list_contains(tops.p3, x)))
+      |      AS BIGINT) AS n_hits
+      |  FROM toks t JOIN g2s g2 USING (doc_id) JOIN g3s g3 USING (doc_id)
+      |  CROSS JOIN tops)
       |SELECT doc_id, n_hits, n_hits > 0 AS flagged FROM hits""".stripMargin
 
   /** Hashed-n-gram linear quality classifier with the deterministic

@@ -931,4 +931,35 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((0L, false)))
     assert(out(4L) == ((0L, false)))
   }
+
+  test("blocklist: mixed-length phrases (1/2/3 words), normalization, loud reject") {
+    val docs = Seq(
+      (0L, "spam spam wonderful spam"),     // "spam" x3 (unigram)
+      (1L, "click here to win big prizes"), // "click here to" (trigram) + "win" (unigram)
+      (2L, "a b a b a"),                    // "a b a" counts per adjacency: 2
+      (3L, "nothing flagged at all"),
+      (4L, "win win"))                      // "win" x2
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklist(docs,
+      Seq("spam", "win", "Click HERE, to!", "a b a")) // normalization law
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == ((3L, true)))
+    assert(out(1L) == ((2L, true)))  // trigram + unigram both fire
+    assert(out(2L) == ((2L, true)))  // overlapping trigram: per adjacency
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((2L, true)))
+    // length law: an L-word phrase never matches an (L±1)-gram
+    val sub = TextAnalysis.blocklist(docs, Seq("click here"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sub(1L) == 1L) // bigram fires inside the trigram span
+    // duplicate phrases (post-normalization) count once
+    val dup = TextAnalysis.blocklist(docs, Seq("win", "WIN!"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup(4L) == 2L)
+    // a phrase with no alphanumeric words is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklist(docs, Seq("win", "!!!"))
+    }
+    assert(ex.getMessage.contains("never match"))
+  }
 }
