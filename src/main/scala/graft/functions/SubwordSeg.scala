@@ -173,9 +173,15 @@ object UnigramSeg {
               val cn = np(j) + 1
               val cp = if (np(j) == 0) w.substring(j, i)
                        else path(j) + " " + w.substring(j, i)
-              // Double.compare, not <: Catalyst's double ordering places
-              // -0.0 below 0.0, and the struct-min tie law must match
-              val cmp = if (bp == null) -1 else java.lang.Double.compare(cc, bc)
+              // Primitive == first: Spark SQL's double ordering
+              // (SQLOrderingUtil, SPARK-26021) treats -0.0 == 0.0, so a
+              // signed-zero cost pair is a TIE for the HOF's struct-min —
+              // java.lang.Double.compare alone would order -0.0 below 0.0
+              // and pick a different equal-cost segmentation. NaN never
+              // reaches here (costs are finite -log probs by construction).
+              val cmp = if (bp == null) -1
+                        else if (cc == bc) 0
+                        else java.lang.Double.compare(cc, bc)
               val better = cmp < 0 ||
                 (cmp == 0 && (cn < bn || (cn == bn && cp.compareTo(bp) < 0)))
               if (better) { bc = cc; bn = cn; bp = cp }

@@ -17,7 +17,7 @@ object AnalyticsQueries {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(decRevenue).cast(DoubleType), 2).as("sum_disc_price"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         round(avg("l_extendedprice"), 2).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -37,14 +37,17 @@ object AnalyticsQueries {
       .agg(grouping_id().as("gid"),
         count(lit(1)).as("cnt"),
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        // exact decimal sum — the CUBE grand-total row sums the ENTIRE
+        // lineitem table, the worst case for association-order round(.,2)
+        // boundary flips between engines (see decRevenue)
+        round(sum(decRevenue).cast(DoubleType), 2)
           .as("sum_disc_price"))
 
   def oracleQ1Cube: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |  count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price
+      |  round(CAST(sum($DecRevSql) AS DOUBLE), 2) AS sum_disc_price
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
@@ -167,10 +170,10 @@ object AnalyticsQueries {
   }
 
   def oracleQ1: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(CAST(sum($DecRevSql) AS DOUBLE), 2) AS sum_disc_price,
       |  round(avg(l_quantity), 2) AS avg_qty,
       |  round(avg(l_extendedprice), 2) AS avg_price,
       |  count(*) AS count_order

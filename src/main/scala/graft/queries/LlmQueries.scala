@@ -465,6 +465,23 @@ object LlmQueries {
       Curation.tokCount(col("text")).as("ws_tok"),
       graft.llm.Bpe.tokenCount(col("text")).as("bpe_tok"))
 
+  /** The unigram/wordpiece DuckDB oracles unroll their DP/greedy walks to
+    * a FIXED depth of [[OracleUnrollDepth]] steps. A word needs up to
+    * len(w) steps (single-char pieces are always in the vocab), so a
+    * corpus token longer than the unroll would leave the oracle's walk
+    * unfinished while the Spark side completes it — a silent gate break
+    * on a different corpus or scale factor. Both gates assert the bound
+    * LOUDLY at fixture-build time instead. */
+  private[graft] val OracleUnrollDepth = 24
+  private def assertOracleUnroll(d: DataFrame): Unit = {
+    val m = d.select(explode(graft.llm.Dedup.tokens(col("text"))).as("w"))
+      .agg(coalesce(max(length(col("w"))), lit(0)).as("m"))
+      .head().getInt(0)
+    require(m <= OracleUnrollDepth,
+      s"corpus max token length $m exceeds the tokenizer oracle's " +
+        s"$OracleUnrollDepth-step unroll — raise OracleUnrollDepth to >= $m")
+  }
+
   /** Unigram-LM Viterbi encoding under a deterministic piece fixture:
     * all 36 single chars at cost 4.0 plus the top-20 corpus words (count
     * desc, word asc — a 20-row model collect) at cost len·4−2, so whole-
@@ -475,6 +492,7 @@ object LlmQueries {
   def tokenizeUnigramQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
+    assertOracleUnroll(d)
     val top = d.select(explode(graft.llm.Dedup.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(20)
@@ -494,6 +512,7 @@ object LlmQueries {
   def tokenizeWordPieceQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
+    assertOracleUnroll(d)
     val top = d.select(explode(graft.llm.Dedup.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(20)
@@ -1913,7 +1932,7 @@ object LlmQueries {
     * every cost sum is exact and the struct-min tie order (cost, np,
     * path) matches Spark's array_min field-for-field. */
   def oracleTokenizeUnigram: String = {
-    val L = 24
+    val L = OracleUnrollDepth
     val charRows = graft.llm.Unigram.Chars
       .map(c => s"('$c')").mkString(", ")
     val bs = (1 to L).map { i =>
@@ -1962,7 +1981,7 @@ object LlmQueries {
     * greedy keeps only ONE state per word, so the unroll is a walk, not a
     * frontier). A word with an unmatched position collapses to [UNK]. */
   def oracleTokenizeWordPiece: String = {
-    val K = 24
+    val K = OracleUnrollDepth
     val charRows = graft.llm.Unigram.Chars
       .map(c => s"('$c')").mkString(", ")
     val steps = (1 to K).map { k =>

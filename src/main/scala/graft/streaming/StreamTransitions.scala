@@ -19,6 +19,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch matrix minus its `__end__` rows — the sink row is inherently a
   * batch-view concept (a live stream never knows an event was a user's
   * last; a production job would emit it on an event-time timeout).
+  *
+  * Late data: an event whose ts is OLDER than the state's last-seen ts
+  * (cross-batch out-of-order delivery) is DROPPED, not emitted — stitching
+  * it in would emit the adjacency in the wrong direction and silently
+  * corrupt the matrix. This matches a watermark-style contract: within a
+  * micro-batch order is repaired by the sort; across batches the source
+  * must be no-later-than-last-seen per user, or the late event is lost
+  * (the batch operator, which sees all data at once, is the ground truth).
   */
 object StreamTransitions {
 
@@ -34,9 +42,13 @@ object StreamTransitions {
       .flatMapGroupsWithState[LastEv, Pair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Ev], state: GroupState[LastEv]) =>
-          // within one micro-batch rows may arrive unsorted: sort by ts
-          val sorted = rows.toSeq.sortBy(_.ts)
+          // within one micro-batch rows may arrive unsorted: sort by ts;
+          // events OLDER than the stored state's ts are late cross-batch
+          // arrivals — drop them (see scaladoc) instead of emitting a
+          // wrong-direction adjacency
           var prev = state.getOption
+          val sorted = rows.toSeq.sortBy(_.ts)
+            .dropWhile(e => prev.exists(_.ts > e.ts))
           val out = scala.collection.mutable.ListBuffer[Pair]()
           sorted.foreach { e =>
             prev.foreach(p => out += Pair(user, p.event_type, e.event_type))

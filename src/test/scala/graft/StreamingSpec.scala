@@ -627,4 +627,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batchCounts)
   }
+
+  test("streaming transitions: cross-batch late events are dropped, not stitched backwards") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_trans_late")
+    // batch 1: user 1 sees a@10, b@20; batch 2 delivers c@15 LATE (older
+    // than the stored last event b@20) plus d@30 on time. The late event
+    // must be dropped: pairs are a->b (batch 1) and b->d (batch 2) — never
+    // the wrong-direction b->c / c->d stitching.
+    Seq((1L, 10.0, "a"), (1L, 20.0, "b")).toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    Seq((1L, 15.0, "c"), (1L, 30.0, "d")).toDF("user_id", "ts", "event_type")
+      .coalesce(1).write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_first.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_second.parquet"))
+    streamDir.resolve("a_first.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_second.parquet").toFile.setLastModified(2000000000000L)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = graft.streaming.StreamTransitions.pairs(spark, stream)
+      .writeStream.format("memory").queryName("trans_late")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val pairs = spark.sql("SELECT from_type, to_type FROM trans_late")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("b", "d")))
+  }
 }

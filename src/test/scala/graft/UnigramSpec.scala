@@ -56,6 +56,21 @@ class UnigramSpec extends SparkSpec {
     assert(native.exists(_._3.contains("<unk>")))
   }
 
+  test("native == HOF on signed-zero cost ties (-0.0 == 0.0, SQL semantics)") {
+    // "a b" sums to -0.0, "ab" costs 0.0: Spark SQL double ordering treats
+    // the pair as EQUAL (SPARK-26021), so the tie must fall to np and pick
+    // "ab"; java.lang.Double.compare alone would order -0.0 first and the
+    // native path would diverge from the HOF struct-min.
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    val pieces = Map("a" -> -0.0, "b" -> -0.0, "ab" -> 0.0)
+    val native = Unigram.encode(docs, pieces).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    val hof = Unigram.encodeHof(docs, pieces).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(native.toSeq == hof.toSeq)
+    assert(native(0) == ((1L, "ab")))
+  }
+
   test("train: a repeated substring becomes a piece and compresses encoding") {
     val docs = (0L until 30L).map(i => (i, "zqzq zqzq wxwx"))
       .toDF("doc_id", "text")
