@@ -85,6 +85,50 @@ object GateBisect {
       f"| append ${median(search.map(_._2))}%.2f " +
       f"| query ${median(search.map(_._3))}%.2f |")
 
+    // search_hybrid_index gate phases (LlmQueries.searchHybridIndexQ,
+    // exact shape: THREE store mutations + the fused query — the r15
+    // fleet flagged the gate total; this separates fixed per-mutation
+    // lifecycle cost (lease + marker + staged rename) from the query)
+    val hCorpus = docs.filter(col("doc_id") % 101 =!= 97)
+    val hqs = docs.filter(col("doc_id") % 101 === 97)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"), 1, 5), " ")
+          .as("qtext")).cache()
+    hqs.count()
+    val eCorpus = emb.filter(col("vec_id") % 101 =!= 97)
+    val hqv = emb.filter(col("vec_id") % 101 === 97)
+      .select(col("vec_id").as("query_id"), col("embedding")).cache()
+    hqv.count()
+    val hhalf = hCorpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val hybP = graft.llm.AnnIndex.Params(nCentroids = 16, multiAssign = 1,
+      m = 8, codebookSize = 16, codebookIters = 0)
+    val hybrid = (0 until runs).map { _ =>
+      val sIdx = fresh(); val aIdx = fresh()
+      val (tb, _) = time(graft.llm.SearchIndex.build(
+        hCorpus.filter(col("doc_id") <= hhalf), sIdx))
+      val (ta, _) = time(graft.llm.SearchIndex.append(
+        sIdx, hCorpus.filter(col("doc_id") > hhalf)))
+      val (tab, _) = time(graft.llm.AnnIndex.build(eCorpus, aIdx, hybP))
+      val (tq, _) = time(graft.llm.SearchIndex.hybridFromStores(
+        spark, sIdx, aIdx, hqs, hqv, topK = 5, kRetrieve = 10, nprobe = 2)
+        .write.format("noop").mode("overwrite").save())
+      (tb, ta, tab, tq)
+    }
+    println(f"| search_hybrid_index | sbuild ${median(hybrid.map(_._1))}%.2f " +
+      f"| sappend ${median(hybrid.map(_._2))}%.2f " +
+      f"| abuild ${median(hybrid.map(_._3))}%.2f " +
+      f"| query ${median(hybrid.map(_._4))}%.2f |")
+
+    // mine_negatives solo (no store lifecycle — a pure query; the r15
+    // fleet number moved +69%, outside the ambient band)
+    val mine = (0 until runs).map { _ =>
+      val (t, _) = time(graft.queries.LlmQueries.queries("mine_negatives")(
+        spark, sfDir).write.format("noop").mode("overwrite").save())
+      t
+    }
+    println(f"| mine_negatives | query ${median(mine)}%.2f |")
+
     spark.stop()
   }
 }
