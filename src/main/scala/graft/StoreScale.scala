@@ -126,6 +126,14 @@ object StoreScale {
     val dBase = split(docs, "doc_id", 0 to 5)
     val dApp = (6 to 8).map(i => split(docs, "doc_id", Seq(i)))
     val dProbe = split(docs, "doc_id", Seq(9))
+    // constant ABSOLUTE size across factors (base/10 rows whatever f is):
+    // the store-scaling component of probe cost, separated from the
+    // batch-scaling component — the plain `probe` phases use the
+    // 10%-of-corpus split, which grows 10x per factor step, so their
+    // slopes conflate the two (the r15 ledger read that conflation as a
+    // store-scaling problem). Still a subset of the unindexed 9-split.
+    val dProbeFixed = docs.filter(pmod(col("doc_id"), lit(10L * f)) === 9)
+    val eProbeFixed = emb.filter(pmod(col("vec_id"), lit(10L * f)) === 9)
     // ~1% removal set, spread across replicas
     val dGone = docs.filter(pmod(col("doc_id"), lit(100)) === 3)
       .select("doc_id")
@@ -149,6 +157,8 @@ object StoreScale {
         timed(f, "DedupIndex", s"append${i + 1}")(DedupIndex.append(dir, b)) }
       timed(f, "DedupIndex", "probe")(
         DedupIndex.dedupAgainst(spark, dir, dProbe))
+      timed(f, "DedupIndex", "probe_fixed")(
+        DedupIndex.dedupAgainst(spark, dir, dProbeFixed))
       timed(f, "DedupIndex", "remove")(DedupIndex.remove(dir, dGone))
       timed(f, "DedupIndex", "probe_removed")(
         DedupIndex.dedupAgainst(spark, dir, dProbe))
@@ -166,6 +176,8 @@ object StoreScale {
         timed(f, "SubstrIndex", s"append${i + 1}")(SubstrIndex.append(dir, b)) }
       timed(f, "SubstrIndex", "probe")(
         SubstrIndex.dedupAgainst(spark, dir, dProbe))
+      timed(f, "SubstrIndex", "probe_fixed")(
+        SubstrIndex.dedupAgainst(spark, dir, dProbeFixed))
       timed(f, "SubstrIndex", "remove")(SubstrIndex.remove(dir, dGoneFull))
       timed(f, "SubstrIndex", "probe_removed")(
         SubstrIndex.dedupAgainst(spark, dir, dProbe))
@@ -184,6 +196,8 @@ object StoreScale {
           CentroidStore.append(dir, b)) }
       timed(f, "CentroidStore", "probe")(
         CentroidStore.semDedupAgainst(spark, dir, eProbe, 0.95))
+      timed(f, "CentroidStore", "probe_fixed")(
+        CentroidStore.semDedupAgainst(spark, dir, eProbeFixed, 0.95))
       timed(f, "CentroidStore", "remove")(CentroidStore.remove(dir, eGone))
       timed(f, "CentroidStore", "probe_removed")(
         CentroidStore.semDedupAgainst(spark, dir, eProbe, 0.95))

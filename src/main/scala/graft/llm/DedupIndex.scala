@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   *                        signature scheme. Like [[AnnIndex]]'s model, the
   *                        scheme never changes after build, so stored and
   *                        incoming signatures stay comparable forever.
-  *   - `postings.parquet` (doc_id, bkey) PARTITIONED BY band — the LSH
-  *                        postings (bands rows per doc).
-  *   - `grams.parquet`    (doc_id, gs) — exact n-gram sets for candidate
+  *   - `postings.parquet` (doc_id, bkey) PARTITIONED BY (band, bpfx) —
+  *                        the LSH postings (bands rows per doc), bpfx =
+  *                        crc32(bkey) mod [[NPfx]].
+  *   - `grams.parquet`    (doc_id, gs) PARTITIONED BY gpfx = doc_id mod
+  *                        [[NPfx]] — exact n-gram sets for candidate
   *                        verification (the minhashLsh convention: LSH
   *                        proposes, exact Jaccard disposes).
   *
@@ -27,6 +29,24 @@ import org.apache.spark.sql.types._
   * of the postings/grams stores; the index is never shuffled and no
   * signature is ever recomputed. Candidate verification touches only the
   * gram sets of candidate pairs (hash-pruned by the broadcast join).
+  *
+  * The pfx partition keys exist for DYNAMIC PARTITION PRUNING (r15
+  * storescale finding: the probe was scanning 100% of both stores —
+  * including the heavy gram arrays — regardless of probe size): both
+  * probe joins carry the partition column, so a probe reads only the
+  * (band, bpfx) posting directories its band keys hash into and only the
+  * gpfx gram directories its CANDIDATES live in. A serving-sized probe
+  * (tens of docs) touches ≲ |probe keys| of the [[NPfx]] directories —
+  * probe cost tracks the BATCH, not the store; a bulk probe degrades
+  * gracefully to the full scan it genuinely needs, amortized over the
+  * batch. Same design as [[AnnIndex]]'s cent_id codes layout and
+  * [[SearchIndex]]'s 64 token prefixes (RetentionSpec pins the pruning
+  * subquery in the executed plan).
+  *
+  * Stores built before the pfx layout (no bpfx/gpfx directories) still
+  * PROBE correctly — [[dedupAgainst]] falls back to the unpruned joins —
+  * but maintenance fails fast ([[requirePfxLayout]]): appending mixed
+  * layouts into one parquet table would corrupt partition discovery.
   *
   * The `maxBucket` degenerate-bucket guard is applied at BUILD time (a
   * bucket that already holds > maxBucket docs is boilerplate, and its
@@ -40,6 +60,25 @@ object DedupIndex {
   /** Frozen signature scheme. */
   case class Params(n: Int = 3, k: Int = 12, bands: Int = 4,
                     maxBucket: Int = 10000)
+
+  /** Pfx fan-out for both stores: small enough that a fresh build makes
+    * ~NPfx files per table, large enough that a pruned probe skips ≳ 97%
+    * of the store's bytes. */
+  private val NPfx = 32
+
+  private def bpfxCol: org.apache.spark.sql.Column =
+    pmod(crc32(col("bkey")), lit(NPfx)).cast(IntegerType)
+  private def gpfxCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(id, lit(NPfx)).cast(IntegerType)
+
+  private def hasPfxLayout(spark: SparkSession, dir: String): Boolean =
+    spark.read.parquet(s"$dir/postings.parquet").columns.contains("bpfx")
+
+  private def requirePfxLayout(spark: SparkSession, dir: String): Unit =
+    require(hasPfxLayout(spark, dir),
+      s"DedupIndex at $dir uses the legacy band-only layout — probes still " +
+        "work, but maintenance would mix partition layouts in one table. " +
+        "Rebuild the index (build on the vacuumed corpus) to migrate.")
 
   /** Sign `docs` and write postings + gram sets + meta to `dir`.
     * All mutators (build/append/remove/vacuum/compact) run under the
@@ -56,14 +95,17 @@ object DedupIndex {
     val keep = banded.groupBy("band", "bkey")
       .agg(count(lit(1)).as("__c__")).filter(col("__c__") <= p.maxBucket)
       .select("band", "bkey")
-    // one file per band partition (not tasks × bands)
+    // one file per (band, bpfx) partition (not tasks × partitions)
     banded.join(keep, Seq("band", "bkey"))
-      .select("doc_id", "bkey", "band")
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band")
+      .select(col("doc_id"), col("bkey"), col("band"), bpfxCol.as("bpfx"))
+      .repartition(col("band"), col("bpfx"))
+      .write.mode("overwrite").partitionBy("band", "bpfx")
       .parquet(s"$dir/postings.parquet")
-    Dedup.withGramSet(docs, p.n).select("doc_id", "gs")
-      .write.mode("overwrite").parquet(s"$dir/grams.parquet")
+    Dedup.withGramSet(docs, p.n)
+      .select(col("doc_id"), col("gs"), gpfxCol(col("doc_id")).as("gpfx"))
+      .repartition(col("gpfx"))
+      .write.mode("overwrite").partitionBy("gpfx")
+      .parquet(s"$dir/grams.parquet")
     graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
 
@@ -91,53 +133,54 @@ object DedupIndex {
   def vacuum(dir: String): Unit =
     graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
+    requirePfxLayout(spark, dir)
     val tomb = graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id")
       .localCheckpoint() // model-sized
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/postings.parquet")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-        .repartition(col("band")),
-      s"$dir/postings.parquet", Seq("band"))
+        .repartition(col("band"), col("bpfx")),
+      s"$dir/postings.parquet", Seq("band", "bpfx"))
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/grams.parquet")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-        .coalesce(grams1FileBudget(spark)),
-      s"$dir/grams.parquet")
+        .repartition(col("gpfx")),
+      s"$dir/grams.parquet", Seq("gpfx"))
     graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
 
-  /** Small-file compaction only (one file per band, gram files merged
-    * without a shuffle) — run when append cadence outpaces removals. */
+  /** Small-file compaction only (one file per partition dir) — run when
+    * append cadence outpaces removals. */
   def compact(dir: String): Unit =
     graft.sources.StoreOps.Lease.withLease(SparkSession.active, dir) {
     val spark = SparkSession.active
+    requirePfxLayout(spark, dir)
     graft.sources.StoreOps.swapWrite(
-      spark.read.parquet(s"$dir/postings.parquet").repartition(col("band")),
-      s"$dir/postings.parquet", Seq("band"))
+      spark.read.parquet(s"$dir/postings.parquet")
+        .repartition(col("band"), col("bpfx")),
+      s"$dir/postings.parquet", Seq("band", "bpfx"))
     graft.sources.StoreOps.swapWrite(
-      spark.read.parquet(s"$dir/grams.parquet")
-        .coalesce(grams1FileBudget(spark)),
-      s"$dir/grams.parquet")
+      spark.read.parquet(s"$dir/grams.parquet").repartition(col("gpfx")),
+      s"$dir/grams.parquet", Seq("gpfx"))
   }
-
-  /** Gram-set rewrites coalesce (no shuffle — gram sets are the store's
-    * heavy column) to the session's shuffle-partition count: enough
-    * parallel writers at scale, collapses micro-batch append litter. */
-  private def grams1FileBudget(spark: SparkSession): Int =
-    math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** Sign `newDocs` with the FROZEN scheme and append their postings and
     * gram sets — a pure map over the batch regardless of index size. */
   def append(dir: String, newDocs: DataFrame): Unit =
     graft.sources.StoreOps.Lease.withLease(newDocs.sparkSession, dir) {
-    val p = readParams(newDocs.sparkSession, dir)
+    val spark = newDocs.sparkSession
+    requirePfxLayout(spark, dir)
+    val p = readParams(spark, dir)
     Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
-      .select("doc_id", "bkey", "band")
-      .repartition(col("band"))
-      .write.mode("append").partitionBy("band")
+      .select(col("doc_id"), col("bkey"), col("band"), bpfxCol.as("bpfx"))
+      .repartition(col("band"), col("bpfx"))
+      .write.mode("append").partitionBy("band", "bpfx")
       .parquet(s"$dir/postings.parquet")
-    Dedup.withGramSet(newDocs, p.n).select("doc_id", "gs")
-      .write.mode("append").parquet(s"$dir/grams.parquet")
+    Dedup.withGramSet(newDocs, p.n)
+      .select(col("doc_id"), col("gs"), gpfxCol(col("doc_id")).as("gpfx"))
+      .repartition(col("gpfx"))
+      .write.mode("append").partitionBy("gpfx")
+      .parquet(s"$dir/grams.parquet")
   }
 
   /** Near-duplicates of `newDocs` among everything already in the store:
@@ -148,13 +191,20 @@ object DedupIndex {
   def dedupAgainst(spark: SparkSession, dir: String, newDocs: DataFrame,
                    minJaccard: Double = 0.5): DataFrame = {
     val p = readParams(spark, dir)
+    val pfx = hasPfxLayout(spark, dir)
     val postings = spark.read.parquet(s"$dir/postings.parquet")
     val storedGrams = spark.read.parquet(s"$dir/grams.parquet")
     val probe = Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
-      .select(col("doc_id").as("doc_id"), col("band"), col("bkey"))
+      .select(col("doc_id").as("doc_id"), col("band"), col("bkey"),
+        bpfxCol.as("bpfx"))
+    // bpfx in the join key = dynamic partition pruning on the postings
+    // scan: only the (band, bpfx) directories the probe's keys hash into
+    // are read (legacy band-only stores fall back to the unpruned join)
+    val candCond =
+      col("s.band") === col("q.band") && col("s.bkey") === col("q.bkey") &&
+        col("s.doc_id") =!= col("q.doc_id")
     val cand0 = postings.as("s").join(broadcast(probe.as("q")),
-        col("s.band") === col("q.band") && col("s.bkey") === col("q.bkey") &&
-          col("s.doc_id") =!= col("q.doc_id"))
+        if (pfx) col("s.bpfx") === col("q.bpfx") && candCond else candCond)
       .select(col("q.doc_id").as("doc_id"), col("s.doc_id").as("dup_id"))
       .distinct()
     // tombstoned docs stop being anyone's duplicate: the anti-join sits
@@ -168,10 +218,21 @@ object DedupIndex {
         Seq("dup_id"), "left_anti")
     val newGrams = Dedup.withGramSet(newDocs, p.n)
       .select(col("doc_id"), col("gs").as("__ga__"))
-    cand
-      .join(broadcast(newGrams), "doc_id")
-      .join(storedGrams.select(col("doc_id").as("dup_id"),
-        col("gs").as("__gb__")), "dup_id")
+    // the heavy side of the verify join is the STORED gram arrays: gpfx
+    // in the join key lets dynamic partition pruning restrict the grams
+    // scan to the directories holding actual candidates (the candidate
+    // frame broadcasts — it is LSH-bounded by the probe batch)
+    val candG =
+      if (pfx) cand.withColumn("gpfx", gpfxCol(col("dup_id"))) else cand
+    val verifyKeys = if (pfx) Seq("gpfx", "dup_id") else Seq("dup_id")
+    val storedG =
+      if (pfx) storedGrams.select(col("gpfx"), col("doc_id").as("dup_id"),
+        col("gs").as("__gb__"))
+      else storedGrams.select(col("doc_id").as("dup_id"),
+        col("gs").as("__gb__"))
+    storedG
+      .join(broadcast(candG.join(broadcast(newGrams), "doc_id")),
+        verifyKeys)
       .withColumn("common",
         size(array_intersect(col("__ga__"), col("__gb__"))).cast(LongType))
       .withColumn("jaccard",

@@ -215,14 +215,69 @@ class RetentionSpec extends SparkSpec {
       .filter($"doc_id" === 2L).count() == 0)
     assert(spark.read.parquet(s"$dir/grams.parquet")
       .filter($"doc_id" === 2L).count() == 0)
-    // compact: identity, file count collapses to one per band dir
+    // compact: identity, file count collapses to one per (band, bpfx) dir
     val filesBefore = StoreOps.parquetFileCount(spark, s"$dir/postings.parquet")
     DedupIndex.compact(dir)
     assert(hits(dir) == want)
     val filesAfter = StoreOps.parquetFileCount(spark, s"$dir/postings.parquet")
-    val nBands = spark.read.parquet(s"$dir/postings.parquet")
-      .select("band").distinct().count()
-    assert(filesAfter <= filesBefore && filesAfter == nBands)
+    val nDirs = spark.read.parquet(s"$dir/postings.parquet")
+      .select("band", "bpfx").distinct().count()
+    assert(filesAfter <= filesBefore && filesAfter == nDirs)
+  }
+
+  test("DedupIndex probe prunes both store scans dynamically (bpfx + gpfx)") {
+    // parquet-backed corpus + filtered probe, the serving shape: a
+    // LocalRelation probe would be folded by ConvertToLocalRelation and
+    // lose the selective Filter node DPP's trigger heuristic looks for
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = tmp("dpp-dedupidx")
+    DedupIndex.build(docs.filter($"doc_id" % 10 =!= 9), dir)
+    val probe = docs.filter($"doc_id" % 10 === 9)
+    val plan = DedupIndex.dedupAgainst(spark, dir, probe)
+      .queryExecution.executedPlan.toString
+    // both the postings scan (bpfx) and the heavy grams scan (gpfx) must
+    // carry dynamic-pruning subqueries — without them a serving-sized
+    // probe reads 100% of a store that grows without bound
+    val n = "dynamicpruning".r.findAllIn(plan.toLowerCase).size
+    assert(n >= 2, s"expected >=2 dynamicpruning subqueries, got $n:\n" +
+      plan.take(3000))
+  }
+
+  test("DedupIndex legacy (band-only) layout: probes work, maintenance fails fast") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val idx = Seq(1L -> base, 2L -> (base + " phi"))
+      .toDF("doc_id", "text")
+    val dir = tmp("legacy-dedupidx")
+    DedupIndex.build(idx, dir)
+    // strip the store down to the pre-pfx layout
+    StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/postings.parquet")
+        .select("doc_id", "bkey", "band").repartition(col("band")),
+      s"$dir/postings.parquet", Seq("band"))
+    StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/grams.parquet").select("doc_id", "gs"),
+      s"$dir/grams.parquet")
+
+    // probe still serves the old store (unpruned fallback joins)
+    val probe = Seq(10L -> (base + " chi")).toDF("doc_id", "text")
+    val hits = DedupIndex.dedupAgainst(spark, dir, probe)
+      .select("dup_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+
+    // maintenance refuses rather than mixing partition layouts
+    for ((name, op) <- Seq[(String, () => Unit)](
+        "append" -> (() => DedupIndex.append(dir,
+          Seq(9L -> "new doc").toDF("doc_id", "text"))),
+        "vacuum" -> (() => DedupIndex.vacuum(dir)),
+        "compact" -> (() => DedupIndex.compact(dir)))) {
+      val e = intercept[IllegalArgumentException] { op() }
+      assert(e.getMessage.contains("legacy band-only layout"), s"$name: $e")
+    }
+    // and the refusals left the store untouched
+    assert(DedupIndex.dedupAgainst(spark, dir, probe)
+      .select("dup_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("SubstrIndex counted removal is exact: shared grams survive partial removal") {
