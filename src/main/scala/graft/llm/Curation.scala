@@ -36,16 +36,20 @@ object Curation {
       t => t =!= lit(""))).cast(LongType)
 
   /** Tokenizer dispatch for the token-budget operators: "ws" (whitespace
-    * words — the gate default, see [[tokCount]]'s oracle-stability note)
-    * or "bpe" ([[Bpe.tokenCount]] with the default merge table — what a
-    * real pipeline budgets in). Both are in-row codegen'd expressions;
-    * swapping tokenizers changes no plan shape. */
+    * words — the gate default, see [[tokCount]]'s oracle-stability note),
+    * "bpe" ([[Bpe.tokenCount]] with the default merge table) or
+    * "unigram_raw" ([[Unigram.rawTokenCount]] — byte-fallback subword
+    * counts over the RAW text, the lossless budget a real pipeline
+    * wants: case/punctuation/UTF-8 all priced, never dropped). All are
+    * in-row codegen'd expressions; swapping tokenizers changes no plan
+    * shape. */
   private def tokCountAs(text: Column, tokenizer: String): Column =
     tokenizer match {
-      case "ws"  => tokCount(text)
-      case "bpe" => Bpe.tokenCount(text)
+      case "ws"          => tokCount(text)
+      case "bpe"         => Bpe.tokenCount(text)
+      case "unigram_raw" => Unigram.rawTokenCount(text)
       case other => throw new IllegalArgumentException(
-        s"unknown tokenizer '$other' (expected ws | bpe)")
+        s"unknown tokenizer '$other' (expected ws | bpe | unigram_raw)")
     }
 
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM-style n-gram

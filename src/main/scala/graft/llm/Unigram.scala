@@ -105,6 +105,48 @@ object Unigram {
         col("__enc__.segmented").as("segmented"))
   }
 
+  /** Default piece table for the RAW encoder when a caller just wants
+    * byte-fallback token counts (budgets, packing): the 36 [[Chars]] plus
+    * a few high-frequency English pieces — uncovered characters (case,
+    * punctuation, UTF-8) ride the byte fallback, so the table's quality
+    * only shifts fertility, never coverage. Costs are the tokenizer-gate
+    * dyadic convention (char 4.0, multi-char len·4−2). */
+  val DefaultRawPieces: Map[String, Double] =
+    (Chars.map(_ -> 4.0) ++ Seq("the", "and", "ing", "ion", "er", "ed",
+      "in", "on", "at", "es", "en", "of", "to", "is", "or", "ar")
+      .map(w => w -> (w.length * 4.0 - 2.0))).toMap
+
+  /** LOSSLESS byte-fallback encoding over the RAW text — case,
+    * punctuation, whitespace runs and non-ASCII all preserved (the
+    * SentencePiece `--byte_fallback` recipe; [[encode]] is the word-level
+    * corpus-statistics mode). Pre-tokens are alternating `\S+`/`\s+`
+    * runs; uncovered code points become UTF-8 byte pieces `<0xAB>`, so
+    * every document is coverable with no `<unk>`. Output: (doc_id,
+    * n_pieces, pieces array<string>); [[graft.functions.SubwordRaw.decode]]
+    * inverts exactly — decode(encodeRaw(text).pieces) == text, the
+    * `tokenize_raw_unigram` gate law. Same zero-shuffle pure-map shape as
+    * [[encode]] (one compiled pass per document, per-doc run memo). */
+  def encodeRaw(docs: DataFrame, pieces: Map[String, Double] = DefaultRawPieces,
+                maxPieceLen: Int = 24, byteCost: Double = 16.0): DataFrame = {
+    val enc = org.apache.spark.sql.GraftExpr.column(
+      graft.functions.UnigramSegRaw(
+        org.apache.spark.sql.GraftExpr.expression(col("text")),
+        pieces, maxPieceLen, byteCost))
+    docs
+      .withColumn("__enc__", enc)
+      .select(col("doc_id"), col("__enc__.n_pieces").as("n_pieces"),
+        col("__enc__.pieces").as("pieces"))
+  }
+
+  /** Raw byte-fallback token COUNT as a single column expression — the
+    * budget/packing tokenizer option ([[Curation]]'s "unigram_raw"). */
+  def rawTokenCount(text: Column,
+                    pieces: Map[String, Double] = DefaultRawPieces): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      graft.functions.UnigramSegRaw(
+        org.apache.spark.sql.GraftExpr.expression(text),
+        pieces, 24, 16.0)).getField("n_pieces")
+
   /** The pre-native expression-tree encoder (per-row memoized HOF fold) —
     * kept as the independent formulation the spec A/Bs the native
     * expression against. */

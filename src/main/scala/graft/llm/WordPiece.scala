@@ -108,6 +108,25 @@ object WordPiece {
         col("__enc__.segmented").as("segmented"))
   }
 
+  /** LOSSLESS greedy MaxMatch over the RAW text with byte fallback —
+    * the [[Unigram.encodeRaw]] sibling: alternating `\S+`/`\s+` run
+    * pre-tokens, longest vocab match per position, uncovered code points
+    * as UTF-8 byte pieces `<0xAB>`. No `##` continuation marking (a
+    * display convention a byte-exact decode cannot tolerate — raw pieces
+    * may themselves start with `##`). decode(encodeRaw(text).pieces) ==
+    * text exactly; the `tokenize_raw_wordpiece` gate pins it. */
+  def encodeRaw(docs: DataFrame, vocab: Set[String],
+                maxPieceLen: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.GraftExpr.column(
+      graft.functions.WordPieceSegRaw(
+        org.apache.spark.sql.GraftExpr.expression(col("text")),
+        vocab, maxPieceLen))
+    docs
+      .withColumn("__enc__", enc)
+      .select(col("doc_id"), col("__enc__.n_pieces").as("n_pieces"),
+        col("__enc__.pieces").as("pieces"))
+  }
+
   /** The pre-native expression-tree encoder (per-row memoized HOF fold) —
     * kept as the independent formulation the spec A/Bs the native
     * expression against. */

@@ -527,6 +527,50 @@ object LlmQueries {
     graft.llm.WordPiece.encode(d, vocab, maxPieceLen = 24)
   }
 
+  /** Shared Spark/DuckDB SQL fragment injecting deterministic case,
+    * punctuation, whitespace variety and UTF-8 (incl. an astral emoji —
+    * a surrogate pair on the JVM) into the synthetic lowercase-ASCII
+    * docs — the textPii injection pattern: both engines run the SAME
+    * fragment, so the raw-tokenizer gates exercise real multi-byte text
+    * rather than vacuously round-tripping [a-z0-9 ]. */
+  private val RawInject: String =
+    "concat(CASE WHEN doc_id % 3 = 0 THEN upper(substr(text, 1, 24)) " +
+      "ELSE substr(text, 1, 24) END, " +
+      "' — Ünïçødé ☃ «quoted» 100%\t#tag\nline2 ', " +
+      "repeat('!?', CAST(doc_id % 4 AS INT)), " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' 🙂 done.' ELSE '' END)"
+
+  /** Byte-fallback Unigram round-trip over RAW text: encode with the
+    * default raw piece table (36 chars + common English pieces; every
+    * uncovered code point rides UTF-8 byte pieces), decode, and pin
+    * decode ∘ encode ≡ id corpus-wide — the [[bpeRoundtripQ]] law,
+    * upgraded from whitespace-normalized to EXACT (case, punctuation,
+    * tabs/newlines, multi-byte UTF-8 and surrogate pairs all preserved).
+    * The oracle states the identity directly; a single corrupted,
+    * dropped or reordered byte anywhere in the corpus hash-fails. */
+  def tokenizeRawUnigramQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("text", expr(RawInject))
+    graft.llm.Unigram.encodeRaw(d)
+      .select(col("doc_id"),
+        graft.functions.SubwordRaw.decode(col("pieces")).as("text_rt"))
+  }
+
+  def oracleTokenizeRawUnigram: String =
+    s"SELECT doc_id, $RawInject AS text_rt FROM documents"
+
+  /** Byte-fallback greedy MaxMatch (raw WordPiece) round-trip — same law,
+    * greedy walk instead of Viterbi. */
+  def tokenizeRawWordPieceQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("text", expr(RawInject))
+    graft.llm.WordPiece.encodeRaw(d,
+      graft.llm.Unigram.DefaultRawPieces.keySet)
+      .select(col("doc_id"),
+        graft.functions.SubwordRaw.decode(col("pieces")).as("text_rt"))
+  }
+
+  def oracleTokenizeRawWordPiece: String =
+    s"SELECT doc_id, $RawInject AS text_rt FROM documents"
+
   /** Tokenizer FERTILITY / compression eval — the metric a tokenizer is
     * chosen by (pieces per word, chars per piece) — over the SAME
     * fixtures as the three tokenizer gates, one row per tokenizer. All
@@ -2871,6 +2915,8 @@ object LlmQueries {
     "text_tokens_bpe" -> (textTokensBpe _),
     "tokenize_unigram" -> (tokenizeUnigramQ _),
     "tokenize_wordpiece" -> (tokenizeWordPieceQ _),
+    "tokenize_raw_unigram" -> (tokenizeRawUnigramQ _),
+    "tokenize_raw_wordpiece" -> (tokenizeRawWordPieceQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -2957,6 +3003,8 @@ object LlmQueries {
     "text_tokens_bpe" -> oracleTextTokensBpe,
     "tokenize_unigram" -> oracleTokenizeUnigram,
     "tokenize_wordpiece" -> oracleTokenizeWordPiece,
+    "tokenize_raw_unigram" -> oracleTokenizeRawUnigram,
+    "tokenize_raw_wordpiece" -> oracleTokenizeRawWordPiece,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,

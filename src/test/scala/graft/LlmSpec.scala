@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Curation, Dedup, Multimodal, TextAnalysis, Unigram}
 
 /** Operator-level behavior of the LLM-pipeline ops on planted inputs. */
 class LlmSpec extends SparkSpec {
@@ -930,6 +930,29 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) == ((2L, true)))
     assert(out(3L) == ((0L, false)))
     assert(out(4L) == ((0L, false)))
+  }
+
+  test("budget operators accept the byte-fallback tokenizer (unigram_raw)") {
+    val docs = Seq(
+      (0L, "Mixed CASE text!", "a", 10L),
+      (1L, "plain lower words", "a", 10L),
+      (2L, "Ünïçødé costs bytes ☃", "b", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    // the budget math must run off encodeRaw counts: full budget keeps
+    // every doc and kept_tok == the raw piece count, which prices case
+    // and multi-byte chars instead of dropping them
+    val rawCounts = Unigram.encodeRaw(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Curation.mixByBudget(docs, budget = 1000000L,
+        tokenizer = "unigram_raw")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("tok"))).toMap
+    assert(out == rawCounts)
+    // raw counts strictly exceed whitespace counts on the unicode doc
+    val ws = Curation.mixByBudget(docs, budget = 1000000L)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("tok"))).toMap
+    assert(rawCounts(2L) > ws(2L))
   }
 
   test("blocklist: mixed-length phrases (1/2/3 words), normalization, loud reject") {

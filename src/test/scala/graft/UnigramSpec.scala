@@ -71,6 +71,43 @@ class UnigramSpec extends SparkSpec {
     assert(native(0) == ((1L, "ab")))
   }
 
+  test("encodeRaw: lossless round-trip on case/punct/UTF-8/astral/whitespace") {
+    val texts = Seq(
+      "Hello, World!  Two  spaces\tand a\ttab\nnewline",
+      "Ünïçødé ☃ «quoted» — em-dash 🙂 astral",
+      "",
+      "   ",
+      "plain ascii lower 123")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val enc = Unigram.encodeRaw(docs)
+    val rt = enc.select(col("doc_id"),
+        graft.functions.SubwordRaw.decode(col("pieces")).as("rt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rt(i.toLong) == t, s"doc $i") }
+  }
+
+  test("encodeRaw: uncovered code points become UTF-8 byte pieces, np counts bytes") {
+    val docs = Seq((0L, "a☃b")).toDF("doc_id", "text") // ☃ = 3 UTF-8 bytes
+    val out = Unigram.encodeRaw(docs).collect()(0)
+    val pieces = out.getSeq[String](2)
+    assert(out.getLong(1) == 5L) // a + 3 byte pieces + b
+    assert(pieces == Seq("a", "<0xE2>", "<0x98>", "<0x83>", "b"))
+  }
+
+  test("encodeRaw: vocab pieces beat byte fallback; byte-piece spelling rejected") {
+    val docs = Seq((0L, "Hi")).toDF("doc_id", "text")
+    // 'H' covered at cost 4.0 < byteCost 16.0 -> vocab piece chosen
+    val out = Unigram.encodeRaw(docs,
+      pieces = Map("H" -> 4.0, "i" -> 4.0)).collect()(0)
+    assert(out.getSeq[String](2) == Seq("H", "i"))
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.encodeRaw(docs, pieces = Map("<0xAB>" -> 1.0)).collect()
+    }
+    assert(ex.getMessage.contains("byte-fallback"))
+  }
+
   test("train: a repeated substring becomes a piece and compresses encoding") {
     val docs = (0L until 30L).map(i => (i, "zqzq zqzq wxwx"))
       .toDF("doc_id", "text")

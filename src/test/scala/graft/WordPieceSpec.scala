@@ -88,4 +88,29 @@ class WordPieceSpec extends SparkSpec {
     val fresh = WordPiece.encode(doc("zzz"), vocab).collect()(0)
     assert(!fresh.getString(2).contains("[UNK]"))
   }
+
+  test("encodeRaw: lossless MaxMatch round-trip, greedy prefers longest") {
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "Greedy, Raw!  Mode\twith\nUTF-8: Ünï ☃ 🙂 end",
+      "themes the them") // longest-match: "themes" whole if in vocab
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val vocab = Set("the", "them", "themes", "e", "s", "m") ++
+      ('a' to 'z').map(_.toString)
+    val enc = WordPiece.encodeRaw(docs, vocab)
+    val rows = enc.select(col("doc_id"),
+        graft.functions.SubwordRaw.decode(col("pieces")).as("rt"),
+        col("pieces"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getSeq[String](2)))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rows(i.toLong)._1 == t, s"doc $i") }
+    // greedy longest-match: "themes" one piece, "them" one piece
+    // (the space between is uncovered -> byte piece 0x20)
+    assert(rows(1L)._2.take(2) == Seq("themes", "<0x20>"))
+    assert(rows(1L)._2.contains("them"))
+    // uncovered uppercase rides byte fallback (G = 0x47)
+    assert(rows(0L)._2.contains("<0x47>"))
+  }
 }
