@@ -40,7 +40,13 @@ object Cohort {
       col("event_type"))
     val cohorts = e.filter(col("event_type") === entryType)
       .groupBy("user_id").agg(min("week").as("cohort_week"))
-    val active = e.select("user_id", "week").distinct()
+    // semi-join the activity frame on cohort users FIRST: when entryType
+    // selects a small cohort, the distinct and the retention join see
+    // only cohort users' activity instead of the whole corpus (r15
+    // verdict nicety; a no-op when everyone is in the cohort)
+    val active = e.select("user_id", "week")
+      .join(cohorts.select("user_id"), Seq("user_id"), "left_semi")
+      .distinct()
     val sizes = cohorts.groupBy("cohort_week")
       .agg(count(lit(1)).as("cohort_size"))
     cohorts

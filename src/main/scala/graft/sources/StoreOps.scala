@@ -150,7 +150,22 @@ object StoreOps {
     * Partition directories are preserved (the staged layout IS the store
     * layout), so pruning contracts survive. The batch-id key space is the
     * caller's: streaming passes the foreachBatch id, batch callers that
-    * want replayable appends pick their own (crawl snapshot id). */
+    * want replayable appends pick their own (crawl snapshot id).
+    *
+    * STORAGE-LAYER CONTRACT: step 3's rename is assumed to be an atomic,
+    * cheap metadata operation — true on HDFS and posix filesystems, NOT
+    * on S3-class object stores, where "rename" is copy+delete (non-atomic
+    * and O(bytes)). Running the stores on an object store needs one of
+    * the standard mitigations, all compatible with this layout because
+    * the commit unit is a batch-keyed FILE NAME: (a) an HDFS-semantics
+    * layer (HBoss/S3Guard-style, or a real HDFS/JuiceFS in front);
+    * (b) replacing step 3 with an S3 conditional PUT (If-None-Match) of
+    * the staged object under its final key — same idempotence law, since
+    * replays re-PUT byte-identical objects; or (c) a commit-ledger table
+    * (the Iceberg/Delta route) where step 3 appends the staged file list
+    * to a manifest instead of moving files. The same assumption note
+    * applies to [[swapWrite]] (directory-level rename swap). SURVEY §5
+    * carries the deployment-facing version of this contract. */
   def appendKeyed(df: DataFrame, path: String, batchId: Long,
                   partitionCols: Seq[String] = Nil): Unit = {
     val staging = new Path(s"$path.staging/b$batchId")

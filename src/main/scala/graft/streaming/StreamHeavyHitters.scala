@@ -59,14 +59,28 @@ object StreamHeavyHitters {
 
   /** `docs` must be a streaming DataFrame with a `text` (string) column.
     * Emits each updated shard's full ≤ k-entry summary per micro-batch,
-    * tagged with the shard's update sequence number. */
+    * tagged with the shard's update sequence number.
+    *
+    * THROUGHPUT KNOB: each shard's entire micro-batch token stream funnels
+    * through ONE `flatMapGroupsWithState` task (the exact per-batch
+    * pre-count is built inside the group iterator), so per-trigger
+    * throughput is capped at `nShards` parallel tasks — nShards must
+    * scale with stream volume, not stay a constant. The default therefore
+    * follows the cluster (`defaultParallelism`), trading state bound
+    * (still nShards·k entries, linear in cores) for full-width triggers;
+    * callers with tiny streams can pin it lower. The MG guarantee is
+    * per-shard and UNAFFECTED by the shard count (a token lives in
+    * exactly one shard at any nShards; StreamingSpec pins the laws at
+    * both 4 and 16). */
   def streaming(spark: SparkSession, docs: DataFrame, k: Int,
-                nShards: Int = 4): Dataset[HeavyRow] = {
+                nShards: Int = -1): Dataset[HeavyRow] = {
     import spark.implicits._
+    val shards =
+      if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
     docs
       .select(explode(expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
-      .select(pmod(xxhash64(col("token")), lit(nShards)).cast("int")
+      .select(pmod(xxhash64(col("token")), lit(shards)).cast("int")
         .as("shard"), col("token"))
       .as[Tok]
       .groupByKey(_.shard)

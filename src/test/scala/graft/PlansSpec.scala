@@ -25,4 +25,23 @@ class PlansSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"PLANS.md is stale — no section for: $missing. Run: sbt 'runMain graft.Plans'")
   }
+
+  test("every partition-less WindowExec in the gate plans is an explained, model-bounded frame") {
+    val text = Files.readString(Paths.get("PLANS.md"))
+    val header = "## partition-less windows"
+    assert(text.contains(header),
+      "PLANS.md predates the global-window audit — run: sbt 'runMain graft.Plans'")
+    val section = text.substring(text.indexOf(header))
+    // the generator writes UNEXPLAINED for any occurrence missing from
+    // Plans.BoundedGlobalWindows — a corpus-sized one-task sort must
+    // never land silently (it melts at scale)
+    assert(!section.contains("UNEXPLAINED"),
+      "unexplained partition-less window(s):\n" + section.take(2000))
+    val listed = section.linesIterator
+      .filter(_.startsWith("- `")).map(_.drop(3).takeWhile(_ != '`')).toSet
+    // the allowlist stays live: an entry whose query no longer shows a
+    // global window must be dropped, not accreted
+    val stale = Plans.BoundedGlobalWindows.keys.map(_._1).toSet -- listed
+    assert(stale.isEmpty, s"BoundedGlobalWindows entries no longer observed: $stale")
+  }
 }

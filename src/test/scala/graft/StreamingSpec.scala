@@ -446,6 +446,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming heavy hitters: Misra-Gries bound holds against exact counts across micro-batches") {
+    hhLaws(nShards = 2, qname = "hh_stream")
+  }
+
+  test("streaming heavy hitters: same laws at nShards=16 (the throughput knob moves, the guarantee doesn't)") {
+    hhLaws(nShards = 16, qname = "hh_stream16")
+  }
+
+  private def hhLaws(nShards: Int, qname: String): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // Zipf corpus with known skew (the testdata vocab is 31 tokens — too
@@ -457,8 +465,9 @@ class StreamingSpec extends SparkSpec {
     val docs = occurrences.grouped(50).zipWithIndex
       .map { case (chunk, i) => (i.toLong, chunk.mkString(" ")) }
       .toSeq.toDF("doc_id", "text")
-    val k = 20 // well under the per-shard vocabulary so trimming happens
-    val nShards = 2
+    // k stays well under the per-shard vocabulary so trimming happens at
+    // BOTH shard counts (200-token vocab / 16 shards ≈ 12.5 per shard)
+    val k = if (nShards >= 16) 8 else 20
 
     val streamDir = java.nio.file.Files.createTempDirectory("graft_hh")
     docs.filter(col("doc_id") % 2 === 0).coalesce(1)
@@ -479,7 +488,7 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
     val q = streaming.StreamHeavyHitters.streaming(spark, stream, k, nShards)
-      .writeStream.format("memory").queryName("hh_stream")
+      .writeStream.format("memory").queryName(qname)
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -487,8 +496,8 @@ class StreamingSpec extends SparkSpec {
 
     // current state = each shard's max-seq emission
     val summary = spark.sql(
-      """SELECT shard, token, cnt FROM hh_stream h
-        |WHERE seq = (SELECT max(seq) FROM hh_stream WHERE shard = h.shard)
+      s"""SELECT shard, token, cnt FROM $qname h
+        |WHERE seq = (SELECT max(seq) FROM $qname WHERE shard = h.shard)
         |""".stripMargin)
       .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
 
