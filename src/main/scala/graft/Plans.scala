@@ -70,22 +70,25 @@ object Plans {
     * frame is a one-task sort that melts at scale and must never slip in
     * silently). */
   val BoundedGlobalWindows: Map[(String, String), String] = Map(
-    ("topk", "rank") ->
-      ("per-(ts,labels) group top-k re-rank: the frame is the k-bounded " +
-        "group output, not the corpus"),
-    ("limitk", "rn") ->
-      ("limitk's deterministic global order over the k-bounded selector " +
-        "output (k rows per series, model-sized)"),
-    ("shard_balanced", "rk") ->
-      ("decomposed global rank: the single-task window sorts only the " +
-        "per-partition boundary summary (one row per shuffle partition), " +
-        "the corpus-sized rank is partition-local"),
-    ("vocab_build", "rank") ->
-      ("vocabulary rank over the vocab-bounded (minCount-filtered) term " +
-        "frame — a model, not the corpus"),
-    ("mine_negatives", "rn") ->
-      ("final per-anchor candidate re-rank over the pre-counted, capped " +
-        "candidate frame (bounded per anchor)"))
+    ("pack_blocks", "_we0") ->
+      ("decomposed global offset: the single-task window sums the " +
+        "per-bucket token-mass aggregate (one row per doc_id/bucketWidth " +
+        "bucket), the corpus-sized cumulative offset is bucket-local"),
+    ("shard_balanced", "_we0") ->
+      ("decomposed global rank: the window runs over the per-band " +
+        "summary aggregate, not the corpus-sized token frame"),
+    ("vocab_build", "_we0") ->
+      ("band bases over the (cnt, prefix) aggregate — distinct band " +
+        "keys, far fewer rows than the vocabulary, itself minCount-bounded"),
+    ("mix_temperature", "_we0") ->
+      ("share normalization over the per-source token-mass frame " +
+        "(one row per source — a model frame)"),
+    ("mix_cluster", "_we0") ->
+      ("share normalization over the per-cluster mass frame " +
+        "(one row per centroid — nCentroids-bounded)"),
+    ("dsir_weight", "tr,tt") ->
+      ("corpus/target totals over the hash-bucket count frame " +
+        "(one row per bucket, bounded by the buckets knob, 4096)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
