@@ -216,4 +216,65 @@ object Unigram {
       .toDF("piece", "count", "logp")
       .orderBy(col("count").desc, col("piece").asc)
   }
+
+  /** Hard-EM trainer over the RAW alphabet — [[train]]'s byte-fallback
+    * sibling, completing the lossless path: the vocab it fits feeds
+    * [[encodeRaw]] directly, so train → encode → decode round-trips the
+    * raw corpus byte-for-byte while case/punctuation/UTF-8 substrings can
+    * BECOME pieces ("Don't", "C++", "—" are learnable here and
+    * unrepresentable in [[train]]'s [a-z0-9]+ world).
+    *
+    * Differences from [[train]], all forced by the raw alphabet:
+    *  - the word frame is the DISTINCT `\S+` runs (case preserved;
+    *    whitespace runs are excluded from fitting — they would dominate
+    *    every count table — and ride byte fallback at encode time);
+    *  - totality comes from the BYTE FALLBACK, not a forced char set:
+    *    single characters compete for vocab slots like any piece, and an
+    *    unobserved char is simply priced at byteCost per byte;
+    *  - E-steps segment with the SAME fallback-aware DP the encoder runs
+    *    ([[graft.functions.UnigramSegRaw]]), so training optimizes
+    *    exactly the encoding it ships; byte pieces emitted by fallback
+    *    are excluded from the vocab counts (they are implicit).
+    *
+    * Same bounded-model shape as [[train]]: every collect is capped by
+    * seedSize/vocabSize knobs; the corpus is never collected. */
+  def trainRaw(docs: DataFrame, vocabSize: Int = 64, iters: Int = 3,
+               maxPieceLen: Int = 8, seedSize: Int = 256,
+               byteCost: Double = 16.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.cache()
+    val subs = words.select(col("freq"), explode(flatten(
+      transform(sequence(lit(1), length(col("w"))), i =>
+        transform(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - i + 1)), l =>
+          col("w").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    var table: Seq[(String, Long)] = subs
+      .filter(!col("piece").rlike("^<0x[0-9A-F]{2}>$")) // decode ambiguity guard
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize + vocabSize)
+      .as[(String, Long)].collect().toSeq
+    for (_ <- 0 until iters) {
+      val total = table.map(_._2).sum.toDouble
+      val costs = table.map { case (p, c) => p -> -math.log(c / total) }.toMap
+      val enc = org.apache.spark.sql.GraftExpr.column(
+        graft.functions.UnigramSegRaw(
+          org.apache.spark.sql.GraftExpr.expression(col("w")),
+          costs, maxPieceLen, byteCost))
+      val counts = words
+        .select(col("freq"), explode(enc.getField("pieces")).as("piece"))
+        .filter(!col("piece").rlike("^<0x[0-9A-F]{2}>$")) // fallback is implicit
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      table = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    }
+    words.unpersist()
+    val total = table.map(_._2).sum.toDouble
+    table.map { case (p, c) => (p, c, math.floor(math.log(c / total) * 1e6) / 1e6) }
+      .toDF("piece", "count", "logp")
+      .orderBy(col("count").desc, col("piece").asc)
+  }
 }

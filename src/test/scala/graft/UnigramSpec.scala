@@ -108,6 +108,32 @@ class UnigramSpec extends SparkSpec {
     assert(ex.getMessage.contains("byte-fallback"))
   }
 
+  test("trainRaw: cased/punctuated substrings become pieces; round-trip + compression") {
+    val corpus = (0L until 30L)
+      .map(i => (i, "Don't C++ rocks! Don't C++ ☃ plain")).toDF("doc_id", "text")
+    val trained = Unigram.trainRaw(corpus, vocabSize = 32, iters = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    // pieces unreachable in the [a-z0-9]+ world are learned here
+    assert(trained.keys.exists(_.contains("'")), trained.keys.toString)
+    assert(trained.keys.exists(_.contains("+")), trained.keys.toString)
+    // no byte-piece spellings can enter the vocab
+    assert(!trained.keys.exists(graft.functions.SubwordRaw.isBytePiece))
+    // costs are -logp: feed them straight to encodeRaw and round-trip
+    val costs = trained.map { case (p, lp) => p -> -lp }
+    val probe = Seq((0L, "Don't stop — C++! ☃")).toDF("doc_id", "text")
+    val enc = Unigram.encodeRaw(probe, costs)
+    val rt = enc.select(graft.functions.SubwordRaw.decode(col("pieces")))
+      .head().getString(0)
+    assert(rt == "Don't stop — C++! ☃")
+    // trained vocab compresses vs a chars-only baseline on in-domain text
+    val base = Unigram.encodeRaw(corpus,
+      ('a' to 'z').map(_.toString -> 4.0).toMap)
+      .agg(sum("n_pieces")).head().getLong(0)
+    val fit = Unigram.encodeRaw(corpus, costs)
+      .agg(sum("n_pieces")).head().getLong(0)
+    assert(fit < base, s"$fit !< $base")
+  }
+
   test("train: a repeated substring becomes a piece and compresses encoding") {
     val docs = (0L until 30L).map(i => (i, "zqzq zqzq wxwx"))
       .toDF("doc_id", "text")
