@@ -120,6 +120,89 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** EXACT all-pairs set-similarity self-join with PREFIX FILTERING
+    * (Bayardo et al. WWW'07 "AllPairs"; Xiao et al. WWW'08 "PPJoin"):
+    * every pair of documents whose word-SET Jaccard ≥ `minJaccard`, with
+    * NO false negatives — the guarantee [[ngramJaccard]] gives up (its
+    * `maxDf` cap silently drops pairs that only share hot grams) and
+    * [[minhashLsh]] only approximates (banding misses below-threshold-
+    * probability pairs).
+    *
+    * The filter that makes exactness affordable: order every doc's token
+    * set by GLOBAL rarity (document frequency asc, token asc — a total,
+    * deterministic order), and index only each doc's PREFIX of length
+    * |A| − ⌈τ·|A|⌉ + 1. Theorem (prefix filter): J(A,B) ≥ τ implies
+    * |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and the minimum-rank common token must
+    * then sit inside BOTH prefixes — if it sat outside A's, all of A∩B
+    * would fit in A's suffix of size ⌈τ|A|⌉−1 < ⌈τ|A|⌉. So joining
+    * prefix postings with themselves finds every qualifying pair, while
+    * hot tokens (which sort LAST in the rarity order) almost never enter
+    * a prefix — the inverted index is skew-resistant by construction,
+    * not by a lossy cap. A length filter (τ·|A| ≤ |B| ≤ |A|/τ, applied
+    * with an epsilon so a boundary pair is never over-pruned) cuts
+    * candidates further; verification is one exact `array_intersect`
+    * per candidate. (PPJoin's positional filter would prune another
+    * ~2×; omitted for plan simplicity — the prefix+length pair is the
+    * load-bearing part.)
+    *
+    * Scale shape: one token-keyed df aggregate (map-side combined), one
+    * doc-keyed sort-collect (per-doc bounded), prefix postings explode to
+    * Σ(|A|−⌈τ|A|⌉+1) rows ≈ (1−τ)·corpus tokens, the candidate self-join
+    * shuffles on the prefix token, verify joins shuffle on doc ids with
+    * candidate-bounded fan-in. `maxBucket` remains as a pure SAFETY
+    * brake on adversarial prefix buckets — at the gate's corpus scale no
+    * bucket comes near it, so the DuckDB brute-force oracle is the
+    * honest spec. Output: (doc_a < doc_b, round-6 jaccard ≥ τ). */
+  def allPairsJoin(docs: DataFrame, minJaccard: Double,
+                   maxBucket: Int = 100000): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val eps = 1e-9
+    val ts = docs
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val tok = ts.select(col("doc_id"), explode(col("ts")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // per doc: tokens sorted by (df asc, token asc) — struct sort IS the
+    // global rarity order, no corpus-wide rank window needed
+    val ranked = tok.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("ord"),
+        count(lit(1)).cast(LongType).as("sz"))
+    val prefLen = (col("sz") - ceil(lit(minJaccard) * col("sz").cast(DoubleType)
+      - lit(eps)) + 1).cast(IntegerType)
+    val pref = ranked
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ord"), lit(1), prefLen)).as("pt"))
+      .select(col("doc_id"), col("sz"), col("pt.token").as("token"))
+    // safety brake only (see scaladoc): pre-counted, never list-built
+    val ok = pref.groupBy("token").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket)).select("token")
+    val p = pref.join(ok, "token")
+    val cand = p.as("a").join(p.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz").cast(DoubleType) >=
+            lit(minJaccard) * col("a.sz").cast(DoubleType) - lit(eps) &&
+          col("a.sz").cast(DoubleType) >=
+            lit(minJaccard) * col("b.sz").cast(DoubleType) - lit(eps))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ts.select(col("doc_id").as("doc_a"), col("ts").as("__ta__")),
+        "doc_a")
+      .join(ts.select(col("doc_id").as("doc_b"), col("ts").as("__tb__")),
+        "doc_b")
+      .withColumn("common",
+        size(array_intersect(col("__ta__"), col("__tb__"))).cast(LongType))
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) /
+          (size(col("__ta__")) + size(col("__tb__")) - col("common"))
+            .cast(DoubleType), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Winnowed-fingerprint near-dup pairs (Schleimer et al. 2003, the MOSS
     * local-fingerprinting algorithm): docs sharing ≥ `minShared` winnowed
     * fingerprints, scored by containment overlap = shared / min(|fps|).

@@ -256,6 +256,34 @@ object LlmQueries {
       .toDF("rank", "lt", "rt", "cnt")
   }
 
+  /** Exact word-set similarity self-join at τ=0.8 over the doc_id%11==0
+    * slice — prefix-filtered AllPairs against the brute-force DuckDB
+    * spec (every pair, no filter): the gate proves the prefix/length
+    * filters prune WITHOUT losing a single qualifying pair. The slice +
+    * the tight τ keep the gate's OUTPUT bounded: the synthetic corpus is
+    * near-dup-heavy by design (92k qualifying pairs at τ=0.5 over just
+    * the 500 sf0.01 docs), and an all-pairs operator's cost is its
+    * result size — the right benchmark shape is selective, the
+    * exhaustive-τ setting belongs to [[graft.llm.Dedup.keepBest]]-style
+    * cluster collapse, not a pair listing. */
+  def dedupAllpairsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.allPairsJoin(
+      docs(spark, dir).filter(col("doc_id") % 11 === 0), minJaccard = 0.8)
+
+  def oracleDedupAllpairs: String =
+    """WITH s AS (SELECT doc_id,
+      |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |ne AS (SELECT doc_id, ts FROM s WHERE len(ts) > 0),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS common,
+      |    len(a.ts) AS la, len(b.ts) AS lb
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(common AS DOUBLE) / (la + lb - common), 6) AS jaccard
+      |FROM p
+      |WHERE round(CAST(common AS DOUBLE) / (la + lb - common), 6) >= 0.8""".stripMargin
+
   def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -2897,6 +2925,7 @@ object LlmQueries {
     "dedup_semdedup" -> (dedupSemdedupQ _),
     "dedup_semdedup_incremental" -> (dedupSemdedupIncrementalQ _),
     "dedup_incremental" -> (dedupIncrementalQ _),
+    "dedup_allpairs" -> (dedupAllpairsQ _),
     "ann_brute" -> (annBrute _),
     "ann_mmr" -> (annMmr _),
     "ann_lsh" -> (annLsh _),
@@ -2985,6 +3014,7 @@ object LlmQueries {
     "dedup_semdedup" -> oracleDedupSemdedup,
     "dedup_semdedup_incremental" -> oracleDedupSemdedupIncremental,
     "dedup_incremental" -> oracleDedupIncremental,
+    "dedup_allpairs" -> oracleDedupAllpairs,
     "ann_brute" -> oracleAnnBrute,
     "ann_mmr" -> oracleAnnMmr,
     "ann_lsh" -> oracleAnnLsh,

@@ -932,6 +932,44 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == ((0L, false)))
   }
 
+  test("allPairsJoin: exact vs brute force, incl. boundary and hot-token-only pairs") {
+    // planted: (0,1) share 7 of 9 union (J=0.777778); (2,3) exactly at
+    // the 0.5 boundary (2 shared / 4 union); (4,5) share only the
+    // corpus's HOTTEST tokens yet meet tau — the pair a df-capped index
+    // drops and the prefix filter must still find; 6 overlaps 2/3 but
+    // sits below tau; 7 empty.
+    val hot = "the of and to" // made hot by appearing everywhere
+    val docs = Seq(
+      (0L, s"$hot aa bb cc dd"),
+      (1L, s"$hot aa bb cc ee"),
+      (2L, "pp qq rr"),
+      (3L, "pp qq ss"),
+      (4L, s"$hot"),
+      (5L, s"$hot"),
+      (6L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll"),
+      (7L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.allPairsJoin(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over the same token sets
+    val ts = docs.select(col("doc_id"),
+        array_distinct(Dedup.tokens(col("text"))).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val brute = ts.as("a").crossJoin(ts.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+          (size(col("a.ts")) + size(col("b.ts")) -
+            size(array_intersect(col("a.ts"), col("b.ts")))).cast("double"), 6)
+          .as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+    assert(got.contains((2L, 3L)) && got((2L, 3L)) == 0.5) // boundary kept
+    assert(got.contains((4L, 5L)) && got((4L, 5L)) == 1.0) // hot-token pair found
+    assert(!got.keys.exists(k => k._1 == 7L || k._2 == 7L)) // empty excluded
+  }
+
   test("budget operators accept the byte-fallback tokenizer (unigram_raw)") {
     val docs = Seq(
       (0L, "Mixed CASE text!", "a", 10L),
