@@ -58,7 +58,8 @@ object Plans {
     "zorder_key", "q22_antijoin", "events_rolling", "events_pivot",
     "text_blocklist", "q14_promo", "q5_region",
     // round 16 additions
-    "tokenize_raw_unigram", "tokenize_raw_wordpiece", "dedup_allpairs")
+    "tokenize_raw_unigram", "tokenize_raw_wordpiece", "dedup_allpairs",
+    "media_frames", "media_resize")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is

@@ -80,6 +80,68 @@ object Multimodal {
       .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
       .withColumn("feature", round(col("feature"), 6))
 
+  /** FRAME SAMPLING plumbing — the video-pipeline step (sample every k-th
+    * frame of each clip for captioning/embedding). Real video DECODE needs
+    * codec libraries this container deliberately lacks, so the container
+    * model is stubbed: a payload is treated as fixed-size `frameBytes`
+    * chunks (a deterministic fake "keyframe index"). What IS real — and
+    * what the gate pins byte-for-byte — is the Spark-side plumbing a real
+    * pipeline needs unchanged: in-row frame enumeration (explode over a
+    * per-row computed sequence — zero shuffle, no UDF), every-k sampling
+    * BEFORE byte extraction (skipped frames are never materialized),
+    * byte-range extraction per sampled frame, and stable (doc_id,
+    * frame_idx) keys. Swap the chunker for a codec's keyframe offsets and
+    * the plan is identical. Output: (doc_id, frame_idx, frame_bytes,
+    * frame_hex) — hex because the gate compares content, and hex() is
+    * byte-identical across engines. */
+  def frameSample(docs: DataFrame, frameBytes: Int = 256,
+                  everyK: Int = 4): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be > 0")
+    val hexFrame = 2 * frameBytes
+    mediaFrame(docs)
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"), hex(col("payload")).as("hexp"),
+        explode(sequence(lit(0),
+          ceil(length(col("payload")).cast(DoubleType) / frameBytes)
+            .cast(IntegerType) - 1)).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(everyK)) === 0)
+      .withColumn("frame_hex",
+        col("hexp").substr(col("frame_idx") * hexFrame + 1, lit(hexFrame)))
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        (length(col("frame_hex")) / 2).cast(LongType).as("frame_bytes"),
+        col("frame_hex"))
+  }
+
+  /** NEAREST-NEIGHBOR RESIZE plumbing — the image-pipeline normalization
+    * step. Pixel decode is the stub (the raster is payload bytes tiled
+    * row-major over the codec-reported fake dims — no pixel libs in the
+    * container, by design); the resize itself is the real work and is
+    * replayed byte-for-byte by the DuckDB oracle: per output pixel (x, y)
+    * the source index is (⌊y·srcH/outH⌋·srcW + ⌊x·srcW/outW⌋) mod
+    * byteLen, gathered from the hex form and reassembled — one in-row
+    * expression per document, zero shuffle, outW·outH bounded per-row
+    * work. Output: (doc_id, src_w, src_h, out_hex) with outW·outH
+    * bytes of hex. */
+  def resizeNearest(docs: DataFrame, outW: Int = 16, outH: Int = 16): DataFrame = {
+    require(outW > 0 && outH > 0, "output dims must be > 0")
+    val m = mediaFrame(docs)
+      .filter(length(col("payload")) > 0)
+      .withColumn("hexp", hex(col("payload")))
+      .withColumn("blen", length(col("payload")).cast(LongType))
+      .withColumn("src_w", (length(col("payload")) * 7 % 640 + 16).cast(LongType))
+      .withColumn("src_h",
+        ((ascii(col("payload").cast(StringType)) * 13) % 480 + 16).cast(LongType))
+    m.select(col("doc_id"), col("src_w"), col("src_h"),
+      array_join(transform(sequence(lit(0), lit(outW * outH - 1)), i => {
+        val y = floor(i.cast(DoubleType) / outW).cast(LongType)
+        val x = pmod(i, lit(outW)).cast(LongType)
+        val sy = floor(y.cast(DoubleType) * col("src_h") / outH).cast(LongType)
+        val sx = floor(x.cast(DoubleType) * col("src_w") / outW).cast(LongType)
+        val flat = pmod(sy * col("src_w") + sx, col("blen"))
+        col("hexp").substr((flat * 2 + 1).cast(IntegerType), lit(2))
+      }), "").as("out_hex"))
+  }
+
   /** 60-bit SimHash over DISTINCT sliding byte shingles of the payload —
     * the media analogue of [[Dedup.simhashFingerprints]]: the payload's
     * hex form is windowed into `shingleBytes`-byte (2·shingleBytes hex

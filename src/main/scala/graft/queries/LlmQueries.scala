@@ -861,6 +861,41 @@ object LlmQueries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(docs(spark, dir))
 
+  /** Every-4th 256-byte frame of each payload — the frame-sampling
+    * plumbing, content pinned via hex. */
+  def mediaFramesQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(docs(spark, dir), frameBytes = 256, everyK = 4)
+
+  def oracleMediaFrames: String =
+    """WITH p AS (SELECT doc_id, hex(encode(text)) AS hexp,
+      |    octet_length(encode(text)) AS blen
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |f AS (SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+      |    substr(hexp, CAST(u.i AS INT) * 512 + 1, 512) AS frame_hex
+      |  FROM p, UNNEST(range(0, CAST(ceil(blen / 256.0) AS BIGINT))) AS u(i)
+      |  WHERE u.i % 4 = 0)
+      |SELECT doc_id, frame_idx,
+      |  CAST(len(frame_hex) / 2 AS BIGINT) AS frame_bytes, frame_hex
+      |FROM f""".stripMargin
+
+  /** 16×16 nearest-neighbor resize of the stub raster — the oracle
+    * replays the gather index arithmetic byte for byte. */
+  def mediaResizeQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeNearest(docs(spark, dir), outW = 16, outH = 16)
+
+  def oracleMediaResize: String =
+    """WITH p AS (SELECT doc_id, hex(encode(text)) AS hexp,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+      |    CAST(octet_length(encode(text)) * 7 % 640 + 16 AS BIGINT) AS src_w,
+      |    CAST(ascii(text) * 13 % 480 + 16 AS BIGINT) AS src_h
+      |  FROM documents WHERE octet_length(encode(text)) > 0)
+      |SELECT doc_id, src_w, src_h,
+      |  array_to_string(list_transform(range(0, 256), i ->
+      |    substr(hexp, CAST(((CAST(floor(floor(CAST(i AS DOUBLE) / 16) * src_h / 16) AS BIGINT) * src_w
+      |      + CAST(floor(CAST(i % 16 AS DOUBLE) * src_w / 16) AS BIGINT)) % blen) * 2 + 1 AS INT), 2)),
+      |  '') AS out_hex
+      |FROM p""".stripMargin
+
   /** The typed mapPartitions decode path; the stub codec is deterministic
     * (8-bin byte histogram over the first 64 payload bytes), so the result
     * IS oracle-checkable — the DuckDB side re-derives the histogram from
@@ -2999,6 +3034,8 @@ object LlmQueries {
     "corpus_curate" -> (corpusCurate _),
     "dedup_media" -> (dedupMediaQ _),
     "multimodal_meta" -> (multimodalMeta _),
+    "media_frames" -> (mediaFramesQ _),
+    "media_resize" -> (mediaResizeQ _),
     "multimodal_features" -> (multimodalFeatures _))
 
   val oracles: Map[String, String] = Map(
@@ -3088,5 +3125,7 @@ object LlmQueries {
     "corpus_curate" -> oracleCorpusCurate,
     "dedup_media" -> oracleDedupMedia,
     "multimodal_meta" -> oracleMultimodalMeta,
+    "media_frames" -> oracleMediaFrames,
+    "media_resize" -> oracleMediaResize,
     "multimodal_features" -> oracleMultimodalFeatures)
 }

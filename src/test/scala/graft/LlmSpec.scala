@@ -932,6 +932,39 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == ((0L, false)))
   }
 
+  test("frameSample: chunk law, short tail frame, every-k sampling, empty excluded") {
+    // 10-byte frames, sample every 3rd: payload of 25 bytes -> frames
+    // 0..2 (sizes 10,10,5), sampled idx {0} only? 0,3,... -> idx 0 of 3
+    val docs = Seq(
+      (0L, "a" * 25),   // 3 frames, sampled: idx 0
+      (1L, "b" * 65),   // 7 frames, sampled: idx 0, 3, 6 (tail 5 bytes)
+      (2L, ""))         // excluded
+      .toDF("doc_id", "text")
+    val out = Multimodal.frameSample(docs, frameBytes = 10, everyK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set((0L, 0L), (1L, 0L), (1L, 3L), (1L, 6L)))
+    assert(out((0L, 0L))._1 == 10L)
+    assert(out((1L, 6L))._1 == 5L) // tail frame is short, never padded
+    assert(out((1L, 0L))._2 == "62" * 10) // 'b' = 0x62
+    assert(out((1L, 6L))._2 == "62" * 5)
+  }
+
+  test("resizeNearest: gather index arithmetic on a crafted payload") {
+    val docs = Seq((0L, "abcdefgh")).toDF("doc_id", "text")
+    val row = Multimodal.resizeNearest(docs, outW = 16, outH = 16).collect()(0)
+    // fake dims: w = 8*7%640+16 = 72; h = ascii('a')*13%480+16 = 317
+    assert(row.getLong(1) == 72L && row.getLong(2) == 317L)
+    val hex = row.getString(3)
+    assert(hex.length == 512) // 256 pixels, 2 hex chars each
+    // pixel (0,0): sy=sx=0 -> flat 0 -> 'a' (0x61)
+    assert(hex.substring(0, 2) == "61")
+    // pixel (x=1,y=0): sx = floor(1*72/16)=4 -> flat 4 % 8 = 4 -> 'e'
+    assert(hex.substring(2, 4) == "65")
+    // pixel (x=0,y=1): sy = floor(1*317/16)=19 -> flat 19*72 % 8 = 0 -> 'a'
+    assert(hex.substring(32, 34) == "61")
+  }
+
   test("allPairsJoin: exact vs brute force, incl. boundary and hot-token-only pairs") {
     // planted: (0,1) share 7 of 9 union (J=0.777778); (2,3) exactly at
     // the 0.5 boundary (2 shared / 4 union); (4,5) share only the
