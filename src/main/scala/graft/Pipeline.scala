@@ -87,7 +87,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--tokenizer ws|bpe|unigram_raw]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -99,6 +99,7 @@ object Pipeline {
       val Array(a, b) = s.split(","); (a.toLong, b.toInt)
     }
     val stateDir = flagValue("--state-dir")
+    val tokenizer = flagValue("--tokenizer").getOrElse("ws")
     val serveDir = flagValue("--serve-dir")
     val withEmb = args.contains("--embeddings")
     val noStats = args.contains("--no-stats")
@@ -116,7 +117,7 @@ object Pipeline {
     run(spark, docs, outDir, budget, minQuality,
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
-      serveDir = serveDir, stats = !noStats,
+      serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
     spark.stop()
@@ -136,6 +137,7 @@ object Pipeline {
           embeddings: Option[DataFrame] = None,
           minJaccard: Double = 0.8, minKeep: Double = 0.5,
           semTau: Double = 0.95, stats: Boolean = true,
+          tokenizer: String = "ws",
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     // pinned frames are freed in the finally below — run() is a library
     // entry point called repeatedly (specs, drivers); without the
@@ -145,7 +147,7 @@ object Pipeline {
     try {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
-        stats, annParams, pins)
+        stats, tokenizer, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -154,7 +156,8 @@ object Pipeline {
           chunks: Option[(Int, Int)], gopher: Option[(Long, Int)],
           stateDir: Option[String], serveDir: Option[String],
           embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
-          semTau: Double, stats: Boolean, annParams: AnnIndex.Params,
+          semTau: Double, stats: Boolean, tokenizer: String,
+          annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     // n is by-name: with stats off the counts are never computed at all
     def stat(stage: String, n: => Long): Unit =
@@ -237,14 +240,18 @@ object Pipeline {
     stat("after_quality_floor", scored.count())
 
     // 6: per-source token budget over the quality-floored survivors
+    // the budget tokenizer is a knob: "ws" (gate default), "bpe", or
+    // "unigram_raw" (byte-fallback subword counts — case and multi-byte
+    // chars priced, the budget a real training run wants)
     val mixed = Curation.mixByBudget(
-      scored.select("doc_id", "text", "source"), budget)
+      scored.select("doc_id", "text", "source"), budget, tokenizer)
       .select("doc_id")
     val kept = scored.join(mixed, "doc_id")
     stat("after_budget_mix", kept.count())
 
     // 7: pack the final keeper set into training blocks
-    val packed = Curation.packSequences(kept.select("doc_id", "text"), blockSize = 2048L)
+    val packed = Curation.packSequences(kept.select("doc_id", "text"),
+      blockSize = 2048L, tokenizer = tokenizer)
       .select("doc_id", "first_block", "last_block", "block_offset")
 
     val corpus = kept

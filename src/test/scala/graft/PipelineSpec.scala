@@ -64,6 +64,24 @@ class PipelineSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("pipeline --tokenizer unigram_raw: budget spends byte-fallback subword tokens") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_tok").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 2000L,
+      minQuality = 0.2, tokenizer = "unigram_raw").cache()
+    val n = corpus.count()
+    assert(n > 0)
+    // the per-source spend respects the budget measured in encodeRaw
+    // pieces (NOT whitespace words) — the same measure the mixer cut on
+    val spend = corpus.select("doc_id", "source")
+      .join(graft.llm.Unigram.encodeRaw(docs)
+        .select(col("doc_id"), col("n_pieces").as("tok")), "doc_id")
+      .groupBy("source").agg(sum("tok").as("spent"))
+      .select("spent").as[Long].collect()
+    assert(spend.nonEmpty && spend.forall(_ <= 2000L))
+    corpus.unpersist()
+  }
+
   test("pipeline decontaminates against a file-loaded JSONL benchmark") {
     import graft.llm.Curation
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
