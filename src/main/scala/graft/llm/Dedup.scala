@@ -171,10 +171,18 @@ object Dedup {
         count(lit(1)).cast(LongType).as("sz"))
     val prefLen = (col("sz") - ceil(lit(minJaccard) * col("sz").cast(DoubleType)
       - lit(eps)) + 1).cast(IntegerType)
-    val pref = ranked
+    // pin the prefix postings: three consumers (bucket pre-count + both
+    // self-join sides) would otherwise each replay the tokenize + df join
+    // + sort-collect chain — the dsir_weight shared-frame rule. The frame
+    // is (1−τ)·corpus tokens of (id, sz, token), far smaller than the
+    // corpus at useful τ.
+    val pref0 = ranked
       .select(col("doc_id"), col("sz"),
         explode(slice(col("ord"), lit(1), prefLen)).as("pt"))
       .select(col("doc_id"), col("sz"), col("pt.token").as("token"))
+    val sc = docs.sparkSession.sparkContext
+    val pref = if (sc.getCheckpointDir.isDefined) pref0.checkpoint()
+               else pref0.localCheckpoint()
     // safety brake only (see scaladoc): pre-counted, never list-built
     val ok = pref.groupBy("token").agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, maxBucket)).select("token")
