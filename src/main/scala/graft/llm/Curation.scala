@@ -737,6 +737,61 @@ object Curation {
           .cast(IntegerType), lit(chunkSize)), " ").as("chunk_text"))
   }
 
+  /** CONTENT-DEFINED CHUNKING (the Rabin-fingerprint boundary rule of LBFS,
+    * Muthitacharoen et al. SOSP'01; the family FastCDC optimizes): cut a
+    * document after every position whose trailing `w`-char window hashes to
+    * 0 mod `div` — so a boundary depends ONLY on the w chars before it,
+    * never on absolute offsets. That is the property fixed-size chunking
+    * lacks and dedup at scale needs: inserting or deleting bytes shifts
+    * every fixed-size block after the edit (nothing dedups), while CDC
+    * re-synchronizes within w chars — all other chunks keep their content
+    * hash and chunk-level dedup still finds them (the law LlmSpec pins).
+    * Expected chunk length ≈ `div` chars; no min/max clamp, so the
+    * boundary set of a substring is exactly the global boundary set
+    * restricted to it (the clampless rule keeps the resync law EXACT, and
+    * the geometric length tail is fine for dedup — this is a fingerprint
+    * unit, not an IO unit).
+    *
+    * Output: (doc_id, chunk_idx, start, chunk_len, chunk_hash) — 1-based
+    * char offsets, md5 content hash; ~n/div rows per doc. Chunk-level
+    * near-dup = join on chunk_hash downstream (the [[Dedup]] consumers).
+    *
+    * Plan shape: ZERO shuffles — the boundary scan is an in-row filter
+    * over char positions (one 48-bit md5 per position, the
+    * [[TextAnalysis.fingerprints]] cost class), the chunk fan-out an
+    * in-row explode. Pure map at any corpus size. */
+  def chunkCdc(docs: DataFrame, w: Int = 16, div: Int = 64): DataFrame = {
+    require(w >= 2 && div >= 2, s"need w >= 2 and div >= 2, got w=$w div=$div")
+    val t = col("__t__")
+    val n = col("__n__")
+    def h48(c: Column): Column =
+      conv(substring(md5(c.cast(BinaryType)), 1, 12), 16, 10).cast(LongType)
+    // positions w..n-1 (a cut at the doc end would mint an empty chunk);
+    // guarded: sequence() DESCENDS through an inverted range
+    val bounds = when(n > w,
+        filter(sequence(lit(w), n - 1),
+          p => h48(concat(lit("cdc:"), t.substr(p - (w - 1), lit(w))))
+            % div === 0))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    docs
+      .select(col("doc_id"), col("text").as("__t__"),
+        length(col("text")).as("__n__"))
+      .filter(n > 0)
+      .withColumn("__b__", bounds)
+      .select(col("doc_id"), t, n, col("__b__"),
+        explode(sequence(lit(1), size(col("__b__")) + 1)).as("__i__"))
+      .withColumn("__s__", when(col("__i__") === 1, lit(1))
+        .otherwise(element_at(col("__b__"), col("__i__") - 1) + 1))
+      .withColumn("__e__", when(col("__i__") === size(col("__b__")) + 1, n)
+        .otherwise(element_at(col("__b__"), col("__i__"))))
+      .select(col("doc_id"),
+        (col("__i__") - 1).cast(LongType).as("chunk_idx"),
+        col("__s__").cast(LongType).as("start"),
+        (col("__e__") - col("__s__") + 1).cast(LongType).as("chunk_len"),
+        md5(t.substr(col("__s__"), col("__e__") - col("__s__") + 1)
+          .cast(BinaryType)).as("chunk_hash"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus doc
     * by how much more likely its hashed-n-gram bag is under the TARGET

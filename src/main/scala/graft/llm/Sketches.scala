@@ -264,4 +264,97 @@ object Sketches {
       .groupBy("token")
       .agg(max(col("true_cnt")).as("true_cnt"), min(col("cnt")).as("est_cnt"))
   }
+
+  // ------------------------------------------------------------- KMV
+
+  /** KMV parameters: k = 256 minima → relative error ~1/√(k−2) ≈ 6.3%;
+    * hashes are the 60-bit md5 family, so the hash space M = 2^60. The
+    * estimate numerator (k−1)·M is one double literal shared with the
+    * oracle so the whole estimate is a single cross-engine division
+    * (h > 2^53 rounds to double identically under IEEE nearest in both
+    * engines before it). */
+  val KmvK = 256
+  val KmvSpace: Double = (1L << 60).toDouble
+  val KmvNumerator: Double = (KmvK - 1).toDouble * KmvSpace
+
+  /** K-minimum-values sketch per shard: a set's summary is its k SMALLEST
+    * distinct element hashes (Bar-Yossef et al. RANDOM'02; Beyer et al.
+    * SIGMOD'07). Unlike HLL it supports SET OPERATIONS directly:
+    * K(A ∪ B) = k-smallest(K(A) ∪ K(B)) exactly (merge = union +
+    * truncate — a fixed-size mergeable summary), and the inclusion ratio
+    * ρ = |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)| estimates Jaccard without the
+    * noisy inclusion-exclusion HLL needs for intersections.
+    *
+    * Scale shape: the distinct-(shard, hash) reduction is the one
+    * corpus-sized shuffle (map-side combined). The k-minima then come from
+    * a DECOMPOSED rank — rank within (shard, hash mod 256) salt buckets
+    * first (256 parallel partitions per shard, each seeing ~1/256 of the
+    * vocabulary), keep ≤ k, then a final rank over the ≤ 256·k survivors —
+    * never a global per-shard sort ([[Curation.shardBalanced]]'s
+    * two-phase rank law). Output: one row per shard, `hs` = sorted k-minima
+    * (size < k iff the shard's whole distinct set fits — then exact). */
+  def kmvSketch(elems: DataFrame, shardCol: String, elemCol: String,
+                k: Int = KmvK): DataFrame = {
+    val hashed = elems
+      .select(col(shardCol).as("shard"),
+        Dedup.md5Hash60(concat(lit("kmv:"), col(elemCol))).as("h"))
+      .distinct()
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), pmod(col("h"), lit(256L))).orderBy("h")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy("h")
+    hashed
+      .withColumn("__r1__", row_number().over(w1)).filter(col("__r1__") <= k)
+      .withColumn("__r2__", row_number().over(w2)).filter(col("__r2__") <= k)
+      .groupBy("shard")
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+  }
+
+  /** Distinct-cardinality estimate from a sorted k-minima array: exact
+    * size when the set fit entirely, else (k−1)·M / h_k. */
+  private def kmvEst(hs: Column, k: Int): Column =
+    when(size(hs) < k, size(hs).cast(DoubleType))
+      .otherwise(lit(KmvNumerator) / element_at(hs, k).cast(DoubleType))
+
+  /** Shard-overlap report between the even- and odd-doc_id halves of the
+    * corpus (token sets): distinct estimates per half, union estimate from
+    * the MERGED sketch, Jaccard + intersection from the inclusion ratio —
+    * plus exact audit columns (one extra aggregate at gate scale; at
+    * 100 TB only the sketches run, and two ingest fleets can each ship
+    * their k-minima for a driver-side merge). All estimate arithmetic is
+    * divisions of exactly-agreed integers, rounded once at output. */
+  def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val tok = docs.select(
+      when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+        .as("half"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+    val sk = kmvSketch(tok, "half", "token", k)
+      .agg(
+        first(when(col("shard") === "even", col("hs")), ignoreNulls = true)
+          .as("ha"),
+        first(when(col("shard") === "odd", col("hs")), ignoreNulls = true)
+          .as("hb"))
+    val exact = tok
+      .groupBy("token")
+      .agg(max(col("half") === "even").as("__a__"),
+        max(col("half") === "odd").as("__b__"))
+      .agg(count(lit(1)).as("exact_union"),
+        count(when(col("__a__") && col("__b__"), 1)).as("exact_inter"))
+    val us = slice(array_sort(array_union(col("ha"), col("hb"))), 1, k)
+    sk.crossJoin(exact) // 1×1 model frame
+      .withColumn("__us__", us)
+      .withColumn("__uest__", kmvEst(col("__us__"), k))
+      .withColumn("__rho__",
+        size(filter(col("__us__"), h =>
+          array_contains(col("ha"), h) && array_contains(col("hb"), h)))
+          .cast(DoubleType) / size(col("__us__")).cast(DoubleType))
+      .select(
+        lit(k).as("k"),
+        round(kmvEst(col("ha"), k), 6).as("d_even"),
+        round(kmvEst(col("hb"), k), 6).as("d_odd"),
+        round(col("__uest__"), 6).as("union_est"),
+        round(col("__rho__"), 6).as("jaccard_est"),
+        round(col("__rho__") * col("__uest__"), 6).as("inter_est"),
+        col("exact_union"), col("exact_inter"))
+  }
 }

@@ -528,8 +528,212 @@ object AnalyticsQueries {
        |FROM events""".stripMargin
   }
 
+  /** Q4-style EXISTS → LEFT SEMI with a RESIDUAL predicate: orders placed
+    * in one quarter having at least one lineitem shipped more than 90 days
+    * after the order date, counted per priority. The EXISTS condition
+    * references BOTH sides (l_shipdate > o_orderdate + 90d) so the semi
+    * side cannot pre-reduce to distinct keys — the join carries the
+    * residual. What CAN move: the quarter filter pushes to the orders
+    * scan, the lineitem scan reads only (l_orderkey, l_shipdate), and the
+    * window bounds IMPLY l_shipdate > quarter_start + 90d, a derived
+    * pushed filter Catalyst cannot infer across the join (it skips every
+    * lineitem shipped before 1996-09-29 at the scan — at 100 TB that is
+    * most of the table). Semi-join output ≤ quarter orders; the final
+    * aggregate is |priorities|-bounded. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(expr("o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1996-10-01 00:00:00'"))
+    val late = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      // derived bound: o_orderdate >= 1996-07-01 ∧ l_shipdate > o+90d
+      .filter(expr("l_shipdate > TIMESTAMP '1996-09-29 00:00:00'"))
+    orders.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  def oracleQ4Priority: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** Q6-style FORECASTING scan: one filtered pass over the fact table, a
+    * single global sum — THE pushdown benchmark. All three predicates
+    * reach the parquet scan as PushedFilters (shipdate range via min/max
+    * row-group stats, discount + quantity bounds), the projection reads
+    * exactly three columns, and the aggregate is map-side combined to one
+    * row per task — zero data moves until 32 partial rows meet. Revenue
+    * (price × discount) in exact decimal like every money sum. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "l_shipdate < TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(3,2)")).cast(DoubleType), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  def oracleQ6Forecast: String =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                       CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 2)
+      |    AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** Q7-style VOLUME SHIPPING between two nations: revenue per
+    * (supp_nation, cust_nation, ship year) for the two cross pairs. The
+    * scale-honest plan: both nation tags prune their side to 2/|nations|
+    * of the dimension BEFORE touching the fact — suppliers broadcast into
+    * the lineitem scan (supplier is always ≪ fact), customers join orders
+    * on custkey (customer is too big to assume broadcastable at 100 TB —
+    * that shuffle is Q7's honest first cost; AQE is free to demote it to
+    * broadcast when the nation cut makes it small), then one orderkey
+    * shuffle joins the two tagged halves. The cross-pair disjunction
+    * ((N1,N2) ∨ (N2,N1)) filters tagged rows BEFORE the aggregate; the
+    * final groupBy is 2×|years|-bounded. */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supNat = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNat = spark.read.parquet(s"$dir/customer.parquet")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ordNat = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(custNat, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ordNat, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(decRevenue).cast(DoubleType), 2).as("revenue"))
+  }
+
+  def oracleQ7Volume: String =
+    s"""SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  round(CAST(sum($DecRevSql) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+      |    OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q10-style RETURNED-ITEM report: top-20 customers by returned revenue
+    * in one quarter, with name and nation. The scale shape worth copying:
+    * aggregate FIRST (custkey-keyed, map-side combined), take the exact
+    * top-20 (a 20-row total order — Spark's TakeOrderedAndProject, never
+    * a full sort), then BROADCAST those 20 rows back into the customer
+    * dimension — the dimension is probed, never shuffled, and the revenue
+    * sum is exact decimal so the top-20 cut is association-order-proof
+    * (ties broken by custkey). */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val top = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(decRevenue).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("o_custkey"))
+      .limit(20)
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    spark.read.parquet(s"$dir/customer.parquet")
+      .join(broadcast(top), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      // round the DECIMAL, then cast: round(double, 2) differs between
+      // engines on shortest-repr boundaries (Spark routes through
+      // BigDecimal.valueOf's string form), while decimal rounding of the
+      // same exact sum is half-up in both
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("rev_dec"), 2).cast(DoubleType).as("revenue"))
+  }
+
+  def oracleQ10Returns: String =
+    s"""WITH rev AS (
+      |  SELECT o_custkey, sum($DecRevSql) AS rev_dec
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1),
+      |top AS (SELECT * FROM rev ORDER BY rev_dec DESC, o_custkey LIMIT 20)
+      |SELECT c_custkey, c_name, n_name,
+      |  CAST(round(rev_dec, 2) AS DOUBLE) AS revenue
+      |FROM top JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  /** Q17-style small-quantity revenue: for one brand's parts, the yearly
+    * revenue of lineitems whose quantity is below half that part's average
+    * quantity. The textbook plan runs the correlated scalar subquery as a
+    * fact self-join (two lineitem scans + two partkey exchanges); here it
+    * DECORRELATES into a partitioned window — brand parts broadcast into
+    * ONE lineitem scan, avg(l_quantity) OVER (PARTITION BY l_partkey)
+    * rides a single partkey shuffle, and the threshold compare is a map.
+    * The comparison is exact cross-engine: quantities are integral, so
+    * the per-part mean is one IEEE division of exact sums in both
+    * engines. Money sums in exact decimal as everywhere. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast(DoubleType)
+          / lit(7.0), 2).as("avg_yearly"))
+  }
+
+  def oracleQ17SmallQty: String =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |             / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+      |                          WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_key" -> (zorderKey _),
+    "q4_priority" -> (q4Priority _),
+    "q6_forecast" -> (q6Forecast _),
+    "q7_volume" -> (q7Volume _),
+    "q10_returns" -> (q10Returns _),
+    "q17_smallqty" -> (q17SmallQty _),
     "q1_agg" -> (q1 _),
     "q1_cube" -> (q1Cube _),
     "q3_join" -> (q3 _),
@@ -553,6 +757,11 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
+    "q4_priority" -> oracleQ4Priority,
+    "q6_forecast" -> oracleQ6Forecast,
+    "q7_volume" -> oracleQ7Volume,
+    "q10_returns" -> oracleQ10Returns,
+    "q17_smallqty" -> oracleQ17SmallQty,
     "q1_agg" -> oracleQ1,
     "q1_cube" -> oracleQ1Cube,
     "q3_join" -> oracleQ3,

@@ -213,6 +213,12 @@ object LlmQueries {
   def sketchHllQ(spark: SparkSession, dir: String): DataFrame =
     graft.llm.Sketches.hllEstimate(docs(spark, dir))
 
+  /** KMV set-overlap report between the even/odd doc_id halves — the
+    * sketch that answers "how much do two shards overlap" (Jaccard +
+    * intersection cardinality) from two fixed-size summaries. */
+  def sketchKmvQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.kmvOverlap(docs(spark, dir))
+
   def sketchCmsQ(spark: SparkSession, dir: String): DataFrame =
     graft.llm.Sketches.cmsTopK(docs(spark, dir), topK = 20)
 
@@ -812,6 +818,11 @@ object LlmQueries {
   /** RAG-style chunking: 64-token windows advancing by 48 (16 overlap). */
   def chunkOverlapQ(spark: SparkSession, dir: String): DataFrame =
     Curation.chunkOverlap(docs(spark, dir), chunkSize = 64, stride = 48)
+
+  /** Content-defined chunking at the defaults (16-char window, mean chunk
+    * 64 chars) — the insertion-stable dedup unit. */
+  def chunkCdcQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkCdc(docs(spark, dir))
 
   /** DSIR importance weights with lang='en' as the target-domain proxy. */
   def dsirWeightQ(spark: SparkSession, dir: String): DataFrame =
@@ -2452,6 +2463,43 @@ object LlmQueries {
        |FROM est JOIN ex USING (lang)""".stripMargin
   }
 
+  /** KMV replica: the k smallest distinct 60-bit token hashes per half,
+    * merged union sample via list concat + distinct + sort + truncate,
+    * inclusion-ratio Jaccard — every estimate a single division of
+    * integers both engines agree on exactly (the BIGINT→DOUBLE cast of a
+    * >2^53 hash rounds identically under IEEE nearest). */
+  def oracleSketchKmv: String = {
+    val k = graft.llm.Sketches.KmvK
+    val num = graft.llm.Sketches.KmvNumerator.toString
+    s"""WITH tok AS (SELECT (doc_id % 2 = 0) AS ev,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+       |h AS (SELECT DISTINCT ev, ('0x' || substr(md5('kmv:' || token), 1, 15))::BIGINT AS h FROM tok),
+       |ka AS (SELECT h FROM h WHERE ev ORDER BY h LIMIT $k),
+       |kb AS (SELECT h FROM h WHERE NOT ev ORDER BY h LIMIT $k),
+       |aa AS (SELECT list_sort(list(h)) AS ha FROM ka),
+       |bb AS (SELECT list_sort(list(h)) AS hb FROM kb),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(count(*) FILTER (a AND b) AS BIGINT) AS exact_inter
+       |  FROM (SELECT token, bool_or(ev) AS a, bool_or(NOT ev) AS b FROM tok GROUP BY 1)),
+       |m AS (SELECT ha, hb, list_sort(list_distinct(ha || hb))[1:$k] AS us FROM aa, bb),
+       |est AS (SELECT ha, hb, us,
+       |    CASE WHEN len(us) < $k THEN CAST(len(us) AS DOUBLE)
+       |         ELSE $num / CAST(us[$k] AS DOUBLE) END AS uest,
+       |    CAST(len(list_filter(us, x -> list_contains(ha, x) AND list_contains(hb, x))) AS DOUBLE)
+       |      / CAST(len(us) AS DOUBLE) AS rho
+       |  FROM m)
+       |SELECT CAST($k AS INT) AS k,
+       |  round(CASE WHEN len(ha) < $k THEN CAST(len(ha) AS DOUBLE)
+       |             ELSE $num / CAST(ha[$k] AS DOUBLE) END, 6) AS d_even,
+       |  round(CASE WHEN len(hb) < $k THEN CAST(len(hb) AS DOUBLE)
+       |             ELSE $num / CAST(hb[$k] AS DOUBLE) END, 6) AS d_odd,
+       |  round(uest, 6) AS union_est,
+       |  round(rho, 6) AS jaccard_est,
+       |  round(rho * uest, 6) AS inter_est,
+       |  exact_union, exact_inter
+       |FROM est, ex""".stripMargin
+  }
+
   /** Store-lifecycle replica: the incremental merge is exact, so the
     * whole-corpus HLL estimate (minus the raw-corpus audit column the
     * store cannot produce) IS the oracle. */
@@ -2630,6 +2678,28 @@ object LlmQueries {
       |  least(CAST(64 AS BIGINT), n - chunk_id * 48) AS n_tok,
       |  array_to_string(tk[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
       |FROM c""".stripMargin
+
+  /** CDC replica: the same 48-bit md5 boundary test per char position
+    * (DuckDB range(a, b) is [a, b) = Spark sequence(a, b−1)), chunk spans
+    * rebuilt from the boundary list, md5 over the same UTF-8 substring
+    * bytes. One corrupted boundary anywhere in the corpus hash-fails. */
+  def oracleChunkCdc: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+      |b AS (SELECT doc_id, text, n,
+      |    list_filter(range(16, greatest(n, 16)),
+      |      p -> ('0x' || substr(md5('cdc:' || substr(text, CAST(p - 15 AS INT), 16)), 1, 12))::BIGINT % 64 = 0) AS bounds
+      |  FROM d),
+      |c AS (SELECT doc_id, text, n, bounds, u.i AS i
+      |  FROM b, UNNEST(range(1, len(bounds) + 2)) AS u(i)),
+      |s AS (SELECT doc_id, text, n, bounds, i,
+      |    CASE WHEN i = 1 THEN 1 ELSE bounds[CAST(i - 1 AS INT)] + 1 END AS st,
+      |    CASE WHEN i = len(bounds) + 1 THEN n ELSE bounds[CAST(i AS INT)] END AS en
+      |  FROM c)
+      |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+      |  CAST(st AS BIGINT) AS start,
+      |  CAST(en - st + 1 AS BIGINT) AS chunk_len,
+      |  md5(substr(text, CAST(st AS INT), CAST(en - st + 1 AS INT))) AS chunk_hash
+      |FROM s""".stripMargin
 
   /** DSIR replica: unigrams+bigrams → md5 hash buckets, one bucket-count
     * aggregate for both distributions, λ joined back per gram occurrence.
@@ -2998,6 +3068,7 @@ object LlmQueries {
     "text_tfidf" -> (textTfidfQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "sketch_hll" -> (sketchHllQ _),
+    "sketch_kmv" -> (sketchKmvQ _),
     "sketch_cms" -> (sketchCmsQ _),
     "sketch_quantile" -> (sketchQuantileQ _),
     "sketch_store" -> (sketchStoreQ _),
@@ -3025,6 +3096,7 @@ object LlmQueries {
     "mix_perplexity" -> (mixPerplexityQ _),
     "span_corrupt" -> (spanCorruptQ _),
     "chunk_overlap" -> (chunkOverlapQ _),
+    "chunk_cdc" -> (chunkCdcQ _),
     "dsir_weight" -> (dsirWeightQ _),
     "dedup_spans" -> (dedupSpansQ _),
     "dedup_substr" -> (dedupSubstrQ _),
@@ -3089,6 +3161,7 @@ object LlmQueries {
     "text_tfidf" -> oracleTextTfidf,
     "decontaminate_bloom" -> oracleDecontaminateBloom,
     "sketch_hll" -> oracleSketchHll,
+    "sketch_kmv" -> oracleSketchKmv,
     "sketch_cms" -> oracleSketchCms,
     "sketch_quantile" -> oracleSketchQuantile,
     "sketch_store" -> oracleSketchStore,
@@ -3116,6 +3189,7 @@ object LlmQueries {
     "mix_perplexity" -> oracleMixPerplexity,
     "span_corrupt" -> oracleSpanCorrupt,
     "chunk_overlap" -> oracleChunkOverlap,
+    "chunk_cdc" -> oracleChunkCdc,
     "dsir_weight" -> oracleDsirWeight,
     "dedup_spans" -> oracleDedupSpans,
     "dedup_substr" -> oracleDedupSubstr,

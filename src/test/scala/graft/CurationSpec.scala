@@ -507,4 +507,46 @@ class CurationSpec extends SparkSpec {
     // weight 0 draws key u^∞ = 0 — never beats a positive key
     assert(!out.exists(_._1 == 206L))
   }
+
+  test("CDC chunking: contiguous full coverage, short/empty docs, content hash") {
+    val rnd = new scala.util.Random(42)
+    val t = (0 until 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((0L, t), (1L, "tiny"), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkCdc(docs).collect()
+    val c0 = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+    assert(c0.length > 10, s"expected ~2000/64 chunks, got ${c0.length}")
+    assert(c0.head.getLong(2) == 1L)
+    c0.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(2) == a.getLong(2) + a.getLong(3))
+      case _           =>
+    }
+    assert(c0.last.getLong(2) + c0.last.getLong(3) - 1 == 2000L)
+    val one = c0(1)
+    val span = t.substring(one.getLong(2).toInt - 1,
+      (one.getLong(2) + one.getLong(3)).toInt - 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(span.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one.getString(4) == md)
+    // < window chars → one whole-doc chunk; empty doc → nothing
+    val c1 = out.filter(_.getLong(0) == 1L)
+    assert(c1.length == 1 && c1.head.getLong(3) == 4L)
+    assert(!out.exists(_.getLong(0) == 2L))
+  }
+
+  test("CDC resync law: a prefix edit leaves every chunk after the first boundary intact") {
+    val rnd = new scala.util.Random(7)
+    val t = (0 until 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((0L, t), (1L, "XYZ" + t)).toDF("doc_id", "text")
+    val out = Curation.chunkCdc(docs).collect()
+    val h0 = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(1)).map(_.getString(4))
+    val h1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1)).map(_.getString(4))
+    assert(h0.length > 20)
+    // a boundary depends only on its trailing 16-char window, so every
+    // boundary of t persists (shifted by the 3 inserted chars) and the
+    // chunk streams re-converge after t's FIRST boundary: the last n-1
+    // chunk hashes are identical — this is what makes chunk-hash dedup
+    // survive edits where fixed-size blocking loses everything
+    val shared = h0.drop(1)
+    assert(h1.takeRight(shared.length).sameElements(shared))
+  }
 }

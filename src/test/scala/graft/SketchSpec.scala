@@ -210,4 +210,50 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(whole == merged)
   }
+
+  /** Planted overlap: even docs carry tokens t0..t2999, odd docs
+    * t2000..t4999 → union 5000, intersection 1000, Jaccard 0.2. */
+  private def overlapDocs = (0 until 100).map { d =>
+    val base = if (d % 2 == 0) (d / 2) * 60 else 2000 + (d / 2) * 60
+    (d.toLong, (0 until 60).map(i => s"t${base + i}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("KMV: set-op estimates within the k=256 error band; audits exact") {
+    val row = Sketches.kmvOverlap(overlapDocs).collect().head
+    assert(row.getAs[Long]("exact_union") == 5000L)
+    assert(row.getAs[Long]("exact_inter") == 1000L)
+    // rel std ~ 1/sqrt(k-2) ~ 6.3%; 20% is > 3 sigma
+    assert(math.abs(row.getAs[Double]("d_even") - 3000.0) / 3000.0 < 0.20)
+    assert(math.abs(row.getAs[Double]("d_odd") - 3000.0) / 3000.0 < 0.20)
+    assert(math.abs(row.getAs[Double]("union_est") - 5000.0) / 5000.0 < 0.20)
+    // rho std ~ sqrt(0.2*0.8/256) ~ 0.025; 0.08 is > 3 sigma
+    assert(math.abs(row.getAs[Double]("jaccard_est") - 0.2) < 0.08)
+    assert(math.abs(row.getAs[Double]("inter_est") - 1000.0) / 1000.0 < 0.35)
+  }
+
+  test("KMV merge law: sketch(A union B) == k-smallest of K(A) ++ K(B)") {
+    val tok = overlapDocs.select(
+      when(col("doc_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+        .as("half"),
+      explode(graft.llm.Dedup.tokens(col("text"))).as("token"))
+    val halves = Sketches.kmvSketch(tok, "half", "token", k = 64)
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("hs"))
+    val merged = halves.flatten.distinct.sorted.take(64).toSeq
+    val whole = Sketches
+      .kmvSketch(tok.withColumn("half", lit("all")), "half", "token", k = 64)
+      .collect().head.getAs[scala.collection.Seq[Long]]("hs").toSeq
+    assert(merged == whole)
+  }
+
+  test("KMV small sets fall back to exact counts") {
+    val docs = Seq((0L, "a b c"), (1L, "b c d e")).toDF("doc_id", "text")
+    val row = Sketches.kmvOverlap(docs).collect().head
+    assert(row.getAs[Double]("d_even") == 3.0)
+    assert(row.getAs[Double]("d_odd") == 4.0)
+    assert(row.getAs[Double]("union_est") == 5.0)
+    assert(row.getAs[Double]("jaccard_est") == 0.4)
+    assert(row.getAs[Double]("inter_est") == 2.0)
+    assert(row.getAs[Long]("exact_union") == 5L)
+    assert(row.getAs[Long]("exact_inter") == 2L)
+  }
 }
