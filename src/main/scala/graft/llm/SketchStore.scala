@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *   - `hll.parquet`   (group, idx, mreg)  folded by max(mreg)
   *   - `cms.parquet`   (j, c, cnt)         folded by sum(cnt)
   *   - `qbins.parquet` (group, bin, cnt)   folded by sum(cnt)
+  *   - `kmv.parquet`   (group, h)          folded by per-group k-smallest
+  *     distinct (r16 — [[Sketches.kmvSketch]] minima; KMV's merge law
+  *     K(A∪B) = k-smallest(K(A)∪K(B)) makes the fold exact like the rest)
   *
   * Partials are what make [[append]] a PURE WRITE — the store is never
   * read-merge-overwritten, so a batch-keyed commit
@@ -53,7 +56,16 @@ object SketchStore {
     write(Sketches.hllRegisters(docs, groupCol), s"$dir/hll.parquet")
     write(Sketches.cmsCounters(docs, d, w), s"$dir/cms.parquet")
     write(Sketches.quantileBins(docs, valueCol, groupCol), s"$dir/qbins.parquet")
+    write(kmvRows(docs, groupCol), s"$dir/kmv.parquet")
   }
+
+  /** A batch's per-group KMV minima as storable (group, h) rows. */
+  private def kmvRows(docs: DataFrame, groupCol: String): DataFrame =
+    Sketches.kmvSketch(
+        docs.select(col(groupCol),
+          explode(Dedup.tokens(col("text"))).as("token")),
+        groupCol, "token")
+      .select(col("shard").as(groupCol), explode(col("hs")).as("h"))
 
   /** Fold a new batch into the store: appends the batch's OWN sketch as
     * partial rows — one batch scan per sketch, three bounded pure writes;
@@ -67,7 +79,8 @@ object SketchStore {
     val tables = Seq(
       Sketches.hllRegisters(docs, groupCol) -> s"$dir/hll.parquet",
       Sketches.cmsCounters(docs, d, w) -> s"$dir/cms.parquet",
-      Sketches.quantileBins(docs, valueCol, groupCol) -> s"$dir/qbins.parquet")
+      Sketches.quantileBins(docs, valueCol, groupCol) -> s"$dir/qbins.parquet",
+      kmvRows(docs, groupCol) -> s"$dir/kmv.parquet")
     tables.foreach { case (df, path) =>
       batchId match {
         case Some(id) =>
@@ -103,6 +116,9 @@ object SketchStore {
       foldCms(spark, dir).coalesce(1), s"$dir/cms.parquet")
     graft.sources.StoreOps.swapWrite(
       foldQbins(spark, dir, groupCol).coalesce(1), s"$dir/qbins.parquet")
+    graft.sources.StoreOps.swapWrite(
+      foldKmv(spark, dir, groupCol).select(col(groupCol), col("h"))
+        .coalesce(1), s"$dir/kmv.parquet")
   }
 
   // ---- the read-side folds (bounded: keys × batches-since-compact) ----
@@ -120,10 +136,36 @@ object SketchStore {
     spark.read.parquet(s"$dir/qbins.parquet")
       .groupBy(col(groupCol), col("bin")).agg(sum("cnt").as("cnt"))
 
+  /** Per-group k-smallest distinct stored minima (+ their rank). The
+    * window frame is groups × k × batches-since-compact — store-bounded,
+    * never corpus-bounded. */
+  private def foldKmv(spark: SparkSession, dir: String, groupCol: String,
+                      k: Int = Sketches.KmvK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("h")
+    spark.read.parquet(s"$dir/kmv.parquet").distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Per-group distinct-count estimates from the stored registers. */
   def hllEstimates(spark: SparkSession, dir: String,
                    groupCol: String = "lang"): DataFrame =
     Sketches.hllEstimateFromRegisters(foldHll(spark, dir, groupCol), groupCol)
+
+  /** Per-group distinct-count estimates from the stored KMV minima:
+    * exact size when the whole set fit under k, else (k−1)·M / h_k —
+    * the [[Sketches]] estimator over the folded store. */
+  def kmvEstimates(spark: SparkSession, dir: String,
+                   groupCol: String = "lang",
+                   k: Int = Sketches.KmvK): DataFrame =
+    foldKmv(spark, dir, groupCol, k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_mins"),
+        max(when(col("rk") === k, col("h"))).as("__hk__"))
+      .select(col(groupCol), col("n_mins"),
+        round(when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(lit(Sketches.KmvNumerator) / col("__hk__").cast("double")),
+          6).as("est"))
 
   /** Per-group quantile estimates from the stored bins. */
   def quantiles(spark: SparkSession, dir: String, groupCol: String = "lang",

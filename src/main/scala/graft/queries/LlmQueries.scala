@@ -242,6 +242,21 @@ object LlmQueries {
     graft.llm.SketchStore.hllEstimates(spark, store)
   }
 
+  /** KMV store lifecycle: build(lower half) + append(upper half) +
+    * compact, then read per-lang distinct estimates from the STORE. The
+    * KMV merge law makes the fold exact, so the whole-corpus replica is
+    * the oracle — one wrong minimum anywhere hash-fails. */
+  def sketchKmvStoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val store = java.nio.file.Files.createTempDirectory("graft-kmvstore")
+      .toString
+    graft.llm.SketchStore.build(d.filter(col("doc_id") <= half), store)
+    graft.llm.SketchStore.append(d.filter(col("doc_id") > half), store)
+    graft.llm.SketchStore.compact(store)
+    graft.llm.SketchStore.kmvEstimates(spark, store)
+  }
+
   def shardAssignQ(spark: SparkSession, dir: String): DataFrame =
     Curation.shardAssign(docs(spark, dir), nShards = 8)
 
@@ -2500,6 +2515,22 @@ object LlmQueries {
        |FROM est, ex""".stripMargin
   }
 
+  /** KMV store replica: per-lang k smallest distinct hashes over the
+    * WHOLE corpus (build+append+compact fold exactly to this). */
+  def oracleSketchKmvStore: String = {
+    val k = graft.llm.Sketches.KmvK
+    val num = graft.llm.Sketches.KmvNumerator.toString
+    s"""WITH tok AS (SELECT lang,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+       |h AS (SELECT DISTINCT lang, ('0x' || substr(md5('kmv:' || token), 1, 15))::BIGINT AS h FROM tok),
+       |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM h),
+       |kk AS (SELECT lang, h, rk FROM r WHERE rk <= $k)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_mins,
+       |  round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE $num / CAST(max(CASE WHEN rk = $k THEN h END) AS DOUBLE) END, 6) AS est
+       |FROM kk GROUP BY 1""".stripMargin
+  }
+
   /** Store-lifecycle replica: the incremental merge is exact, so the
     * whole-corpus HLL estimate (minus the raw-corpus audit column the
     * store cannot produce) IS the oracle. */
@@ -3069,6 +3100,7 @@ object LlmQueries {
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "sketch_hll" -> (sketchHllQ _),
     "sketch_kmv" -> (sketchKmvQ _),
+    "sketch_kmv_store" -> (sketchKmvStoreQ _),
     "sketch_cms" -> (sketchCmsQ _),
     "sketch_quantile" -> (sketchQuantileQ _),
     "sketch_store" -> (sketchStoreQ _),
@@ -3162,6 +3194,7 @@ object LlmQueries {
     "decontaminate_bloom" -> oracleDecontaminateBloom,
     "sketch_hll" -> oracleSketchHll,
     "sketch_kmv" -> oracleSketchKmv,
+    "sketch_kmv_store" -> oracleSketchKmvStore,
     "sketch_cms" -> oracleSketchCms,
     "sketch_quantile" -> oracleSketchQuantile,
     "sketch_store" -> oracleSketchStore,

@@ -170,18 +170,19 @@ class SketchSpec extends SparkSpec {
       val f = t match {
         case "hll" => df.groupBy("lang", "idx").agg(max("mreg").as("mreg"))
         case "cms" => df.groupBy("j", "c").agg(sum("cnt").as("cnt"))
+        case "kmv" => df.distinct() // fold = distinct + truncate (< k here)
         case _ => df.groupBy("lang", "bin").agg(sum("cnt").as("cnt"))
       }
       f.collect().map(_.toSeq).toSet
     }
-    for (t <- Seq("hll", "cms", "qbins")) {
+    for (t <- Seq("hll", "cms", "qbins", "kmv")) {
       val inc = folded(storeInc, t)
       assert(inc == folded(storeOne, t),
         s"store table $t diverged between incremental and one-pass")
       assert(inc.nonEmpty)
     }
     graft.llm.SketchStore.compact(storeInc)
-    for (t <- Seq("hll", "cms", "qbins"))
+    for (t <- Seq("hll", "cms", "qbins", "kmv"))
       assert(spark.read.parquet(s"$storeInc/$t.parquet").collect()
         .map(_.toSeq).toSet ==
         spark.read.parquet(s"$storeOne/$t.parquet").collect()
@@ -193,6 +194,13 @@ class SketchSpec extends SparkSpec {
     assert(est.keySet == Set("en", "de"))
     // small-range correction regime: estimates should be near the true 5/7
     assert(math.abs(est("en") - 5.0) < 2.0 && math.abs(est("de") - 7.0) < 2.5)
+    // KMV estimates: sets far below k=256 fall back to EXACT counts
+    val kmv = graft.llm.SketchStore.kmvEstimates(spark, storeInc)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // true distinct: en {alpha,beta,gamma,delta,epsilon} = 5,
+    // de {zeta,eta,theta,iota,kappa,alpha,mu,nu} = 8
+    assert(kmv("en") == ((5L, 5.0)) && kmv("de") == ((8L, 8.0)))
     val probe = Seq("alpha", "beta", "nosuchtoken").toDF("token")
     val freq = graft.llm.SketchStore.freqLookup(spark, storeInc, probe)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
