@@ -61,7 +61,7 @@ object Plans {
     "tokenize_raw_unigram", "tokenize_raw_wordpiece", "dedup_allpairs",
     "media_frames", "media_resize",
     "q4_priority", "q6_forecast", "q7_volume", "q10_returns", "q17_smallqty",
-    "sketch_kmv", "chunk_cdc")
+    "sketch_kmv", "chunk_cdc", "bucketed_join")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.sources.Layout
+
 /** Columnar-analytics surface over the TPC-H-ish tables: scan-heavy
   * aggregation, broadcast star join, event windowing. These anchor the
   * benchmark and prove plan quality (pushdown, broadcast, partial agg).
@@ -727,8 +729,42 @@ object AnalyticsQueries {
       |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
       |                          WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** BUCKETED CO-LOCATED JOIN: both sides written bucketed on the join key
+    * (8 buckets, sorted within), then joined through the catalog — the
+    * executed sort-merge join has ZERO shuffle exchanges (LayoutSpec pins
+    * this on the plan): bucket i only meets bucket i, the network cost a
+    * plain fact⋈fact join pays on EVERY run was paid once at write. The
+    * merge hint keeps the plan shape independent of the scale factor
+    * (broadcast would also be shuffle-free here, but only while one side
+    * stays small — bucketing is the lever that still works when both
+    * sides are facts). Result = the plain Q-style priority revenue
+    * rollup, so the oracle is an ordinary join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    Layout.writeBucketed(spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_orders_bkt", s"$tmp/orders", "o_orderkey")
+    Layout.writeBucketed(spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_lineitem_bkt", s"$tmp/lineitem", "l_orderkey")
+    Layout.readBucketed(spark, "graft_lineitem_bkt").hint("merge")
+      .join(Layout.readBucketed(spark, "graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(decRevenue).cast(DoubleType), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def oracleBucketedJoin: String =
+    s"""SELECT o_orderpriority,
+      |  round(CAST(sum($DecRevSql) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_key" -> (zorderKey _),
+    "bucketed_join" -> (bucketedJoin _),
     "q4_priority" -> (q4Priority _),
     "q6_forecast" -> (q6Forecast _),
     "q7_volume" -> (q7Volume _),
@@ -757,6 +793,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> oracleZorderKey,
+    "bucketed_join" -> oracleBucketedJoin,
     "q4_priority" -> oracleQ4Priority,
     "q6_forecast" -> oracleQ6Forecast,
     "q7_volume" -> oracleQ7Volume,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-ORDER (Morton) clustering.
@@ -61,4 +61,34 @@ object Layout {
     df.groupBy(input_file_name().as("file"))
       .agg(min(x).as("lo_x"), max(x).as("hi_x"),
         min(y).as("lo_y"), max(y).as("hi_y"))
+
+  // ------------------------------------------------- bucketed co-location
+
+  /** Write `df` as a BUCKETED table: rows hash-partitioned into `nBuckets`
+    * files by `key` at WRITE time, bucket spec recorded in the catalog.
+    * This is the other layout lever next to z-order: z-order buys file
+    * SKIPPING, bucketing buys join CO-LOCATION — two tables bucketed on
+    * their join key with the same bucket count join with ZERO shuffle
+    * (bucket i only ever meets bucket i), so the dominant cost of a
+    * fact⋈fact join at 100 TB — re-hashing both sides over the network,
+    * every time — is paid ONCE at write and amortized over every
+    * subsequent join, the same trade the z-order write makes for scans.
+    * `sortBy(key)` inside buckets lets the join skip its sort too.
+    *
+    * The table is EXTERNAL (data at `path`), registered under `name` in
+    * the session catalog — re-register after a restart with the same
+    * call; `overwrite` drops and replaces. */
+  def writeBucketed(df: DataFrame, name: String, path: String, key: String,
+                    nBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.format("parquet").option("path", path)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(name)
+  }
+
+  /** Read a bucketed table back (bucket metadata rides the catalog — a
+    * plain parquet read of the same path would NOT co-locate). */
+  def readBucketed(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
 }

@@ -58,4 +58,31 @@ class LayoutSpec extends SparkSpec {
       spark.read.parquet(zDir).agg(sum("x"), sum("y")).head() ==
         spark.read.parquet(xDir).agg(sum("x"), sum("y")).head())
   }
+
+  test("bucketed co-location: the join itself runs with ZERO shuffle exchanges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bktspec").toString
+    val left = (0 until 1000).map(i => (i.toLong, i * 2L)).toDF("k", "a")
+    val right = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k2", "b")
+    Layout.writeBucketed(left, "spec_left_bkt", s"$tmp/l", "k", nBuckets = 4)
+    Layout.writeBucketed(right, "spec_right_bkt", s"$tmp/r", "k2", nBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.readBucketed(spark, "spec_left_bkt").hint("merge")
+        .join(Layout.readBucketed(spark, "spec_right_bkt"),
+          col("k") === col("k2"))
+      val rows = joined.collect()
+      assert(rows.length == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // the same join over plain parquet reads shuffles BOTH sides
+      val plainL = spark.read.parquet(s"$tmp/l")
+      val plainR = spark.read.parquet(s"$tmp/r")
+      val plain = plainL.hint("merge").join(plainR, col("k") === col("k2"))
+      plain.collect()
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control: catalog-less reads of the same files must shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
