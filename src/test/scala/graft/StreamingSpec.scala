@@ -445,6 +445,54 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKeepers)
   }
 
+  test("streaming chunk dedup: a prefix-edited recrawl stores only the pre-resync chunks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val t = (0 until 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val b1 = Seq((0L, t)).toDF("doc_id", "text")
+    val b2 = Seq((1000000L, "XYZ " + t)).toDF("doc_id", "text")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cdcdedup")
+    b1.coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_crawl.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_recrawl.parquet"))
+    streamDir.resolve("a_crawl.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_recrawl.parquet").toFile.setLastModified(2000000000000L)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = streaming.StreamChunkDedup.streaming(spark, stream)
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val emitted = spark.sql("SELECT doc_id, chunk_hash FROM cdc_stream").collect()
+    val h1 = llm.Curation.chunkCdc(b1)
+      .select("chunk_hash").collect().map(_.getString(0)).toSet
+    val h2 = llm.Curation.chunkCdc(b2)
+      .select("chunk_hash").collect().map(_.getString(0)).toSet
+    val fromB1 = emitted.filter(_.getLong(0) == 0L).map(_.getString(1)).toSet
+    val fromB2 = emitted.filter(_.getLong(0) == 1000000L).map(_.getString(1)).toSet
+    // first crawl: every distinct chunk stored once
+    assert(fromB1 == h1)
+    // recrawl: ONLY the genuinely-new chunks — the resynced tail dedups away
+    assert(fromB2 == (h2 -- h1))
+    // and the resync law makes that O(1) chunks for a prefix edit, not O(doc)
+    assert(h1.size > 20, s"fixture sanity: ${h1.size} chunks")
+    assert(fromB2.size <= 2, s"prefix edit must cost <= 2 chunks, got ${fromB2.size}")
+  }
+
   test("streaming heavy hitters: Misra-Gries bound holds against exact counts across micro-batches") {
     hhLaws(nShards = 2, qname = "hh_stream")
   }
