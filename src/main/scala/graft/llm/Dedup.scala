@@ -579,4 +579,110 @@ object Dedup {
         col("min_dup").isNull.as("keep"), col("min_dup"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
   }
+
+  /** EXACT edit-distance similarity self-join (q-gram count filtering,
+    * Gravano et al. VLDB'01, with the [[allPairsJoin]] prefix-filter
+    * index): every pair of rows whose strings are within Levenshtein
+    * distance ≤ `k`, with NO false negatives — the fuzzy-entity-matching
+    * primitive (typo'd names/titles/IDs) none of the set-similarity
+    * dedups covers, because token-set Jaccard cannot see a one-character
+    * substitution inside a word.
+    *
+    * Filter theory: one edit (insert/delete/substitute) destroys at most
+    * `q` of a string's positional q-grams, so ed(a,b) ≤ k implies the
+    * q-gram MULTISETS overlap in ≥ max(|Ga|,|Gb|) − k·q grams. Multisets
+    * become plain sets by tagging each gram with its occurrence index
+    * (gram, occ) — set intersection then equals multiset overlap. With
+    * the overlap bound t = max − k·q, the [[allPairsJoin]] prefix-filter
+    * theorem says a qualifying pair must share one of the first
+    * |G| − t + 1 ≤ k·q + 1 grams in ANY shared total order — so only
+    * each string's k·q+1 RAREST (df asc, gram, occ) grams are indexed,
+    * and hot grams (the skew) almost never enter a prefix. A length
+    * filter (|len(a) − len(b)| ≤ k, necessary for ed ≤ k) prunes
+    * candidates further. Verification is one native codegen'd
+    * `levenshtein` per candidate — integer output, exact in any engine.
+    *
+    * Exactness at the edges: the gram bound is vacuous only when BOTH
+    * strings have ≤ k·q grams (len ≤ k·q + q − 1) — those "short" rows
+    * are cross-verified directly within the length filter (a bounded
+    * bucket: the strings too short to carry a signature). A short-long
+    * pair still satisfies t ≥ 1 via the long side, and the short side's
+    * prefix is its whole gram set, so the postings join covers it; a
+    * gram-LESS string (len < q) can only be within k of strings that
+    * are themselves short-bucket members. LlmSpec pins brute-force
+    * equality including both edge classes.
+    *
+    * Scale shape: gram extraction + occurrence tagging is IN-ROW (O(len²)
+    * per row — built for SHORT strings: names, titles, keys; for document
+    * bodies use [[allPairsJoin]]/[[minhashLsh]]), one (gram,occ)-keyed df
+    * aggregate, one id-keyed sort-collect, prefix postings ≈ (k·q+1)·N
+    * rows, candidate self-join shuffles on the prefix gram, verify joins
+    * shuffle on ids with candidate-bounded fan-in. `maxBucket` is the
+    * same pure safety brake as [[allPairsJoin]]'s.
+    *
+    * Output: (id_a < id_b, dist ≤ k), both integral — hash-exact by
+    * construction. */
+  def editDistanceJoin(rows: DataFrame, idCol: String, strCol: String,
+                       k: Int = 1, q: Int = 2,
+                       maxBucket: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val strs = rows.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    // positional q-grams tagged with their occurrence index, in-row:
+    // gram i's occ = how many identical grams start before it. The
+    // slice(.., greatest(.., 0)) trick yields an EMPTY array for len < q
+    // without a CASE (sequence(1, 0) would count DOWN, not empty).
+    val gramsExpr = expr(
+      s"""slice(
+         |  transform(sequence(1, greatest(length(s) - ${q - 1}, 1)),
+         |    i -> struct(substring(s, i, $q) AS gram,
+         |                size(filter(sequence(1, i), j ->
+         |                  j < i AND substring(s, j, $q) = substring(s, i, $q)))
+         |                  AS occ)),
+         |  1, greatest(length(s) - ${q - 1}, 0))""".stripMargin)
+    val sigd = strs
+      .select(col("id"), length(col("s")).as("len"), gramsExpr.as("gs"))
+      .select(col("id"), col("len"), size(col("gs")).as("sz"), col("gs"))
+    val gd = sigd.select(col("id"), col("len"),
+      explode(col("gs")).as("g")).select(col("id"), col("len"),
+      col("g.gram").as("gram"), col("g.occ").as("occ"))
+    val dfreq = gd.groupBy("gram", "occ").agg(count(lit(1)).as("df"))
+    val prefLen = k * q + 1
+    val ranked = gd.join(dfreq, Seq("gram", "occ"))
+      .groupBy("id")
+      .agg(first(col("len")).as("len"),
+        array_sort(collect_list(struct(col("df"), col("gram"), col("occ"))))
+          .as("ord"))
+      .select(col("id"), col("len"),
+        explode(slice(col("ord"), 1, prefLen)).as("pt"))
+      .select(col("id"), col("len"),
+        col("pt.gram").as("gram"), col("pt.occ").as("occ"))
+    // pin the prefix postings: bucket pre-count + both self-join sides
+    // (the allPairsJoin shared-frame rule)
+    val sc = rows.sparkSession.sparkContext
+    val pref = if (sc.getCheckpointDir.isDefined) ranked.checkpoint()
+               else ranked.localCheckpoint()
+    val ok = pref.groupBy("gram", "occ").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucket)).select("gram", "occ")
+    val p = pref.join(ok, Seq("gram", "occ"))
+    val candPref = p.as("a").join(p.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // both-short bucket: the gram filter is vacuous only here (see
+    // scaladoc) — bounded cross-verify within the length filter
+    val short = sigd.filter(col("sz") <= k * q).select("id", "len")
+    val candShort = short.as("a").join(short.as("b"),
+        col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    candPref.union(candShort).distinct()
+      .join(strs.select(col("id").as("id_a"), col("s").as("__sa__")), "id_a")
+      .join(strs.select(col("id").as("id_b"), col("s").as("__sb__")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa__"), col("__sb__")))
+      .filter(col("dist") <= k)
+      .select("id_a", "id_b", "dist")
+  }
 }

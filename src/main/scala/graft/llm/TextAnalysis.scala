@@ -118,6 +118,54 @@ object TextAnalysis {
         round(coalesce(col("avg_ln_freq"), lit(0.0)), 6).as("avg_ln_freq"))
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990; Manning & Schütze
+    * ch. 5 — the corpus-analysis step that surfaces multiword units:
+    * "new york", "machine learning"): pointwise mutual information of
+    * each adjacent word pair against its unigram independence baseline,
+    *
+    *   pmi(w1,w2) = log2( p(w1,w2) / (p(w1)·p(w2)) ),
+    *   p(w1,w2) = c12/N_bigrams, p(w) = c(w)/N_tokens,
+    *
+    * reported for pairs with c12 ≥ `minCount` (the standard guard — PMI
+    * over-rewards hapax pairs), top-`topK` by (pmi desc, w1, w2). The
+    * output feeds tokenizer vocab seeding and blocklist/boilerplate
+    * discovery upstream of [[blocklist]].
+    *
+    * Scale shape: one token explode feeding two map-side-combined
+    * aggregates (bigram- and token-keyed); the unigram count table is
+    * vocab-bounded and BROADCASTS into the minCount-pruned bigram frame;
+    * the two corpus totals ride one-row broadcast crossJoins (no driver
+    * collect); the final cut is a TakeOrderedAndProject over a
+    * vocab²-bounded frame — nothing after the explode scales with corpus
+    * rows. Determinism: counts are exact integers, the ratio is built
+    * with a fixed parenthesization mirrored token-for-token by the
+    * oracle, pmi rounds at 6, and the top-K order ties break on the
+    * words. */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+                   topK: Int = 20): DataFrame = {
+    def w1of(g: Column) = element_at(split(g, " "), 1)
+    def w2of(g: Column) = element_at(split(g, " "), 2)
+    val uni = Dedup.rawNgrams(docs, 1)
+    val c1 = uni.groupBy("g").agg(count(lit(1)).as("c"))
+    val nTok = c1.agg(sum("c").cast(DoubleType).as("ntok"))
+    val c2 = Dedup.rawNgrams(docs, 2)
+      .select(w1of(col("g")).as("w1"), w2of(col("g")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nBig = c2.agg(sum("c12").cast(DoubleType).as("nbig"))
+    c2.filter(col("c12") >= minCount)
+      .join(broadcast(c1.select(col("g").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(c1.select(col("g").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBig))
+      .withColumn("pmi", round(log2(
+        (col("c12").cast(DoubleType) / col("nbig")) /
+          ((col("c1").cast(DoubleType) / col("ntok")) *
+            (col("c2").cast(DoubleType) / col("ntok")))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c12", "c1", "c2", "pmi")
+  }
+
   /** Reference-LM perplexity (CCNet, Wenzek et al. 2020 — the quality/
     * domain filter that scores every document against a language model
     * trained on a TRUSTED reference corpus, keeping low-perplexity docs):

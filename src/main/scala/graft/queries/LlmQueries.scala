@@ -305,6 +305,53 @@ object LlmQueries {
       |FROM p
       |WHERE round(CAST(common AS DOUBLE) / (la + lb - common), 6) >= 0.8""".stripMargin
 
+  /** Edit-distance fuzzy-match self-join over the customer names — the
+    * typo-dense identifier corpus (digit strings differing in single
+    * substitutions), exactly the input class q-gram filtering exists
+    * for. k=1, q=2: every name pair one edit apart, exact. */
+  def dedupEditdistQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.editDistanceJoin(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), lower(col("c_name")).as("s")),
+      "id", "s", k = 1, q = 2)
+
+  /** The filterless brute-force spec: every pair within the length
+    * filter, verified by DuckDB's levenshtein — proving the q-gram
+    * prefix index loses nothing. */
+  def oracleDedupEditdist: String =
+    """WITH s AS (SELECT c_custkey AS id, lower(c_name) AS s FROM customer)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      |FROM s a JOIN s b ON a.id < b.id
+      |WHERE abs(length(a.s) - length(b.s)) <= 1
+      |  AND levenshtein(a.s, b.s) <= 1""".stripMargin
+
+  def textCollocationsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.collocations(docs(spark, dir),
+      minCount = 5, topK = 20)
+
+  /** Same count tables and the SAME parenthesization of the PMI ratio —
+    * (c12/nbig) / ((c1/ntok)·(c2/ntok)) — so both engines feed log2 the
+    * identical IEEE double. */
+  def oracleTextCollocations: String =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |u AS (SELECT unnest(tk) AS w FROM toks),
+      |ca AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+      |ntok AS (SELECT CAST(sum(c) AS DOUBLE) AS ntok FROM ca),
+      |g2 AS (SELECT unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> concat_ws(' ', tk[i], tk[i+1]))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM toks),
+      |cb AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+      |    count(*) AS c12 FROM g2 GROUP BY 1, 2),
+      |nbig AS (SELECT CAST(sum(c12) AS DOUBLE) AS nbig FROM cb)
+      |SELECT w1, w2, c12, x.c AS c1, y.c AS c2,
+      |  round(log2((CAST(c12 AS DOUBLE) / nbig) /
+      |    ((CAST(x.c AS DOUBLE) / ntok) * (CAST(y.c AS DOUBLE) / ntok))), 6)
+      |    AS pmi
+      |FROM cb JOIN ca x ON cb.w1 = x.w JOIN ca y ON cb.w2 = y.w, ntok, nbig
+      |WHERE c12 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -3062,6 +3109,8 @@ object LlmQueries {
     "dedup_semdedup_incremental" -> (dedupSemdedupIncrementalQ _),
     "dedup_incremental" -> (dedupIncrementalQ _),
     "dedup_allpairs" -> (dedupAllpairsQ _),
+    "dedup_editdist" -> (dedupEditdistQ _),
+    "text_collocations" -> (textCollocationsQ _),
     "ann_brute" -> (annBrute _),
     "ann_mmr" -> (annMmr _),
     "ann_lsh" -> (annLsh _),
@@ -3156,6 +3205,8 @@ object LlmQueries {
     "dedup_semdedup_incremental" -> oracleDedupSemdedupIncremental,
     "dedup_incremental" -> oracleDedupIncremental,
     "dedup_allpairs" -> oracleDedupAllpairs,
+    "dedup_editdist" -> oracleDedupEditdist,
+    "text_collocations" -> oracleTextCollocations,
     "ann_brute" -> oracleAnnBrute,
     "ann_mmr" -> oracleAnnMmr,
     "ann_lsh" -> oracleAnnLsh,

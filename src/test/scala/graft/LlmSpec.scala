@@ -1003,6 +1003,66 @@ class LlmSpec extends SparkSpec {
     assert(!got.keys.exists(k => k._1 == 7L || k._2 == 7L)) // empty excluded
   }
 
+  test("editDistanceJoin: exact vs brute force, incl. short/gram-less strings") {
+    // planted: (0,1) one substitution; (1,2) one insert; (3) two edits
+    // from 0 (must NOT appear at k=1); (4,5) short strings (len <= 3, at
+    // or below the k·q gram bound) one edit apart; (6) single char, one
+    // edit from 7's empty string; (8,9) identical (dist 0); 10 shares
+    // grams with 0 but is 4 edits away.
+    val rows = Seq(
+      (0L, "martha"), (1L, "martka"), (2L, "martka_"),
+      (3L, "marthxy"), (4L, "abc"), (5L, "abd"), (6L, "x"), (7L, ""),
+      (8L, "same"), (9L, "same"), (10L, "marbled")
+    ).map { case (i, s) => (i, s) }.toDF("id", "s")
+    val got = Dedup.editDistanceJoin(rows, "id", "s", k = 1, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val brute = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .filter(col("d") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+    assert(got((0L, 1L)) == 1 && got((4L, 5L)) == 1 && got((8L, 9L)) == 0)
+    assert(got.contains((6L, 7L))) // gram-less pair via the short bucket
+    assert(!got.contains((0L, 3L)) && !got.contains((0L, 10L)))
+  }
+
+  test("editDistanceJoin: k=2 widens exactly to the brute-force k=2 set") {
+    val rows = Seq((0L, "kitten"), (1L, "sitten"), (2L, "sittin"),
+      (3L, "sitting"), (4L, "mitten"), (5L, "bitten"), (6L, "fitted"))
+      .toDF("id", "s")
+    val got = Dedup.editDistanceJoin(rows, "id", "s", k = 2, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val brute = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+    assert(got((0L, 2L)) == 2 && got((2L, 3L)) == 1)
+  }
+
+  test("collocations: PMI ranks the planted pair above independent words") {
+    // "neural nets" always adjacent (high PMI); "the" appears with
+    // everything (low PMI for any "the x" pair); pairs under minCount
+    // are excluded.
+    val doc = "neural nets the cat the dog the fish neural nets"
+    val docs = (0L to 9L).map(i => (i, doc)).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 5, topK = 10)
+      .collect()
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(5)).toMap
+    assert(byPair.contains(("neural", "nets")))
+    // rare-but-always-together outranks the hub word's pairs
+    val thePairs = byPair.keys.filter(_._1 == "the")
+    assert(thePairs.forall(p => byPair(p) < byPair(("neural", "nets"))))
+    // counts are exact: "neural nets" occurs twice per doc × 10 docs
+    val row = got.find(r => r.getString(0) == "neural").get
+    assert(row.getLong(2) == 20L)
+  }
+
   test("budget operators accept the byte-fallback tokenizer (unigram_raw)") {
     val docs = Seq(
       (0L, "Mixed CASE text!", "a", 10L),
