@@ -762,7 +762,275 @@ object AnalyticsQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Q8-style MARKET SHARE: of the revenue EUROPE customers spent on
+    * STANDARD parts in 1996–97, what fraction came from NATION_5
+    * suppliers, per order year. The plan composes the house patterns:
+    * part filter broadcasts into the fact scan (the selective cut,
+    * applied FIRST so everything downstream carries only matching
+    * lineitems); the customer→nation→region chain prunes orders on the
+    * custkey join (orders⋈customer is the honest shuffle — at 100 TB
+    * neither side broadcasts; AQE may demote it after the region cut);
+    * the supplier nation tag broadcasts; the share is a conditional /
+    * total ratio of EXACT DECIMAL sums per year — a 2-row output from
+    * one fact scan and two fact-sized shuffles. */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .filter(col("r_name") === "EUROPE")
+    val custNat = spark.read.parquet(s"$dir/customer.parquet")
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+      .join(custNat, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val supNat = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(round(
+        sum(when(col("n_name") === "NATION_5", decRevenue)
+          .otherwise(lit(BigDecimal(0)))).cast(DoubleType) /
+          sum(decRevenue).cast(DoubleType), 6).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def oracleQ8Share: String =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN $DecRevSql
+      |                 ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+      |        CAST(sum($DecRevSql) AS DOUBLE), 6) AS mkt_share,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  /** Q9-style PRODUCT-TYPE PROFIT (adapted: no partsupp table, so the
+    * unit cost is modeled as 60% of p_retailprice — the plan shape, not
+    * the cost model, is the point): profit on 'red *' parts per
+    * (supplier nation, ship year). Both dimensions broadcast into ONE
+    * fact scan — the p_name LIKE filter prunes part before the
+    * broadcast, no orders join at all (ship year comes from the fact
+    * row) — and the aggregate is |nations|×|years|-bounded. All money
+    * math in exact decimal: amount = disc price − 0.60·retail·qty. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_name").like("red %"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNat = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val amount = decRevenue -
+      col("p_retailprice").cast("decimal(12,2)") *
+        lit(BigDecimal("0.60")).cast("decimal(3,2)") *
+        col("l_quantity").cast("decimal(4,0)")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(round(sum(amount).cast(DoubleType), 2).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def oracleQ9Profit: String =
+    s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+      |  round(CAST(sum($DecRevSql
+      |      - CAST(p_retailprice AS DECIMAL(12,2))
+      |        * CAST(0.60 AS DECIMAL(3,2))
+      |        * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE), 2)
+      |    AS sum_profit,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE 'red %'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q13-style CUSTOMER ORDER-COUNT DISTRIBUTION: how many customers
+    * placed exactly N orders, zeros included — the two-level aggregate
+    * whose scale story is that BOTH levels collapse before they move:
+    * orders reduce to one row per custkey (map-side combined), the left
+    * join against customer preserves the zero class, and the second
+    * groupBy is |distinct counts|-bounded (tiny). No sort anywhere. */
+  def q13Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey").agg(count(lit(1)).as("c_count"))
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+  }
+
+  def oracleQ13Distribution: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |      GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
+  /** Q15-style TOP SUPPLIER(S): the supplier(s) with the maximum revenue
+    * over one quarter, ties kept. The revenue table aggregates FIRST
+    * (suppkey-keyed, map-side combined, EXACT DECIMAL so the max and the
+    * equality join are association-order-proof); the max is a one-row
+    * frame broadcast back via crossJoin — never a partition-less window
+    * (which would single-task the whole frame) and never a driver-side
+    * collect. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+        "l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(decRevenue).as("rev_dec"))
+    val top = rev.crossJoin(broadcast(
+        rev.agg(max(col("rev_dec")).as("max_dec"))))
+      .filter(col("rev_dec") === col("max_dec"))
+    spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_dec"), 2).cast(DoubleType).as("total_revenue"))
+  }
+
+  def oracleQ15TopSupplier: String =
+    s"""WITH rev AS (
+      |  SELECT l_suppkey, sum($DecRevSql) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)""".stripMargin
+
+  /** Q19-style DISJUNCTIVE predicate join: revenue under an OR-of-ANDs
+    * over (p_brand, p_size, l_quantity) — the shape that tests predicate
+    * placement, not join strategy. The part-side disjunction (brand ∧
+    * size per branch) prunes part BEFORE the broadcast; the fact side
+    * gets the DERIVED common bound (l_quantity ≤ 40, the max of all
+    * branch upper bounds) hand-pushed to the scan — Catalyst does not
+    * extract it from the cross-side OR — so most of the table is skipped
+    * by row-group stats before the join even probes; the exact branch
+    * disjunction then filters joined rows. */
+  def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val branchPart =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50))
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .filter(branchPart).select("p_partkey", "p_brand", "p_size")
+    val branchFull =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 20.0)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10.0, 30.0)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20.0, 40.0))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") <= 40.0) // derived common bound
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branchFull)
+      .agg(round(sum(decRevenue).cast(DoubleType), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def oracleQ19Disjunct: String =
+    s"""SELECT round(CAST(sum($DecRevSql) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  /** Q21-style WAITING SUPPLIER (adapted: lateness = shipped > 60 days
+    * after the order date): suppliers who were the ONLY late supplier in
+    * a finished multi-supplier order. The textbook formulation is two
+    * correlated EXISTS/NOT-EXISTS self-joins on the fact table (three
+    * lineitem scans, three orderkey shuffles); here both DECORRELATE
+    * into ONE groupBy(orderkey) pass — n_suppliers, distinct late
+    * suppliers, the late supplier id, and its late-row count are four
+    * aggregates of the same bounded-key reduce — so the fact table is
+    * scanned once and shuffled once (plus the honest orders join for the
+    * date). The per-supplier rollup joins the supplier dimension
+    * broadcast-side; output ordered by (numwait desc, s_name), top 100. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perOrder = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late_rows"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    val supNat = spark.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    perOrder
+      .join(broadcast(supNat), col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name", "n_name")
+      .agg(sum("n_late_rows").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  def oracleQ21Waiting: String =
+    """SELECT s_name, n_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1, 2
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_share" -> (q8Share _),
+    "q9_profit" -> (q9Profit _),
+    "q13_distribution" -> (q13Distribution _),
+    "q15_topsupplier" -> (q15TopSupplier _),
+    "q19_disjunct" -> (q19Disjunct _),
+    "q21_waiting" -> (q21Waiting _),
     "zorder_key" -> (zorderKey _),
     "bucketed_join" -> (bucketedJoin _),
     "q4_priority" -> (q4Priority _),
@@ -792,6 +1060,12 @@ object AnalyticsQueries {
     "q5_region" -> (q5Region _))
 
   val oracles: Map[String, String] = Map(
+    "q8_share" -> oracleQ8Share,
+    "q9_profit" -> oracleQ9Profit,
+    "q13_distribution" -> oracleQ13Distribution,
+    "q15_topsupplier" -> oracleQ15TopSupplier,
+    "q19_disjunct" -> oracleQ19Disjunct,
+    "q21_waiting" -> oracleQ21Waiting,
     "zorder_key" -> oracleZorderKey,
     "bucketed_join" -> oracleBucketedJoin,
     "q4_priority" -> oracleQ4Priority,
