@@ -1024,7 +1024,38 @@ object AnalyticsQueries {
       |GROUP BY 1, 2
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** SALTED SKEW JOIN: every event joined to its type's global average
+    * (per-event deviation) through a 5-key shuffle join — the maximal
+    * hot-key case: an unsalted exchange uses 5 of the cluster's
+    * partitions no matter how many executors exist. [[graft.operators
+    * .SkewJoin.salted]] splits each key across 8 salts (40-way
+    * parallelism), the dim replicates 8× (5 rows → 40 — the standard
+    * trade: salt the hot side, replicate the small side), and the
+    * result is provably the plain join (the oracle IS the plain join).
+    * The `shuffle_hash` hint keeps the exercised path honest — at this
+    * test size the 5-row dim would broadcast, and a broadcast join has
+    * no exchange to skew; at 100 TB the dim that needs this (users,
+    * URLs, session keys with Zipf fan-in) does not broadcast. */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = TsQueries.rawEvents(spark, dir)
+      .select("event_id", "event_type", "value")
+    val dim = ev.groupBy("event_type")
+      .agg(round(avg("value"), 6).as("avg_value"))
+    graft.operators.SkewJoin.salted(
+        ev, dim.hint("shuffle_hash"), "event_type",
+        saltSrc = col("event_id"), nSalts = 8)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") - col("avg_value"), 6).as("dev"))
+  }
+
+  def oracleSkewSaltedJoin: String =
+    """WITH dim AS (SELECT event_type, round(avg(value), 6) AS avg_value
+      |             FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, round(value - avg_value, 6) AS dev
+      |FROM events e JOIN dim USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_join" -> (skewSaltedJoin _),
     "q8_share" -> (q8Share _),
     "q9_profit" -> (q9Profit _),
     "q13_distribution" -> (q13Distribution _),
@@ -1060,6 +1091,7 @@ object AnalyticsQueries {
     "q5_region" -> (q5Region _))
 
   val oracles: Map[String, String] = Map(
+    "skew_salted_join" -> oracleSkewSaltedJoin,
     "q8_share" -> oracleQ8Share,
     "q9_profit" -> oracleQ9Profit,
     "q13_distribution" -> oracleQ13Distribution,
