@@ -61,7 +61,10 @@ object Plans {
     "tokenize_raw_unigram", "tokenize_raw_wordpiece", "dedup_allpairs",
     "media_frames", "media_resize",
     "q4_priority", "q6_forecast", "q7_volume", "q10_returns", "q17_smallqty",
-    "sketch_kmv", "chunk_cdc", "bucketed_join")
+    "sketch_kmv", "chunk_cdc", "bucketed_join",
+    "dedup_editdist", "text_collocations", "skew_salted_join",
+    "q8_share", "q9_profit", "q13_distribution", "q15_topsupplier",
+    "q19_disjunct", "q21_waiting")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is
