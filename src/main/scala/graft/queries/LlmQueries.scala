@@ -352,6 +352,37 @@ object LlmQueries {
       |WHERE c12 >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Copy-on-write MERGE lifecycle: init on the even half, upsert a
+    * recrawl batch (every doc_id % 3, text revised), delete a takedown
+    * set (doc_id % 10 = 5) — then read the store back. Only the buckets
+    * each batch's keys hash into are rewritten (MergeStoreSpec pins
+    * untouched files byte-identical); the oracle replays the same
+    * upsert/delete algebra relationally. */
+  def mergeUpsertQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-merge").toString + "/store"
+    graft.sources.MergeStore.init(
+      d.filter(col("doc_id") % 2 === 0), store, "doc_id", nBuckets = 16)
+    graft.sources.MergeStore.merge(spark, store,
+      d.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2"))))
+    graft.sources.MergeStore.delete(spark, store,
+      d.filter(col("doc_id") % 10 === 5).select("doc_id"))
+    graft.sources.MergeStore.read(spark, store)
+  }
+
+  def oracleMergeUpsert: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |upd AS (SELECT doc_id, text || ' v2' AS text FROM documents
+      |        WHERE doc_id % 3 = 0),
+      |merged AS (
+      |  SELECT doc_id, text FROM upd
+      |  UNION ALL
+      |  SELECT b.doc_id, b.text FROM base b
+      |  WHERE b.doc_id NOT IN (SELECT doc_id FROM upd))
+      |SELECT doc_id, text FROM merged WHERE doc_id % 10 <> 5""".stripMargin
+
   def dedupIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
@@ -3110,6 +3141,7 @@ object LlmQueries {
     "dedup_incremental" -> (dedupIncrementalQ _),
     "dedup_allpairs" -> (dedupAllpairsQ _),
     "dedup_editdist" -> (dedupEditdistQ _),
+    "merge_upsert" -> (mergeUpsertQ _),
     "text_collocations" -> (textCollocationsQ _),
     "ann_brute" -> (annBrute _),
     "ann_mmr" -> (annMmr _),
@@ -3206,6 +3238,7 @@ object LlmQueries {
     "dedup_incremental" -> oracleDedupIncremental,
     "dedup_allpairs" -> oracleDedupAllpairs,
     "dedup_editdist" -> oracleDedupEditdist,
+    "merge_upsert" -> oracleMergeUpsert,
     "text_collocations" -> oracleTextCollocations,
     "ann_brute" -> oracleAnnBrute,
     "ann_mmr" -> oracleAnnMmr,

@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write keyed MERGE (upsert/delete) into a bucket-partitioned
+  * parquet store — the storage op an INCREMENTAL corpus needs: recrawls
+  * re-fetch a fraction of documents, takedowns remove a few, and a plain
+  * parquet table answers both only with a full rewrite. Delta/Hudi/
+  * Iceberg sell this as MERGE INTO; the mechanism under all of them is
+  * the same two-step this module implements directly:
+  *
+  *  1. LAYOUT: rows live under `bkt = crc32(key) mod nBuckets` partition
+  *     directories (the write-time contract, like [[Layout.writeBucketed]]).
+  *  2. MERGE: the update batch's keys hash to a set of TOUCHED buckets
+  *     (≤ min(nBuckets, |batch|)); only those directories are read,
+  *     upserted (update wins, inserts appended), rewritten aside, and
+  *     swapped in. Untouched buckets — at 100 TB, almost all of the
+  *     store — are never opened: merge cost is O(touched data + batch),
+  *     not O(store). The read side prunes the same way: the static
+  *     `bkt IN (...)` filter on the partition column means only touched
+  *     directories are even LISTED.
+  *
+  * Atomicity: each bucket swap is the [[StoreOps.swapWrite]] rename
+  * dance (individually atomic on HDFS-class filesystems — see the §5
+  * storage-layer contract; S3-class stores need the conditional-put
+  * variant noted there). A crash mid-merge leaves a PREFIX of buckets
+  * swapped — safe because upsert is IDEMPOTENT: re-running the same
+  * merge converges to the same store (MergeStoreSpec pins twice ≡ once).
+  *
+  * Update batches must be key-unique (checked with one aggregate — the
+  * multi-version "latest wins" policy belongs to the caller, who knows
+  * which version column orders writes). */
+object MergeStore {
+
+  private def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(crc32(key.cast("string")), lit(nBuckets.toLong)).cast("int")
+
+  private def dataPath(path: String) = s"$path/data"
+  private def metaPath(path: String) = s"$path/meta"
+
+  /** Create the store from an initial corpus. */
+  def init(df: DataFrame, path: String, keyCol: String,
+           nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    requireKeyUnique(df, keyCol)
+    val spark = df.sparkSession
+    df.withColumn("bkt", bucketOf(col(keyCol), nBuckets))
+      .write.mode("errorifexists").partitionBy("bkt")
+      .parquet(dataPath(path))
+    import spark.implicits._
+    Seq((keyCol, nBuckets)).toDF("key_col", "n_buckets")
+      .write.mode("errorifexists").parquet(metaPath(path))
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (String, Int) = {
+    val r = spark.read.parquet(metaPath(path)).head()
+    (r.getAs[String]("key_col"), r.getAs[Int]("n_buckets"))
+  }
+
+  /** The store's logical rows (bucket column dropped). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(dataPath(path)).drop("bkt")
+
+  /** Upsert `updates` (key-unique): existing keys are replaced, new keys
+    * inserted. Only the buckets the batch's keys hash into are read and
+    * rewritten. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame): Unit =
+    rewriteTouched(spark, path, updates, deleteOnly = false)
+
+  /** Delete the given keys (a frame with the store's key column). Only
+    * touched buckets are rewritten; absent keys are a no-op. */
+  def delete(spark: SparkSession, path: String, keys: DataFrame): Unit =
+    rewriteTouched(spark, path, keys, deleteOnly = true)
+
+  private def requireKeyUnique(df: DataFrame, keyCol: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(keyCol)).as("d")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"batch must be unique on '$keyCol': ${r.getLong(0)} rows, " +
+        s"${r.getLong(1)} distinct keys")
+  }
+
+  private def rewriteTouched(spark: SparkSession, path: String,
+                             batch: DataFrame, deleteOnly: Boolean): Unit = {
+    val (keyCol, nBuckets) = readMeta(spark, path)
+    requireKeyUnique(batch, keyCol)
+    val b = batch.withColumn("bkt", bucketOf(col(keyCol), nBuckets))
+    // touched-bucket list: model-bounded (≤ nBuckets ints), the one
+    // driver-side collect — it becomes the static partition filter that
+    // keeps every untouched directory unopened and unlisted
+    val touched = b.select("bkt").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(dataPath(path))
+      .filter(col("bkt").isin(touched.map(Integer.valueOf): _*))
+    val kept = existing.join(b.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val merged = if (deleteOnly) kept else kept.unionByName(b)
+    // stage all touched buckets in one write, then swap per bucket dir
+    val stage = s"$path/stage"
+    val fs = new Path(stage).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(stage), true)
+    merged.write.mode("overwrite").partitionBy("bkt").parquet(stage)
+    touched.foreach { i =>
+      val live = new Path(s"${dataPath(path)}/bkt=$i")
+      val next = new Path(s"$stage/bkt=$i")
+      val bak = new Path(s"${dataPath(path)}/.bkt=$i.bak")
+      fs.delete(bak, true)
+      if (fs.exists(live))
+        require(fs.rename(live, bak), s"merge: rename-aside $live failed")
+      // a bucket can become empty (delete of its every key): the staged
+      // dir is then absent and the rename-aside alone is the rewrite
+      if (fs.exists(next))
+        require(fs.rename(next, live), s"merge: rename-in $next failed")
+      fs.delete(bak, true)
+    }
+    fs.delete(new Path(stage), true)
+  }
+}
