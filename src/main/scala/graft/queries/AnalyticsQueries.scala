@@ -851,16 +851,21 @@ object AnalyticsQueries {
       .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("l_shipdate")).as("o_year"))
-      .agg(round(sum(amount).cast(DoubleType), 2).as("sum_profit"),
+      // round the DECIMAL, then cast (the q10Returns lesson): rounding
+      // the double flipped a cent on 2/175 rows at sf1 — a 4-decimal
+      // exact sum ending in …5 rounds half-up as decimal in both
+      // engines, but its double image rounds differently (Spark goes
+      // through BigDecimal.valueOf's shortest-repr string)
+      .agg(round(sum(amount), 2).cast(DoubleType).as("sum_profit"),
         count(lit(1)).as("n_items"))
   }
 
   def oracleQ9Profit: String =
     s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
-      |  round(CAST(sum($DecRevSql
+      |  CAST(round(sum($DecRevSql
       |      - CAST(p_retailprice AS DECIMAL(12,2))
       |        * CAST(0.60 AS DECIMAL(3,2))
-      |        * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE), 2)
+      |        * CAST(l_quantity AS DECIMAL(4,0))), 2) AS DOUBLE)
       |    AS sum_profit,
       |  count(*) AS n_items
       |FROM lineitem
@@ -953,12 +958,13 @@ object AnalyticsQueries {
       .filter(col("l_quantity") <= 40.0) // derived common bound
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .filter(branchFull)
-      .agg(round(sum(decRevenue).cast(DoubleType), 2).as("revenue"),
+      // decimal-round before the double cast (the q10Returns lesson)
+      .agg(round(sum(decRevenue), 2).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   def oracleQ19Disjunct: String =
-    s"""SELECT round(CAST(sum($DecRevSql) AS DOUBLE), 2) AS revenue,
+    s"""SELECT CAST(round(sum($DecRevSql), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15

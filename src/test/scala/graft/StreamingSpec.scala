@@ -31,6 +31,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming quantile-sketch maintenance matches the one-pass batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_squant")
+    // two files → two triggers with maxFilesPerTrigger=1: the second
+    // batch must FOLD into the first's bin state, not replace it
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("d1.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("d2.parquet"))
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = streaming.StreamQuantile.bins(stream, "n_chars", "source")
+      .writeStream.format("memory").queryName("squant")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty micro-batches")
+    val streamedBins = spark.sql("SELECT * FROM squant")
+    val doubled = spark.read.parquet(streamDir.toString)
+    val batchBins = graft.llm.Sketches.quantileBins(doubled, "n_chars", "source")
+    def binSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(binSet(streamedBins) == binSet(batchBins))
+    // estimates over the maintained state ≡ the batch one-call sketch
+    val estStream = streaming.StreamQuantile.estimates(streamedBins, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val estBatch = graft.llm.Sketches.quantileSketch(doubled, "n_chars", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(estStream == estBatch && estStream.nonEmpty)
+  }
+
   test("streaming windowed rate matches batch (complete mode)") {
     val dir = "/root/testdata/sf0.001"
     val raw = queries.TsQueries.rawEvents(spark, dir)
