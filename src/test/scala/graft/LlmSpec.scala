@@ -1044,6 +1044,23 @@ class LlmSpec extends SparkSpec {
     assert(got((0L, 2L)) == 2 && got((2L, 3L)) == 1)
   }
 
+  test("editDistanceJoin: k=3 exercises the q-gram prefix path, exact vs brute") {
+    val rows = Seq((0L, "kitten"), (1L, "sitting"), (2L, "mittens"),
+      (3L, "bitter"), (4L, "kit"), (5L, "written"), (6L, "smitten"),
+      (7L, "xyzzy")).toDF("id", "s")
+    val got = Dedup.editDistanceJoin(rows, "id", "s", k = 3, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val brute = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+    assert(got((0L, 1L)) == 3) // the classic kitten→sitting
+    assert(!got.keys.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
   test("collocations: PMI ranks the planted pair above independent words") {
     // "neural nets" always adjacent (high PMI); "the" appears with
     // everything (low PMI for any "the x" pair); pairs under minCount
