@@ -69,6 +69,49 @@ class StreamingSpec extends SparkSpec {
     assert(estStream == estBatch && estStream.nonEmpty)
   }
 
+  test("streaming HLL and CMS maintenance match the one-pass batch sketches") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssk")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("d1.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("d2.parquet"))
+    val schema = spark.read.parquet(streamDir.toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val doubled = spark.read.parquet(streamDir.toString)
+
+    val qh = streaming.StreamSketch.hllRegisters(stream(), "lang")
+      .writeStream.format("memory").queryName("shll")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    qh.awaitTermination(120000)
+    val regsStream = spark.sql("SELECT * FROM shll")
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rset(regsStream) ==
+      rset(graft.llm.Sketches.hllRegisters(doubled, "lang")))
+    // estimates over the maintained registers ≡ register-only batch read
+    val estS = streaming.StreamSketch.hllEstimates(regsStream, "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val estB = graft.llm.Sketches.hllEstimateFromRegisters(
+        graft.llm.Sketches.hllRegisters(doubled, "lang"), "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(estS == estB && estS.nonEmpty)
+
+    val qc = streaming.StreamSketch.cmsCounters(stream())
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination(120000)
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cset(spark.sql("SELECT * FROM scms")) ==
+      cset(graft.llm.Sketches.cmsCounters(doubled)))
+  }
+
   test("streaming windowed rate matches batch (complete mode)") {
     val dir = "/root/testdata/sf0.001"
     val raw = queries.TsQueries.rawEvents(spark, dir)
