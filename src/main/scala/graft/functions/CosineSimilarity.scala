@@ -67,10 +67,15 @@ object CosineSimilarity {
   /** Register as a session function so `expr("graft_cosine(a, b)")` works. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
+      FunctionName, builder, "built-in")
+
+  /** Expression builder — shared by [[register]] (temp function on an
+    * existing session) and [[graft.GraftExtensions]] (config-based
+    * injection at session build). */
+  def builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression =
       { args =>
         require(args.length == 2, s"$FunctionName expects 2 arguments")
         CosineSimilarity(args.head, args(1))
-      },
-      "built-in")
+      }
 }

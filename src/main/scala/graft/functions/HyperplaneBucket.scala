@@ -75,7 +75,13 @@ object HyperplaneBucket {
     * offset/count (see [[graft.llm.Ann.planeComponent]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
+      FunctionName, builder, "built-in")
+
+  /** Expression builder — shared by [[register]] (temp function on an
+    * existing session) and [[graft.GraftExtensions]] (config-based
+    * injection at session build). */
+  def builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression =
       { args =>
         require(args.length == 3, s"$FunctionName expects (vec, planeOffset, nPlanes)")
         val off = args(1).eval().asInstanceOf[Number].intValue()
@@ -83,6 +89,5 @@ object HyperplaneBucket {
         val matrix = Array.tabulate(n, graft.llm.Ann.Dims)((p, d) =>
           graft.llm.Ann.planeComponent(off + p, d))
         HyperplaneBucket(args.head, matrix)
-      },
-      "built-in")
+      }
 }

@@ -66,7 +66,13 @@ object MinHash60 {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
+      FunctionName, builder, "built-in")
+
+  /** Expression builder — shared by [[register]] (temp function on an
+    * existing session) and [[graft.GraftExtensions]] (config-based
+    * injection at session build). */
+  def builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression =
       { args =>
         require(args.length == 2, s"$FunctionName expects (array<string> grams, int k)")
         val k = args(1) match {
@@ -74,6 +80,5 @@ object MinHash60 {
           case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
         }
         MinHash60(args.head, k)
-      },
-      "built-in")
+      }
 }

@@ -74,10 +74,15 @@ object SimHash60 {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
+      FunctionName, builder, "built-in")
+
+  /** Expression builder — shared by [[register]] (temp function on an
+    * existing session) and [[graft.GraftExtensions]] (config-based
+    * injection at session build). */
+  def builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression =
       { args =>
         require(args.length == 1, s"$FunctionName expects one array<long> argument")
         SimHash60(args.head)
-      },
-      "built-in")
+      }
 }
