@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{AnnIndex, CentroidStore, DedupIndex, SearchIndex,
   SketchStore, SubstrIndex}
 import graft.operators.Grid
-import graft.sources.{RollupStore, StoreOps}
+import graft.sources.{MergeStore, RollupStore, StoreOps}
 
 /** Store-scale lifecycle ledger — the artifact the sf0.01 gate and the sf1
   * correctness ledger cannot produce: WALL-TIME SLOPES for the seven
@@ -291,6 +291,30 @@ object StoreScale {
           Grid(g1, g1 + 3600 * 23, 3600.0), 3600.0))
       physicals(spark, f, "RollupStore", s"$dir/rollup.parquet",
         Some("__metric__"))
+    }
+
+    { // ---- MergeStore (copy-on-write keyed upsert) ----
+      val dir = s"$stores/merge"
+      // buckets sized to ~constant rows each (the deployment rule), so
+      // nBuckets grows with the corpus and single-bucket merge cost is
+      // the law under test: FLAT across factors = O(touched), not O(store)
+      val nBuckets = math.max(16, (dBase.count() / 2000L).toInt)
+      timed(f, "MergeStore", "init")(
+        MergeStore.init(dBase, dir, "doc_id", nBuckets))
+      // growing batch: a 10%-of-corpus insert wave (disjoint split)
+      timed(f, "MergeStore", "merge_grow")(MergeStore.merge(spark, dir,
+        dApp.head.withColumn("text", concat(col("text"), lit(" v2")))))
+      // single-bucket batch: every key hashing to bucket 0 — touched
+      // data is ONE bucket (~constant bytes under the rows/bucket rule)
+      val b0 = dBase.filter(
+        pmod(crc32(col("doc_id").cast("string")), lit(nBuckets.toLong)) === 0)
+      timed(f, "MergeStore", "merge_1bkt")(MergeStore.merge(spark, dir,
+        b0.withColumn("text", concat(col("text"), lit(" v3")))))
+      // constant-size takedown set (the probe_fixed convention)
+      timed(f, "MergeStore", "delete_fixed")(MergeStore.delete(spark, dir,
+        dProbeFixed.select("doc_id")))
+      timed(f, "MergeStore", "read")(MergeStore.read(spark, dir))
+      physicals(spark, f, "MergeStore", s"$dir/data", Some("bkt"))
     }
   }
 }
