@@ -129,6 +129,36 @@ object GateBisect {
     }
     println(f"| mine_negatives | query ${median(mine)}%.2f |")
 
+    // merge_upsert gate phases (LlmQueries.mergeUpsertQ, exact params):
+    // separates the one-time init write from the bucket-pruned merge /
+    // delete rewrites and the pruned read-back
+    val mdocs = docs
+    val merge = (0 until runs).map { _ =>
+      val store = fresh() + "/store"
+      val (ti, _) = time(graft.sources.MergeStore.init(
+        mdocs.filter(col("doc_id") % 2 === 0), store, "doc_id", 16))
+      val (tm, _) = time(graft.sources.MergeStore.merge(spark, store,
+        mdocs.filter(col("doc_id") % 3 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2")))))
+      val (td, _) = time(graft.sources.MergeStore.delete(spark, store,
+        mdocs.filter(col("doc_id") % 10 === 5).select("doc_id")))
+      val (tr, _) = time(graft.sources.MergeStore.read(spark, store)
+        .write.format("noop").mode("overwrite").save())
+      (ti, tm, td, tr)
+    }
+    println(f"| merge_upsert | init ${median(merge.map(_._1))}%.2f " +
+      f"| merge ${median(merge.map(_._2))}%.2f " +
+      f"| delete ${median(merge.map(_._3))}%.2f " +
+      f"| read ${median(merge.map(_._4))}%.2f |")
+
+    // dedup_editdist solo (pure query, no lifecycle): the SymDelete path
+    val ed = (0 until runs).map { _ =>
+      val (t, _) = time(graft.queries.LlmQueries.queries("dedup_editdist")(
+        spark, sfDir).write.format("noop").mode("overwrite").save())
+      t
+    }
+    println(f"| dedup_editdist | query ${median(ed)}%.2f |")
+
     spark.stop()
   }
 }

@@ -74,6 +74,36 @@ object MergeStore {
   def delete(spark: SparkSession, path: String, keys: DataFrame): Unit =
     rewriteTouched(spark, path, keys, deleteOnly = true)
 
+  /** CDC apply: maintain the store from a STREAM of upserts — each
+    * micro-batch merges via foreachBatch, so a change-capture feed
+    * (recrawl results, edits, late corrections) lands continuously with
+    * batch-identical semantics. Failure-recovery replays are safe
+    * without any journal: merge is idempotent (same batch twice ≡ once,
+    * MergeStoreSpec-pinned), which is exactly the property foreachBatch's
+    * at-least-once contract needs. Within one batch, duplicate keys
+    * collapse LAST-WINS by `versionCol` (a CDC feed's change order) via
+    * a map-side-combinable struct-max — version first, then the
+    * remaining columns, so even a version tie resolves to ONE
+    * deterministic row and batch boundaries cannot change an ordered
+    * feed's outcome. Returns the started query. */
+  def streamingMerge(stream: DataFrame, path: String, versionCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val (keyCol, _) = readMeta(spark, path)
+        val others = batch.columns
+          .filterNot(c => c == keyCol || c == versionCol).toSeq
+        val latest = batch
+          .groupBy(col(keyCol))
+          .agg(max(struct((versionCol +: others).map(col): _*)).as("__m__"))
+          .select(col(keyCol) +: others.map(c => col(s"__m__.$c").as(c)): _*)
+        merge(spark, path, latest)
+      }
+      .start()
+  }
+
   private def requireKeyUnique(df: DataFrame, keyCol: String): Unit = {
     val r = df.agg(count(lit(1)).as("n"),
       countDistinct(col(keyCol)).as("d")).head()

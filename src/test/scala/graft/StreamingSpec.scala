@@ -69,6 +69,50 @@ class StreamingSpec extends SparkSpec {
     assert(estStream == estBatch && estStream.nonEmpty)
   }
 
+  test("streaming CDC merge: micro-batched upserts equal one batch merge; last-wins within batch") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_smerge").toString + "/store"
+    graft.sources.MergeStore.init(
+      (0L until 20L).map(i => (i, s"base $i")).toDF("id", "text"),
+      store, "id", nBuckets = 4)
+    // two micro-batch files; batch 2 overrides a batch-1 key (5) and the
+    // in-batch dup on key 7 must resolve to the HIGHER version
+    val feedDir = java.nio.file.Files.createTempDirectory("graft_feed")
+    Seq((1L, 10L, "v1 one"), (5L, 10L, "v1 five"))
+      .toDF("id", "ver", "text").coalesce(1)
+      .write.parquet(feedDir.toString + "/b1")
+    Seq((5L, 20L, "v2 five"), (7L, 21L, "late seven"), (7L, 22L, "new seven"),
+        (30L, 20L, "insert thirty"))
+      .toDF("id", "ver", "text").coalesce(1)
+      .write.parquet(feedDir.toString + "/b2")
+    // stage into ONE stream dir in order (file mtime drives trigger order
+    // only loosely; maxFilesPerTrigger=1 + alphabetical staging is enough)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_feed2")
+    java.nio.file.Files.list(java.nio.file.Path.of(feedDir.toString + "/b1"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.copy(p, streamDir.resolve("a.parquet")))
+    java.nio.file.Files.list(java.nio.file.Path.of(feedDir.toString + "/b2"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.copy(p, streamDir.resolve("b.parquet")))
+    // pin the source's oldest-first mtime order explicitly
+    java.nio.file.Files.setLastModifiedTime(streamDir.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(streamDir.resolve("b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000100000L))
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = graft.sources.MergeStore.streamingMerge(stream, store, "ver")
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.sources.MergeStore.read(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 20L).map(i => i -> s"base $i").toMap ++
+      Map(1L -> "v1 one", 5L -> "v2 five", 7L -> "new seven",
+        30L -> "insert thirty")
+    assert(got == want)
+  }
+
   test("streaming HLL and CMS maintenance match the one-pass batch sketches") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft_ssk")
