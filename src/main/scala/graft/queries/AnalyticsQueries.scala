@@ -933,13 +933,13 @@ object AnalyticsQueries {
 
   /** Q19-style DISJUNCTIVE predicate join: revenue under an OR-of-ANDs
     * over (p_brand, p_size, l_quantity) — the shape that tests predicate
-    * placement, not join strategy. The part-side disjunction (brand ∧
-    * size per branch) prunes part BEFORE the broadcast; the fact side
-    * gets the DERIVED common bound (l_quantity ≤ 40, the max of all
-    * branch upper bounds) hand-pushed to the scan — Catalyst does not
-    * extract it from the cross-side OR — so most of the table is skipped
-    * by row-group stats before the join even probes; the exact branch
-    * disjunction then filters joined rows. */
+    * placement, not join strategy. Catalyst extracts each side's LOCAL
+    * projection of the cross-side OR and pushes both to the scans (the
+    * executed plan shows the (brand ∧ size)-disjunction on the part scan
+    * AND the quantity-range disjunction on the lineitem scan — verified
+    * in PLANS.md); the explicit l_quantity ≤ 40 bound collapses the
+    * pushed disjunction to one range for row-group min/max pruning. The
+    * exact mixed branch filter then runs on joined rows. */
   def q19Disjunct(spark: SparkSession, dir: String): DataFrame = {
     val branchPart =
       (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
