@@ -52,7 +52,10 @@ object GraftExtensions {
       SimHash60.builder),
     (Winnow.FunctionName,
       "graft_winnow(text) - winnowed fingerprint set (MOSS)",
-      Winnow.builder))
+      Winnow.builder),
+    (NormalizeText.FunctionName,
+      "graft_normalize(s[, 'NFC'|'NFKC'|'NFD'|'NFKD']) - Unicode normalization",
+      NormalizeText.builder))
 
   /** Register the same functions as temp functions on an EXISTING
     * session — the programmatic twin of the config route. */

@@ -118,6 +118,17 @@ object TextAnalysis {
         round(coalesce(col("avg_ln_freq"), lit(0.0)), 6).as("avg_ln_freq"))
   }
 
+  /** Column form of [[graft.functions.NormalizeText]] — Unicode
+    * normalization (NFC default; NFKC for compatibility folding) as a
+    * native codegen'd per-row map. Run it FIRST in a curation chain:
+    * every byte-keyed operator downstream (exact-dedup hashes, substring
+    * grams, CDC chunks, winnow fingerprints) treats é and e+◌́ as
+    * different documents until this runs. */
+  def normalizeUnicode(c: Column, mode: String = "NFC"): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      graft.functions.NormalizeText(
+        org.apache.spark.sql.GraftExpr.expression(c), mode))
+
   /** PMI collocation extraction (Church & Hanks 1990; Manning & Schütze
     * ch. 5 — the corpus-analysis step that surfaces multiword units:
     * "new york", "machine learning"): pointwise mutual information of

@@ -326,6 +326,29 @@ object LlmQueries {
       |WHERE abs(length(a.s) - length(b.s)) <= 1
       |  AND levenshtein(a.s, b.s) <= 1""".stripMargin
 
+  /** Unicode NFC normalization gate: the corpus is deterministically
+    * DE-composed first (every 'e' → 'e' + combining acute U+0301, the
+    * mojibake-class input a real crawl contains), then normalized back —
+    * whole normalized documents hash against DuckDB's nfc_normalize, and
+    * n_composed counts the re-compositions. The normalize expression is
+    * materialized ONCE (row-30b2 law) before the length delta. */
+  def textNfcQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("raw"))
+      .select(col("doc_id"), col("raw"),
+        graft.llm.TextAnalysis.normalizeUnicode(col("raw")).as("text_nfc"))
+      .select(col("doc_id"), col("text_nfc"),
+        (length(col("raw")) - length(col("text_nfc"))).as("n_composed"))
+
+  def oracleTextNfc: String =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_replace(text, 'e', 'e' || chr(769), 'g') AS raw
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+      |  CAST(length(raw) - length(nfc_normalize(raw)) AS INT) AS n_composed
+      |FROM d""".stripMargin
+
   def textCollocationsQ(spark: SparkSession, dir: String): DataFrame =
     graft.llm.TextAnalysis.collocations(docs(spark, dir),
       minCount = 5, topK = 20)
@@ -3143,6 +3166,7 @@ object LlmQueries {
     "dedup_editdist" -> (dedupEditdistQ _),
     "merge_upsert" -> (mergeUpsertQ _),
     "text_collocations" -> (textCollocationsQ _),
+    "text_nfc" -> (textNfcQ _),
     "ann_brute" -> (annBrute _),
     "ann_mmr" -> (annMmr _),
     "ann_lsh" -> (annLsh _),
@@ -3240,6 +3264,7 @@ object LlmQueries {
     "dedup_editdist" -> oracleDedupEditdist,
     "merge_upsert" -> oracleMergeUpsert,
     "text_collocations" -> oracleTextCollocations,
+    "text_nfc" -> oracleTextNfc,
     "ann_brute" -> oracleAnnBrute,
     "ann_mmr" -> oracleAnnMmr,
     "ann_lsh" -> oracleAnnLsh,

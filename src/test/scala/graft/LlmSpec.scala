@@ -1061,6 +1061,24 @@ class LlmSpec extends SparkSpec {
     assert(!got.keys.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
+  test("normalizeUnicode: NFC composes, NFKC also folds compatibility forms, both idempotent") {
+    val df = Seq((0L, "Cafe\u0301 ＡＢＣ ﬁne")).toDF("doc_id", "text")
+    def one(mode: String): String = df.select(
+      TextAnalysis.normalizeUnicode(col("text"), mode)).head().getString(0)
+    val nfc = one("NFC")
+    assert(nfc == "Caf\u00e9 ＡＢＣ ﬁne") // composes é, keeps fullwidth/ligature
+    val nfkc = one("NFKC")
+    assert(nfkc == "Caf\u00e9 ABC fine") // + fullwidth→ASCII, ﬁ→fi
+    // idempotence: a second pass is the identity
+    val twice = Seq((0L, nfkc)).toDF("doc_id", "text").select(
+      TextAnalysis.normalizeUnicode(col("text"), "NFKC")).head().getString(0)
+    assert(twice == nfkc)
+    // null passes through as null
+    val n = Seq((0L, null: String)).toDF("doc_id", "text").select(
+      TextAnalysis.normalizeUnicode(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("collocations: PMI ranks the planted pair above independent words") {
     // "neural nets" always adjacent (high PMI); "the" appears with
     // everything (low PMI for any "the x" pair); pairs under minCount
