@@ -34,6 +34,8 @@ import graft.llm.{AnnIndex, CentroidStore, Curation, Dedup, DedupIndex,
   *                                against the stored centroid model, using
   *                                `<docsDir>/embeddings.parquet`)
   *          [--serve-dir <dir>]  (retrieval serving — see below)
+  *          [--normalize NFC|NFKC] (Unicode normalization as stage -1 —
+  *                               run before any byte-keyed stage)
   *          [--no-stats]         (skip per-stage stats AND their
   *                                full-corpus localCheckpoint pins —
   *                                the at-scale setting)
@@ -100,6 +102,7 @@ object Pipeline {
     }
     val stateDir = flagValue("--state-dir")
     val tokenizer = flagValue("--tokenizer").getOrElse("ws")
+    val normalize = flagValue("--normalize") // NFC | NFKC
     val serveDir = flagValue("--serve-dir")
     val withEmb = args.contains("--embeddings")
     val noStats = args.contains("--no-stats")
@@ -118,6 +121,7 @@ object Pipeline {
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
+      normalize = normalize,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
     spark.stop()
@@ -138,6 +142,7 @@ object Pipeline {
           minJaccard: Double = 0.8, minKeep: Double = 0.5,
           semTau: Double = 0.95, stats: Boolean = true,
           tokenizer: String = "ws",
+          normalize: Option[String] = None,
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     // pinned frames are freed in the finally below — run() is a library
     // entry point called repeatedly (specs, drivers); without the
@@ -147,7 +152,7 @@ object Pipeline {
     try {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
-        stats, tokenizer, annParams, pins)
+        stats, tokenizer, normalize, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -157,7 +162,7 @@ object Pipeline {
           stateDir: Option[String], serveDir: Option[String],
           embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
           semTau: Double, stats: Boolean, tokenizer: String,
-          annParams: AnnIndex.Params,
+          normalize: Option[String], annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     // n is by-name: with stats off the counts are never computed at all
     def stat(stage: String, n: => Long): Unit =
@@ -185,12 +190,21 @@ object Pipeline {
     }
     stat("input", docs.count()) // parquet metadata count — nothing upstream
 
+    // -1 (optional): Unicode normalization — a zero-shuffle per-row map
+    // that must run before ANY byte-keyed stage (exact-dedup hashes,
+    // gram sets, chunk hashes all treat e+◌́ and é as different bytes);
+    // no pin: it changes no row count and fuses into the next stage
+    val canon = normalize.fold(docs) { mode =>
+      docs.withColumn("text",
+        TextAnalysis.normalizeUnicode(col("text"), mode))
+    }
+
     // 0a (optional): the Gopher rule battery as a hard pre-filter — the
     // boolean gate runs BEFORE the scored stages (cheapest first: it is a
     // zero-shuffle map, and everything downstream shrinks with it)
-    val ruled = gopher.fold(docs) { case (minWords, minStop) =>
+    val ruled = gopher.fold(canon) { case (minWords, minStop) =>
       pin("after_gopher_rules",
-        docs.join(TextAnalysis.gopherRules(docs, minWords = minWords,
+        canon.join(TextAnalysis.gopherRules(canon, minWords = minWords,
             minStop = minStop)
           .filter(col("pass")).select("doc_id"), "doc_id"))
     }
@@ -265,7 +279,7 @@ object Pipeline {
     // (lang-keyed HLL/quantiles + token count-min), so corpus-wide stats
     // accumulate across crawls without ever rescanning a prior batch
     stateDir.foreach { sd =>
-      val released = docs.join(
+      val released = canon.join(
         spark.read.parquet(s"$outDir/corpus").select("doc_id"), "doc_id")
       val sk = s"$sd/sketches"
       if (storeExists(spark, s"$sk/qbins.parquet"))

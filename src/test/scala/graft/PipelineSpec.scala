@@ -64,6 +64,34 @@ class PipelineSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("pipeline --normalize NFC: decomposed duplicates collapse in exact dedup") {
+    import spark.implicits._
+    // doc 1 is doc 0 with every é DE-composed — bytes differ, text doesn't
+    val base = "accent caf\u00e9 paragraph words enough here to pass the floor"
+    val docs = Seq(
+      (0L, base, "en", "web", base.length.toLong),
+      (1L, base.replace("\u00e9", "e\u0301"), "en", "web", base.length + 1L),
+      (2L, "a completely different document body with plenty of words",
+        "en", "web", 57L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def surviving(normalize: Option[String]): Set[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_nfc").toString
+      // minJaccard raised past the twins' word-set similarity (caf vs
+      // cafe differ by one token) so the NEAR-dup stage cannot mask the
+      // exact-dedup behavior under test
+      Pipeline.run(spark, docs, out, budget = 10000L, minQuality = 0.0,
+          normalize = normalize, minJaccard = 0.95)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val raw = surviving(None)
+    assert(raw.contains(0L) && raw.contains(1L),
+      "without normalization the byte-distinct twins both survive")
+    val canon = surviving(Some("NFC"))
+    assert(canon.contains(0L) && !canon.contains(1L),
+      "NFC collapses the decomposed twin into the exact-dedup group")
+    assert(canon.contains(2L))
+  }
+
   test("pipeline --tokenizer unigram_raw: budget spends byte-fallback subword tokens") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft_pipe_tok").toString
