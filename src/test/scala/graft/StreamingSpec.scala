@@ -69,6 +69,58 @@ class StreamingSpec extends SparkSpec {
     assert(estStream == estBatch && estStream.nonEmpty)
   }
 
+  test("streaming funnel: final state rows equal the batch first-touch funnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val raw = queries.TsQueries.rawEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type")).cache()
+    val steps = Seq("view", "click", "purchase")
+    val batch = graft.operators.Funnel.firstTouch(raw, steps, window = 21600.0)
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        col("steps_reached"), col("converted"))
+      .collect().map(r => (r.getLong(0),
+        (0 to 2).map(i => if (r.isNullAt(1 + i)) None else Some(r.getDouble(1 + i))),
+        r.getInt(4), r.getBoolean(5))).toSet
+
+    // two time-split micro-batches: per-user order preserved across them
+    val cut = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getDouble(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sfun")
+    raw.filter(col("ts") <= cut).coalesce(1)
+      .write.parquet(streamDir.toString + "/f1")
+    raw.filter(col("ts") > cut).coalesce(1)
+      .write.parquet(streamDir.toString + "/f2")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sfun2")
+    def stageOne(sub: String, name: String, mtime: Long): Unit =
+      java.nio.file.Files.list(java.nio.file.Path.of(streamDir.toString, sub))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .forEach { p =>
+          val t = stage.resolve(name)
+          java.nio.file.Files.copy(p, t)
+          java.nio.file.Files.setLastModifiedTime(t,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+    stageOne("f1", "a.parquet", 1000000000000L)
+    stageOne("f2", "b.parquet", 1000000100000L)
+    val schema = spark.read.parquet(stage.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = streaming.StreamFunnel.streaming(spark, stream, steps, 21600.0)
+      .writeStream.format("memory").queryName("sfun")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val cur = spark.sql(
+      """SELECT user_id, steps_reached, converted, matched FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+        |  FROM sfun) WHERE rn = 1""".stripMargin)
+      .collect().map { r =>
+        val m = r.getSeq[Double](3)
+        (r.getLong(0), (0 to 2).map(i => m.lift(i)), r.getInt(1), r.getBoolean(2))
+      }.toSet
+    assert(cur == batch, s"stream ${cur.size} rows vs batch ${batch.size}")
+    raw.unpersist()
+  }
+
   test("streaming CDC merge: micro-batched upserts equal one batch merge; last-wins within batch") {
     import spark.implicits._
     val store = java.nio.file.Files
