@@ -113,7 +113,18 @@ object MergeStore {
   }
 
   private def rewriteTouched(spark: SparkSession, path: String,
-                             batch: DataFrame, deleteOnly: Boolean): Unit = {
+                             batch: DataFrame, deleteOnly: Boolean): Unit =
+    // single-maintainer lease (the sibling stores' contract): two
+    // concurrent merges would race both the shared stage dir and the
+    // per-bucket swaps; the lease serializes mutations, reads stay
+    // lock-free (they never see a half-staged bucket — swaps are
+    // rename-atomic per directory)
+    StoreOps.Lease.withLease(spark, path) {
+      rewriteLocked(spark, path, batch, deleteOnly)
+    }
+
+  private def rewriteLocked(spark: SparkSession, path: String,
+                            batch: DataFrame, deleteOnly: Boolean): Unit = {
     val (keyCol, nBuckets) = readMeta(spark, path)
     requireKeyUnique(batch, keyCol)
     val b = batch.withColumn("bkt", bucketOf(col(keyCol), nBuckets))
