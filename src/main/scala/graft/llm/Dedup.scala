@@ -655,25 +655,13 @@ object Dedup {
                             k: Int, maxBucket: Int): DataFrame = {
     val strs = rows.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-    // del-1 neighborhood of column c, in-row (array of len strings)
-    def del1(c: String): String =
-      s"""transform(sequence(1, greatest(length($c), 1)),
-         |  i -> CASE WHEN i <= length($c)
-         |            THEN concat(substring($c, 1, i - 1),
-         |                        substring($c, i + 1, length($c)))
-         |            ELSE $c END)""".stripMargin
     // D(s): s plus del-1, plus (k=2) del-1 of every del-1 variant —
-    // duplicates collapsed; the greatest(...,1)/CASE guard keeps
-    // sequence() ascending for the empty string (its only variant is
-    // itself, which array_distinct folds into the base entry)
-    val variants =
-      if (k == 1) expr(s"array_distinct(concat(array(s), ${del1("s")}))")
-      else expr(
-        s"""array_distinct(concat(array(s), ${del1("s")},
-           |  flatten(transform(${del1("s")}, v -> ${del1("v")}))))""".stripMargin)
+    // duplicates collapsed ([[delVariants]]; its greatest(...,1)/CASE
+    // guard keeps sequence() ascending for the empty string, whose only
+    // variant is itself and folds into the base entry)
     val sigs = strs
       .select(col("id"), col("s"), length(col("s")).as("len"),
-        explode(variants).as("v"))
+        explode(delVariants(k)).as("v"))
     val sc = rows.sparkSession.sparkContext
     val pref = if (sc.getCheckpointDir.isDefined) sigs.checkpoint()
                else sigs.localCheckpoint()
@@ -688,6 +676,58 @@ object Dedup {
         levenshtein(col("a.s"), col("b.s"), k).as("dist"))
       .filter(col("dist").between(0, k))
       .distinct()
+  }
+
+  /** Two-table edit-distance LOOKUP (the record-linkage shape of
+    * [[editDistanceJoin]]): every (probe, reference) pair within
+    * Levenshtein ≤ k — match incoming typo'd names/titles/IDs against a
+    * canonical table without the self-join's reflexive pairs. Same
+    * deletion-neighborhood exactness theorem (ed(a,b) ≤ k ⟹ the
+    * ≤k-deletion variant sets intersect), same banded verify; k ≤ 2
+    * only (the lookup regime — for larger k the q-gram machinery of the
+    * self-join applies, but a lookup that fuzzy is usually a modeling
+    * smell). Output: (probe_id, ref_id, dist ≤ k), exact. */
+  def editDistanceLookup(probe: DataFrame, probeId: String, probeStr: String,
+                         ref: DataFrame, refId: String, refStr: String,
+                         k: Int = 1, maxBucket: Int = 100000): DataFrame = {
+    require(k >= 1 && k <= 2, s"editDistanceLookup supports k in 1..2, got $k")
+    def sigs(df: DataFrame, id: String, str: String, side: String) = {
+      val strs = df.select(col(id).as(s"${side}_id"), col(str).as("s"))
+        .filter(col("s").isNotNull)
+      strs.select(col(s"${side}_id"), col("s").as(s"${side}_s"),
+        length(col("s")).as(s"${side}_len"),
+        explode(delVariants(k)).as("v"))
+    }
+    val p = sigs(probe, probeId, probeStr, "probe")
+    val r0 = sigs(ref, refId, refStr, "ref")
+    val sc = probe.sparkSession.sparkContext
+    val r = if (sc.getCheckpointDir.isDefined) r0.checkpoint()
+            else r0.localCheckpoint()
+    // brake on the REFERENCE side (the indexed one — a degenerate
+    // variant bucket there multiplies every probe hitting it)
+    val ok = r.groupBy("v").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("v")
+    p.join(r.join(ok, Seq("v")), Seq("v"))
+      .filter(abs(col("probe_len") - col("ref_len")) <= k)
+      .select(col("probe_id"), col("ref_id"),
+        levenshtein(col("probe_s"), col("ref_s"), k).as("dist"))
+      .filter(col("dist").between(0, k))
+      .distinct()
+  }
+
+  /** ≤k-deletion variant set of column `s`, in-row (see
+    * [[symDeleteJoin]]'s scaladoc for the exactness argument). */
+  private def delVariants(k: Int): Column = {
+    def del1(c: String): String =
+      s"""transform(sequence(1, greatest(length($c), 1)),
+         |  i -> CASE WHEN i <= length($c)
+         |            THEN concat(substring($c, 1, i - 1),
+         |                        substring($c, i + 1, length($c)))
+         |            ELSE $c END)""".stripMargin
+    if (k == 1) expr(s"array_distinct(concat(array(s), ${del1("s")}))")
+    else expr(
+      s"""array_distinct(concat(array(s), ${del1("s")},
+         |  flatten(transform(${del1("s")}, v -> ${del1("v")}))))""".stripMargin)
   }
 
   /** q-gram prefix-filter edit-distance self-join — the general-k path

@@ -349,6 +349,34 @@ object LlmQueries {
       |  CAST(length(raw) - length(nfc_normalize(raw)) AS INT) AS n_composed
       |FROM d""".stripMargin
 
+  /** Record-linkage lookup: every customer name with one deterministic
+    * character deleted (a typo'd feed), matched back against the
+    * canonical table at k=1. Each probe finds its origin plus any other
+    * name one edit away. */
+  def dedupEditdistLookupQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val ref = cust.select(col("c_custkey").as("rid"),
+      lower(col("c_name")).as("rs"))
+    val probe = cust.select((col("c_custkey") + 1000000L).as("pid"),
+      expr("""concat(substring(lower(c_name), 1, CAST(c_custkey % 10 AS INT) + 4),
+             |       substring(lower(c_name), CAST(c_custkey % 10 AS INT) + 6,
+             |                 length(c_name)))""".stripMargin).as("ps"))
+    graft.llm.Dedup.editDistanceLookup(probe, "pid", "ps", ref, "rid", "rs",
+      k = 1)
+  }
+
+  def oracleDedupEditdistLookup: String =
+    """WITH ref AS (SELECT c_custkey AS rid, lower(c_name) AS rs FROM customer),
+      |probe AS (SELECT c_custkey + 1000000 AS pid,
+      |    substring(lower(c_name), 1, CAST(c_custkey % 10 AS INT) + 4) ||
+      |    substring(lower(c_name), CAST(c_custkey % 10 AS INT) + 6,
+      |              length(c_name)) AS ps
+      |  FROM customer)
+      |SELECT pid AS probe_id, rid AS ref_id,
+      |  CAST(levenshtein(ps, rs) AS INT) AS dist
+      |FROM probe, ref
+      |WHERE abs(length(ps) - length(rs)) <= 1 AND levenshtein(ps, rs) <= 1""".stripMargin
+
   def textCollocationsQ(spark: SparkSession, dir: String): DataFrame =
     graft.llm.TextAnalysis.collocations(docs(spark, dir),
       minCount = 5, topK = 20)
@@ -3165,6 +3193,7 @@ object LlmQueries {
     "dedup_allpairs" -> (dedupAllpairsQ _),
     "dedup_editdist" -> (dedupEditdistQ _),
     "merge_upsert" -> (mergeUpsertQ _),
+    "dedup_editdist_lookup" -> (dedupEditdistLookupQ _),
     "text_collocations" -> (textCollocationsQ _),
     "text_nfc" -> (textNfcQ _),
     "ann_brute" -> (annBrute _),
@@ -3263,6 +3292,7 @@ object LlmQueries {
     "dedup_allpairs" -> oracleDedupAllpairs,
     "dedup_editdist" -> oracleDedupEditdist,
     "merge_upsert" -> oracleMergeUpsert,
+    "dedup_editdist_lookup" -> oracleDedupEditdistLookup,
     "text_collocations" -> oracleTextCollocations,
     "text_nfc" -> oracleTextNfc,
     "ann_brute" -> oracleAnnBrute,

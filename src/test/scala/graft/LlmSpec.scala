@@ -1044,6 +1044,27 @@ class LlmSpec extends SparkSpec {
     assert(got((0L, 2L)) == 2 && got((2L, 3L)) == 1)
   }
 
+  test("editDistanceLookup: probe-vs-reference pairs exact vs brute, k=1 and k=2") {
+    val ref = Seq((0L, "martha"), (1L, "marhta"), (2L, "same"), (3L, "x"),
+      (4L, "")).toDF("rid", "rs")
+    val probe = Seq((10L, "martha"), (11L, "marta"), (12L, "sime"),
+      (13L, ""), (14L, "zzzzz")).toDF("pid", "ps")
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistanceLookup(probe, "pid", "ps", ref, "rid", "rs", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val brute = probe.crossJoin(ref)
+        .select(col("pid"), col("rid"), levenshtein(col("ps"), col("rs")).as("d"))
+        .filter(col("d") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == brute, s"k=$k got $got\nbrute $brute")
+    }
+    // spot: exact match dist 0, deletion dist 1, empty-empty dist 0
+    val g1 = Dedup.editDistanceLookup(probe, "pid", "ps", ref, "rid", "rs", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(g1((10L, 0L)) == 0 && g1((11L, 0L)) == 1 && g1((13L, 4L)) == 0)
+    assert(!g1.keys.exists(_._1 == 14L))
+  }
+
   test("editDistanceJoin: k=3 exercises the q-gram prefix path, exact vs brute") {
     val rows = Seq((0L, "kitten"), (1L, "sitting"), (2L, "mittens"),
       (3L, "bitter"), (4L, "kit"), (5L, "written"), (6L, "smitten"),
