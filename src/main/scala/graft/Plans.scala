@@ -64,7 +64,8 @@ object Plans {
     "sketch_kmv", "chunk_cdc", "bucketed_join",
     "dedup_editdist", "text_collocations", "skew_salted_join",
     "q8_share", "q9_profit", "q13_distribution", "q15_topsupplier",
-    "q19_disjunct", "q21_waiting", "merge_upsert")
+    "q19_disjunct", "q21_waiting", "merge_upsert",
+    "text_nfc", "dedup_editdist_lookup")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is
