@@ -69,6 +69,61 @@ class StreamingSpec extends SparkSpec {
     assert(estStream == estBatch && estStream.nonEmpty)
   }
 
+  test("streaming retention: aggregated emissions equal the batch cohort matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val raw = queries.TsQueries.rawEvents(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type")).cache()
+    val batch = graft.operators.Cohort.retention(raw, "signup", maxOffset = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    // time-split micro-batches preserve per-user order
+    val cut = raw.agg(expr("percentile_approx(ts, 0.5)")).head().getDouble(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sret")
+    raw.filter(col("ts") <= cut).coalesce(1)
+      .write.parquet(streamDir.toString + "/f1")
+    raw.filter(col("ts") > cut).coalesce(1)
+      .write.parquet(streamDir.toString + "/f2")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sret2")
+    def stageOne(sub: String, name: String, mtime: Long): Unit =
+      java.nio.file.Files.list(java.nio.file.Path.of(streamDir.toString, sub))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .forEach { p =>
+          val t = stage.resolve(name)
+          java.nio.file.Files.copy(p, t)
+          java.nio.file.Files.setLastModifiedTime(t,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+    stageOne("f1", "a.parquet", 1000000000000L)
+    stageOne("f2", "b.parquet", 1000000100000L)
+    val schema = spark.read.parquet(stage.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = streaming.StreamRetention.streaming(spark, stream, "signup",
+        maxOffset = 8)
+      .writeStream.format("memory").queryName("sret")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // each (user, cohort, offset) cell is emitted exactly once — the
+    // consumer aggregate below IS the retention matrix
+    val cells = spark.sql("SELECT * FROM sret")
+    assert(cells.count() == cells.distinct().count(), "cells emitted once")
+    val streamed = spark.sql(
+      """WITH sizes AS (SELECT cohort_week, count(*) AS cohort_size
+        |               FROM sret WHERE week_offset = 0 GROUP BY 1),
+        |m AS (SELECT cohort_week, week_offset, count(*) AS active_users
+        |      FROM sret GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.week_offset, s.cohort_size, m.active_users,
+        |  round(m.active_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+        |FROM m JOIN sizes s ON m.cohort_week = s.cohort_week""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    raw.unpersist()
+  }
+
   test("streaming funnel: final state rows equal the batch first-touch funnel") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
