@@ -55,7 +55,10 @@ object GraftExtensions {
       Winnow.builder),
     (NormalizeText.FunctionName,
       "graft_normalize(s[, 'NFC'|'NFKC'|'NFD'|'NFKD']) - Unicode normalization",
-      NormalizeText.builder))
+      NormalizeText.builder),
+    (ResizeNearestNN.FunctionName,
+      "graft_resize_nn(payload, src_w, src_h, out_w, out_h) - NN-gather hex raster",
+      ResizeNearestNN.builder))
 
   /** Register the same functions as temp functions on an EXISTING
     * session — the programmatic twin of the config route. */

@@ -965,6 +965,31 @@ class LlmSpec extends SparkSpec {
     assert(hex.substring(32, 34) == "61")
   }
 
+  test("resizeNearest: native gather ≡ declarative hex/substr formulation") {
+    // multibyte UTF-8 + odd lengths so blen never divides the gather
+    // strides — pins the (rowBase + sx) % blen indexing of the native
+    // expression against an independent hex(payload)+substr derivation
+    val docs = Seq((0L, "héllo wörld ✓ mixed bytes"), (1L, "x"),
+        (2L, "Ā" * 37 + "!"), (3L, "ÿ tail"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.resizeNearest(docs, outW = 5, outH = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val ref = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(length(col("payload")) > 0)
+      .withColumn("hexp", hex(col("payload")))
+      .withColumn("blen", length(col("payload")).cast("long"))
+      .withColumn("src_w", (length(col("payload")) * 7 % 640 + 16).cast("long"))
+      .withColumn("src_h",
+        ((ascii(col("payload").cast("string")) * 13) % 480 + 16).cast("long"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(0, 14), i ->
+          |  substring(hexp, cast(((cast(floor(floor(cast(i as double) / 5) * src_h / 3) as bigint) * src_w
+          |    + cast(floor(cast(i % 5 as double) * src_w / 5) as bigint)) % blen) * 2 + 1 as int), 2)),
+          |'')""".stripMargin).as("out_hex"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == ref, s"native $got\ndeclarative $ref")
+  }
+
   test("allPairsJoin: exact vs brute force, incl. boundary and hot-token-only pairs") {
     // planted: (0,1) share 7 of 9 union (J=0.777778); (2,3) exactly at
     // the 0.5 boundary (2 shared / 4 union); (4,5) share only the
