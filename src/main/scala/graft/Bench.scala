@@ -79,17 +79,32 @@ object Bench {
       calibPre = math.min(calibPre, calibrate())
     }
 
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      clearState()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(rs: Seq[Double]): Double =
+      if (rs.exists(_ < 0)) -1.0 else rs.sorted.apply(rs.size / 2)
+
+    // Mid-fleet calibration (r16 postmortem): the pre/post-only probes
+    // bracketed a 42-minute fleet whose MIDDLE ran ×3-110 under ambient
+    // load and read clean on both ends — the r16 artifact published
+    // pack_blocks at 88.7 s (solo: 0.8 s) with load_warning:false. The
+    // probe now ALSO runs every `CalibEvery` queries; any mid-probe
+    // beyond 2× the clean band flags the artifact and records which
+    // query span was dirty, so a loaded stretch can never again hide
+    // between two quiet endpoints.
+    val CalibEvery = 15
+    val calibMid = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sinceProbe = 0
+
     val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val fleet = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        clearState()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
+    val results = fleet.map { case (name, fn) =>
       // runsN timed runs per query; the published per-query number is the
       // MEDIAN (stable against one lucky or unlucky run), with min/max
       // alongside so a stall recurrence is visible in the artifact itself.
@@ -99,7 +114,7 @@ object Bench {
       // spread unless the machine never calmed down. GC time is attributed
       // across all runs so a stall shows up next to the query it hit.
       val gc0 = gcMillis()
-      def attempt(): Seq[Double] = Seq.fill(runsN)(once())
+      def attempt(): Seq[Double] = Seq.fill(runsN)(timeOne(name, fn))
       var runs = attempt()
       var retries = 0
       def spread(rs: Seq[Double]): Double =
@@ -110,15 +125,45 @@ object Bench {
         val next = attempt()
         if (spread(next) < spread(runs)) runs = next
       }
-      val secs =
-        if (runs.exists(_ < 0)) -1.0
-        else runs.sorted.apply(runs.size / 2) // median
+      val secs = median(runs)
       System.err.println("[bench] " + name + " runs: " +
         runs.map(r => f"$r%.3f").mkString(","))
       gcPerQuery(name) = (gcMillis() - gc0) / 1e3
+      sinceProbe += 1
+      if (sinceProbe >= CalibEvery) {
+        sinceProbe = 0
+        val c = calibrate()
+        calibMid += name -> c
+        if (c > CalibClean * 2) System.err.println(
+          f"[bench] mid-fleet calibration $c%.3f s after $name exceeds the " +
+          f"clean band (≤${CalibClean}%.2f s) - this span ran under load")
+      }
       (name, secs, if (secs < 0) -1.0 else runs.min, if (secs < 0) -1.0 else runs.max)
     }
     val calibPost = calibrate()
+
+    // Post-fleet solo column (r16 postmortem, part 2): re-time the
+    // slowest 10 back-to-back AFTER the fleet, bracketed by their own
+    // probes. A genuinely heavy query reads ~equal in both columns; a
+    // load-inflated one collapses (r16's pack_blocks: 88.7 fleet vs
+    // 0.8 solo would have self-corrected inside one artifact). Any
+    // fleet/solo ratio > 1.5 flags the artifact.
+    val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val fnByName = fleet.toMap
+    val slow10Solo = slow10.map { name =>
+      name -> median(Seq.fill(runsN)(timeOne(name, fnByName(name))))
+    }
+    val calibSolo = calibrate()
+    val fleetByName = results.map(r => r._1 -> r._2).toMap
+    // ratio check only meaningful at runsN >= 3: a single-run fleet median
+    // IS the cold-codegen run, and the warm solo re-run would read as a
+    // phantom 2-3× "inflation" on every query
+    val soloDirty = if (runsN < 3) Seq.empty[String]
+      else slow10Solo.filter { case (n, s) =>
+        s > 0 && fleetByName(n) / s > 1.5 }.map(_._1)
+    if (soloDirty.nonEmpty) System.err.println(
+      "[bench] fleet/solo ratio > 1.5x for: " + soloDirty.mkString(", ") +
+      " - fleet medians for these queries were load-inflated")
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
@@ -141,12 +186,19 @@ object Bench {
       .map(r => r._1 -> r._2))
     val nQueries = results.size
     val nFailed = results.count(_._2 < 0)
-    val loadWarn = calibPre > CalibClean * 2 || calibPost > CalibClean * 2
+    val dirtySpans = calibMid.filter(_._2 > CalibClean * 2).map(_._1)
+    val loadWarn = calibPre > CalibClean * 2 || calibPost > CalibClean * 2 ||
+      dirtySpans.nonEmpty || soloDirty.nonEmpty
     if (loadWarn) System.err.println(f"[bench] LOAD WARNING: calibration " +
-      f"$calibPre%.3f/$calibPost%.3f s vs clean band ≤${CalibClean}%.2f s - " +
+      f"pre/post $calibPre%.3f/$calibPost%.3f s vs clean band ≤${CalibClean}%.2f s, " +
+      s"dirty mid-fleet spans: [${dirtySpans.mkString(",")}], " +
+      s"fleet/solo>1.5x: [${soloDirty.mkString(",")}] - " +
       "totals are not comparable round-over-round")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"queries":$slow15,"queries_note":"slowest 15 of $nQueries; full map in bench_out.json","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"load_warning":$loadWarn,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"load_warning":$loadWarn,"sf":"$sfDir"}"""
+    val calibMidJson = jmap(calibMid.toSeq.map { case (n, c) => s"after_$n" -> c })
+    val soloJson = jmap(slow10Solo)
+    val dirtyJson = dirtySpans.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"queries":$slow15,"queries_note":"slowest 15 of $nQueries fleet medians; solo column in slow10_solo; full map in bench_out.json","slow10_solo":$soloJson,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"calib_solo":$calibSolo%.3f,"calib_mid_dirty":$dirtyJson,"load_warning":$loadWarn,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"slow10_solo":$soloJson,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"calib_solo":$calibSolo%.3f,"calib_mid":$calibMidJson,"calib_mid_dirty":$dirtyJson,"load_warning":$loadWarn,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
