@@ -617,8 +617,10 @@ object Dedup {
     * bodies use [[allPairsJoin]]/[[minhashLsh]]), one (gram,occ)-keyed df
     * aggregate, one id-keyed sort-collect, prefix postings ≈ (k·q+1)·N
     * rows, candidate self-join shuffles on the prefix gram, verify joins
-    * shuffle on ids with candidate-bounded fan-in. `maxBucket` is the
-    * same pure safety brake as [[allPairsJoin]]'s.
+    * shuffle on ids with candidate-bounded fan-in. `maxBucket` here is
+    * NOT the LSH families' silent recall trade: an overflowing bucket
+    * FAILS the job loudly ([[requireNoOverflow]]) because this family
+    * promises no false negatives.
     *
     * Output: (id_a < id_b, dist ≤ k), both integral — hash-exact by
     * construction. */
@@ -651,6 +653,26 @@ object Dedup {
     * strings this operator targets, quadratic-in-len generation at k=2
     * (len ≤ a few hundred). For k ≥ 3 the signature count explodes and
     * [[editDistanceJoin]] switches to the q-gram prefix path. */
+  /** Exactness guard for the edit-distance family (and only it): the
+    * LSH families' `maxBucket` is a documented RECALL trade, but
+    * symDelete/qgram/lookup promise NO false negatives — a silently
+    * dropped oversized bucket voids that contract with no symptom. The
+    * guard counts overflowing signature buckets over the (checkpointed)
+    * postings — one cheap aggregate, no bucket is ever list-built — and
+    * fails loudly so incompleteness is an ERROR, not a quiet wrong
+    * answer. Remedies are in the message; there is deliberately no
+    * "drop anyway" switch — callers who want lossy matching at that
+    * density are in LSH territory ([[minhashLsh]]/[[allPairsJoin]]). */
+  private def requireNoOverflow(postings: DataFrame, keyCols: Seq[String],
+                                maxBucket: Int, op: String): Unit = {
+    val n = postings.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket).count()
+    if (n > 0) throw new IllegalStateException(
+      s"$op: $n signature bucket(s) exceed maxBucket=$maxBucket; dropping " +
+      "them would silently break the no-false-negatives contract - raise " +
+      "maxBucket, reduce k, or use an LSH family for lossy matching")
+  }
+
   private def symDeleteJoin(rows: DataFrame, idCol: String, strCol: String,
                             k: Int, maxBucket: Int): DataFrame = {
     val strs = rows.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -665,6 +687,7 @@ object Dedup {
     val sc = rows.sparkSession.sparkContext
     val pref = if (sc.getCheckpointDir.isDefined) sigs.checkpoint()
                else sigs.localCheckpoint()
+    requireNoOverflow(pref, Seq("v"), maxBucket, "symDeleteJoin")
     // safety brake, as everywhere: pre-counted, never list-built
     val ok = pref.groupBy("v").agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, maxBucket)).select("v")
@@ -703,6 +726,7 @@ object Dedup {
     val sc = probe.sparkSession.sparkContext
     val r = if (sc.getCheckpointDir.isDefined) r0.checkpoint()
             else r0.localCheckpoint()
+    requireNoOverflow(r, Seq("v"), maxBucket, "editDistanceLookup")
     // brake on the REFERENCE side (the indexed one — a degenerate
     // variant bucket there multiplies every probe hitting it)
     val ok = r.groupBy("v").agg(count(lit(1)).as("bn"))
@@ -777,6 +801,7 @@ object Dedup {
     val sc = rows.sparkSession.sparkContext
     val pref = if (sc.getCheckpointDir.isDefined) ranked.checkpoint()
                else ranked.localCheckpoint()
+    requireNoOverflow(pref, Seq("gram", "occ"), maxBucket, "editDistanceJoin")
     val ok = pref.groupBy("gram", "occ").agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, maxBucket)).select("gram", "occ")
     val p = pref.join(ok, Seq("gram", "occ"))

@@ -36,12 +36,15 @@ object SkewJoin {
 
   /** Inner-join `big` ⋈ `dim` on `key`, with `big`'s rows salted across
     * `nSalts` partitions per key. `saltSrc` must be a `big`-side column
-    * expression; any per-row value works (uniqueness spreads best). */
+    * expression; any per-row value works (uniqueness spreads best). A
+    * null `saltSrc` value salts to 0 (all such rows in one partition —
+    * fine for spread, and it keeps the exactly-the-plain-join contract:
+    * a null SALT must not drop a row whose JOIN key is non-null). */
   def salted(big: DataFrame, dim: DataFrame, key: String,
              saltSrc: Column, nSalts: Int): DataFrame = {
     require(nSalts >= 2, s"nSalts must be >= 2, got $nSalts")
     val bigS = big.withColumn("__salt__",
-      pmod(crc32(saltSrc.cast("string")), lit(nSalts.toLong)))
+      pmod(coalesce(crc32(saltSrc.cast("string")), lit(0L)), lit(nSalts.toLong)))
     val dimS = dim.withColumn("__salt__",
       explode(sequence(lit(0L), lit(nSalts - 1L))))
     bigS.join(dimS, Seq(key, "__salt__")).drop("__salt__")

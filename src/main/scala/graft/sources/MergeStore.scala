@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   * variant noted there). A crash mid-merge leaves a PREFIX of buckets
   * swapped — safe because upsert is IDEMPOTENT: re-running the same
   * merge converges to the same store (MergeStoreSpec pins twice ≡ once).
+  * The swap itself is two renames, so a crash can also land BETWEEN
+  * them (bucket parked in `.bkt=i.bak`, live dir absent); every merge
+  * first runs [[recoverBaks]] under the lease to restore such buckets
+  * before reading, so no crash point loses rows (MergeStoreSpec pins
+  * the mid-swap crash state).
   *
   * Update batches must be key-unique (checked with one aggregate — the
   * multi-version "latest wins" policy belongs to the caller, who knows
@@ -86,10 +91,17 @@ object MergeStore {
     * remaining columns, so even a version tie resolves to ONE
     * deterministic row and batch boundaries cannot change an ordered
     * feed's outcome. Returns the started query. */
-  def streamingMerge(stream: DataFrame, path: String, versionCol: String)
+  def streamingMerge(stream: DataFrame, path: String, versionCol: String,
+                     checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    stream.writeStream
+    val writer = stream.writeStream
       .outputMode("update")
+    // idempotence makes replays SAFE, but only a checkpoint makes them
+    // HAPPEN: without one a restarted query re-reads the source from
+    // scratch (or not at all, source-dependent) instead of resuming at
+    // the last committed batch
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val (keyCol, _) = readMeta(spark, path)
@@ -123,9 +135,36 @@ object MergeStore {
       rewriteLocked(spark, path, batch, deleteOnly)
     }
 
+  /** Crash recovery (run under the lease, before any read): a crash
+    * between a bucket's rename-aside and rename-in leaves the live dir
+    * ABSENT and its content parked in the hidden `.bkt=i.bak` — which
+    * Spark reads skip, so without this pass a re-run merge would read
+    * the bucket as empty and silently drop every pre-existing row in
+    * it. Restore any .bak whose live dir is missing; a .bak whose live
+    * dir exists is a completed swap's leftover (crash between rename-in
+    * and cleanup) — the live dir already holds the merged rows, so the
+    * stale backup is deleted. After this pass the prefix-of-buckets-
+    * swapped crash state really is safe, as the idempotence contract
+    * requires. */
+  private def recoverBaks(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Unit = {
+    val baks = fs.globStatus(new Path(s"${dataPath(path)}/.bkt=*.bak"))
+    if (baks == null) return
+    baks.foreach { st =>
+      val live = new Path(st.getPath.getParent,
+        st.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
+      if (!fs.exists(live))
+        require(fs.rename(st.getPath, live),
+          s"merge recovery: restoring ${st.getPath} to $live failed")
+      else fs.delete(st.getPath, true)
+    }
+  }
+
   private def rewriteLocked(spark: SparkSession, path: String,
                             batch: DataFrame, deleteOnly: Boolean): Unit = {
     val (keyCol, nBuckets) = readMeta(spark, path)
+    recoverBaks(new Path(dataPath(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     requireKeyUnique(batch, keyCol)
     val b = batch.withColumn("bkt", bucketOf(col(keyCol), nBuckets))
     // touched-bucket list: model-bounded (≤ nBuckets ints), the one

@@ -1107,6 +1107,27 @@ class LlmSpec extends SparkSpec {
     assert(!got.keys.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
+  test("edit-distance family fails LOUDLY when a bucket exceeds maxBucket") {
+    // 5 identical strings: every deletion variant bucket holds 5 > 4
+    val rows = (0L until 5L).map(i => (i, "same")).toDF("id", "s")
+    val e = intercept[IllegalStateException] {
+      Dedup.editDistanceJoin(rows, "id", "s", k = 1, maxBucket = 4).collect()
+    }
+    assert(e.getMessage.contains("maxBucket"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.editDistanceLookup(Seq((0L, "same")).toDF("pid", "ps"),
+        "pid", "ps", rows, "id", "s", k = 1, maxBucket = 4).collect()
+    }
+    assert(e2.getMessage.contains("no-false-negatives"))
+    // q-gram path (k=3): same corpus, every (gram, occ) bucket holds 5
+    val e3 = intercept[IllegalStateException] {
+      Dedup.editDistanceJoin(rows, "id", "s", k = 3, maxBucket = 4).collect()
+    }
+    assert(e3.getMessage.contains("editDistanceJoin"))
+    // and a roomy brake stays silent: the same corpora succeed
+    assert(Dedup.editDistanceJoin(rows, "id", "s", k = 1).count() == 10)
+  }
+
   test("normalizeUnicode: NFC composes, NFKC also folds compatibility forms, both idempotent") {
     val df = Seq((0L, "Cafe\u0301 ＡＢＣ ﬁne")).toDF("doc_id", "text")
     def one(mode: String): String = df.select(

@@ -79,6 +79,33 @@ class MergeStoreSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("mid-swap crash state (live dir parked in .bak) is recovered, no rows lost") {
+    val path = tmp()
+    val base = (0L until 100L).map(i => (i, s"doc $i")).toDF("id", "text")
+    MergeStore.init(base, path, "id", nBuckets = 8)
+    // simulate a crash between rename-aside and rename-in: bucket 3's
+    // live dir is gone, its content parked in the hidden .bak (which
+    // Spark reads skip)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/data/bkt=3")
+    val bak = new org.apache.hadoop.fs.Path(s"$path/data/.bkt=3.bak")
+    assert(fs.exists(live))
+    assert(fs.rename(live, bak))
+    // a merge touching an unrelated key must FIRST restore bucket 3
+    MergeStore.merge(spark, path, Seq((200L, "new")).toDF("id", "text"))
+    val got = MergeStore.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 100L).map(i => i -> s"doc $i").toMap + (200L -> "new")
+    assert(got == want, "recovery must restore the parked bucket before merging")
+    assert(!fs.exists(bak))
+    // stale .bak from a COMPLETED swap (live exists) is just cleaned up
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/data/.bkt=5.bak"))
+    MergeStore.merge(spark, path, Seq((201L, "more")).toDF("id", "text"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/.bkt=5.bak")))
+    assert(MergeStore.read(spark, path).count() == 102)
+  }
+
   test("non-unique batch is rejected loudly") {
     val path = tmp()
     MergeStore.init(Seq((1L, "a")).toDF("id", "text"), path, "id", 2)

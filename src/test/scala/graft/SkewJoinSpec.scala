@@ -24,6 +24,19 @@ class SkewJoinSpec extends SparkSpec {
     assert(got.count(_._2 == "hot") == 180 * 2) // both hot dim rows matched
   }
 
+  test("null salt source never drops a row with a non-null join key") {
+    val big = Seq((Some(1L), "hot"), (None, "hot"), (None, "k2"), (Some(4L), "k2"))
+      .toDF("id", "key")
+    val dim = Seq(("hot", 10), ("k2", 20)).toDF("key", "payload")
+    val got = SkewJoin.salted(big, dim, "key", col("id"), nSalts = 4)
+      .select("key", "payload")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val want = big.join(dim, "key").select("key", "payload")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(got == want)
+    assert(got.size == 4) // incl. both null-id rows
+  }
+
   test("salting splits the hot key's partition: max task rows shrink ~nSalts×") {
     val n = 4000
     // 90% of rows on one key — the straggler shape
