@@ -89,7 +89,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--tokenizer ws|bpe|unigram_raw]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -254,7 +254,8 @@ object Pipeline {
     stat("after_quality_floor", scored.count())
 
     // 6: per-source token budget over the quality-floored survivors
-    // the budget tokenizer is a knob: "ws" (gate default), "bpe", or
+    // the budget tokenizer is a knob: "ws" (gate default), "bpe",
+    // "bpe_raw" (GPT-2 byte-level — every byte priced, lossless), or
     // "unigram_raw" (byte-fallback subword counts — case and multi-byte
     // chars priced, the budget a real training run wants)
     val mixed = Curation.mixByBudget(

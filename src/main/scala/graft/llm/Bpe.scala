@@ -152,6 +152,136 @@ object Bpe {
     s"(length($sCol) - length(replace($sCol, chr(31), '')) - 1) - " +
       s"(length($sCol) - length(replace($sCol, chr(2), '')))"
 
+  // ======================= byte-level (raw) BPE =======================
+  //
+  // The char-level encoder above deliberately normalizes (whitespace
+  // runs → one boundary) — right for corpus statistics, destructive for
+  // a trainable token stream. The raw variant is GPT-2's recipe
+  // (Radford et al. 2019): the text's UTF-8 BYTES map through the
+  // public bytes↔unicode bijection ([[graft.functions.ByteText]] —
+  // space becomes Ġ, newline Ċ), and the SAME Sep-wrapped replace chain
+  // runs over the byte-char string with NO boundary sentinel: whitespace
+  // bytes are ordinary tokens, merges may absorb them (GPT-2's " the" =
+  // Ġthe is exactly such a merge), and decode ∘ encode ≡ id BYTE-EXACT
+  // for every merge table. Base alphabet = 256 byte-chars, so every
+  // string is coverable — no <unk>, no byte-fallback special case
+  // needed: the fallback IS the alphabet.
+
+  /** Default byte-level merge table (fixture, same caveat as
+    * [[DefaultMerges]]): letter pairs plus the byte-level-only shapes —
+    * leading-space merges (Ġt → Ġthe, the GPT-2 signature), a cased
+    * merge (Th → The), and a multi-byte UTF-8 merge (Ã© = the two bytes
+    * of é as one piece). */
+  val DefaultRawMerges: Seq[(String, String)] = {
+    val sp = graft.functions.ByteText.byteToChar(' '.toInt).toString // Ġ
+    Seq(
+      "t" -> "h", "th" -> "e",
+      "T" -> "h", "Th" -> "e",
+      sp -> "t", (sp + "t") -> "he",
+      "h" -> "e",
+      sp -> "a", sp -> "o",
+      "i" -> "n", "in" -> "g",
+      "e" -> "r", "o" -> "n", "a" -> "n", "a" -> "t",
+      "Ã" -> "©")
+  }
+
+  private def validateRaw(merges: Seq[(String, String)]): Unit =
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty &&
+        (a + b).forall(graft.functions.ByteText.isByteChar)
+    }, "raw merge rules must be non-empty strings of byte-chars " +
+      "(graft_byte_enc output alphabet)")
+
+  private def rawEnc(text: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.functions.ByteEnc(
+      org.apache.spark.sql.GraftExpr.expression(text)))
+
+  /** The Sep-wrapped byte-level token string after all merges. */
+  def tokenizedRaw(text: Column,
+                   merges: Seq[(String, String)] = DefaultRawMerges): Column = {
+    validateRaw(merges)
+    val wrapped = concat(lit(Sep),
+      regexp_replace(rawEnc(text), "(?s)(.)", "$1" + Sep))
+    merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      replace(s, lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep))
+    }
+  }
+
+  /** Byte-level BPE token count: #Sep − 1 (no boundary sentinel — every
+    * byte is priced, including whitespace: the lossless budget). */
+  def tokenCountRaw(text: Column,
+                    merges: Seq[(String, String)] = DefaultRawMerges): Column = {
+    val s = tokenizedRaw(text, merges)
+    (length(s) - length(replace(s, lit(Sep), lit(""))) - 1).cast(LongType)
+  }
+
+  /** Count over an already-[[tokenizedRaw]] column (shared-scan path). */
+  def tokenCountRawOf(toked: Column): Column =
+    (length(toked) - length(replace(toked, lit(Sep), lit(""))) - 1)
+      .cast(LongType)
+
+  /** Token sequence as array<string> in byte-char spelling — the form
+    * GPT-2 vocabularies print (Ġthe, Ċ, …). */
+  def tokensRaw(text: Column,
+                merges: Seq[(String, String)] = DefaultRawMerges): Column =
+    filter(split(tokenizedRaw(text, merges), Sep, -1), t => t =!= lit(""))
+
+  /** EXACT inverse of [[tokenizedRaw]] for every merge table: strip the
+    * separators, undo the byte bijection. decode ∘ encode ≡ id
+    * byte-for-byte — no whitespace collapse, no case folding (the
+    * `bpe_raw` gate pins it corpus-wide against injected
+    * case/punct/UTF-8/emoji). */
+  def decodeRaw(toked: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.functions.ByteDec(
+      org.apache.spark.sql.GraftExpr.expression(
+        replace(toked, lit(Sep), lit("")))))
+
+  /** DuckDB SQL expression replaying [[tokenizedRaw]] over a byte-char
+    * column (produce one with [[oracleByteEncSql]]). Quote chars in
+    * merge rules are SQL-escaped, so TRAINED tables (which contain '
+    * on real text) stay oracle-expressible. Count with
+    * [[oracleCountRawSql]]. */
+  def oracleTokenizedRawSql(byteEncCol: String,
+                            merges: Seq[(String, String)] = DefaultRawMerges): String = {
+    validateRaw(merges)
+    val sep = "chr(31)"
+    def q(s: String) = s.replace("'", "''")
+    val wrapped =
+      s"$sep || regexp_replace($byteEncCol, '(?s)(.)', '\\1' || $sep, 'g')"
+    merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s"replace($s, $sep || '${q(a)}' || $sep || '${q(b)}' || $sep, " +
+        s"$sep || '${q(a + b)}' || $sep)"
+    }
+  }
+
+  /** DuckDB SQL expression for [[graft.functions.ByteText.encode]] over
+    * `textCol`: hex the UTF-8 bytes, gather each through the 256-entry
+    * byte-char list literal. `hx`/`n` must be pre-computed columns
+    * (hex(encode(text)), octet_length(encode(text))) so the per-byte
+    * lambda reads slices, not recomputed hex. */
+  def oracleByteEncSql(hxCol: String, nCol: String): String =
+    s"""array_to_string(list_transform(range(1, $nCol + 1), i ->
+       |    ${graft.functions.ByteText.oracleByteMapLiteral}[
+       |      (strpos('0123456789ABCDEF', substr($hxCol, CAST(2*i-1 AS INT), 1)) - 1) * 16
+       |      + strpos('0123456789ABCDEF', substr($hxCol, CAST(2*i AS INT), 1))]), '')""".stripMargin
+
+  /** DuckDB count over a [[oracleTokenizedRawSql]] column: #Sep − 1. */
+  def oracleCountRawSql(sCol: String): String =
+    s"(length($sCol) - length(replace($sCol, chr(31), '')) - 1)"
+
+  /** Learn a BYTE-LEVEL merge table — [[learnMerges]]' loop over the
+    * byte-char encoding with no boundary sentinel: merges freely learn
+    * leading-space/newline shapes (Ġt, Ġthe) exactly like GPT-2
+    * training does. Same incremental-encoding cost model, same batched
+    * selection proof, same (left, right, count) output — feed into
+    * [[tokenizedRaw]]/[[tokenCountRaw]]. */
+  def learnMergesRaw(docs: DataFrame, textCol: String,
+                     nMerges: Int, batch: Int = 1): Seq[(String, String, Long)] = {
+    val wrapped = concat(lit(Sep),
+      regexp_replace(rawEnc(col(textCol)), "(?s)(.)", "$1" + Sep))
+    learnLoop(docs.select(wrapped.as("__e__")), nMerges, batch)
+  }
+
   /** Learn a merge table from the corpus — the Sennrich et al. 2016 BPE
     * trainer, Spark-shaped. Each iteration counts adjacent token pairs
     * within words of the current encoding and takes the most frequent
@@ -212,10 +342,19 @@ object Bpe {
     * compounds interleave constantly — degrades gracefully toward
     * sequential, which is the only correct behavior there. */
   def learnMerges(docs: DataFrame, textCol: String,
-                  nMerges: Int, batch: Int = 1): Seq[(String, String, Long)] = {
+                  nMerges: Int, batch: Int = 1): Seq[(String, String, Long)] =
+    learnLoop(docs.select(tokenized(col(textCol), Nil).as("__e__")),
+      nMerges, batch)
+
+  /** The trainer loop shared by [[learnMerges]] (char-level, boundary
+    * sentinels excluded from pairs) and [[learnMergesRaw]] (byte-level,
+    * no sentinel present — the same filter is then a no-op). `enc0` is
+    * the Sep-wrapped base encoding in column `__e__`. */
+  private def learnLoop(enc0: DataFrame,
+                        nMerges: Int, batch: Int): Seq[(String, String, Long)] = {
     require(batch >= 1, "batch must be >= 1")
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var enc = docs.select(tokenized(col(textCol), Nil).as("__e__")).persist()
+    var enc = enc0.persist()
     var done = false
     try {
       while (learned.size < nMerges && !done) {

@@ -47,9 +47,10 @@ object Curation {
     tokenizer match {
       case "ws"          => tokCount(text)
       case "bpe"         => Bpe.tokenCount(text)
+      case "bpe_raw"     => Bpe.tokenCountRaw(text)
       case "unigram_raw" => Unigram.rawTokenCount(text)
       case other => throw new IllegalArgumentException(
-        s"unknown tokenizer '$other' (expected ws | bpe | unigram_raw)")
+        s"unknown tokenizer '$other' (expected ws | bpe | bpe_raw | unigram_raw)")
     }
 
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM-style n-gram
@@ -719,8 +720,11 @@ object Curation {
       case "ws"  => filter(split(translate(col("text"), "\t\n\r", "   "), " ", -1),
         t => t =!= lit(""))
       case "bpe" => Bpe.tokens(col("text"))
+      // byte-level pieces in byte-char spelling (Ġthe …) — the GPT-2
+      // display form; lossless window rendering
+      case "bpe_raw" => Bpe.tokensRaw(col("text"))
       case other => throw new IllegalArgumentException(
-        s"unknown tokenizer '$other' (expected ws | bpe)")
+        s"unknown tokenizer '$other' (expected ws | bpe | bpe_raw)")
     }
     docs.select(col("doc_id"), tk.as("tk"),
         size(tk).cast(LongType).as("n"))

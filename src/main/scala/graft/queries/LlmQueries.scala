@@ -749,6 +749,35 @@ object LlmQueries {
   def oracleTokenizeRawWordPiece: String =
     s"SELECT doc_id, $RawInject AS text_rt FROM documents"
 
+  /** BYTE-LEVEL BPE (GPT-2 recipe) — the third tokenizer's lossless
+    * story, and the strongest of the raw gates: the oracle doesn't just
+    * state the round-trip identity, it REPLAYS the whole encoder in
+    * DuckDB (byte→byte-char bijection gathered from hex, then the same
+    * Sep-wrapped replace chain) and pins the per-document token count
+    * cross-engine, while text_rt pins decode ∘ encode ≡ id byte-exact
+    * over injected case/punct/tabs/UTF-8/emoji. */
+  def bpeRawQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("text", expr(RawInject))
+    d.withColumn("__tk__", graft.llm.Bpe.tokenizedRaw(col("text")))
+      .select(col("doc_id"),
+        graft.llm.Bpe.tokenCountRawOf(col("__tk__")).as("n_tok"),
+        graft.llm.Bpe.decodeRaw(col("__tk__")).as("text_rt"))
+  }
+
+  def oracleBpeRaw: String = {
+    val enc = graft.llm.Bpe.oracleByteEncSql("hx", "n")
+    val toked = graft.llm.Bpe.oracleTokenizedRawSql("be")
+    s"""WITH raw AS (SELECT doc_id, $RawInject AS text FROM documents),
+       |h AS (SELECT doc_id, text, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n FROM raw),
+       |e AS (SELECT doc_id, text, $enc AS be FROM h),
+       |t AS (SELECT doc_id, text, $toked AS s FROM e)
+       |SELECT doc_id,
+       |  CAST(${graft.llm.Bpe.oracleCountRawSql("s")} AS BIGINT) AS n_tok,
+       |  text AS text_rt
+       |FROM t""".stripMargin
+  }
+
   /** Tokenizer FERTILITY / compression eval — the metric a tokenizer is
     * chosen by (pieces per word, chars per piece) — over the SAME
     * fixtures as the three tokenizer gates, one row per tokenizer. All
@@ -3216,6 +3245,7 @@ object LlmQueries {
     "tokenize_wordpiece" -> (tokenizeWordPieceQ _),
     "tokenize_raw_unigram" -> (tokenizeRawUnigramQ _),
     "tokenize_raw_wordpiece" -> (tokenizeRawWordPieceQ _),
+    "bpe_raw" -> (bpeRawQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -3315,6 +3345,7 @@ object LlmQueries {
     "tokenize_wordpiece" -> oracleTokenizeWordPiece,
     "tokenize_raw_unigram" -> oracleTokenizeRawUnigram,
     "tokenize_raw_wordpiece" -> oracleTokenizeRawWordPiece,
+    "bpe_raw" -> oracleBpeRaw,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
