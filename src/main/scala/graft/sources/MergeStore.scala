@@ -154,7 +154,7 @@ object MergeStore {
       val live = new Path(st.getPath.getParent,
         st.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
       if (!fs.exists(live))
-        require(fs.rename(st.getPath, live),
+        require(Committer.current.publishRename(fs, st.getPath, live),
           s"merge recovery: restoring ${st.getPath} to $live failed")
       else fs.delete(st.getPath, true)
     }
@@ -188,11 +188,13 @@ object MergeStore {
       val bak = new Path(s"${dataPath(path)}/.bkt=$i.bak")
       fs.delete(bak, true)
       if (fs.exists(live))
-        require(fs.rename(live, bak), s"merge: rename-aside $live failed")
+        require(Committer.current.publishRename(fs, live, bak),
+          s"merge: rename-aside $live failed")
       // a bucket can become empty (delete of its every key): the staged
       // dir is then absent and the rename-aside alone is the rewrite
       if (fs.exists(next))
-        require(fs.rename(next, live), s"merge: rename-in $next failed")
+        require(Committer.current.publishRename(fs, next, live),
+          s"merge: rename-in $next failed")
       fs.delete(bak, true)
     }
     fs.delete(new Path(stage), true)

@@ -48,9 +48,9 @@ object StoreOps {
     val fs = new Path(tmp).getFileSystem(conf)
     fs.delete(new Path(bak), true)
     if (fs.exists(new Path(path)))
-      require(fs.rename(new Path(path), new Path(bak)),
+      require(Committer.current.publishRename(fs, new Path(path), new Path(bak)),
         s"swapWrite: rename-aside $path -> $bak failed")
-    require(fs.rename(new Path(tmp), new Path(path)),
+    require(Committer.current.publishRename(fs, new Path(tmp), new Path(path)),
       s"swapWrite: rename $tmp -> $path failed (old table at $bak)")
     fs.delete(new Path(bak), true)
   }
@@ -155,17 +155,16 @@ object StoreOps {
     * STORAGE-LAYER CONTRACT: step 3's rename is assumed to be an atomic,
     * cheap metadata operation — true on HDFS and posix filesystems, NOT
     * on S3-class object stores, where "rename" is copy+delete (non-atomic
-    * and O(bytes)). Running the stores on an object store needs one of
-    * the standard mitigations, all compatible with this layout because
-    * the commit unit is a batch-keyed FILE NAME: (a) an HDFS-semantics
-    * layer (HBoss/S3Guard-style, or a real HDFS/JuiceFS in front);
-    * (b) replacing step 3 with an S3 conditional PUT (If-None-Match) of
-    * the staged object under its final key — same idempotence law, since
-    * replays re-PUT byte-identical objects; or (c) a commit-ledger table
-    * (the Iceberg/Delta route) where step 3 appends the staged file list
-    * to a manifest instead of moving files. The same assumption note
-    * applies to [[swapWrite]] (directory-level rename swap). SURVEY §5
-    * carries the deployment-facing version of this contract. */
+    * and O(bytes)). The assumption is now a SEAM, not a hard-wiring:
+    * every atomicity-sensitive op here routes through
+    * [[Committer.current]] (default [[Committer.Rename]] = HDFS
+    * semantics, today's behavior), and an object-store deployment
+    * installs the conditional-PUT / manifest-ledger implementation —
+    * see [[Committer]]'s scaladoc for the per-primitive mapping, all
+    * compatible with this layout because the commit unit is a
+    * batch-keyed FILE NAME. The same seam covers [[swapWrite]]
+    * (directory-level swap) and the [[Lease]]. SURVEY §5 carries the
+    * deployment-facing version of this contract. */
   def appendKeyed(df: DataFrame, path: String, batchId: Long,
                   partitionCols: Seq[String] = Nil): Unit = {
     val staging = new Path(s"$path.staging/b$batchId")
@@ -200,7 +199,8 @@ object StoreOps {
         .stripPrefix(staging.toUri.getPath).stripPrefix("/")
       val targetDir = if (rel.isEmpty) dest else new Path(dest, rel)
       fs.mkdirs(targetDir)
-      require(fs.rename(f, new Path(targetDir, prefix + f.getName)),
+      require(Committer.current.publishRename(fs,
+          f, new Path(targetDir, prefix + f.getName)),
         s"appendKeyed: commit rename of $f into $targetDir failed")
     }
     fs.delete(staging, true)
@@ -298,10 +298,9 @@ object StoreOps {
       while (attempt < 3) {
         attempt += 1
         try {
-          val out = fs.create(p, false) // atomic create-no-overwrite
-          out.write(s"$token ${System.currentTimeMillis()}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          out.close()
+          Committer.current.createExclusive(fs, p,
+            s"$token ${System.currentTimeMillis()}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           return token
         } catch {
           case _: java.io.IOException =>
