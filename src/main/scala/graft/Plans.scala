@@ -65,7 +65,9 @@ object Plans {
     "dedup_editdist", "text_collocations", "skew_salted_join",
     "q8_share", "q9_profit", "q13_distribution", "q15_topsupplier",
     "q19_disjunct", "q21_waiting", "merge_upsert",
-    "text_nfc", "dedup_editdist_lookup")
+    "text_nfc", "dedup_editdist_lookup",
+    // round 17 additions
+    "bpe_raw", "pack_ffd", "dedup_domain")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is
@@ -81,6 +83,10 @@ object Plans {
       ("decomposed global offset: the single-task window sums the " +
         "per-bucket token-mass aggregate (one row per doc_id/bucketWidth " +
         "bucket), the corpus-sized cumulative offset is bucket-local"),
+    ("pack_ffd", "_we0") ->
+      ("bucket bin-count bases: the single-task window prefix-sums the " +
+        "one-row-per-bucket packed aggregate (N/bucketWidth rows); the " +
+        "FFD walk itself is in-row per bucket"),
     ("shard_balanced", "_we0") ->
       ("decomposed global rank: the window runs over the per-band " +
         "summary aggregate, not the corpus-sized token frame"),

@@ -477,6 +477,132 @@ object Curation {
         pmod(col("off"), lit(blockSize)).as("block_offset"))
   }
 
+  /** Canonical URL key: scheme off, fragment off, authority lowercased
+    * with `www.` and default ports stripped, trailing slash off. Every
+    * step is one regex both engines implement identically (no
+    * lookarounds — RE2-safe), so the key is oracle-replayable. The
+    * variants crawls actually serve as duplicates — http vs https,
+    * www vs bare, trailing slash, #section anchors, Case in the host —
+    * all collapse; querystrings are KEPT (two query URLs are different
+    * resources; stripping tracker params is a site-specific policy the
+    * caller applies upstream if wanted). */
+  def urlKey(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = regexp_replace(noScheme, "#.*", "")
+    val auth = regexp_extract(noFrag, "^[^/?]*", 0)
+    val host = regexp_replace(
+      regexp_replace(lower(auth), "^www\\.", ""), ":(80|443)$", "")
+    val rest = regexp_replace(substring_index_tail(noFrag, auth), "/$", "")
+    concat(host, rest)
+  }
+
+  /** The path+query remainder after the authority — substring from
+    * len(auth)+1, shared by [[urlKey]]. */
+  private def substring_index_tail(full: Column, prefix: Column): Column =
+    full.substr(length(prefix) + 1, length(full))
+
+  /** Host part of a [[urlKey]], and its "registrable domain" under the
+    * last-two-labels simplification (news.example.com → example.com).
+    * A real deployment swaps in a public-suffix-list lookup (a tiny
+    * broadcast table) — the operator shape is identical; the
+    * simplification is documented, not hidden. */
+  def urlDomain(key: Column): Column = {
+    val host = regexp_extract(key, "^[^/?]*", 0)
+    when(host.rlike("[^.]+\\.[^.]+$"),
+      regexp_extract(host, "[^.]+\\.[^.]+$", 0)).otherwise(host)
+  }
+
+  /** Per-URL dedup + per-domain cap — the first filter most crawl
+    * pipelines run (the RefinedWeb/CCNet rule): ONE document per
+    * canonical URL (keeper = min doc_id — crawls are ordered, the
+    * earliest fetch wins; swap in keep-best upstream if a quality
+    * score exists), then at most `maxPerDomain` documents per
+    * registrable domain (order: doc_id asc — deterministic and
+    * replayable).
+    *
+    * Scale shape: the URL keep-best is a plain min aggregate — map-side
+    * combined, immune to hot-URL skew (a million copies of one URL
+    * partial-aggregate down to one row per partition before the
+    * shuffle). The domain cap is the SALTED TWO-PHASE top-N: a local
+    * rank within (domain, salt = crc32(doc_id) mod nSalts) keeps ≤ cap
+    * per salt — splitting a hot domain's millions across nSalts tasks —
+    * then the global rank runs over the ≤ nSalts·cap survivors per
+    * domain, a bounded frame. Exact: the global top-cap by (doc_id) is
+    * a subset of the union of per-salt top-caps.
+    *
+    * Output: the kept rows as (doc_id, url_key, domain). */
+  def domainDedup(docs: DataFrame, urlCol: String, maxPerDomain: Int,
+                  nSalts: Int = 16): DataFrame = {
+    require(maxPerDomain >= 1 && nSalts >= 1,
+      s"need maxPerDomain >= 1 and nSalts >= 1, got $maxPerDomain/$nSalts")
+    val keyed = docs.select(col("doc_id"), urlKey(col(urlCol)).as("url_key"))
+    val keepers = keyed.groupBy("url_key").agg(min("doc_id").as("doc_id"))
+      .withColumn("domain", urlDomain(col("url_key")))
+    val salted = keepers.withColumn("__salt__",
+      pmod(crc32(col("doc_id").cast(StringType)), lit(nSalts.toLong)))
+    val localW = Window.partitionBy("domain", "__salt__").orderBy("doc_id")
+    val globalW = Window.partitionBy("domain").orderBy("doc_id")
+    salted
+      .withColumn("__lr__", row_number().over(localW))
+      .filter(col("__lr__") <= maxPerDomain)
+      .withColumn("__gr__", row_number().over(globalW))
+      .filter(col("__gr__") <= maxPerDomain)
+      .select("doc_id", "url_key", "domain")
+  }
+
+  /** First-fit-decreasing BIN packing — the other packing policy real
+    * trainers use: where [[packSequences]] concatenates and CUTS (GPT
+    * style, documents split across block boundaries), FFD packs whole
+    * documents into fixed-`binSize` bins with NO document ever split
+    * (T5/LLaMA-recipe style), trading some slack per bin for intact
+    * examples.
+    *
+    * Deterministic and replayable: within each doc_id-range bucket
+    * (same two-phase decomposition as [[packSequences]]) documents walk
+    * in (tok DESC, doc_id ASC) order and each takes the lowest-indexed
+    * bin it fits ([[graft.functions.FfdPack]] — a segment-tree first
+    * fit, O(n log n) per bucket); a doc larger than binSize gets a
+    * dedicated bin. Bucket-local bins become global via a prefix sum of
+    * per-bucket bin counts over the TINY bucket frame — the same
+    * no-global-sort shape as every prefix sum here. The DuckDB oracle
+    * replays the identical walk with a recursive CTE, so the gate pins
+    * the placement bin-for-bin.
+    *
+    * Scale shape: one groupBy(bkt) collect bounded by `bucketWidth`
+    * rows per group (the explicit single-task bound, like every bucketed
+    * window here), one broadcast of the bucket-bases frame, one explode.
+    * Packing quality is per-bucket (FFD is ~11/9 OPT within a bucket;
+    * cross-bucket consolidation would need a global walk — the
+    * documented trade for unbounded scale).
+    *
+    * Output: (doc_id, tok, bin_id, bin_offset), bin_id globally dense
+    * from 0. */
+  def packBinsFFD(docs: DataFrame, binSize: Long,
+                  bucketWidth: Long = 1000000L,
+                  tokenizer: String = "ws"): DataFrame = {
+    require(binSize >= 1, s"binSize must be >= 1, got $binSize")
+    val toked = docs.select(col("doc_id"),
+      tokCountAs(col("text"), tokenizer).as("tok"))
+      .withColumn("bkt", floor(col("doc_id") / bucketWidth).cast(LongType))
+    val packed = toked.groupBy("bkt")
+      .agg(collect_list(struct(col("doc_id"), col("tok"))).as("ds"))
+      .withColumn("p", org.apache.spark.sql.GraftExpr.column(
+        graft.functions.FfdPack(
+          org.apache.spark.sql.GraftExpr.expression(col("ds")), binSize)))
+      .select(col("bkt"), col("p.n_bins").as("nbins"),
+        col("p.placements").as("placements"))
+    // packed is ONE ROW PER BUCKET (N/bucketWidth rows), so the base
+    // prefix sum windows over it directly — no self-join, FfdPack runs
+    // exactly once per bucket
+    val baseW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    packed
+      .withColumn("base", coalesce(sum("nbins").over(baseW), lit(0L)))
+      .select(col("base"), explode(col("placements")).as("pl"))
+      .select(col("pl.doc_id").as("doc_id"), col("pl.tok").as("tok"),
+        (col("base") + col("pl.bin") - 1L).as("bin_id"),
+        col("pl.off").as("bin_offset"))
+  }
+
   /** Token-budget domain mixing: per `source`, keep the highest-quality
     * documents until the running token total crosses `budget` (keep rule:
     * a doc is kept iff its inclusive cumulative token count, in

@@ -1005,6 +1005,96 @@ object LlmQueries {
   def packBlocksQ(spark: SparkSession, dir: String): DataFrame =
     Curation.packSequences(docs(spark, dir), blockSize = 512L)
 
+  /** Synthetic URL per document (same-expression in both engines): the
+    * duplicate variants crawls actually serve — http/https, www., a
+    * Cased subdomain, trailing slash, #fragment — all collapsing to one
+    * canonical key, with source as the registrable domain's second
+    * level and doc_id mod 50 as the page, so URL keys collide mod 100
+    * (|sources| = 20) and each domain carries many keys. */
+  private val UrlInject: String =
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, " +
+      "CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END, " +
+      "CASE WHEN doc_id % 7 = 0 THEN 'News.' ELSE '' END, " +
+      "source, '.com', " +
+      "CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END, " +
+      "'/p/', CAST(doc_id % 50 AS STRING), " +
+      "CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END, " +
+      "CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END)"
+
+  /** Per-URL dedup + per-domain cap (the RefinedWeb first filter) over
+    * injected URL variants; oracle replays canonicalization (scheme/
+    * fragment/www/port/slash stripping), min-doc_id keep, last-two-label
+    * domains, and the doc_id-ordered cap with plain windows. */
+  def dedupDomainQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("url", expr(UrlInject))
+    Curation.domainDedup(d, "url", maxPerDomain = 3)
+  }
+
+  def oracleDedupDomain: String =
+    s"""WITH u AS (SELECT doc_id, $UrlInject AS url FROM documents),
+       |k AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(lower(auth), '^www\\.', ''), ':(80|443)$$', '') ||
+       |      regexp_replace(substr(s2, len(auth) + 1), '/$$', '') AS url_key
+       |  FROM (SELECT doc_id, s2, regexp_extract(s2, '^[^/?]*') AS auth
+       |    FROM (SELECT doc_id,
+       |        regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*', '') AS s2
+       |      FROM u))),
+       |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY 1),
+       |dom AS (SELECT doc_id, url_key,
+       |    CASE WHEN regexp_matches(regexp_extract(url_key, '^[^/?]*'), '[^.]+\\.[^.]+$$')
+       |      THEN regexp_extract(regexp_extract(url_key, '^[^/?]*'), '[^.]+\\.[^.]+$$')
+       |      ELSE regexp_extract(url_key, '^[^/?]*') END AS domain
+       |  FROM keep),
+       |r AS (SELECT doc_id, url_key, domain,
+       |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM dom)
+       |SELECT doc_id, url_key, domain FROM r WHERE rk <= 3""".stripMargin
+
+  /** First-fit-decreasing packing into 512-token bins (whole documents,
+    * never split). The oracle replays the exact FFD walk with a
+    * recursive CTE — one doc placed per recursion step per bucket, bin
+    * loads carried as a list — so every placement is pinned
+    * bin-for-bin, offset-for-offset. */
+  def packFfdQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.packBinsFFD(docs(spark, dir), binSize = 512L)
+
+  def oraclePackFfd: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, tok, CAST(floor(doc_id / 1000000.0) AS BIGINT) AS bkt
+       |  FROM ($oraclePackTok)),
+       |o AS (SELECT doc_id, tok, bkt,
+       |    row_number() OVER (PARTITION BY bkt ORDER BY tok DESC, doc_id) AS rn
+       |  FROM t),
+       |walk(bkt, rn, loads, placed) AS (
+       |  SELECT bkt, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+       |      CAST([] AS STRUCT(doc_id BIGINT, tok BIGINT, bin BIGINT, off BIGINT)[])
+       |    FROM (SELECT DISTINCT bkt FROM o)
+       |  UNION ALL
+       |  SELECT w.bkt, w.rn + 1,
+       |    CASE WHEN fit <= len(w.loads)
+       |      THEN list_transform(range(1, len(w.loads) + 1),
+       |             i -> CASE WHEN i = fit THEN w.loads[i] + o.tok ELSE w.loads[i] END)
+       |      ELSE list_append(w.loads, o.tok) END,
+       |    list_append(w.placed, struct_pack(doc_id := o.doc_id, tok := o.tok,
+       |      bin := fit, off := CASE WHEN fit <= len(w.loads) THEN w.loads[fit] ELSE 0 END))
+       |  FROM walk w
+       |  JOIN o ON o.bkt = w.bkt AND o.rn = w.rn + 1,
+       |  LATERAL (SELECT coalesce(
+       |      list_filter(range(1, len(w.loads) + 1),
+       |        i -> w.loads[i] + o.tok <= 512)[1],
+       |      len(w.loads) + 1) AS fit) f),
+       |fin AS (SELECT w.bkt, w.placed, CAST(len(w.loads) AS BIGINT) AS nbins
+       |  FROM walk w
+       |  WHERE w.rn = (SELECT count(*) FROM o WHERE o.bkt = w.bkt)),
+       |based AS (SELECT bkt, placed,
+       |    CAST(coalesce(sum(nbins) OVER (ORDER BY bkt
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+       |  FROM fin),
+       |u AS (SELECT base, unnest(placed) AS p FROM based)
+       |SELECT CAST(p.doc_id AS BIGINT) AS doc_id, CAST(p.tok AS BIGINT) AS tok,
+       |  CAST(base + p.bin - 1 AS BIGINT) AS bin_id,
+       |  CAST(p.off AS BIGINT) AS bin_offset
+       |FROM u""".stripMargin
+
   /** Isolation probe for the pack_blocks gate: per-doc token counts only,
     * no cumulative-offset cascade. If the driver disagrees on pack_blocks
     * but agrees here, the skew is in the window/division arithmetic (or
@@ -3298,6 +3388,8 @@ object LlmQueries {
     "dedup_substr" -> (dedupSubstrQ _),
     "dedup_substr_incremental" -> (dedupSubstrIncrementalQ _),
     "pack_blocks" -> (packBlocksQ _),
+    "pack_ffd" -> (packFfdQ _),
+    "dedup_domain" -> (dedupDomainQ _),
     "pack_tok" -> (packTokQ _),
     "corpus_curate" -> (corpusCurate _),
     "dedup_media" -> (dedupMediaQ _),
@@ -3398,6 +3490,8 @@ object LlmQueries {
     "dedup_substr" -> oracleDedupSubstr,
     "dedup_substr_incremental" -> oracleDedupSubstrIncremental,
     "pack_blocks" -> oraclePackBlocks,
+    "pack_ffd" -> oraclePackFfd,
+    "dedup_domain" -> oracleDedupDomain,
     "pack_tok" -> oraclePackTok,
     "corpus_curate" -> oracleCorpusCurate,
     "dedup_media" -> oracleDedupMedia,

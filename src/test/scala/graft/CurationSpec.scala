@@ -549,4 +549,93 @@ class CurationSpec extends SparkSpec {
     val shared = h0.drop(1)
     assert(h1.takeRight(shared.length).sameElements(shared))
   }
+
+  test("domainDedup: URL variants collapse, min-id keeps, cap binds, salted ≡ plain window") {
+    val rows = Seq(
+      (10L, "https://www.Example.com/a#sec"),   // same key as 11, 12
+      (11L, "http://example.com:80/a"),
+      (12L, "https://example.com/a/"),
+      (13L, "https://example.com/b"),
+      (14L, "https://news.example.com/c"),      // subdomain, same domain
+      (15L, "https://example.com/d"),
+      (16L, "https://other.org/x"),
+      (17L, "https://other.org/x?q=1"),         // query kept: distinct key
+      (18L, "no-scheme.net/p"))
+      .toDF("doc_id", "url")
+    val got = Curation.domainDedup(rows, "url", maxPerDomain = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    // example.com keys: /a (keeper 10), /b (13), news…/c (14), /d (15) →
+    // cap 3 by doc_id keeps 10, 13, 14; other.org keeps both (distinct
+    // queries); schemeless URL canonicalizes too
+    assert(got == Seq(
+      (10L, "example.com/a", "example.com"),
+      (13L, "example.com/b", "example.com"),
+      (14L, "news.example.com/c", "example.com"),
+      (16L, "other.org/x", "other.org"),
+      (17L, "other.org/x?q=1", "other.org"),
+      (18L, "no-scheme.net/p", "no-scheme.net")), s"got $got")
+    // salted two-phase ≡ plain per-domain window on a hot domain
+    val hot = (0L until 300L).map(i =>
+      (i, s"https://hot.com/p$i")).toDF("doc_id", "url")
+    val salted = Curation.domainDedup(hot, "url", maxPerDomain = 5, nSalts = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(salted == (0L until 5L).toSeq,
+      "global top-cap must survive the salted two-phase exactly")
+  }
+
+  test("packBinsFFD: hand-derived walk, oversize dedicated bin, no splits, capacity law") {
+    // tokens: d0=6, d1=6, d2=4, d3=3, d4=3, d5=2, d6=13(oversize), binSize=10
+    // FFD order (tok desc, id asc): d6, d0, d1, d2, d3, d4, d5
+    //   d6: no fit -> new bin1 (load 13, oversize)
+    //   d0=6: bin1 full -> new bin2 (0); d1=6: -> new bin3 (0)
+    //   d2=4: bin2 has 4 free -> bin2 off 6; d3=3: bin3 off 6
+    //   d4=3: no bin fits (13,10,9) -> new bin4 off 0; d5=2: bin3? 9+2>10,
+    //         bin4 3+2<=10 -> bin4 off 3
+    val docs = Seq(
+      (0L, "a a a a a a"), (1L, "b b b b b b"), (2L, "c c c c"),
+      (3L, "d d d"), (4L, "e e e"), (5L, "f f"),
+      (6L, "g g g g g g g g g g g g g")).toDF("doc_id", "text")
+    val got = Curation.packBinsFFD(docs, binSize = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      6L -> ((0L, 0L)), 0L -> ((1L, 0L)), 1L -> ((2L, 0L)),
+      2L -> ((1L, 6L)), 3L -> ((2L, 6L)), 4L -> ((3L, 0L)), 5L -> ((3L, 3L))),
+      s"got $got")
+    // every doc placed exactly once (no splits) is implied by the map
+    // cardinality; capacity law: non-oversize bins never exceed binSize
+    val loads = Curation.packBinsFFD(docs, binSize = 10L)
+      .groupBy("bin_id").agg(sum("tok").as("load"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    loads.foreach { case (load, n) =>
+      assert(load <= 10L || n == 1L, s"overfull shared bin: load $load, n $n")
+    }
+  }
+
+  test("packBinsFFD: deterministic across partitionings; buckets compose independently") {
+    val docs = (0L until 200L)
+      .map(i => (i, ("w " * (1 + (i * 7 % 23)).toInt).trim)).toDF("doc_id", "text")
+    val a = Curation.packBinsFFD(docs, 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val b = Curation.packBinsFFD(docs.repartition(13), 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(a == b, "FFD must be partitioning-independent")
+    // bucketing law (FFD is bucket-LOCAL by design, so bucketWidth is a
+    // semantic knob, not a neutral one): a bucketed run equals running
+    // FFD independently per bucket with bin ids offset by the preceding
+    // buckets' bin counts
+    val bucketed = Curation.packBinsFFD(docs, 64L, bucketWidth = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val manual = (0L until 4L).flatMap { bkt =>
+      val part = docs.filter(col("doc_id") >= bkt * 50 && col("doc_id") < (bkt + 1) * 50)
+      Curation.packBinsFFD(part, 64L)
+        .collect().map(r => (bkt, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    val bases = manual.groupBy(_._1).view.mapValues(_.map(_._4).max + 1).toMap
+    val offsets = (0L until 4L).scanLeft(0L)((acc, b) => acc + bases(b)).init
+    val composed = manual.map { case (bkt, id, tok, bin, off) =>
+      (id, tok, offsets(bkt.toInt) + bin, off)
+    }.sorted.toSeq
+    assert(bucketed == composed)
+  }
 }
