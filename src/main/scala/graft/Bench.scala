@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * scans short-circuit to row-group metadata). Emits ONE JSON line on stdout
   * (unprefixed — build.sbt sets OutputStrategy.StdoutOutput for forked runs)
   * and mirrors it to bench_out.json for file-based pickup.
+  *
+  * Load defenses (each added after a real corrupted artifact): pre-run
+  * calibration with backoff, MID-FLEET calibration every 15 queries
+  * (r16: a 42-minute fleet's loaded middle hid between two quiet
+  * endpoint probes), per-query median-of-N with spread-triggered
+  * reruns, and a post-fleet SOLO re-run of the slowest 10 published as
+  * a second column — a load-inflated fleet median self-corrects inside
+  * one artifact, and any fleet/solo ratio > 1.5 self-flags it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -159,6 +159,35 @@ object GateBisect {
     }
     println(f"| dedup_editdist | query ${median(ed)}%.2f |")
 
+    // rollup_{avg,last,eval}_1h phases (TsQueries.rollupStore, exact
+    // shape): the r16 verdict asked whether the trio's ~6-7 s gate cost
+    // is the store LIFECYCLE (build on 15 days + append of the rest —
+    // paid once per store in production, per-gate here) or the EVAL
+    // path dashboards would actually pay per query
+    val ts = graft.Model.withSkey(
+      graft.queries.TsQueries.events(spark, sfDir)).cache()
+    ts.count()
+    val mid = graft.queries.TsQueries.GridStart + 15 * 86400.0
+    val grid = graft.queries.TsQueries.grid
+    val roll = (0 until runs).map { _ =>
+      val store = fresh()
+      val (tb, _) = time(graft.sources.RollupStore.build(
+        ts.filter(col(graft.Model.TsCol) <= mid), store, 300.0))
+      val (ta, _) = time(graft.sources.RollupStore.append(store,
+        ts.filter(col(graft.Model.TsCol) > mid)))
+      val (tq, _) = time(graft.sources.RollupStore.avgOverTime(
+        spark, store, "events", grid, 3600.0)
+        .write.format("noop").mode("overwrite").save())
+      val (tl, _) = time(graft.sources.RollupStore.lastOverTime(
+        spark, store, "events", grid, 3600.0)
+        .write.format("noop").mode("overwrite").save())
+      (tb, ta, tq, tl)
+    }
+    println(f"| rollup_1h | build ${median(roll.map(_._1))}%.2f " +
+      f"| append ${median(roll.map(_._2))}%.2f " +
+      f"| avg_query ${median(roll.map(_._3))}%.2f " +
+      f"| last_query ${median(roll.map(_._4))}%.2f |")
+
     spark.stop()
   }
 }

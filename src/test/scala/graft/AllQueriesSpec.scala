@@ -20,6 +20,7 @@ class AllQueriesSpec extends SparkSpec {
     "embed_pca", "embed_project",                    // component/variance rows ≤ k
     "classifier_train", "text_classifier",           // feature-weight rows ≤ vocab knob
     "pack_blocks", "pack_tok",                       // bucket bases: corpus/bucketWidth rows
+    "pack_ffd",                                      // bin-count bases: one row per bucket
     "shard_balanced",                                // distinct-token-count offsets (value-bounded)
     "q18_topn", "limitk", "limit_ratio", "topk")     // final global top-N over aggregated rows
 
