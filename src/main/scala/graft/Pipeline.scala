@@ -89,7 +89,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -101,6 +101,7 @@ object Pipeline {
       val Array(a, b) = s.split(","); (a.toLong, b.toInt)
     }
     val stateDir = flagValue("--state-dir")
+    val domainCap = flagValue("--domain-cap").map(_.toInt)
     val tokenizer = flagValue("--tokenizer").getOrElse("ws")
     val normalize = flagValue("--normalize") // NFC | NFKC
     val serveDir = flagValue("--serve-dir")
@@ -121,6 +122,7 @@ object Pipeline {
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
+      domainCap = domainCap,
       normalize = normalize,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
@@ -143,6 +145,7 @@ object Pipeline {
           semTau: Double = 0.95, stats: Boolean = true,
           tokenizer: String = "ws",
           normalize: Option[String] = None,
+          domainCap: Option[Int] = None,
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     // pinned frames are freed in the finally below — run() is a library
     // entry point called repeatedly (specs, drivers); without the
@@ -152,7 +155,7 @@ object Pipeline {
     try {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
-        stats, tokenizer, normalize, annParams, pins)
+        stats, tokenizer, normalize, domainCap, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -162,7 +165,8 @@ object Pipeline {
           stateDir: Option[String], serveDir: Option[String],
           embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
           semTau: Double, stats: Boolean, tokenizer: String,
-          normalize: Option[String], annParams: AnnIndex.Params,
+          normalize: Option[String], domainCap: Option[Int],
+          annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     // n is by-name: with stats off the counts are never computed at all
     def stat(stage: String, n: => Long): Unit =
@@ -190,12 +194,24 @@ object Pipeline {
     }
     stat("input", docs.count()) // parquet metadata count — nothing upstream
 
+    // -2 (optional): per-URL dedup + per-domain cap — the RefinedWeb
+    // FIRST filter; runs before anything content-based because it is
+    // the cheapest cut (a key aggregate + a salted top-N over doc ids;
+    // no text is ever touched) and crawl pipelines run it first
+    val capped = domainCap.fold(docs) { cap =>
+      require(docs.columns.contains("url"),
+        "--domain-cap requires a 'url' column in the input")
+      pin("after_domain_cap",
+        docs.join(Curation.domainDedup(docs, "url", cap).select("doc_id"),
+          "doc_id"))
+    }
+
     // -1 (optional): Unicode normalization — a zero-shuffle per-row map
     // that must run before ANY byte-keyed stage (exact-dedup hashes,
     // gram sets, chunk hashes all treat e+◌́ and é as different bytes);
     // no pin: it changes no row count and fuses into the next stage
-    val canon = normalize.fold(docs) { mode =>
-      docs.withColumn("text",
+    val canon = normalize.fold(capped) { mode =>
+      capped.withColumn("text",
         TextAnalysis.normalizeUnicode(col("text"), mode))
     }
 

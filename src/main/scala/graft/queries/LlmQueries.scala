@@ -797,18 +797,29 @@ object LlmQueries {
           .as("chars_per_piece"))
     val bpe = d.select(graft.llm.Bpe.tokenCount(col("text")).as("t"))
       .agg(sum("t").cast(LongType).as("np"))
+    val bpeRaw = d.select(graft.llm.Bpe.tokenCountRaw(col("text")).as("t"))
+      .agg(sum("t").cast(LongType).as("np"))
     val uni = tokenizeUnigramQ(spark, dir).agg(sum("n_pieces").as("np"))
     val wp = tokenizeWordPieceQ(spark, dir).agg(sum("n_pieces").as("np"))
-    row("bpe", bpe).unionAll(row("unigram", uni)).unionAll(row("wordpiece", wp))
+    row("bpe", bpe).unionAll(row("bpe_raw", bpeRaw))
+      .unionAll(row("unigram", uni)).unionAll(row("wordpiece", wp))
   }
 
   def oracleTokenizeFertility: String = {
     val bpeCount = graft.llm.Bpe.oracleCountSql("s")
     val bpeTok = graft.llm.Bpe.oracleTokenizedSql("text")
+    val rawEnc = graft.llm.Bpe.oracleByteEncSql("hx", "n")
+    val rawTok = graft.llm.Bpe.oracleTokenizedRawSql("be")
+    val rawCount = graft.llm.Bpe.oracleCountRawSql("s")
     s"""WITH uni AS (${oracleTokenizeUnigram}),
        |wp AS (${oracleTokenizeWordPiece}),
        |bpe AS (SELECT CAST(sum($bpeCount) AS BIGINT) AS np FROM
        |  (SELECT $bpeTok AS s FROM documents)),
+       |rawh AS (SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |rawe AS (SELECT $rawEnc AS be FROM rawh),
+       |bper AS (SELECT CAST(sum($rawCount) AS BIGINT) AS np FROM
+       |  (SELECT $rawTok AS s FROM rawe)),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
        |    CAST(sum(len(w)) AS BIGINT) AS n_chars
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
@@ -819,6 +830,11 @@ object LlmQueries {
        |  round(bpe.np / CAST(tot.n_words AS DOUBLE), 6) AS fertility,
        |  round(tot.n_chars / CAST(bpe.np AS DOUBLE), 6) AS chars_per_piece
        |FROM bpe, tot
+       |UNION ALL
+       |SELECT 'bpe_raw', tot.n_words, tot.n_chars, bper.np,
+       |  round(bper.np / CAST(tot.n_words AS DOUBLE), 6),
+       |  round(tot.n_chars / CAST(bper.np AS DOUBLE), 6)
+       |FROM bper, tot
        |UNION ALL
        |SELECT 'unigram', tot.n_words, tot.n_chars, unis.np,
        |  round(unis.np / CAST(tot.n_words AS DOUBLE), 6),

@@ -33,12 +33,18 @@ object StreamDedup {
   def streaming(spark: SparkSession, docs: DataFrame,
                 ttl: Option[String] = None): Dataset[Kept] = {
     import spark.implicits._
+    firstSeen(spark, docs.select(col("doc_id"),
+      md5(lower(trim(col("text"))).cast("binary")).as("h")).as[DocKey], ttl)
+  }
+
+  /** The shared first-seen state machine over an arbitrary key column. */
+  private def firstSeen(spark: SparkSession, keyed: Dataset[DocKey],
+                        ttl: Option[String]): Dataset[Kept] = {
+    import spark.implicits._
     val timeout =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    docs.select(col("doc_id"),
-        md5(lower(trim(col("text"))).cast("binary")).as("h"))
-      .as[DocKey]
+    keyed
       .groupByKey(_.h)
       .flatMapGroupsWithState[Boolean, Kept](OutputMode.Append(), timeout) {
         (h: String, rows: Iterator[DocKey], state: GroupState[Boolean]) =>
@@ -53,6 +59,62 @@ object StreamDedup {
             ttl.foreach(state.setTimeoutDuration)
             out
           }
+      }
+  }
+
+  final case class UrlKept(doc_id: Long, url_key: String, domain: String)
+
+  /** Scala twin of [[graft.llm.Curation.urlDomain]] over an already-
+    * canonical url_key: host = the prefix before '/'/'?', registrable
+    * domain = last two labels (same simplification, same results). */
+  private[streaming] def domainOf(urlKey: String): String = {
+    val host = urlKey.takeWhile(c => c != '/' && c != '?')
+    val i = host.lastIndexOf('.')
+    if (i <= 0) host
+    else {
+      val j = host.lastIndexOf('.', i - 1)
+      if (j < 0) host else host.substring(j + 1)
+    }
+  }
+
+  /** Streaming per-URL dedup + per-domain cap — [[graft.llm.Curation
+    * .domainDedup]]'s continuous twin for a crawl FEED: stage 1 is the
+    * [[firstSeen]] state machine keyed on the CANONICAL url (one boolean
+    * per distinct URL — the minimum any URL-dedup can hold; `ttl` ages
+    * keys out so a re-crawled URL re-enters after the window); stage 2
+    * caps each registrable domain with ONE COUNTER of state (never a
+    * member list), emitting a keeper only while its domain's count is
+    * under `cap` — two CHAINED stateful operators in one append-mode
+    * query (the Spark 3.4+ multiple-stateful-operator shape the
+    * histogram builder already uses).
+    *
+    * Order contract (the [[StreamFunnel]] rule): within a micro-batch
+    * both stages process doc_id-ascending (stage 1 keeps the min per
+    * URL, stage 2 sorts its group), so a ONE-batch stream reproduces
+    * the batch operator's keeper set EXACTLY; across batches the
+    * cap is first-ARRIVED-wins — a published keeper is never revoked
+    * when a smaller doc_id arrives later, the only honest continuous
+    * contract (StreamingSpec pins both). The cap counter never expires
+    * (a cap is a budget, not a cache); only URL keys take the ttl. */
+  def streamingDomainDedup(spark: SparkSession, docs: DataFrame, cap: Int,
+                           ttl: Option[String] = None): Dataset[UrlKept] = {
+    import spark.implicits._
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val keyed = docs.select(col("doc_id"),
+      graft.llm.Curation.urlKey(col("url")).as("h")).as[DocKey]
+    firstSeen(spark, keyed, ttl)
+      .map(k => UrlKept(k.doc_id, k.h, domainOf(k.h)))
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, UrlKept](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (dom: String, rows: Iterator[UrlKept], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).iterator
+            .takeWhile { _ => n < cap }
+            .map { r => n += 1; r }
+            .toVector
+          state.update(n)
+          out.iterator
       }
   }
 }

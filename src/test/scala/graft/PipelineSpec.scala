@@ -64,6 +64,28 @@ class PipelineSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("pipeline --domain-cap: URL variants dedup and the per-domain cap binds first") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // two URL keys per (source mod), many docs per domain → cap bites;
+      // doc_id%2 makes half the URLs www./fragment variants of the other half
+      .withColumn("url", expr(
+        "concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END, " +
+        "source, '.com/p/', CAST(doc_id % 4 AS STRING), " +
+        "CASE WHEN doc_id % 2 = 0 THEN '#x' ELSE '' END)"))
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_dc").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 100000L,
+      minQuality = 0.0, domainCap = Some(2)).cache()
+    // every source (= registrable domain srcN.com) contributes ≤ 2 docs
+    val perSrc = corpus.groupBy("source").count().select("count").as[Long].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_ <= 2L), perSrc.toSeq.toString)
+    // missing url column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, docs.drop("url"), out + "2", budget = 100L,
+        minQuality = 0.0, domainCap = Some(2))
+    }
+    assert(e.getMessage.contains("url"))
+  }
+
   test("pipeline --normalize NFC: decomposed duplicates collapse in exact dedup") {
     import spark.implicits._
     // doc 1 is doc 0 with every é DE-composed — bytes differ, text doesn't

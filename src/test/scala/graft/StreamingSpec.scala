@@ -677,6 +677,60 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKeepers)
   }
 
+  test("streaming domain dedup: one-batch ≡ batch operator; recrawls and capped domains emit nothing") {
+    import spark.implicits._
+    // batch 1: a.com has 4 distinct URL keys (+1 www-variant dup), b.org 2
+    val b1 = Seq(
+      (0L, "https://www.a.com/p1#x"), (1L, "https://a.com/p1"), // same key
+      (2L, "https://a.com/p2"), (3L, "https://news.a.com/p3"),
+      (4L, "https://a.com/p4"),
+      (10L, "https://b.org/q1"), (11L, "https://b.org/q2"))
+      .toDF("doc_id", "url")
+    // batch 2: a recrawl of an existing URL, a new URL on the CAPPED
+    // domain, and a brand-new domain
+    val b2 = Seq(
+      (20L, "https://a.com/p1"),      // recrawl: first-seen filter drops
+      (21L, "https://a.com/p9"),      // a.com already at cap: dropped
+      (22L, "https://c.net/r1"))      // new domain: kept
+      .toDF("doc_id", "url")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_urldedup")
+    b1.coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(streamDir.resolve("b2").toString)
+    val f1 = java.nio.file.Files.list(streamDir.resolve("b1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val f2 = java.nio.file.Files.list(streamDir.resolve("b2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(f1, streamDir.resolve("a_crawl.parquet"))
+    java.nio.file.Files.copy(f2, streamDir.resolve("z_feed.parquet"))
+    streamDir.resolve("a_crawl.parquet").toFile.setLastModified(1000000000000L)
+    streamDir.resolve("z_feed.parquet").toFile.setLastModified(2000000000000L)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = streaming.StreamDedup.streamingDomainDedup(spark, stream, cap = 2)
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val kept = spark.sql("SELECT doc_id, url_key, domain FROM url_dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // batch-1 keepers ≡ the batch operator on b1 (one-batch parity)
+    val batch = llm.Curation.domainDedup(b1, "url", maxPerDomain = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(kept.filter(_._1 < 20L) == batch, s"stream $kept\nbatch $batch")
+    // cross-batch: only the new domain emitted from batch 2
+    assert(kept.filter(_._1 >= 20L) == Set((22L, "c.net/r1", "c.net")))
+    // the www-variant collapsed: doc 0 won its key (min doc_id)
+    assert(kept.exists(k => k._1 == 0L && k._2 == "a.com/p1"))
+  }
+
   test("streaming chunk dedup: a prefix-edited recrawl stores only the pre-resync chunks") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
