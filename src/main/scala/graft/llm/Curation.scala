@@ -477,6 +477,55 @@ object Curation {
         pmod(col("off"), lit(blockSize)).as("block_offset"))
   }
 
+  /** Cross-document BOILERPLATE LINE removal — the CCNet-family rule
+    * content dedup doesn't cover: nav bars, cookie banners and footers
+    * repeat VERBATIM across a site's pages without making whole pages
+    * near-duplicates, so they survive document-level dedup and pollute
+    * every downstream token. A line (split on \n) is boilerplate when
+    * its normalized form (lowercased, trimmed) appears in ≥ `minDocs`
+    * DISTINCT documents of the same `source` (or corpus-wide with
+    * `bySource = false`); boilerplate lines are dropped, everything
+    * else is reassembled in original order. Blank lines are NEVER
+    * boilerplate (they are structure, and dropping every repeated empty
+    * separator would mangle all documents).
+    *
+    * Scale shape: one line explode (map-local), one line-hash-keyed
+    * aggregate with map-side-combined distinct-doc counting (a cookie
+    * banner shared by a billion pages partial-aggregates before the
+    * shuffle), one left join + per-document reassembly groupBy whose
+    * collect is bounded by DOCUMENT size — two bounded-key shuffles,
+    * nothing corpus-sized on any single task. The boilerplate set is
+    * never collected to the driver.
+    *
+    * Output: (doc_id, clean_text, n_removed, n_kept). */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int,
+                        bySource: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val scope = if (bySource) col("source") else lit("")
+    val lines = docs
+      .select(col("doc_id"), scope.as("__scope__"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("idx", "line")))
+      .withColumn("__blank__", trim(col("line")) === "")
+      .withColumn("__h__", md5(lower(trim(col("line"))).cast(BinaryType)))
+    val hot = lines.filter(!col("__blank__"))
+      .groupBy("__scope__", "__h__")
+      .agg(countDistinct(col("doc_id")).as("__nd__"))
+      .filter(col("__nd__") >= minDocs)
+      .select(col("__scope__"), col("__h__"), lit(true).as("__boil__"))
+    lines.join(hot, Seq("__scope__", "__h__"), "left")
+      .withColumn("__keep__", col("__boil__").isNull || col("__blank__"))
+      .groupBy("doc_id")
+      .agg(
+        // when() without otherwise is null on removed lines, and
+        // collect_list drops nulls — kept lines only, re-ordered by idx
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep__"),
+            struct(col("idx"), col("line"))))),
+          x => x("line")), "\n").as("clean_text"),
+        sum(when(col("__keep__"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("__keep__"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Canonical URL key: scheme off, fragment off, authority lowercased
     * with `www.` and default ports stripped, trailing slash off. Every
     * step is one regex both engines implement identically (no

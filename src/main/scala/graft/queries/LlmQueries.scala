@@ -1021,6 +1021,46 @@ object LlmQueries {
   def packBlocksQ(spark: SparkSession, dir: String): DataFrame =
     Curation.packSequences(docs(spark, dir), blockSize = 512L)
 
+  /** Multi-line fixture for boilerplate removal (the corpus text is
+    * single-line): every doc gets a per-source NAV header and Footer
+    * (≥ ~25 docs/source share them → boilerplate), even docs add a
+    * COOKIE banner (~12-13 docs/source → still boilerplate at
+    * minDocs=5), and two 40-char slices of the doc's own text are the
+    * content lines (doc-unique → kept). A blank line sits mid-doc to
+    * pin the blank-is-never-boilerplate rule. */
+  private val LinesInject: String =
+    "concat('NAV ', source, chr(10), substr(text, 1, 40), chr(10), " +
+      "CASE WHEN doc_id % 2 = 0 THEN concat('COOKIE accept for ', source, chr(10)) ELSE '' END, " +
+      "chr(10), substr(text, 41, 40), chr(10), 'Footer (c) ', source)"
+
+  /** Cross-document boilerplate line removal (per-source, minDocs=5)
+    * over the injected multi-line fixture. */
+  def textBoilerplateQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("text", expr(LinesInject))
+    graft.llm.Curation.removeBoilerplate(d, minDocs = 5)
+  }
+
+  def oracleTextBoilerplate: String =
+    s"""WITH d AS (SELECT doc_id, source, $LinesInject AS text FROM documents),
+       |l AS (SELECT doc_id, source, u.i AS i, u.line AS line
+       |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM d),
+       |  LATERAL (SELECT unnest(list_transform(range(1, len(ls) + 1),
+       |    j -> struct_pack(i := j, line := ls[j]))) AS u) x),
+       |hot AS (SELECT source, lower(trim(line)) AS k FROM l
+       |  WHERE trim(line) <> ''
+       |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 5),
+       |kf AS (SELECT l.doc_id, l.i, l.line,
+       |    (trim(l.line) = '' OR h.k IS NULL) AS keep
+       |  FROM l LEFT JOIN hot h
+       |    ON h.source = l.source AND trim(l.line) <> '' AND h.k = lower(trim(l.line)))
+       |SELECT doc_id,
+       |  array_to_string(list_transform(list_sort(
+       |    list(struct_pack(i := i, line := line)) FILTER (WHERE keep)),
+       |    x -> x.line), chr(10)) AS clean_text,
+       |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+       |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+       |FROM kf GROUP BY doc_id""".stripMargin
+
   /** Synthetic URL per document (same-expression in both engines): the
     * duplicate variants crawls actually serve — http/https, www., a
     * Cased subdomain, trailing slash, #fragment — all collapsing to one
@@ -3406,6 +3446,7 @@ object LlmQueries {
     "pack_blocks" -> (packBlocksQ _),
     "pack_ffd" -> (packFfdQ _),
     "dedup_domain" -> (dedupDomainQ _),
+    "text_boilerplate" -> (textBoilerplateQ _),
     "pack_tok" -> (packTokQ _),
     "corpus_curate" -> (corpusCurate _),
     "dedup_media" -> (dedupMediaQ _),
@@ -3508,6 +3549,7 @@ object LlmQueries {
     "pack_blocks" -> oraclePackBlocks,
     "pack_ffd" -> oraclePackFfd,
     "dedup_domain" -> oracleDedupDomain,
+    "text_boilerplate" -> oracleTextBoilerplate,
     "pack_tok" -> oraclePackTok,
     "corpus_curate" -> oracleCorpusCurate,
     "dedup_media" -> oracleDedupMedia,

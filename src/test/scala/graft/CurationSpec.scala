@@ -550,6 +550,28 @@ class CurationSpec extends SparkSpec {
     assert(h1.takeRight(shared.length).sameElements(shared))
   }
 
+  test("removeBoilerplate: repeated lines drop, blanks and unique lines survive, scopes isolate") {
+    // src A: 3 docs share "NAV" (>= minDocs 3); "rare" appears in 2 (kept);
+    // src B: 1 doc with the SAME "NAV" line — different scope, kept there
+    val docs = Seq(
+      (0L, "A", "NAV\nalpha one\n\nrare\nend0"),
+      (1L, "A", "NAV\nbeta two\nrare\nend1"),
+      (2L, "A", "nav   \ngamma three\nend2"), // case/trim-normalized match
+      (3L, "B", "NAV\ndelta four"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.removeBoilerplate(docs, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0L) == (("alpha one\n\nrare\nend0", 1L, 4L))) // NAV gone, blank kept
+    assert(got(1L) == (("beta two\nrare\nend1", 1L, 3L)))
+    assert(got(2L) == (("gamma three\nend2", 1L, 2L)))       // normalized form matched
+    assert(got(3L) == (("NAV\ndelta four", 0L, 2L)))         // scope B: not boilerplate
+    // corpus-wide scope: all four NAVs count together
+    val global = Curation.removeBoilerplate(docs, minDocs = 4, bySource = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(global(3L) == "delta four")
+  }
+
   test("domainDedup: URL variants collapse, min-id keeps, cap binds, salted ≡ plain window") {
     val rows = Seq(
       (10L, "https://www.Example.com/a#sec"),   // same key as 11, 12
