@@ -89,7 +89,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -102,6 +102,7 @@ object Pipeline {
     }
     val stateDir = flagValue("--state-dir")
     val domainCap = flagValue("--domain-cap").map(_.toInt)
+    val boilerplate = flagValue("--boilerplate").map(_.toInt)
     val tokenizer = flagValue("--tokenizer").getOrElse("ws")
     val normalize = flagValue("--normalize") // NFC | NFKC
     val serveDir = flagValue("--serve-dir")
@@ -122,7 +123,7 @@ object Pipeline {
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
-      domainCap = domainCap,
+      domainCap = domainCap, boilerplate = boilerplate,
       normalize = normalize,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
@@ -146,6 +147,7 @@ object Pipeline {
           tokenizer: String = "ws",
           normalize: Option[String] = None,
           domainCap: Option[Int] = None,
+          boilerplate: Option[Int] = None,
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     // pinned frames are freed in the finally below — run() is a library
     // entry point called repeatedly (specs, drivers); without the
@@ -155,7 +157,7 @@ object Pipeline {
     try {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
-        stats, tokenizer, normalize, domainCap, annParams, pins)
+        stats, tokenizer, normalize, domainCap, boilerplate, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -166,7 +168,7 @@ object Pipeline {
           embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
           semTau: Double, stats: Boolean, tokenizer: String,
           normalize: Option[String], domainCap: Option[Int],
-          annParams: AnnIndex.Params,
+          boilerplate: Option[Int], annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     // n is by-name: with stats off the counts are never computed at all
     def stat(stage: String, n: => Long): Unit =
@@ -215,12 +217,25 @@ object Pipeline {
         TextAnalysis.normalizeUnicode(col("text"), mode))
     }
 
+    // -0.5 (optional): cross-document boilerplate line removal — after
+    // normalization (the line hash is byte-keyed) and BEFORE any content
+    // scoring or dedup, so banners never count as shared content in the
+    // near-dup stages or as quality signal; the doc's text is REWRITTEN
+    val stripped = boilerplate.fold(canon) { minDocs =>
+      require(canon.columns.contains("source"),
+        "--boilerplate requires a 'source' column (the per-site scope)")
+      pin("after_boilerplate",
+        canon.drop("text").join(
+          Curation.removeBoilerplate(canon, minDocs)
+            .select(col("doc_id"), col("clean_text").as("text")), "doc_id"))
+    }
+
     // 0a (optional): the Gopher rule battery as a hard pre-filter — the
     // boolean gate runs BEFORE the scored stages (cheapest first: it is a
     // zero-shuffle map, and everything downstream shrinks with it)
-    val ruled = gopher.fold(canon) { case (minWords, minStop) =>
+    val ruled = gopher.fold(stripped) { case (minWords, minStop) =>
       pin("after_gopher_rules",
-        canon.join(TextAnalysis.gopherRules(canon, minWords = minWords,
+        stripped.join(TextAnalysis.gopherRules(stripped, minWords = minWords,
             minStop = minStop)
           .filter(col("pass")).select("doc_id"), "doc_id"))
     }

@@ -86,6 +86,21 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("url"))
   }
 
+  test("pipeline --boilerplate: banner lines are stripped from the written corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("text", expr(
+        "concat('NAV ', source, chr(10), text, chr(10), 'Footer ', source)"))
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_bp").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 100000L,
+      minQuality = 0.0, boilerplate = Some(3)).cache()
+    assert(corpus.count() > 0)
+    // the written corpus carries the redacted text of the STRIPPED docs
+    val texts = corpus.select("text_redacted").as[String].collect()
+    assert(texts.forall(t => !t.contains("NAV ") && !t.contains("Footer ")),
+      "per-source banners must be stripped before scoring/dedup")
+    assert(texts.forall(_.nonEmpty))
+  }
+
   test("pipeline --normalize NFC: decomposed duplicates collapse in exact dedup") {
     import spark.implicits._
     // doc 1 is doc 0 with every é DE-composed — bytes differ, text doesn't
