@@ -535,13 +535,35 @@ object Curation {
     * all collapse; querystrings are KEPT (two query URLs are different
     * resources; stripping tracker params is a site-specific policy the
     * caller applies upstream if wanted). */
-  def urlKey(url: Column): Column = {
+  def urlKey(url: Column): Column = urlKey(url, Nil)
+
+  /** [[urlKey]] with opt-in TRACKER-PARAM stripping: query parameters
+    * whose name starts with any of `stripParamPrefixes` (utm_, fbclid,
+    * gclid — the decoration ad links add that makes one resource look
+    * like many URLs) are dropped from the key; the '?' disappears when
+    * nothing survives. Param ORDER is preserved (full query-param
+    * canonicalization — sorting, decoding — is a deeper policy the
+    * caller owns). Split/filter/rejoin, no lookarounds — still
+    * oracle-replayable. */
+  def urlKey(url: Column, stripParamPrefixes: Seq[String]): Column = {
     val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val noFrag = regexp_replace(noScheme, "#.*", "")
     val auth = regexp_extract(noFrag, "^[^/?]*", 0)
     val host = regexp_replace(
       regexp_replace(lower(auth), "^www\\.", ""), ":(80|443)$", "")
-    val rest = regexp_replace(substring_index_tail(noFrag, auth), "/$", "")
+    val rest0 = regexp_replace(substring_index_tail(noFrag, auth), "/$", "")
+    val rest =
+      if (stripParamPrefixes.isEmpty) rest0
+      else {
+        val path = regexp_extract(rest0, "^[^?]*", 0)
+        val query = substring_index_tail(rest0, path) // "?a=1&utm_x=2" or ""
+        val kept = filter(split(regexp_replace(query, "^\\?", ""), "&", -1),
+          p => not(stripParamPrefixes.map(pre => p.startsWith(pre))
+            .reduce(_ || _)))
+        concat(path,
+          when(length(query) === 0 || size(kept) === 0, lit(""))
+            .otherwise(concat(lit("?"), array_join(kept, "&"))))
+      }
     concat(host, rest)
   }
 
@@ -581,10 +603,12 @@ object Curation {
     *
     * Output: the kept rows as (doc_id, url_key, domain). */
   def domainDedup(docs: DataFrame, urlCol: String, maxPerDomain: Int,
-                  nSalts: Int = 16): DataFrame = {
+                  nSalts: Int = 16,
+                  stripParamPrefixes: Seq[String] = Nil): DataFrame = {
     require(maxPerDomain >= 1 && nSalts >= 1,
       s"need maxPerDomain >= 1 and nSalts >= 1, got $maxPerDomain/$nSalts")
-    val keyed = docs.select(col("doc_id"), urlKey(col(urlCol)).as("url_key"))
+    val keyed = docs.select(col("doc_id"),
+      urlKey(col(urlCol), stripParamPrefixes).as("url_key"))
     val keepers = keyed.groupBy("url_key").agg(min("doc_id").as("doc_id"))
       .withColumn("domain", urlDomain(col("url_key")))
     val salted = keepers.withColumn("__salt__",

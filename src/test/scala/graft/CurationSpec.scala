@@ -596,6 +596,22 @@ class CurationSpec extends SparkSpec {
       (16L, "other.org/x", "other.org"),
       (17L, "other.org/x?q=1", "other.org"),
       (18L, "no-scheme.net/p", "no-scheme.net")), s"got $got")
+    // tracker-param stripping: utm_*/gclid collapse, real params survive,
+    // a query of only trackers loses its '?'
+    val tracked = Seq(
+      (30L, "https://t.com/a?utm_source=x&id=7&utm_medium=y"),
+      (31L, "https://t.com/a?id=7&gclid=zz"),
+      (32L, "https://t.com/a?utm_source=q"),
+      (33L, "https://t.com/a"))
+      .toDF("doc_id", "url")
+    val keys = tracked.select(Curation.urlKey(col("url"),
+        Seq("utm_", "gclid")).as("k")).as[String].collect().toSeq
+    assert(keys == Seq("t.com/a?id=7", "t.com/a?id=7", "t.com/a", "t.com/a"))
+    val strippedKeep = Curation.domainDedup(tracked, "url", maxPerDomain = 9,
+        stripParamPrefixes = Seq("utm_", "gclid"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(strippedKeep == Seq(30L, 32L)) // two canonical resources remain
+
     // salted two-phase ≡ plain per-domain window on a hot domain
     val hot = (0L until 300L).map(i =>
       (i, s"https://hot.com/p$i")).toDF("doc_id", "url")
