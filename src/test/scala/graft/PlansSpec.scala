@@ -26,6 +26,31 @@ class PlansSpec extends AnyFunSuite {
       s"PLANS.md is stale — no section for: $missing. Run: sbt 'runMain graft.Plans'")
   }
 
+  test("transient search plans stay shared-frame (the r17 search_rm3 17-scan regression)") {
+    // The transient rankers pin their tokenized/postings/query frames
+    // (Search.pin), so the EXECUTED plan re-reads the corpus at most a
+    // handful of times — before the r18 fix, rm3's plan read
+    // documents.parquet 17× (every consumer replayed the tokenize +
+    // explode + groupBy subtree). The pin here is the verdict's "≤ 3"
+    // bound, parsed from the committed PLANS.md executed: lines.
+    val text = Files.readString(Paths.get("PLANS.md"))
+    def scans(q: String): Int = {
+      val i = text.indexOf(s"## $q\n")
+      assert(i >= 0, s"PLANS.md has no section for $q")
+      val m = "executed: (\\d+) parquet scan".r
+        .findFirstMatchIn(text.substring(i))
+      assert(m.isDefined, s"no executed: line for $q")
+      m.get.group(1).toInt
+    }
+    for ((q, bound) <- Seq("search_bm25" -> 3, "search_ql" -> 3,
+        "search_sdm" -> 3, "search_rm3" -> 3, "search_hybrid" -> 4,
+        "search_index" -> 4))
+      assert(scans(q) <= bound,
+        s"$q executed plan re-scans parquet ${scans(q)}× (> $bound) — " +
+          "a shared frame lost its Search.pin; regenerate PLANS.md and " +
+          "re-pin (runMain graft.Plans)")
+  }
+
   test("every partition-less WindowExec in the gate plans is an explained, model-bounded frame") {
     val text = Files.readString(Paths.get("PLANS.md"))
     val header = "## partition-less windows"
