@@ -89,7 +89,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -102,6 +102,13 @@ object Pipeline {
     }
     val stateDir = flagValue("--state-dir")
     val domainCap = flagValue("--domain-cap").map(_.toInt)
+    // registrable-domain table for --domain-cap: 'builtin' = the curated
+    // PublicSuffixes.Common subset, anything else = a local copy of the
+    // full publicsuffix.org file; absent = last-two-labels fallback
+    val psl = flagValue("--psl").map {
+      case "builtin" => graft.llm.PublicSuffixes.Common
+      case path      => graft.llm.PublicSuffixes.load(path)
+    }
     val boilerplate = flagValue("--boilerplate").map(_.toInt)
     val tokenizer = flagValue("--tokenizer").getOrElse("ws")
     val normalize = flagValue("--normalize") // NFC | NFKC
@@ -123,7 +130,7 @@ object Pipeline {
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
-      domainCap = domainCap, boilerplate = boilerplate,
+      domainCap = domainCap, psl = psl, boilerplate = boilerplate,
       normalize = normalize,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
@@ -147,6 +154,7 @@ object Pipeline {
           tokenizer: String = "ws",
           normalize: Option[String] = None,
           domainCap: Option[Int] = None,
+          psl: Option[graft.llm.PublicSuffixes] = None,
           boilerplate: Option[Int] = None,
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     // pinned frames are freed in the finally below — run() is a library
@@ -157,7 +165,8 @@ object Pipeline {
     try {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
-        stats, tokenizer, normalize, domainCap, boilerplate, annParams, pins)
+        stats, tokenizer, normalize, domainCap, psl, boilerplate, annParams,
+        pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -168,7 +177,8 @@ object Pipeline {
           embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
           semTau: Double, stats: Boolean, tokenizer: String,
           normalize: Option[String], domainCap: Option[Int],
-          boilerplate: Option[Int], annParams: AnnIndex.Params,
+          psl: Option[graft.llm.PublicSuffixes], boilerplate: Option[Int],
+          annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     // n is by-name: with stats off the counts are never computed at all
     def stat(stage: String, n: => Long): Unit =
@@ -203,9 +213,15 @@ object Pipeline {
     val capped = domainCap.fold(docs) { cap =>
       require(docs.columns.contains("url"),
         "--domain-cap requires a 'url' column in the input")
+      // NULL urls would all collapse onto ONE canonical key (min-keep
+      // keeps one of them, the rest vanish without a stage stat) — a
+      // crawl row without a URL is malformed input, so fail loudly
+      // (one pruned single-column scan)
+      require(docs.filter(col("url").isNull).isEmpty,
+        "--domain-cap requires non-null urls (found null url rows)")
       pin("after_domain_cap",
-        docs.join(Curation.domainDedup(docs, "url", cap).select("doc_id"),
-          "doc_id"))
+        docs.join(Curation.domainDedup(docs, "url", cap, psl = psl)
+          .select("doc_id"), "doc_id"))
     }
 
     // -1 (optional): Unicode normalization — a zero-shuffle per-row map
@@ -224,10 +240,15 @@ object Pipeline {
     val stripped = boilerplate.fold(canon) { minDocs =>
       require(canon.columns.contains("source"),
         "--boilerplate requires a 'source' column (the per-site scope)")
+      // LEFT join + coalesce: a NULL-text doc explodes to no lines and
+      // gets no clean_text row — it passes through unchanged instead of
+      // silently vanishing from the corpus on the inner join
       pin("after_boilerplate",
-        canon.drop("text").join(
+        canon.join(
           Curation.removeBoilerplate(canon, minDocs)
-            .select(col("doc_id"), col("clean_text").as("text")), "doc_id"))
+            .select(col("doc_id"), col("clean_text")), Seq("doc_id"), "left")
+          .withColumn("text", coalesce(col("clean_text"), col("text")))
+          .drop("clean_text"))
     }
 
     // 0a (optional): the Gopher rule battery as a hard pre-filter — the

@@ -67,7 +67,9 @@ object Plans {
     "q19_disjunct", "q21_waiting", "merge_upsert",
     "text_nfc", "dedup_editdist_lookup",
     // round 17 additions
-    "bpe_raw", "pack_ffd", "dedup_domain", "text_boilerplate")
+    "bpe_raw", "pack_ffd", "dedup_domain", "text_boilerplate",
+    // round 18 additions
+    "dedup_domain_psl")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is

@@ -573,10 +573,13 @@ object Curation {
     full.substr(length(prefix) + 1, length(full))
 
   /** Host part of a [[urlKey]], and its "registrable domain" under the
-    * last-two-labels simplification (news.example.com → example.com).
-    * A real deployment swaps in a public-suffix-list lookup (a tiny
-    * broadcast table) — the operator shape is identical; the
-    * simplification is documented, not hidden. */
+    * last-two-labels simplification (news.example.com → example.com) —
+    * which is exactly the public-suffix algorithm's implicit `*` default
+    * rule, i.e. what a [[PublicSuffixes]] table refines. This is the
+    * NO-TABLE fallback; [[domainDedup]] takes an optional
+    * [[PublicSuffixes]] for the real lookup (without one, `co.uk`-style
+    * ccTLD families all collapse into one "domain" — fine for quick
+    * slicing, wrong for a crawl-scale cap). */
   def urlDomain(key: Column): Column = {
     val host = regexp_extract(key, "^[^/?]*", 0)
     when(host.rlike("[^.]+\\.[^.]+$"),
@@ -601,16 +604,26 @@ object Curation {
     * domain, a bounded frame. Exact: the global top-cap by (doc_id) is
     * a subset of the union of per-salt top-caps.
     *
+    * `psl` plugs in the real registrable-domain lookup
+    * ([[PublicSuffixes.withRegistrableDomain]] — broadcast rule joins on
+    * the already-URL-deduped keepers); without it the grouping is the
+    * last-two-labels fallback ([[urlDomain]] — the PSL's implicit `*`
+    * default rule alone).
+    *
     * Output: the kept rows as (doc_id, url_key, domain). */
   def domainDedup(docs: DataFrame, urlCol: String, maxPerDomain: Int,
                   nSalts: Int = 16,
-                  stripParamPrefixes: Seq[String] = Nil): DataFrame = {
+                  stripParamPrefixes: Seq[String] = Nil,
+                  psl: Option[PublicSuffixes] = None): DataFrame = {
     require(maxPerDomain >= 1 && nSalts >= 1,
       s"need maxPerDomain >= 1 and nSalts >= 1, got $maxPerDomain/$nSalts")
     val keyed = docs.select(col("doc_id"),
       urlKey(col(urlCol), stripParamPrefixes).as("url_key"))
-    val keepers = keyed.groupBy("url_key").agg(min("doc_id").as("doc_id"))
-      .withColumn("domain", urlDomain(col("url_key")))
+    val keepers0 = keyed.groupBy("url_key").agg(min("doc_id").as("doc_id"))
+    val keepers = psl match {
+      case None    => keepers0.withColumn("domain", urlDomain(col("url_key")))
+      case Some(p) => PublicSuffixes.withRegistrableDomain(keepers0, p)
+    }
     val salted = keepers.withColumn("__salt__",
       pmod(crc32(col("doc_id").cast(StringType)), lit(nSalts.toLong)))
     val localW = Window.partitionBy("domain", "__salt__").orderBy("doc_id")

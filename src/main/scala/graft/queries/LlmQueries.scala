@@ -1086,6 +1086,52 @@ object LlmQueries {
     Curation.domainDedup(d, "url", maxPerDomain = 3)
   }
 
+  /** URL variants exercising all three public-suffix rule classes: plain
+    * second-level suffixes (`co.uk`, `com.au`), a hosted private suffix
+    * (`github.io`), the `*.kobe.jp` wildcard (each site under it is its
+    * own public suffix — `sub.` does NOT group with the bare host), the
+    * `!city.kobe.jp` exception (every `pN.city.kobe.jp` groups under
+    * `city.kobe.jp`), and the no-rule default (`.com` → last two
+    * labels). */
+  private val UrlInjectPsl: String =
+    "concat('https://', " +
+      "CASE WHEN doc_id % 13 = 0 THEN " +
+      "  concat('p', CAST(doc_id % 3 AS STRING), '.city.kobe.jp') " +
+      "ELSE concat(CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END, " +
+      "  source, " +
+      "  CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com.au' " +
+      "    WHEN 2 THEN '.github.io' WHEN 3 THEN '.kobe.jp' " +
+      "    ELSE '.com' END) END, " +
+      "'/p/', CAST(doc_id % 50 AS STRING))"
+
+  /** [[dedupDomainQ]] with the real public-suffix-list lookup
+    * ([[graft.llm.PublicSuffixes.Common]]): the per-domain cap groups by
+    * REGISTRABLE domain, so `news.bbc.co.uk`-style sites are no longer
+    * all one `co.uk` bucket. The oracle's domain step is GENERATED from
+    * the same rule table ([[graft.llm.PublicSuffixes.oracleDomainsSql]]),
+    * so Spark and DuckDB cannot drift. */
+  def dedupDomainPslQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("url", expr(UrlInjectPsl))
+    Curation.domainDedup(d, "url", maxPerDomain = 3,
+      psl = Some(graft.llm.PublicSuffixes.Common))
+  }
+
+  def oracleDedupDomainPsl: String =
+    s"""WITH u AS (SELECT doc_id, $UrlInjectPsl AS url FROM documents),
+       |k AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(lower(auth), '^www\\.', ''), ':(80|443)$$', '') ||
+       |      regexp_replace(substr(s2, len(auth) + 1), '/$$', '') AS url_key
+       |  FROM (SELECT doc_id, s2, regexp_extract(s2, '^[^/?]*') AS auth
+       |    FROM (SELECT doc_id,
+       |        regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*', '') AS s2
+       |      FROM u))),
+       |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY 1),
+       |dom AS (${graft.llm.PublicSuffixes.oracleDomainsSql("keep",
+                   graft.llm.PublicSuffixes.Common)}),
+       |r AS (SELECT doc_id, url_key, domain,
+       |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM dom)
+       |SELECT doc_id, url_key, domain FROM r WHERE rk <= 3""".stripMargin
+
   def oracleDedupDomain: String =
     s"""WITH u AS (SELECT doc_id, $UrlInject AS url FROM documents),
        |k AS (SELECT doc_id,
@@ -3446,6 +3492,7 @@ object LlmQueries {
     "pack_blocks" -> (packBlocksQ _),
     "pack_ffd" -> (packFfdQ _),
     "dedup_domain" -> (dedupDomainQ _),
+    "dedup_domain_psl" -> (dedupDomainPslQ _),
     "text_boilerplate" -> (textBoilerplateQ _),
     "pack_tok" -> (packTokQ _),
     "corpus_curate" -> (corpusCurate _),
@@ -3549,6 +3596,7 @@ object LlmQueries {
     "pack_blocks" -> oraclePackBlocks,
     "pack_ffd" -> oraclePackFfd,
     "dedup_domain" -> oracleDedupDomain,
+    "dedup_domain_psl" -> oracleDedupDomainPsl,
     "text_boilerplate" -> oracleTextBoilerplate,
     "pack_tok" -> oraclePackTok,
     "corpus_curate" -> oracleCorpusCurate,

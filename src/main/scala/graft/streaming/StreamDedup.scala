@@ -66,14 +66,26 @@ object StreamDedup {
 
   /** Scala twin of [[graft.llm.Curation.urlDomain]] over an already-
     * canonical url_key: host = the prefix before '/'/'?', registrable
-    * domain = last two labels (same simplification, same results). */
-  private[streaming] def domainOf(urlKey: String): String = {
+    * domain = last two labels (same simplification, same results — the
+    * batch regex `[^.]+\.[^.]+$` requires BOTH trailing labels non-empty,
+    * so hosts like `a..b` or `x.y.` stay whole here too; StreamingSpec
+    * pins the parity on exactly those malformed shapes). With a
+    * [[graft.llm.PublicSuffixes]] table the real lookup applies instead
+    * ([[streamingDomainDedup]]'s `psl`). */
+  private[graft] def domainOf(urlKey: String,
+      psl: Option[graft.llm.PublicSuffixes] = None): String = {
     val host = urlKey.takeWhile(c => c != '/' && c != '?')
-    val i = host.lastIndexOf('.')
-    if (i <= 0) host
-    else {
-      val j = host.lastIndexOf('.', i - 1)
-      if (j < 0) host else host.substring(j + 1)
+    psl match {
+      case Some(p) => p.registrable(host)
+      case None =>
+        val i = host.lastIndexOf('.')
+        if (i <= 0 || i == host.length - 1) host // missing/empty last label
+        else {
+          val j = host.lastIndexOf('.', i - 1)
+          if (j == i - 1) host // empty second-to-last label ("a..b")
+          else if (j < 0) host
+          else host.substring(j + 1)
+        }
     }
   }
 
@@ -95,15 +107,22 @@ object StreamDedup {
     * cap is first-ARRIVED-wins — a published keeper is never revoked
     * when a smaller doc_id arrives later, the only honest continuous
     * contract (StreamingSpec pins both). The cap counter never expires
-    * (a cap is a budget, not a cache); only URL keys take the ttl. */
+    * (a cap is a budget, not a cache); only URL keys take the ttl.
+    *
+    * `psl` is the registrable-domain table ([[graft.llm.PublicSuffixes]])
+    * — pass the SAME table as the batch [[graft.llm.Curation.domainDedup]]
+    * run or the two will cap different domains; None = the shared
+    * last-two-labels fallback. */
   def streamingDomainDedup(spark: SparkSession, docs: DataFrame, cap: Int,
-                           ttl: Option[String] = None): Dataset[UrlKept] = {
+                           ttl: Option[String] = None,
+                           psl: Option[graft.llm.PublicSuffixes] = None)
+      : Dataset[UrlKept] = {
     import spark.implicits._
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val keyed = docs.select(col("doc_id"),
       graft.llm.Curation.urlKey(col("url")).as("h")).as[DocKey]
     firstSeen(spark, keyed, ttl)
-      .map(k => UrlKept(k.doc_id, k.h, domainOf(k.h)))
+      .map(k => UrlKept(k.doc_id, k.h, domainOf(k.h, psl)))
       .groupByKey(_.domain)
       .flatMapGroupsWithState[Long, UrlKept](OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {

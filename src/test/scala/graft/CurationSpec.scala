@@ -621,6 +621,72 @@ class CurationSpec extends SparkSpec {
       "global top-cap must survive the salted two-phase exactly")
   }
 
+  test("PublicSuffixes: registrable domains across all three rule classes, both impls agree") {
+    import graft.llm.PublicSuffixes
+    val psl = PublicSuffixes.Common
+    // plain second-level ccTLD + private hosted suffix + wildcard +
+    // exception + implicit-default + malformed — the verdict's cases
+    val expect = Seq(
+      "news.bbc.co.uk" -> "bbc.co.uk", // co.uk no longer ONE domain
+      "bbc.co.uk" -> "bbc.co.uk",
+      "shop.example.com.au" -> "example.com.au",
+      "user.github.io" -> "user.github.io",
+      "pages.user.github.io" -> "user.github.io",
+      "news.example.com" -> "example.com", // no rule → implicit `*`
+      "src.kobe.jp" -> "src.kobe.jp",      // *.kobe.jp: site IS a suffix
+      "sub.src.kobe.jp" -> "sub.src.kobe.jp",
+      "p1.city.kobe.jp" -> "city.kobe.jp", // !city.kobe.jp exception
+      "a.b.ck" -> "a.b.ck",                // *.ck
+      "foo.www.ck" -> "www.ck",            // !www.ck
+      "co.uk" -> "co.uk",                  // bare public suffix: itself
+      "localhost" -> "localhost",
+      "a..b" -> "a..b",                    // malformed: stays whole
+      "x.y." -> "x.y.")
+    for ((host, dom) <- expect)
+      assert(psl.registrable(host) == dom, s"registrable($host)")
+    // frame path (broadcast rule joins) ≡ the per-row Scala path, on the
+    // same fixture plus path/query tails the host extraction must strip
+    val fx = expect.map(_._1).zipWithIndex
+      .map { case (h, i) => (i.toLong, s"$h/p/$i?q=${i % 3}") }
+      .toDF("doc_id", "url_key")
+    val got = PublicSuffixes.withRegistrableDomain(fx, psl)
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    for (((host, dom), i) <- expect.zipWithIndex)
+      assert(got(i.toLong) == dom, s"frame path on $host")
+    // streaming twin shares the table
+    for ((host, dom) <- expect)
+      assert(graft.streaming.StreamDedup.domainOf(s"$host/p/1", Some(psl)) == dom,
+        s"streaming twin on $host")
+  }
+
+  test("domainDedup with a PSL: ccTLD families cap per SITE; streaming fallback parity on malformed hosts") {
+    import graft.llm.PublicSuffixes
+    val rows = Seq(
+      (1L, "https://alpha.co.uk/a"), (2L, "https://alpha.co.uk/b"),
+      (3L, "https://beta.co.uk/a"), (4L, "https://beta.co.uk/b"),
+      (5L, "https://news.alpha.co.uk/c"))
+      .toDF("doc_id", "url")
+    // last-two-labels fallback: EVERYTHING is 'co.uk', cap 2 keeps 2 docs
+    val flat = Curation.domainDedup(rows, "url", maxPerDomain = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(flat == Seq(1L, 2L))
+    // PSL: alpha.co.uk (3 keys) capped to 2, beta.co.uk keeps both
+    val got = Curation.domainDedup(rows, "url", maxPerDomain = 2,
+        psl = Some(PublicSuffixes.Common))
+      .select("doc_id", "domain").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "alpha.co.uk"), (2L, "alpha.co.uk"),
+      (3L, "beta.co.uk"), (4L, "beta.co.uk")), s"got $got")
+    // no-table twins: the streaming domainOf must equal the batch
+    // urlDomain column on malformed hosts too (empty labels, trailing
+    // dot — the r17 advice divergence)
+    val hosts = Seq("a..b", "x.y.", ".b", "a.b", "a.b.c", "a.b..c", "h",
+      "trail.", "..x")
+    val batch = hosts.toDF("k")
+      .select(Curation.urlDomain(col("k")).as("d")).as[String].collect().toSeq
+    val stream = hosts.map(h => graft.streaming.StreamDedup.domainOf(h))
+    assert(batch == stream, s"batch $batch vs streaming $stream")
+  }
+
   test("packBinsFFD: hand-derived walk, oversize dedicated bin, no splits, capacity law") {
     // tokens: d0=6, d1=6, d2=4, d3=3, d4=3, d5=2, d6=13(oversize), binSize=10
     // FFD order (tok desc, id asc): d6, d0, d1, d2, d3, d4, d5

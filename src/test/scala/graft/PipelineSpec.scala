@@ -84,6 +84,34 @@ class PipelineSpec extends SparkSpec {
         minQuality = 0.0, domainCap = Some(2))
     }
     assert(e.getMessage.contains("url"))
+    // NULL urls fail loudly too — they would all collapse onto one
+    // canonical key and silently vanish under the cap otherwise
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.run(spark,
+        docs.withColumn("url",
+          when(col("doc_id") % 7 === 3, lit(null)).otherwise(col("url"))),
+        out + "3", budget = 100L, minQuality = 0.0, domainCap = Some(2))
+    }
+    assert(e2.getMessage.contains("non-null urls"), e2.getMessage)
+  }
+
+  test("pipeline --domain-cap --psl: the cap groups by registrable domain, not ccTLD family") {
+    // every source lands under .co.uk: without the table ALL docs share
+    // the single domain 'co.uk' (cap 2 keeps 2 docs total); with it each
+    // source is its own registrable domain and survives separately
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", expr(
+        "concat('https://', source, '.co.uk/p/', CAST(doc_id % 4 AS STRING))"))
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_psl").toString
+    val flat = Pipeline.run(spark, docs, out, budget = 100000L,
+      minQuality = 0.0, domainCap = Some(2), stats = false)
+    assert(flat.count() <= 2L, "no table: everything is one co.uk domain")
+    val keyed = Pipeline.run(spark, docs, out + "2", budget = 100000L,
+      minQuality = 0.0, domainCap = Some(2), stats = false,
+      psl = Some(graft.llm.PublicSuffixes.Common)).cache()
+    val perSrc = keyed.groupBy("source").count().select("count").as[Long].collect()
+    assert(perSrc.length > 1 && perSrc.forall(_ <= 2L), perSrc.toSeq.toString)
+    keyed.unpersist()
   }
 
   test("pipeline --boilerplate: banner lines are stripped from the written corpus") {
@@ -99,6 +127,26 @@ class PipelineSpec extends SparkSpec {
     assert(texts.forall(t => !t.contains("NAV ") && !t.contains("Footer ")),
       "per-source banners must be stripped before scoring/dedup")
     assert(texts.forall(_.nonEmpty))
+
+    // a NULL-text doc passes through the stage unchanged (left join +
+    // coalesce) instead of silently dropping out of the corpus on the
+    // old inner join — it still dies later at quality scoring, but the
+    // stage's row count must not shrink
+    val withNull = docs.withColumn("text",
+      when(col("doc_id") % 11 === 5, lit(null)).otherwise(col("text")))
+    val out2 = java.nio.file.Files.createTempDirectory("graft_pipe_bpn").toString
+    // capture stage stats: after_boilerplate must equal the input count
+    val stream = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(stream, true, "UTF-8")) {
+      Pipeline.run(spark, withNull, out2, budget = 100000L,
+        minQuality = 0.0, boilerplate = Some(3))
+    }
+    val StatLine = """\{"stage":"([^"]+)","rows":(\d+)\}""".r
+    val stats = stream.toString("UTF-8").linesIterator.collect {
+      case StatLine(s, n) => s -> n.toLong
+    }.toMap
+    assert(stats("after_boilerplate") == stats("input"),
+      s"NULL-text docs must survive the boilerplate stage: $stats")
   }
 
   test("pipeline --normalize NFC: decomposed duplicates collapse in exact dedup") {

@@ -731,6 +731,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept.exists(k => k._1 == 0L && k._2 == "a.com/p1"))
   }
 
+  test("streaming domain dedup with a PSL: one-batch parity with the batch operator's table path") {
+    import spark.implicits._
+    // three .co.uk sites: without the table they'd all be ONE 'co.uk'
+    // domain; with PublicSuffixes.Common each site caps separately —
+    // the stream must group exactly like Curation.domainDedup(psl = …)
+    val b1 = Seq(
+      (0L, "https://alpha.co.uk/p1"), (1L, "https://alpha.co.uk/p2"),
+      (2L, "https://alpha.co.uk/p3"), (3L, "https://news.alpha.co.uk/p4"),
+      (4L, "https://beta.co.uk/q1"), (5L, "https://beta.co.uk/q2"),
+      (6L, "https://user.github.io/r1"), (7L, "https://x.user.github.io/r2"))
+      .toDF("doc_id", "url")
+    val dir = java.nio.file.Files.createTempDirectory("graft_psl_stream")
+    b1.coalesce(1).write.parquet(dir.resolve("b1").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.resolve("b1").toString)
+    val psl = Some(llm.PublicSuffixes.Common)
+    val q = streaming.StreamDedup.streamingDomainDedup(spark, stream, cap = 2,
+        psl = psl)
+      .writeStream.format("memory").queryName("url_psl_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.sql("SELECT doc_id, url_key, domain FROM url_psl_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = llm.Curation.domainDedup(b1, "url", maxPerDomain = 2, psl = psl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(kept == batch, s"stream $kept\nbatch $batch")
+    // the table took effect: alpha and beta capped separately
+    assert(kept.map(_._3) == Set("alpha.co.uk", "beta.co.uk", "user.github.io"))
+  }
+
   test("streaming chunk dedup: a prefix-edited recrawl stores only the pre-resync chunks") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
