@@ -89,6 +89,12 @@ object ResizeNearestNN {
     }
     require(args.head.dataType == BinaryType,
       s"$FunctionName payload must be BINARY, got ${args.head.dataType}")
+    // src dims must be LONG at analysis time: interpreted eval casts to
+    // Long (an INT column would ClassCastException at runtime) while
+    // codegen happens to widen — a path-dependent failure without this
+    for ((e, name) <- Seq(args(1) -> "src_w", args(2) -> "src_h"))
+      require(e.dataType == LongType,
+        s"$FunctionName $name must be BIGINT, got ${e.dataType}")
     ResizeNearestNN(args(0), args(1), args(2),
       lit(args(3), "out_w"), lit(args(4), "out_h"))
   }

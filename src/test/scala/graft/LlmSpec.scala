@@ -965,6 +965,25 @@ class LlmSpec extends SparkSpec {
     assert(hex.substring(32, 34) == "61")
   }
 
+  test("graft_resize_nn: wrong-typed src dims fail at analysis, not at runtime") {
+    // interpreted eval casts src_w/src_h to Long — an INT column used to
+    // ClassCastException at runtime (while codegen happened to widen, a
+    // path-dependent failure); the builder now rejects non-BIGINT dims
+    graft.functions.ResizeNearestNN.register(spark)
+    val df = Seq((0L, "abc")).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("w32", lit(72))    // INT, not BIGINT
+      .withColumn("h64", lit(317L))
+    val e = intercept[Exception] {
+      df.select(expr("graft_resize_nn(payload, w32, h64, 4, 4)")).collect()
+    }
+    assert(e.getMessage.contains("src_w must be BIGINT"),
+      s"expected analysis-time type error, got: ${e.getMessage}")
+    // and the valid call still works
+    assert(df.select(expr("graft_resize_nn(payload, cast(w32 as bigint), h64, 4, 4)"))
+      .collect()(0).getString(0).length == 32)
+  }
+
   test("resizeNearest: native gather ≡ declarative hex/substr formulation") {
     // multibyte UTF-8 + odd lengths so blen never divides the gather
     // strides — pins the (rowBase + sx) % blen indexing of the native
