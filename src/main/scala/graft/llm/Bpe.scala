@@ -196,35 +196,141 @@ object Bpe {
     org.apache.spark.sql.GraftExpr.column(graft.functions.ByteEnc(
       org.apache.spark.sql.GraftExpr.expression(text)))
 
-  /** The Sep-wrapped byte-level token string after all merges. */
+  // ------------- GPT-2 pre-tokenization (r18) -------------
+  //
+  // GPT-2 does NOT run merges over the undivided byte stream: the public
+  // recipe first splits text with the contraction-aware regex
+  //   's|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
+  // and merges never cross pre-token boundaries — without that,
+  // `learnMergesRaw` could learn merges spanning words ("e"+"Ġ"), a
+  // fidelity gap in trained vocabularies (r17 verdict Missing #4). The
+  // pre-split here is that rule, re-expressed as a chain of RE2-SAFE
+  // boundary INSERTIONS over the byte-char string (no lookarounds, so
+  // the DuckDB oracle replays it verbatim): a `Bnd` sentinel lands
+  // between pre-tokens, the Sep-wrap makes it `Sep Bnd Sep`, and no
+  // merge pattern can match across it (the 29b trick — [[validateRaw]]
+  // keeps sentinels out of merge strings). decode strips Bnd with Sep,
+  // so the byte-exact round trip is untouched.
+  //
+  // Two documented deviations from the Python original, both inherent to
+  // running on the byte-char string with RE2: (1) every byte ≥ 0x80
+  // classes as a LETTER (multi-byte UTF-8 stays glued — é never splits —
+  // but non-ASCII punctuation also rides the letter class where \p{L}
+  // would not); (2) `\s` is the explicit ASCII class [ \t\n\r\f\v]
+  // (unicode spaces are multi-byte → letter class). The lookahead in
+  // `\s+(?!\S)` (a run donates its LAST space to the next token) is
+  // replayed exactly by insertion rule R2a below — no lookahead needed
+  // when inserting boundaries instead of extracting matches.
+
+  /** Hides the contraction apostrophe from the punct-class transition
+    * rules mid-chain; restored by the final rule. Not a byte-char, so
+    * corpus text cannot collide (a literal 0x03 byte encodes to a
+    * byte-char, never to this). */
+  private val Tmp = "\u0003"
+
+  private def clsEsc(c: Char): String = c match {
+    case '\\' | ']' | '[' | '^' | '-' => "\\" + c
+    case _ => c.toString
+  }
+
+  /** The pre-split boundary-insertion rules, (pattern, replacement) with
+    * Java-style $N backrefs, applied IN ORDER with global replace — the
+    * single definition both the Spark chain ([[preTokenizeRaw]]) and the
+    * oracle SQL ([[oraclePreTokSql]]) fold, so the engines cannot
+    * drift. */
+  private[llm] val PreTokRules: Seq[(String, String)] = {
+    val b2c = graft.functions.ByteText.byteToChar
+    val sp = b2c(' '.toInt).toString                       // Ġ
+    val wsOther = Seq(9, 10, 11, 12, 13).map(b2c(_)).mkString
+    val ws = sp + wsOther
+    val hi = (0x80 to 0xff).map(b => clsEsc(b2c(b))).mkString
+    val lCls = "A-Za-z" + hi
+    val nCls = "0-9"
+    val pCls = ((0x21 to 0x7e).map(_.toChar).filterNot(_.isLetterOrDigit) ++
+      (((0x00 to 0x08) ++ (0x0e to 0x1f) :+ 0x7f).map(b2c(_))))
+      .map(clsEsc).mkString
+    val nonWs = s"[^$ws$Bnd$Tmp]" // content char (Sep not yet present)
+    Seq(
+      // contractions — only where a GPT-2 match STARTS at the apostrophe
+      // (after a letter/digit run or at the string start; after
+      // whitespace or punctuation the punct-run swallows the quote).
+      // Two passes: the first consumes its preceding char, so back-to-
+      // back contractions leave the second one preceded by a fresh Bnd,
+      // which the second pass accepts.
+      (s"(^|[$lCls$nCls])'(s|t|re|ve|m|ll|d)", s"$$1$Bnd$Tmp$$2$Bnd"),
+      (s"(^|[$lCls$nCls$Bnd])'(s|t|re|ve|m|ll|d)", s"$$1$Bnd$Tmp$$2$Bnd"),
+      // R2a — `\s+(?!\S)`: a whitespace run followed by content donates
+      // exactly its last char: boundary before the run's final ws char
+      (s"([$ws])([$ws])($nonWs)", s"$$1$Bnd$$2$$3"),
+      // R2b — only a SPACE glues leftward onto the next token (` ?\p{L}+`
+      // is a literal space); \n, \t … separate from what follows
+      (s"([$wsOther])($nonWs)", s"$$1$Bnd$$2"),
+      // R1 — content → whitespace starts a new (whitespace) token
+      (s"($nonWs)([$ws])", s"$$1$Bnd$$2"),
+      // class transitions inside content: letter|digit|punct runs split
+      (s"([$lCls])([$nCls$pCls])", s"$$1$Bnd$$2"),
+      (s"([$nCls])([$lCls$pCls])", s"$$1$Bnd$$2"),
+      (s"([$pCls])([$lCls$nCls])", s"$$1$Bnd$$2"),
+      // collapse accidental double sentinels (chained contractions),
+      // then restore the hidden apostrophe
+      (s"$Bnd$Bnd", Bnd),
+      (Tmp, "'"))
+  }
+
+  /** Apply the GPT-2 pre-split to a byte-char string: inserts `Bnd`
+    * between pre-tokens. Pure per-row regexp chain, zero shuffle. */
+  private[llm] def preTokenizeRaw(enc: Column): Column =
+    PreTokRules.foldLeft(enc) { case (s, (p, r)) => regexp_replace(s, p, r) }
+
+  /** [[PreTokRules]] as a DuckDB regexp_replace chain over `col` —
+    * patterns/replacements rendered with chr(2)/chr(3) splices and \N
+    * backrefs (RE2 replacement syntax). */
+  private def oraclePreTokSql(col0: String): String = {
+    def sql(s: String, repl: Boolean): String = {
+      val body = s.replace("'", "''")
+        .replace(Bnd, "' || chr(2) || '").replace(Tmp, "' || chr(3) || '")
+      val jq = if (repl) body.replace("$", "\\") else body
+      ("'" + jq + "'").replace("'' || ", "").replace(" || ''", "")
+    }
+    PreTokRules.foldLeft(col0) { case (c, (p, r)) =>
+      s"regexp_replace($c, ${sql(p, repl = false)}, ${sql(r, repl = true)}, 'g')"
+    }
+  }
+
+  /** The Sep-wrapped byte-level token string after the GPT-2 pre-split
+    * (`preTok = false` reverts to the undivided stream — the pre-r18
+    * behaviour, kept for A/B) and all merges. */
   def tokenizedRaw(text: Column,
-                   merges: Seq[(String, String)] = DefaultRawMerges): Column = {
+                   merges: Seq[(String, String)] = DefaultRawMerges,
+                   preTok: Boolean = true): Column = {
     validateRaw(merges)
+    val base = if (preTok) preTokenizeRaw(rawEnc(text)) else rawEnc(text)
     val wrapped = concat(lit(Sep),
-      regexp_replace(rawEnc(text), "(?s)(.)", "$1" + Sep))
+      regexp_replace(base, "(?s)(.)", "$1" + Sep))
     merges.foldLeft(wrapped) { case (s, (a, b)) =>
       replace(s, lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep))
     }
   }
 
-  /** Byte-level BPE token count: #Sep − 1 (no boundary sentinel — every
-    * byte is priced, including whitespace: the lossless budget). */
+  /** Byte-level BPE token count: (#Sep − 1) − #Bnd — every BYTE is
+    * priced, including whitespace (the lossless budget); the pre-split
+    * boundary sentinels are not bytes and do not count. */
   def tokenCountRaw(text: Column,
-                    merges: Seq[(String, String)] = DefaultRawMerges): Column = {
-    val s = tokenizedRaw(text, merges)
-    (length(s) - length(replace(s, lit(Sep), lit(""))) - 1).cast(LongType)
-  }
+                    merges: Seq[(String, String)] = DefaultRawMerges): Column =
+    tokenCountRawOf(tokenizedRaw(text, merges))
 
   /** Count over an already-[[tokenizedRaw]] column (shared-scan path). */
   def tokenCountRawOf(toked: Column): Column =
-    (length(toked) - length(replace(toked, lit(Sep), lit(""))) - 1)
+    ((length(toked) - length(replace(toked, lit(Sep), lit(""))) - 1) -
+      (length(toked) - length(replace(toked, lit(Bnd), lit("")))))
       .cast(LongType)
 
   /** Token sequence as array<string> in byte-char spelling — the form
     * GPT-2 vocabularies print (Ġthe, Ċ, …). */
   def tokensRaw(text: Column,
                 merges: Seq[(String, String)] = DefaultRawMerges): Column =
-    filter(split(tokenizedRaw(text, merges), Sep, -1), t => t =!= lit(""))
+    filter(split(tokenizedRaw(text, merges), Sep, -1),
+      t => t =!= lit("") && t =!= lit(Bnd))
 
   /** EXACT inverse of [[tokenizedRaw]] for every merge table: strip the
     * separators, undo the byte bijection. decode ∘ encode ≡ id
@@ -234,7 +340,7 @@ object Bpe {
   def decodeRaw(toked: Column): Column =
     org.apache.spark.sql.GraftExpr.column(graft.functions.ByteDec(
       org.apache.spark.sql.GraftExpr.expression(
-        replace(toked, lit(Sep), lit("")))))
+        replace(replace(toked, lit(Sep), lit("")), lit(Bnd), lit("")))))
 
   /** DuckDB SQL expression replaying [[tokenizedRaw]] over a byte-char
     * column (produce one with [[oracleByteEncSql]]). Quote chars in
@@ -247,7 +353,8 @@ object Bpe {
     val sep = "chr(31)"
     def q(s: String) = s.replace("'", "''")
     val wrapped =
-      s"$sep || regexp_replace($byteEncCol, '(?s)(.)', '\\1' || $sep, 'g')"
+      s"$sep || regexp_replace(${oraclePreTokSql(byteEncCol)}, " +
+        s"'(?s)(.)', '\\1' || $sep, 'g')"
     merges.foldLeft(wrapped) { case (s, (a, b)) =>
       s"replace($s, $sep || '${q(a)}' || $sep || '${q(b)}' || $sep, " +
         s"$sep || '${q(a + b)}' || $sep)"
@@ -265,20 +372,24 @@ object Bpe {
        |      (strpos('0123456789ABCDEF', substr($hxCol, CAST(2*i-1 AS INT), 1)) - 1) * 16
        |      + strpos('0123456789ABCDEF', substr($hxCol, CAST(2*i AS INT), 1))]), '')""".stripMargin
 
-  /** DuckDB count over a [[oracleTokenizedRawSql]] column: #Sep − 1. */
+  /** DuckDB count over a [[oracleTokenizedRawSql]] column:
+    * (#Sep − 1) − #Bnd. */
   def oracleCountRawSql(sCol: String): String =
-    s"(length($sCol) - length(replace($sCol, chr(31), '')) - 1)"
+    s"(length($sCol) - length(replace($sCol, chr(31), '')) - 1) - " +
+      s"(length($sCol) - length(replace($sCol, chr(2), '')))"
 
   /** Learn a BYTE-LEVEL merge table — [[learnMerges]]' loop over the
-    * byte-char encoding with no boundary sentinel: merges freely learn
-    * leading-space/newline shapes (Ġt, Ġthe) exactly like GPT-2
-    * training does. Same incremental-encoding cost model, same batched
-    * selection proof, same (left, right, count) output — feed into
-    * [[tokenizedRaw]]/[[tokenCountRaw]]. */
+    * GPT-2-pre-split byte-char encoding: merges freely learn
+    * leading-space shapes WITHIN a pre-token (Ġt, Ġthe — the GPT-2
+    * signature) but can never cross a pre-token boundary ([[learnLoop]]
+    * already excludes sentinel-adjacent pairs; BpeSpec pins that a
+    * cross-word pair is NOT learnable). Same incremental-encoding cost
+    * model, same batched selection proof, same (left, right, count)
+    * output — feed into [[tokenizedRaw]]/[[tokenCountRaw]]. */
   def learnMergesRaw(docs: DataFrame, textCol: String,
                      nMerges: Int, batch: Int = 1): Seq[(String, String, Long)] = {
     val wrapped = concat(lit(Sep),
-      regexp_replace(rawEnc(col(textCol)), "(?s)(.)", "$1" + Sep))
+      regexp_replace(preTokenizeRaw(rawEnc(col(textCol))), "(?s)(.)", "$1" + Sep))
     learnLoop(docs.select(wrapped.as("__e__")), nMerges, batch)
   }
 
