@@ -17,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   * reruns, and a post-fleet SOLO re-run of the slowest 10 published as
   * a second column — a load-inflated fleet median self-corrects inside
   * one artifact, and any fleet/solo ratio > 1.5 self-flags it.
+  *
+  * r18 — RECOVERY, not just detection (r17 shipped two consecutive
+  * rounds with no comparable total because the box never calmed):
+  * every calibration probe is IDLE-GATED (a dirty reading backs off and
+  * re-probes before the next span starts, so one loaded stretch stops
+  * poisoning everything after it); after the fleet, the queries of any
+  * span whose bracketing probes read dirty are RE-RUN under their own
+  * probe bracket (span-driven — a mid-tier query inflated ×3 no longer
+  * keeps its dirty fleet median as its only number); and the artifact
+  * publishes a per-query `honest` column = min over the columns whose
+  * bracketing calibrations were BOTH clean (fleet median, span re-run,
+  * slow-10 solo), plus `honest_total` when every non-failed query has
+  * one — the round-over-round comparable. calib_solo now participates
+  * in load_warning, and a dirty solo bracket disables the fleet/solo
+  * ratio flag instead of silently validating the fleet (r17 advice).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,23 +84,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Clean-machine historical band for the probe is ~0.48-0.66 s
-    // (r8-r12 quiet runs). A calib_pre beyond 2× that ceiling means the
-    // whole fleet is about to be timed under external load (r12 published
-    // three ×7-8 phantom "regressions" exactly this way). Back off and
-    // re-probe up to 3×; if the machine never calms, publish anyway but
-    // SELF-FLAG the artifact with load_warning so no reader compares the
-    // totals round-over-round.
+    // (r8-r12 quiet runs). A probe beyond 2× that ceiling means the next
+    // span would be timed under external load (r12 published three ×7-8
+    // phantom "regressions" exactly this way). EVERY probe is idle-gated:
+    // a dirty first reading backs off and re-probes up to 3× before the
+    // run continues — the first reading is what brackets the span just
+    // finished (honesty), the settled reading is what brackets the span
+    // about to start (recovery). If the machine never calms, continue
+    // anyway and let the bracket bookkeeping mark what it saw.
     val CalibClean = 0.66
-    var calibPre = calibrate()
-    var calibTries = 0
-    while (calibPre > CalibClean * 2 && calibTries < 3) {
-      System.err.println(f"[bench] calib_pre $calibPre%.3f s exceeds 2x the " +
-        f"clean band (${CalibClean}%.2f s) - machine under load; waiting 30 s " +
-        s"(retry ${calibTries + 1}/3)")
-      Thread.sleep(30000)
-      calibTries += 1
-      calibPre = math.min(calibPre, calibrate())
+    def dirty(c: Double): Boolean = c > CalibClean * 2
+    def probeGated(tag: String): (Double, Double) = {
+      val first = calibrate()
+      var settled = first
+      var tries = 0
+      while (dirty(settled) && tries < 3) {
+        System.err.println(f"[bench] $tag probe $settled%.3f s exceeds 2x the " +
+          f"clean band (${CalibClean}%.2f s) - machine under load; waiting 30 s " +
+          s"(retry ${tries + 1}/3)")
+        Thread.sleep(30000)
+        tries += 1
+        settled = math.min(settled, calibrate())
+      }
+      (first, settled)
     }
+    val (_, calibPre) = probeGated("pre-fleet")
 
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       clearState()
@@ -108,6 +131,14 @@ object Bench {
     val CalibEvery = 15
     val calibMid = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sinceProbe = 0
+    // span bookkeeping for the honest column: each query belongs to the
+    // span between two probes; a span is CLEAN iff the settled reading
+    // that opened it and the first reading that closed it are both inside
+    // the band. spanStart carries the settled reading forward.
+    var spanId = 0
+    var spanStart = calibPre
+    val spanBracket = scala.collection.mutable.Map.empty[Int, (Double, Double)]
+    val spanOf = scala.collection.mutable.Map.empty[String, Int]
 
     val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val fleet = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -137,18 +168,42 @@ object Bench {
       System.err.println("[bench] " + name + " runs: " +
         runs.map(r => f"$r%.3f").mkString(","))
       gcPerQuery(name) = (gcMillis() - gc0) / 1e3
+      spanOf(name) = spanId
       sinceProbe += 1
       if (sinceProbe >= CalibEvery) {
         sinceProbe = 0
-        val c = calibrate()
-        calibMid += name -> c
-        if (c > CalibClean * 2) System.err.println(
-          f"[bench] mid-fleet calibration $c%.3f s after $name exceeds the " +
+        val (first, settled) = probeGated(s"mid-fleet (after $name)")
+        calibMid += name -> first
+        if (dirty(first)) System.err.println(
+          f"[bench] mid-fleet calibration $first%.3f s after $name exceeds the " +
           f"clean band (≤${CalibClean}%.2f s) - this span ran under load")
+        spanBracket(spanId) = (spanStart, first)
+        spanId += 1
+        spanStart = settled
       }
       (name, secs, if (secs < 0) -1.0 else runs.min, if (secs < 0) -1.0 else runs.max)
     }
-    val calibPost = calibrate()
+    val (calibPost, calibPostSettled) = probeGated("post-fleet")
+    spanBracket(spanId) = (spanStart, calibPost)
+    def spanClean(name: String): Boolean = spanBracket.get(spanOf(name))
+      .exists { case (a, b) => !dirty(a) && !dirty(b) }
+
+    // Span-driven re-runs (r18): every query whose fleet span had a dirty
+    // bracket gets re-timed AFTER the fleet under its own probe bracket —
+    // not just the slowest 10, so a mid-tier query inflated ×3 no longer
+    // keeps its dirty fleet median as its only number. The re-run block
+    // opens on the post-fleet SETTLED reading (idle-gated) and closes on
+    // its own probe; its numbers count as honest only if both are clean.
+    val fnByName = fleet.toMap
+    val dirtySpanQueries = results
+      .filter(r => r._2 >= 0 && !spanClean(r._1)).map(_._1)
+    val spanRerun = dirtySpanQueries.map { name =>
+      name -> median(Seq.fill(runsN)(timeOne(name, fnByName(name))))
+    }
+    val (rerunEnd, rerunEndSettled) =
+      if (dirtySpanQueries.isEmpty) (calibPost, calibPostSettled)
+      else probeGated("post-rerun")
+    val rerunClean = !dirty(calibPostSettled) && !dirty(rerunEnd)
 
     // Post-fleet solo column (r16 postmortem, part 2): re-time the
     // slowest 10 back-to-back AFTER the fleet, bracketed by their own
@@ -157,21 +212,56 @@ object Bench {
     // 0.8 solo would have self-corrected inside one artifact). Any
     // fleet/solo ratio > 1.5 flags the artifact.
     val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
-    val fnByName = fleet.toMap
     val slow10Solo = slow10.map { name =>
       name -> median(Seq.fill(runsN)(timeOne(name, fnByName(name))))
     }
     val calibSolo = calibrate()
+    val soloClean = !dirty(rerunEndSettled) && !dirty(calibSolo)
     val fleetByName = results.map(r => r._1 -> r._2).toMap
-    // ratio check only meaningful at runsN >= 3: a single-run fleet median
+    // ratio check only meaningful at runsN >= 3 (a single-run fleet median
     // IS the cold-codegen run, and the warm solo re-run would read as a
-    // phantom 2-3× "inflation" on every query
-    val soloDirty = if (runsN < 3) Seq.empty[String]
+    // phantom 2-3× "inflation" on every query) AND under a clean solo
+    // bracket — a loaded solo pass inflates solo times, shrinks the
+    // ratios, and would silently validate a dirty fleet (r17 advice)
+    val soloDirty = if (runsN < 3 || !soloClean) Seq.empty[String]
       else slow10Solo.filter { case (n, s) =>
         s > 0 && fleetByName(n) / s > 1.5 }.map(_._1)
     if (soloDirty.nonEmpty) System.err.println(
       "[bench] fleet/solo ratio > 1.5x for: " + soloDirty.mkString(", ") +
       " - fleet medians for these queries were load-inflated")
+
+    // The honest column: per query, the MIN over the measurement columns
+    // whose bracketing calibrations were BOTH clean (fleet median under a
+    // clean span, span re-run under a clean re-run bracket, slow-10 solo
+    // under a clean solo bracket). honest_total sums it when EVERY
+    // non-failed query has one — the only total worth comparing
+    // round-over-round; honest_missing names the queries that never got
+    // a clean measurement (machine never calmed).
+    val spanRerunMap = spanRerun.toMap
+    val soloMap = slow10Solo.toMap
+    val honest = results.flatMap { case (name, secs, _, _) =>
+      if (secs < 0) None
+      else {
+        // solo values join only at runsN >= 3 (the soloDirty rule: a
+        // single-run fleet median is the cold-codegen run, and the warm
+        // solo would win the min on warmth, not cleanliness)
+        val cands = Seq(
+          if (spanClean(name)) Some(secs) else None,
+          spanRerunMap.get(name).filter(v => v >= 0 && rerunClean),
+          soloMap.get(name).filter(v => v >= 0 && soloClean && runsN >= 3))
+          .flatten
+        if (cands.isEmpty) None else Some(name -> cands.min)
+      }
+    }
+    val honestMissing = results.filter(_._2 >= 0).map(_._1)
+      .filterNot(honest.map(_._1).toSet)
+    val honestTotal =
+      if (honestMissing.isEmpty && results.forall(_._2 >= 0))
+        honest.map(_._2).sum
+      else -1.0
+    if (honestMissing.nonEmpty) System.err.println(
+      "[bench] no clean-bracketed measurement for: " +
+        honestMissing.mkString(", "))
     def jmap(vs: Seq[(String, Double)]): String =
       vs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
@@ -194,19 +284,30 @@ object Bench {
       .map(r => r._1 -> r._2))
     val nQueries = results.size
     val nFailed = results.count(_._2 < 0)
-    val dirtySpans = calibMid.filter(_._2 > CalibClean * 2).map(_._1)
-    val loadWarn = calibPre > CalibClean * 2 || calibPost > CalibClean * 2 ||
-      dirtySpans.nonEmpty || soloDirty.nonEmpty
+    val dirtySpans = calibMid.filter(c => dirty(c._2)).map(_._1)
+    // load_warning = some published column was taken under load: the
+    // fleet bracket (pre/post/mid), a fleet median exposed by the solo
+    // ratio, OR the solo bracket itself (calib_solo participates now —
+    // r17 advice: a loaded solo pass must not silently validate a dirty
+    // fleet). The honest column is the recovery: it only carries
+    // clean-bracketed numbers, so honest_total stays comparable even
+    // when load_warning is true — as long as honest_missing is empty.
+    val loadWarn = dirty(calibPre) || dirty(calibPost) ||
+      dirtySpans.nonEmpty || soloDirty.nonEmpty || dirty(calibSolo)
     if (loadWarn) System.err.println(f"[bench] LOAD WARNING: calibration " +
-      f"pre/post $calibPre%.3f/$calibPost%.3f s vs clean band ≤${CalibClean}%.2f s, " +
+      f"pre/post/solo $calibPre%.3f/$calibPost%.3f/$calibSolo%.3f s vs clean " +
+      f"band ≤${CalibClean}%.2f s, " +
       s"dirty mid-fleet spans: [${dirtySpans.mkString(",")}], " +
       s"fleet/solo>1.5x: [${soloDirty.mkString(",")}] - " +
-      "totals are not comparable round-over-round")
+      "raw totals are not comparable round-over-round; use honest_total")
     val calibMidJson = jmap(calibMid.toSeq.map { case (n, c) => s"after_$n" -> c })
     val soloJson = jmap(slow10Solo)
+    val rerunJson = jmap(spanRerun)
+    val honestJson = jmap(honest)
     val dirtyJson = dirtySpans.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"queries":$slow15,"queries_note":"slowest 15 of $nQueries fleet medians; solo column in slow10_solo; full map in bench_out.json","slow10_solo":$soloJson,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"calib_solo":$calibSolo%.3f,"calib_mid_dirty":$dirtyJson,"load_warning":$loadWarn,"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"slow10_solo":$soloJson,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"calib_solo":$calibSolo%.3f,"calib_mid":$calibMidJson,"calib_mid_dirty":$dirtyJson,"load_warning":$loadWarn,"sf":"$sfDir"}"""
+    val missingJson = honestMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"queries":$slow15,"queries_note":"slowest 15 of $nQueries fleet medians; solo column in slow10_solo; full map + honest column in bench_out.json","slow10_solo":$soloJson,"honest_total":$honestTotal%.3f,"n_honest_missing":${honestMissing.size},"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"calib_solo":$calibSolo%.3f,"calib_mid_dirty":$dirtyJson,"load_warning":$loadWarn,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"slow10_solo":$soloJson,"span_rerun":$rerunJson,"rerun_clean":$rerunClean,"solo_clean":$soloClean,"honest":$honestJson,"honest_total":$honestTotal%.3f,"honest_missing":$missingJson,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"calib_solo":$calibSolo%.3f,"calib_mid":$calibMidJson,"calib_mid_dirty":$dirtyJson,"load_warning":$loadWarn,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
