@@ -89,7 +89,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -110,7 +110,16 @@ object Pipeline {
       case path      => graft.llm.PublicSuffixes.load(path)
     }
     val boilerplate = flagValue("--boilerplate").map(_.toInt)
-    val tokenizer = flagValue("--tokenizer").getOrElse("ws")
+    // --tokenizer-dir <store> budgets/packs/chunks with a persisted
+    // TokenizerStore model (trained once, frozen — the dir:<path>
+    // tokenizer option); mutually exclusive with --tokenizer
+    val tokenizer = (flagValue("--tokenizer"), flagValue("--tokenizer-dir")) match {
+      case (Some(t), None)    => t
+      case (None, Some(d))    => s"dir:$d"
+      case (None, None)       => "ws"
+      case (Some(_), Some(_)) =>
+        sys.error("pass --tokenizer OR --tokenizer-dir, not both")
+    }
     val normalize = flagValue("--normalize") // NFC | NFKC
     val serveDir = flagValue("--serve-dir")
     val withEmb = args.contains("--embeddings")

@@ -49,8 +49,14 @@ object Curation {
       case "bpe"         => Bpe.tokenCount(text)
       case "bpe_raw"     => Bpe.tokenCountRaw(text)
       case "unigram_raw" => Unigram.rawTokenCount(text)
+      // a persisted model: `dir:<path>` loads a [[TokenizerStore]] store
+      // (memoized per path) — any of the six stored kinds counts here
+      case d if d.startsWith("dir:") =>
+        TokenizerStore.countCol(text, TokenizerStore.loadCached(
+          org.apache.spark.sql.SparkSession.active, d.stripPrefix("dir:")))
       case other => throw new IllegalArgumentException(
-        s"unknown tokenizer '$other' (expected ws | bpe | bpe_raw | unigram_raw)")
+        s"unknown tokenizer '$other' (expected ws | bpe | bpe_raw | " +
+          "unigram_raw | dir:<path>)")
     }
 
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM-style n-gram
@@ -935,8 +941,18 @@ object Curation {
       // byte-level pieces in byte-char spelling (Ġthe …) — the GPT-2
       // display form; lossless window rendering
       case "bpe_raw" => Bpe.tokensRaw(col("text"))
+      // stored BPE models chunk with their own merge table; the
+      // Viterbi/greedy families have no token-ARRAY column form here
+      case d if d.startsWith("dir:") =>
+        TokenizerStore.loadCached(org.apache.spark.sql.SparkSession.active,
+            d.stripPrefix("dir:")) match {
+          case BpeModel(m, false) => Bpe.tokens(col("text"), m)
+          case BpeModel(m, true)  => Bpe.tokensRaw(col("text"), m)
+          case other => throw new IllegalArgumentException(
+            s"chunkOverlap needs a BPE-family stored tokenizer, got ${other.kind}")
+        }
       case other => throw new IllegalArgumentException(
-        s"unknown tokenizer '$other' (expected ws | bpe | bpe_raw)")
+        s"unknown tokenizer '$other' (expected ws | bpe | bpe_raw | dir:<path>)")
     }
     docs.select(col("doc_id"), tk.as("tk"),
         size(tk).cast(LongType).as("n"))

@@ -778,6 +778,30 @@ object LlmQueries {
        |FROM t""".stripMargin
   }
 
+  /** PERSISTED tokenizer round-trip ([[graft.llm.TokenizerStore]]): save
+    * the byte-level merge table to a parquet store, LOAD it back, and
+    * encode the corpus with the LOADED model — the result must be
+    * hash-identical to the static-table oracle, so any corruption of
+    * merge ORDER or spelling through the parquet round-trip fails the
+    * gate (rank is the model: two swapped merges change real token
+    * counts). The oracle is [[oracleBpeRaw]]'s replay verbatim — that is
+    * the point: store ∘ load must be invisible. */
+  def tokenizerStoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-tokstore")
+      .toString
+    graft.llm.TokenizerStore.save(spark, store,
+      graft.llm.BpeModel(graft.llm.Bpe.DefaultRawMerges, raw = true))
+    val merges = graft.llm.TokenizerStore.load(spark, store)
+      .asInstanceOf[graft.llm.BpeModel].merges
+    val d = docs(spark, dir).withColumn("text", expr(RawInject))
+    d.withColumn("__tk__", graft.llm.Bpe.tokenizedRaw(col("text"), merges))
+      .select(col("doc_id"),
+        graft.llm.Bpe.tokenCountRawOf(col("__tk__")).as("n_tok"),
+        graft.llm.Bpe.decodeRaw(col("__tk__")).as("text_rt"))
+  }
+
+  def oracleTokenizerStore: String = oracleBpeRaw
+
   /** Tokenizer FERTILITY / compression eval — the metric a tokenizer is
     * chosen by (pieces per word, chars per piece) — over the SAME
     * fixtures as the three tokenizer gates, one row per tokenizer. All
@@ -3438,6 +3462,7 @@ object LlmQueries {
     "tokenize_raw_unigram" -> (tokenizeRawUnigramQ _),
     "tokenize_raw_wordpiece" -> (tokenizeRawWordPieceQ _),
     "bpe_raw" -> (bpeRawQ _),
+    "tokenizer_store" -> (tokenizerStoreQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -3542,6 +3567,7 @@ object LlmQueries {
     "tokenize_raw_unigram" -> oracleTokenizeRawUnigram,
     "tokenize_raw_wordpiece" -> oracleTokenizeRawWordPiece,
     "bpe_raw" -> oracleBpeRaw,
+    "tokenizer_store" -> oracleTokenizerStore,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
