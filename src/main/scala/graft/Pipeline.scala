@@ -89,7 +89,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--extract-html] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -101,6 +101,7 @@ object Pipeline {
       val Array(a, b) = s.split(","); (a.toLong, b.toInt)
     }
     val stateDir = flagValue("--state-dir")
+    val extractHtml = args.contains("--extract-html")
     val domainCap = flagValue("--domain-cap").map(_.toInt)
     // registrable-domain table for --domain-cap: 'builtin' = the curated
     // PublicSuffixes.Common subset, anything else = a local copy of the
@@ -139,6 +140,7 @@ object Pipeline {
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
+      extractHtml = extractHtml,
       domainCap = domainCap, psl = psl, boilerplate = boilerplate,
       normalize = normalize,
       embeddings = if (withEmb)
@@ -162,6 +164,7 @@ object Pipeline {
           semTau: Double = 0.95, stats: Boolean = true,
           tokenizer: String = "ws",
           normalize: Option[String] = None,
+          extractHtml: Boolean = false,
           domainCap: Option[Int] = None,
           psl: Option[graft.llm.PublicSuffixes] = None,
           boilerplate: Option[Int] = None,
@@ -174,8 +177,8 @@ object Pipeline {
     try {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
-        stats, tokenizer, normalize, domainCap, psl, boilerplate, annParams,
-        pins)
+        stats, tokenizer, normalize, extractHtml, domainCap, psl,
+        boilerplate, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -185,7 +188,8 @@ object Pipeline {
           stateDir: Option[String], serveDir: Option[String],
           embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
           semTau: Double, stats: Boolean, tokenizer: String,
-          normalize: Option[String], domainCap: Option[Int],
+          normalize: Option[String], extractHtml: Boolean,
+          domainCap: Option[Int],
           psl: Option[graft.llm.PublicSuffixes], boilerplate: Option[Int],
           annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
@@ -215,21 +219,39 @@ object Pipeline {
     }
     stat("input", docs.count()) // parquet metadata count — nothing upstream
 
+    // -3 (optional): HTML main-content extraction — the crawl pipeline's
+    // actual step 0: everything downstream assumes a `text` column, and
+    // this is where it comes from when the input is raw pages. Before
+    // the domain cap only by convention (the cap reads url, not text);
+    // before EVERYTHING content-based by necessity.
+    val texted =
+      if (!extractHtml) docs
+      else {
+        require(docs.columns.contains("html"),
+          "--extract-html requires an 'html' column in the input")
+        require(docs.filter(col("html").isNull).isEmpty,
+          "--extract-html requires non-null html (found null rows)")
+        pin("after_extract_html",
+          docs.drop("text").join(
+            graft.llm.Extract.mainContent(docs)
+              .select(col("doc_id"), col("text")), "doc_id"))
+      }
+
     // -2 (optional): per-URL dedup + per-domain cap — the RefinedWeb
     // FIRST filter; runs before anything content-based because it is
     // the cheapest cut (a key aggregate + a salted top-N over doc ids;
     // no text is ever touched) and crawl pipelines run it first
-    val capped = domainCap.fold(docs) { cap =>
-      require(docs.columns.contains("url"),
+    val capped = domainCap.fold(texted) { cap =>
+      require(texted.columns.contains("url"),
         "--domain-cap requires a 'url' column in the input")
       // NULL urls would all collapse onto ONE canonical key (min-keep
       // keeps one of them, the rest vanish without a stage stat) — a
       // crawl row without a URL is malformed input, so fail loudly
       // (one pruned single-column scan)
-      require(docs.filter(col("url").isNull).isEmpty,
+      require(texted.filter(col("url").isNull).isEmpty,
         "--domain-cap requires non-null urls (found null url rows)")
       pin("after_domain_cap",
-        docs.join(Curation.domainDedup(docs, "url", cap, psl = psl)
+        texted.join(Curation.domainDedup(texted, "url", cap, psl = psl)
           .select("doc_id"), "doc_id"))
     }
 

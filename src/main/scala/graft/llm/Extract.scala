@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** HTML main-content extraction — the actual STEP 0 of every crawl
+  * pipeline (RefinedWeb/CCNet run trafilatura-class extraction before
+  * any filter downstream of here), previously assumed away: the whole
+  * pipeline started from a `text` column someone else extracted. This
+  * is a deterministic, oracle-replayable boilerplate-stripper over raw
+  * HTML in three layers:
+  *
+  *   1. DOC level: drop `<head>…</head>`, `<script>…</script>`,
+  *      `<style>…</style>` and comments wholesale; turn BLOCK-level
+  *      tags (`p div br li h1…`) into newlines so the document falls
+  *      apart into candidate lines at its structural boundaries.
+  *   2. LINE level: the classic LINK-DENSITY rule (Kohlschütter et al.
+  *      boilerplate detection, simplified to a deterministic ratio) —
+  *      a line whose anchor text is more than `maxLinkDensity` of its
+  *      visible text is chrome (nav bars, footers, related-links
+  *      blocks), not content; empty lines drop too.
+  *   3. Kept lines re-join in document order with tags stripped,
+  *      whitespace squeezed, and the five standard entities decoded
+  *      (`&amp;` LAST, the single-pass convention).
+  *
+  * Every step is an RE2-safe regex (`(?is)` flags, lazy `.*?`, char
+  * classes — no lookarounds, no backrefs in patterns), so the DuckDB
+  * oracle replays the identical chain ([[oracleExtractSql]] is GENERATED
+  * from the same rule list — the [[Bpe.oracleCountSql]] no-drift rule).
+  * This is a rule extractor, not a DOM parser: malformed HTML degrades
+  * to keeping a little chrome, never to dropping content — the right
+  * failure direction for a corpus filter.
+  *
+  * Scale shape: doc-level regex chain is a zero-shuffle map; the line
+  * stage is posexplode → per-line arithmetic → one groupBy(doc_id)
+  * re-join (fan-out bounded by lines-per-doc, the [[Curation
+  * .removeBoilerplate]] shape); nothing driver-side, nothing
+  * corpus-keyed. */
+object Extract {
+
+  /** (pattern, replacement) doc-level chain — shared by both engines.
+    * Order matters: containers drop before block tags become newlines. */
+  private val DocRules: Seq[(String, String)] = Seq(
+    "(?is)<head[^>]*>.*?</head>" -> " ",
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    ("(?is)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section" +
+      "|article|header|footer|blockquote|nav|aside|form|figure|figcaption" +
+      "|pre|hr)[^>]*>") -> "\n")
+
+  private val TagRe = "(?s)<[^>]*>"
+  private val AnchorRe = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** tag-strip + whitespace-squeeze + trim — the visible text of a
+    * fragment, BEFORE entity decoding (the density ratio measures both
+    * sides on the same undecoded footing). */
+  private def visible(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, TagRe, " "), "[ \\t\\r]+", " "))
+
+  /** The five standard entities, `&amp;` decoded LAST. */
+  private val Entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  private def decodeEntities(c: Column): Column =
+    Entities.foldLeft(c) { case (s, (e, v)) => replace(s, lit(e), lit(v)) }
+
+  /** Extract the main content of `htmlCol` for every document: returns
+    * (doc_id, text, n_kept, n_dropped) — `text` is the newline-joined
+    * kept lines, counts make the cut auditable per document. Documents
+    * whose html is NULL are absent from the output (callers guard —
+    * [[graft.Pipeline]] requires html non-null loudly). `maxLinkDensity`
+    * defaults to 0.5: a line more than half links is chrome. Dyadic
+    * default on purpose — `0.5 · len` is exact in both engines. */
+  def mainContent(docs: DataFrame, htmlCol: String = "html",
+                  maxLinkDensity: Double = 0.5): DataFrame = {
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
+    val cleaned = DocRules.foldLeft(col(htmlCol)) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(cleaned, "\n", -1))
+        .as(Seq("idx", "line")))
+    val vis = visible(col("line"))
+    val aTxt = visible(array_join(
+      expr(s"regexp_extract_all(line, '${AnchorRe.replace("'", "\\'")}', 1)"),
+      " "))
+    val keep = length(vis) > 0 &&
+      length(aTxt).cast("double") <= lit(maxLinkDensity) * length(vis)
+    lines
+      .withColumn("__keep__", keep)
+      .withColumn("__vis__", vis)
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep__"),
+            struct(col("idx"), decodeEntities(col("__vis__")).as("t"))))),
+          x => x("t")), "\n").as("text"),
+        sum(when(col("__keep__"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep__"), 0L).otherwise(1L)).cast(LongType)
+          .as("n_dropped"))
+  }
+
+  /** DuckDB replay of [[mainContent]], generated from the same rule
+    * lists: a SELECT over `rel` (doc_id, html) yielding
+    * (doc_id, text, n_kept, n_dropped). List lambdas stand in for the
+    * explode/groupBy — same per-line expressions, same order. */
+  def oracleExtractSql(rel: String, maxLinkDensity: Double = 0.5): String = {
+    def q(s: String) = s.replace("'", "''").replace("\n", "' || chr(10) || '")
+    val cleaned = DocRules.foldLeft("html") { case (c, (p, r)) =>
+      s"regexp_replace($c, '${q(p)}', '${q(r)}', 'g')"
+    }
+    def visSql(c: String) =
+      "trim(regexp_replace(regexp_replace(" + c +
+        ", '(?s)<[^>]*>', ' ', 'g'), '[ \\t\\r]+', ' ', 'g'))"
+    // coalesce: DuckDB's array_to_string over an EMPTY list is NULL
+    // where Spark's array_join is '' — a no-anchor line must read as
+    // zero link text, not NULL-poison the keep flag
+    val aJoin = s"coalesce(array_to_string(" +
+      s"regexp_extract_all(l, '${q(AnchorRe)}', 1), ' '), '')"
+    val dec = Entities.foldLeft("x.vis") { case (s, (e, v)) =>
+      s"replace($s, '${q(e)}', '${q(v).replace("''", "''")}')"
+    }
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(
+       |    list_filter(parts, x -> x.keep), x -> $dec), chr(10)) AS text,
+       |  CAST(len(list_filter(parts, x -> x.keep)) AS BIGINT) AS n_kept,
+       |  CAST(len(parts) - len(list_filter(parts, x -> x.keep)) AS BIGINT)
+       |    AS n_dropped
+       |FROM (SELECT doc_id, list_transform(string_split($cleaned, chr(10)),
+       |    l -> struct_pack(
+       |      vis := ${visSql("l")},
+       |      keep := length(${visSql("l")}) > 0 AND
+       |        length(${visSql(aJoin)}) <= $maxLinkDensity * length(${visSql("l")})))
+       |  AS parts FROM $rel)""".stripMargin
+  }
+}

@@ -778,6 +778,36 @@ object LlmQueries {
        |FROM t""".stripMargin
   }
 
+  /** Synthetic HTML page per document — chrome the extractor must drop
+    * (head/style/script, a nav bar and a footer that are mostly links,
+    * a comment) around content it must keep (a heading plus the doc's
+    * text, entity-escaped so the extractor's decode restores it
+    * byte-for-byte). Same expression in both engines. */
+  private val HtmlInject: String =
+    "concat('<html><head><title>t</title><style>p{color:red}</style>" +
+      "<script>var a=1;</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> | <a href=\"/a\">About</a> | " +
+      "<a href=\"/b\">Contact</a></nav><h1>Doc ', " +
+      "CAST(doc_id AS STRING), '</h1><p>', " +
+      "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), " +
+      "'>', '&gt;'), " +
+      "'</p><div><a href=\"/c\">Terms</a> <a href=\"/d\">Privacy</a></div>" +
+      "<!-- tracker --></body></html>')"
+
+  /** HTML main-content extraction ([[graft.llm.Extract.mainContent]])
+    * over injected pages: the oracle replays the identical doc-level
+    * regex chain, per-line link-density rule and entity decode
+    * ([[graft.llm.Extract.oracleExtractSql]] — generated from the same
+    * rule lists), so the kept text, per-doc, must hash-match. */
+  def textExtractHtmlQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("html", expr(HtmlInject))
+    graft.llm.Extract.mainContent(d)
+  }
+
+  def oracleTextExtractHtml: String =
+    s"""WITH h AS (SELECT doc_id, $HtmlInject AS html FROM documents)
+       |${graft.llm.Extract.oracleExtractSql("h")}""".stripMargin
+
   /** PERSISTED tokenizer round-trip ([[graft.llm.TokenizerStore]]): save
     * the byte-level merge table to a parquet store, LOAD it back, and
     * encode the corpus with the LOADED model — the result must be
@@ -3463,6 +3493,7 @@ object LlmQueries {
     "tokenize_raw_wordpiece" -> (tokenizeRawWordPieceQ _),
     "bpe_raw" -> (bpeRawQ _),
     "tokenizer_store" -> (tokenizerStoreQ _),
+    "text_extract_html" -> (textExtractHtmlQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -3568,6 +3599,7 @@ object LlmQueries {
     "tokenize_raw_wordpiece" -> oracleTokenizeRawWordPiece,
     "bpe_raw" -> oracleBpeRaw,
     "tokenizer_store" -> oracleTokenizerStore,
+    "text_extract_html" -> oracleTextExtractHtml,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,

@@ -149,6 +149,36 @@ class PipelineSpec extends SparkSpec {
       s"NULL-text docs must survive the boilerplate stage: $stats")
   }
 
+  test("pipeline --extract-html: text comes from raw pages; chrome never reaches the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("html", expr(
+        "concat('<html><head><script>x()</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">More</a></nav><p>', " +
+          "text, '</p></body></html>')"))
+      .drop("text")
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_xh").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 100000L,
+      minQuality = 0.0, extractHtml = true, stats = false).cache()
+    assert(corpus.count() > 0)
+    val texts = corpus.select("text_redacted").as[String].collect()
+    assert(texts.forall(t => !t.contains("Home") && !t.contains("<p>")),
+      "nav chrome and tags must not reach the corpus")
+    corpus.unpersist()
+    // missing / NULL html fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, docs.drop("html"), out + "2", budget = 100L,
+        minQuality = 0.0, extractHtml = true, stats = false)
+    }
+    assert(e.getMessage.contains("html"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, docs.withColumn("html",
+          when(col("doc_id") % 5 === 1, lit(null)).otherwise(col("html"))),
+        out + "3", budget = 100L, minQuality = 0.0, extractHtml = true,
+        stats = false)
+    }
+    assert(e2.getMessage.contains("non-null html"))
+  }
+
   test("pipeline --normalize NFC: decomposed duplicates collapse in exact dedup") {
     import spark.implicits._
     // doc 1 is doc 0 with every é DE-composed — bytes differ, text doesn't
