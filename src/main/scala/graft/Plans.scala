@@ -69,7 +69,8 @@ object Plans {
     // round 17 additions
     "bpe_raw", "pack_ffd", "dedup_domain", "text_boilerplate",
     // round 18 additions
-    "dedup_domain_psl", "tokenizer_store", "text_extract_html")
+    "dedup_domain_psl", "tokenizer_store", "text_extract_html",
+    "warc_parse")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is

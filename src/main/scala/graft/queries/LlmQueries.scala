@@ -808,6 +808,69 @@ object LlmQueries {
     s"""WITH h AS (SELECT doc_id, $HtmlInject AS html FROM documents)
        |${graft.llm.Extract.oracleExtractSql("h")}""".stripMargin
 
+  // --- WARC fixture: a two-record stream per document (a warcinfo
+  // record, then an HTTP 200 text/html response wrapping the doc text)
+  // with Content-Length computed from the SAME expression in both
+  // engines via `olen` (Spark: octet_length(s); DuckDB: octet_length
+  // only accepts BLOB, so octet_length(encode(s)) — numerically
+  // identical); CRLFs spelled chr(13), chr(10) because DuckDB string
+  // literals do not process backslash escapes ---
+  private val WarcPage: String =
+    "concat('<html><body><nav><a href=\"/\">Home</a></nav><p>', text, " +
+      "'</p></body></html>')"
+  private val WarcHttp: String =
+    "concat('HTTP/1.1 200 OK', chr(13), chr(10), " +
+      "'Content-Type: text/html; charset=utf-8', chr(13), chr(10), " +
+      s"chr(13), chr(10), $WarcPage)"
+  private val WarcInfoPayload: String = "'software: graft-crawler 1.0'"
+  private def warcInject(olen: String => String): String =
+    "concat('WARC/1.0', chr(13), chr(10), " +
+      "'WARC-Type: warcinfo', chr(13), chr(10), " +
+      s"'Content-Length: ', CAST(${olen(WarcInfoPayload)} AS STRING), " +
+      "chr(13), chr(10), chr(13), chr(10), " +
+      s"$WarcInfoPayload, chr(13), chr(10), chr(13), chr(10), " +
+      "'WARC/1.0', chr(13), chr(10), " +
+      "'WARC-Type: response', chr(13), chr(10), " +
+      "'WARC-Record-ID: <urn:uuid:', CAST(doc_id AS STRING), '>', " +
+      "chr(13), chr(10), " +
+      "'WARC-Target-URI: https://', source, '.com/p/', " +
+      "CAST(doc_id % 50 AS STRING), chr(13), chr(10), " +
+      s"'Content-Length: ', CAST(${olen(WarcHttp)} AS STRING), " +
+      "chr(13), chr(10), chr(13), chr(10), " +
+      s"$WarcHttp, chr(13), chr(10), chr(13), chr(10))"
+  private def olenSpark(x: String): String = s"octet_length($x)"
+  private def olenDuck(x: String): String = s"octet_length(encode($x))"
+
+  /** WARC record parsing ([[graft.llm.Warc.parseRecords]]): the native
+    * Content-Length walk splits each injected two-record stream, the
+    * RE2-safe header chain extracts the fields — and the oracle
+    * reconstructs every field DIRECTLY from the same inject expressions
+    * (two UNION ALL legs), so a splitter off by one byte or a header
+    * regex bleeding into the HTTP envelope hash-fails. */
+  def warcParseQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("warc", expr(warcInject(olenSpark)).cast("binary"))
+    graft.llm.Warc.parseRecords(d)
+  }
+
+  def oracleWarcParse: String =
+    s"""WITH b AS (SELECT doc_id, source, text FROM documents)
+       |SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+       |  '' AS record_id, '' AS target_uri,
+       |  CAST(${olenDuck(WarcInfoPayload)} AS BIGINT) AS content_length,
+       |  '' AS http_status, '' AS content_type,
+       |  $WarcInfoPayload AS body, true AS len_ok FROM b
+       |UNION ALL
+       |SELECT doc_id, 1 AS rec_idx, 'response' AS warc_type,
+       |  concat('<urn:uuid:', CAST(doc_id AS STRING), '>') AS record_id,
+       |  concat('https://', source, '.com/p/', CAST(doc_id % 50 AS STRING))
+       |    AS target_uri,
+       |  CAST(${olenDuck(WarcHttp)} AS BIGINT) AS content_length,
+       |  '200' AS http_status,
+       |  'text/html; charset=utf-8' AS content_type,
+       |  $WarcPage AS body, true AS len_ok FROM b""".stripMargin
+
   /** PERSISTED tokenizer round-trip ([[graft.llm.TokenizerStore]]): save
     * the byte-level merge table to a parquet store, LOAD it back, and
     * encode the corpus with the LOADED model — the result must be
@@ -3494,6 +3557,7 @@ object LlmQueries {
     "bpe_raw" -> (bpeRawQ _),
     "tokenizer_store" -> (tokenizerStoreQ _),
     "text_extract_html" -> (textExtractHtmlQ _),
+    "warc_parse" -> (warcParseQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -3600,6 +3664,7 @@ object LlmQueries {
     "bpe_raw" -> oracleBpeRaw,
     "tokenizer_store" -> oracleTokenizerStore,
     "text_extract_html" -> oracleTextExtractHtml,
+    "warc_parse" -> oracleWarcParse,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
