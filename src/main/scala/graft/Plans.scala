@@ -70,7 +70,7 @@ object Plans {
     "bpe_raw", "pack_ffd", "dedup_domain", "text_boilerplate",
     // round 18 additions
     "dedup_domain_psl", "tokenizer_store", "text_extract_html",
-    "warc_parse")
+    "warc_parse", "search_rm3_index")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is

@@ -362,8 +362,25 @@ object Search {
     val fbw = scoreBm25(post, pin(queryTerms(queries)), stats, fbDocs, k1, b)
       .withColumn("wd", col("score") / sum("score").over(wq))
       .select("query_id", "doc_id", "wd")
-    // 2. RM1 over the feedback docs' terms (broadcast fbw: queries·fbDocs rows)
-    val rm1 = post.join(broadcast(fbw), "doc_id")
+    // 2-4. relevance model + interpolation over the shared postings
+    val wterms = rm3Wterms(post, fbw, queries, fbTerms, alpha)
+    // 5. weighted re-scoring against the SAME corpus stats
+    scoreBm25(post, wterms, stats, topK, k1, b)
+  }
+
+  /** RM3 steps 2-4, shared by [[rm3TopK]] and the store-served
+    * [[SearchIndex.searchRm3]] (which feeds the feedback docs' term
+    * vectors from its doc-keyed postings twin instead of the transient
+    * frame): RM1 masses over the feedback docs' terms (broadcast `fbw`:
+    * queries·fbDocs rows joined into `fbPost`), top-`fbTerms` by
+    * (wt desc, token asc) renormalized, interpolated with the query's
+    * own term distribution at `alpha`. Returns the PINNED weighted-query
+    * frame (query_id, token, w) — the re-scoring pass reads it twice. */
+  private[llm] def rm3Wterms(fbPost: DataFrame, fbw: DataFrame,
+                             queries: DataFrame, fbTerms: Int,
+                             alpha: Double): DataFrame = {
+    val wq = Window.partitionBy("query_id")
+    val rm1 = fbPost.join(broadcast(fbw), "doc_id")
       .groupBy("query_id", "token")
       .agg(round(sum(col("tf").cast(DoubleType) / col("dl").cast(DoubleType) *
         col("wd")), 6).as("wt"))
@@ -373,20 +390,14 @@ object Search {
       .filter(col("rk") <= fbTerms)
       .withColumn("prm", col("wt") / sum("wt").over(wq))
       .select("query_id", "token", "prm")
-    // 3. original query term distribution P(t|q) = qtf / |q|
     val pq = queries.select(col("query_id"), explode(toks("qtext")).as("token"))
       .groupBy("query_id", "token").agg(count(lit(1)).cast(DoubleType).as("qtf"))
       .withColumn("pq", col("qtf") / sum("qtf").over(wq))
       .select("query_id", "token", "pq")
-    // 4. interpolated weighted query (model-sized full outer join) —
-    // pinned: the re-scoring pass reads it twice, and without the pin its
-    // whole subtree (both upstream BM25 passes included) replays per read
-    val wterms = pin(pq.join(prm, Seq("query_id", "token"), "full_outer")
+    pin(pq.join(prm, Seq("query_id", "token"), "full_outer")
       .select(col("query_id"), col("token"),
         round(lit(alpha) * coalesce(col("pq"), lit(0.0)) +
           (lit(1.0) - lit(alpha)) * coalesce(col("prm"), lit(0.0)), 6).as("w")))
-    // 5. weighted re-scoring against the SAME corpus stats
-    scoreBm25(post, wterms, stats, topK, k1, b)
   }
 
   /** Hybrid retrieval: the sparse (BM25) and dense (embedding-cosine)
@@ -490,9 +501,27 @@ object Search {
 object SearchIndex {
 
   private val NPfx = 64
+  private val NDpfx = 64
 
   private def withPfx(post: DataFrame): DataFrame =
     post.withColumn("pfx", pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType))
+
+  /** The DOC-keyed partition key for the postings twin: token-pfx
+    * partitioning serves term probes ([[search]]) but cannot prune a
+    * doc_id probe — and [[searchRm3]]'s relevance model needs exactly
+    * that (the feedback docs' full term vectors). `docvecs.parquet` is
+    * the same rows laid out by dpfx = crc32(doc_id) mod 64 — the
+    * classic dual row/column layout, storage doubled on purpose so BOTH
+    * access axes prune (the [[graft.sources.Layout]] z-order trade,
+    * stated for postings). */
+  private def withDpfx(post: DataFrame): DataFrame =
+    post.withColumn("dpfx",
+      pmod(crc32(col("doc_id").cast(StringType)), lit(NDpfx)).cast(IntegerType))
+
+  private def hasDocvecs(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/docvecs.parquet")
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
 
   /** (doc_id, dl) from a [[Search.tokenized]] frame — the removal ledger
     * rows ([[remove]]). */
@@ -508,10 +537,15 @@ object SearchIndex {
     graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
     val tk = Search.pin(Search.tokenized(docs))
-    withPfx(Search.postingsOf(tk))
+    val post = Search.pin(Search.postingsOf(tk)) // written twice (two layouts)
+    withPfx(post)
       .repartition(col("pfx")) // one file per prefix, not tasks × prefixes
       .write.mode("overwrite").partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
+    withDpfx(post)
+      .repartition(col("dpfx"))
+      .write.mode("overwrite").partitionBy("dpfx")
+      .parquet(s"$dir/docvecs.parquet")
     Search.corpusStatsOf(tk)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
     doclensOf(tk).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
@@ -541,19 +575,28 @@ object SearchIndex {
              batchId: Option[Long] = None): Unit =
     graft.sources.StoreOps.Lease.withLease(newDocs.sparkSession, dir) {
     val tk = Search.pin(Search.tokenized(newDocs))
-    val post = withPfx(Search.postingsOf(tk)).repartition(col("pfx"))
+    val post0 = Search.pin(Search.postingsOf(tk))
+    val post = withPfx(post0).repartition(col("pfx"))
+    val dv = withDpfx(post0).repartition(col("dpfx"))
     val dl = doclensOf(tk)
     val stats = Search.corpusStatsOf(tk)
+    // legacy stores (pre-docvecs builds) stay legal for [[search]]:
+    // the twin is only appended where build created it
+    val withDv = hasDocvecs(newDocs.sparkSession, dir)
     batchId match {
       case Some(id) =>
         graft.sources.StoreOps.appendKeyed(post, s"$dir/postings.parquet",
           id, Seq("pfx"))
+        if (withDv) graft.sources.StoreOps.appendKeyed(dv,
+          s"$dir/docvecs.parquet", id, Seq("dpfx"))
         graft.sources.StoreOps.appendKeyed(dl, s"$dir/doclens.parquet", id)
         graft.sources.StoreOps.appendKeyed(stats.coalesce(1),
           s"$dir/stats.parquet", id)
       case None =>
         post.write.mode("append").partitionBy("pfx")
           .parquet(s"$dir/postings.parquet")
+        if (withDv) dv.write.mode("append").partitionBy("dpfx")
+          .parquet(s"$dir/docvecs.parquet")
         dl.write.mode("append").parquet(s"$dir/doclens.parquet")
         stats.coalesce(1).write.mode("append").parquet(s"$dir/stats.parquet")
     }
@@ -618,6 +661,11 @@ object SearchIndex {
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .repartition(col("pfx")),
       s"$dir/postings.parquet", Seq("pfx"))
+    if (hasDocvecs(spark, dir)) graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/docvecs.parquet")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("dpfx")),
+      s"$dir/docvecs.parquet", Seq("dpfx"))
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/doclens.parquet")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
@@ -644,6 +692,9 @@ object SearchIndex {
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/postings.parquet").repartition(col("pfx")),
       s"$dir/postings.parquet", Seq("pfx"))
+    if (hasDocvecs(spark, dir)) graft.sources.StoreOps.swapWrite(
+      spark.read.parquet(s"$dir/docvecs.parquet").repartition(col("dpfx")),
+      s"$dir/docvecs.parquet", Seq("dpfx"))
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/doclens.parquet").coalesce(1),
       s"$dir/doclens.parquet")
@@ -691,15 +742,30 @@ object SearchIndex {
              maxDfFrac: Double = 1.0,
              allowed: Option[DataFrame] = None): DataFrame = {
     val qterms = Search.queryTerms(queries).localCheckpoint() // tiny; read 2×
+    val tomb = readTombstones(spark, dir)
+    val (post, stats) = probe(spark, dir, qterms, tomb, allowed)
+    Search.scoreBm25(post, qterms, stats, topK, k1, b, maxDfFrac)
+  }
+
+  private def readTombstones(spark: SparkSession,
+                             dir: String): Option[DataFrame] =
+    if (graft.sources.StoreOps.Tombstones.any(spark, dir))
+      Some(graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id"))
+    else None
+
+  /** The pruned-postings + stats pair for one probe-term frame — shared
+    * by [[search]] and both of [[searchRm3]]'s scoring passes: the
+    * terms' prefix values prune the partitioned scan statically (a
+    * model-sized driver-side `isin`), tombstoned docs drop out of the
+    * pruned slice (their full posting lists are never touched) and out
+    * of N/avgdl via the exact doclens-ledger stats — scores as if they
+    * were never indexed. */
+  private def probe(spark: SparkSession, dir: String, qterms: DataFrame,
+                    tomb: Option[DataFrame], allowed: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
     val pfxs = qterms
       .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // tombstoned docs drop out of the QUERY-PRUNED postings slice (their
-    // full posting lists are never touched), and out of N/avgdl via the
-    // exact doclens-ledger stats — scores as if they were never indexed
-    val tomb = if (graft.sources.StoreOps.Tombstones.any(spark, dir))
-      Some(graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id"))
-    else None
     val post0 = spark.read.parquet(s"$dir/postings.parquet")
       .filter(col("pfx").isin(pfxs: _*))
       .select("token", "doc_id", "tf", "dl")
@@ -710,7 +776,56 @@ object SearchIndex {
     val stats = if (tomb.isEmpty && allowed.isEmpty)
       storedStats(spark, dir)
     else effectiveStats(spark, dir, tomb, allowed)
-    Search.scoreBm25(post, qterms, broadcast(stats), topK, k1, b, maxDfFrac)
+    (post, broadcast(stats))
+  }
+
+  /** RM3 pseudo-relevance feedback SERVED FROM THE STORE — the transient
+    * [[Search.rm3TopK]]'s production twin, and what the doc-keyed
+    * `docvecs.parquet` twin exists for: the feedback ranking and the
+    * weighted re-scoring are two [[probe]]d prefix-pruned passes
+    * (NOTHING rescans or re-tokenizes the corpus), and the relevance
+    * model reads the feedback docs' FULL term vectors from the
+    * dpfx-pruned docvecs slice — ≤ queries·fbDocs of 64 partition
+    * directories, a static `isin` prune like the term axis. Results are
+    * bit-equal to [[Search.rm3TopK]] over the accumulated corpus (the
+    * [[search]] ≡ bm25TopK law extended through the whole expansion
+    * chain — same shared [[Search.rm3Wterms]] arithmetic, same round-6
+    * grids; the gate replays the transient oracle verbatim). Tombstones
+    * subtract exactly: the feedback set, the probed slices and the
+    * stats all exclude removed docs (the RM1 join only ever reads
+    * feedback docs, which are post-tombstone by construction).
+    * Stores built before the docvecs twin fail fast — rebuild to serve
+    * RM3 (the [[DedupIndex]] legacy-store rule). */
+  def searchRm3(spark: SparkSession, dir: String, queries: DataFrame,
+                topK: Int = 5, fbDocs: Int = 5, fbTerms: Int = 10,
+                alpha: Double = 0.5, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(hasDocvecs(spark, dir),
+      s"$dir predates the doc-keyed docvecs twin — rebuild the index to " +
+        "serve store-side RM3 (plain search() still works)")
+    val qterms = Search.queryTerms(queries).localCheckpoint()
+    val tomb = readTombstones(spark, dir)
+    val (post1, stats) = probe(spark, dir, qterms, tomb, None)
+    val wq = Window.partitionBy("query_id")
+    // 1. feedback set from the pruned store probe; pinned — read by the
+    // dpfx-prune collect AND the RM1 join
+    val fbw = Search.scoreBm25(post1, qterms, stats, fbDocs, k1, b)
+      .withColumn("wd", col("score") / sum("score").over(wq))
+      .select("query_id", "doc_id", "wd")
+      .localCheckpoint() // queries·fbDocs rows
+    val dpfxs = fbw
+      .select(pmod(crc32(col("doc_id").cast(StringType)), lit(NDpfx))
+        .cast(IntegerType).as("dpfx"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dvs = spark.read.parquet(s"$dir/docvecs.parquet")
+      .filter(col("dpfx").isin(dpfxs: _*))
+      .select("token", "doc_id", "tf", "dl")
+    // 2-4. the shared relevance-model arithmetic over the stored vectors
+    val wterms = Search.rm3Wterms(dvs, fbw, queries, fbTerms, alpha)
+    // 5. weighted re-scoring through a second pruned probe (the expanded
+    // term set picks its own prefix partitions)
+    val (post2, stats2) = probe(spark, dir, wterms, tomb, None)
+    Search.scoreBm25(post2, wterms, stats2, topK, k1, b)
   }
 
   /** [[Search.hybridRrf]] served entirely FROM the persistent stores —

@@ -138,6 +138,23 @@ object LlmQueries {
     graft.llm.SearchIndex.search(spark, store, qs, topK = 5)
   }
 
+  /** RM3 expansion served FROM the persistent index: build on the lower
+    * half, append the rest, run the full feedback→expansion→re-score
+    * chain against the store's pruned postings + doc-keyed docvecs twin
+    * — bit-equal to the transient [[graft.llm.Search.rm3TopK]] on the
+    * accumulated corpus, so the oracle is [[oracleSearchRm3]]
+    * verbatim. */
+  def searchRm3IndexQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    val half = corpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val store = java.nio.file.Files.createTempDirectory("graft-rm3index")
+      .toString
+    graft.llm.SearchIndex.build(corpus.filter(col("doc_id") <= half), store)
+    graft.llm.SearchIndex.append(store, corpus.filter(col("doc_id") > half))
+    graft.llm.SearchIndex.searchRm3(spark, store, qs, topK = 5,
+      fbDocs = 5, fbTerms = 10, alpha = 0.5)
+  }
+
   /** Retention gate: build the full store, tombstone the `% 17 == 3`
     * docs, answer from the TOMBSTONE-AWARE read path (no vacuum — the
     * anti-join + doclens-ledger stats are what this key pins). remove ≡
@@ -3566,6 +3583,7 @@ object LlmQueries {
     "search_ql" -> (searchQlQ _),
     "search_sdm" -> (searchSdmQ _),
     "search_rm3" -> (searchRm3Q _),
+    "search_rm3_index" -> (searchRm3IndexQ _),
     "search_hybrid" -> (searchHybridQ _),
     "mine_negatives" -> (mineNegativesQ _),
     "search_hybrid_index" -> (searchHybridIndexQ _),
@@ -3673,6 +3691,7 @@ object LlmQueries {
     "search_ql" -> oracleSearchQl,
     "search_sdm" -> oracleSearchSdm,
     "search_rm3" -> oracleSearchRm3,
+    "search_rm3_index" -> oracleSearchRm3,
     "search_hybrid" -> oracleSearchHybrid,
     "mine_negatives" -> oracleMineNegatives,
     "search_hybrid_index" -> oracleSearchHybridIndex,

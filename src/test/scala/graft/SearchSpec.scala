@@ -150,6 +150,58 @@ class SearchSpec extends SparkSpec {
     assert(st.getAs[Long]("sum_dl") == dl)
   }
 
+  test("searchRm3 from the store ≡ transient rm3TopK on the accumulated corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm3store").toString
+    SearchIndex.build(corpus.filter(col("doc_id") <= 3), dir)
+    SearchIndex.append(dir, corpus.filter(col("doc_id") > 3))
+    val qs = queries(1L -> "quick fox", 2L -> "market prices")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .toSet
+    val store = rows(SearchIndex.searchRm3(spark, dir, qs, topK = 3,
+      fbDocs = 2, fbTerms = 4, alpha = 0.5))
+    val transient = rows(Search.rm3TopK(corpus, qs, topK = 3,
+      fbDocs = 2, fbTerms = 4, alpha = 0.5))
+    assert(store == transient, s"store $store\ntransient $transient")
+    // expansion actually happened through the store: doc 4 shares no
+    // term with "quick fox" beyond fox, but feedback vocabulary from
+    // docs 1/2 must be able to surface it — sanity: ≥3 results for q1
+    assert(store.count(_._1 == 1L) == 3)
+  }
+
+  test("searchRm3: remove ≡ build-without through the whole expansion chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm3ret").toString
+    SearchIndex.build(corpus, dir)
+    SearchIndex.remove(dir, Seq(2L).toDF("doc_id"))
+    val qs = queries(1L -> "quick fox")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .toSet
+    val got = rows(SearchIndex.searchRm3(spark, dir, qs, topK = 3,
+      fbDocs = 2, fbTerms = 4, alpha = 0.5))
+    val want = rows(Search.rm3TopK(corpus.filter(col("doc_id") =!= 2), qs,
+      topK = 3, fbDocs = 2, fbTerms = 4, alpha = 0.5))
+    assert(got == want, s"got $got\nwant $want")
+    // vacuum changes nothing observable on the rm3 path either
+    SearchIndex.vacuum(dir)
+    assert(rows(SearchIndex.searchRm3(spark, dir, qs, topK = 3,
+      fbDocs = 2, fbTerms = 4, alpha = 0.5)) == want)
+  }
+
+  test("searchRm3 fails fast on a store that predates the docvecs twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm3old").toString
+    SearchIndex.build(corpus, dir)
+    // simulate a legacy store: drop the twin
+    val p = new org.apache.hadoop.fs.Path(s"$dir/docvecs.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.searchRm3(spark, dir, queries(1L -> "fox"))
+    }
+    assert(e.getMessage.contains("docvecs"))
+    // plain search still serves the legacy layout
+    assert(SearchIndex.search(spark, dir, queries(1L -> "fox")).count() >= 1)
+  }
+
   test("store search prunes to the query terms' prefix partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-searchprune").toString
     SearchIndex.build(corpus, dir)
