@@ -188,6 +188,39 @@ object GateBisect {
       f"| avg_query ${median(roll.map(_._3))}%.2f " +
       f"| last_query ${median(roll.map(_._4))}%.2f |")
 
+    // served-ranker gate phases (search_{rm3,ql,sdm}_index, exact shape:
+    // ONE store lifecycle + each ranker's serve path — the r18 fleet
+    // priced search_rm3_index at ~19 s honest, and this separates the
+    // build/append lifecycle every *_index gate re-pays from the pruned
+    // query a production endpoint actually runs; sdm's store builds the
+    // opt-in bigram family, so its build prices the second table set)
+    val served = (0 until runs).map { _ =>
+      val idx = fresh(); val bIdx = fresh()
+      val (tb, _) = time(graft.llm.SearchIndex.build(
+        corpus.filter(col("doc_id") <= chalf), idx))
+      val (ta, _) = time(graft.llm.SearchIndex.append(
+        idx, corpus.filter(col("doc_id") > chalf)))
+      val (trm, _) = time(graft.llm.SearchIndex.searchRm3(spark, idx, qs,
+        topK = 5, fbDocs = 5, fbTerms = 10, alpha = 0.5)
+        .write.format("noop").mode("overwrite").save())
+      val (tql, _) = time(graft.llm.SearchIndex.searchQl(spark, idx, qs,
+        topK = 5).write.format("noop").mode("overwrite").save())
+      val (tbb, _) = time(graft.llm.SearchIndex.build(
+        corpus.filter(col("doc_id") <= chalf), bIdx, bigrams = true))
+      val (tba, _) = time(graft.llm.SearchIndex.append(
+        bIdx, corpus.filter(col("doc_id") > chalf)))
+      val (tsdm, _) = time(graft.llm.SearchIndex.searchSdm(spark, bIdx, qs,
+        topK = 5).write.format("noop").mode("overwrite").save())
+      (tb, ta, trm, tql, tbb, tba, tsdm)
+    }
+    println(f"| served_rankers | build ${median(served.map(_._1))}%.2f " +
+      f"| append ${median(served.map(_._2))}%.2f " +
+      f"| rm3_query ${median(served.map(_._3))}%.2f " +
+      f"| ql_query ${median(served.map(_._4))}%.2f " +
+      f"| bigram_build ${median(served.map(_._5))}%.2f " +
+      f"| bigram_append ${median(served.map(_._6))}%.2f " +
+      f"| sdm_query ${median(served.map(_._7))}%.2f |")
+
     spark.stop()
   }
 }

@@ -70,7 +70,8 @@ object Plans {
     "bpe_raw", "pack_ffd", "dedup_domain", "text_boilerplate",
     // round 18 additions
     "dedup_domain_psl", "tokenizer_store", "text_extract_html",
-    "warc_parse", "search_rm3_index")
+    "warc_parse", "search_rm3_index", "search_ql_index", "search_sdm_index",
+    "search_bm25f")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by
     * (query, window output columns) — with WHY its single-task window is

@@ -189,6 +189,68 @@ object Search {
       broadcast(corpusStatsOf(tk)), topK, k1, b, maxDfFrac)
   }
 
+  /** BM25F field-weighted ranking (Robertson, Zaragoza & Taylor CIKM
+    * 2004, the "simple BM25F" form — what Lucene/Elasticsearch field
+    * boosts approximate, done right: per-field LENGTH normalization
+    * happens BEFORE the term-frequency saturation, so a hit in a short
+    * title field saturates on title statistics, where a post-hoc score
+    * boost would let one body hit in a long doc drown it):
+    *
+    *   tfn(t,d,f) = w_f · tf(t,d,f) / (1 − b_f + b_f · dl_f(d)/avdl_f)
+    *   wtf(t,d)   = Σ_f tfn(t,d,f)
+    *   score(q,d) = Σ_{t ∈ q} idf(t) · wtf / (k1 + wtf)
+    *
+    * idf is the [[bm25TopK]] probabilistic form over DOCUMENT df — a doc
+    * counts once per term no matter how many of its fields match (the
+    * paper's point: weights live inside the saturation, never outside).
+    * `fields` = (column, weight w_f, length-norm b_f); with a single
+    * (f, 1.0, b) entry the ranking is EXACTLY [[bm25TopK]]'s (scores
+    * scale by 1/(k1+1) — spec-pinned). Scale shape: one pinned tokenize
+    * pass PER FIELD (fields are few and fixed), broadcast query probes,
+    * every aggregate on (query, doc, token)-bounded keys; NULL field =
+    * empty field. Ranks (score desc, doc_id asc), round-6 — the BM25
+    * conventions. */
+  def bm25fTopK(docs: DataFrame, queries: DataFrame,
+                fields: Seq[(String, Double, Double)] =
+                  Seq(("title", 2.0, 0.75), ("text", 1.0, 0.75)),
+                topK: Int = 5, k1: Double = 1.2): DataFrame = {
+    require(fields.nonEmpty, "bm25f needs at least one field")
+    val qterms = pin(queryTerms(queries))
+    val tfns = fields.map { case (f, w, bf) =>
+      val tk = pin(docs.select(col("doc_id"), toks(f).as("__tk__")))
+      val post = postingsOf(tk)
+      val st = corpusStatsOf(tk) // (n_docs, sum_dl) of THIS field
+      post.join(broadcast(qterms), "token")
+        .crossJoin(broadcast(st))
+        .select(col("query_id"), col("doc_id"), col("token"),
+          (lit(w) * col("tf").cast(DoubleType) /
+            (lit(1.0 - bf) + lit(bf) * col("dl").cast(DoubleType) /
+              (col("sum_dl").cast(DoubleType) /
+                col("n_docs").cast(DoubleType)))).as("tfn"))
+    }
+    val wtf = tfns.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id", "token")
+      .agg(sum("tfn").as("wtf"))
+    // document df over the probed union: each field's probe keeps whole
+    // token groups, so a doc containing the term in ANY field appears —
+    // distinct-count is the across-field document frequency, exact
+    val dfT = wtf.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).cast(DoubleType).as("df"))
+    val nd = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val scored = wtf.join(broadcast(dfT), "token").crossJoin(broadcast(nd))
+      .withColumn("__w__", idf * col("wtf") / (lit(k1) + col("wtf")))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_hit"),
+        round(sum("__w__"), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select("query_id", "doc_id", "n_hit", "score", "rk")
+  }
+
   /** (doc_id, token, tf, dl) postings over adjacent-token BIGRAMS from a
     * [[tokenized]] frame, each bigram encoded as the composite token
     * "lt rt" (tokens are [a-z0-9]+ runs, so the space never collides with
@@ -248,15 +310,28 @@ object Search {
     val uni = scoreBm25Agg(pin(postingsOf(tk)), pin(queryTerms(queries)),
       broadcast(corpusStatsOf(tk)), k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("s_uni"))
-    val qbg = pin(queries.select(col("query_id"), toks("qtext").as("__tk__"))
+    val bi = scoreBm25Agg(pin(postings2Of(tk)), pin(queryBigrams(queries)),
+      broadcast(corpusStats2Of(tk)), k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("s_bi"))
+    sdmFuse(uni, bi, topK, lambdaT, lambdaO)
+  }
+
+  /** (query_id, token) distinct adjacent-bigram probe terms — the bigram
+    * twin of [[queryTerms]] (composite "lt rt" spelling). */
+  private[llm] def queryBigrams(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), toks("qtext").as("__tk__"))
       .select(col("query_id"),
         explode(array_distinct(expr(
           """transform(slice(__tk__, 1, greatest(size(__tk__) - 1, 0)),
             |  (x, i) -> concat(x, ' ', __tk__[i + 1]))""".stripMargin)))
-          .as("token")))
-    val bi = scoreBm25Agg(pin(postings2Of(tk)), qbg,
-      broadcast(corpusStats2Of(tk)), k1, b)
-      .select(col("query_id"), col("doc_id"), col("score").as("s_bi"))
+          .as("token"))
+
+  /** The SDM fusion tail shared by [[sdmTopK]] and
+    * [[SearchIndex.searchSdm]]: full-outer join of the two feature
+    * aggregates, λ-weighted round-8 fusion (the round-6-grid lesson in
+    * the class doc), (score desc, doc_id asc) ranks. */
+  private[llm] def sdmFuse(uni: DataFrame, bi: DataFrame, topK: Int,
+                           lambdaT: Double, lambdaO: Double): DataFrame = {
     val fused = uni.join(bi, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("s_uni"), lit(0.0)).as("s_uni"),
@@ -292,12 +367,25 @@ object Search {
     // the query-term frame by THREE (probe, |q|, distinct-token ctf probe)
     // — all pinned (shared-frame rule, see [[pin]])
     val tk = pin(tokenized(docs))
-    val post = pin(postingsOf(tk))
-    val stats = broadcast(corpusStatsOf(tk))
-    val qn = pin(queries
-      .select(col("query_id"), explode(toks("qtext")).as("token"))
+    qlScore(pin(postingsOf(tk)), pin(qlQueryTerms(queries)),
+      broadcast(corpusStatsOf(tk)), topK, mu)
+  }
+
+  /** (query_id, token, qtf) — QL keeps query-side term FREQUENCY (unlike
+    * [[queryTerms]]' distinct set: repeated query terms multiply their
+    * log contribution in the likelihood). */
+  private[llm] def qlQueryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), explode(toks("qtext")).as("token"))
       .groupBy("query_id", "token")
-      .agg(count(lit(1)).cast(DoubleType).as("qtf")))
+      .agg(count(lit(1)).cast(DoubleType).as("qtf"))
+
+  /** The Dirichlet-QL scoring tail shared by [[qlTopK]] and
+    * [[SearchIndex.searchQl]]: `post` must retain WHOLE token groups for
+    * every probed token (true for the batch frame and for the
+    * prefix-pruned store scan), because ctf is derived from it — exact
+    * under that invariant, like df in [[scoreBm25Agg]]. */
+  private[llm] def qlScore(post: DataFrame, qn: DataFrame, stats: DataFrame,
+                           topK: Int, mu: Double): DataFrame = {
     val qlen = qn.groupBy("query_id").agg(sum("qtf").as("qlen"))
     val probed = post.join(broadcast(qn), "token")
     // collection term frequency over DISTINCT probe tokens — probing with
@@ -518,8 +606,14 @@ object SearchIndex {
     post.withColumn("dpfx",
       pmod(crc32(col("doc_id").cast(StringType)), lit(NDpfx)).cast(IntegerType))
 
-  private def hasDocvecs(spark: SparkSession, dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/docvecs.parquet")
+  private def hasDocvecs(spark: SparkSession, dir: String): Boolean =
+    dirExists(spark, s"$dir/docvecs.parquet")
+
+  private def hasBigrams(spark: SparkSession, dir: String): Boolean =
+    dirExists(spark, s"$dir/postings2.parquet")
+
+  private def dirExists(spark: SparkSession, table: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(table)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
@@ -530,10 +624,18 @@ object SearchIndex {
       size(col("__tk__")).cast(LongType).as("dl"))
 
   /** Tokenize `docs` and write postings + corpus stats to `dir`. The
-    * tokenized frame is [[Search.pin]]ned: postings, stats and the doclens
-    * ledger all fold from the ONE tokenize pass instead of re-deriving it
-    * per table written. */
-  def build(docs: DataFrame, dir: String): Unit =
+    * tokenized frame is [[Search.pin]]ned: postings, stats, the doclens
+    * ledger — and, with `bigrams = true`, the whole bigram table family —
+    * all fold from the ONE tokenize pass instead of re-deriving it per
+    * table written.
+    *
+    * `bigrams` is OPT-IN on purpose: the bigram postings stream is
+    * larger than the unigram one and only [[searchSdm]] reads it —
+    * stores that serve BM25/QL/RM3 alone should not pay its write or
+    * its bytes (the docvecs twin, by contrast, is always written: RM3
+    * is the family default expansion and its twin is the same row count
+    * as the postings). */
+  def build(docs: DataFrame, dir: String, bigrams: Boolean = false): Unit =
     graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
     val tk = Search.pin(Search.tokenized(docs))
@@ -549,8 +651,22 @@ object SearchIndex {
     Search.corpusStatsOf(tk)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
     doclensOf(tk).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
+    if (bigrams) {
+      withPfx(Search.postings2Of(tk))
+        .repartition(col("pfx")).write.mode("overwrite").partitionBy("pfx")
+        .parquet(s"$dir/postings2.parquet")
+      Search.corpusStats2Of(tk)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats2.parquet")
+      doclens2Of(tk).write.mode("overwrite").parquet(s"$dir/doclens2.parquet")
+    }
     graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")
   }
+
+  /** (doc_id, dl) over the BIGRAM stream (dl = max(tokens − 1, 0)) —
+    * the removal ledger for the bigram stats, like [[doclensOf]]. */
+  private def doclens2Of(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"),
+      greatest(size(col("__tk__")) - lit(1), lit(0)).cast(LongType).as("dl"))
 
   /** Append a new batch: three PURE WRITES — postings and doclens rows
     * plus one stats PARTIAL row (summed on read; the store is never read,
@@ -583,6 +699,12 @@ object SearchIndex {
     // legacy stores (pre-docvecs builds) stay legal for [[search]]:
     // the twin is only appended where build created it
     val withDv = hasDocvecs(newDocs.sparkSession, dir)
+    // the bigram family appends wherever build created it — the store's
+    // table set is FROZEN at build (the one-config rule)
+    val withBg = hasBigrams(newDocs.sparkSession, dir)
+    lazy val post2 = withPfx(Search.postings2Of(tk)).repartition(col("pfx"))
+    lazy val dl2 = doclens2Of(tk)
+    lazy val stats2 = Search.corpusStats2Of(tk)
     batchId match {
       case Some(id) =>
         graft.sources.StoreOps.appendKeyed(post, s"$dir/postings.parquet",
@@ -592,6 +714,13 @@ object SearchIndex {
         graft.sources.StoreOps.appendKeyed(dl, s"$dir/doclens.parquet", id)
         graft.sources.StoreOps.appendKeyed(stats.coalesce(1),
           s"$dir/stats.parquet", id)
+        if (withBg) {
+          graft.sources.StoreOps.appendKeyed(post2,
+            s"$dir/postings2.parquet", id, Seq("pfx"))
+          graft.sources.StoreOps.appendKeyed(dl2, s"$dir/doclens2.parquet", id)
+          graft.sources.StoreOps.appendKeyed(stats2.coalesce(1),
+            s"$dir/stats2.parquet", id)
+        }
       case None =>
         post.write.mode("append").partitionBy("pfx")
           .parquet(s"$dir/postings.parquet")
@@ -599,6 +728,13 @@ object SearchIndex {
           .parquet(s"$dir/docvecs.parquet")
         dl.write.mode("append").parquet(s"$dir/doclens.parquet")
         stats.coalesce(1).write.mode("append").parquet(s"$dir/stats.parquet")
+        if (withBg) {
+          post2.write.mode("append").partitionBy("pfx")
+            .parquet(s"$dir/postings2.parquet")
+          dl2.write.mode("append").parquet(s"$dir/doclens2.parquet")
+          stats2.coalesce(1).write.mode("append")
+            .parquet(s"$dir/stats2.parquet")
+        }
     }
   }
 
@@ -666,6 +802,22 @@ object SearchIndex {
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .repartition(col("dpfx")),
       s"$dir/docvecs.parquet", Seq("dpfx"))
+    if (hasBigrams(spark, dir)) {
+      graft.sources.StoreOps.swapWrite(
+        spark.read.parquet(s"$dir/postings2.parquet")
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .repartition(col("pfx")),
+        s"$dir/postings2.parquet", Seq("pfx"))
+      graft.sources.StoreOps.swapWrite(
+        spark.read.parquet(s"$dir/doclens2.parquet")
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        s"$dir/doclens2.parquet")
+      val s2 = spark.read.parquet(s"$dir/doclens2.parquet")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+        .localCheckpoint()
+      s2.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats2.parquet")
+    }
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/doclens.parquet")
         .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
@@ -695,6 +847,19 @@ object SearchIndex {
     if (hasDocvecs(spark, dir)) graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/docvecs.parquet").repartition(col("dpfx")),
       s"$dir/docvecs.parquet", Seq("dpfx"))
+    if (hasBigrams(spark, dir)) {
+      graft.sources.StoreOps.swapWrite(
+        spark.read.parquet(s"$dir/postings2.parquet").repartition(col("pfx")),
+        s"$dir/postings2.parquet", Seq("pfx"))
+      graft.sources.StoreOps.swapWrite(
+        spark.read.parquet(s"$dir/doclens2.parquet").coalesce(1),
+        s"$dir/doclens2.parquet")
+      graft.sources.StoreOps.swapWrite(
+        spark.read.parquet(s"$dir/stats2.parquet")
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("sum_dl"), lit(0L)).as("sum_dl")).coalesce(1),
+        s"$dir/stats2.parquet")
+    }
     graft.sources.StoreOps.swapWrite(
       spark.read.parquet(s"$dir/doclens.parquet").coalesce(1),
       s"$dir/doclens.parquet")
@@ -826,6 +991,80 @@ object SearchIndex {
     // term set picks its own prefix partitions)
     val (post2, stats2) = probe(spark, dir, wterms, tomb, None)
     Search.scoreBm25(post2, wterms, stats2, topK, k1, b)
+  }
+
+  /** Dirichlet query likelihood SERVED FROM THE STORE — the
+    * [[Search.qlTopK]] production twin, and the cheapest of the served
+    * rankers: the existing unigram tables already carry everything QL
+    * needs (tf, dl, one-row stats), and ctf is exact over the pruned
+    * scan because pruning keeps whole token groups (the df rule).
+    * Bit-equal to the transient ranker over the accumulated corpus;
+    * tombstones subtract exactly (anti-joined slice + doclens-ledger
+    * stats, ctf over the anti-joined slice — removed docs stop
+    * contributing to collection frequencies the moment remove
+    * returns). */
+  def searchQl(spark: SparkSession, dir: String, queries: DataFrame,
+               topK: Int = 5, mu: Double = 2000.0): DataFrame = {
+    val qn = Search.qlQueryTerms(queries).localCheckpoint() // tiny; read 3×
+    val tomb = readTombstones(spark, dir)
+    val (post, stats) = probe(spark, dir, qn, tomb, None)
+    Search.qlScore(post, qn, stats, topK, mu)
+  }
+
+  /** Sequential-dependence ranking SERVED FROM THE STORE — needs the
+    * OPT-IN bigram table family ([[build]]`(bigrams = true)`): the
+    * unigram feature probes the standard tables, the ordered-bigram
+    * feature probes `postings2.parquet` (composite "lt rt" tokens, same
+    * crc32-mod-64 prefix pruning) with its own merge-on-read stats, and
+    * the shared [[Search.sdmFuse]] tail fuses — bit-equal to
+    * [[Search.sdmTopK]] over the accumulated corpus. Stores built
+    * without the bigram family fail fast (the [[searchRm3]] legacy
+    * rule); everything else keeps serving them. */
+  def searchSdm(spark: SparkSession, dir: String, queries: DataFrame,
+                topK: Int = 5, lambdaT: Double = 0.85,
+                lambdaO: Double = 0.15, k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(hasBigrams(spark, dir),
+      s"$dir has no bigram table family — rebuild with " +
+        "SearchIndex.build(bigrams = true) to serve store-side SDM")
+    val tomb = readTombstones(spark, dir)
+    val qterms = Search.queryTerms(queries).localCheckpoint()
+    val (post, stats) = probe(spark, dir, qterms, tomb, None)
+    val uni = Search.scoreBm25Agg(post, qterms, stats, k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("s_uni"))
+    val qbg = Search.queryBigrams(queries).localCheckpoint()
+    val (post2, stats2) = probe2(spark, dir, qbg, tomb)
+    val bi = Search.scoreBm25Agg(post2, qbg, stats2, k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("s_bi"))
+    Search.sdmFuse(uni, bi, topK, lambdaT, lambdaO)
+  }
+
+  /** [[probe]] over the bigram table family: same static prefix prune,
+    * same exact tombstone subtraction — stats from the summed
+    * `stats2.parquet` partials, or re-derived from the `doclens2`
+    * ledger when tombstones exist. */
+  private def probe2(spark: SparkSession, dir: String, qbg: DataFrame,
+                     tomb: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val pfxs = qbg
+      .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val post0 = spark.read.parquet(s"$dir/postings2.parquet")
+      .filter(col("pfx").isin(pfxs: _*))
+      .select("token", "doc_id", "tf", "dl")
+    val post = tomb.fold(post0)(t =>
+      post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val stats = tomb match {
+      case None =>
+        spark.read.parquet(s"$dir/stats2.parquet")
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+      case Some(t) =>
+        spark.read.parquet(s"$dir/doclens2.parquet")
+          .join(broadcast(t), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+    }
+    (post, broadcast(stats))
   }
 
   /** [[Search.hybridRrf]] served entirely FROM the persistent stores —

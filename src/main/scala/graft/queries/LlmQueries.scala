@@ -102,6 +102,19 @@ object LlmQueries {
     graft.llm.Search.bm25TopK(corpus, qs, topK = 5)
   }
 
+  /** BM25F over a two-field corpus: title = the doc's first four tokens
+    * (the gate's deterministic stand-in for [[graft.llm.Extract.title]]
+    * output) at weight 2, body = the full text at weight 1 — the oracle
+    * replays both field chains (per-field tf/dl/avdl, the pre-saturation
+    * weighting) and the shared saturation verbatim. */
+  def searchBm25fQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus0, qs) = bm25Split(spark, dir)
+    val corpus = corpus0.withColumn("title", array_join(slice(expr(
+      "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"), 1, 4), " "))
+    graft.llm.Search.bm25fTopK(corpus, qs,
+      Seq(("title", 2.0, 0.75), ("text", 1.0, 0.75)), topK = 5)
+  }
+
   /** Sequential-dependence proximity ranking over the BM25 split:
     * unigram + ordered-bigram BM25 features at λT = 0.85, λO = 0.15. */
   def searchSdmQ(spark: SparkSession, dir: String): DataFrame = {
@@ -153,6 +166,34 @@ object LlmQueries {
     graft.llm.SearchIndex.append(store, corpus.filter(col("doc_id") > half))
     graft.llm.SearchIndex.searchRm3(spark, store, qs, topK = 5,
       fbDocs = 5, fbTerms = 10, alpha = 0.5)
+  }
+
+  /** Dirichlet QL served FROM the persistent index (the existing unigram
+    * tables carry everything QL needs; ctf exact over the pruned scan) —
+    * bit-equal to the transient ranker, oracle = [[oracleSearchQl]]
+    * verbatim. */
+  def searchQlIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    val half = corpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val store = java.nio.file.Files.createTempDirectory("graft-qlindex")
+      .toString
+    graft.llm.SearchIndex.build(corpus.filter(col("doc_id") <= half), store)
+    graft.llm.SearchIndex.append(store, corpus.filter(col("doc_id") > half))
+    graft.llm.SearchIndex.searchQl(spark, store, qs, topK = 5, mu = 2000.0)
+  }
+
+  /** SDM served FROM the persistent index: built with the opt-in bigram
+    * table family, appended in a second batch, fused from two pruned
+    * store probes — oracle = [[oracleSearchSdm]] verbatim. */
+  def searchSdmIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, qs) = bm25Split(spark, dir)
+    val half = corpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val store = java.nio.file.Files.createTempDirectory("graft-sdmindex")
+      .toString
+    graft.llm.SearchIndex.build(corpus.filter(col("doc_id") <= half), store,
+      bigrams = true)
+    graft.llm.SearchIndex.append(store, corpus.filter(col("doc_id") > half))
+    graft.llm.SearchIndex.searchSdm(spark, store, qs, topK = 5)
   }
 
   /** Retention gate: build the full store, tombstone the `% 17 == 3`
@@ -2194,6 +2235,49 @@ object LlmQueries {
       |  FROM bmag)
       |WHERE rk <= 5""".stripMargin
 
+  /** BM25F replica: the two field chains (title = list_slice(tk, 1, 4)
+    * at w=2, body = tk at w=1) each with their OWN dl/avdl, weighted
+    * pre-saturation tfn summed per (query, doc, token), document df over
+    * the union, then the shared `idf · wtf/(k1 + wtf)` saturation —
+    * field arithmetic replayed term-for-term against
+    * [[graft.llm.Search.bm25fTopK]]. */
+  def oracleSearchBm25f: String =
+    """WITH bmq AS (SELECT doc_id AS query_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 5) AS qt
+      |  FROM documents WHERE doc_id % 101 = 5),
+      |bmqt AS (SELECT DISTINCT query_id, unnest(qt) AS token FROM bmq),
+      |bmc AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents WHERE doc_id % 101 <> 5),
+      |fld AS (SELECT doc_id, list_slice(tk, 1, 4) AS ftk, 2.0 AS w FROM bmc
+      |  UNION ALL SELECT doc_id, tk AS ftk, 1.0 AS w FROM bmc),
+      |fdl AS (SELECT doc_id, w, CAST(len(ftk) AS BIGINT) AS dl FROM fld),
+      |fst AS (SELECT w, CAST(count(*) AS DOUBLE) AS n_docs,
+      |    CAST(coalesce(sum(dl), 0) AS DOUBLE) AS sum_dl FROM fdl GROUP BY 1),
+      |focc AS (SELECT doc_id, w, unnest(ftk) AS token FROM fld),
+      |ftf AS (SELECT doc_id, w, token, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM focc GROUP BY 1, 2, 3),
+      |tfn AS (SELECT t.doc_id, t.token,
+      |    t.w * t.tf / (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE) /
+      |      (s.sum_dl / s.n_docs)) AS tfn
+      |  FROM ftf t JOIN fdl l ON t.doc_id = l.doc_id AND t.w = l.w
+      |  JOIN fst s ON t.w = s.w),
+      |wtf AS (SELECT q.query_id, x.doc_id, x.token, sum(x.tfn) AS wtf
+      |  FROM tfn x JOIN bmqt q USING (token) GROUP BY 1, 2, 3),
+      |fdf AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |  FROM tfn GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM bmc),
+      |sc AS (SELECT query_id, w.doc_id,
+      |    ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |      w.wtf / (1.2 + w.wtf) AS ws
+      |  FROM wtf w JOIN fdf d USING (token) CROSS JOIN nd n),
+      |ag AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+      |    round(sum(ws), 6) AS score FROM sc GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_hit, score, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM ag)
+      |WHERE rk <= 5""".stripMargin
+
   /** SDM replica: the [[oracleSearchBm25]] unigram chain plus a parallel
     * bigram chain (adjacent tokens joined by one space via the 1-based
     * `range`/`list_transform` idiom), fused full-outer at 0.85/0.15 and
@@ -3581,9 +3665,12 @@ object LlmQueries {
     "vocab_build" -> (vocabBuildQ _),
     "search_bm25" -> (searchBm25Q _),
     "search_ql" -> (searchQlQ _),
+    "search_bm25f" -> (searchBm25fQ _),
     "search_sdm" -> (searchSdmQ _),
     "search_rm3" -> (searchRm3Q _),
     "search_rm3_index" -> (searchRm3IndexQ _),
+    "search_ql_index" -> (searchQlIndexQ _),
+    "search_sdm_index" -> (searchSdmIndexQ _),
     "search_hybrid" -> (searchHybridQ _),
     "mine_negatives" -> (mineNegativesQ _),
     "search_hybrid_index" -> (searchHybridIndexQ _),
@@ -3689,9 +3776,12 @@ object LlmQueries {
     "vocab_build" -> oracleVocabBuild,
     "search_bm25" -> oracleSearchBm25,
     "search_ql" -> oracleSearchQl,
+    "search_bm25f" -> oracleSearchBm25f,
     "search_sdm" -> oracleSearchSdm,
     "search_rm3" -> oracleSearchRm3,
     "search_rm3_index" -> oracleSearchRm3,
+    "search_ql_index" -> oracleSearchQl,
+    "search_sdm_index" -> oracleSearchSdm,
     "search_hybrid" -> oracleSearchHybrid,
     "mine_negatives" -> oracleMineNegatives,
     "search_hybrid_index" -> oracleSearchHybridIndex,

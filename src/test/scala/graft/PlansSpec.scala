@@ -44,7 +44,10 @@ class PlansSpec extends AnyFunSuite {
     }
     for ((q, bound) <- Seq("search_bm25" -> 3, "search_ql" -> 3,
         "search_sdm" -> 3, "search_rm3" -> 3, "search_hybrid" -> 4,
-        "search_index" -> 4))
+        // the served family: pruned store probes, never a corpus rescan
+        // (rm3's docvecs twin and sdm's bigram family each add a table)
+        "search_index" -> 4, "search_rm3_index" -> 5,
+        "search_ql_index" -> 4, "search_sdm_index" -> 7))
       assert(scans(q) <= bound,
         s"$q executed plan re-scans parquet ${scans(q)}× (> $bound) — " +
           "a shared frame lost its Search.pin; regenerate PLANS.md and " +

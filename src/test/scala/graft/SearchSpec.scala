@@ -36,6 +36,43 @@ class SearchSpec extends SparkSpec {
     assert(scores.sliding(2).forall(p => p(0) > p(1)))
   }
 
+  test("bm25f: single-field ≡ bm25 ranks (scores scale by 1/(k1+1)); title weight lifts the title hit") {
+    val k1 = 1.2
+    val qs = queries(10L -> "quick brown fox", 11L -> "stock market")
+    // single text field at weight 1: EXACTLY bm25's ranking —
+    // wtf/(k1+wtf) = tf/(k1·B+tf) = bm25-contrib/(k1+1), per term
+    val single = Search.bm25fTopK(corpus, qs,
+      fields = Seq(("text", 1.0, 0.75)), topK = 5, k1 = k1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val plain = Search.bm25TopK(corpus, qs, topK = 5, k1 = k1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(single.map(t => (t._1, t._2, t._3, t._5)).toSet ==
+      plain.map(t => (t._1, t._2, t._3, t._5)).toSet)
+    val bm = plain.map(t => (t._1, t._2) -> t._4).toMap
+    assert(single.forall { t =>
+      math.abs(t._4 * (k1 + 1.0) - bm((t._1, t._2))) < 2e-5 })
+    // two fields: docs 3 and 5 both mention 'tulips' once in the BODY,
+    // but doc 5 also carries it in the TITLE — the weighted field must
+    // put doc 5 first; with the title weight at 0 the title stops
+    // mattering and the shorter-body doc wins on length normalization
+    val fielded = docs(
+      3L -> "short tulips note",
+      5L -> "gardening and tulips all about them today friends")
+      .withColumn("title",
+        when(col("doc_id") === 5L, lit("tulips guide")).otherwise(lit("news")))
+    val q = queries(1L -> "tulips")
+    val withT = Search.bm25fTopK(fielded, q,
+      Seq(("title", 2.0, 0.75), ("text", 1.0, 0.75)), topK = 2)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(withT == Seq(5L, 3L), s"title weight must lift doc 5: $withT")
+    val noT = Search.bm25fTopK(fielded, q,
+      Seq(("title", 0.0, 0.75), ("text", 1.0, 0.75)), topK = 2)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(noT == Seq(3L, 5L), s"zero title weight must fall back: $noT")
+  }
+
   test("repeated query terms score once (distinct-term query set)") {
     val once = Search.bm25TopK(corpus, queries(1L -> "fox"), topK = 5).collect()
     val thrice = Search.bm25TopK(corpus, queries(1L -> "fox fox fox"), topK = 5)
@@ -186,6 +223,42 @@ class SearchSpec extends SparkSpec {
     SearchIndex.vacuum(dir)
     assert(rows(SearchIndex.searchRm3(spark, dir, qs, topK = 3,
       fbDocs = 2, fbTerms = 4, alpha = 0.5)) == want)
+  }
+
+  test("searchQl / searchSdm from the store ≡ transient rankers; retention exact; sdm needs bigrams") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlsdm").toString
+    SearchIndex.build(corpus.filter(col("doc_id") <= 3), dir, bigrams = true)
+    SearchIndex.append(dir, corpus.filter(col("doc_id") > 3))
+    val qs = queries(1L -> "quick brown fox", 2L -> "stock market")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(rows(SearchIndex.searchQl(spark, dir, qs, topK = 3)) ==
+      rows(Search.qlTopK(corpus, qs, topK = 3)))
+    def sdmRows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    assert(sdmRows(SearchIndex.searchSdm(spark, dir, qs, topK = 3)) ==
+      sdmRows(Search.sdmTopK(corpus, qs, topK = 3)))
+    // retention flows through both rankers (ctf/bigram stats included)
+    SearchIndex.remove(dir, Seq(2L).toDF("doc_id"))
+    val rest = corpus.filter(col("doc_id") =!= 2)
+    assert(rows(SearchIndex.searchQl(spark, dir, qs, topK = 3)) ==
+      rows(Search.qlTopK(rest, qs, topK = 3)))
+    assert(sdmRows(SearchIndex.searchSdm(spark, dir, qs, topK = 3)) ==
+      sdmRows(Search.sdmTopK(rest, qs, topK = 3)))
+    // vacuum maintains the bigram family and changes nothing observable
+    SearchIndex.vacuum(dir)
+    assert(sdmRows(SearchIndex.searchSdm(spark, dir, qs, topK = 3)) ==
+      sdmRows(Search.sdmTopK(rest, qs, topK = 3)))
+    // a store built WITHOUT bigrams refuses SDM loudly, serves QL fine
+    val plain = java.nio.file.Files.createTempDirectory("graft-qlonly").toString
+    SearchIndex.build(corpus, plain)
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.searchSdm(spark, plain, qs)
+    }
+    assert(e.getMessage.contains("bigram"))
+    assert(SearchIndex.searchQl(spark, plain, qs, topK = 3).count() > 0)
   }
 
   test("searchRm3 fails fast on a store that predates the docvecs twin") {
