@@ -34,6 +34,10 @@ import graft.llm.{AnnIndex, CentroidStore, Curation, Dedup, DedupIndex,
   *                                against the stored centroid model, using
   *                                `<docsDir>/embeddings.parquet`)
   *          [--serve-dir <dir>]  (retrieval serving — see below)
+  *          [--warc]             (input rows are raw WARC streams — stage
+  *                                -4 parses records, keeps intact HTTP-200
+  *                                text/html responses, synthesizes doc ids
+  *                                and urls, and forces --extract-html)
   *          [--normalize NFC|NFKC] (Unicode normalization as stage -1 —
   *                               run before any byte-keyed stage)
   *          [--no-stats]         (skip per-stage stats AND their
@@ -89,7 +93,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--extract-html] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--warc] [--extract-html] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -101,6 +105,7 @@ object Pipeline {
       val Array(a, b) = s.split(","); (a.toLong, b.toInt)
     }
     val stateDir = flagValue("--state-dir")
+    val warcMode = args.contains("--warc")
     val extractHtml = args.contains("--extract-html")
     val domainCap = flagValue("--domain-cap").map(_.toInt)
     // registrable-domain table for --domain-cap: 'builtin' = the curated
@@ -140,7 +145,7 @@ object Pipeline {
       benchmark = benchmarkPath.map(p => Curation.loadBenchmark(spark, p)),
       chunks = chunkSpec, gopher = gopherSpec, stateDir = stateDir,
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
-      extractHtml = extractHtml,
+      warc = warcMode, extractHtml = extractHtml,
       domainCap = domainCap, psl = psl, boilerplate = boilerplate,
       normalize = normalize,
       embeddings = if (withEmb)
@@ -164,6 +169,7 @@ object Pipeline {
           semTau: Double = 0.95, stats: Boolean = true,
           tokenizer: String = "ws",
           normalize: Option[String] = None,
+          warc: Boolean = false,
           extractHtml: Boolean = false,
           domainCap: Option[Int] = None,
           psl: Option[graft.llm.PublicSuffixes] = None,
@@ -177,7 +183,7 @@ object Pipeline {
     try {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
-        stats, tokenizer, normalize, extractHtml, domainCap, psl,
+        stats, tokenizer, normalize, warc, extractHtml, domainCap, psl,
         boilerplate, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
@@ -188,7 +194,7 @@ object Pipeline {
           stateDir: Option[String], serveDir: Option[String],
           embeddings: Option[DataFrame], minJaccard: Double, minKeep: Double,
           semTau: Double, stats: Boolean, tokenizer: String,
-          normalize: Option[String], extractHtml: Boolean,
+          normalize: Option[String], warc: Boolean, extractHtml: Boolean,
           domainCap: Option[Int],
           psl: Option[graft.llm.PublicSuffixes], boilerplate: Option[Int],
           annParams: AnnIndex.Params,
@@ -219,21 +225,55 @@ object Pipeline {
     }
     stat("input", docs.count()) // parquet metadata count — nothing upstream
 
+    // -4 (optional): WARC record parsing — crawl BYTES in. Each input row
+    // is one fetched WARC stream (a .warc file as a binary column); the
+    // intact HTTP-200 text/html responses become the pipeline's documents.
+    // doc_id = stream_id << 20 | rec_idx — deterministic and order-free
+    // (no zipWithIndex), monotone whenever stream ids are, so the
+    // incremental-mode first-occurrence convention survives the fan-out;
+    // a stream with ≥2^20 records trips raise_error instead of silently
+    // colliding keys. Stream-level `source` rides along by the stream key
+    // (absent → the literal "warc"); url = WARC-Target-URI feeds the
+    // domain cap, html feeds extraction (forced on below — the body IS
+    // raw HTML, nothing downstream can consume it unextracted).
+    val paged =
+      if (!warc) docs
+      else {
+        require(docs.columns.contains("warc"),
+          "--warc requires a 'warc' binary column in the input")
+        val resp = graft.llm.Warc.responses(docs)
+        val withSrc =
+          if (docs.columns.contains("source"))
+            resp.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          else resp.withColumn("source", lit("warc"))
+        withSrc
+          .withColumn("doc_id",
+            when(col("rec_idx") >= lit(1L << 20), raise_error(concat(
+              lit("--warc: rec_idx overflows the 20-bit record key: "),
+              col("rec_idx"))))
+              .otherwise(shiftleft(col("doc_id"), 20) + col("rec_idx")))
+          .drop("rec_idx")
+      }
+
     // -3 (optional): HTML main-content extraction — the crawl pipeline's
     // actual step 0: everything downstream assumes a `text` column, and
     // this is where it comes from when the input is raw pages. Before
     // the domain cap only by convention (the cap reads url, not text);
     // before EVERYTHING content-based by necessity.
     val texted =
-      if (!extractHtml) docs
+      if (!extractHtml && !warc) paged
       else {
-        require(docs.columns.contains("html"),
+        require(paged.columns.contains("html"),
           "--extract-html requires an 'html' column in the input")
-        require(docs.filter(col("html").isNull).isEmpty,
+        require(warc || paged.filter(col("html").isNull).isEmpty,
           "--extract-html requires non-null html (found null rows)")
+        // the ROW variant: spec-pinned ≡ mainContent, measured parity at
+        // sf0.1 (ExtractBench §6) — and it carries zero shuffle, which is
+        // what matters on a real cluster where the explode twin's
+        // groupBy(doc_id) re-join moves the whole corpus over the network
         pin("after_extract_html",
-          docs.drop("text").join(
-            graft.llm.Extract.mainContent(docs)
+          paged.drop("text").join(
+            graft.llm.Extract.mainContentRow(paged)
               .select(col("doc_id"), col("text")), "doc_id"))
       }
 

@@ -103,6 +103,64 @@ object Extract {
           .as("n_dropped"))
   }
 
+  /** The page `<title>` — the field retrieval weights above body text
+    * ([[Search.bm25fTopK]]'s classic second field) and the display
+    * string of every search result. Read from the RAW html
+    * ([[mainContent]] drops `<head>` wholesale, and the title lives
+    * there), inner tags stripped, whitespace squeezed, entities decoded
+    * (the [[mainContent]] line treatment); missing/empty `<title>` = ''
+    * (both engines' regexp_extract no-match convention). Zero-shuffle
+    * per-row map. */
+  def title(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs.select(col("doc_id"),
+      decodeEntities(trim(regexp_replace(regexp_replace(
+        regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1),
+        TagRe, " "), "\\s+", " "))).as("title"))
+      // \s+ (not the line-stage [ \t\r]+): a title is ONE string — a
+      // newline inside the tag is formatting, not structure
+
+  /** [[mainContent]] as a ZERO-SHUFFLE per-row map — the same three
+    * layers with the line stage as array HOFs over `split(html, '\n')`
+    * instead of posexplode → groupBy(doc_id): no corpus shuffle at all,
+    * which is also what makes it STATELESS-STREAMING legal (append mode;
+    * the explode twin's re-join aggregate forces complete mode) — the
+    * crawl chain `warc → responses → mainContentRow` streams end-to-end.
+    * This is literally the oracle's own shape ([[oracleExtractSql]] has
+    * always been list_transform/list_filter per row). Same output,
+    * row-for-row (spec-pinned ≡ [[mainContent]]), except NULL html is
+    * filtered here where the explode twin loses it to the groupBy —
+    * both absent, callers guard loudly either way. The HOF lambdas
+    * evaluate interpreted (the r17 media_resize lesson), so per-row cost
+    * is higher than the codegen'd explode path — but the explode path
+    * pays a full corpus shuffle; §6 prices the trade at sf0.1. */
+  def mainContentRow(docs: DataFrame, htmlCol: String = "html",
+                     maxLinkDensity: Double = 0.5): DataFrame = {
+    require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
+    val cleaned = DocRules.foldLeft(col(htmlCol)) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val parts = transform(split(cleaned, "\n", -1), { l =>
+      val vis = visible(l)
+      val aTxt = visible(array_join(
+        regexp_extract_all(l, lit(AnchorRe), lit(1)), " "))
+      struct(vis.as("vis"),
+        (length(vis) > 0 &&
+          length(aTxt).cast("double") <= lit(maxLinkDensity) * length(vis))
+          .as("keep"))
+    })
+    docs.filter(col(htmlCol).isNotNull)
+      .select(col("doc_id"), parts.as("__p__"))
+      .select(col("doc_id"),
+        filter(col("__p__"), x => x("keep")).as("__k__"),
+        size(col("__p__")).cast(LongType).as("__n__"))
+      .select(col("doc_id"),
+        array_join(transform(col("__k__"),
+          x => decodeEntities(x("vis"))), "\n").as("text"),
+        size(col("__k__")).cast(LongType).as("n_kept"),
+        (col("__n__") - size(col("__k__"))).cast(LongType).as("n_dropped"))
+  }
+
   /** DuckDB replay of [[mainContent]], generated from the same rule
     * lists: a SELECT over `rel` (doc_id, html) yielding
     * (doc_id, text, n_kept, n_dropped). List lambdas stand in for the

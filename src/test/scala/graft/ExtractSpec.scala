@@ -66,4 +66,53 @@ class ExtractSpec extends SparkSpec {
     val (t, kept, _) = extract("<p>one</p>\n\n<p>two\nthree</p>")
     assert(t == "one\ntwo\nthree" && kept == 3L)
   }
+
+  test("title: read from raw head, tags stripped, entities decoded, missing = ''") {
+    val pages = Seq(
+      (0L, "<html><head><title>A &amp; B <b>Guide</b>\n  2024</title>" +
+        "<style>t{}</style></head><body><p>x</p></body></html>"),
+      (1L, "<html><head></head><body>no title</body></html>"),
+      (2L, "<HTML><HEAD><TITLE lang='en'>Upper Case</TITLE></HEAD></HTML>"))
+      .toDF("doc_id", "html")
+    val t = Extract.title(pages).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t(0L) == "A & B Guide 2024") // tags out, ws squeezed, &amp; last
+    assert(t(1L) == "")                 // no tag → the no-match convention
+    assert(t(2L) == "Upper Case")       // (?is): case + attr tolerated
+  }
+
+  test("mainContentRow ≡ mainContent row-for-row on adversarial pages and real text") {
+    // every fixture class the other tests exercise, plus real corpus text
+    // wrapped in gate-style chrome — the zero-shuffle HOF twin must agree
+    // on text AND counts everywhere
+    val fixtures = Seq(
+      "<html><head><script>if(a<b){x()}</script></head><body>" +
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+        "<p>Real content with words.</p><!-- c --></body></html>",
+      "<p><a href='/'>aaaa</a> bbbb</p>",
+      "<p><a href='/'>aaaaaa</a> bbb</p>",
+      "<p>a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y</p>",
+      "<p>good text<div>more > text",
+      "<p>one</p>\n\n<p>two\nthree</p>",
+      "")
+    val fixed = fixtures.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "html")
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id") + 1000L as "doc_id", concat(
+        lit("<html><body><nav><a href='/'>Home</a></nav><p>"),
+        col("text"), lit("</p></body></html>")).as("html"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    for (docs <- Seq(fixed, real); d <- Seq(0.5, 1.0)) {
+      assert(rows(Extract.mainContentRow(docs, maxLinkDensity = d)) ==
+        rows(Extract.mainContent(docs, maxLinkDensity = d)))
+    }
+    // NULL html: absent from BOTH (filtered here, lost to the groupBy there)
+    val withNull = Seq((0L, null.asInstanceOf[String]), (1L, "<p>ok</p>"))
+      .toDF("doc_id", "html")
+    assert(Extract.mainContentRow(withNull).count() == 1L &&
+      Extract.mainContent(withNull).count() == 1L)
+  }
 }

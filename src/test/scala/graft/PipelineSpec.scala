@@ -179,6 +179,64 @@ class PipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("non-null html"))
   }
 
+  test("pipeline --warc: crawl bytes in, curated corpus out; non-200 bodies never enter") {
+    import spark.implicits._
+    val CRLF = "\r\n"
+    def rec(tpe: String, payload: String, extra: Seq[(String, String)] = Nil) = {
+      val hdrs = Seq("WARC-Type" -> tpe) ++ extra ++
+        Seq("Content-Length" -> payload.getBytes("UTF-8").length.toString)
+      "WARC/1.0" + CRLF +
+        hdrs.map { case (k, v) => s"$k: $v" }.mkString(CRLF) + CRLF + CRLF +
+        payload
+    }
+    // one stream per doc: warcinfo + the doc's page as an HTTP 200
+    // text/html response + a 404 whose body must never surface
+    val streams = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect().toSeq.map { case (id, src, text) =>
+        val page = s"""<html><body><nav><a href="/">Home</a></nav><p>""" +
+          text + "</p></body></html>"
+        val s = Seq(
+          rec("warcinfo", "software: graft-crawler 1.0"),
+          rec("response",
+            "HTTP/1.1 200 OK" + CRLF +
+              "Content-Type: text/html; charset=utf-8" + CRLF + CRLF + page,
+            Seq("WARC-Target-URI" -> s"https://$src.com/p/$id")),
+          rec("response",
+            "HTTP/1.1 404 Not Found" + CRLF +
+              "Content-Type: text/html" + CRLF + CRLF + "GONEFOREVER",
+            Seq("WARC-Target-URI" -> s"https://$src.com/gone")))
+          .mkString("", CRLF + CRLF, CRLF + CRLF).getBytes("UTF-8")
+        (id, src, s)
+      }
+    val docs = streams.toDF("doc_id", "source", "warc")
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_warc")
+      .toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 100000L,
+      minQuality = 0.0, warc = true, stats = false).cache()
+    assert(corpus.count() > 0)
+    // only the 200 text/html record (rec_idx 1) becomes a document:
+    // doc_id = stream_id << 20 | 1, stream source rides along
+    val ids = corpus.select("doc_id").as[Long].collect()
+    assert(ids.forall(id => (id & ((1L << 20) - 1)) == 1L),
+      "every corpus doc must come from the stream's single 200 response")
+    val texts = corpus.select("text_redacted").as[String].collect()
+    assert(texts.forall(t => !t.contains("GONEFOREVER")),
+      "404 bodies must never enter the corpus")
+    assert(texts.forall(t => !t.contains("Home") && !t.contains("<p>")),
+      "--warc forces extraction: chrome and tags must be gone")
+    assert(corpus.select("source").as[String].collect().toSet
+      .subsetOf(docs.select("source").as[String].collect().toSet))
+    corpus.unpersist()
+    // missing warc column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, docs.drop("warc"), out + "2", budget = 100L,
+        minQuality = 0.0, warc = true, stats = false)
+    }
+    assert(e.getMessage.contains("warc"))
+  }
+
   test("pipeline --normalize NFC: decomposed duplicates collapse in exact dedup") {
     import spark.implicits._
     // doc 1 is doc 0 with every é DE-composed — bytes differ, text doesn't

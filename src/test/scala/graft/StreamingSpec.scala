@@ -1043,4 +1043,70 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("a", "b"), ("b", "d")))
   }
+
+  test("streaming crawl chain: warc → responses → extract is stateless, append-mode, batch-parity across triggers") {
+    import spark.implicits._
+    val CRLF = "\r\n"
+    def rec(tpe: String, payload: String, extra: Seq[(String, String)] = Nil) = {
+      val hdrs = Seq("WARC-Type" -> tpe) ++ extra ++
+        Seq("Content-Length" -> payload.getBytes("UTF-8").length.toString)
+      "WARC/1.0" + CRLF +
+        hdrs.map { case (k, v) => s"$k: $v" }.mkString(CRLF) + CRLF + CRLF +
+        payload
+    }
+    def stream200(id: Long, body: String): (Long, Array[Byte]) = {
+      val page = s"<html><body><nav><a href='/'>Nav</a></nav><p>$body" +
+        "</p></body></html>"
+      (id, (rec("warcinfo", "software: x") + CRLF + CRLF +
+        rec("response", "HTTP/1.1 200 OK" + CRLF +
+          "Content-Type: text/html" + CRLF + CRLF + page,
+          Seq("WARC-Target-URI" -> s"https://s$id.com/p")) + CRLF + CRLF)
+        .getBytes("UTF-8"))
+    }
+    val b1 = Seq(stream200(0L, "first page words here"),
+      stream200(1L, "second page other words"))
+    val b2 = Seq(stream200(2L, "third page arrives later"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+    b1.toDF("doc_id", "warc").coalesce(1)
+      .write.parquet(dir.resolve("b1").toString)
+    b2.toDF("doc_id", "warc").coalesce(1)
+      .write.parquet(dir.resolve("b2").toString)
+    def firstFile(sub: String) = java.nio.file.Files.list(dir.resolve(sub))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(firstFile("b1"), dir.resolve("a_b1.parquet"))
+    java.nio.file.Files.copy(firstFile("b2"), dir.resolve("z_b2.parquet"))
+    dir.resolve("a_b1.parquet").toFile.setLastModified(1000000000000L)
+    dir.resolve("z_b2.parquet").toFile.setLastModified(2000000000000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("warc",
+        org.apache.spark.sql.types.BinaryType)))
+    val sdf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // two triggers: stateless ⇒ no cross-batch state
+      .parquet(dir.toString)
+    // the full crawl chain, APPEND mode — legal precisely because every
+    // stage is a per-row map (mainContentRow, not the groupBy twin)
+    val chain = graft.llm.Extract.mainContentRow(
+      graft.llm.Warc.responses(sdf).select("doc_id", "url", "html"))
+    val q = chain.writeStream.format("memory").queryName("crawl_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT doc_id, text, n_kept, n_dropped FROM crawl_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchDocs = (b1 ++ b2).toDF("doc_id", "warc")
+    val batch = graft.llm.Extract.mainContentRow(
+      graft.llm.Warc.responses(batchDocs).select("doc_id", "url", "html"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed.size == 3 && streamed == batch)
+    assert(streamed.forall { case (_, t, _, _) =>
+      t.contains("page") && !t.contains("Nav") })
+  }
 }
