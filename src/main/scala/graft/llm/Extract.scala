@@ -161,6 +161,82 @@ object Extract {
         (col("__n__") - size(col("__k__"))).cast(LongType).as("n_dropped"))
   }
 
+  /** Anchor element: the whole `<a …>…</a>` span (group 0 — the
+    * two-field zip problem dissolved: extract the ELEMENTS once, then
+    * read href and anchor text out of each element independently, so
+    * the two fields can never misalign). */
+  private val AnchorElemRe = "(?is)<a[^>]*>.*?</a>"
+  /** href attribute inside one anchor element — double- OR single-quoted
+    * (the char-class trick keeps it one RE2-safe group; a URL containing
+    * the OTHER quote character truncates there, the right degradation
+    * for a corpus link miner). Unquoted hrefs read as '' (dropped by
+    * [[LinkGraph]] anyway — they are overwhelmingly relative). */
+  private val HrefRe = "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']"
+  /** Host of an ABSOLUTE link: `https://h/…`, `http://h/…` or the
+    * protocol-relative `//h/…`; port and path/query/fragment cut at the
+    * char class. Relative hrefs (no match) read as ''. */
+  private val LinkHostRe = "(?i)^(?:https?:)?//([^/?#:]+)"
+  private val HostLenient = "(?i)^(?:[a-z]+://)?([^/?#:]+)"
+  private def anchorHostSpark(href: Column): Column =
+    lower(regexp_extract(href, LinkHostRe, 1))
+
+  /** Every out-link of every document: (doc_id, link_idx, href, anchor,
+    * host) — one row per `<a>` element in document order; `anchor` is
+    * the visible anchor TEXT (inner tags stripped, whitespace squeezed,
+    * entities decoded — the [[mainContent]] line treatment, because
+    * anchor text is retrieval-grade text: the classic anchor field of
+    * web search), `host` the lowercased target host for absolute links
+    * ('' for relative — the caller's own host by definition). The edge
+    * list [[LinkGraph.hostEdges]] aggregates and the anchor corpus
+    * BM25F-style field search consume the same extraction.
+    *
+    * Scale shape: regexp_extract_all + posexplode — a pure zero-shuffle
+    * map with fan-out bounded by anchors-per-page; streams in append
+    * mode like the rest of the crawl chain. */
+  def links(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val elems = expr(
+      s"regexp_extract_all($htmlCol, '${AnchorElemRe.replace("'", "\\'")}', 0)")
+    val href = regexp_extract(col("__a__"), HrefRe, 1)
+    val rawAnchor = regexp_extract(col("__a__"), AnchorRe, 1)
+    docs
+      .select(col("doc_id"), posexplode(elems).as(Seq("link_idx", "__a__")))
+      .select(col("doc_id"), col("link_idx").cast(LongType).as("link_idx"),
+        href.as("href"),
+        decodeEntities(visible(rawAnchor)).as("anchor"),
+        anchorHostSpark(href).as("host"))
+  }
+
+  /** DuckDB replay of [[links]] over `rel` (doc_id, html) — same element
+    * extraction, same per-element field regexes, positions from a
+    * range-zip (the repo's list-explode idiom). */
+  def oracleLinksSql(rel: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    def vis(c: String) =
+      "trim(regexp_replace(regexp_replace(" + c +
+        ", '(?s)<[^>]*>', ' ', 'g'), '[ \\t\\r]+', ' ', 'g'))"
+    val dec = Entities.foldLeft(vis(s"regexp_extract(x.a, '${q(AnchorRe)}', 1)")) {
+      case (s, (e, v)) => s"replace($s, '${q(e)}', '${q(v)}')"
+    }
+    val href = s"regexp_extract(x.a, '${q(HrefRe)}', 1)"
+    s"""SELECT doc_id, CAST(x.i AS BIGINT) AS link_idx,
+       |  $href AS href,
+       |  $dec AS anchor,
+       |  lower(regexp_extract($href, '${q(LinkHostRe)}', 1)) AS host
+       |FROM (SELECT doc_id,
+       |    regexp_extract_all(html, '${q(AnchorElemRe)}', 0) AS es
+       |  FROM $rel),
+       |  LATERAL (SELECT unnest(list_transform(range(0, len(es)),
+       |    i -> struct_pack(i := i, a := es[i + 1]))) AS x)""".stripMargin
+  }
+
+  /** The host of a document's own URL — lenient scheme (any `scheme://`
+    * or none), port/path cut; '' when the url itself is NULL/hostless.
+    * [[LinkGraph]]'s source side. */
+  private[llm] def urlHostSpark(url: Column): Column =
+    lower(regexp_extract(url, HostLenient, 1))
+  private[llm] def urlHostSql(url: String): String =
+    s"lower(regexp_extract($url, '${HostLenient.replace("'", "''")}', 1))"
+
   /** DuckDB replay of [[mainContent]], generated from the same rule
     * lists: a SELECT over `rel` (doc_id, html) yielding
     * (doc_id, text, n_kept, n_dropped). List lambdas stand in for the

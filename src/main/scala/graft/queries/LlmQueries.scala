@@ -953,6 +953,70 @@ object LlmQueries {
 
   def oracleTokenizerStore: String = oracleBpeRaw
 
+  // --- Crawl link-graph fixture: every document gets a URL on its
+  // source's host and a page whose out-links exercise every extraction
+  // shape — double- AND single-quoted hrefs (chr(39): neither engine's
+  // string literal needs an embedded quote), protocol-relative with a
+  // port, relative (host=''), an href-less <a name>, inner tags and an
+  // entity in anchor text, plus %4-gated cross-links between src hosts
+  // so the graph mixes linked sources with dangling hub/cdn sinks ---
+  private val LinkUrlInject: String =
+    "concat('https://', source, '.com/p/', CAST(doc_id % 50 AS STRING))"
+  private val LinkHtmlInject: String =
+    "concat('<html><body><nav><a href=\"https://hub', " +
+      "CAST(doc_id % 3 AS STRING), " +
+      "'.example/dir\">Hub &amp; Spoke</a></nav>', " +
+      "CASE WHEN doc_id % 4 = 0 THEN concat('<p><a href=', chr(39), " +
+      "'https://src', CAST((doc_id + 1) % 20 AS STRING), '.com/x', " +
+      "chr(39), '>next <b>src</b></a></p>') ELSE '' END, " +
+      "'<p><a href=\"//cdn', CAST(doc_id % 2 AS STRING), " +
+      "'.example:8080/a.js\">cdn asset</a>" +
+      "<a href=\"/rel/path\">relative</a>" +
+      "<a name=\"x\">no href</a></p></body></html>')"
+  private val CrawlPreamble: String =
+    s"crawl AS (SELECT doc_id, $LinkUrlInject AS url, " +
+      s"$LinkHtmlInject AS html FROM documents),\n"
+  private def crawlFixture(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      expr(LinkUrlInject).as("url"), expr(LinkHtmlInject).as("html"))
+
+  /** Out-link extraction ([[graft.llm.Extract.links]]) over the crawl
+    * fixture: one row per anchor element with href, visible anchor text
+    * and resolved target host — the oracle replays the same element +
+    * field regex chain, so a quote-handling or host-resolution drift on
+    * ANY link shape hash-fails. */
+  def extractLinksQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Extract.links(
+      docs(spark, dir).withColumn("html", expr(LinkHtmlInject)))
+
+  def oracleExtractLinks: String =
+    s"""WITH h AS (SELECT doc_id, $LinkHtmlInject AS html FROM documents)
+       |${graft.llm.Extract.oracleLinksSql("h")}""".stripMargin
+
+  /** Fixed-point PageRank over the host graph
+    * ([[graft.llm.LinkGraph.pageRank]], 4 iterations): rank_fp is an
+    * exact BIGINT in both engines — integer arithmetic makes the rank
+    * vector shuffle-order-independent, so the gate is hash-exact with
+    * no rounding escape hatch. */
+  def linkPagerankQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.LinkGraph.pageRank(
+      graft.llm.LinkGraph.hostEdges(crawlFixture(spark, dir)), 4)
+
+  def oracleLinkPagerank: String =
+    graft.llm.LinkGraph.oraclePageRankSql("crawl", 4, CrawlPreamble)
+
+  /** The per-document host-rank prior ([[graft.llm.LinkGraph.docPrior]]):
+    * the full crawl chain html → links → edges → PageRank → joined back
+    * per doc, absent hosts 0 — what the quality-filter stage consumes. */
+  def linkPriorQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = crawlFixture(spark, dir)
+    graft.llm.LinkGraph.docPrior(c,
+      graft.llm.LinkGraph.pageRank(graft.llm.LinkGraph.hostEdges(c), 4))
+  }
+
+  def oracleLinkPrior: String =
+    graft.llm.LinkGraph.oracleDocPriorSql("crawl", 4, CrawlPreamble)
+
   /** Tokenizer FERTILITY / compression eval — the metric a tokenizer is
     * chosen by (pieces per word, chars per piece) — over the SAME
     * fixtures as the three tokenizer gates, one row per tokenizer. All
@@ -3659,6 +3723,9 @@ object LlmQueries {
     "tokenizer_store" -> (tokenizerStoreQ _),
     "text_extract_html" -> (textExtractHtmlQ _),
     "warc_parse" -> (warcParseQ _),
+    "extract_links" -> (extractLinksQ _),
+    "link_pagerank" -> (linkPagerankQ _),
+    "link_prior" -> (linkPriorQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -3770,6 +3837,9 @@ object LlmQueries {
     "tokenizer_store" -> oracleTokenizerStore,
     "text_extract_html" -> oracleTextExtractHtml,
     "warc_parse" -> oracleWarcParse,
+    "extract_links" -> oracleExtractLinks,
+    "link_pagerank" -> oracleLinkPagerank,
+    "link_prior" -> oracleLinkPrior,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
