@@ -40,6 +40,10 @@ import graft.llm.{AnnIndex, CentroidStore, Curation, Dedup, DedupIndex,
   *                                and urls, and forces --extract-html)
   *          [--normalize NFC|NFKC] (Unicode normalization as stage -1 —
   *                               run before any byte-keyed stage)
+  *          [--link-prior <iters>] (PageRank host-rank prior over the
+  *                                crawl's own link graph as stage -0.75;
+  *                                host_rank_fp/host_rank ride into the
+  *                                corpus — a prior, not a filter)
   *          [--no-stats]         (skip per-stage stats AND their
   *                                full-corpus localCheckpoint pins —
   *                                the at-scale setting)
@@ -70,7 +74,8 @@ import graft.llm.{AnnIndex, CentroidStore, Curation, Dedup, DedupIndex,
   * maintenance costs O(batch) regardless of corpus age.
   *
   * Writes `<outDir>/corpus` (doc_id, text_redacted, lang, quality_score,
-  * source, first_block, last_block, block_offset) and prints one JSON
+  * source, first_block, last_block, block_offset, plus
+  * host_rank_fp/host_rank under --link-prior) and prints one JSON
   * stats line per stage. Stage frames are localCheckpoint-pinned at each
   * stat boundary, so every stage runs its upstream exactly ONCE — the
   * stats are block-counts over the pinned partitions, not re-executions
@@ -93,7 +98,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--warc] [--extract-html] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--warc] [--extract-html] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--link-prior <iters>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -116,6 +121,7 @@ object Pipeline {
       case path      => graft.llm.PublicSuffixes.load(path)
     }
     val boilerplate = flagValue("--boilerplate").map(_.toInt)
+    val linkPrior = flagValue("--link-prior").map(_.toInt)
     // --tokenizer-dir <store> budgets/packs/chunks with a persisted
     // TokenizerStore model (trained once, frozen — the dir:<path>
     // tokenizer option); mutually exclusive with --tokenizer
@@ -147,6 +153,7 @@ object Pipeline {
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
       warc = warcMode, extractHtml = extractHtml,
       domainCap = domainCap, psl = psl, boilerplate = boilerplate,
+      linkPrior = linkPrior,
       normalize = normalize,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
@@ -174,6 +181,7 @@ object Pipeline {
           domainCap: Option[Int] = None,
           psl: Option[graft.llm.PublicSuffixes] = None,
           boilerplate: Option[Int] = None,
+          linkPrior: Option[Int] = None,
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     // pinned frames are freed in the finally below — run() is a library
     // entry point called repeatedly (specs, drivers); without the
@@ -184,7 +192,7 @@ object Pipeline {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
         stats, tokenizer, normalize, warc, extractHtml, domainCap, psl,
-        boilerplate, annParams, pins)
+        boilerplate, linkPrior, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -197,6 +205,7 @@ object Pipeline {
           normalize: Option[String], warc: Boolean, extractHtml: Boolean,
           domainCap: Option[Int],
           psl: Option[graft.llm.PublicSuffixes], boilerplate: Option[Int],
+          linkPrior: Option[Int],
           annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     // n is by-name: with stats off the counts are never computed at all
@@ -304,19 +313,35 @@ object Pipeline {
         TextAnalysis.normalizeUnicode(col("text"), mode))
     }
 
+    // -0.75 (optional): host-rank quality prior — PageRank over the
+    // crawl's own host link graph ([[graft.llm.LinkGraph]]), attached as
+    // host_rank_fp/host_rank columns riding through every later stage
+    // into the written corpus (a PRIOR for downstream consumers, not a
+    // filter: a fresh crawl's tail hosts are unranked, not bad). Runs on
+    // the capped+normalized frame so discarded dup pages don't vote;
+    // the rank join is broadcast by host — zero corpus shuffle.
+    val priored = linkPrior.fold(canon) { iters =>
+      require(canon.columns.contains("url") && canon.columns.contains("html"),
+        "--link-prior requires 'url' and 'html' columns (the crawl frame)")
+      val ranks = graft.llm.LinkGraph.pageRank(
+        graft.llm.LinkGraph.hostEdges(canon), iters)
+      stat("link_prior_hosts", ranks.count())
+      graft.llm.LinkGraph.withDocPrior(canon, ranks)
+    }
+
     // -0.5 (optional): cross-document boilerplate line removal — after
     // normalization (the line hash is byte-keyed) and BEFORE any content
     // scoring or dedup, so banners never count as shared content in the
     // near-dup stages or as quality signal; the doc's text is REWRITTEN
-    val stripped = boilerplate.fold(canon) { minDocs =>
-      require(canon.columns.contains("source"),
+    val stripped = boilerplate.fold(priored) { minDocs =>
+      require(priored.columns.contains("source"),
         "--boilerplate requires a 'source' column (the per-site scope)")
       // LEFT join + coalesce: a NULL-text doc explodes to no lines and
       // gets no clean_text row — it passes through unchanged instead of
       // silently vanishing from the corpus on the inner join
       pin("after_boilerplate",
-        canon.join(
-          Curation.removeBoilerplate(canon, minDocs)
+        priored.join(
+          Curation.removeBoilerplate(priored, minDocs)
             .select(col("doc_id"), col("clean_text")), Seq("doc_id"), "left")
           .withColumn("text", coalesce(col("clean_text"), col("text")))
           .drop("clean_text"))
@@ -392,9 +417,13 @@ object Pipeline {
       blockSize = 2048L, tokenizer = tokenizer)
       .select("doc_id", "first_block", "last_block", "block_offset")
 
+    // host_rank columns (when --link-prior ran) ride into the corpus —
+    // the prior is FOR downstream consumers, so it must be in the output
+    val outCols = Seq("doc_id", "text_redacted", "pred_lang",
+      "quality_score", "span_kept_frac", "source") ++
+      Seq("host_rank_fp", "host_rank").filter(kept.columns.contains)
     val corpus = kept
-      .select("doc_id", "text_redacted", "pred_lang", "quality_score",
-        "span_kept_frac", "source")
+      .select(outCols.map(col): _*)
       .join(packed, "doc_id")
     corpus.write.mode("overwrite").parquet(s"$outDir/corpus")
     stat("corpus", spark.read.parquet(s"$outDir/corpus").count())

@@ -150,6 +150,20 @@ object LinkGraph {
         coalesce(col("rank_fp"), lit(0L)).as("rank_fp"),
         coalesce(col("rank"), lit(0.0)).as("rank"))
 
+  /** [[docPrior]] as a column attachment: the input frame with
+    * `host_rank_fp` / `host_rank` added (absent hosts 0, same
+    * convention) and every original column kept — what a pipeline stage
+    * wants. Broadcast host join: ZERO corpus shuffle, unlike a doc_id
+    * join of two corpus-sized frames. */
+  def withDocPrior(docs: DataFrame, ranks: DataFrame,
+                   urlCol: String = "url"): DataFrame =
+    docs.withColumn("__lg_host__", Extract.urlHostSpark(col(urlCol)))
+      .join(broadcast(ranks.select(col("host").as("__lg_host__"),
+        col("rank_fp"), col("rank"))), Seq("__lg_host__"), "left")
+      .withColumn("host_rank_fp", coalesce(col("rank_fp"), lit(0L)))
+      .withColumn("host_rank", coalesce(col("rank"), lit(0.0)))
+      .drop("__lg_host__", "rank_fp", "rank")
+
   /** The CTE chain shared by [[oraclePageRankSql]] and
     * [[oracleDocPriorSql]]: link extraction → edge aggregation → k
     * unrolled iteration triples (contribution / dangling sum / next

@@ -471,4 +471,37 @@ class PipelineSpec extends SparkSpec {
     assert(violators.nonEmpty)            // the knob actually bites here
     assert(kept.intersect(violators).isEmpty) // and no violator survives
   }
+
+  test("pipeline --link-prior: host_rank columns ride into the corpus; " +
+    "linked hosts outrank unlinked, missing crawl columns fail loudly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", expr(
+        "concat('https://', source, '.com/p/', CAST(doc_id AS STRING))"))
+      // every page links hub.example; pages on even docs also link src0.com
+      .withColumn("html", expr(
+        "concat('<html><body><p>', text, " +
+          "'</p><a href=\"https://hub.example/\">hub</a>', " +
+          "CASE WHEN doc_id % 2 = 0 THEN " +
+          "'<a href=\"https://src0.com/x\">s</a>' ELSE '' END, " +
+          "'</body></html>')"))
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_lp").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 100000L,
+      minQuality = 0.0, linkPrior = Some(3), stats = false).cache()
+    assert(corpus.columns.contains("host_rank_fp") &&
+      corpus.columns.contains("host_rank"))
+    val bySrc = corpus.select(col("source"), col("host_rank_fp"))
+      .as[(String, Long)].collect().toMap
+    // src0.com has in-links (half the crawl), src1.com only out-links:
+    // the prior must order them; and riding through later stages must
+    // keep the column single-valued per host
+    if (bySrc.contains("src0") && bySrc.size > 1)
+      assert(bySrc("src0") > bySrc.values.min,
+        s"src0 should outrank an un-linked host: $bySrc")
+    corpus.unpersist()
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, docs.drop("html"), out + "2", budget = 100L,
+        minQuality = 0.0, linkPrior = Some(3), stats = false)
+    }
+    assert(e.getMessage.contains("--link-prior"))
+  }
 }
