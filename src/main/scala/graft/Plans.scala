@@ -71,7 +71,7 @@ object Plans {
     // round 18 additions
     "dedup_domain_psl", "tokenizer_store", "text_extract_html",
     "warc_parse", "search_rm3_index", "search_ql_index", "search_sdm_index",
-    "extract_links", "link_pagerank", "link_prior",
+    "extract_links", "link_pagerank", "link_prior", "robots_filter",
     "search_bm25f")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by

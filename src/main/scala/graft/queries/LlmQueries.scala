@@ -1017,6 +1017,42 @@ object LlmQueries {
   def oracleLinkPrior: String =
     graft.llm.LinkGraph.oracleDocPriorSql("crawl", 4, CrawlPreamble)
 
+  /** One robots.txt per host, derived from the source name so both
+    * engines synthesize the same fleet of policies: a badbot group (must
+    * be IGNORED for agent *), a comment, a blank separator, a prefix
+    * Disallow with a longer per-host Allow carve-out, and a wildcard+$
+    * rule — every matcher feature under one fixture. */
+  private val RobotsTxtInject: String =
+    "concat('User-agent: badbot', chr(10), " +
+      "'Disallow: /', chr(10), chr(10), " +
+      "'User-agent: *', chr(10), " +
+      "'# crawl policy', chr(10), " +
+      "'Disallow: /p/1', chr(10), " +
+      "'Allow: /p/1', substr(source, 4, 1), chr(10), " +
+      "'Disallow: /*9', chr(36), chr(10))"
+
+  /** Robots compliance verdicts ([[graft.llm.Robots]]) for every doc
+    * URL against its host's synthesized policy: the oracle replays the
+    * whole chain — line walk, group selection, pattern→RE2 escape,
+    * longest-match arithmetic — so a drift in ANY layer hash-fails on
+    * the audit columns, not just the boolean. */
+  def robotsFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val urls = d.select(col("doc_id"), expr(LinkUrlInject).as("url"))
+    val robots = d.select(col("source")).distinct()
+      .select(concat(col("source"), lit(".com")).as("host"),
+        expr(RobotsTxtInject).as("robots_txt"))
+    graft.llm.Robots.allowed(urls, graft.llm.Robots.rules(robots))
+  }
+
+  def oracleRobotsFilter: String =
+    graft.llm.Robots.oracleAllowedSql("crawlurls", "robots", preamble =
+      s"robots AS (SELECT concat(source, '.com') AS host, " +
+        s"$RobotsTxtInject AS robots_txt FROM " +
+        "(SELECT DISTINCT source FROM documents)),\n" +
+        s"crawlurls AS (SELECT doc_id, $LinkUrlInject AS url " +
+        "FROM documents),\n")
+
   /** Tokenizer FERTILITY / compression eval — the metric a tokenizer is
     * chosen by (pieces per word, chars per piece) — over the SAME
     * fixtures as the three tokenizer gates, one row per tokenizer. All
@@ -3726,6 +3762,7 @@ object LlmQueries {
     "extract_links" -> (extractLinksQ _),
     "link_pagerank" -> (linkPagerankQ _),
     "link_prior" -> (linkPriorQ _),
+    "robots_filter" -> (robotsFilterQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -3840,6 +3877,7 @@ object LlmQueries {
     "extract_links" -> oracleExtractLinks,
     "link_pagerank" -> oracleLinkPagerank,
     "link_prior" -> oracleLinkPrior,
+    "robots_filter" -> oracleRobotsFilter,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,
