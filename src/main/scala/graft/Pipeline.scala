@@ -98,7 +98,7 @@ object Pipeline {
     def flagValue(name: String): Option[String] =
       args.indexOf(name) match { case -1 => None; case i => args.lift(i + 1) }
     if (positional.length < 2)
-      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--warc] [--extract-html] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--link-prior <iters>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
+      sys.error("usage: Pipeline <docsDir> <outDir> [--budget <n>] [--min-quality <q>] [--benchmark <jsonl>] [--chunks <size>,<stride>] [--gopher <minWords>,<minStop>] [--warc] [--extract-html] [--robots <parquet>] [--domain-cap <n>] [--psl builtin|<file>] [--boilerplate <minDocs>] [--link-prior <iters>] [--tokenizer ws|bpe|bpe_raw|unigram_raw] [--tokenizer-dir <store>]")
     val Seq(docsDir, outDir) = positional.take(2)
     val budget = flagValue("--budget").map(_.toLong).getOrElse(1000000L)
     val minQuality = flagValue("--min-quality").map(_.toDouble).getOrElse(0.2)
@@ -122,6 +122,7 @@ object Pipeline {
     }
     val boilerplate = flagValue("--boilerplate").map(_.toInt)
     val linkPrior = flagValue("--link-prior").map(_.toInt)
+    val robots = flagValue("--robots")
     // --tokenizer-dir <store> budgets/packs/chunks with a persisted
     // TokenizerStore model (trained once, frozen — the dir:<path>
     // tokenizer option); mutually exclusive with --tokenizer
@@ -153,7 +154,7 @@ object Pipeline {
       serveDir = serveDir, stats = !noStats, tokenizer = tokenizer,
       warc = warcMode, extractHtml = extractHtml,
       domainCap = domainCap, psl = psl, boilerplate = boilerplate,
-      linkPrior = linkPrior,
+      linkPrior = linkPrior, robots = robots,
       normalize = normalize,
       embeddings = if (withEmb)
         Some(spark.read.parquet(s"$docsDir/embeddings.parquet")) else None)
@@ -182,6 +183,7 @@ object Pipeline {
           psl: Option[graft.llm.PublicSuffixes] = None,
           boilerplate: Option[Int] = None,
           linkPrior: Option[Int] = None,
+          robots: Option[String] = None,
           annParams: AnnIndex.Params = AnnIndex.Params()): DataFrame = {
     // pinned frames are freed in the finally below — run() is a library
     // entry point called repeatedly (specs, drivers); without the
@@ -192,7 +194,7 @@ object Pipeline {
       runPinned(spark, docs, outDir, budget, minQuality, benchmark, chunks,
         gopher, stateDir, serveDir, embeddings, minJaccard, minKeep, semTau,
         stats, tokenizer, normalize, warc, extractHtml, domainCap, psl,
-        boilerplate, linkPrior, annParams, pins)
+        boilerplate, linkPrior, robots, annParams, pins)
     } finally pins.foreach { p => p.unpersist(); () }
   }
 
@@ -205,7 +207,7 @@ object Pipeline {
           normalize: Option[String], warc: Boolean, extractHtml: Boolean,
           domainCap: Option[Int],
           psl: Option[graft.llm.PublicSuffixes], boilerplate: Option[Int],
-          linkPrior: Option[Int],
+          linkPrior: Option[Int], robots: Option[String],
           annParams: AnnIndex.Params,
           pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     // n is by-name: with stats off the counts are never computed at all
@@ -286,21 +288,36 @@ object Pipeline {
               .select(col("doc_id"), col("text")), "doc_id"))
       }
 
+    // -2.5 (optional): robots.txt compliance — the POLICY cut, before
+    // any statistical one: a disallowed fetch must not be laundered into
+    // the corpus by surviving the content stages. The robots table
+    // (host, robots_txt) is hosts-sized; the verdict join broadcasts, so
+    // this stage costs one corpus map + the pin.
+    val complied = robots.fold(texted) { robotsPath =>
+      require(texted.columns.contains("url"),
+        "--robots requires a 'url' column in the input")
+      val rules = graft.llm.Robots.rules(spark.read.parquet(robotsPath))
+      pin("after_robots",
+        texted.join(
+          graft.llm.Robots.allowed(texted, rules)
+            .filter(col("allowed")).select("doc_id"), "doc_id"))
+    }
+
     // -2 (optional): per-URL dedup + per-domain cap — the RefinedWeb
     // FIRST filter; runs before anything content-based because it is
     // the cheapest cut (a key aggregate + a salted top-N over doc ids;
     // no text is ever touched) and crawl pipelines run it first
-    val capped = domainCap.fold(texted) { cap =>
-      require(texted.columns.contains("url"),
+    val capped = domainCap.fold(complied) { cap =>
+      require(complied.columns.contains("url"),
         "--domain-cap requires a 'url' column in the input")
       // NULL urls would all collapse onto ONE canonical key (min-keep
       // keeps one of them, the rest vanish without a stage stat) — a
       // crawl row without a URL is malformed input, so fail loudly
       // (one pruned single-column scan)
-      require(texted.filter(col("url").isNull).isEmpty,
+      require(complied.filter(col("url").isNull).isEmpty,
         "--domain-cap requires non-null urls (found null url rows)")
       pin("after_domain_cap",
-        texted.join(Curation.domainDedup(texted, "url", cap, psl = psl)
+        complied.join(Curation.domainDedup(complied, "url", cap, psl = psl)
           .select("doc_id"), "doc_id"))
     }
 

@@ -472,6 +472,33 @@ class PipelineSpec extends SparkSpec {
     assert(kept.intersect(violators).isEmpty) // and no violator survives
   }
 
+  test("pipeline --robots: disallowed URLs never reach the corpus; " +
+    "unlisted hosts pass") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", expr(
+        "concat('https://', source, '.com/p/', CAST(doc_id % 4 AS STRING))"))
+    // src0.com forbids /p/1 and /p/3; other hosts have no robots at all
+    val robotsDir =
+      java.nio.file.Files.createTempDirectory("graft_pipe_rob").toString
+    Seq(("src0.com", "User-agent: *\nDisallow: /p/1\nDisallow: /p/3\n"))
+      .toDF("host", "robots_txt").write.mode("overwrite").parquet(robotsDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_rb").toString
+    val corpus = Pipeline.run(spark, docs, out, budget = 100000L,
+      minQuality = 0.0, robots = Some(robotsDir), stats = false).cache()
+    val src0 = corpus.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect()
+    assert(src0.nonEmpty && src0.forall(_ % 4 % 2 == 0),
+      s"src0 odd paths must be robots-blocked: ${src0.toSeq}")
+    assert(corpus.filter(col("source") =!= "src0").count() > 0,
+      "hosts without robots must pass untouched")
+    corpus.unpersist()
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, docs.drop("url"), out + "2", budget = 100L,
+        minQuality = 0.0, robots = Some(robotsDir), stats = false)
+    }
+    assert(e.getMessage.contains("--robots"))
+  }
+
   test("pipeline --link-prior: host_rank columns ride into the corpus; " +
     "linked hosts outrank unlinked, missing crawl columns fail loudly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1109,4 +1109,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (_, t, _, _) =>
       t.contains("page") && !t.contains("Nav") })
   }
+
+  test("streaming robots verdicts: stream-static broadcast join, " +
+    "append-mode, batch-parity across triggers") {
+    import spark.implicits._
+    // static policy: a.com blocks /private; b.com unlisted
+    val rules = graft.llm.Robots.rules(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+      .toDF("host", "robots_txt"))
+    val b1 = Seq((1L, "https://a.com/private/x"),
+      (2L, "https://a.com/private/ok/y"))
+    val b2 = Seq((3L, "https://a.com/pub"), (4L, "https://b.com/private"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rob_stream")
+    b1.toDF("doc_id", "url").coalesce(1)
+      .write.parquet(dir.resolve("b1").toString)
+    b2.toDF("doc_id", "url").coalesce(1)
+      .write.parquet(dir.resolve("b2").toString)
+    def firstFile(sub: String) = java.nio.file.Files.list(dir.resolve(sub))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(firstFile("b1"), dir.resolve("a_b1.parquet"))
+    java.nio.file.Files.copy(firstFile("b2"), dir.resolve("z_b2.parquet"))
+    dir.resolve("a_b1.parquet").toFile.setLastModified(1000000000000L)
+    dir.resolve("z_b2.parquet").toFile.setLastModified(2000000000000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType)))
+    val sdf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    // the verdict is a stream-static broadcast join + per-row HOFs —
+    // stateless, so the compliance stage streams in append mode
+    val q = graft.llm.Robots.allowed(sdf, rules)
+      .writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT doc_id, allowed, matched_allow, matched_disallow " +
+        "FROM robots_stream").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.llm.Robots.allowed(
+      (b1 ++ b2).toDF("doc_id", "url"), rules).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(streamed == batch && streamed.size == 4)
+    assert(streamed.map(v => v._1 -> v._2).toMap ==
+      Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
 }
