@@ -88,4 +88,25 @@ object Warc {
         col("content_type").startsWith("text/html") && col("len_ok"))
       .select(col("doc_id"), col("rec_idx"),
         col("target_uri").as("url"), col("body").as("html"))
+
+  /** The (host, robots_txt) table [[Robots.rules]] consumes, sourced
+    * from the crawl ITSELF: every intact 200 response whose target path
+    * is exactly `/robots.txt` (crawlers fetch it before anything else,
+    * so it is in the stream). One policy per host: if replicas disagree
+    * (re-fetches during the crawl window), the LEXICOGRAPHICALLY LEAST
+    * body wins — an arbitrary but deterministic tie-break, same in both
+    * engines, and honest about what a point-in-time snapshot can say.
+    * Closes the loop `crawl → robots → verdicts over the same crawl`. */
+  def robotsTxt(docs: DataFrame, rawCol: String = "warc"): DataFrame =
+    parseRecords(docs, rawCol)
+      .filter(col("warc_type") === "response" && col("http_status") === "200" &&
+        col("len_ok") &&
+        regexp_extract(col("target_uri"),
+          "(?i)^(?:[a-z]+://)?[^/]+(/.*)?$", 1) === "/robots.txt")
+      .select(
+        lower(regexp_extract(col("target_uri"),
+          "(?i)^(?:[a-z]+://)?([^/?#:]+)", 1)).as("host"),
+        col("body"))
+      .groupBy("host")
+      .agg(min(col("body")).as("robots_txt"))
 }

@@ -116,4 +116,38 @@ class WarcSpec extends SparkSpec {
       .select("text").as[String].head()
     assert(text == "actual article text here")
   }
+
+  test("robotsTxt(): the policy table comes from the crawl itself; " +
+    "re-fetch replicas tie-break deterministically; chains into Robots") {
+    val policy = "User-agent: *\nDisallow: /private\n"
+    val s1 = stream(
+      record("response", "HTTP/1.1 200 OK" + CRLF +
+        "Content-Type: text/plain" + CRLF + CRLF + policy,
+        Seq("WARC-Target-URI" -> "https://Site.com/robots.txt")),
+      record("response", "HTTP/1.1 200 OK" + CRLF +
+        "Content-Type: text/html" + CRLF + CRLF + "<p>not robots</p>",
+        Seq("WARC-Target-URI" -> "https://site.com/robots.txt.html")))
+    // a later re-fetch of the same host returns a different body: the
+    // lexicographically least must win regardless of arrival order
+    val s2 = stream(
+      record("response", "HTTP/1.1 200 OK" + CRLF +
+        "Content-Type: text/plain" + CRLF + CRLF + "zzz-later-policy",
+        Seq("WARC-Target-URI" -> "https://site.com/robots.txt")),
+      record("response", "HTTP/1.1 404 Not Found" + CRLF + CRLF + "nope",
+        Seq("WARC-Target-URI" -> "https://other.com/robots.txt")))
+    val rt = Warc.robotsTxt(
+      Seq((1L, s1), (2L, s2)).toDF("doc_id", "warc")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // host lowercased, one row, min body; the 404 host and the
+    // robots.txt.html path never enter
+    assert(rt == Map("site.com" -> policy))
+    // and the table drives Robots end-to-end
+    val verdicts = graft.llm.Robots.allowed(
+      Seq((1L, "https://site.com/private/x"),
+        (2L, "https://site.com/pub")).toDF("doc_id", "url"),
+      graft.llm.Robots.rules(
+        Warc.robotsTxt(Seq((1L, s1), (2L, s2)).toDF("doc_id", "warc"))))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts == Map(1L -> false, 2L -> true))
+  }
 }
