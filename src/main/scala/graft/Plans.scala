@@ -72,6 +72,7 @@ object Plans {
     "dedup_domain_psl", "tokenizer_store", "text_extract_html",
     "warc_parse", "search_rm3_index", "search_ql_index", "search_sdm_index",
     "extract_links", "link_pagerank", "link_prior", "robots_filter",
+    "link_harmonic",
     "search_bm25f")
 
   /** Every PARTITION-LESS WindowExec allowed in a headline plan, keyed by

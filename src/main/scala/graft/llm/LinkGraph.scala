@@ -150,6 +150,135 @@ object LinkGraph {
         coalesce(col("rank_fp"), lit(0L)).as("rank_fp"),
         coalesce(col("rank"), lit(0.0)).as("rank"))
 
+  // ------------------------------------------- HyperBall harmonic rank
+
+  /** HyperBall register count m = 64 (p = 6, rel. error 1.04/√64 ≈ 13%
+    * — the precision band the published web-scale runs use; the point
+    * of HyperBall is that exact per-node BFS state is O(V²) while a
+    * counter is 64 registers regardless of graph size). The 60-bit
+    * [[Dedup.md5Hash60]] splits 6/54. */
+  val HbM = 64
+  private val HbMaxRank = 55 // 54-bit remainder all-zero → rank 55
+  private val HbScale = 1L << HbMaxRank
+  private val HbAlpha = 0.709 // the published α₆₄
+  /** α·m²·2^55 as ONE double literal shared with the oracle. */
+  val HbNumerator: Double = HbAlpha * (HbM.toDouble * HbM) * HbScale.toDouble
+
+  /** register frame → (host, est): the [[Sketches]] estimate discipline
+    * at m = 64 — exact scaled-BIGINT register sum, one division, the
+    * linear-counting small-range branch, round-6. */
+  private def hbEstimate(regs: DataFrame, estCol: String): DataFrame =
+    regs.groupBy("host")
+      .agg(count(lit(1)).as("__used__"),
+        expr(s"sum(shiftleft(CAST(1 AS BIGINT), $HbMaxRank - mreg))")
+          .as("__s_used__"))
+      .withColumn("__vz__", lit(HbM.toLong) - col("__used__"))
+      .withColumn("__raw__", lit(HbNumerator) /
+        (col("__s_used__") + col("__vz__") * lit(HbScale)).cast("double"))
+      .select(col("host"), round(
+        when(col("__raw__") <= lit(2.5 * HbM) && col("__vz__") > 0,
+          lit(HbM.toDouble) * log(lit(HbM.toDouble) /
+            col("__vz__").cast("double")))
+          .otherwise(col("__raw__")), 6).as(estCol))
+
+  /** HARMONIC CENTRALITY by HyperBall (Boldi & Vigna 2013 — the
+    * algorithm AND the ranking behind the published Common Crawl host
+    * ranks): each host carries a 64-register HLL counter of its in-ball
+    * (the set of hosts that can REACH it); one iteration merges every
+    * counter along its out-edges (register-wise max — HLL's union),
+    * so after r rounds host v's counter estimates |B_r(v)| and
+    * `harmonic(v) = Σ_r (|B_r| − |B_{r−1}|)/r` — nodes at distance r
+    * weighted 1/r, the centrality that (unlike closeness) handles
+    * disconnected graphs gracefully. Truncated at `iterations` (the
+    * published runs converge in O(diameter) ≈ O(10) on web graphs).
+    *
+    * Exactness discipline: registers are INTEGER maxes (order-free);
+    * each per-round estimate is the [[Sketches]]-style single division
+    * rounded at 6; the harmonic sum is ONE fixed left-associated
+    * expression over the k rounded estimates — so the gate is
+    * hash-exact, like [[pageRank]] but for an approximate algorithm:
+    * the approximation is in the MATH (±13% cardinalities), not in the
+    * execution, which is bit-reproducible.
+    *
+    * Scale shape: state is m rows per host (sparse registers); one
+    * iteration = one edge join + one (host, idx) max-aggregate, both
+    * map-side combinable; same eager-materialization rule as
+    * [[pageRank]] (the counter frame is consumed twice per round).
+    * Returns (host, reach_est, harmonic). */
+  def harmonicCentrality(edges: DataFrame, iterations: Int = 4,
+                         eager: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    def pin(df: DataFrame): DataFrame = if (eager) df.localCheckpoint() else df
+    val e = pin(edges.select(col("src_host"), col("dst_host")).distinct())
+    val nodes = pin(e.select(col("src_host").as("host"))
+      .union(e.select(col("dst_host").as("host"))).distinct())
+    var regs = pin(nodes
+      .withColumn("__h__", Dedup.md5Hash60(concat(lit("hb:"), col("host"))))
+      .select(col("host"), (col("__h__") % HbM).as("idx"),
+        expr(s"__h__ div $HbM").as("__w__"))
+      .withColumn("mreg", expr(
+        s"CASE WHEN __w__ = 0 THEN $HbMaxRank " +
+          "ELSE CAST(bit_count((__w__ & -__w__) - 1) + 1 AS INT) END"))
+      .drop("__w__"))
+    var wide = hbEstimate(regs, "e0")
+    for (r <- 1 to iterations) {
+      val flowed = e
+        .join(regs.withColumnRenamed("host", "src_host"), "src_host")
+        .select(col("dst_host").as("host"), col("idx"), col("mreg"))
+      regs = pin(regs.unionByName(flowed)
+        .groupBy("host", "idx").agg(max(col("mreg")).as("mreg")))
+      wide = wide.join(hbEstimate(regs, s"e$r"), "host")
+    }
+    val harmonic = (1 to iterations)
+      .map(r => s"(e$r - e${r - 1}) / $r.0")
+      .mkString(" + ")
+    wide.select(col("host"), col(s"e$iterations").as("reach_est"),
+      expr(s"round($harmonic, 6)").as("harmonic"))
+  }
+
+  /** DuckDB replay of [[harmonicCentrality]] over `rel`: the k merge
+    * rounds unroll into register/estimate CTE pairs of the identical
+    * arithmetic. Yields (host, reach_est, harmonic). */
+  def oracleHarmonicSql(rel: String, iterations: Int = 4,
+                        preamble: String = ""): String = {
+    val num = HbNumerator.toString
+    def estCte(r: Int): String =
+      s"""s$r AS (SELECT host, round(CASE WHEN raw <= ${2.5 * HbM} AND
+         |      vz > 0 THEN ${HbM}.0 * ln(${HbM}.0 / CAST(vz AS DOUBLE))
+         |      ELSE raw END, 6) AS est
+         |  FROM (SELECT host, $HbM - CAST(count(*) AS BIGINT) AS vz,
+         |      $num / CAST(sum((1::BIGINT) << ($HbMaxRank - mreg)) +
+         |        ($HbM - count(*)) * $HbScale AS DOUBLE) AS raw
+         |    FROM g$r GROUP BY host))""".stripMargin
+    val iters = (1 to iterations).map { r =>
+      s"""g$r AS (SELECT host, idx, max(mreg) AS mreg FROM (
+         |    SELECT host, idx, mreg FROM g${r - 1}
+         |    UNION ALL
+         |    SELECT ed.dst_host AS host, g.idx, g.mreg
+         |    FROM ed JOIN g${r - 1} g ON ed.src_host = g.host)
+         |  GROUP BY 1, 2),
+         |${estCte(r)}""".stripMargin
+    }.mkString(",\n")
+    val harmonic = (1 to iterations)
+      .map(r => s"(s$r.est - s${r - 1}.est) / $r.0")
+      .mkString(" + ")
+    val joins = (0 to iterations)
+      .map(r => s"JOIN s$r ON n.host = s$r.host").mkString(" ")
+    s"""WITH $preamble${oracleEdgeCtes(rel)},
+       |ed AS (SELECT DISTINCT src_host, dst_host FROM e),
+       |g0 AS (SELECT host, CAST(h % $HbM AS BIGINT) AS idx,
+       |    CASE WHEN h // $HbM = 0 THEN $HbMaxRank
+       |      ELSE bit_count(((h // $HbM) & -(h // $HbM)) - 1) + 1 END AS mreg
+       |  FROM (SELECT host,
+       |      ('0x' || substr(md5('hb:' || host), 1, 15))::BIGINT AS h
+       |    FROM nodes)),
+       |${estCte(0)},
+       |$iters
+       |SELECT n.host, s$iterations.est AS reach_est,
+       |  round($harmonic, 6) AS harmonic
+       |FROM nodes n $joins""".stripMargin
+  }
+
   /** [[docPrior]] as a column attachment: the input frame with
     * `host_rank_fp` / `host_rank` added (absent hosts 0, same
     * convention) and every original column kept — what a pipeline stage
@@ -170,8 +299,25 @@ object LinkGraph {
     * rank) of the SAME integer arithmetic (`//` is DuckDB's integer
     * division; operands are non-negative so trunc ≡ floor ≡ Spark's
     * `div`). The final rank relation is `r<iterations>` (host, r). */
-  private def oracleCtes(rel: String, iterations: Int): String = {
+  /** Shared edge-derivation CTEs (`lnk`, `e`, `nodes`, `nn`) — the DuckDB
+    * twin of [[hostEdges]]. */
+  private def oracleEdgeCtes(rel: String): String = {
     val links = Extract.oracleLinksSql(rel)
+    s"""lnk AS ($links),
+       |e AS (SELECT s.src_host, l.host AS dst_host,
+       |    CAST(count(DISTINCT l.doc_id) AS BIGINT) AS w
+       |  FROM (SELECT doc_id, host FROM lnk WHERE host <> '') l
+       |  JOIN (SELECT doc_id, ${Extract.urlHostSql("url")} AS src_host
+       |      FROM $rel) s ON l.doc_id = s.doc_id
+       |  WHERE s.src_host <> '' AND s.src_host <> l.host
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT host FROM (
+       |  SELECT src_host AS host FROM e
+       |  UNION ALL SELECT dst_host FROM e)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""".stripMargin
+  }
+
+  private def oracleCtes(rel: String, iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       val prev = s"r${i - 1}"
       s"""c$i AS (SELECT e.dst_host AS host, sum((r.r // o.out_w) * e.w) AS c
@@ -185,18 +331,7 @@ object LinkGraph {
          |      (SELECT n FROM nn))) // 20 AS r
          |  FROM nodes n LEFT JOIN c$i c ON n.host = c.host)""".stripMargin
     }.mkString(",\n")
-    s"""lnk AS ($links),
-       |e AS (SELECT s.src_host, l.host AS dst_host,
-       |    CAST(count(DISTINCT l.doc_id) AS BIGINT) AS w
-       |  FROM (SELECT doc_id, host FROM lnk WHERE host <> '') l
-       |  JOIN (SELECT doc_id, ${Extract.urlHostSql("url")} AS src_host
-       |      FROM $rel) s ON l.doc_id = s.doc_id
-       |  WHERE s.src_host <> '' AND s.src_host <> l.host
-       |  GROUP BY 1, 2),
-       |nodes AS (SELECT DISTINCT host FROM (
-       |  SELECT src_host AS host FROM e
-       |  UNION ALL SELECT dst_host FROM e)),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    s"""${oracleEdgeCtes(rel)},
        |outw AS (SELECT src_host, sum(w) AS out_w FROM e GROUP BY 1),
        |r0 AS (SELECT host, ${Scale} // (SELECT n FROM nn) AS r FROM nodes),
        |$iters""".stripMargin

@@ -1017,6 +1017,20 @@ object LlmQueries {
   def oracleLinkPrior: String =
     graft.llm.LinkGraph.oracleDocPriorSql("crawl", 4, CrawlPreamble)
 
+  /** HyperBall harmonic centrality over the same host graph
+    * ([[graft.llm.LinkGraph.harmonicCentrality]], 4 rounds, m = 64):
+    * register maxes are integer (order-free) and each round's estimate
+    * is a single round-6 division, so even though the ALGORITHM is
+    * approximate (±13% cardinalities) the EXECUTION is bit-reproducible
+    * and the gate hash-exact — the oracle unrolls the identical
+    * register/estimate rounds. */
+  def linkHarmonicQ(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.LinkGraph.harmonicCentrality(
+      graft.llm.LinkGraph.hostEdges(crawlFixture(spark, dir)), 4)
+
+  def oracleLinkHarmonic: String =
+    graft.llm.LinkGraph.oracleHarmonicSql("crawl", 4, CrawlPreamble)
+
   /** One robots.txt per host, derived from the source name so both
     * engines synthesize the same fleet of policies: a badbot group (must
     * be IGNORED for agent *), a comment, a blank separator, a prefix
@@ -3763,6 +3777,7 @@ object LlmQueries {
     "link_pagerank" -> (linkPagerankQ _),
     "link_prior" -> (linkPriorQ _),
     "robots_filter" -> (robotsFilterQ _),
+    "link_harmonic" -> (linkHarmonicQ _),
     "tokenize_fertility" -> (tokenizeFertilityQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_roundtrip" -> (bpeRoundtripQ _),
@@ -3878,6 +3893,7 @@ object LlmQueries {
     "link_pagerank" -> oracleLinkPagerank,
     "link_prior" -> oracleLinkPrior,
     "robots_filter" -> oracleRobotsFilter,
+    "link_harmonic" -> oracleLinkHarmonic,
     "tokenize_fertility" -> oracleTokenizeFertility,
     "bpe_train" -> graft.llm.Bpe.oracleTrainSql(8),
     "bpe_roundtrip" -> oracleBpeRoundtrip,

@@ -100,6 +100,69 @@ class LinkGraphSpec extends SparkSpec {
     assert(ranksOf(edges, 4, eager = false) == ranksOf(edges, 4))
   }
 
+  /** The spec's own HyperBall: same md5-derived registers, same merge,
+    * same round-6 estimate chain, sequential Scala. */
+  private def refHarmonic(edges: Seq[(String, String)],
+                          iters: Int): Map[String, (Double, Double)] = {
+    def md560(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def est(m: Map[Long, Int]): Double = {
+      val vz = 64 - m.size
+      val sScaled = m.values.map(r => 1L << (55 - r)).sum +
+        vz.toLong * (1L << 55)
+      val raw = LinkGraph.HbNumerator / sScaled.toDouble
+      round6(if (raw <= 160.0 && vz > 0) 64.0 * math.log(64.0 / vz) else raw)
+    }
+    var regs: Map[String, Map[Long, Int]] = nodes.map { v =>
+      val h = md560("hb:" + v)
+      val w = h / 64
+      val rho =
+        if (w == 0) 55 else java.lang.Long.numberOfTrailingZeros(w) + 1
+      v -> Map((h % 64) -> rho)
+    }.toMap
+    val ests = scala.collection.mutable.ArrayBuffer(
+      nodes.map(v => v -> est(regs(v))).toMap)
+    for (_ <- 1 to iters) {
+      regs = nodes.map { v =>
+        val in = edges.filter(_._2 == v).map(e => regs(e._1))
+        v -> (regs(v) +: in).reduce { (a, b) =>
+          (a.keySet ++ b.keySet).map(k =>
+            k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+        }
+      }.toMap
+      ests += nodes.map(v => v -> est(regs(v))).toMap
+    }
+    nodes.map { v =>
+      val h = (1 to iters).foldLeft(0.0) { (acc, r) =>
+        acc + (ests(r)(v) - ests(r - 1)(v)) / r.toDouble
+      }
+      v -> (ests(iters)(v), round6(h))
+    }.toMap
+  }
+
+  test("harmonicCentrality: exact match with the sequential HyperBall " +
+    "reference; path-graph ordering holds; eager ≡ pure") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "c"), ("a", "d"))
+    val df = edges.map { case (s, d) => (s, d, 1L) }
+      .toDF("src_host", "dst_host", "w")
+    val got = LinkGraph.harmonicCentrality(df, 3).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val want = refHarmonic(edges, 3)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // c is reachable from everyone (a,b,d), a from no one
+    assert(got("c")._2 > got("b")._2 && got("b")._2 > got("a")._2)
+    assert(got("a")._2 == 0.0)
+    val pure = LinkGraph.harmonicCentrality(df, 3, eager = false).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(pure == got)
+  }
+
   test("docPrior: a doc on an unseen host gets rank 0, ranked hosts " +
     "join their exact fixed-point score") {
     val docs = Seq(
