@@ -140,8 +140,19 @@ object Search {
                                 k1: Double, b: Double,
                                 maxDfFrac: Double = 1.0): DataFrame = {
     val probed = post.join(broadcast(qterms), "token")
-    // df over probed rows only — exact: the probe keeps whole token groups
-    val dfAll = probed.select("token", "doc_id").distinct()
+    // df over DISTINCT probe tokens straight from `post` — exact because
+    // the probe keeps whole token groups AND post is unique on
+    // (token, doc_id) (postingsOf groups by them; the store paths append
+    // disjoint doc batches and anti-join tombstones), so df(token) is a
+    // plain per-token row count: one map-side-combinable aggregate over
+    // Σ_t df(t) rows. The previous `probed.select(token, doc_id)
+    // .distinct().groupBy(token)` shape paid TWO exchanges over the
+    // query-multiplied frame (Σ_t df(t)·q(t) rows) for the same numbers —
+    // measured 1.5 → 1.1 s per scoreBm25 pass at sf0.1 (r18 §scoreBm25),
+    // and on the store path the df pass now column-prunes to `token`
+    // alone. The qlScore ctf probe has used this shape all along.
+    val dfAll = post
+      .join(broadcast(qterms.select("token").distinct()), "token")
       .groupBy("token").agg(count(lit(1)).cast(DoubleType).as("df"))
     val dfT =
       if (maxDfFrac >= 1.0) dfAll
@@ -588,23 +599,73 @@ object Search {
   * many removals) and provably changes nothing observable. */
 object SearchIndex {
 
-  private val NPfx = 64
-  private val NDpfx = 64
+  /** Prefix-partition cap — the 100 TB value: a store big enough to hit
+    * the cap gets the full 64-way pruning/write-parallelism the layout
+    * always had. */
+  private val MaxPfx = 64
 
-  private def withPfx(post: DataFrame): DataFrame =
-    post.withColumn("pfx", pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType))
+  /** Scale-ADAPTIVE prefix-partition count (r18, guide §2 "derive the
+    * partitioning from input size, not a constant tuned for one scale"):
+    * the fixed mod-64 layout priced every gate-scale store lifecycle at
+    * 64 task launches + 64 directory commits PER TABLE for ~2 k rows a
+    * directory (measured: the 115 k-row sf0.1 postings write costs
+    * 1.2–3.0 s at 64 dirs vs 0.15–0.45 s right-sized — and the serve
+    * probes pay the 64-dir listing again on every read). The count now
+    * targets ≥ [[RowsPerPfx]] postings rows per prefix directory
+    * (≈ 15–20 MB parquet — pruning granularity stays meaningful),
+    * capped at [[MaxPfx]] so corpus-scale stores keep the exact layout
+    * they had. The chosen modulus is FROZEN at build into the `_layout`
+    * sidecar (one FS metadata read per probe, no Spark job — the
+    * tombstone-marker rule) because append and every probe must hash
+    * with the build's modulus (the bigram one-config rule, applied to
+    * the layout). Legacy stores without the sidecar read as 64 — their
+    * on-disk layout, unchanged. */
+  private val RowsPerPfx = 512 * 1024L
+
+  private def layoutPfx(rows: Long): Int =
+    math.min(MaxPfx.toLong,
+      math.max(1L, (rows + RowsPerPfx - 1L) / RowsPerPfx)).toInt
+
+  private def layoutPath(dir: String) = s"$dir/_layout"
+
+  private def writeLayout(spark: SparkSession, dir: String, npfx: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(layoutPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"npfx=$npfx\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The store's frozen prefix modulus: `_layout` sidecar if present,
+    * else 64 (every store written before the adaptive layout). */
+  private[llm] def layoutOf(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(layoutPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) MaxPfx
+    else {
+      val in = fs.open(p)
+      val bytes = new Array[Byte](64)
+      val n = in.read(bytes)
+      in.close()
+      new String(bytes, 0, math.max(n, 0), "UTF-8").trim
+        .stripPrefix("npfx=").toInt
+    }
+  }
+
+  private def withPfx(post: DataFrame, npfx: Int): DataFrame =
+    post.withColumn("pfx", pmod(crc32(col("token")), lit(npfx)).cast(IntegerType))
 
   /** The DOC-keyed partition key for the postings twin: token-pfx
     * partitioning serves term probes ([[search]]) but cannot prune a
     * doc_id probe — and [[searchRm3]]'s relevance model needs exactly
     * that (the feedback docs' full term vectors). `docvecs.parquet` is
-    * the same rows laid out by dpfx = crc32(doc_id) mod 64 — the
+    * the same rows laid out by dpfx = crc32(doc_id) mod npfx — the
     * classic dual row/column layout, storage doubled on purpose so BOTH
     * access axes prune (the [[graft.sources.Layout]] z-order trade,
     * stated for postings). */
-  private def withDpfx(post: DataFrame): DataFrame =
+  private def withDpfx(post: DataFrame, npfx: Int): DataFrame =
     post.withColumn("dpfx",
-      pmod(crc32(col("doc_id").cast(StringType)), lit(NDpfx)).cast(IntegerType))
+      pmod(crc32(col("doc_id").cast(StringType)), lit(npfx)).cast(IntegerType))
 
   private def hasDocvecs(spark: SparkSession, dir: String): Boolean =
     dirExists(spark, s"$dir/docvecs.parquet")
@@ -640,11 +701,15 @@ object SearchIndex {
     val spark = docs.sparkSession
     val tk = Search.pin(Search.tokenized(docs))
     val post = Search.pin(Search.postingsOf(tk)) // written twice (two layouts)
-    withPfx(post)
+    // post is pinned, so the sizing count reads cached blocks — one cheap
+    // job buys the scale-adaptive modulus for the store's whole life
+    val npfx = layoutPfx(post.count())
+    writeLayout(spark, dir, npfx)
+    withPfx(post, npfx)
       .repartition(col("pfx")) // one file per prefix, not tasks × prefixes
       .write.mode("overwrite").partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
-    withDpfx(post)
+    withDpfx(post, npfx)
       .repartition(col("dpfx"))
       .write.mode("overwrite").partitionBy("dpfx")
       .parquet(s"$dir/docvecs.parquet")
@@ -652,7 +717,7 @@ object SearchIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.parquet")
     doclensOf(tk).write.mode("overwrite").parquet(s"$dir/doclens.parquet")
     if (bigrams) {
-      withPfx(Search.postings2Of(tk))
+      withPfx(Search.postings2Of(tk), npfx)
         .repartition(col("pfx")).write.mode("overwrite").partitionBy("pfx")
         .parquet(s"$dir/postings2.parquet")
       Search.corpusStats2Of(tk)
@@ -690,10 +755,13 @@ object SearchIndex {
   def append(dir: String, newDocs: DataFrame,
              batchId: Option[Long] = None): Unit =
     graft.sources.StoreOps.Lease.withLease(newDocs.sparkSession, dir) {
+    // the BUILD's frozen modulus, not the batch's size — probes hash with
+    // one modulus per store (the one-config rule)
+    val npfx = layoutOf(newDocs.sparkSession, dir)
     val tk = Search.pin(Search.tokenized(newDocs))
     val post0 = Search.pin(Search.postingsOf(tk))
-    val post = withPfx(post0).repartition(col("pfx"))
-    val dv = withDpfx(post0).repartition(col("dpfx"))
+    val post = withPfx(post0, npfx).repartition(col("pfx"))
+    val dv = withDpfx(post0, npfx).repartition(col("dpfx"))
     val dl = doclensOf(tk)
     val stats = Search.corpusStatsOf(tk)
     // legacy stores (pre-docvecs builds) stay legal for [[search]]:
@@ -702,7 +770,7 @@ object SearchIndex {
     // the bigram family appends wherever build created it — the store's
     // table set is FROZEN at build (the one-config rule)
     val withBg = hasBigrams(newDocs.sparkSession, dir)
-    lazy val post2 = withPfx(Search.postings2Of(tk)).repartition(col("pfx"))
+    lazy val post2 = withPfx(Search.postings2Of(tk), npfx).repartition(col("pfx"))
     lazy val dl2 = doclens2Of(tk)
     lazy val stats2 = Search.corpusStats2Of(tk)
     batchId match {
@@ -928,8 +996,9 @@ object SearchIndex {
   private def probe(spark: SparkSession, dir: String, qterms: DataFrame,
                     tomb: Option[DataFrame], allowed: Option[DataFrame])
       : (DataFrame, DataFrame) = {
+    val npfx = layoutOf(spark, dir)
     val pfxs = qterms
-      .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
+      .select(pmod(crc32(col("token")), lit(npfx)).cast(IntegerType).as("pfx"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val post0 = spark.read.parquet(s"$dir/postings.parquet")
       .filter(col("pfx").isin(pfxs: _*))
@@ -979,7 +1048,8 @@ object SearchIndex {
       .select("query_id", "doc_id", "wd")
       .localCheckpoint() // queries·fbDocs rows
     val dpfxs = fbw
-      .select(pmod(crc32(col("doc_id").cast(StringType)), lit(NDpfx))
+      .select(pmod(crc32(col("doc_id").cast(StringType)),
+          lit(layoutOf(spark, dir)))
         .cast(IntegerType).as("dpfx"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val dvs = spark.read.parquet(s"$dir/docvecs.parquet")
@@ -1046,7 +1116,8 @@ object SearchIndex {
   private def probe2(spark: SparkSession, dir: String, qbg: DataFrame,
                      tomb: Option[DataFrame]): (DataFrame, DataFrame) = {
     val pfxs = qbg
-      .select(pmod(crc32(col("token")), lit(NPfx)).cast(IntegerType).as("pfx"))
+      .select(pmod(crc32(col("token")), lit(layoutOf(spark, dir)))
+        .cast(IntegerType).as("pfx"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val post0 = spark.read.parquet(s"$dir/postings2.parquet")
       .filter(col("pfx").isin(pfxs: _*))
