@@ -61,15 +61,35 @@ object DedupIndex {
   case class Params(n: Int = 3, k: Int = 12, bands: Int = 4,
                     maxBucket: Int = 10000)
 
-  /** Pfx fan-out for both stores: small enough that a fresh build makes
-    * ~NPfx files per table, large enough that a pruned probe skips ≳ 97%
-    * of the store's bytes. */
-  private val NPfx = 32
+  /** Pfx fan-out CAP for both stores — the 100 TB value: small enough
+    * that a fresh build makes ~32 files per band, large enough that a
+    * pruned probe skips ≳ 97% of the store's bytes. The per-store fan-out
+    * is scale-ADAPTIVE below the cap (r18, guide §2): it targets
+    * ≥ [[DocsPerPfx]] gram rows per prefix directory, because the fixed
+    * 32 priced every gate-scale lifecycle at 4·32 + 32 directory commits
+    * for ~150 rows a directory. The chosen modulus is frozen at build
+    * into the `_layout` sidecar ([[graft.sources.StoreOps.readLayout]]),
+    * because append and every probe must hash bkeys/doc_ids with the
+    * build's modulus; stores without the sidecar read as 32 — their
+    * on-disk layout, unchanged. */
+  private val MaxPfx = 32
 
-  private def bpfxCol: org.apache.spark.sql.Column =
-    pmod(crc32(col("bkey")), lit(NPfx)).cast(IntegerType)
-  private def gpfxCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(id, lit(NPfx)).cast(IntegerType)
+  /** Gram rows are doc-count-sized and FAT (a doc's whole n-gram set in
+    * one array cell, kilobytes a row), so the directory-sizing unit is
+    * docs: 16 k docs ≈ tens of MB of gram payload per directory. */
+  private val DocsPerPfx = 16 * 1024L
+
+  private def layoutPfx(docs: Long): Int =
+    graft.sources.StoreOps.adaptiveFanout(docs, DocsPerPfx, MaxPfx)
+
+  private def layoutOf(spark: SparkSession, dir: String): Int =
+    graft.sources.StoreOps.readLayout(spark, dir, MaxPfx)
+
+  private def bpfxCol(npfx: Int): org.apache.spark.sql.Column =
+    pmod(crc32(col("bkey")), lit(npfx)).cast(IntegerType)
+  private def gpfxCol(id: org.apache.spark.sql.Column,
+                      npfx: Int): org.apache.spark.sql.Column =
+    pmod(id, lit(npfx)).cast(IntegerType)
 
   private def hasPfxLayout(spark: SparkSession, dir: String): Boolean =
     spark.read.parquet(s"$dir/postings.parquet").columns.contains("bpfx")
@@ -90,6 +110,10 @@ object DedupIndex {
     spark.createDataFrame(Seq((p.n, p.k, p.bands, p.maxBucket)))
       .toDF("n", "k", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    // the sizing count is one cheap column-pruned job over the batch;
+    // it buys the scale-adaptive modulus for the store's whole life
+    val npfx = layoutPfx(docs.count())
+    graft.sources.StoreOps.writeLayout(spark, dir, npfx)
     val banded = Dedup.bandKeys(docs, p.n, p.k, p.bands)
     // build-time degenerate-bucket guard (see scaladoc above)
     val keep = banded.groupBy("band", "bkey")
@@ -97,12 +121,13 @@ object DedupIndex {
       .select("band", "bkey")
     // one file per (band, bpfx) partition (not tasks × partitions)
     banded.join(keep, Seq("band", "bkey"))
-      .select(col("doc_id"), col("bkey"), col("band"), bpfxCol.as("bpfx"))
+      .select(col("doc_id"), col("bkey"), col("band"), bpfxCol(npfx).as("bpfx"))
       .repartition(col("band"), col("bpfx"))
       .write.mode("overwrite").partitionBy("band", "bpfx")
       .parquet(s"$dir/postings.parquet")
     Dedup.withGramSet(docs, p.n)
-      .select(col("doc_id"), col("gs"), gpfxCol(col("doc_id")).as("gpfx"))
+      .select(col("doc_id"), col("gs"),
+        gpfxCol(col("doc_id"), npfx).as("gpfx"))
       .repartition(col("gpfx"))
       .write.mode("overwrite").partitionBy("gpfx")
       .parquet(s"$dir/grams.parquet")
@@ -171,13 +196,16 @@ object DedupIndex {
     val spark = newDocs.sparkSession
     requirePfxLayout(spark, dir)
     val p = readParams(spark, dir)
+    // the BUILD's frozen modulus, not the batch's size (one-config rule)
+    val npfx = layoutOf(spark, dir)
     Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
-      .select(col("doc_id"), col("bkey"), col("band"), bpfxCol.as("bpfx"))
+      .select(col("doc_id"), col("bkey"), col("band"), bpfxCol(npfx).as("bpfx"))
       .repartition(col("band"), col("bpfx"))
       .write.mode("append").partitionBy("band", "bpfx")
       .parquet(s"$dir/postings.parquet")
     Dedup.withGramSet(newDocs, p.n)
-      .select(col("doc_id"), col("gs"), gpfxCol(col("doc_id")).as("gpfx"))
+      .select(col("doc_id"), col("gs"),
+        gpfxCol(col("doc_id"), npfx).as("gpfx"))
       .repartition(col("gpfx"))
       .write.mode("append").partitionBy("gpfx")
       .parquet(s"$dir/grams.parquet")
@@ -192,11 +220,12 @@ object DedupIndex {
                    minJaccard: Double = 0.5): DataFrame = {
     val p = readParams(spark, dir)
     val pfx = hasPfxLayout(spark, dir)
+    val npfx = layoutOf(spark, dir)
     val postings = spark.read.parquet(s"$dir/postings.parquet")
     val storedGrams = spark.read.parquet(s"$dir/grams.parquet")
     val probe = Dedup.bandKeys(newDocs, p.n, p.k, p.bands)
       .select(col("doc_id").as("doc_id"), col("band"), col("bkey"),
-        bpfxCol.as("bpfx"))
+        bpfxCol(npfx).as("bpfx"))
     // bpfx in the join key = dynamic partition pruning on the postings
     // scan: only the (band, bpfx) directories the probe's keys hash into
     // are read (legacy band-only stores fall back to the unpruned join)
@@ -223,7 +252,7 @@ object DedupIndex {
     // scan to the directories holding actual candidates (the candidate
     // frame broadcasts — it is LSH-bounded by the probe batch)
     val candG =
-      if (pfx) cand.withColumn("gpfx", gpfxCol(col("dup_id"))) else cand
+      if (pfx) cand.withColumn("gpfx", gpfxCol(col("dup_id"), npfx)) else cand
     val verifyKeys = if (pfx) Seq("gpfx", "dup_id") else Seq("dup_id")
     val storedG =
       if (pfx) storedGrams.select(col("gpfx"), col("doc_id").as("dup_id"),

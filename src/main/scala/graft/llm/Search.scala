@@ -623,34 +623,15 @@ object SearchIndex {
   private val RowsPerPfx = 512 * 1024L
 
   private def layoutPfx(rows: Long): Int =
-    math.min(MaxPfx.toLong,
-      math.max(1L, (rows + RowsPerPfx - 1L) / RowsPerPfx)).toInt
+    graft.sources.StoreOps.adaptiveFanout(rows, RowsPerPfx, MaxPfx)
 
-  private def layoutPath(dir: String) = s"$dir/_layout"
-
-  private def writeLayout(spark: SparkSession, dir: String, npfx: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(layoutPath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(s"npfx=$npfx\n".getBytes("UTF-8"))
-    out.close()
-  }
+  private def writeLayout(spark: SparkSession, dir: String, npfx: Int): Unit =
+    graft.sources.StoreOps.writeLayout(spark, dir, npfx)
 
   /** The store's frozen prefix modulus: `_layout` sidecar if present,
     * else 64 (every store written before the adaptive layout). */
-  private[llm] def layoutOf(spark: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(layoutPath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) MaxPfx
-    else {
-      val in = fs.open(p)
-      val bytes = new Array[Byte](64)
-      val n = in.read(bytes)
-      in.close()
-      new String(bytes, 0, math.max(n, 0), "UTF-8").trim
-        .stripPrefix("npfx=").toInt
-    }
-  }
+  private[llm] def layoutOf(spark: SparkSession, dir: String): Int =
+    graft.sources.StoreOps.readLayout(spark, dir, MaxPfx)
 
   private def withPfx(post: DataFrame, npfx: Int): DataFrame =
     post.withColumn("pfx", pmod(crc32(col("token")), lit(npfx)).cast(IntegerType))

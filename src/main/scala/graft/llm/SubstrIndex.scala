@@ -72,14 +72,33 @@ object SubstrIndex {
       .write.mode(mode).partitionBy("hp")
       .parquet(s"$dir/postings.parquet")
 
-  /** Build the counted gram store from `docs` and write meta to `dir`. */
+  /** Gram rows (h, cnt) are 16 bytes: 1 M rows ≈ 16 MB per prefix
+    * directory — the adaptive-fanout sizing unit ([[build]]). */
+  private val GramsPerPart = 1024 * 1024L
+
+  /** Build the counted gram store from `docs` and write meta to `dir`.
+    * `parts = 0` (the default) derives the hash-prefix partition count
+    * from the build's gram volume (≥ [[GramsPerPart]] rows per
+    * directory, capped at 64 — the 100 TB fan-out; r18, guide §2): the
+    * fixed 64 priced every gate-scale build at 64 directory commits for
+    * a few thousand rows each. The chosen count is frozen into
+    * meta.parquet exactly as an explicit one always was — append reads
+    * it back, so layouts never mix. */
   def build(docs: DataFrame, dir: String, k: Int = 15,
-            parts: Int = 64): Unit =
+            parts: Int = 0): Unit =
     graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
     val spark = docs.sparkSession
-    spark.createDataFrame(Seq((k, parts))).toDF("k", "parts")
+    val cnts0 = gramDocCounts(docs, k)
+    val (cnts, nparts) =
+      if (parts > 0) (cnts0, parts)
+      else {
+        // pinned: the sizing count and the write share one computation
+        val c = cnts0.localCheckpoint()
+        (c, graft.sources.StoreOps.adaptiveFanout(c.count(), GramsPerPart, 64))
+      }
+    spark.createDataFrame(Seq((k, nparts))).toDF("k", "parts")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
-    writeParts(gramDocCounts(docs, k), dir, parts, "overwrite")
+    writeParts(cnts, dir, nparts, "overwrite")
     docs.select(col("doc_id")).write.mode("overwrite")
       .parquet(s"$dir/docids.parquet")
     graft.sources.StoreOps.Tombstones.writeEmpty(spark, dir, "doc_id")

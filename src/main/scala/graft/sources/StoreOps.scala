@@ -55,6 +55,47 @@ object StoreOps {
     fs.delete(new Path(bak), true)
   }
 
+  /** Layout sidecar (`_layout`): ONE integer — the scale-adaptive
+    * partition fan-out a store froze at build time (r18, guide §2: derive
+    * partitioning from input size, not a constant tuned for one scale).
+    * Append and probe paths must hash with the build's modulus, so the
+    * value is written once at build and read back with one FS metadata
+    * op (no Spark job — the tombstone-marker rule). Stores written before
+    * the sidecar read as `default` (their hard-coded historical
+    * fan-out), so on-disk layouts never mix. */
+  def writeLayout(spark: org.apache.spark.sql.SparkSession,
+                  dir: String, n: Int): Unit = {
+    val p = new Path(s"$dir/_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"npfx=$n\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readLayout(spark: org.apache.spark.sql.SparkSession,
+                 dir: String, default: Int): Int = {
+    val p = new Path(s"$dir/_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) default
+    else {
+      val in = fs.open(p)
+      val bytes = new Array[Byte](64)
+      val n = in.read(bytes)
+      in.close()
+      new String(bytes, 0, math.max(n, 0), "UTF-8").trim
+        .stripPrefix("npfx=").toInt
+    }
+  }
+
+  /** The layout-sizing rule shared by the adaptive stores: enough
+    * partitions that each directory holds ≥ `rowsPerPart` rows, capped at
+    * the store's production fan-out (pruning power and write parallelism
+    * grow with the data; a gate-scale store stops paying 32-64 directory
+    * commits for a few thousand rows). */
+  def adaptiveFanout(rows: Long, rowsPerPart: Long, cap: Int): Int =
+    math.min(cap.toLong,
+      math.max(1L, (rows + rowsPerPart - 1L) / rowsPerPart)).toInt
+
   /** Marker files: a zero-byte flag the read paths can test with one
     * filesystem metadata op instead of a Spark job (e.g. "does this store
     * have tombstones?"). `markerExists` doubles as a plain path-existence
