@@ -84,20 +84,25 @@ object Pca {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val mArr = Array.tabulate(Dims)(means)
 
-    // centered outer products exploded in-row: one scan, 4096-key groupBy
-    val centered = transform(col(vecCol),
-      (v, d) => v.cast(DoubleType) - element_at(lit(mArr), d + 1))
+    // centered outer products exploded in-row: one scan, d²-key groupBy.
+    // The product grid is the codegen'd [[graft.functions
+    // .CenteredOuterProducts]] (a nested transform×transform here paid n²
+    // interpreted lambda dispatches per row — 2.9 of embed_pca's 3.0 s at
+    // sf0.1); same cast/subtract/multiply per (i, j), same row-major
+    // order, so the folded sums are bit-identical. The (i, j) key rides
+    // as the flattened position — one int column through the shuffle
+    // instead of two, unpacked on the driver.
     val pairs = emb
-      .withColumn("__c__", centered)
-      .select(explode(flatten(transform(col("__c__"),
-        (xi, i) => transform(col("__c__"),
-          (xj, j) => struct(i.as("i"), j.as("j"), (xi * xj).as("p"))))))
-        .as("__t__"))
-      .select(col("__t__.i"), col("__t__.j"), col("__t__.p"))
-      .groupBy("i", "j").agg(round(sum("p") / lit(n), 6).as("c"))
+      .select(posexplode(org.apache.spark.sql.GraftExpr.column(
+        graft.functions.CenteredOuterProducts(
+          org.apache.spark.sql.GraftExpr.expression(col(vecCol)),
+          org.apache.spark.sql.GraftExpr.expression(lit(mArr)))))
+        .as(Seq("__pos__", "__p__")))
+      .groupBy("__pos__").agg(round(sum("__p__") / lit(n), 6).as("c"))
       .collect()
     val c = Array.ofDim[Double](Dims, Dims)
-    pairs.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    pairs.foreach(r =>
+      c(r.getInt(0) / Dims)(r.getInt(0) % Dims) = r.getDouble(1))
 
     val comps = Array.ofDim[Double](k, Dims)
     val eigs = Array.ofDim[Double](k)
