@@ -461,8 +461,9 @@ object Search {
     val fbw = scoreBm25(post, pin(queryTerms(queries)), stats, fbDocs, k1, b)
       .withColumn("wd", col("score") / sum("score").over(wq))
       .select("query_id", "doc_id", "wd")
-    // 2-4. relevance model + interpolation over the shared postings
-    val wterms = rm3Wterms(post, fbw, queries, fbTerms, alpha)
+    // 2-4. relevance model + interpolation over the shared postings;
+    // pinned here (the re-scoring pass reads it twice)
+    val wterms = pin(rm3Wterms(post, fbw, queries, fbTerms, alpha))
     // 5. weighted re-scoring against the SAME corpus stats
     scoreBm25(post, wterms, stats, topK, k1, b)
   }
@@ -473,8 +474,12 @@ object Search {
     * frame): RM1 masses over the feedback docs' terms (broadcast `fbw`:
     * queries·fbDocs rows joined into `fbPost`), top-`fbTerms` by
     * (wt desc, token asc) renormalized, interpolated with the query's
-    * own term distribution at `alpha`. Returns the PINNED weighted-query
-    * frame (query_id, token, w) — the re-scoring pass reads it twice. */
+    * own term distribution at `alpha`. Returns the LAZY weighted-query
+    * frame (query_id, token, w) — the re-scoring pass reads it twice, so
+    * callers materialize it once each their own way: [[rm3TopK]] [[pin]]s
+    * it (corpus-side consumers), [[SearchIndex.searchRm3]] collects it to
+    * a driver-local relation (it also needs the terms' prefix values for
+    * the second store prune — one collect serves both). */
   private[llm] def rm3Wterms(fbPost: DataFrame, fbw: DataFrame,
                              queries: DataFrame, fbTerms: Int,
                              alpha: Double): DataFrame = {
@@ -493,10 +498,10 @@ object Search {
       .groupBy("query_id", "token").agg(count(lit(1)).cast(DoubleType).as("qtf"))
       .withColumn("pq", col("qtf") / sum("qtf").over(wq))
       .select("query_id", "token", "pq")
-    pin(pq.join(prm, Seq("query_id", "token"), "full_outer")
+    pq.join(prm, Seq("query_id", "token"), "full_outer")
       .select(col("query_id"), col("token"),
         round(lit(alpha) * coalesce(col("pq"), lit(0.0)) +
-          (lit(1.0) - lit(alpha)) * coalesce(col("prm"), lit(0.0)), 6).as("w")))
+          (lit(1.0) - lit(alpha)) * coalesce(col("prm"), lit(0.0)), 6).as("w"))
   }
 
   /** Hybrid retrieval: the sparse (BM25) and dense (embedding-cosine)
@@ -647,6 +652,29 @@ object SearchIndex {
   private def withDpfx(post: DataFrame, npfx: Int): DataFrame =
     post.withColumn("dpfx",
       pmod(crc32(col("doc_id").cast(StringType)), lit(npfx)).cast(IntegerType))
+
+  /** Driver-side replica of `pmod(crc32(s), npfx)` — the prefix a token
+    * (or doc_id rendered as its decimal string) hashes to. Spark's crc32
+    * is zlib CRC32 over the UTF-8 bytes; the value is in [0, 2³²) so the
+    * plain % is already the pmod. Serve paths compute their pruning
+    * lists from ALREADY-COLLECTED model-sized frames with this, instead
+    * of paying one distinct+collect Spark job per probe. */
+  private def pfxOf(s: String, npfx: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    val b = s.getBytes("UTF-8")
+    c.update(b, 0, b.length)
+    (c.getValue % npfx).toInt
+  }
+
+  /** Re-wrap collected rows as a driver-LOCAL relation: downstream plans
+    * embed the rows (broadcast builds become trivial, nothing re-plans
+    * the source) — the [[Ann.lloydCentroids]] bounded-parameter rule.
+    * Only ever called on model-sized frames (query terms, feedback sets,
+    * expansion terms: ≤ queries·max(fbTerms + terms) rows by
+    * construction). */
+  private def localized(spark: SparkSession, rows: Array[org.apache.spark.sql.Row],
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
   private def hasDocvecs(spark: SparkSession, dir: String): Boolean =
     dirExists(spark, s"$dir/docvecs.parquet")
@@ -955,9 +983,18 @@ object SearchIndex {
              topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
              maxDfFrac: Double = 1.0,
              allowed: Option[DataFrame] = None): DataFrame = {
-    val qterms = Search.queryTerms(queries).localCheckpoint() // tiny; read 2×
+    // ONE job collects the model-sized term frame; the local relation
+    // feeds the scoring joins and the prefix list is derived driver-side
+    // (was: a localCheckpoint job + a distinct+collect job per probe)
+    val qtF = Search.queryTerms(queries)
+    val qtRows = qtF.collect()
+    val qterms = localized(spark, qtRows, qtF.schema)
+    val npfx = layoutOf(spark, dir)
+    val tokIdx = qtF.schema.fieldIndex("token")
+    val pfxs = qtRows.map(r => pfxOf(r.getString(tokIdx), npfx)).distinct.toSeq
     val tomb = readTombstones(spark, dir)
-    val (post, stats) = probe(spark, dir, qterms, tomb, allowed)
+    val post = postSlice(spark, dir, pfxs, tomb, allowed)
+    val stats = broadcast(statsOf(spark, dir, tomb, allowed))
     Search.scoreBm25(post, qterms, stats, topK, k1, b, maxDfFrac)
   }
 
@@ -967,32 +1004,34 @@ object SearchIndex {
       Some(graft.sources.StoreOps.Tombstones.read(spark, dir, "doc_id"))
     else None
 
-  /** The pruned-postings + stats pair for one probe-term frame — shared
+  /** The pruned-postings slice for a DRIVER-COMPUTED prefix list — shared
     * by [[search]] and both of [[searchRm3]]'s scoring passes: the
     * terms' prefix values prune the partitioned scan statically (a
-    * model-sized driver-side `isin`), tombstoned docs drop out of the
-    * pruned slice (their full posting lists are never touched) and out
-    * of N/avgdl via the exact doclens-ledger stats — scores as if they
-    * were never indexed. */
-  private def probe(spark: SparkSession, dir: String, qterms: DataFrame,
-                    tomb: Option[DataFrame], allowed: Option[DataFrame])
-      : (DataFrame, DataFrame) = {
-    val npfx = layoutOf(spark, dir)
-    val pfxs = qterms
-      .select(pmod(crc32(col("token")), lit(npfx)).cast(IntegerType).as("pfx"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    * model-sized driver-side `isin`, the list computed in Scala from the
+    * already-collected term rows via [[pfxOf]] — no per-probe Spark job),
+    * tombstoned docs drop out of the pruned slice (their full posting
+    * lists are never touched). */
+  private def postSlice(spark: SparkSession, dir: String, pfxs: Seq[Int],
+                        tomb: Option[DataFrame],
+                        allowed: Option[DataFrame]): DataFrame = {
     val post0 = spark.read.parquet(s"$dir/postings.parquet")
-      .filter(col("pfx").isin(pfxs: _*))
+      .filter(col("pfx").isin(pfxs.map(Integer.valueOf): _*))
       .select("token", "doc_id", "tf", "dl")
     val post1 = tomb.fold(post0)(t =>
       post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
-    val post = allowed.fold(post1)(a =>
+    allowed.fold(post1)(a =>
       post1.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    val stats = if (tomb.isEmpty && allowed.isEmpty)
-      storedStats(spark, dir)
-    else effectiveStats(spark, dir, tomb, allowed)
-    (post, broadcast(stats))
   }
+
+  /** The one-row stats frame for the effective corpus — exact under
+    * tombstones and allow lists via the doclens ledger. HOISTED out of
+    * the probe so [[searchRm3]]'s two scoring passes share ONE broadcast
+    * build (the stats are identical by construction). */
+  private def statsOf(spark: SparkSession, dir: String,
+                      tomb: Option[DataFrame],
+                      allowed: Option[DataFrame]): DataFrame =
+    if (tomb.isEmpty && allowed.isEmpty) storedStats(spark, dir)
+    else effectiveStats(spark, dir, tomb, allowed)
 
   /** RM3 pseudo-relevance feedback SERVED FROM THE STORE — the transient
     * [[Search.rm3TopK]]'s production twin, and what the doc-keyed
@@ -1018,30 +1057,46 @@ object SearchIndex {
     require(hasDocvecs(spark, dir),
       s"$dir predates the doc-keyed docvecs twin — rebuild the index to " +
         "serve store-side RM3 (plain search() still works)")
-    val qterms = Search.queryTerms(queries).localCheckpoint()
+    val npfx = layoutOf(spark, dir)
+    val qtF = Search.queryTerms(queries)
+    val qtRows = qtF.collect() // model-sized; prefix list + scoring joins
+    val qterms = localized(spark, qtRows, qtF.schema)
+    val qTokIdx = qtF.schema.fieldIndex("token")
     val tomb = readTombstones(spark, dir)
-    val (post1, stats) = probe(spark, dir, qterms, tomb, None)
+    // stats shared by BOTH scoring passes — identical by construction,
+    // so one broadcast build instead of two
+    val stats = broadcast(statsOf(spark, dir, tomb, None))
+    val post1 = postSlice(spark, dir,
+      qtRows.map(r => pfxOf(r.getString(qTokIdx), npfx)).distinct.toSeq,
+      tomb, None)
     val wq = Window.partitionBy("query_id")
-    // 1. feedback set from the pruned store probe; pinned — read by the
-    // dpfx-prune collect AND the RM1 join
-    val fbw = Search.scoreBm25(post1, qterms, stats, fbDocs, k1, b)
+    // 1. feedback set from the pruned store probe — COLLECTED
+    // (queries·fbDocs rows by construction): the one job feeds the RM1
+    // broadcast join AND the driver-side dpfx prune list
+    val fbwF = Search.scoreBm25(post1, qterms, stats, fbDocs, k1, b)
       .withColumn("wd", col("score") / sum("score").over(wq))
       .select("query_id", "doc_id", "wd")
-      .localCheckpoint() // queries·fbDocs rows
-    val dpfxs = fbw
-      .select(pmod(crc32(col("doc_id").cast(StringType)),
-          lit(layoutOf(spark, dir)))
-        .cast(IntegerType).as("dpfx"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val fbwRows = fbwF.collect()
+    val fbw = localized(spark, fbwRows, fbwF.schema)
+    val fbDocIdx = fbwF.schema.fieldIndex("doc_id")
+    val dpfxs = fbwRows
+      .map(r => pfxOf(r.getLong(fbDocIdx).toString, npfx)).distinct.toSeq
     val dvs = spark.read.parquet(s"$dir/docvecs.parquet")
-      .filter(col("dpfx").isin(dpfxs: _*))
+      .filter(col("dpfx").isin(dpfxs.map(Integer.valueOf): _*))
       .select("token", "doc_id", "tf", "dl")
-    // 2-4. the shared relevance-model arithmetic over the stored vectors
-    val wterms = Search.rm3Wterms(dvs, fbw, queries, fbTerms, alpha)
-    // 5. weighted re-scoring through a second pruned probe (the expanded
+    // 2-4. the shared relevance-model arithmetic over the stored vectors —
+    // COLLECTED (queries·(fbTerms + |q|) rows): one job feeds the
+    // re-scoring joins and the second prefix prune list
+    val wtF = Search.rm3Wterms(dvs, fbw, queries, fbTerms, alpha)
+    val wtRows = wtF.collect()
+    val wterms = localized(spark, wtRows, wtF.schema)
+    val wTokIdx = wtF.schema.fieldIndex("token")
+    // 5. weighted re-scoring through a second pruned slice (the expanded
     // term set picks its own prefix partitions)
-    val (post2, stats2) = probe(spark, dir, wterms, tomb, None)
-    Search.scoreBm25(post2, wterms, stats2, topK, k1, b)
+    val post2 = postSlice(spark, dir,
+      wtRows.map(r => pfxOf(r.getString(wTokIdx), npfx)).distinct.toSeq,
+      tomb, None)
+    Search.scoreBm25(post2, wterms, stats, topK, k1, b)
   }
 
   /** Dirichlet query likelihood SERVED FROM THE STORE — the
@@ -1056,9 +1111,16 @@ object SearchIndex {
     * returns). */
   def searchQl(spark: SparkSession, dir: String, queries: DataFrame,
                topK: Int = 5, mu: Double = 2000.0): DataFrame = {
-    val qn = Search.qlQueryTerms(queries).localCheckpoint() // tiny; read 3×
+    val qnF = Search.qlQueryTerms(queries)
+    val qnRows = qnF.collect() // model-sized; read 3× as a local relation
+    val qn = localized(spark, qnRows, qnF.schema)
+    val npfx = layoutOf(spark, dir)
+    val tokIdx = qnF.schema.fieldIndex("token")
     val tomb = readTombstones(spark, dir)
-    val (post, stats) = probe(spark, dir, qn, tomb, None)
+    val post = postSlice(spark, dir,
+      qnRows.map(r => pfxOf(r.getString(tokIdx), npfx)).distinct.toSeq,
+      tomb, None)
+    val stats = broadcast(statsOf(spark, dir, tomb, None))
     Search.qlScore(post, qn, stats, topK, mu)
   }
 
@@ -1078,30 +1140,37 @@ object SearchIndex {
     require(hasBigrams(spark, dir),
       s"$dir has no bigram table family — rebuild with " +
         "SearchIndex.build(bigrams = true) to serve store-side SDM")
+    val npfx = layoutOf(spark, dir)
     val tomb = readTombstones(spark, dir)
-    val qterms = Search.queryTerms(queries).localCheckpoint()
-    val (post, stats) = probe(spark, dir, qterms, tomb, None)
+    val qtF = Search.queryTerms(queries)
+    val qtRows = qtF.collect()
+    val qterms = localized(spark, qtRows, qtF.schema)
+    val qTokIdx = qtF.schema.fieldIndex("token")
+    val post = postSlice(spark, dir,
+      qtRows.map(r => pfxOf(r.getString(qTokIdx), npfx)).distinct.toSeq,
+      tomb, None)
+    val stats = broadcast(statsOf(spark, dir, tomb, None))
     val uni = Search.scoreBm25Agg(post, qterms, stats, k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("s_uni"))
-    val qbg = Search.queryBigrams(queries).localCheckpoint()
-    val (post2, stats2) = probe2(spark, dir, qbg, tomb)
+    val qbF = Search.queryBigrams(queries)
+    val qbRows = qbF.collect()
+    val qbg = localized(spark, qbRows, qbF.schema)
+    val bTokIdx = qbF.schema.fieldIndex("token")
+    val (post2, stats2) = probe2(spark, dir,
+      qbRows.map(r => pfxOf(r.getString(bTokIdx), npfx)).distinct.toSeq, tomb)
     val bi = Search.scoreBm25Agg(post2, qbg, stats2, k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("s_bi"))
     Search.sdmFuse(uni, bi, topK, lambdaT, lambdaO)
   }
 
-  /** [[probe]] over the bigram table family: same static prefix prune,
-    * same exact tombstone subtraction — stats from the summed
-    * `stats2.parquet` partials, or re-derived from the `doclens2`
-    * ledger when tombstones exist. */
-  private def probe2(spark: SparkSession, dir: String, qbg: DataFrame,
+  /** [[postSlice]] + stats over the bigram table family: same static
+    * prefix prune from a driver-computed list, same exact tombstone
+    * subtraction — stats from the summed `stats2.parquet` partials, or
+    * re-derived from the `doclens2` ledger when tombstones exist. */
+  private def probe2(spark: SparkSession, dir: String, pfxs: Seq[Int],
                      tomb: Option[DataFrame]): (DataFrame, DataFrame) = {
-    val pfxs = qbg
-      .select(pmod(crc32(col("token")), lit(layoutOf(spark, dir)))
-        .cast(IntegerType).as("pfx"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     val post0 = spark.read.parquet(s"$dir/postings2.parquet")
-      .filter(col("pfx").isin(pfxs: _*))
+      .filter(col("pfx").isin(pfxs.map(Integer.valueOf): _*))
       .select("token", "doc_id", "tf", "dl")
     val post = tomb.fold(post0)(t =>
       post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
