@@ -123,7 +123,11 @@ object TsQueries {
     * replica: any drift in bucketing, partial-merge, or window mapping
     * hash-fails. */
   private def rollupStore(spark: SparkSession, dir: String): String = {
-    val s = Model.withSkey(events(spark, dir))
+    // pinned: build's ≤mid filter and append's >mid filter would each
+    // replay the whole ingest chain (classify → dedup groupBy → unpivot,
+    // one full-events shuffle per consumer) — the semDedup shared-frame
+    // rule, applied to the gate's two store mutations
+    val s = Model.withSkey(events(spark, dir)).localCheckpoint()
     val mid = GridStart + 15 * 86400.0
     val store = java.nio.file.Files.createTempDirectory("graft-rollup").toString
     graft.sources.RollupStore.build(
