@@ -178,13 +178,16 @@ object WordPiece {
       val toks = tokenCounts()
       // observed adjacent pairs: bounded by |vocab|² (both sides are
       // vocab tokens), a model frame — never corpus-sized
+      // adjacent pairs via slice + arrays_zip + post-explode Filter —
+      // same multiset as the lambda-HOF spelling but codegen'd built-ins
+      // (the [[Bpe]] learnLoop r18 fix; HOFs evaluate interpreted)
       val pairs = enc.select(split(col("__e__"), Sep, -1).as("ts"))
         .filter(size(col("ts")) >= 2)
-        .select(explode(expr(
-          "filter(transform(sequence(1, size(ts) - 1), " +
-            "i -> struct(element_at(ts, i) as lt, element_at(ts, i + 1) as rt)), " +
-            "p -> p.lt != '' AND p.rt != '' AND p.lt != chr(2) AND p.rt != chr(2))"))
-          .as("p"))
+        .select(explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1).as("lt"),
+          slice(col("ts"), lit(2), size(col("ts")) - 1).as("rt"))).as("p"))
+        .filter(col("p.lt") =!= "" && col("p.rt") =!= "" &&
+          col("p.lt") =!= Bnd && col("p.rt") =!= Bnd)
         .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
         .agg(count(lit(1)).as("cnt"))
         .as[(String, String, Long)].collect()
