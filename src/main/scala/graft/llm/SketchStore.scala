@@ -53,18 +53,26 @@ object SketchStore {
   def build(docs: DataFrame, dir: String, groupCol: String = "lang",
             valueCol: String = "n_chars", d: Int = 4, w: Int = 1024): Unit =
     graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
-    write(Sketches.hllRegisters(docs, groupCol), s"$dir/hll.parquet")
-    write(Sketches.cmsCounters(docs, d, w), s"$dir/cms.parquet")
+    val toks = tokensOf(docs, groupCol)
+    write(Sketches.hllRegistersOf(toks, groupCol), s"$dir/hll.parquet")
+    write(Sketches.cmsCountersOf(toks, d, w), s"$dir/cms.parquet")
     write(Sketches.quantileBins(docs, valueCol, groupCol), s"$dir/qbins.parquet")
-    write(kmvRows(docs, groupCol), s"$dir/kmv.parquet")
+    write(kmvRows(toks, groupCol), s"$dir/kmv.parquet")
   }
 
-  /** A batch's per-group KMV minima as storable (group, h) rows. */
-  private def kmvRows(docs: DataFrame, groupCol: String): DataFrame =
-    Sketches.kmvSketch(
-        docs.select(col(groupCol),
-          explode(Dedup.tokens(col("text"))).as("token")),
-        groupCol, "token")
+  /** The batch's exploded (group, token) stream, PINNED: hll, cms and kmv
+    * all fold from this one frame, so each mutation runs tokenize+explode
+    * over the batch once instead of three times (the r18 shared-frame
+    * rule — same results, one materialization; qbins reads plain columns
+    * and needs no tokens). */
+  private def tokensOf(docs: DataFrame, groupCol: String): DataFrame =
+    docs.select(col(groupCol), explode(Dedup.tokens(col("text"))).as("token"))
+      .localCheckpoint()
+
+  /** A batch's per-group KMV minima as storable (group, h) rows, from the
+    * shared token frame. */
+  private def kmvRows(toks: DataFrame, groupCol: String): DataFrame =
+    Sketches.kmvSketch(toks, groupCol, "token")
       .select(col("shard").as(groupCol), explode(col("hs")).as("h"))
 
   /** Fold a new batch into the store: appends the batch's OWN sketch as
@@ -76,11 +84,12 @@ object SketchStore {
              valueCol: String = "n_chars", d: Int = 4, w: Int = 1024,
              batchId: Option[Long] = None): Unit =
     graft.sources.StoreOps.Lease.withLease(docs.sparkSession, dir) {
+    val toks = tokensOf(docs, groupCol)
     val tables = Seq(
-      Sketches.hllRegisters(docs, groupCol) -> s"$dir/hll.parquet",
-      Sketches.cmsCounters(docs, d, w) -> s"$dir/cms.parquet",
+      Sketches.hllRegistersOf(toks, groupCol) -> s"$dir/hll.parquet",
+      Sketches.cmsCountersOf(toks, d, w) -> s"$dir/cms.parquet",
       Sketches.quantileBins(docs, valueCol, groupCol) -> s"$dir/qbins.parquet",
-      kmvRows(docs, groupCol) -> s"$dir/kmv.parquet")
+      kmvRows(toks, groupCol) -> s"$dir/kmv.parquet")
     tables.foreach { case (df, path) =>
       batchId match {
         case Some(id) =>

@@ -116,8 +116,16 @@ object Sketches {
     * register build is one max-aggregate over ≤ m·|groups| keys, fully
     * map-side combined. */
   def hllRegisters(docs: DataFrame, groupCol: String = "lang"): DataFrame =
-    docs
-      .select(col(groupCol), explode(Dedup.tokens(col("text"))).as("token"))
+    hllRegistersOf(
+      docs.select(col(groupCol), explode(Dedup.tokens(col("text"))).as("token")),
+      groupCol)
+
+  /** [[hllRegisters]] over a pre-exploded (groupCol, token) frame — the
+    * SketchStore mutation paths tokenize the batch ONCE and feed every
+    * token-consuming sketch from that pinned frame (r18 shared-frame
+    * rule) instead of re-running tokenize+explode per sketch. */
+  def hllRegistersOf(toks: DataFrame, groupCol: String = "lang"): DataFrame =
+    toks
       .withColumn("__h__", Dedup.md5Hash60(concat(lit("hll:"), col("token"))))
       .select(col(groupCol), (col("__h__") % HllM).as("idx"),
         expr(s"__h__ div ${HllM}").as("__w__"))
@@ -230,8 +238,13 @@ object Sketches {
     hash48("cms:", concat(j.cast(StringType), lit(":"), token)) % w
 
   def cmsCounters(docs: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
-    docs
-      .select(explode(Dedup.tokens(col("text"))).as("token"))
+    cmsCountersOf(
+      docs.select(explode(Dedup.tokens(col("text"))).as("token")), d, w)
+
+  /** [[cmsCounters]] over a pre-exploded token frame (see
+    * [[hllRegistersOf]]). */
+  def cmsCountersOf(toks: DataFrame, d: Int = 4, w: Int = 1024): DataFrame =
+    toks
       .select(explode(array((0 until d).map(lit): _*)).as("j"), col("token"))
       .select(col("j"), cmsCell(col("j"), col("token"), w).as("c"))
       .groupBy("j", "c")
